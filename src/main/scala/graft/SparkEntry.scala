@@ -1,13 +1,113 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Each `queries` entry is one operator from the inventory; each
+  * `oracleSql` entry is the ANSI-SQL equivalent DuckDB runs on the same
+  * parquet tables. Column names and output ordering match exactly;
+  * aggregates follow the decimal discipline in
+  * [[graft.operators.Decimals]] so hashes are partition-order-proof.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q02_filter_project" -> ((s, d) => Relational.filterProject(Tables.events(s, d))),
+    "q03_join_revenue" -> ((s, d) => Relational.joinRevenue(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q04_topk" -> ((s, d) => Relational.topK(Tables.orders(s, d))),
+    "q05_window_rank" -> ((s, d) => Relational.latestOrderPerCustomer(Tables.orders(s, d))),
+    "q06_semi_anti" -> ((s, d) => Relational.semiAntiCounts(Tables.customer(s, d), Tables.orders(s, d))),
+    "q07_distinct_agg" -> ((s, d) => Relational.distinctAgg(Tables.orders(s, d))),
+    "q08_rollup" -> ((s, d) => Relational.rollupAcctbal(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
+    "q09_union_buckets" -> ((s, d) => Relational.unionBuckets(
+      Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q10_pivot" -> ((s, d) => Relational.pivotEvents(Tables.events(s, d))),
+    "q11_running_window" -> ((s, d) => Relational.runningTotals(Tables.events(s, d))),
+    "q12_correlated_agg" -> ((s, d) => Relational.aboveAverageNations(
+      Tables.customer(s, d), Tables.nation(s, d))),
+    "q13_json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d)))
+  )
+
+  private val revenueSql =
+    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |$revenueSql AS sum_disc_price,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'click' AND value > 10.0 ORDER BY event_id",
+    "q03_join_revenue" ->
+      s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_topk" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q06_semi_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers, COUNT(ok) AS with_orders,
+        |COUNT(CASE WHEN ok IS NULL THEN 1 END) AS without_orders
+        |FROM customer LEFT JOIN (SELECT DISTINCT o_custkey AS ok FROM orders) o ON c_custkey = ok
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q07_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
+        |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q08_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS r_name, COALESCE(n_name, '(all)') AS n_name,
+        |COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q09_union_buckets" ->
+      """SELECT n_name, kind, COUNT(*) AS n_parties,
+        |CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_acctbal FROM (
+        |SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier) p
+        |JOIN nation ON nationkey = n_nationkey GROUP BY n_name, kind ORDER BY n_name, kind""".stripMargin,
+    "q10_pivot" ->
+      """SELECT user_id,
+        |COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q11_running_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q12_correlated_agg" ->
+      """SELECT n_name, CAST(sum_bal AS DECIMAL(38,2)) AS sum_acctbal, n_cust AS n_customers FROM (
+        |SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) a
+        |CROSS JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS g_sum, COUNT(*) AS g_cnt FROM customer) g
+        |WHERE sum_bal * g_cnt > g_sum * n_cust ORDER BY n_name""".stripMargin,
+    "q13_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators._
 
@@ -35,7 +36,33 @@ object SparkEntry {
     "q11_running_window" -> ((s, d) => Relational.runningTotals(Tables.events(s, d))),
     "q12_correlated_agg" -> ((s, d) => Relational.aboveAverageNations(
       Tables.customer(s, d), Tables.nation(s, d))),
-    "q13_json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d)))
+    "q13_json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
+    "q20_link_check" -> ((s, d) => LinkCheck.check(
+      Tables.events(s, d).select("event_id", "user_id"),
+      Seq("event_id", "user_id"),
+      Seq(
+        LinkCheck.Ref("customer", "user_id", Tables.customer(s, d), "c_custkey"),
+        LinkCheck.Ref("supplier", "user_id", Tables.supplier(s, d), "s_suppkey")))
+      .orderBy("event_id")),
+    "q21_schema_validation" -> ((s, d) => Validation.report(Tables.orders(s, d), Seq(
+      Validation.NotNull("o_custkey"),
+      Validation.InRange("o_totalprice", 0, 1000000),
+      Validation.InSet("o_orderstatus", Seq("O", "F", "P")),
+      Validation.Matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+      Validation.Unique("o_orderkey")))),
+    "q22_quality_metrics" -> ((s, d) => Curation.qualityMetrics(Tables.lineitem(s, d))),
+    "q23_feature_annotations" -> ((s, d) => Curation.featureAnnotations(
+      Tables.part(s, d), Tables.lineitem(s, d))),
+    "q24_metadata_mapping" -> ((s, d) => Curation.metadataMapping(Tables.customer(s, d))),
+    "q25_curation_annotation" -> ((s, d) => Curation.curationUpsert(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q26_registration_dedup" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      Curation.registrationDedup(part, part.filter(col("p_partkey") < 500))
+    }),
+    "q27_region_consistency" -> ((s, d) => Curation.declaredVsComputed(
+      Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q28_schema_drift" -> ((s, d) => Curation.schemaDrift(Tables.orders(s, d)))
   )
 
   private val revenueSql =
@@ -108,6 +135,63 @@ object SparkEntry {
     "q13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_link_check" ->
+      """SELECT event_id, user_id, ck IS NOT NULL AS customer_resolvable, sk IS NOT NULL AS supplier_resolvable
+        |FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer) c ON user_id = ck
+        |LEFT JOIN (SELECT DISTINCT s_suppkey AS sk FROM supplier) s ON user_id = sk
+        |ORDER BY event_id""".stripMargin,
+    "q21_schema_validation" ->
+      """SELECT rule, n_violations FROM (
+        |SELECT 'not_null_o_custkey' AS rule, CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_violations FROM orders
+        |UNION ALL SELECT 'range_o_totalprice', CAST(COUNT(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000) THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'enum_o_orderstatus', CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'regex_o_orderpriority', CAST(COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'unique_o_orderkey', CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |) t ORDER BY rule""".stripMargin,
+    "q22_quality_metrics" ->
+      """SELECT l_orderkey AS entity_id, COUNT(*) AS n_lineitems,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+        |MAX(l_tax) AS max_tax,
+        |CAST(MIN(l_shipdate) AS DATE) AS first_ship, CAST(MAX(l_shipdate) AS DATE) AS last_ship
+        |FROM lineitem GROUP BY l_orderkey ORDER BY entity_id""".stripMargin,
+    "q23_feature_annotations" ->
+      s"""SELECT p_partkey, p_brand, COALESCE(n_uses, 0) AS n_uses, total_qty, revenue,
+         |COALESCE(n_suppliers, 0) AS n_suppliers
+         |FROM part LEFT JOIN (
+         |SELECT l_partkey, COUNT(*) AS n_uses,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty,
+         |$revenueSql AS revenue, COUNT(DISTINCT l_suppkey) AS n_suppliers
+         |FROM lineitem GROUP BY l_partkey) u ON p_partkey = l_partkey
+         |ORDER BY p_partkey""".stripMargin,
+    "q24_metadata_mapping" ->
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS resource_id, UPPER(c_name) AS name,
+        |LOWER(c_mktsegment) AS segment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS balance_cents,
+        |CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS status
+        |FROM customer ORDER BY resource_id""".stripMargin,
+    "q25_curation_annotation" ->
+      """SELECT o_orderkey, COALESCE(new_ann, existing_ann) AS curation_status FROM (
+        |SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'Legacy' END AS existing_ann FROM orders) o
+        |LEFT JOIN (SELECT DISTINCT l_orderkey AS ann_key, 'HasReturns' AS new_ann FROM lineitem WHERE l_returnflag = 'R') a
+        |ON o_orderkey = ann_key ORDER BY o_orderkey""".stripMargin,
+    "q26_registration_dedup" ->
+      """SELECT p_partkey, p_name, n_same_name > 1 AS dup_in_batch, ex_name IS NOT NULL AS exists_in_store FROM (
+        |SELECT p_partkey, p_name, COUNT(*) OVER (PARTITION BY LOWER(p_name)) AS n_same_name FROM part) p
+        |LEFT JOIN (SELECT DISTINCT LOWER(p_name) AS ex_name FROM part WHERE p_partkey < 500) e
+        |ON LOWER(p_name) = ex_name ORDER BY p_partkey""".stripMargin,
+    "q27_region_consistency" ->
+      """SELECT o_orderstatus, last_ship <= TIMESTAMP '1998-01-01 00:00:00' AS all_shipped_early, COUNT(*) AS n
+        |FROM orders LEFT JOIN (SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY l_orderkey) c
+        |ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
+    "q28_schema_drift" ->
+      """SELECT column_name, value, is_expected, n FROM (
+        |SELECT 'o_orderpriority' AS column_name, o_orderpriority AS value,
+        |o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') AS is_expected,
+        |COUNT(*) AS n FROM orders GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'o_orderstatus', o_orderstatus, o_orderstatus IN ('O','F','P'), COUNT(*) FROM orders GROUP BY 2, 3
+        |) t ORDER BY column_name, value""".stripMargin
   )
 }

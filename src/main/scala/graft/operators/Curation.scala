@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Decimals._
+
+/** Curation / registration operators — quality reports, feature
+  * annotations, metadata mapping, annotation upsert, pre-registration
+  * dedup, declared-vs-computed consistency, schema drift.
+  *
+  * These re-express the reference's per-resource Python loops as
+  * grouped aggregations and joins (reference
+  * src/neuron_morphology/validation/quality_metric.py:83 batch reports,
+  * feature_annotations/morph_metrics_neurom.py, morphology_registration
+  * mapping + name-dedup, validation/create_update_curation_annotation,
+  * validation/region_comparison.py, schemas/check_changed_schemas.py).
+  */
+object Curation {
+
+  /** q22: per-entity quality metric vector + the same columns the batch
+    * TSV report carries (one row per order ≙ one row per morphology). */
+  def qualityMetrics(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey").as("entity_id"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        max(col("l_tax")).as("max_tax"),
+        min(col("l_shipdate")).cast(DateType).as("first_ship"),
+        max(col("l_shipdate")).cast(DateType).as("last_ship"))
+      .orderBy("entity_id")
+
+  /** q23: derived numeric feature annotations per part, kept for parts
+    * with no usage too (left join), like annotations registered for
+    * every morphology whether or not features were extractable. */
+  def featureAnnotations(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val usage = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(
+        count(lit(1)).as("n_uses"),
+        sum2(col("l_quantity")).as("total_qty"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+    part.select("p_partkey", "p_brand")
+      .join(usage, col("p_partkey") === col("pk"), "left")
+      .select(
+        col("p_partkey"), col("p_brand"),
+        coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+        col("total_qty"), col("revenue"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("p_partkey")
+  }
+
+  /** Declarative source→target metadata mapping: each target field is a
+    * named Column expression (the reference's dict-reshaping per
+    * resource before registration). */
+  def mapFields(src: DataFrame, fields: Seq[(String, Column)]): DataFrame =
+    src.select(fields.map { case (n, c) => c.as(n) }: _*)
+
+  /** q24: the concrete mapping used in the inventory — customers to a
+    * registration-shaped frame. */
+  def metadataMapping(customer: DataFrame): DataFrame =
+    mapFields(customer, Seq(
+      "resource_id" -> concat(lit("customer:"), col("c_custkey")),
+      "name" -> upper(col("c_name")),
+      "segment" -> lower(col("c_mktsegment")),
+      "balance_cents" -> round(col("c_acctbal") * 100).cast(LongType),
+      "status" -> when(col("c_acctbal") < 0, "overdrawn").otherwise("ok")
+    )).orderBy("resource_id")
+
+  /** q25: annotation upsert — new annotations (derived from linked
+    * evidence) override existing ones, rows with neither keep null.
+    * The evidence side is pre-aggregated to distinct keys before the
+    * join, so the shuffle carries one row per annotated entity. */
+  def curationUpsert(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val newAnn = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ann_key")).distinct()
+      .withColumn("new_ann", lit("HasReturns"))
+    orders
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "Legacy").as("existing_ann"))
+      .join(newAnn, col("o_orderkey") === col("ann_key"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("new_ann"), col("existing_ann")).as("curation_status"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q26: pre-registration dedup — flag rows whose normalized name
+    * collides within the incoming batch (window count) or with the
+    * existing store (broadcast semi-style left join), like the
+    * registration pipeline's name-collision screen. */
+  def registrationDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lower(col("p_name")))
+    val ex = existing.select(lower(col("p_name")).as("ex_name")).distinct()
+    incoming
+      .withColumn("n_same_name", count(lit(1)).over(w))
+      .join(broadcast(ex), lower(col("p_name")) === col("ex_name"), "left")
+      .select(
+        col("p_partkey"), col("p_name"),
+        (col("n_same_name") > 1).as("dup_in_batch"),
+        col("ex_name").isNotNull.as("exists_in_store"))
+      .orderBy("p_partkey")
+  }
+
+  /** q27: declared-vs-computed consistency (region_comparison.py:
+    * declared brain region vs atlas placement): declared order status
+    * vs a flag recomputed from the raw lineitems. */
+  def declaredVsComputed(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val computed = lineitem
+      .groupBy(col("l_orderkey").as("ck"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    orders
+      .join(computed, col("o_orderkey") === col("ck"), "left")
+      .select(col("o_orderstatus"),
+        (col("last_ship") <= lit("1998-01-01")).as("all_shipped_early"))
+      .groupBy("o_orderstatus", "all_shipped_early")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "all_shipped_early")
+  }
+
+  /** q28: schema drift — observed values of constrained fields vs the
+    * expected vocabulary, per field (check_changed_schemas.py: which
+    * resources now carry an unexpected constraint). */
+  def schemaDrift(orders: DataFrame): DataFrame = {
+    val pr = orders.groupBy(col("o_orderpriority").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("o_orderpriority").as("column_name"), col("value"),
+        col("value").isin("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+          .as("is_expected"), col("n"))
+    val st = orders.groupBy(col("o_orderstatus").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("o_orderstatus").as("column_name"), col("value"),
+        col("value").isin("O", "F", "P").as("is_expected"), col("n"))
+    pr.unionByName(st).orderBy("column_name", "value")
+  }
+}

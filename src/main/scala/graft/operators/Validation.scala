@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based schema/constraint validation — the Spark form of the
+  * reference's conformance pipelines (reference
+  * src/schemas/check_schema_validation.py, schema_validation.py:
+  * collect all resources of a type, check each against the schema that
+  * constrains it, report pass/fail).
+  *
+  * A schema here is a list of declarative [[Rule]]s; the report is a
+  * single aggregation pass (every rule is a conditional count over the
+  * same scan — one job, no matter how many rules), unpivoted to one row
+  * per rule like the reference's per-check report rows.
+  */
+object Validation {
+
+  sealed trait Rule { def name: String; def violation: Column }
+  final case class NotNull(colName: String) extends Rule {
+    val name = s"not_null_$colName"
+    def violation: Column = col(colName).isNull
+  }
+  final case class InRange(colName: String, lo: Double, hi: Double) extends Rule {
+    val name = s"range_$colName"
+    def violation: Column = !col(colName).between(lo, hi)
+  }
+  final case class InSet(colName: String, values: Seq[String]) extends Rule {
+    val name = s"enum_$colName"
+    def violation: Column = !col(colName).isin(values: _*)
+  }
+  final case class Matches(colName: String, pattern: String) extends Rule {
+    val name = s"regex_$colName"
+    def violation: Column = !col(colName).rlike(pattern)
+  }
+  /** key uniqueness — counted as (count - count distinct), not per-row */
+  final case class Unique(colName: String) extends Rule {
+    val name = s"unique_$colName"
+    def violation: Column = lit(false) // aggregated specially
+  }
+
+  /** One row per rule: (rule, n_violations), deterministic order. */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs: Seq[Column] = rules.map {
+      case u: Unique =>
+        (count(col(u.colName)) - countDistinct(col(u.colName))).as(u.name)
+      case r =>
+        count(when(r.violation, 1)).as(r.name)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map(r => s"'${r.name}', ${r.name}").mkString(", ")
+    wide.selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)")
+      .orderBy("rule")
+  }
+
+  /** Row-level violations for the row-expressible rules (the reference's
+    * per-resource "fails validation" listing). */
+  def violations(df: DataFrame, idCol: String, rules: Seq[Rule]): DataFrame = {
+    val rowRules = rules.filter(!_.isInstanceOf[Unique])
+    val checks = rowRules.map(r => when(r.violation, r.name))
+    df.select(col(idCol), array(checks: _*).as("checks"))
+      .select(col(idCol), array_compact(col("checks")).as("failed_rules"))
+      .filter(size(col("failed_rules")) > 0)
+  }
+}

@@ -60,15 +60,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                 for c in g_cols:
                     gv, ev = gdf[c], edf[c]
                     try:
-                        same = (gv.astype(object).where(gv.notna(), None)
-                                == ev.astype(object).where(ev.notna(), None)).all()
+                        eq = (gv.isna() & ev.isna()) | (gv == ev)
+                        same = eq.all()
                     except Exception as exc:  # noqa
                         print(f"[FAIL] {name}.{c}: compare error {exc}")
                         ok = False
                         continue
                     if not same:
-                        diff = (gv.astype(object).where(gv.notna(), None)
-                                != ev.astype(object).where(ev.notna(), None))
+                        diff = ~eq
                         idx = diff[diff].index[:3]
                         print(f"[FAIL] {name}.{c}: {int(diff.sum())} diffs, "
                               f"e.g. got={list(gv[idx])} exp={list(ev[idx])}")

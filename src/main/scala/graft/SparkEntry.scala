@@ -62,7 +62,21 @@ object SparkEntry {
     }),
     "q27_region_consistency" -> ((s, d) => Curation.declaredVsComputed(
       Tables.orders(s, d), Tables.lineitem(s, d))),
-    "q28_schema_drift" -> ((s, d) => Curation.schemaDrift(Tables.orders(s, d)))
+    "q28_schema_drift" -> ((s, d) => Curation.schemaDrift(Tables.orders(s, d))),
+    "q30_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
+    "q31_dedup_minhash" -> ((s, d) => Dedup.minhashProfile(Tables.documents(s, d))),
+    "q32_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(Tables.documents(s, d))),
+    "q33_dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardVerify(Tables.documents(s, d))),
+    "q34_dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "q35_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "q36_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "q37_text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q38_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q39_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q40_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q41_mm_metadata" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
+    "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d)))
   )
 
   private val revenueSql =
@@ -192,6 +206,59 @@ object SparkEntry {
         |COUNT(*) AS n FROM orders GROUP BY 2, 3
         |UNION ALL
         |SELECT 'o_orderstatus', o_orderstatus, o_orderstatus IN ('O','F','P'), COUNT(*) FROM orders GROUP BY 2, 3
-        |) t ORDER BY column_name, value""".stripMargin
+        |) t ORDER BY column_name, value""".stripMargin,
+    "q30_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id FROM documents GROUP BY 1 ORDER BY 1",
+    "q37_text_langid" ->
+      """SELECT lang, CASE
+        |WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+        |WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+        |WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |WHEN c_fr >= c_zh THEN 'fr'
+        |ELSE 'zh' END AS predicted_lang, COUNT(*) AS n
+        |FROM (SELECT lang,
+        |(length(p) - length(replace(p, ' the ', ''))) // 5 AS c_en,
+        |(length(p) - length(replace(p, ' und ', ''))) // 5 AS c_de,
+        |(length(p) - length(replace(p, ' los ', ''))) // 5 AS c_es,
+        |(length(p) - length(replace(p, ' les ', ''))) // 5 AS c_fr,
+        |(length(p) - length(replace(p, ' 的 ', ''))) // 3 AS c_zh
+        |FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents) t0) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q38_text_quality" ->
+      """SELECT doc_id, n_chars, n_alpha, n_punct, n_stopword_the,
+        |(10000 * n_alpha) // nullif(n_chars, 0) AS alpha_bp,
+        |(n_chars BETWEEN 50 AND 20000) AND ((10000 * n_alpha) // nullif(n_chars, 0)) > 6000 AS is_quality
+        |FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5 AS BIGINT) AS n_stopword_the
+        |FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q39_text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
+        |CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_distinct_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_text_fingerprint" ->
+      """SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
+        |FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q50_stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q51_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |epoch_us(min(ts)) // 1000000 AS t_start_s,
+        |epoch_us(max(ts)) // 1000000 AS t_end_s,
+        |epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_s,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM (SELECT user_id, event_id, ts, value,
+        |CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (SELECT user_id, event_id, ts, value,
+        |CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |FROM (SELECT user_id, event_id, ts, value,
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t1) t2) t3
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2C q41): media payloads as
+  * opaque binary columns + typed metadata, with decode/feature-extract
+  * as a partition-mapped stage.
+  *
+  * The Spark-side plumbing is real — schema, typed Dataset encoders,
+  * partitioning, per-partition batch processing — while the actual
+  * byte decoding is STUBBED (image/audio codecs are not in this
+  * container): `decodeStub` derives deterministic fake features from
+  * the bytes. Swapping in a real decoder touches only that function.
+  *
+  * At 100 TB: binary payloads dominate I/O, so the media frame is
+  * repartitioned before the decode stage to even out payload skew, and
+  * features are computed per-partition (amortizing any
+  * decoder-initialization cost exactly like a Pandas-UDF batch would).
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Long, content_hash: Long,
+      fake_width: Int, fake_height: Int)
+
+  /** STUB decode: deterministic fake features in place of a real codec.
+    * (`MurmurHash3` over the payload stands in for decode output.) */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val h = scala.util.hashing.MurmurHash3.bytesHash(row.content, 42)
+    MediaFeatures(
+      doc_id = row.doc_id,
+      mime = row.mime,
+      n_bytes = row.content.length.toLong,
+      content_hash = h.toLong,
+      fake_width = math.abs(h % 640),
+      fake_height = math.abs((h / 640) % 480))
+  }
+
+  /** Build a media frame from the documents table: payload as binary,
+    * mime derived from source — the schema a real ingest would carry. */
+  def mediaFrame(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      when(col("source").isin("src0", "src1"), "image/png")
+        .when(col("source").isin("src2", "src3"), "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      col("text").cast(BinaryType).as("content"))
+
+  /** q41: decode/feature-extract stage — typed per-partition map over
+    * the media frame, then a per-mime summary so the output is compact
+    * and deterministic. */
+  def extractFeatures(documents: DataFrame, partitions: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaFrame(documents)
+      .repartition(partitions, col("doc_id"))
+      .as[MediaRow]
+    val features = media.mapPartitions(_.map(decodeStub)).toDF()
+    features
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("content_hash")).as("min_hash"),
+        max(col("fake_width")).as("max_width"))
+      .orderBy("mime")
+  }
+}

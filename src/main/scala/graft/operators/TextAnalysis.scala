@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-corpus analysis operators for LLM-training-data pipelines
+  * (SURVEY.md §2C): language ID, quality scoring, token counting,
+  * content fingerprinting, exact dedup.
+  *
+  * Everything is built from codegen'd builtins (length/replace/regexp/
+  * split/md5) — no UDFs — so the scan stays inside whole-stage codegen
+  * and the operators hold up on a 100 TB corpus. Integer arithmetic
+  * (DIV, basis points) instead of floating division keeps results
+  * hash-identical to the oracle.
+  */
+object TextAnalysis {
+
+  /** language → marker word (padded with spaces; all markers compared
+    * by occurrence count, ties broken in declaration order). */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "de" -> " und ", "es" -> " los ",
+    "fr" -> " les ", "zh" -> " 的 ")
+
+  /** q37: n-gram-heuristic language ID → confusion counts vs the
+    * labelled lang column. */
+  def langId(documents: DataFrame): DataFrame = {
+    val withP = documents.withColumn("__p", concat(lit(" "), col("text"), lit(" ")))
+    val withCounts = LangMarkers.foldLeft(withP) { case (df, (l, m)) =>
+      df.withColumn(s"c_$l",
+        expr(s"(length(__p) - length(replace(__p, '$m', ''))) DIV ${m.length}"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.dropRight(1).zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, (l, i)) =>
+        val rest = langs.drop(i + 1).map(r => col(s"c_$r"))
+        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+        acc.when(col(s"c_$l") >= restMax, l)
+    }.otherwise(langs.last)
+    withCounts
+      .select(col("lang"), pred.as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  /** q38: quality scoring — length, alpha/punct ratios in integer basis
+    * points, stopword presence, boolean keep-flag. */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"),
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType).as("n_punct"),
+        expr("(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) DIV 5")
+          .cast(LongType).as("n_stopword_the"))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
+      .withColumn("is_quality",
+        col("n_chars").between(50, 20000) && col("alpha_bp") > 6000)
+      .orderBy("doc_id")
+
+  /** q39: token counting — whitespace tokens, distinct tokens, and a
+    * BPE-ish regex segmentation (letter runs / digit runs / single
+    * punctuation). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " +")).cast(LongType).as("n_ws_tokens"),
+        size(array_distinct(split(trim(col("text")), " +"))).cast(LongType).as("n_distinct_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .cast(LongType).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** canonical form used for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** q40: content fingerprint (md5 of canonical form) + how many docs
+    * share it — near-dup at the "same text modulo punctuation" level. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    documents
+      .select(col("doc_id"), md5(canonicalText(col("text")).cast(BinaryType)).as("fingerprint"))
+      .withColumn("n_same_fingerprint", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** q30: exact dedup via content hash — group identical texts, elect
+    * the smallest doc_id as canonical (hash-groupBy; at 100 TB this is
+    * one shuffle on a 16-byte key). */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("content_hash")
+}

@@ -76,7 +76,8 @@ object SparkEntry {
     "q40_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q41_mm_metadata" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
-    "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d)))
+    "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
   )
 
   private val revenueSql =
@@ -259,6 +260,17 @@ object SparkEntry {
         |CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
         |FROM (SELECT user_id, event_id, ts, value,
         |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t1) t2) t3
-        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q52_session_window" ->
+      """SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |epoch_us(max(ts)) + 1800000000 AS session_end_us, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM (SELECT user_id, ts, value,
+        |CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM (SELECT user_id, event_id, ts, value,
+        |CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |FROM (SELECT user_id, event_id, ts, value,
+        |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t1) t2) t3
+        |GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin
   )
 }

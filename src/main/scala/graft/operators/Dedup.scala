@@ -16,16 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Mersenne prime 2^61-1 for the minhash permutation family. */
-  private val P = 2305843009213693951L
-
-  /** deterministic (a,b) permutation parameters, seed fixed so results
-    * are reproducible across runs/partitionings. `a` stays below 2^30
-    * so `(h & 0x7FFFFFFF) * a + b < 2^63` — no long overflow under the
-    * ANSI arithmetic Spark 4 enables by default. */
-  private def perms(n: Int): Seq[(Long, Long)] = {
+  /** deterministic per-permutation seeds, fixed so results are
+    * reproducible across runs/partitionings. */
+  private def permSeeds(n: Int): Seq[Long] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(n)((math.abs(rnd.nextLong()) % ((1L << 30) - 1) + 1, math.abs(rnd.nextLong()) % P))
+    Seq.fill(n)(rnd.nextLong())
   }
 
   /** lowercased whitespace tokens. */
@@ -49,11 +44,14 @@ object Dedup {
   }
 
   /** MinHash signature: array of numHashes permuted minima over the
-    * shingle hashes. Entirely row-local. */
+    * shingle hashes. The permutation family is xxhash64 re-keyed by a
+    * per-permutation seed column — min-wise independent across
+    * permutations, no modular arithmetic to overflow under ANSI mode.
+    * Entirely row-local. */
   def minhashSignature(text: Column, numHashes: Int, k: Int): Column = {
     val sh = shingleHashes(text, k)
-    array(perms(numHashes).map { case (a, b) =>
-      array_min(transform(sh, h => pmod(h.bitwiseAND(lit(0x7FFFFFFFL)) * a + b, lit(P))))
+    array(permSeeds(numHashes).map { seed =>
+      array_min(transform(sh, h => xxhash64(lit(seed), h)))
     }: _*)
   }
 

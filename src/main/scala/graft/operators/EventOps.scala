@@ -48,4 +48,17 @@ object EventOps {
         sum6(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** q52: the built-in session_window operator (streaming-capable; see
+    * graft.streaming.EventStreams.sessionWindows for the incremental
+    * twin). window.end = last event + gap by definition. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum6(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.operators.Decimals._
+
+/** Structured Streaming twins of the batch event operators: the same
+  * logical plans run incrementally — windowed aggregation under a
+  * watermark, built-in session windows, and a custom stateful
+  * sessionizer on `flatMapGroupsWithState` for semantics the built-ins
+  * can't express.
+  *
+  * The reference's trace pipelines recompute summaries batch-per-bucket
+  * (reference src/trace/...); on a live 100 TB event firehose these
+  * would run as continuous queries with state in RocksDB, which is
+  * exactly what these plans compile to.
+  */
+object EventStreams {
+
+  /** schema of the events table as the file-stream source needs it
+    * (ts arrives as nanos-long; converted on read like Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling 1-hour windows with a 2-hour watermark — the streaming
+    * form of EventOps.hourlyWindowAgg. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum6(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Built-in gap-based session windows (30 min), streaming-capable. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, t_start_s: Long, t_end_s: Long,
+                              n_events: Long, closed: Boolean)
+  final case class SessState(lastTs: Long, startTs: Long, n: Long)
+
+  /** Custom stateful sessionizer — per-user state machine on
+    * flatMapGroupsWithState, for session semantics the built-in window
+    * can't express (e.g. emitting still-open sessions each batch).
+    * Emits closed sessions as they complete plus the open session
+    * (closed=false) at each batch end. */
+  def statefulSessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if t - s.lastTs <= gapSeconds =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = true)
+                cur = Some(SessState(t, t, 1))
+              case None =>
+                cur = Some(SessState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = false)
+          }
+          out.iterator
+        })
+  }
+}

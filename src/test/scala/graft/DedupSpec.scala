@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // long doc with one word changed → shingle jaccard ≈ 0.9, so the
+  // near-dup collides in ≥1 of the 8 minhash bands (deterministic seed)
+  private val base = ((1 to 60).map(i => s"word$i") :+ "ending").mkString(" ")
+  private val nearDup = base.replace("word30", "changed")
+  private val distinctDoc = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, distinctDoc)
+  ).toDF("doc_id", "text")
+
+  test("minhash banding finds exact and near duplicates as candidates") {
+    val pairs = Dedup.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must collide in every band")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup should share a band: $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      "unrelated docs should not be candidates")
+  }
+
+  test("jaccard verify ranks the true duplicate highest") {
+    val out = Dedup.jaccardVerify(docs).collect()
+    val top = out.head
+    assert((top.getAs[Long]("doc_a"), top.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(top.getAs[Long]("jaccard_bp") == 10000L)
+  }
+
+  test("simhash of identical docs is identical, near-dup is hamming-close") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear should be < unrelated $hammingFar")
+  }
+
+  test("exact dedup groups identical texts under one canonical id") {
+    val out = TextAnalysis.exactDedup(docs).collect()
+    val dupGroup = out.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("embedding near-dup ranks identical vectors first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.nearDupPairs(vecs, topN = 2).collect()
+    assert((top.head.getLong(0), top.head.getLong(1)) == ((1L, 2L)))
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("knn brute force and LSH agree on an identical-vector neighbor") {
+    val vecs = (0 until 50).map { i =>
+      val arr = Array.fill(8)(0.0f); arr(i % 8) = 1.0f
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.knnBruteForce(vecs, nQueries = 2, k = 3).collect()
+    assert(brute.nonEmpty)
+    // query 0 = e0; vecs 8,16,24,32,40,48 are identical to it
+    val q0 = brute.filter(_.getAs[Long]("query_id") == 0L).head
+    assert(q0.getAs[Long]("neighbor_id") % 8 == 0)
+    val lsh = Similarity.knnLsh(vecs, nPlanes = 4, dim = 8, nQueries = 2, k = 3).collect()
+    val lshQ0 = lsh.filter(_.getAs[Long]("query_id") == 0L)
+    assert(lshQ0.nonEmpty && lshQ0.head.getAs[Long]("neighbor_id") % 8 == 0)
+  }
+}

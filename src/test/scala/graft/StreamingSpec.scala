@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** file-stream sources need a directory — stage the events parquet
+    * into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toFile.getAbsolutePath
+  }
+
+  test("streaming hourly windows equal the batch aggregation") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_out")
+      .orderBy("hour_us", "event_type").collect()
+    val batch = EventOps.hourlyWindowAgg(Tables.events(spark, sf)).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("hour_us") == b.getAs[Long]("hour_us"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+    }
+  }
+
+  test("streaming session windows match the batch session_window operator") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.sessionWindows(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_out").count()
+    val batch = EventOps.sessionWindowAgg(Tables.events(spark, sf)).count()
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionizer emits closed + open sessions covering all events") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Ev]
+    val sessions = EventStreams.statefulSessionize(events).collect()
+    assert(sessions.map(_.n_events).sum == events.count())
+    // open sessions: exactly one per user
+    val open = sessions.filter(!_.closed)
+    assert(open.map(_.user_id).distinct.length == open.length)
+    // session count agrees with the batch lag/cumsum operator
+    val batchSessions = EventOps.sessionize(Tables.events(spark, sf)).count()
+    assert(sessions.length == batchSessions)
+  }
+}

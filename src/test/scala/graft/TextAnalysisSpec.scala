@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("langid picks the language with the most marker hits") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the hat", "en"),
+      (2L, "der hund und die katze und der vogel und", "de"),
+      (3L, "las casas y los perros y los gatos y los", "es")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("en") == "en")
+    assert(out("de") == "de")
+    assert(out("es") == "es")
+  }
+
+  test("quality score computes exact integer ratios") {
+    val docs = Seq((1L, "a" * 100)).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs).collect().head
+    assert(r.getAs[Long]("n_chars") == 100)
+    assert(r.getAs[Long]("n_alpha") == 100)
+    assert(r.getAs[Long]("alpha_bp") == 10000)
+    assert(r.getAs[Boolean]("is_quality"))
+  }
+
+  test("token counts: whitespace, distinct, bpe-ish") {
+    val docs = Seq((1L, "hello world hello 42 foo-bar")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).collect().head
+    assert(r.getAs[Long]("n_ws_tokens") == 5)
+    assert(r.getAs[Long]("n_distinct_tokens") == 4)
+    // hello|world|hello|42|foo|-|bar
+    assert(r.getAs[Long]("n_bpe_tokens") == 7)
+  }
+
+  test("fingerprint is punctuation/case-insensitive") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "other text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(docs).collect()
+    val fp = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(out.filter(_.getLong(0) <= 2).forall(_.getAs[Long]("n_same_fingerprint") == 2))
+  }
+
+  test("multimodal decode stub is deterministic and partition-count independent") {
+    val docs = Tables.documents(spark, sf)
+    val a = Multimodal.extractFeatures(docs, partitions = 2).collect()
+    val b = Multimodal.extractFeatures(docs, partitions = 7).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 3) // three mime groups
+  }
+}

@@ -45,9 +45,12 @@ object Dedup {
 
   /** MinHash signature: array of numHashes permuted minima over the
     * shingle hashes. The permutation family is xxhash64 re-keyed by a
-    * per-permutation seed column — min-wise independent across
-    * permutations, no modular arithmetic to overflow under ANSI mode.
-    * Entirely row-local. */
+    * per-permutation seed — min-wise independent across permutations,
+    * no modular arithmetic to overflow under ANSI mode. Row-local;
+    * used for tests/ad-hoc. The batch pipeline below uses the
+    * explode+min-agg form instead: building the signature array inline
+    * duplicates the whole shingle expression tree per permutation, and
+    * higher-order lambdas evaluate interpreted — ~30× slower. */
   def minhashSignature(text: Column, numHashes: Int, k: Int): Column = {
     val sh = shingleHashes(text, k)
     array(permSeeds(numHashes).map { seed =>
@@ -55,16 +58,29 @@ object Dedup {
     }: _*)
   }
 
+  /** per-doc signature columns m0..m{n-1} via explode + grouped min —
+    * shingles are materialized once, the 32 permuted hashes run in
+    * whole-stage codegen, and partial aggregation means the shuffle
+    * carries one 32-long row per doc. */
+  private def signatureCols(docs: DataFrame, numHashes: Int, k: Int): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), k)).as("h"))
+    val minCols = permSeeds(numHashes).zipWithIndex.map { case (s, i) =>
+      min(xxhash64(lit(s), col("h"))).as(s"m$i")
+    }
+    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
   /** (doc_id, band_idx, band_hash) — one row per band; equal band_hash
     * within a band ⇒ candidate duplicates. */
   def minhashBands(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                    k: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val withSig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), numHashes, k).as("sig"))
-    val bandCols = (0 until bands).map(j =>
-      hash(lit(j), slice(col("sig"), j * r + 1, r)))
-    withSig
+    val sigs = signatureCols(docs, numHashes, k)
+    val bandCols = (0 until bands).map { j =>
+      hash(lit(j) +: (j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
+    }
+    sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")

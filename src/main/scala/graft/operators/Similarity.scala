@@ -16,26 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** codegen'd dot product (custom Catalyst expression, float-native —
+    * the HOF zip_with/aggregate form evaluates interpreted and is ~10×
+    * slower on the all-pairs hot path). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vec_dot(a, b)
 
-  /** embeddings + unit-normalized vector column. */
-  def withUnit(embeddings: DataFrame): DataFrame =
-    embeddings
-      .withColumn("__norm", sqrt(dot(col("embedding"), col("embedding"))))
-      .withColumn("unit", transform(col("embedding"), x => x / col("__norm")))
-      .drop("__norm")
+  /** embeddings + scalar L2 norm. cosine(a,b) = dot(a,b)/(‖a‖·‖b‖) —
+    * carrying a norm scalar instead of materializing normalized copies
+    * of every vector keeps the pair stage free of array allocations. */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("norm",
+      sqrt(graft.functions.VectorExpressions.vec_norm_sq(col("embedding"))))
 
   /** q34: top-N most-similar embedding pairs (near-dup screen).
     * All-pairs is acceptable at validation scale; the LSH variant below
     * is the production path — same output schema. */
   def nearDupPairs(embeddings: DataFrame, topN: Int = 100): DataFrame = {
-    val e = withUnit(embeddings).select(col("vec_id"), col("unit"))
-    val a = e.select(col("vec_id").as("id_a"), col("unit").as("u_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("unit").as("u_b"))
+    val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), dot(col("u_a"), col("u_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }
@@ -43,13 +47,13 @@ object Similarity {
   /** q35: brute-force cosine top-k neighbors for a query set — the
     * exact baseline the ANN variants are judged against. */
   def knnBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val e = withUnit(embeddings).select(col("vec_id"), col("unit"))
+    val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("u_q"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("unit").as("u_c"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"), col("norm").as("n_q"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"), col("norm").as("n_c"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("u_q"), col("u_c")).as("cosine"))
+        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -64,10 +68,11 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** sign-bucket id from nPlanes hyperplane sides. */
-  def lshBucket(unit: Column, nPlanes: Int, dim: Int): Column =
+  /** sign-bucket id from nPlanes hyperplane sides (sign of the raw dot
+    * product — normalization can't flip a sign, so no norm needed). */
+  def lshBucket(embedding: Column, nPlanes: Int, dim: Int): Column =
     planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
-      when(dot(unit, typedLit(p)) > 0, 1 << j).otherwise(0)
+      when(dot(embedding, typedLit(p)) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
   /** q36: ANN top-k via random-hyperplane LSH — candidates come from an
@@ -76,16 +81,18 @@ object Similarity {
     * the multi-probe/plane-count knobs). */
   def knnLsh(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64,
              nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val e = withUnit(embeddings)
-      .select(col("vec_id"), col("unit"))
-      .withColumn("bucket", lshBucket(col("unit"), nPlanes, dim))
+    val e = withNorm(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .withColumn("bucket", lshBucket(col("embedding"), nPlanes, dim))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("u_q"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("unit").as("u_c"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("norm").as("n_q"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+      col("norm").as("n_c"), col("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("u_q"), col("u_c")).as("cosine"))
+        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

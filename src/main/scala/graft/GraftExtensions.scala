@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.VectorExpressions
+
+/** SparkSessionExtensions entry point — registers graft's native
+  * expressions for SQL users at session build time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo("graft", "vec_dot"),
+      exprs => VectorExpressions.ArrayDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_norm_sq"),
+      new ExpressionInfo("graft", "vec_norm_sq"),
+      exprs => VectorExpressions.ArrayNormSq(exprs.head)))
+  }
+}

@@ -63,6 +63,8 @@ object SparkEntry {
     "q27_region_consistency" -> ((s, d) => Curation.declaredVsComputed(
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q28_schema_drift" -> ((s, d) => Curation.schemaDrift(Tables.orders(s, d))),
+    "q29_ontology_closure" -> ((s, d) => Ontology.geoClosure(
+      Tables.region(s, d), Tables.nation(s, d))),
     "q30_dedup_exact" -> ((s, d) => TextAnalysis.exactDedup(Tables.documents(s, d))),
     "q31_dedup_minhash" -> ((s, d) => Dedup.minhashProfile(Tables.documents(s, d))),
     "q32_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(Tables.documents(s, d))),
@@ -208,6 +210,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'o_orderstatus', o_orderstatus, o_orderstatus IN ('O','F','P'), COUNT(*) FROM orders GROUP BY 2, 3
         |) t ORDER BY column_name, value""".stripMargin,
+    "q29_ontology_closure" ->
+      """WITH RECURSIVE edges AS (
+        |SELECT n_name AS child, r_name AS parent FROM nation JOIN region ON n_regionkey = r_regionkey
+        |UNION ALL SELECT r_name, 'WORLD' FROM region
+        |), closure AS (
+        |SELECT child AS node, parent AS ancestor, 1 AS depth FROM edges
+        |UNION ALL
+        |SELECT c.node, e.parent, c.depth + 1 FROM closure c JOIN edges e ON c.ancestor = e.child
+        |) SELECT node, ancestor, depth FROM closure ORDER BY node, ancestor, depth""".stripMargin,
     "q30_dedup_exact" ->
       "SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id FROM documents GROUP BY 1 ORDER BY 1",
     "q37_text_langid" ->

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ontology/hierarchy traversal — the Spark form of the reference's
+  * SPARQL transitive-closure queries (reference
+  * src/trace/stimulus_type_ontology_querying.py:22 `subClassOf+`:
+  * all subclasses of a root stimulus type, via the triple store).
+  *
+  * Closure is computed by iterative frontier expansion: each step joins
+  * the frontier to the edge table and unions new paths in. Real
+  * ontologies are shallow (≤ tens of levels), so the loop runs a
+  * handful of small joins; the edge table is dimension-sized and
+  * broadcast. This is the standard Spark shape for ≤max-depth closures
+  * (a full fixpoint over deep graphs would move to an iterate-with-
+  * checkpoint loop or GraphX-style message passing).
+  */
+object Ontology {
+
+  /** All (node, ancestor, depth) paths following child→parent edges, up
+    * to maxDepth. UNION ALL semantics: a DAG node reachable two ways
+    * appears twice, exactly like SPARQL path counting. */
+  def transitiveClosure(edges: DataFrame, maxDepth: Int = 10): DataFrame = {
+    val e = broadcast(edges.select(col("child"), col("parent")))
+    var closure = e.select(col("child").as("node"), col("parent").as("ancestor"),
+      lit(1).as("depth"))
+    var frontier = closure
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier
+        .join(e.withColumnRenamed("child", "__c"), col("ancestor") === col("__c"))
+        .select(col("node"), col("parent").as("ancestor"), (col("depth") + 1).as("depth"))
+      frontier = next
+      closure = closure.unionByName(next)
+      depth += 1
+    }
+    closure
+  }
+
+  /** q29: geography ontology closure — nation→region→WORLD edges, all
+    * ancestor paths (the subclass-of-root query shape). */
+  def geoClosure(region: DataFrame, nation: DataFrame): DataFrame = {
+    val edges = nation
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("child"), col("r_name").as("parent"))
+      .unionByName(region.select(col("r_name").as("child"), lit("WORLD").as("parent")))
+    transitiveClosure(edges)
+      .orderBy("node", "ancestor", "depth")
+  }
+
+  /** descendants of a root (the reference's actual query direction). */
+  def descendantsOf(edges: DataFrame, root: String, maxDepth: Int = 10): DataFrame =
+    transitiveClosure(edges, maxDepth)
+      .filter(col("ancestor") === root)
+      .select(col("node"), col("depth"))
+}

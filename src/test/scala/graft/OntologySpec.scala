@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ontology
+
+class OntologySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("transitive closure finds all ancestor paths with depths") {
+    val edges = Seq(
+      ("leaf1", "mid"), ("leaf2", "mid"), ("mid", "root")
+    ).toDF("child", "parent")
+    val out = Ontology.transitiveClosure(edges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(out == Set(
+      ("leaf1", "mid", 1), ("leaf2", "mid", 1), ("mid", "root", 1),
+      ("leaf1", "root", 2), ("leaf2", "root", 2)))
+  }
+
+  test("descendantsOf returns the subclass tree of a root") {
+    val edges = Seq(
+      ("a", "stim"), ("b", "stim"), ("c", "a"), ("x", "other")
+    ).toDF("child", "parent")
+    val out = Ontology.descendantsOf(edges, "stim").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("a", 1), ("b", 1), ("c", 2)))
+  }
+
+  test("vec_dot is available via SQL through GraftExtensions-style registration") {
+    graft.functions.VectorExpressions.registerSql(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+    val n = spark.sql("SELECT vec_norm_sq(array(3.0d, 4.0d)) AS n").collect()
+    assert(n.head.getDouble(0) == 25.0)
+  }
+}

@@ -136,31 +136,12 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature from per-token hash bit votes, computed
-    * in one row-local pass (nested higher-order aggregate — no explode,
-    * no shuffle). */
-  def simhash(text: Column): Column = {
-    val th = transform(tokens(text), t => xxhash64(t))
-    val votes = aggregate(
-      th,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          b => when(shiftrightByCol(h, b) === 1, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, shiftleftByCol(lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a + x)
-  }
-
-  /** (h >> b) & 1 with a Column shift amount (functions.shiftright only
-    * takes an Int) — build the underlying expression directly. */
-  private def shiftrightByCol(h: Column, b: Column): Column =
-    call_function("shiftright", h, b).bitwiseAND(lit(1L))
-
-  private def shiftleftByCol(x: Column, b: Column): Column =
-    call_function("shiftleft", x, b)
+    * row-local with a codegen'd native expression (the nested
+    * higher-order formulation evaluated interpreted, one 64-array per
+    * token). */
+  def simhash(text: Column): Column =
+    graft.functions.HashExpressions.simhash64(
+      transform(tokens(text), t => xxhash64(t)))
 
   /** q32: per-doc SimHash profile with 16-bit chunk banding — docs
     * sharing any of the 4 chunks are hamming-near candidates. */

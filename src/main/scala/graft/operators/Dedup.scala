@@ -26,60 +26,35 @@ object Dedup {
   /** lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), " +")
 
-  /** hashed k-word shingles (k-gram hashes); a doc shorter than k words
-    * contributes its whole text as one shingle. */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = greatest(size(toks) - (k - 1), lit(1))
-    transform(sequence(lit(0), n - 1),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** hashed k-word shingles via the codegen rotate-xor expression; a
+    * doc shorter than k words contributes one shingle mixing all its
+    * tokens. The only interpreted step left is the per-token xxhash64
+    * lambda (one pass). */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.HashExpressions.shingle_hashes(
+      transform(tokens(text), t => xxhash64(t)), k)
 
-  /** string k-word shingles, distinct — for the exact Jaccard pass. */
-  def shingleSet(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = greatest(size(toks) - (k - 1), lit(1))
-    array_distinct(transform(sequence(lit(0), n - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** distinct shingle hash set — for the exact Jaccard pass (long set
+    * ops are ~an order of magnitude cheaper than string sets; the
+    * 64-bit mix makes collisions negligible at corpus scale). */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(shingleHashes(text, k))
 
-  /** MinHash signature: array of numHashes permuted minima over the
-    * shingle hashes. The permutation family is xxhash64 re-keyed by a
-    * per-permutation seed — min-wise independent across permutations,
-    * no modular arithmetic to overflow under ANSI mode. Row-local;
-    * used for tests/ad-hoc. The batch pipeline below uses the
-    * explode+min-agg form instead: building the signature array inline
-    * duplicates the whole shingle expression tree per permutation, and
-    * higher-order lambdas evaluate interpreted — ~30× slower. */
-  def minhashSignature(text: Column, numHashes: Int, k: Int): Column = {
-    val sh = shingleHashes(text, k)
-    array(permSeeds(numHashes).map { seed =>
-      array_min(transform(sh, h => xxhash64(lit(seed), h)))
-    }: _*)
-  }
-
-  /** per-doc signature columns m0..m{n-1} via explode + grouped min —
-    * shingles are materialized once, the 32 permuted hashes run in
-    * whole-stage codegen, and partial aggregation means the shuffle
-    * carries one 32-long row per doc. */
-  private def signatureCols(docs: DataFrame, numHashes: Int, k: Int): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(shingleHashes(col("text"), k)).as("h"))
-    val minCols = permSeeds(numHashes).zipWithIndex.map { case (s, i) =>
-      min(xxhash64(lit(s), col("h"))).as(s"m$i")
-    }
-    exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-  }
+  /** MinHash signature: numHashes permuted minima over the shingle
+    * hashes — one codegen loop, no explode, no shuffle. */
+  def minhashSignature(text: Column, numHashes: Int, k: Int): Column =
+    graft.functions.HashExpressions.minhash_signature(
+      shingleHashes(text, k), permSeeds(numHashes))
 
   /** (doc_id, band_idx, band_hash) — one row per band; equal band_hash
     * within a band ⇒ candidate duplicates. */
   def minhashBands(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                    k: Int = 3): DataFrame = {
     val r = numHashes / bands
-    val sigs = signatureCols(docs, numHashes, k)
-    val bandCols = (0 until bands).map { j =>
-      hash(lit(j) +: (j * r until (j + 1) * r).map(i => col(s"m$i")): _*)
-    }
+    val sigs = docs.select(col("doc_id"),
+      minhashSignature(col("text"), numHashes, k).as("sig"))
+    val bandCols = (0 until bands).map(j =>
+      hash(lit(j), slice(col("sig"), j * r + 1, r)))
     sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
@@ -89,10 +64,11 @@ object Dedup {
   /** q31: per-doc MinHash profile — is the doc a banding candidate
     * duplicate, and how many band-mates does it have. */
   def minhashProfile(docs: DataFrame): DataFrame = {
-    val bandsDf = minhashBands(docs)
-    val buckets = bandsDf.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-    bandsDf.join(buckets, Seq("band_idx", "band_hash"))
+    // bucket sizes via window count — a groupBy+self-join would
+    // recompute the whole signature pipeline for the second branch
+    val w = Window.partitionBy("band_idx", "band_hash")
+    minhashBands(docs)
+      .withColumn("bucket_n", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(
         sum(col("bucket_n") - 1).as("n_band_mates"),
@@ -153,9 +129,9 @@ object Dedup {
     val bandsDf = withSig
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_hash"))
-    val buckets = bandsDf.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-    bandsDf.join(buckets, Seq("band_idx", "band_hash"))
+    val w = Window.partitionBy("band_idx", "band_hash")
+    bandsDf
+      .withColumn("bucket_n", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(max(col("simhash")).as("simhash"),
         sum(col("bucket_n") - 1).as("n_band_mates"))

@@ -49,6 +49,39 @@ object Multimodal {
         .otherwise("video/mp4").as("mime"),
       col("text").cast(BinaryType).as("content"))
 
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes;
+    * the stub derives a deterministic "resized" payload slice so the
+    * batch shape (binary in → binary out, metadata updated) is real. */
+  def resizeStub(row: MediaRow, maxBytes: Int = 64): MediaRow =
+    row.copy(content = row.content.take(maxBytes))
+
+  /** STUB frame sampling: every `stride`-th chunk of the payload stands
+    * in for a decoded video frame; emits one row per sampled frame —
+    * the 1→N explode shape a real frame sampler has. */
+  def frameSampleStub(row: MediaRow, chunk: Int = 32, stride: Int = 4): Iterator[FrameSample] =
+    row.content.grouped(chunk).zipWithIndex
+      .filter(_._2 % stride == 0)
+      .map { case (bytes, i) =>
+        FrameSample(row.doc_id, i,
+          scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong)
+      }
+
+  /** resize stage: per-partition map keeping the binary column shape. */
+  def resizeAll(documents: DataFrame, maxBytes: Int = 64): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaFrame(documents).as[MediaRow].mapPartitions(_.map(resizeStub(_, maxBytes)))
+  }
+
+  /** frame-sample stage: 1→N flatMap per media row. */
+  def sampleFrames(documents: DataFrame): Dataset[FrameSample] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaFrame(documents).as[MediaRow].mapPartitions(_.flatMap(frameSampleStub(_)))
+  }
+
   /** q41: decode/feature-extract stage — typed per-partition map over
     * the media frame, then a per-mime summary so the output is compact
     * and deterministic. */

@@ -58,4 +58,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     assert(a.length == 3) // three mime groups
   }
+
+  test("multimodal resize caps payloads, frame sampling explodes 1-to-N") {
+    val docs = Tables.documents(spark, sf)
+    val resized = Multimodal.resizeAll(docs, maxBytes = 16).collect()
+    assert(resized.forall(_.content.length <= 16))
+    val frames = Multimodal.sampleFrames(docs)
+    assert(frames.count() > docs.count()) // multiple frames per doc
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) >= 1))
+  }
 }

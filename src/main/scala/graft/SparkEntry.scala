@@ -37,6 +37,7 @@ object SparkEntry {
     "q12_correlated_agg" -> ((s, d) => Relational.aboveAverageNations(
       Tables.customer(s, d), Tables.nation(s, d))),
     "q13_json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
+    "q14_percentiles" -> ((s, d) => Relational.percentileReport(Tables.orders(s, d))),
     "q20_link_check" -> ((s, d) => LinkCheck.check(
       Tables.events(s, d).select("event_id", "user_id"),
       Seq("event_id", "user_id"),
@@ -153,6 +154,13 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_percentiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |quantile_cont(o_totalprice, 0.25) AS p25,
+        |quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.75) AS p75,
+        |quantile_cont(o_totalprice, 0.99) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q20_link_check" ->
       """SELECT event_id, user_id, ck IS NOT NULL AS customer_resolvable, sk IS NOT NULL AS supplier_resolvable
         |FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer) c ON user_id = ck

@@ -201,6 +201,23 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q14: order-statistics report — exact interpolated percentiles per
+    * group (the reference's quality-report distribution columns). The
+    * sketch twins (approx_percentile / approx_count_distinct HLL) are
+    * the 100 TB path and are covered with tolerance asserts in
+    * ScaleSpec — approximate answers can't be hash-compared across
+    * engines. */
+  def percentileReport(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy("o_orderstatus")
+
   /** q13: JSON metadata extraction (the reference's JSON-LD payload
     * fields, _payload_to_resource in schemas/query_data.py:28). Codegen
     * JSON path, no UDF. */

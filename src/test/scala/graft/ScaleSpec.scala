@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    // 90% of left rows share one hot key
+    val left = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val right = Seq((1L, "hot"), (950L, "cold"), (2000L, "unmatched"))
+      .toDF("k", "label")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "label")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Scale.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "payload", "label")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.sameElements(plain))
+    assert(plain.length == 901)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Scale.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
+      Scale.writeBucketed(
+        Tables.lineitem(spark, sf).groupBy("l_orderkey").agg(count(lit(1)).as("n")),
+        "li_b", "l_orderkey", 4)
+      val joined = spark.table("orders_b")
+        .join(spark.table("li_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+    }
+  }
+
+  test("sketch aggregates land within tolerance of exact values") {
+    val orders = Tables.orders(spark, sf)
+    val exact = orders.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val approx = orders.agg(approx_count_distinct(col("o_custkey")))
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"hll $approx vs exact $exact")
+    val p = orders.agg(
+      expr("percentile(o_totalprice, 0.5)"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)")).collect().head
+    assert(math.abs(p.getDouble(0) - p.getDouble(1)) / p.getDouble(0) < 0.05)
+  }
+}

@@ -73,6 +73,7 @@ object SparkEntry {
     "q34_dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "q35_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q36_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "q36b_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
     "q37_text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q38_text_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q39_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),

@@ -75,6 +75,56 @@ object Similarity {
       when(dot(embedding, typedLit(p)) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
 
+  /** IVF coarse quantizer: deterministic centroid sample (every
+    * (n/C)-th vector by id — a k-means refinement would slot in here),
+    * cell assignment by nearest centroid. Returns (cells frame with
+    * `cell` column, centroids indexed). Centroids are driver-side by
+    * design: C×dim doubles is a legitimate broadcast-sized model, the
+    * standard IVF shape. */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val e = withNorm(embeddings)
+    val n = e.count()
+    val step = math.max(n / nCells, 1L)
+    val centroids = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .limit(nCells)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    // nearest centroid by cosine = argmax dot/norm (centroid norm is a
+    // per-cell constant factor — divide it out)
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("embedding"), typedLit(c)) / (col("norm") * cn)).as("score"),
+        lit(i).as("cell"))
+    }
+    e.withColumn("cell", greatest(cellScores: _*).getField("cell"))
+  }
+
+  /** q36b-style ANN via IVF: queries probe their own cell only
+    * (nprobe=1; widen by unioning per-cell assignments for higher
+    * recall). Candidates come from an equality join on the cell id —
+    * same scale shape as the LSH variant. */
+  def knnIvf(embeddings: DataFrame, nCells: Int = 16,
+             nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = ivfAssign(embeddings, nCells)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("norm").as("n_q"), col("cell"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+      col("norm").as("n_c"), col("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** q36: ANN top-k via random-hyperplane LSH — candidates come from an
     * equality join on the bucket id (shuffle on a small int key; at
     * 100 TB this replaces the quadratic cross join; recall traded for

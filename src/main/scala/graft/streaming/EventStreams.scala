@@ -60,6 +60,14 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Streaming dedup: drop events re-sent with the same event_id while
+    * the watermark allows late arrivals (exactly the ingestion-dedup a
+    * firehose needs — state for one watermark's worth of ids). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, t_start_s: Long, t_end_s: Long,

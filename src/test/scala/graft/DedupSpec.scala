@@ -65,6 +65,19 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("knn IVF finds identical-vector neighbors within a cell") {
+    val vecs = (0 until 64).map { i =>
+      val arr = Array.fill(8)(0.0f); arr(i % 8) = 1.0f
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.knnIvf(vecs, nCells = 4, nQueries = 2, k = 3).collect()
+    val q0 = out.filter(_.getAs[Long]("query_id") == 0L)
+    assert(q0.nonEmpty, "query 0 should find cell-mates")
+    assert(q0.head.getAs[Long]("neighbor_id") % 8 == 0,
+      "nearest neighbor should be an identical vector")
+    assert(math.abs(q0.head.getAs[Double]("cosine") - 1.0) < 1e-6)
+  }
+
   test("knn brute force and LSH agree on an identical-vector neighbor") {
     val vecs = (0 until 50).map { i =>
       val arr = Array.fill(8)(0.0f); arr(i % 8) = 1.0f

@@ -53,6 +53,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup-within-watermark drops re-sent event ids") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinctIds = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(n == distinctIds)
+  }
+
   test("stateful sessionizer emits closed + open sessions covering all events") {
     import spark.implicits._
     val events = Tables.events(spark, sf)

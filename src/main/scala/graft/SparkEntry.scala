@@ -79,6 +79,7 @@ object SparkEntry {
     "q39_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q40_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q41_mm_metadata" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    "q42_corpus_dedup_apply" -> ((s, d) => TextAnalysis.dedupedCorpus(Tables.documents(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -262,6 +263,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q40_text_fingerprint" ->
       """SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
+        |FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q42_corpus_dedup_apply" ->
+      """SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
         |FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents) t ORDER BY doc_id""".stripMargin,
     "q50_stream_window" ->

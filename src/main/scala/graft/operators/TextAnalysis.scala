@@ -94,4 +94,15 @@ object TextAnalysis {
       .groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
       .orderBy("content_hash")
+
+  /** q42: apply the dedup policy — the retained training corpus. Each
+    * canonical-fingerprint group keeps its smallest doc_id; everything
+    * else is marked dropped. One shuffle on the fingerprint. */
+  def dedupedCorpus(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    documents
+      .select(col("doc_id"), md5(canonicalText(col("text")).cast(BinaryType)).as("fingerprint"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy("doc_id")
+  }
 }

@@ -88,6 +88,10 @@ object SparkEntry {
   private val revenueSql =
     "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4))"
 
+  /** DuckDB form of TextAnalysis.fingerprintCol — q40/q42 share it. */
+  private val fingerprintSql =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -262,13 +266,13 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q40_text_fingerprint" ->
-      """SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
-        |FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
-        |FROM documents) t ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
+         |FROM (SELECT doc_id, $fingerprintSql AS fingerprint
+         |FROM documents) t ORDER BY doc_id""".stripMargin,
     "q42_corpus_dedup_apply" ->
-      """SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
-        |FROM (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
-        |FROM documents) t ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+         |FROM (SELECT doc_id, $fingerprintSql AS fingerprint
+         |FROM documents) t ORDER BY doc_id""".stripMargin,
     "q50_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value

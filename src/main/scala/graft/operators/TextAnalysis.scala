@@ -76,12 +76,17 @@ object TextAnalysis {
   def canonicalText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** q40: content fingerprint (md5 of canonical form) + how many docs
-    * share it — near-dup at the "same text modulo punctuation" level. */
+  /** the ONE definition of a document's content fingerprint — q40 and
+    * q42 (and their oracle SQL) must agree on what counts as a dup. */
+  def fingerprintCol(text: Column): Column =
+    md5(canonicalText(text).cast(BinaryType))
+
+  /** q40: content fingerprint + how many docs share it — near-dup at
+    * the "same text modulo punctuation" level. */
   def fingerprint(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
     documents
-      .select(col("doc_id"), md5(canonicalText(col("text")).cast(BinaryType)).as("fingerprint"))
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
       .withColumn("n_same_fingerprint", count(lit(1)).over(w))
       .orderBy("doc_id")
   }
@@ -101,7 +106,7 @@ object TextAnalysis {
   def dedupedCorpus(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
     documents
-      .select(col("doc_id"), md5(canonicalText(col("text")).cast(BinaryType)).as("fingerprint"))
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
       .orderBy("doc_id")
   }

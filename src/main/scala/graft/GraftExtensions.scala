@@ -17,6 +17,7 @@ import graft.functions.VectorExpressions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo("graft", "vec_dot"),

@@ -44,6 +44,18 @@ object Similarity {
       .limit(topN)
   }
 
+  /** rank the ≤k survivors of the custom TopKPerKey operator — the
+    * bounded-heap physical plan replaces a full per-key sort of every
+    * candidate (see graft.plans.TopKPerKey); the residual window only
+    * ever sees k rows per query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopKPerKey(scored,
+      Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w)).orderBy("query_id", "rank")
+  }
+
   /** q35: brute-force cosine top-k neighbors for a query set — the
     * exact baseline the ANN variants are judged against. */
   def knnBruteForce(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
@@ -54,12 +66,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** deterministic random hyperplanes (seeded) as array literals. */
@@ -117,12 +124,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** q36: ANN top-k via random-hyperplane LSH — candidates come from an
@@ -143,11 +145,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -14,8 +14,13 @@ object ColumnBridge {
   /** wrap a raw Catalyst Expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** unwrap a Column to its Catalyst Expression. */
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** unwrap a Column to its Catalyst Expression. ExpressionUtils wraps
+    * the ColumnNode lazily (fine when the Column re-enters a standard
+    * Dataset API, which converts it during analysis); for expressions
+    * embedded in RAW logical plans the eager converter must run, or an
+    * unconvertible ColumnNodeExpression reaches codegen. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** register an expression builder as a SQL function on the session. */
   def registerFunction(spark: SparkSession, name: String,
@@ -24,4 +29,16 @@ object ColumnBridge {
       FunctionIdentifier(name),
       new ExpressionInfo("graft", name),
       builder)
+
+  /** build a DataFrame from a raw LogicalPlan (custom operators). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** the analyzed logical plan of a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

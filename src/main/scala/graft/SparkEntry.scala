@@ -38,6 +38,8 @@ object SparkEntry {
       Tables.customer(s, d), Tables.nation(s, d))),
     "q13_json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
     "q14_percentiles" -> ((s, d) => Relational.percentileReport(Tables.orders(s, d))),
+    "q15_interval_join" -> ((s, d) => EventOps.intervalJoin(Tables.events(s, d))),
+    "q16_asof_join" -> ((s, d) => EventOps.asofJoin(Tables.events(s, d))),
     "q20_link_check" -> ((s, d) => LinkCheck.check(
       Tables.events(s, d).select("event_id", "user_id"),
       Seq("event_id", "user_id"),
@@ -167,6 +169,21 @@ object SparkEntry {
         |quantile_cont(o_totalprice, 0.75) AS p75,
         |quantile_cont(o_totalprice, 0.99) AS p99
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q15_interval_join" ->
+      """SELECT p.purchase_id, p.user_id, p.p_us,
+        |CAST(COUNT(c.c_us) AS BIGINT) AS n_clicks_before,
+        |CAST(SUM(CAST(c.c_value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS click_value_before
+        |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS c_us, value AS c_value FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q16_asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us, last_click_us,
+        |(epoch_us(ts) - last_click_us) // 1000000 AS gap_s
+        |FROM (SELECT event_id, user_id, ts, event_type,
+        |MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        |FROM events) t WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
     "q20_link_check" ->
       """SELECT event_id, user_id, ck IS NOT NULL AS customer_resolvable, sk IS NOT NULL AS supplier_resolvable
         |FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer) c ON user_id = ck

@@ -49,6 +49,56 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** q15: interval join — each purchase joined to the clicks that
+    * preceded it within `gapSeconds`, per user. A naive range join is
+    * quadratic per user; binning both sides into gap-width buckets
+    * turns it into an EQUALITY join on (user, bin) — a click can only
+    * precede a purchase in the same or the next bin, so the click side
+    * is exploded to 2 bins and the exact range predicate filters the
+    * small candidate set. Linear shuffle, AQE-friendly. */
+  def intervalJoin(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bin", expr(s"p_us DIV ${gapSeconds * 1000000L}"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        dec6(col("value")).as("c_value"))
+      .withColumn("bin", explode(array(
+        expr(s"c_us DIV ${gapSeconds * 1000000L}"),
+        expr(s"c_us DIV ${gapSeconds * 1000000L} + 1"))))
+    val candidates = purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_us") >= col("p_us") - lit(gapSeconds * 1000000L) &&
+        col("c_us") <= col("p_us"))
+    val agg = candidates.groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks_before"),
+        sum(col("c_value")).cast(DecimalType(38, 6)).as("click_value_before"))
+    purchases.select("purchase_id", "user_id", "p_us")
+      .join(agg, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("p_us"),
+        coalesce(col("n_clicks_before"), lit(0L)).as("n_clicks_before"),
+        col("click_value_before"))
+      .orderBy("purchase_id")
+  }
+
+  /** q16: as-of join — for each purchase, the latest click at or before
+    * it (unbounded lookback), per user. No join at all: one sort per
+    * user and a running MAX over the marked click timestamps (MAX
+    * ignores the non-click nulls) — the canonical scale shape, one
+    * shuffle on user_id. */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("last_click_us"),
+        expr("(unix_micros(ts) - last_click_us) DIV 1000000").as("gap_s"))
+      .orderBy("purchase_id")
+  }
+
   /** q52: the built-in session_window operator (streaming-capable; see
     * graft.streaming.EventStreams.sessionWindows for the incremental
     * twin). window.end = last event + gap by definition. */

@@ -40,6 +40,7 @@ object SparkEntry {
     "q14_percentiles" -> ((s, d) => Relational.percentileReport(Tables.orders(s, d))),
     "q15_interval_join" -> ((s, d) => EventOps.intervalJoin(Tables.events(s, d))),
     "q16_asof_join" -> ((s, d) => EventOps.asofJoin(Tables.events(s, d))),
+    "q17_kmv_distinct" -> ((s, d) => Relational.kmvDistinctReport(Tables.documents(s, d))),
     "q20_link_check" -> ((s, d) => LinkCheck.check(
       Tables.events(s, d).select("event_id", "user_id"),
       Seq("event_id", "user_id"),

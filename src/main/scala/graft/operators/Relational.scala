@@ -218,6 +218,22 @@ object Relational {
         expr("percentile(o_totalprice, 0.99)").as("p99"))
       .orderBy("o_orderstatus")
 
+  /** q17: sketch-based cardinality report — the KMV custom aggregate
+    * next to the exact answer (per group). The estimate column is
+    * engine-specific, so this is a rows-only query; the tolerance
+    * contract is asserted in KmvSketchSpec. */
+  def kmvDistinctReport(documents: DataFrame): DataFrame = {
+    val k = 64
+    documents
+      .groupBy("source")
+      .agg(
+        graft.functions.KmvSketch.kmv_sketch(xxhash64(col("text")), k).as("sketch"),
+        countDistinct(col("text")).as("exact_distinct"))
+      .select(col("source"), size(col("sketch")).as("sketch_size"),
+        col("exact_distinct"))
+      .orderBy("source")
+  }
+
   /** q13: JSON metadata extraction (the reference's JSON-LD payload
     * fields, _payload_to_resource in schemas/query_data.py:28). Codegen
     * JSON path, no UDF. */

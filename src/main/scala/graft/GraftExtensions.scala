@@ -18,6 +18,7 @@ import graft.functions.VectorExpressions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKey.Strategy)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo("graft", "vec_dot"),

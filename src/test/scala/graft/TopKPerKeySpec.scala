@@ -36,6 +36,23 @@ class TopKPerKeySpec extends AnyFunSuite {
       "expected a clustering exchange between phases")
   }
 
+  test("RewriteWindowTopK collapses the row_number idiom into the custom operator") {
+    graft.plans.TopKInstaller.install(spark)
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val q = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert("TopKPerKey \\[".r.findAllIn(plan).length == 2,
+      s"rewrite did not fire:\n$plan")
+    // results identical to the un-rewritten window (rn column included)
+    val rows = q.select("key", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.experimental.extraOptimizations = Nil // disable rule
+    val baseline = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("key", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows == baseline)
+  }
+
   test("ascending ordering keeps the smallest k") {
     val small = Seq((1L, 1L, 5.0), (1L, 2L, 1.0), (1L, 3L, 3.0), (2L, 4L, 9.0))
       .toDF("key", "id", "score")

@@ -60,6 +60,33 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Stream-static enrichment: the live event stream joined to a
+    * broadcastable static dimension (the reference's per-resource
+    * cross-bucket lookups, incremental form). Static side re-reads per
+    * micro-batch, so dimension updates are picked up. */
+  def enrichWithUsers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("c_mktsegment").as("segment"), col("value"))
+
+  /** Stream-stream interval join: purchases matched to the clicks that
+    * preceded them within `gapSeconds`, both sides watermarked so the
+    * join state is bounded (the streaming twin of EventOps.intervalJoin).
+    */
+  def clickToPurchaseJoin(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      expr(s"c_user = p_user AND c_ts >= p_ts - INTERVAL $gapSeconds SECONDS AND c_ts <= p_ts"))
+  }
+
   /** Streaming dedup: drop events re-sent with the same event_id while
     * the watermark allows late arrivals (exactly the ingestion-dedup a
     * firehose needs — state for one watermark's worth of ids). */

@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinctIds)
   }
 
+  test("stream-static enrichment resolves segments like the batch join") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.enrichWithUsers(stream, Tables.customer(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_out")
+    assert(streamed.count() == Tables.events(spark, sf).count())
+    assert(streamed.filter(col("segment").isNotNull).count() > 0)
+  }
+
+  test("stream-stream interval join matches the batch interval join pair count") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.clickToPurchaseJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedPairs = spark.table("ssjoin_out").count()
+    val batchPairs = graft.operators.EventOps.intervalJoin(Tables.events(spark, sf))
+      .agg(sum(col("n_clicks_before"))).collect().head.getLong(0)
+    assert(streamedPairs == batchPairs,
+      s"streamed $streamedPairs vs batch $batchPairs")
+  }
+
   test("stateful sessionizer emits closed + open sessions covering all events") {
     import spark.implicits._
     val events = Tables.events(spark, sf)

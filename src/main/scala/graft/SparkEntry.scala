@@ -88,8 +88,11 @@ object SparkEntry {
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
   )
 
+  // Money/measure outputs are fixed-point BIGINTs at the column's natural
+  // scale (×100 / ×10⁴ / ×10⁶) — see graft.operators.Decimals: decimal
+  // output columns don't hash-compare across engines.
   private val revenueSql =
-    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4))"
+    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT)"
 
   /** DuckDB form of TextAnalysis.fingerprintCol — q40/q42 share it. */
   private val fingerprintSql =
@@ -98,8 +101,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_base_price,
          |$revenueSql AS sum_disc_price,
          |COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -126,16 +129,16 @@ object SparkEntry {
     "q07_distinct_agg" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders,
         |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q08_rollup" ->
       """SELECT COALESCE(r_name, '(all)') AS r_name, COALESCE(n_name, '(all)') AS n_name,
-        |COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_acctbal
+        |COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY 1, 2""".stripMargin,
     "q09_union_buckets" ->
       """SELECT n_name, kind, COUNT(*) AS n_parties,
-        |CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_acctbal FROM (
+        |CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_acctbal FROM (
         |SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS kind FROM customer
         |UNION ALL
         |SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier) p
@@ -151,17 +154,17 @@ object SparkEntry {
     "q11_running_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_value
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 AS BIGINT) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
     "q12_correlated_agg" ->
-      """SELECT n_name, CAST(sum_bal AS DECIMAL(38,2)) AS sum_acctbal, n_cust AS n_customers FROM (
+      """SELECT n_name, CAST(sum_bal * 100 AS BIGINT) AS sum_acctbal, n_cust AS n_customers FROM (
         |SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) a
         |CROSS JOIN (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS g_sum, COUNT(*) AS g_cnt FROM customer) g
         |WHERE sum_bal * g_cnt > g_sum * n_cust ORDER BY n_name""".stripMargin,
     "q13_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n,
-        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_percentiles" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
@@ -173,7 +176,7 @@ object SparkEntry {
     "q15_interval_join" ->
       """SELECT p.purchase_id, p.user_id, p.p_us,
         |CAST(COUNT(c.c_us) AS BIGINT) AS n_clicks_before,
-        |CAST(SUM(CAST(c.c_value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS click_value_before
+        |CAST(SUM(CAST(c.c_value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS click_value_before
         |FROM (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT user_id, epoch_us(ts) AS c_us, value AS c_value FROM events WHERE event_type = 'click') c
         |ON p.user_id = c.user_id AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us
@@ -200,7 +203,7 @@ object SparkEntry {
         |) t ORDER BY rule""".stripMargin,
     "q22_quality_metrics" ->
       """SELECT l_orderkey AS entity_id, COUNT(*) AS n_lineitems,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty,
         |COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
         |MAX(l_tax) AS max_tax,
         |CAST(MIN(l_shipdate) AS DATE) AS first_ship, CAST(MAX(l_shipdate) AS DATE) AS last_ship
@@ -210,7 +213,7 @@ object SparkEntry {
          |COALESCE(n_suppliers, 0) AS n_suppliers
          |FROM part LEFT JOIN (
          |SELECT l_partkey, COUNT(*) AS n_uses,
-         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_qty,
          |$revenueSql AS revenue, COUNT(DISTINCT l_suppkey) AS n_suppliers
          |FROM lineitem GROUP BY l_partkey) u ON p_partkey = l_partkey
          |ORDER BY p_partkey""".stripMargin,
@@ -293,14 +296,14 @@ object SparkEntry {
          |FROM documents) t ORDER BY doc_id""".stripMargin,
     "q50_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, COUNT(*) AS n,
-        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q51_sessionize" ->
       """SELECT user_id, session_id, COUNT(*) AS n_events,
         |epoch_us(min(ts)) // 1000000 AS t_start_s,
         |epoch_us(max(ts)) // 1000000 AS t_end_s,
         |epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_s,
-        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value
         |FROM (SELECT user_id, event_id, ts, value,
         |CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM (SELECT user_id, event_id, ts, value,
@@ -311,7 +314,7 @@ object SparkEntry {
     "q52_session_window" ->
       """SELECT user_id, epoch_us(min(ts)) AS session_start_us,
         |epoch_us(max(ts)) + 1800000000 AS session_end_us, COUNT(*) AS n_events,
-        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value
         |FROM (SELECT user_id, ts, value,
         |CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM (SELECT user_id, event_id, ts, value,

@@ -72,7 +72,7 @@ object EventOps {
         col("c_us") <= col("p_us"))
     val agg = candidates.groupBy("purchase_id")
       .agg(count(lit(1)).as("n_clicks_before"),
-        sum(col("c_value")).cast(DecimalType(38, 6)).as("click_value_before"))
+        asScaledLong(sum(col("c_value")), 6).as("click_value_before"))
     purchases.select("purchase_id", "user_id", "p_us")
       .join(agg, Seq("purchase_id"), "left")
       .select(col("purchase_id"), col("user_id"), col("p_us"),

@@ -124,7 +124,7 @@ object Relational {
       """SELECT coalesce(r_name, '(all)') AS r_name,
         |       coalesce(n_name, '(all)') AS n_name,
         |       count(1) AS n_customers,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_acctbal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_acctbal
         |FROM graft_rollup_src
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY 1, 2""".stripMargin)
@@ -179,7 +179,7 @@ object Relational {
       .select(col("event_id"), col("user_id"),
         // epoch µs as bigint: tz-tag-free, exact in both engines
         unix_micros(col("ts")).as("ts_us"),
-        sum(dec6(col("value"))).over(w).cast(DecimalType(38, 6)).as("running_value"))
+        asScaledLong(sum(dec6(col("value"))).over(w), 6).as("running_value"))
       .orderBy("event_id")
   }
 
@@ -196,7 +196,7 @@ object Relational {
       .agg(sum(dec2(col("c_acctbal"))).as("g_sum"), count(lit(1)).as("g_cnt"))
     perNation.crossJoin(broadcast(global))
       .filter(col("sum_bal") * col("g_cnt") > col("g_sum") * col("n_cust"))
-      .select(col("n_name"), col("sum_bal").cast(DecimalType(38, 2)).as("sum_acctbal"),
+      .select(col("n_name"), asScaledLong(col("sum_bal"), 2).as("sum_acctbal"),
         col("n_cust").as("n_customers"))
       .orderBy("n_name")
   }

@@ -73,7 +73,7 @@ object SparkEntry {
     "q31_dedup_minhash" -> ((s, d) => Dedup.minhashProfile(Tables.documents(s, d))),
     "q32_dedup_simhash" -> ((s, d) => Dedup.simhashProfile(Tables.documents(s, d))),
     "q33_dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardVerify(Tables.documents(s, d))),
-    "q34_dedup_embedding" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "q34_dedup_embedding" -> ((s, d) => Similarity.nearDupPairsBanded(Tables.embeddings(s, d))),
     "q35_knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q36_knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
     "q36b_knn_ivf" -> ((s, d) => Similarity.knnIvf(Tables.embeddings(s, d))),
@@ -97,6 +97,34 @@ object SparkEntry {
   /** DuckDB form of TextAnalysis.fingerprintCol — q40/q42 share it. */
   private val fingerprintSql =
     "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
+  /** DuckDB twin of one LSH table's sign-bucket id: the SAME 6-dp plane
+    * literals Similarity.bandedPlanes feeds the Spark side, so the dot
+    * products (sequential double folds in both engines) and therefore
+    * the sign bits agree exactly. `emb` must be a DOUBLE[] column. */
+  private def bucketSql(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(v => f"$v%.6f").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(emb, CAST($arr AS DOUBLE[])) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** q34's oracle: replicate the banded candidate generation (6 tables
+    * × 4 planes) and the exact-cosine threshold in DuckDB. */
+  private def nearDupBandedSql: String = {
+    val tables = graft.operators.Similarity.bandedPlanes(6, 4, 64)
+    val bucketCols = tables.zipWithIndex
+      .map { case (t, i) => s"${bucketSql(t)} AS b$i" }.mkString(",\n")
+    val collide = tables.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |$bucketCols
+       |FROM raw)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($collide)
+       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -256,6 +284,17 @@ object SparkEntry {
         |) SELECT node, ancestor, depth FROM closure ORDER BY node, ancestor, depth""".stripMargin,
     "q30_dedup_exact" ->
       "SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id FROM documents GROUP BY 1 ORDER BY 1",
+    "q34_dedup_embedding" -> nearDupBandedSql,
+    "q35_knn_bruteforce" ->
+      """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw)
+        |SELECT query_id, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp, rank FROM (
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine,
+        |row_number() OVER (PARTITION BY q.vec_id
+        |ORDER BY list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+        |FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q37_text_langid" ->
       """SELECT lang, CASE
         |WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'

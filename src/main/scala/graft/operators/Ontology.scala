@@ -20,20 +20,27 @@ object Ontology {
 
   /** All (node, ancestor, depth) paths following child→parent edges, up
     * to maxDepth. UNION ALL semantics: a DAG node reachable two ways
-    * appears twice, exactly like SPARQL path counting. */
+    * appears twice, exactly like SPARQL path counting.
+    *
+    * Fully lazy: maxDepth chained broadcast joins in ONE plan, no
+    * driver-side action per level. Levels past the graph's real depth
+    * are empty at runtime and cost nothing, the broadcast of the edge
+    * table is built once and reused across levels, and the whole
+    * closure runs as a single shuffle-free job — the per-level
+    * isEmpty/checkpoint alternative pays one scheduler round-trip per
+    * level, which dwarfs the compute for dimension-sized ontologies.
+    * A deep/unbounded fixpoint over a large edge set is the one case
+    * to switch to checkpointed iteration instead. */
   def transitiveClosure(edges: DataFrame, maxDepth: Int = 10): DataFrame = {
     val e = broadcast(edges.select(col("child"), col("parent")))
-    var closure = e.select(col("child").as("node"), col("parent").as("ancestor"),
+    var frontier = e.select(col("child").as("node"), col("parent").as("ancestor"),
       lit(1).as("depth"))
-    var frontier = closure
-    var depth = 1
-    while (depth < maxDepth && !frontier.isEmpty) {
-      val next = frontier
+    var closure = frontier
+    for (_ <- 2 to maxDepth) {
+      frontier = frontier
         .join(e.withColumnRenamed("child", "__c"), col("ancestor") === col("__c"))
         .select(col("node"), col("parent").as("ancestor"), (col("depth") + 1).as("depth"))
-      frontier = next
-      closure = closure.unionByName(next)
-      depth += 1
+      closure = closure.unionByName(frontier)
     }
     closure
   }
@@ -45,7 +52,10 @@ object Ontology {
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name").as("child"), col("r_name").as("parent"))
       .unionByName(region.select(col("r_name").as("child"), lit("WORLD").as("parent")))
-    transitiveClosure(edges)
+    // the geo hierarchy is ≤2 levels deep by construction — passing the
+    // tight bound keeps the lazy closure plan at 3 branches instead of 10
+    // (plan size, and with it codegen time, grows with maxDepth).
+    transitiveClosure(edges, maxDepth = 3)
       .orderBy("node", "ancestor", "depth")
   }
 

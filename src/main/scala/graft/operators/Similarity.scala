@@ -29,10 +29,10 @@ object Similarity {
     embeddings.withColumn("norm",
       sqrt(graft.functions.VectorExpressions.vec_norm_sq(col("embedding"))))
 
-  /** q34: top-N most-similar embedding pairs (near-dup screen).
-    * All-pairs is acceptable at validation scale; the LSH variant below
-    * is the production path — same output schema. */
-  def nearDupPairs(embeddings: DataFrame, topN: Int = 100): DataFrame = {
+  /** ALL-PAIRS near-dup baseline — test-only recall oracle for the
+    * banded variant below. A cartesian product: never ship this shape
+    * in the inventory; at 100 TB it is the canonical scale-killer. */
+  def nearDupPairsAllPairs(embeddings: DataFrame, topN: Int = 100): DataFrame = {
     val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b"))
@@ -44,16 +44,69 @@ object Similarity {
       .limit(topN)
   }
 
+  /** seeded hyperplanes for the banded (multi-table) LSH screen, values
+    * rounded to 6 decimals: the SAME decimal literals are inlined into
+    * the DuckDB oracle SQL (SparkEntry), and both engines parse a 6-dp
+    * decimal string to the identical nearest double — so bucket signs,
+    * and therefore the candidate set, agree bit-for-bit across engines. */
+  def bandedPlanes(nTables: Int, nPlanes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nTables, nPlanes, dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** sign-bucket id for one table's plane set. */
+  private def bucketCol(embedding: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(embedding, typedLit(p)) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+
+  /** q34: near-dup pairs above a cosine threshold, candidates from
+    * multi-table hyperplane LSH — pairs colliding in ≥1 table's exact
+    * bucket. Linear shuffles on small int keys; the embedding arrays
+    * are joined back only for the (small) candidate set, so no vector
+    * data rides the per-table exchanges. Recall is governed by
+    * (nTables, nPlanes) — more planes = fewer false candidates per
+    * bucket (pick ~log2(n) planes so bucket occupancy stays bounded as
+    * the corpus grows), more tables = higher recall. */
+  def nearDupPairsBanded(embeddings: DataFrame, nTables: Int = 6, nPlanes: Int = 4,
+                         dim: Int = 64, minCosine: Double = 0.45): DataFrame = {
+    val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
+    val candidates = bandedPlanes(nTables, nPlanes, dim).map { planes =>
+      val b = e.select(col("vec_id"), bucketCol(col("embedding"), planes).as("bucket"))
+      b.select(col("vec_id").as("id_a"), col("bucket"))
+        .join(b.select(col("vec_id").as("id_b"), col("bucket")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _).distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a"))
+    val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b"))
+    candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .withColumn("cosine", dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), cosBp(col("cosine")))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** cosine → integer basis points: the only float-derived form that
+    * hash-compares exactly across engines (both round half-away-from-
+    * zero on identical doubles). */
+  private def cosBp(cosine: Column): Column =
+    round(cosine * 10000).cast(org.apache.spark.sql.types.LongType).as("cos_bp")
+
   /** rank the ≤k survivors of the custom TopKPerKey operator — the
     * bounded-heap physical plan replaces a full per-key sort of every
     * candidate (see graft.plans.TopKPerKey); the residual window only
-    * ever sees k rows per query. */
+    * ever sees k rows per query. Ranking uses the exact double cosine
+    * (ties broken by neighbor_id); the emitted score is basis points. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.TopKPerKey(scored,
       Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    top.withColumn("rank", row_number().over(w)).orderBy("query_id", "rank")
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), cosBp(col("cosine")),
+        col("rank").cast(org.apache.spark.sql.types.LongType).as("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** q35: brute-force cosine top-k neighbors for a query set — the
@@ -69,19 +122,6 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** deterministic random hyperplanes (seeded) as array literals. */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
-
-  /** sign-bucket id from nPlanes hyperplane sides (sign of the raw dot
-    * product — normalization can't flip a sign, so no norm needed). */
-  def lshBucket(embedding: Column, nPlanes: Int, dim: Int): Column =
-    planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
-      when(dot(embedding, typedLit(p)) > 0, 1 << j).otherwise(0)
-    }.reduce(_ + _)
-
   /** IVF coarse quantizer: deterministic centroid sample (every
     * (n/C)-th vector by id — a k-means refinement would slot in here),
     * cell assignment by nearest centroid. Returns (cells frame with
@@ -90,9 +130,12 @@ object Similarity {
     * standard IVF shape. */
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
     val e = withNorm(embeddings)
-    val n = e.count()
-    val step = math.max(n / nCells, 1L)
-    val centroids = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+    // seeded hash-order sample: TakeOrderedAndProject keeps an nCells-sized
+    // heap per partition in ONE pass — no count() scan to derive a stride
+    // first, which at 100 TB would be a full extra read of the table.
+    val centroids = e
+      .select(col("embedding"), xxhash64(lit(7), col("vec_id")).as("__h"), col("vec_id"))
+      .orderBy(col("__h"), col("vec_id"))
       .limit(nCells)
       .select(col("embedding"))
       .collect()
@@ -127,24 +170,41 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** all XOR masks of hamming weight ≤ radius — the multi-probe set. */
+  private def probeMasks(nPlanes: Int, radius: Int): Seq[Int] =
+    (0 until (1 << nPlanes)).filter(Integer.bitCount(_) <= radius)
+
   /** q36: ANN top-k via random-hyperplane LSH — candidates come from an
     * equality join on the bucket id (shuffle on a small int key; at
-    * 100 TB this replaces the quadratic cross join; recall traded for
-    * the multi-probe/plane-count knobs). */
+    * 100 TB this replaces the quadratic cross join).
+    *
+    * Recall comes from two knobs working together: `nTables`
+    * independent plane sets, and multi-probe — each query probes every
+    * bucket within `probeRadius` sign flips of its own, so a query in a
+    * singleton bucket still sees nearby candidates instead of silently
+    * returning nothing. Only the query side fans out
+    * (×nTables×Σ C(nPlanes,≤r)); the candidate side stays nTables rows
+    * per corpus vector, so the join input grows with queries, not the
+    * corpus. A pair found by several tables is deduped on its identical
+    * exact-double cosine before ranking. */
   def knnLsh(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64,
-             nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val e = withNorm(embeddings)
-      .select(col("vec_id"), col("embedding"), col("norm"))
-      .withColumn("bucket", lshBucket(col("embedding"), nPlanes, dim))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-        col("norm").as("n_q"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
-      col("norm").as("n_c"), col("bucket"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
+             nQueries: Int = 20, k: Int = 10,
+             nTables: Int = 8, probeRadius: Int = 2): DataFrame = {
+    val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
+    val masks = probeMasks(nPlanes, probeRadius)
+    val scored = bandedPlanes(nTables, nPlanes, dim).map { planes =>
+      val b = e.withColumn("bucket", bucketCol(col("embedding"), planes))
+      val q = b.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+          col("norm").as("n_q"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+        col("norm").as("n_c"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
+    }.reduce(_ unionByName _).distinct()
     rankTopK(scored, k)
   }
 }

@@ -60,9 +60,30 @@ class DedupSpec extends AnyFunSuite {
       (3L, Array(0.9f, 0.1f, 0.0f)),
       (4L, Array(0.0f, 0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
-    val top = Similarity.nearDupPairs(vecs, topN = 2).collect()
+    val top = Similarity.nearDupPairsAllPairs(vecs, topN = 2).collect()
     assert((top.head.getLong(0), top.head.getLong(1)) == ((1L, 2L)))
     assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("banded near-dup finds every pair the all-pairs screen finds at high cosine") {
+    // 3 planted clusters of near-identical vectors + noise directions
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3)
+      val jitter = Array.fill(16)((rnd.nextGaussian() * 0.02).toFloat)
+      (i.toLong, b.zip(jitter).map { case (x, j) => x + j })
+    }.toDF("vec_id", "embedding")
+    val banded = Similarity.nearDupPairsBanded(vecs, nTables = 6, nPlanes = 4,
+      dim = 16, minCosine = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairsAllPairs(vecs, topN = 10000)
+      .filter($"cosine" >= 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = banded.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded recall $recall vs exact ${exact.size} pairs")
+    assert(banded.subsetOf(exact), "banded emits only true ≥-threshold pairs")
   }
 
   test("knn IVF finds identical-vector neighbors within a cell") {
@@ -75,7 +96,7 @@ class DedupSpec extends AnyFunSuite {
     assert(q0.nonEmpty, "query 0 should find cell-mates")
     assert(q0.head.getAs[Long]("neighbor_id") % 8 == 0,
       "nearest neighbor should be an identical vector")
-    assert(math.abs(q0.head.getAs[Double]("cosine") - 1.0) < 1e-6)
+    assert(q0.head.getAs[Long]("cos_bp") == 10000L)
   }
 
   test("knn brute force and LSH agree on an identical-vector neighbor") {
@@ -91,5 +112,16 @@ class DedupSpec extends AnyFunSuite {
     val lsh = Similarity.knnLsh(vecs, nPlanes = 4, dim = 8, nQueries = 2, k = 3).collect()
     val lshQ0 = lsh.filter(_.getAs[Long]("query_id") == 0L)
     assert(lshQ0.nonEmpty && lshQ0.head.getAs[Long]("neighbor_id") % 8 == 0)
+  }
+
+  test("multi-probe LSH kNN emits k rows per query and recalls the brute-force set") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.knnBruteForce(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.knnLsh(e).collect()
+    assert(lsh.length == 20 * 10, s"every query must emit k rows, got ${lsh.length}")
+    val lshSet = lsh.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = lshSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall vs brute force")
   }
 }

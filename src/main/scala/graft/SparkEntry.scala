@@ -54,6 +54,11 @@ object SparkEntry {
       Validation.InSet("o_orderstatus", Seq("O", "F", "P")),
       Validation.Matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
       Validation.Unique("o_orderkey")))),
+    "q21b_violation_rows" -> ((s, d) => Validation.violationRows(Tables.orders(s, d), "o_orderkey", Seq(
+      Validation.NotNull("o_custkey"),
+      Validation.InRange("o_totalprice", 0, 300000),
+      Validation.InSet("o_orderstatus", Seq("O", "F")),
+      Validation.Matches("o_orderpriority", "^[1-3]-[A-Z ]+$")))),
     "q22_quality_metrics" -> ((s, d) => Curation.qualityMetrics(Tables.lineitem(s, d))),
     "q23_feature_annotations" -> ((s, d) => Curation.featureAnnotations(
       Tables.part(s, d), Tables.lineitem(s, d))),
@@ -83,6 +88,14 @@ object SparkEntry {
     "q40_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q41_mm_metadata" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
     "q42_corpus_dedup_apply" -> ((s, d) => TextAnalysis.dedupedCorpus(Tables.documents(s, d))),
+    "q43_upsert_apply" -> ((s, d) => Upsert.applyAndRead(s,
+      Tables.customer(s, d), Tables.orders(s, d), Tables.supplier(s, d))),
+    "q44_index_reconcile" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("id"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey").as("id"))
+      Reconcile.discrepancyReport(a, b, "id")
+    }),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -229,6 +242,13 @@ object SparkEntry {
         |UNION ALL SELECT 'regex_o_orderpriority', CAST(COUNT(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS BIGINT) FROM orders
         |UNION ALL SELECT 'unique_o_orderkey', CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
         |) t ORDER BY rule""".stripMargin,
+    "q21b_violation_rows" ->
+      """SELECT o_orderkey, rule FROM (
+        |SELECT o_orderkey, 'not_null_o_custkey' AS rule, o_custkey IS NULL AS bad FROM orders
+        |UNION ALL SELECT o_orderkey, 'range_o_totalprice', NOT (o_totalprice BETWEEN 0 AND 300000) FROM orders
+        |UNION ALL SELECT o_orderkey, 'enum_o_orderstatus', o_orderstatus NOT IN ('O','F') FROM orders
+        |UNION ALL SELECT o_orderkey, 'regex_o_orderpriority', NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$') FROM orders
+        |) t WHERE bad ORDER BY o_orderkey, rule""".stripMargin,
     "q22_quality_metrics" ->
       """SELECT l_orderkey AS entity_id, COUNT(*) AS n_lineitems,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty,
@@ -333,6 +353,34 @@ object SparkEntry {
       s"""SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint
          |FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q43_upsert_apply" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment AS segment,
+        |CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents FROM customer),
+        |u AS (
+        |SELECT o_custkey AS c_custkey, 'ACTIVE' AS segment,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS acctbal_cents,
+        |COUNT(*) AS n_orders, bool_and(o_orderstatus = 'P') AS is_deleted
+        |FROM orders GROUP BY o_custkey
+        |UNION ALL
+        |SELECT s_suppkey + 1000000, 'NEW',
+        |CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT), CAST(0 AS BIGINT), false
+        |FROM supplier)
+        |SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |COALESCE(u.segment, t.segment) AS segment,
+        |COALESCE(u.acctbal_cents, t.acctbal_cents) AS acctbal_cents,
+        |u.n_orders AS n_orders
+        |FROM t FULL JOIN u ON t.c_custkey = u.c_custkey
+        |WHERE NOT COALESCE(u.is_deleted, false)
+        |ORDER BY c_custkey""".stripMargin,
+    "q44_index_reconcile" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS id FROM orders),
+        |b AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_acctbal >= 0)
+        |SELECT COALESCE(a.id, b.id) AS id,
+        |a.id IS NOT NULL AS in_a, b.id IS NOT NULL AS in_b,
+        |CASE WHEN a.id IS NOT NULL THEN 'only_a' ELSE 'only_b' END AS side
+        |FROM a FULL JOIN b ON a.id = b.id
+        |WHERE a.id IS NULL OR b.id IS NULL
+        |ORDER BY id""".stripMargin,
     "q50_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE (upsert + delete) into a parquet table — the "apply"
+  * half of curation. Every reference pipeline ends by pushing updated
+  * resources back to the store (reference
+  * src/neuron_morphology/validation/create_update_curation_annotation.py
+  * forge.update loop; src/neuron_morphology/morphology_registration.py
+  * register-or-update); graft's equivalent is a copy-on-write merge:
+  * parquet has no in-place update, so the new table state is computed
+  * as target ⟗ updates on the key, written to a staging directory, and
+  * swapped in.
+  *
+  * Scale shape: one full-outer shuffle join on the merge key — the
+  * canonical copy-on-write merge (what a Delta/Iceberg MERGE lowers to
+  * without the transaction log). For repeated merges into a huge table,
+  * bucket both sides by the key so the join co-locates without a
+  * shuffle; at 100 TB the rewrite cost is bounded by partitioning the
+  * table and merging only touched partitions (partition-overwrite).
+  */
+object MergeWriter {
+
+  /** Pure merge semantics (no IO): per-key, an update row wins column
+    * by column over the target row (COALESCE(update, target) for the
+    * columns both sides share), unmatched update rows insert, unmatched
+    * target rows carry over, and rows whose update carries a true
+    * `deleteFlag` are dropped. Column sets may differ: target-only
+    * columns are NULL on inserted rows, update-only columns are NULL on
+    * carried-over rows. */
+  def mergedState(target: DataFrame, updates: DataFrame, key: String,
+                  deleteFlag: Option[String] = None): DataFrame = {
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    val tCols = target.columns.filterNot(_ == key)
+    val uCols = updates.columns.filterNot(c => c == key || deleteFlag.contains(c))
+    val common = tCols.intersect(uCols)
+    val onlyT = tCols.diff(uCols)
+    val onlyU = uCols.diff(tCols)
+    val outCols: Seq[Column] = col(key) +:
+      (common.map(c => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)) ++
+        onlyT.map(c => col(s"t.$c")) ++
+        onlyU.map(c => col(s"u.$c"))).toSeq
+    val joined = t.join(u, Seq(key), "full_outer")
+    val alive = deleteFlag match {
+      case Some(f) => joined.filter(!coalesce(col(s"u.$f"), lit(false)))
+      case None    => joined
+    }
+    alive.select(outCols: _*)
+  }
+
+  /** Copy-on-write apply: read the table at `path`, merge `updates`
+    * in, write the new state to `<path>.staging`, then swap the
+    * directories. Idempotent: re-applying the same updates yields the
+    * same state (COALESCE and delete-filter are stable under repeat). */
+  def applyTo(spark: SparkSession, path: String, updates: DataFrame, key: String,
+              deleteFlag: Option[String] = None): Unit = {
+    val merged = mergedState(spark.read.parquet(path), updates, key, deleteFlag)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(p, true)
+    if (!fs.rename(staging, p))
+      throw new java.io.IOException(s"merge swap failed: $staging -> $p")
+  }
+}
+
+/** q43 instance of the merge: customer master kept as a parquet table,
+  * an update batch derived from orders (per-customer spend + activity,
+  * customers whose every order is still 'P' flagged deleted) plus an
+  * insert batch derived
+  * from supplier (new parties under a shifted key range). The query
+  * entry seeds a scratch table, applies the merge through the real
+  * writer, and returns the post-merge state — so the driver's oracle
+  * checks the WRITER's output, not just the merge expression. */
+object Upsert {
+  import Decimals._
+
+  def target(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      asScaledLong(dec2(col("c_acctbal")), 2).as("acctbal_cents"))
+
+  def updates(orders: DataFrame, supplier: DataFrame): DataFrame = {
+    val fromOrders = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum2(col("o_totalprice")).as("acctbal_cents"),
+        count(lit(1)).as("n_orders"),
+        bool_and(col("o_orderstatus") === "P").as("is_deleted"))
+      .select(col("c_custkey"), lit("ACTIVE").as("segment"),
+        col("acctbal_cents"), col("n_orders"), col("is_deleted"))
+    val inserts = supplier.select(
+      (col("s_suppkey") + 1000000L).as("c_custkey"),
+      lit("NEW").as("segment"),
+      asScaledLong(dec2(col("s_acctbal")), 2).as("acctbal_cents"),
+      lit(0L).as("n_orders"),
+      lit(false).as("is_deleted"))
+    fromOrders.unionByName(inserts)
+  }
+
+  /** q43: seed scratch state, merge through the writer, read back. */
+  def applyAndRead(spark: SparkSession, customer: DataFrame, orders: DataFrame,
+                   supplier: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString + "/state"
+    target(customer).write.mode("overwrite").parquet(dir)
+    MergeWriter.applyTo(spark, dir, updates(orders, supplier), "c_custkey", Some("is_deleted"))
+    spark.read.parquet(dir).orderBy("c_custkey")
+  }
+}

@@ -62,4 +62,13 @@ object Validation {
       .select(col(idCol), array_compact(col("checks")).as("failed_rules"))
       .filter(size(col("failed_rules")) > 0)
   }
+
+  /** q21b: the same listing exploded to one (id, rule) row — the
+    * flat shape that joins/sorts/compares cleanly downstream. Checks
+    * stay row-local over a single scan; the only exchange is the
+    * deterministic output sort. */
+  def violationRows(df: DataFrame, idCol: String, rules: Seq[Rule]): DataFrame =
+    violations(df, idCol, rules)
+      .select(col(idCol), explode(col("failed_rules")).as("rule"))
+      .orderBy(idCol, "rule")
 }

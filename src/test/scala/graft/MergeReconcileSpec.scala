@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MergeWriter, Reconcile, Upsert}
+
+class MergeReconcileSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val target = Seq(
+    (1L, "gold", 100L), // updated below
+    (2L, "iron", 200L), // carried over untouched
+    (3L, "lead", 300L)  // deleted below
+  ).toDF("id", "grade", "cents")
+
+  private lazy val updates = Seq(
+    (1L, "platinum", 150L, false), // update wins per column
+    (3L, "lead", 300L, true),      // delete flag
+    (9L, "new", 900L, false)       // unmatched -> insert
+  ).toDF("id", "grade", "cents", "gone")
+
+  test("merge semantics: update wins, unmatched inserts, delete drops") {
+    val m = MergeWriter.mergedState(target, updates, "id", Some("gone"))
+      .orderBy("id").collect()
+    assert(m.map(_.getLong(0)).toSeq == Seq(1L, 2L, 9L))
+    val byId = m.map(r => r.getLong(0) -> (r.getAs[String]("grade"), r.getAs[Long]("cents"))).toMap
+    assert(byId(1L) == (("platinum", 150L)))
+    assert(byId(2L) == (("iron", 200L)))
+    assert(byId(9L) == (("new", 900L)))
+  }
+
+  test("merge keeps target-only and update-only columns, nulled on the other side") {
+    val t2 = target.withColumn("t_only", lit("t"))
+    val u2 = updates.withColumn("u_only", lit("u"))
+    val m = MergeWriter.mergedState(t2, u2, "id", Some("gone")).orderBy("id").collect()
+    val byId = m.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getAs[String]("t_only") == "t" && byId(2L).getAs[String]("u_only") == null)
+    assert(byId(9L).getAs[String]("t_only") == null && byId(9L).getAs[String]("u_only") == "u")
+  }
+
+  test("copy-on-write apply is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec_").toString + "/state"
+    target.write.mode("overwrite").parquet(dir)
+    MergeWriter.applyTo(spark, dir, updates, "id", Some("gone"))
+    val once = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    MergeWriter.applyTo(spark, dir, updates, "id", Some("gone"))
+    val twice = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    assert(once == twice, "re-applying the same update batch must not change state")
+    assert(once.map(_.getLong(0)) == Seq(1L, 2L, 9L))
+  }
+
+  test("q43 upsert instance merges orders activity and supplier inserts") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Upsert.applyAndRead(spark, Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.supplier(spark, dir))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // inserts land under the shifted key range with the NEW segment
+    val inserted = rows.filter(_.getLong(0) > 1000000L)
+    assert(inserted.nonEmpty && inserted.forall(_.getAs[String]("segment") == "NEW"))
+    // updated customers carry ACTIVE segment and an order count
+    val active = rows.filter(r => r.getAs[String]("segment") == "ACTIVE")
+    assert(active.nonEmpty && active.forall(_.getAs[Long]("n_orders") > 0L))
+  }
+
+  test("reconciliation reports the symmetric difference with side labels") {
+    val a = Seq(1L, 2L, 3L).toDF("id")
+    val b = Seq(2L, 3L, 4L, 5L).toDF("id")
+    val rep = Reconcile.discrepancyReport(a, b, "id").collect()
+    assert(rep.map(r => (r.getLong(0), r.getAs[String]("side"))).toSeq ==
+      Seq((1L, "only_a"), (4L, "only_b"), (5L, "only_b")))
+    val sums = Reconcile.summary(a, b, "id").collect()
+      .map(r => r.getAs[String]("side") -> r.getAs[Long]("n_ids")).toMap
+    assert(sums == Map("only_a" -> 1L, "only_b" -> 2L))
+  }
+}

@@ -96,6 +96,9 @@ object SparkEntry {
         .select(col("c_custkey").as("id"))
       Reconcile.discrepancyReport(a, b, "id")
     }),
+    "q45_constraint_coverage" -> ((s, d) => Validation.constraintCoverage(
+      Tables.events(s, d), "props", Seq("session", "device"))),
+    "q46_content_metadata" -> ((s, d) => TextAnalysis.contentMetadataCheck(Tables.documents(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -381,6 +384,34 @@ object SparkEntry {
         |FROM a FULL JOIN b ON a.id = b.id
         |WHERE a.id IS NULL OR b.id IS NULL
         |ORDER BY id""".stripMargin,
+    "q45_constraint_coverage" ->
+      """WITH observed AS (SELECT DISTINCT unnest(json_keys(props)) AS key FROM events),
+        |declared AS (SELECT unnest(['session', 'device']) AS key)
+        |SELECT COALESCE(o.key, d.key) AS key,
+        |o.key IS NOT NULL AS observed, d.key IS NOT NULL AS declared,
+        |CASE WHEN o.key IS NOT NULL AND d.key IS NULL THEN 'unconstrained'
+        |WHEN o.key IS NULL THEN 'stale_constraint'
+        |ELSE 'constrained' END AS status
+        |FROM observed o FULL JOIN declared d ON o.key = d.key
+        |ORDER BY key""".stripMargin,
+    "q46_content_metadata" ->
+      """SELECT doc_id, lang, predicted_lang, n_chars, computed_chars,
+        |lang = predicted_lang AS lang_match, n_chars = computed_chars AS chars_match
+        |FROM (SELECT doc_id, lang, n_chars, computed_chars, CASE
+        |WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+        |WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+        |WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+        |WHEN c_fr >= c_zh THEN 'fr'
+        |ELSE 'zh' END AS predicted_lang
+        |FROM (SELECT doc_id, lang, n_chars, length(text) AS computed_chars,
+        |(length(p) - length(replace(p, ' the ', ''))) // 5 AS c_en,
+        |(length(p) - length(replace(p, ' und ', ''))) // 5 AS c_de,
+        |(length(p) - length(replace(p, ' los ', ''))) // 5 AS c_es,
+        |(length(p) - length(replace(p, ' les ', ''))) // 5 AS c_fr,
+        |(length(p) - length(replace(p, ' 的 ', ''))) // 3 AS c_zh
+        |FROM (SELECT doc_id, lang, n_chars, text, ' ' || text || ' ' AS p FROM documents) t0) t1) t2
+        |WHERE NOT (lang = predicted_lang) OR NOT (n_chars = computed_chars)
+        |ORDER BY doc_id""".stripMargin,
     "q50_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value

@@ -22,9 +22,10 @@ object TextAnalysis {
     "en" -> " the ", "de" -> " und ", "es" -> " los ",
     "fr" -> " les ", "zh" -> " 的 ")
 
-  /** q37: n-gram-heuristic language ID → confusion counts vs the
-    * labelled lang column. */
-  def langId(documents: DataFrame): DataFrame = {
+  /** per-document marker-count language prediction, appended as a
+    * `predicted_lang` column — shared by q37 (confusion counts) and
+    * q46 (declared-vs-content consistency). */
+  private def withPredictedLang(documents: DataFrame): DataFrame = {
     val withP = documents.withColumn("__p", concat(lit(" "), col("text"), lit(" ")))
     val withCounts = LangMarkers.foldLeft(withP) { case (df, (l, m)) =>
       df.withColumn(s"c_$l",
@@ -37,12 +38,33 @@ object TextAnalysis {
         val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
         acc.when(col(s"c_$l") >= restMax, l)
     }.otherwise(langs.last)
-    withCounts
-      .select(col("lang"), pred.as("predicted_lang"))
+    withCounts.withColumn("predicted_lang", pred)
+      .drop("__p" +: langs.map(l => s"c_$l"): _*)
+  }
+
+  /** q37: n-gram-heuristic language ID → confusion counts vs the
+    * labelled lang column. */
+  def langId(documents: DataFrame): DataFrame =
+    withPredictedLang(documents)
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted_lang")
-  }
+
+  /** q46: content-vs-declared-metadata consistency — the reference's
+    * declared-stimulus vs decoded-content checks (reference
+    * src/trace/fix/check_image_stimulus_match.py,
+    * check_nwb_stimulus_match.py) re-expressed over documents: compare
+    * the declared lang/n_chars metadata against what the content
+    * itself says, list only the disagreeing rows. Row-local compute on
+    * one scan; the only exchange is the output sort. */
+  def contentMetadataCheck(documents: DataFrame): DataFrame =
+    withPredictedLang(documents)
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("n_chars"), length(col("text")).cast(LongType).as("computed_chars"))
+      .withColumn("lang_match", col("lang") === col("predicted_lang"))
+      .withColumn("chars_match", col("n_chars") === col("computed_chars"))
+      .filter(!col("lang_match") || !col("chars_match"))
+      .orderBy("doc_id")
 
   /** q38: quality scoring — length, alpha/punct ratios in integer basis
     * points, stopword presence, boolean keep-flag. */

@@ -63,6 +63,33 @@ object Validation {
       .filter(size(col("failed_rules")) > 0)
   }
 
+  /** q45: constraint-coverage reconciliation — the reference's
+    * unconstrained/mismatched-constraint listings (reference
+    * src/schemas/list_unconstrained.py, constraint_mismatch.py) as one
+    * anti-join-shaped report: keys observed in the data's JSON payload
+    * vs keys the schema registry declares a constraint for. `observed
+    * && !declared` = unconstrained data; `declared && !observed` = a
+    * stale constraint nothing carries any more. The observed side is
+    * reduced to distinct keys before the join, so the exchange is key-
+    * cardinality-sized regardless of row count. */
+  def constraintCoverage(df: DataFrame, jsonCol: String,
+                         declared: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val observed = df.select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .distinct().withColumn("observed", lit(true))
+    val decl = declared.toDF("key").withColumn("declared", lit(true))
+    observed.join(decl, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("observed"), lit(false)).as("observed"),
+        coalesce(col("declared"), lit(false)).as("declared"))
+      .withColumn("status",
+        when(col("observed") && !col("declared"), "unconstrained")
+          .when(!col("observed") && col("declared"), "stale_constraint")
+          .otherwise("constrained"))
+      .orderBy("key")
+  }
+
   /** q21b: the same listing exploded to one (id, rule) row — the
     * flat shape that joins/sorts/compares cleanly downstream. Checks
     * stay row-local over a single scan; the only exchange is the

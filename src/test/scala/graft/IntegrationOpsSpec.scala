@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, LinkCheck, Validation}
+import graft.operators.{Curation, LinkCheck, TextAnalysis, Validation}
 
 /** Synthetic-frame tests for the curation operators — exercises the
   * paths the driver data can't (broken links, label drift, rule
@@ -73,5 +73,27 @@ class IntegrationOpsSpec extends AnyFunSuite {
     val out = Curation.registrationDedup(incoming, existing).orderBy("p_partkey").collect()
     assert(out.map(_.getAs[Boolean]("dup_in_batch")).toSeq == Seq(true, true, false))
     assert(out.map(_.getAs[Boolean]("exists_in_store")).toSeq == Seq(false, false, true))
+  }
+
+  test("constraint coverage separates unconstrained, stale, and covered keys") {
+    val rows = Seq("""{"k": 1, "extra": true}""", """{"k": 2}""").toDF("props")
+    val out = Validation.constraintCoverage(rows, "props", Seq("k", "ghost"))
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("status")).toMap
+    assert(out == Map("k" -> "constrained", "extra" -> "unconstrained",
+      "ghost" -> "stale_constraint"))
+  }
+
+  test("content-metadata check flags only disagreeing rows") {
+    val docs = Seq(
+      (1L, "word the word the word", "en", 22L),  // all consistent
+      (2L, "word the word the word", "de", 22L),  // lang mismatch
+      (3L, "plain text the words", "en", 99L)     // char-count mismatch
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextAnalysis.contentMetadataCheck(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(!r2.getAs[Boolean]("lang_match") && r2.getAs[Boolean]("chars_match"))
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[Boolean]("lang_match") && !r3.getAs[Boolean]("chars_match"))
   }
 }

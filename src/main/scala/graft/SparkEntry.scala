@@ -232,6 +232,21 @@ object SparkEntry {
         |MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
         |OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
         |FROM events) t WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q17_kmv_distinct" ->
+      """WITH hashes AS (
+        |SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+        |ranked AS (
+        |SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hashes),
+        |sk AS (
+        |SELECT source, MAX(h) AS kth_min, COUNT(*) AS sketch_size
+        |FROM ranked WHERE rn <= 64 GROUP BY source),
+        |ex AS (SELECT source, COUNT(DISTINCT text) AS exact_distinct FROM documents GROUP BY source)
+        |SELECT sk.source, sk.sketch_size, sk.kth_min,
+        |CASE WHEN sk.sketch_size < 64 THEN sk.sketch_size
+        |ELSE CAST(floor(63.0 * pow(2, 60) / CAST(sk.kth_min AS DOUBLE)) AS BIGINT) END AS est_distinct,
+        |ex.exact_distinct
+        |FROM sk JOIN ex ON sk.source = ex.source
+        |ORDER BY 1""".stripMargin,
     "q20_link_check" ->
       """SELECT event_id, user_id, ck IS NOT NULL AS customer_resolvable, sk IS NOT NULL AS supplier_resolvable
         |FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS ck FROM customer) c ON user_id = ck

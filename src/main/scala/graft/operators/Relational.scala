@@ -219,17 +219,29 @@ object Relational {
       .orderBy("o_orderstatus")
 
   /** q17: sketch-based cardinality report — the KMV custom aggregate
-    * next to the exact answer (per group). The estimate column is
-    * engine-specific, so this is a rows-only query; the tolerance
-    * contract is asserted in KmvSketchSpec. */
+    * next to the exact answer (per group). The sketch is keyed by a
+    * 60-bit md5-prefix hash BOTH engines can compute identically, so
+    * the sketch content (k-th minimum), its size, and the integer-
+    * floored estimate are all exactly oracle-checkable — the sketch
+    * aggregate's union-truncate merge is what the oracle exercises.
+    * (The tolerance contract of the estimator itself is asserted in
+    * KmvSketchSpec.) */
   def kmvDistinctReport(documents: DataFrame): DataFrame = {
     val k = 64
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType)
+    val sketchSize = size(col("sketch"))
+    val kth = element_at(col("sketch"), sketchSize) // ascending: last = k-th min
     documents
       .groupBy("source")
       .agg(
-        graft.functions.KmvSketch.kmv_sketch(xxhash64(col("text")), k).as("sketch"),
+        graft.functions.KmvSketch.kmv_sketch(h, k).as("sketch"),
         countDistinct(col("text")).as("exact_distinct"))
-      .select(col("source"), size(col("sketch")).as("sketch_size"),
+      .select(col("source"),
+        sketchSize.cast(LongType).as("sketch_size"),
+        kth.as("kth_min"),
+        when(sketchSize < k, sketchSize.cast(LongType))
+          .otherwise(floor(lit((k - 1).toDouble * math.pow(2, 60)) / kth.cast(DoubleType)))
+          .as("est_distinct"),
         col("exact_distinct"))
       .orderBy("source")
   }

@@ -71,13 +71,20 @@ object Similarity {
   def nearDupPairsBanded(embeddings: DataFrame, nTables: Int = 6, nPlanes: Int = 4,
                          dim: Int = 64, minCosine: Double = 0.45): DataFrame = {
     val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
-    val candidates = bandedPlanes(nTables, nPlanes, dim).map { planes =>
-      val b = e.select(col("vec_id"), bucketCol(col("embedding"), planes).as("bucket"))
-      b.select(col("vec_id").as("id_a"), col("bucket"))
-        .join(b.select(col("vec_id").as("id_b"), col("bucket")), Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-    }.reduce(_ unionByName _).distinct()
+    // one row per (vector, table) with that table's bucket — computed in a
+    // single projection pass, so the candidate join is ONE shuffle on the
+    // composite (table, bucket) key instead of nTables separate joins.
+    val tableBuckets = array(bandedPlanes(nTables, nPlanes, dim).zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("table"),
+        bucketCol(col("embedding"), planes).as("bucket"))
+    }: _*)
+    val b = e.select(col("vec_id"), explode(tableBuckets).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val candidates = b.select(col("vec_id").as("id_a"), col("table"), col("bucket"))
+      .join(b.select(col("vec_id").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a"))
     val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b"))
     candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
@@ -192,19 +199,27 @@ object Similarity {
              nTables: Int = 8, probeRadius: Int = 2): DataFrame = {
     val e = withNorm(embeddings).select(col("vec_id"), col("embedding"), col("norm"))
     val masks = probeMasks(nPlanes, probeRadius)
-    val scored = bandedPlanes(nTables, nPlanes, dim).map { planes =>
-      val b = e.withColumn("bucket", bucketCol(col("embedding"), planes))
-      val q = b.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-          col("norm").as("n_q"),
-          explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
-        col("norm").as("n_c"), col("bucket"))
-      q.join(c, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
-    }.reduce(_ unionByName _).distinct()
+    // per-table buckets in one projection; the candidate join is ONE
+    // shuffle on the composite (table, bucket) key across all tables.
+    val tableBuckets = array(bandedPlanes(nTables, nPlanes, dim).zipWithIndex.map {
+      case (planes, t) => struct(lit(t).as("table"),
+        bucketCol(col("embedding"), planes).as("bucket"))
+    }: _*)
+    val b = e.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(tableBuckets).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val probed = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("norm").as("n_q"), col("table"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+      col("norm").as("n_c"), col("table"), col("bucket"))
+    val scored = probed.join(c, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
+      .distinct()
     rankTopK(scored, k)
   }
 }

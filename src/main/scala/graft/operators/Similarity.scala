@@ -129,13 +129,11 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF coarse quantizer: deterministic centroid sample (every
-    * (n/C)-th vector by id — a k-means refinement would slot in here),
-    * cell assignment by nearest centroid. Returns (cells frame with
-    * `cell` column, centroids indexed). Centroids are driver-side by
-    * design: C×dim doubles is a legitimate broadcast-sized model, the
-    * standard IVF shape. */
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+  /** per-cell centroid scores as (score, cell) structs — shared by the
+    * nearest-cell assignment and the query-side multi-cell probing.
+    * Centroid pick is a seeded hash-order sample (a k-means refinement
+    * would slot in here). */
+  private def centroidScores(embeddings: DataFrame, nCells: Int): Seq[Column] = {
     val e = withNorm(embeddings)
     // seeded hash-order sample: TakeOrderedAndProject keeps an nCells-sized
     // heap per partition in ONE pass — no count() scan to derive a stride
@@ -147,29 +145,43 @@ object Similarity {
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-    // nearest centroid by cosine = argmax dot/norm (centroid norm is a
-    // per-cell constant factor — divide it out)
-    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+    // cosine to each centroid = dot/norm (centroid norm is a per-cell
+    // constant factor — divide it out of the argmax/sort)
+    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
       struct((dot(col("embedding"), typedLit(c)) / (col("norm") * cn)).as("score"),
         lit(i).as("cell"))
     }
-    e.withColumn("cell", greatest(cellScores: _*).getField("cell"))
   }
 
-  /** q36b-style ANN via IVF: queries probe their own cell only
-    * (nprobe=1; widen by unioning per-cell assignments for higher
-    * recall). Candidates come from an equality join on the cell id —
-    * same scale shape as the LSH variant. */
+  /** IVF coarse quantizer: cell assignment by nearest centroid.
+    * Centroids are driver-side by design: C×dim doubles is a
+    * legitimate broadcast-sized model, the standard IVF shape. */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
+    withNorm(embeddings)
+      .withColumn("cell", greatest(centroidScores(embeddings, nCells): _*).getField("cell"))
+
+  /** q36b: ANN via IVF. Corpus vectors live in their nearest cell;
+    * each query probes its `nProbe` nearest cells (sorted centroid
+    * scores, query-side-only fan-out), so recall degrades gracefully
+    * instead of cliff-dropping when a true neighbor sits just across a
+    * cell boundary. Candidates still come from an equality join on the
+    * cell id — the linear shape that replaces the quadratic cross join
+    * at scale. */
   def knnIvf(embeddings: DataFrame, nCells: Int = 16,
-             nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val e = ivfAssign(embeddings, nCells)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+             nQueries: Int = 20, k: Int = 10, nProbe: Int = 6): DataFrame = {
+    val scores = centroidScores(embeddings, nCells)
+    val e = withNorm(embeddings)
+    val c = e.withColumn("cell", greatest(scores: _*).getField("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+        col("norm").as("n_c"), col("cell"))
+    // top-nProbe cells: sort the (score, cell) structs descending by
+    // score and take the head slice — array builtins, row-local.
+    val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+      .getField("cell")
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
-        col("norm").as("n_q"), col("cell"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
-      col("norm").as("n_c"), col("cell"))
+        col("norm").as("n_q"), explode(probeCells).as("cell"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

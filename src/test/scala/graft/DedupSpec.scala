@@ -114,6 +114,17 @@ class DedupSpec extends AnyFunSuite {
     assert(lshQ0.nonEmpty && lshQ0.head.getAs[Long]("neighbor_id") % 8 == 0)
   }
 
+  test("multi-cell-probe IVF kNN emits k rows per query with usable recall") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.knnBruteForce(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.knnIvf(e).collect()
+    assert(ivf.length == 20 * 10, s"every query must emit k rows, got ${ivf.length}")
+    val ivfSet = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivfSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF nprobe=6 recall $recall vs brute force")
+  }
+
   test("multi-probe LSH kNN emits k rows per query and recalls the brute-force set") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.knnBruteForce(e).collect()

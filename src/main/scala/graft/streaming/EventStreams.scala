@@ -95,6 +95,25 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming upsert sink: every micro-batch is MERGEd into the
+    * parquet table at `path` by key (insert-or-update, optional delete
+    * flag) via [[graft.operators.MergeWriter]] — the streaming form of
+    * the reference's push-back step, and the standard way to keep a
+    * continuously-updated serving table from a changelog stream
+    * (foreachBatch + keyed merge is what a Delta streaming MERGE
+    * lowers to). The checkpoint makes delivery effectively-once per
+    * batch; the merge itself is idempotent under batch replay. */
+  def upsertSink(updates: DataFrame, path: String, checkpoint: String,
+                 key: String, deleteFlag: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.MergeWriter.applyTo(
+          batch.sparkSession, path, batch.toDF(), key, deleteFlag)
+      }
+      .start()
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, t_start_s: Long, t_end_s: Long,

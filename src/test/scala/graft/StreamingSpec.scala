@@ -111,4 +111,35 @@ class StreamingSpec extends AnyFunSuite {
     val batchSessions = EventOps.sessionize(Tables.events(spark, sf)).count()
     assert(sessions.length == batchSessions)
   }
+
+  test("streaming upsert sink merges each micro-batch into the parquet table") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+    val srcDir = base.resolve("src").toString
+    val table = base.resolve("table").toString
+    val ckpt = base.resolve("ckpt").toString
+    Seq((1L, "old"), (2L, "old")).toDF("id", "v").write.parquet(table)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("gone", BooleanType)))
+
+    def runBatch(rows: Seq[(Long, String, Boolean)]): Unit = {
+      rows.toDF("id", "v", "gone").write.mode("append").parquet(srcDir)
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = EventStreams.upsertSink(stream, table, ckpt, "id", Some("gone"))
+      q.processAllAvailable(); q.stop()
+    }
+
+    runBatch(Seq((1L, "new1", false), (3L, "new3", false)))
+    val after1 = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 == Map(1L -> "new1", 2L -> "old", 3L -> "new3"))
+
+    // second batch resumes from the checkpoint: only the new files merge
+    runBatch(Seq((2L, "x", true), (4L, "new4", false)))
+    val after2 = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 == Map(1L -> "new1", 3L -> "new3", 4L -> "new4"),
+      s"delete flag must drop id 2, insert id 4: $after2")
+  }
 }

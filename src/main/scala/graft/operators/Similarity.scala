@@ -129,30 +129,58 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** per-cell centroid scores as (score, cell) structs — shared by the
-    * nearest-cell assignment and the query-side multi-cell probing.
-    * Centroid pick is a seeded hash-order sample (a k-means refinement
-    * would slot in here). */
-  private def centroidScores(embeddings: DataFrame, nCells: Int): Seq[Column] = {
+  /** per-cell cosine scores to fixed centroids, as (score, cell)
+    * structs — shared by the nearest-cell assignment and the
+    * query-side multi-cell probing. The centroid norm is a per-cell
+    * constant factor, divided out of the argmax/sort. */
+  private def scoreCols(centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("embedding"), typedLit(c)) / (col("norm") * cn)).as("score"),
+        lit(i).as("cell"))
+    }
+
+  /** one Lloyd iteration, fully distributed: assign every vector to its
+    * nearest centroid, recompute each cell's centroid as the per-
+    * dimension mean (posexplode → partial-aggregated avg, so the
+    * shuffle carries C×dim partial sums per partition, not the data).
+    * Cells that lost all members keep their previous centroid. */
+  private def lloydStep(e: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val means = e
+      .withColumn("cell", greatest(scoreCols(centroids): _*).getField("cell"))
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .collect()
+      .groupBy(_.getAs[Int]("cell"))
+    centroids.zipWithIndex.map { case (old, i) =>
+      means.get(i)
+        .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq)
+        .getOrElse(old)
+    }
+  }
+
+  /** IVF centroid model: seeded hash-order sample refined by `iters`
+    * Lloyd iterations. The sample is a one-pass TakeOrderedAndProject
+    * (an nCells-sized heap per partition — no count() scan to derive a
+    * stride first, which at 100 TB would be a full extra read); each
+    * refinement is one scan + a C×dim-sized aggregate. Driver-side by
+    * design: C×dim doubles is a legitimate broadcast-sized model, the
+    * standard IVF shape. */
+  def ivfCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2): Seq[Seq[Double]] = {
     val e = withNorm(embeddings)
-    // seeded hash-order sample: TakeOrderedAndProject keeps an nCells-sized
-    // heap per partition in ONE pass — no count() scan to derive a stride
-    // first, which at 100 TB would be a full extra read of the table.
-    val centroids = e
+    val seed = e
       .select(col("embedding"), xxhash64(lit(7), col("vec_id")).as("__h"), col("vec_id"))
       .orderBy(col("__h"), col("vec_id"))
       .limit(nCells)
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
-    // cosine to each centroid = dot/norm (centroid norm is a per-cell
-    // constant factor — divide it out of the argmax/sort)
-    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("embedding"), typedLit(c)) / (col("norm") * cn)).as("score"),
-        lit(i).as("cell"))
-    }
+      .toSeq
+    (1 to iters).foldLeft(seed)((c, _) => lloydStep(e, c))
   }
+
+  private def centroidScores(embeddings: DataFrame, nCells: Int): Seq[Column] =
+    scoreCols(ivfCentroids(embeddings, nCells))
 
   /** IVF coarse quantizer: cell assignment by nearest centroid.
     * Centroids are driver-side by design: C×dim doubles is a

@@ -122,7 +122,7 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf.length == 20 * 10, s"every query must emit k rows, got ${ivf.length}")
     val ivfSet = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = ivfSet.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF nprobe=6 recall $recall vs brute force")
+    assert(recall >= 0.6, s"IVF nprobe=6 recall $recall vs brute force")
   }
 
   test("multi-probe LSH kNN emits k rows per query and recalls the brute-force set") {

@@ -18,6 +18,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // runtime Bloom-filter join pruning: a selective dimension filter
+      // is pushed into the fact-side scan as a might_contain predicate —
+      // at 100 TB this prunes most of a link-check/enrichment join's
+      // probe side before the shuffle. Size thresholds stay at Spark's
+      // defaults (creation side ≤10MB); ScaleSpec proves the injection.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -58,4 +58,25 @@ class ScaleSpec extends AnyFunSuite {
       expr("approx_percentile(o_totalprice, 0.5, 1000)")).collect().head
     assert(math.abs(p.getDouble(0) - p.getDouble(1)) / p.getDouble(0) < 0.05)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // test-scale data sits below the production thresholds, so lower
+    // them to force the injection the session enables for real scale
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ev = Tables.events(spark, sf)
+      val cust = Tables.customer(spark, sf).filter(col("c_acctbal") > 4000)
+      val plan = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("might_contain"),
+        "expected a runtime bloom-filter predicate on the probe side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

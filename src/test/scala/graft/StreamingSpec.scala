@@ -142,4 +142,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2 == Map(1L -> "new1", 3L -> "new3", 4L -> "new4"),
       s"delete flag must drop id 2, insert id 4: $after2")
   }
+
+  test("stateful aggregation runs on the RocksDB state store") {
+    // HDFS-backed state keeps everything on-heap — fine for tests, not
+    // for 100 TB of session state. Prove the plans run unchanged on the
+    // spill-friendly RocksDB provider a production cluster would use.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEventStream(spark, eventsDir)
+      val q = EventStreams.hourlyCounts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("rocksdb_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.sql("SELECT * FROM rocksdb_out").count()
+      val batch = EventOps.hourlyWindowAgg(
+        Tables.events(spark, sf)).count()
+      assert(streamed == batch,
+        s"RocksDB-backed result rows $streamed != batch $batch")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

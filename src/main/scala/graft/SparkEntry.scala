@@ -87,6 +87,7 @@ object SparkEntry {
     "q39_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q40_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q41_mm_metadata" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
+    "q41b_mm_manifest" -> ((s, d) => Multimodal.mediaManifest(Tables.documents(s, d))),
     "q42_corpus_dedup_apply" -> ((s, d) => TextAnalysis.dedupedCorpus(Tables.documents(s, d))),
     "q43_upsert_apply" -> ((s, d) => Upsert.applyAndRead(s,
       Tables.customer(s, d), Tables.orders(s, d), Tables.supplier(s, d))),
@@ -367,6 +368,15 @@ object SparkEntry {
       s"""SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint
          |FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q41b_mm_manifest" ->
+      """SELECT mime, COUNT(*) AS n_media,
+        |CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM (SELECT doc_id, text,
+        |CASE WHEN source IN ('src0', 'src1') THEN 'image/png'
+        |WHEN source IN ('src2', 'src3') THEN 'audio/wav'
+        |ELSE 'video/mp4' END AS mime FROM documents) m
+        |GROUP BY mime ORDER BY mime""".stripMargin,
     "q42_corpus_dedup_apply" ->
       s"""SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint

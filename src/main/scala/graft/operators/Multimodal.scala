@@ -82,6 +82,21 @@ object Multimodal {
     mediaFrame(documents).as[MediaRow].mapPartitions(_.flatMap(frameSampleStub(_)))
   }
 
+  /** q41b: media manifest over the metadata layer only — mime, payload
+    * byte counts, id range per media type. No decode involved, so
+    * unlike q41's stubbed features this IS oracle-checkable: it proves
+    * the binary-column schema and byte accounting (the real part of
+    * the multimodal plumbing) against DuckDB exactly. */
+  def mediaManifest(documents: DataFrame): DataFrame =
+    mediaFrame(documents)
+      .select(col("doc_id"), col("mime"), length(col("content")).cast(LongType).as("n_bytes"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("mime")
+
   /** q41: decode/feature-extract stage — typed per-partition map over
     * the media frame, then a per-mime summary so the output is compact
     * and deterministic. */

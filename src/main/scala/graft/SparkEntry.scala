@@ -121,7 +121,10 @@ object SparkEntry {
     * the sign bits agree exactly. `emb` must be a DOUBLE[] column. */
   private def bucketSql(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex.map { case (p, j) =>
-      val arr = p.map(v => f"$v%.6f").mkString("[", ", ", "]")
+      // Locale.ROOT: f"%.6f" under a comma-decimal default locale would
+      // emit '0,123456' into the oracle SQL and break bucket parity.
+      val arr = p.map(v => String.format(java.util.Locale.ROOT, "%.6f", Double.box(v)))
+        .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(emb, CAST($arr AS DOUBLE[])) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 

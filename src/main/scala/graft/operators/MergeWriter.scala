@@ -51,19 +51,54 @@ object MergeWriter {
   }
 
   /** Copy-on-write apply: read the table at `path`, merge `updates`
-    * in, write the new state to `<path>.staging`, then swap the
-    * directories. Idempotent: re-applying the same updates yields the
-    * same state (COALESCE and delete-filter are stable under repeat). */
+    * in, write the new state to `<path>.staging`, then swap via
+    * `path → path.bak`, `staging → path`, drop `path.bak`. A crash at
+    * any point leaves either the live directory or a recoverable
+    * `.staging`/`.bak` pair — never a window where the only copy of the
+    * table is mid-delete. [[recover]] (called on entry, so checkpoint
+    * replay of the streaming upsert sink self-heals) rolls an
+    * interrupted swap forward or back. Idempotent: re-applying the same
+    * updates yields the same state (COALESCE and delete-filter are
+    * stable under repeat). */
   def applyTo(spark: SparkSession, path: String, updates: DataFrame, key: String,
               deleteFlag: Option[String] = None): Unit = {
-    val merged = mergedState(spark.read.parquet(path), updates, key, deleteFlag)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // Path-based resolution: the filesystem OWNING `path` (s3a/hdfs/file),
+    // not the configured default filesystem.
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, p)
+    val merged = mergedState(spark.read.parquet(path), updates, key, deleteFlag)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val backup = new org.apache.hadoop.fs.Path(path + ".bak")
     merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(p, true)
-    if (!fs.rename(staging, p))
+    if (!fs.rename(p, backup))
+      throw new java.io.IOException(s"merge swap failed: $p -> $backup")
+    if (!fs.rename(staging, p)) {
+      fs.rename(backup, p) // roll back so the table stays readable
       throw new java.io.IOException(s"merge swap failed: $staging -> $p")
+    }
+    fs.delete(backup, true)
+  }
+
+  /** Complete or roll back an interrupted swap. Live table present →
+    * any `.staging`/`.bak` leftovers are stale, drop them. Live table
+    * missing → a staging dir with its `_SUCCESS` marker is a finished
+    * write, roll it forward; otherwise roll the backup back. */
+  def recover(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(p.toString + ".staging")
+    val backup = new org.apache.hadoop.fs.Path(p.toString + ".bak")
+    if (fs.exists(p)) {
+      fs.delete(staging, true)
+      fs.delete(backup, true)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      if (!fs.rename(staging, p))
+        throw new java.io.IOException(s"merge recovery failed: $staging -> $p")
+      fs.delete(backup, true)
+    } else if (fs.exists(backup)) {
+      if (!fs.rename(backup, p))
+        throw new java.io.IOException(s"merge recovery failed: $backup -> $p")
+      fs.delete(staging, true)
+    }
   }
 }
 

@@ -51,6 +51,38 @@ class MergeReconcileSpec extends AnyFunSuite {
     assert(once.map(_.getLong(0)) == Seq(1L, 2L, 9L))
   }
 
+  test("recover rolls an interrupted swap forward or back") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // crash after staging write + live renamed aside: roll FORWARD
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_rec_fwd_").toString + "/state"
+    val p1 = new Path(dir1)
+    val fs = p1.getFileSystem(conf)
+    target.write.mode("overwrite").parquet(dir1 + ".staging") // new state, has _SUCCESS
+    updates.drop("gone").write.mode("overwrite").parquet(dir1 + ".bak") // old state
+    MergeWriter.recover(fs, p1)
+    assert(fs.exists(p1) && !fs.exists(new Path(dir1 + ".staging")) && !fs.exists(new Path(dir1 + ".bak")))
+    assert(spark.read.parquet(dir1).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // crash mid-staging-write (no _SUCCESS), live renamed aside: roll BACK
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rec_bak_").toString + "/state"
+    val p2 = new Path(dir2)
+    target.write.mode("overwrite").parquet(dir2 + ".bak")
+    fs.mkdirs(new Path(dir2 + ".staging")) // incomplete write: no marker
+    MergeWriter.recover(fs, p2)
+    assert(fs.exists(p2) && !fs.exists(new Path(dir2 + ".staging")))
+    assert(spark.read.parquet(dir2).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // live table intact: stale leftovers are dropped, table untouched
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_rec_ok_").toString + "/state"
+    target.write.mode("overwrite").parquet(dir3)
+    fs.mkdirs(new Path(dir3 + ".staging"))
+    MergeWriter.recover(fs, new Path(dir3))
+    assert(!fs.exists(new Path(dir3 + ".staging")))
+    assert(spark.read.parquet(dir3).count() == 3L)
+  }
+
   test("q43 upsert instance merges orders activity and supplier inserts") {
     val dir = "/root/testdata/sf0.001"
     val out = Upsert.applyAndRead(spark, Tables.customer(spark, dir),

@@ -128,6 +128,67 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product(emb, CAST($arr AS DOUBLE[])) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB twin of the MinHash signature pipeline (Dedup.scala): the
+    * SAME affine-permutation literals over Z_{2^61−1} the Spark codegen
+    * kernel uses; shingle hashes are the cross-engine 60-bit md5
+    * prefix, and the 122-bit products are exact in HUGEINT — so
+    * signatures, band keys and candidate sets match bit-for-bit.
+    * Produces CTEs `bands(doc_id, band_idx, bkey)` and
+    * `hsh(doc_id, h)` over `documents` (k=3 shingles, 32 perms,
+    * 8 bands × 4 rows). */
+  private def minhashBandsSql: String = {
+    val params = graft.operators.Dedup.affineParams(32).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    s"""WITH params(p, a, b) AS (VALUES $params),
+       |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS s FROM toks),
+       |hsh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+       |sig AS (SELECT doc_id, p.p AS p,
+       |MIN(CAST((CAST(h AS HUGEINT) * p.a + p.b) % 2305843009213693951 AS BIGINT)) AS mh
+       |FROM hsh CROSS JOIN params p GROUP BY doc_id, p.p),
+       |bands AS (SELECT doc_id, p // 4 AS band_idx, list(mh ORDER BY p) AS bkey
+       |FROM sig GROUP BY doc_id, p // 4)""".stripMargin
+  }
+
+  private def minhashProfileSql: String =
+    s"""$minhashBandsSql,
+       |buckets AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY band_idx, bkey) AS bucket_n FROM bands)
+       |SELECT doc_id, CAST(SUM(bucket_n - 1) AS BIGINT) AS n_band_mates,
+       |bool_or(bucket_n > 1) AS is_candidate_dup
+       |FROM buckets GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def simhashProfileSql: String =
+    """WITH th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS t FROM documents)),
+      |votes AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id),
+      |ch AS (SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS band_hash
+      |FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+      |buckets AS (SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY j, band_hash) AS bucket_n FROM ch)
+      |SELECT doc_id, simhash, CAST(SUM(bucket_n - 1) AS BIGINT) AS n_band_mates
+      |FROM buckets GROUP BY doc_id, simhash ORDER BY doc_id""".stripMargin
+
+  private def jaccardVerifySql: String =
+    s"""$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ctrl AS (SELECT d.doc_id AS doc_a, d.doc_id + 1 AS doc_b FROM documents d
+       |WHERE EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
+       |pairs AS (SELECT doc_a, doc_b, MIN(src) AS pair_source FROM (
+       |SELECT doc_a, doc_b, 'lsh' AS src FROM cand
+       |UNION ALL SELECT doc_a, doc_b, 'control' FROM ctrl) u GROUP BY doc_a, doc_b),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |scored AS (SELECT p.doc_a, p.doc_b, p.pair_source,
+       |CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT) AS n_common,
+       |CAST(len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT) AS n_union
+       |FROM pairs p JOIN sets sa ON p.doc_a = sa.doc_id JOIN sets sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, pair_source, n_common, n_union,
+       |(10000 * n_common) // nullif(n_union, 0) AS jaccard_bp
+       |FROM scored ORDER BY jaccard_bp DESC NULLS LAST, doc_a, doc_b LIMIT 200""".stripMargin
+
   /** q34's oracle: replicate the banded candidate generation (6 tables
     * × 4 planes) and the exact-cosine threshold in DuckDB. */
   private def nearDupBandedSql: String = {
@@ -326,6 +387,9 @@ object SparkEntry {
         |) SELECT node, ancestor, depth FROM closure ORDER BY node, ancestor, depth""".stripMargin,
     "q30_dedup_exact" ->
       "SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id FROM documents GROUP BY 1 ORDER BY 1",
+    "q31_dedup_minhash" -> minhashProfileSql,
+    "q32_dedup_simhash" -> simhashProfileSql,
+    "q33_dedup_ngram_jaccard" -> jaccardVerifySql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q35_knn_bruteforce" ->
       """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -75,93 +75,112 @@ object HashExpressions {
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(ArraySimhash(ColumnBridge.expression(tokenHashes)))
 
-  /** k-gram shingle hashes from an array of token hashes: shingle i is
-    * the rotate-xor mix of token hashes i..i+k-1 (order-sensitive, no
-    * string re-concatenation); arrays shorter than k yield one shingle
-    * mixing all elements. */
-  case class ArrayShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  /** Shared md5 plumbing for the cross-engine 60-bit hash: the value of
+    * the first 15 hex digits of md5(s), i.e. the top 60 bits of the
+    * digest — DuckDB computes the identical value as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`, which is what makes the
+    * dedup family oracle-checkable (same trick as the q17 KMV sketch). */
+  object Md5Kernels {
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    def digest(): java.security.MessageDigest = { val d = md.get(); d.reset(); d }
+    /** top 60 bits of a 16-byte digest (big-endian), always ≥ 0. */
+    def first60(dig: Array[Byte]): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+      v >>> 4
+    }
+  }
+
+  /** k-word shingle hashes from an array of tokens: shingle i is the
+    * 60-bit md5 of tokens i..i+k-1 joined with a single space; arrays
+    * shorter than k yield one shingle over all tokens. The digest is
+    * fed incrementally (no concatenated-string allocation per shingle).
+    */
+  case class Md5ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"shingle_hashes expects array<bigint>, got $t")
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"md5_shingle_hashes expects array<string>, got $t")
     }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "shingle_hashes"
+    override def prettyName: String = "md5_shingle_hashes"
 
-    override def nullSafeEval(a: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val n = x.numElements()
+    def kernel(a: ArrayData): ArrayData = {
+      val n = a.numElements()
       val m = math.max(n - k + 1, 1)
       val out = new Array[Long](m)
+      val md = Md5Kernels.digest()
       var i = 0
       while (i < m) {
-        var sh = 0L
+        md.reset()
         var j = 0
         while (j < k && i + j < n) {
-          sh = java.lang.Long.rotateLeft(sh, 21) ^ x.getLong(i + j)
+          if (j > 0) md.update(0x20.toByte)
+          md.update(a.getUTF8String(i + j).getBytes)
           j += 1
         }
-        out(i) = sh
+        out(i) = Md5Kernels.first60(md.digest())
         i += 1
       }
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
     }
 
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val n = ctx.freshName("n"); val m = ctx.freshName("m")
-        val out = ctx.freshName("out"); val i = ctx.freshName("i")
-        val j = ctx.freshName("j"); val sh = ctx.freshName("sh")
-        s"""
-           |int $n = $a.numElements();
-           |int $m = java.lang.Math.max($n - $k + 1, 1);
-           |long[] $out = new long[$m];
-           |for (int $i = 0; $i < $m; $i++) {
-           |  long $sh = 0L;
-           |  for (int $j = 0; $j < $k && $i + $j < $n; $j++) {
-           |    $sh = java.lang.Long.rotateLeft($sh, 21) ^ $a.getLong($i + $j);
-           |  }
-           |  $out[$i] = $sh;
-           |}
-           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
-         """.stripMargin
+        // one virtual call per row into the md5 kernel keeps the operator
+        // inside whole-stage codegen without generating digest plumbing
+        val ref = ctx.addReferenceObj("md5Shingles", this, classOf[Md5ShingleHashes].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);"
       })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  /** MinHash signature over an array of shingle hashes: for each seed,
-    * the minimum of a murmur-finalizer permutation of every element.
-    * One codegen loop — no explode, no per-permutation expression
-    * duplication, no shuffle. (Java arithmetic wraps, so the 64-bit
-    * mixing needs no ANSI workarounds.) */
-  case class MinHashSignature(child: Expression, seeds: Seq[Long]) extends UnaryExpression {
+  /** MinHash signature over an array of 60-bit hashes: for each
+    * permutation p, min over elements of (a_p·h + b_p) mod (2^61 − 1).
+    * Full-range `a` keeps the permutations min-wise independent (the
+    * bounded-`a` affine family correlates them); the Mersenne modulus
+    * makes the 122-bit product reducible with two shift-add folds
+    * (2^61 ≡ 1), exact in plain long arithmetic via multiplyHigh — and
+    * exactly reproducible in DuckDB HUGEINT arithmetic, so banded
+    * candidates are oracle-checkable. One codegen loop: no explode, no
+    * per-permutation expression duplication, no shuffle. */
+  case class AffineMinHash(child: Expression, as: Seq[Long], bs: Seq[Long])
+      extends UnaryExpression {
+    require(as.length == bs.length, "one (a,b) pair per permutation")
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"minhash expects array<bigint>, got $t")
+      case t => TypeCheckResult.TypeCheckFailure(s"affine_minhash expects array<bigint>, got $t")
     }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def prettyName: String = "minhash_signature"
+    override def prettyName: String = "affine_minhash"
 
-    @inline private def mix(v: Long): Long = {
-      var h = v
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^ (h >>> 33)
-    }
+    private val M = (1L << 61) - 1
 
-    override def nullSafeEval(a: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val mins = Array.fill(seeds.length)(Long.MaxValue)
+    override def nullSafeEval(x: Any): Any = {
+      val arr = x.asInstanceOf[ArrayData]
+      val mins = Array.fill(as.length)(Long.MaxValue)
       var i = 0
-      while (i < x.numElements()) {
-        val h = x.getLong(i)
+      while (i < arr.numElements()) {
+        val h = arr.getLong(i)
         var p = 0
-        while (p < seeds.length) {
-          val v = mix(h ^ seeds(p))
-          if (v < mins(p)) mins(p) = v
+        while (p < as.length) {
+          val hi = Math.multiplyHigh(as(p), h)
+          val lo = as(p) * h
+          var r = ((hi << 3) | (lo >>> 61)) + (lo & M)
+          r = (r & M) + (r >>> 61)
+          if (r >= M) r -= M
+          r += bs(p)
+          if (r >= M) r -= M
+          if (r < mins(p)) mins(p) = r
           p += 1
         }
         i += 1
@@ -171,20 +190,26 @@ object HashExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val seedsArr = ctx.addReferenceObj("seeds", seeds.toArray, "long[]")
+        val aArr = ctx.addReferenceObj("affineA", as.toArray, "long[]")
+        val bArr = ctx.addReferenceObj("affineB", bs.toArray, "long[]")
         val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
-        val p = ctx.freshName("p"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
+        val p = ctx.freshName("p"); val h = ctx.freshName("h")
+        val hi = ctx.freshName("hi"); val lo = ctx.freshName("lo")
+        val r = ctx.freshName("r")
         s"""
-           |long[] $mins = new long[$seedsArr.length];
+           |long[] $mins = new long[$aArr.length];
            |java.util.Arrays.fill($mins, Long.MAX_VALUE);
            |for (int $i = 0; $i < $a.numElements(); $i++) {
            |  long $h = $a.getLong($i);
-           |  for (int $p = 0; $p < $seedsArr.length; $p++) {
-           |    long $v = $h ^ $seedsArr[$p];
-           |    $v ^= $v >>> 33; $v *= 0xff51afd7ed558ccdL;
-           |    $v ^= $v >>> 33; $v *= 0xc4ceb9fe1a85ec53L;
-           |    $v ^= $v >>> 33;
-           |    if ($v < $mins[$p]) $mins[$p] = $v;
+           |  for (int $p = 0; $p < $aArr.length; $p++) {
+           |    long $hi = Math.multiplyHigh($aArr[$p], $h);
+           |    long $lo = $aArr[$p] * $h;
+           |    long $r = (($hi << 3) | ($lo >>> 61)) + ($lo & ${M}L);
+           |    $r = ($r & ${M}L) + ($r >>> 61);
+           |    if ($r >= ${M}L) $r -= ${M}L;
+           |    $r += $bArr[$p];
+           |    if ($r >= ${M}L) $r -= ${M}L;
+           |    if ($r < $mins[$p]) $mins[$p] = $r;
            |  }
            |}
            |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
@@ -195,9 +220,10 @@ object HashExpressions {
       copy(child = newChild)
   }
 
-  def shingle_hashes(tokenHashes: Column, k: Int): Column =
-    ColumnBridge.column(ArrayShingleHashes(ColumnBridge.expression(tokenHashes), k))
+  def md5_shingle_hashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
 
-  def minhash_signature(shingleHashes: Column, seeds: Seq[Long]): Column =
-    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingleHashes), seeds))
+  def affine_minhash(hashes: Column, params: Seq[(Long, Long)]): Column =
+    ColumnBridge.column(AffineMinHash(ColumnBridge.expression(hashes),
+      params.map(_._1), params.map(_._2)))
 }

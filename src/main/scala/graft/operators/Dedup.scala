@@ -16,35 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** deterministic per-permutation seeds, fixed so results are
-    * reproducible across runs/partitionings. */
-  private def permSeeds(n: Int): Seq[Long] = {
+  val Mersenne61: Long = (1L << 61) - 1
+
+  /** deterministic affine permutation params over Z_{2^61−1} — the SAME
+    * literals are inlined into the DuckDB oracle SQL (SparkEntry), so
+    * the signatures, band keys and therefore the candidate sets agree
+    * exactly across engines. Full-range `a` keeps the permutations
+    * min-wise independent (bounded `a` correlates them). */
+  def affineParams(n: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(n)(rnd.nextLong())
+    Seq.fill(n)((1L + math.floorMod(rnd.nextLong(), Mersenne61 - 1),
+      math.floorMod(rnd.nextLong(), Mersenne61)))
   }
 
   /** lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), " +")
 
-  /** hashed k-word shingles via the codegen rotate-xor expression; a
-    * doc shorter than k words contributes one shingle mixing all its
-    * tokens. The only interpreted step left is the per-token xxhash64
-    * lambda (one pass). */
+  /** cross-engine 60-bit hash: value of the first 15 hex digits of
+    * md5(s). DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT. */
+  def md5_60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType)
+
+  /** hashed k-word shingles: 60-bit md5 of the joined shingle string,
+    * computed in one codegen pass (incremental digest, no explode, no
+    * shuffle); a doc shorter than k words contributes one shingle over
+    * all its tokens. */
   def shingleHashes(text: Column, k: Int): Column =
-    graft.functions.HashExpressions.shingle_hashes(
-      transform(tokens(text), t => xxhash64(t)), k)
+    graft.functions.HashExpressions.md5_shingle_hashes(tokens(text), k)
 
   /** distinct shingle hash set — for the exact Jaccard pass (long set
     * ops are ~an order of magnitude cheaper than string sets; the
-    * 64-bit mix makes collisions negligible at corpus scale). */
+    * 60-bit md5 makes collisions negligible at corpus scale). */
   def shingleSet(text: Column, k: Int): Column =
     array_distinct(shingleHashes(text, k))
 
-  /** MinHash signature: numHashes permuted minima over the shingle
-    * hashes — one codegen loop, no explode, no shuffle. */
+  /** MinHash signature: numHashes affine-permuted minima over the
+    * shingle hashes — one codegen loop, no explode, no shuffle. */
   def minhashSignature(text: Column, numHashes: Int, k: Int): Column =
-    graft.functions.HashExpressions.minhash_signature(
-      shingleHashes(text, k), permSeeds(numHashes))
+    graft.functions.HashExpressions.affine_minhash(
+      shingleHashes(text, k), affineParams(numHashes))
 
   /** (doc_id, band_idx, band_hash) — one row per band; equal band_hash
     * within a band ⇒ candidate duplicates. */
@@ -53,8 +63,11 @@ object Dedup {
     val r = numHashes / bands
     val sigs = docs.select(col("doc_id"),
       minhashSignature(col("text"), numHashes, k).as("sig"))
+    // 64-bit band key (Spark-internal join/group key only — the oracle
+    // groups by the band VALUE list; 32-bit hash() would risk visible
+    // collisions at corpus scale)
     val bandCols = (0 until bands).map(j =>
-      hash(lit(j), slice(col("sig"), j * r + 1, r)))
+      xxhash64(lit(j), slice(col("sig"), j * r + 1, r)))
     sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx")
@@ -104,28 +117,31 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pair_source"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_common"),
-        size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_union"))
       .withColumn("jaccard_bp", expr("(10000 * n_common) DIV nullif(n_union, 0)"))
       .orderBy(col("jaccard_bp").desc, col("doc_a"), col("doc_b"))
       .limit(topN)
   }
 
-  /** SimHash: 64-bit signature from per-token hash bit votes, computed
+  /** SimHash: 60-bit signature from per-token hash bit votes, computed
     * row-local with a codegen'd native expression (the nested
     * higher-order formulation evaluated interpreted, one 64-array per
-    * token). */
+    * token). Token hashes are the cross-engine 60-bit md5, so the
+    * signature value is oracle-checkable (bits 60..63 never vote in). */
   def simhash(text: Column): Column =
     graft.functions.HashExpressions.simhash64(
-      transform(tokens(text), t => xxhash64(t)))
+      transform(tokens(text), t => md5_60(t)))
 
-  /** q32: per-doc SimHash profile with 16-bit chunk banding — docs
+  /** q32: per-doc SimHash profile with 15-bit chunk banding — docs
     * sharing any of the 4 chunks are hamming-near candidates. */
   def simhashProfile(docs: DataFrame): DataFrame = {
     val withSig = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
     val chunkCols = (0 until 4).map(j =>
       struct(lit(j).as("band_idx"),
-        shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("band_hash")))
+        shiftright(col("simhash"), 15 * j).bitwiseAND(lit(0x7FFFL)).as("band_hash")))
     val bandsDf = withSig
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_hash"))

@@ -100,6 +100,11 @@ object SparkEntry {
     "q45_constraint_coverage" -> ((s, d) => Validation.constraintCoverage(
       Tables.events(s, d), "props", Seq("session", "device"))),
     "q46_content_metadata" -> ((s, d) => TextAnalysis.contentMetadataCheck(Tables.documents(s, d))),
+    "q47_heavy_hitters" -> ((s, d) => Frequency.eventKeyHeavyHitters(Tables.events(s, d))),
+    "q48_corpus_sample" -> ((s, d) => Corpus.stratifiedSample(
+      Tables.documents(s, d), SampleRates, SampleDefaultBp)),
+    "q49_token_budget" -> ((s, d) => Corpus.tokenBudgetPack(Tables.documents(s, d), TokenBudget)),
+    "q53_outlier_fence" -> ((s, d) => EventOps.outlierReport(Tables.events(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -188,6 +193,24 @@ object SparkEntry {
        |SELECT doc_a, doc_b, pair_source, n_common, n_union,
        |(10000 * n_common) // nullif(n_union, 0) AS jaccard_bp
        |FROM scored ORDER BY jaccard_bp DESC NULLS LAST, doc_a, doc_b LIMIT 200""".stripMargin
+
+  /** q48/q49 corpus-construction knobs — shared between the Spark
+    * entries and the generated oracle SQL so the thresholds are the
+    * same literals on both sides. */
+  private val SampleRates: Seq[(String, Int)] = Seq("en" -> 1000, "zh" -> 5000)
+  private val SampleDefaultBp = 2500
+  private val TokenBudget = 5000L
+
+  private def corpusSampleSql: String = {
+    val cases = SampleRates
+      .map { case (l, bp) => s"WHEN '$l' THEN ${graft.operators.Corpus.rateThreshold(bp)}" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, sample_hash FROM (
+       |SELECT doc_id, lang,
+       |('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sample_hash,
+       |CASE lang $cases ELSE ${graft.operators.Corpus.rateThreshold(SampleDefaultBp)} END AS thr
+       |FROM documents) t WHERE sample_hash < thr ORDER BY doc_id""".stripMargin
+  }
 
   /** q34's oracle: replicate the banded candidate generation (6 tables
     * × 4 planes) and the exact-cosine threshold in DuckDB. */
@@ -504,6 +527,32 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang, n_chars, text, ' ' || text || ' ' AS p FROM documents) t0) t1) t2
         |WHERE NOT (lang = predicted_lang) OR NOT (n_chars = computed_chars)
         |ORDER BY doc_id""".stripMargin,
+    "q47_heavy_hitters" ->
+      """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |t AS (SELECT COUNT(*) AS n_total FROM e)
+        |SELECT k, COUNT(*) AS n_occurrences, (10000 * COUNT(*)) // MAX(n_total) AS share_bp
+        |FROM e CROSS JOIN t GROUP BY k
+        |HAVING 10000 * COUNT(*) > MAX(n_total) * 50
+        |ORDER BY k""".stripMargin,
+    "q48_corpus_sample" -> corpusSampleSql,
+    "q49_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |(10000 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)) // nullif(CAST(length(text) AS BIGINT), 0) AS alpha_bp
+         |FROM documents),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         |CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY alpha_bp DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM d)
+         |SELECT lang, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= $TokenBudget ORDER BY lang, doc_id""".stripMargin,
+    "q53_outlier_fence" ->
+      """WITH f AS (SELECT event_type, quantile_cont(value, 0.25) AS p25,
+        |quantile_cont(value, 0.75) AS p75 FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, CAST(round(value * 1000000) AS BIGINT) AS value_us,
+        |CAST(round((p75 + (p75 - p25) * 1.5) * 1000000) AS BIGINT) AS fence_us
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |WHERE value > p75 + (p75 - p25) * 1.5
+        |ORDER BY event_id""".stripMargin,
     "q50_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value

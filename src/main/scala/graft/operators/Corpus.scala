@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-construction operators for training-data pipelines
+  * (SURVEY.md §2C): reproducible sampling and token-budget packing —
+  * the steps between "scored/deduped documents" and "the corpus we
+  * actually train on".
+  */
+object Corpus {
+
+  /** floor(2^60 · bp / 10000) — the keep-threshold for a rate in basis
+    * points against the 60-bit md5 hash. Computed exactly in BigInt and
+    * inlined as the SAME literal into the DuckDB oracle SQL. */
+  def rateThreshold(bp: Int): Long = ((BigInt(1) << 60) * bp / 10000).toLong
+
+  /** q48: deterministic stratified sampling — keep a document iff
+    * md5_60('sample:' ‖ doc_id) falls below its language's rate
+    * threshold. The decision is a pure row-local function of doc_id:
+    * no shuffle (bar the output sort), reproducible across runs,
+    * backfills and engines, and stable under repartitioning — which is
+    * why hash-threshold sampling, not rand(), is the 100 TB idiom.
+    * Rates are (lang → basis points); langs not listed get `defaultBp`.
+    */
+  def stratifiedSample(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
+                       defaultBp: Int): DataFrame = {
+    val h = Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string")))
+    val thr = rateBpByLang.foldLeft(lit(rateThreshold(defaultBp))) {
+      case (acc, (lang, bp)) => when(col("lang") === lang, lit(rateThreshold(bp))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), h.as("sample_hash"))
+      .filter(col("sample_hash") < thr)
+      .orderBy("doc_id")
+  }
+
+  /** q49: token-budget packing — greedily fill a per-language token
+    * budget with the highest-quality documents first (alpha ratio from
+    * the q38 scorer, doc_id tiebreak → total order), via a running sum
+    * over one window. One shuffle on lang; at 100 TB the per-language
+    * running sum is the standard "cut the corpus at N tokens" step.
+    * Token counts use the q39 BPE-ish segmentation. */
+  def tokenBudgetPack(docs: DataFrame, budgetPerLang: Long): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+        .cast(LongType).as("n_tokens"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("alpha_bp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("lang", "doc_id")
+  }
+}

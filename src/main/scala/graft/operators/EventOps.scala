@@ -111,4 +111,28 @@ object EventOps {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
+
+  /** q53: robust (Tukey-fence) outlier listing per event type — the
+    * reference's quality-screen shape (flag entities whose measured
+    * value is implausible, reference
+    * src/neuron_morphology/validation/quality_metric.py) as a
+    * distribution-aware report. Exact per-type quartiles (5 groups →
+    * tiny aggregate), fences broadcast back onto the scan, row-local
+    * compare: at 100 TB this is one pass + one broadcast join, no
+    * second shuffle. Values emitted as fixed-point µ-units; the fence
+    * arithmetic (`p75 + (p75 - p25) * 1.5`) is written identically in
+    * the oracle so the doubles agree bitwise. */
+  def outlierReport(events: DataFrame): DataFrame = {
+    val fences = events.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.25)).as("p25"),
+        percentile(col("value"), lit(0.75)).as("p75"))
+      .select(col("event_type"),
+        (col("p75") + (col("p75") - col("p25")) * 1.5).as("fence"))
+    events.join(broadcast(fences), Seq("event_type"))
+      .filter(col("value") > col("fence"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast(LongType).as("value_us"),
+        round(col("fence") * 1000000).cast(LongType).as("fence_us"))
+      .orderBy("event_id")
+  }
 }

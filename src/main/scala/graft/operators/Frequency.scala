@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters via the two-pass sketch→verify plan — the
+  * frequency-analysis report every large-corpus pipeline needs (which
+  * sources/tokens/ids dominate the data), analogous to the reference's
+  * tabulated per-type counts (reference
+  * src/schemas/check_schema_validation.py summary tables) but built to
+  * survive a billion-key domain.
+  *
+  * Pass 1: a mergeable Misra-Gries sketch ([[graft.functions.MgSketch]])
+  * computes a candidate superset — map-side combined, so only
+  * capacity-sized summaries cross the wire, never the distinct domain.
+  * Pass 2: exact counts restricted to the broadcast candidate set, then
+  * the φ-threshold filter. MG guarantees no key above N/(capacity+1)
+  * is missed, so with capacity+1 ≥ 1/φ the result is EXACT — which is
+  * what makes an approximate-sketch plan oracle-checkable against a
+  * plain GROUP BY.
+  *
+  * At 100 TB: a direct groupBy over URLs/tokens shuffles billions of
+  * keys to find the top handful; this plan shuffles
+  * O(capacity × partitions) for pass 1 and only candidate-key rows
+  * (semi-join, broadcast) for pass 2.
+  */
+object Frequency {
+
+  /** keys with frequency share strictly above `phiBp` basis points,
+    * with exact counts. Requires capacity+1 ≥ 10000/phiBp (the MG
+    * no-miss condition). */
+  def exactHeavyHitters(df: DataFrame, key: Column, phiBp: Int,
+                        capacity: Int = 256): DataFrame = {
+    require((capacity + 1).toLong * phiBp >= 10000L,
+      s"capacity $capacity too small for phi=$phiBp bp: candidates above the threshold could be missed")
+    val keyed = df.select(key.as("k")).filter(col("k").isNotNull)
+    val cands = keyed
+      .agg(graft.functions.MgSketch.mg_sketch(col("k"), capacity).as("c"))
+      .select(explode(col("c")).as("k"))
+    val totals = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.join(broadcast(cands), Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_occurrences") * 10000L > col("n_total") * phiBp)
+      .select(col("k"), col("n_occurrences"),
+        expr("(10000 * n_occurrences) DIV n_total").as("share_bp"))
+      .orderBy("k")
+  }
+
+  /** q47 instance: heavy hitters of the JSON `k` property over events
+    * (share > 0.5%). */
+  def eventKeyHeavyHitters(events: DataFrame): DataFrame =
+    exactHeavyHitters(events,
+      get_json_object(col("props"), "$.k").cast(org.apache.spark.sql.types.LongType),
+      phiBp = 50, capacity = 256)
+}

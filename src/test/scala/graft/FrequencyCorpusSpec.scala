@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, EventOps, Frequency}
+
+class FrequencyCorpusSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("MG sketch keeps true heavy hitters with capacity far below the domain") {
+    // key 7 appears 500 times, 2000 singletons — capacity 16 must
+    // still surface 7 (freq 0.2 >> N/(16+1))
+    val stream = (Seq.fill(500)(7L) ++ (1000L until 3000L)).toDF("k")
+      .repartition(8) // force partial buffers + merges
+    val cands = stream.agg(graft.functions.MgSketch.mg_sketch(col("k"), 16).as("c"))
+      .select(explode(col("c")).as("k")).as[Long].collect().toSet
+    assert(cands.contains(7L), s"true heavy hitter must survive, got $cands")
+    assert(cands.size <= 16, "candidate set bounded by capacity")
+  }
+
+  test("exact heavy hitters matches a plain groupBy at the same threshold") {
+    // skewed synthetic stream: key i gets ~1000/i occurrences
+    val rows = (1L to 50L).flatMap(i => Seq.fill((1000 / i).toInt)(i))
+    val df = rows.toDF("k").repartition(8)
+    val n = rows.size
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 10000L > n.toLong * 200L }
+      .keySet
+    val got = Frequency.exactHeavyHitters(df, col("k"), phiBp = 200, capacity = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected, s"got ${got.keySet} expected $expected")
+    // counts are EXACT (pass 2), not sketch estimates
+    got.foreach { case (k, c) => assert(c == rows.count(_ == k).toLong) }
+  }
+
+  test("heavy hitters rejects a capacity that could miss candidates") {
+    intercept[IllegalArgumentException] {
+      Frequency.exactHeavyHitters(Seq(1L).toDF("k"), col("k"), phiBp = 10, capacity = 16)
+    }
+  }
+
+  test("stratified sample is a pure function of doc_id: stable under repartitioning") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val a = Corpus.stratifiedSample(docs, Seq("en" -> 1000), 5000)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Corpus.stratifiedSample(docs.repartition(13), Seq("en" -> 1000), 5000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "sampling decision must not depend on partitioning")
+    // rates land near their targets (10% of en, 50% of fr)
+    val byLang = Corpus.stratifiedSample(docs, Seq("en" -> 1000), 5000)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 50 && byLang("en") < 150, s"~100 of 1000 en docs: $byLang")
+    assert(byLang("fr") > 400 && byLang("fr") < 600, s"~500 of 1000 fr docs: $byLang")
+  }
+
+  test("token budget pack fills highest-alpha docs first and respects the budget") {
+    val docs = Seq(
+      (1L, "en", "clean alpha text here"),            // high alpha ratio
+      (2L, "en", "1 2 3 4 5 6 7 8 9 0 ! ? . , ; :"),  // low alpha ratio
+      (3L, "en", "more clean alpha text follows")
+    ).toDF("doc_id", "lang", "text")
+    val all = Corpus.tokenBudgetPack(docs, budgetPerLang = 1000L).collect()
+    assert(all.length == 3, "large budget keeps everything")
+    val tokensOf = all.map(r => r.getLong(1) -> r.getAs[Long]("n_tokens")).toMap
+    val tight = Corpus.tokenBudgetPack(docs, tokensOf(1L) + tokensOf(3L)).collect()
+    assert(tight.map(_.getLong(1)).toSet == Set(1L, 3L),
+      "tight budget keeps the two high-alpha docs and cuts the junk doc")
+    tight.foreach(r => assert(r.getAs[Long]("cum_tokens") <= tokensOf(1L) + tokensOf(3L)))
+  }
+
+  test("outlier report flags only values above the Tukey fence") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    val out = EventOps.outlierReport(events).collect()
+    assert(out.nonEmpty, "skewed value distribution must produce fence outliers")
+    out.foreach(r => assert(r.getAs[Long]("value_us") > r.getAs[Long]("fence_us") - 1000000,
+      "every flagged value sits above (or at rounding distance of) its fence"))
+    // flagged set == manual recompute
+    val n = out.length
+    val manual = {
+      val byType = events.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.25)).as("p25"),
+          percentile(col("value"), lit(0.75)).as("p75"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2) + (r.getDouble(2) - r.getDouble(1)) * 1.5)).toMap
+      events.collect().count(r =>
+        !r.isNullAt(r.fieldIndex("value")) &&
+          r.getAs[Double]("value") > byType(r.getAs[String]("event_type")))
+    }
+    assert(n == manual, s"report rows $n vs manual $manual")
+  }
+}

@@ -26,6 +26,43 @@ object Scale {
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hot join keys decided from the data itself: the Misra-Gries
+    * sketch surfaces candidates without shuffling the key domain, the
+    * exact verify pass keeps only keys above `hotShareBp` basis points
+    * of the rows ([[Frequency.exactHeavyHitters]]). The result is a
+    * bounded, broadcast-sized model (≤ capacity keys) — the
+    * "column statistics" a static planner would read from a catalog,
+    * computed in one cheap pass when there is no catalog. */
+  def hotKeys(df: DataFrame, key: String, hotShareBp: Int = 100,
+              capacity: Int = 1024): Seq[Long] =
+    Frequency.exactHeavyHitters(df, col(key), hotShareBp, capacity)
+      .select("k").collect().map(_.getLong(0)).toSeq
+
+  /** Stats-driven skew join: only rows carrying a HOT key (share >
+    * `hotShareBp` bp, measured, not guessed) take the salted path —
+    * the right side is replicated `salts`× for the handful of hot keys
+    * only, while the cold majority joins plain. Equivalent to an inner
+    * join on `key` for non-null keys. Use when one key holds a
+    * partition-breaking share AND the right side is too big to
+    * broadcast; AQE's skew split handles the sort-merge case, but this
+    * also covers repeated hash joins and gives the planner no chance to
+    * regress. */
+  def skewAwareJoin(left: DataFrame, right: DataFrame, key: String,
+                    salts: Int, hotShareBp: Int = 100): DataFrame = {
+    val hot = hotKeys(left, key, hotShareBp)
+    if (hot.isEmpty) left.join(right, Seq(key))
+    else {
+      val lh = left.filter(col(key).isin(hot: _*))
+        .withColumn("__salt", pmod(hash(left.columns.map(col).toSeq: _*), lit(salts)))
+      val rh = right.filter(col(key).isin(hot: _*))
+        .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      val hotJoined = lh.join(rh, Seq(key, "__salt")).drop("__salt")
+      val cold = left.filter(!col(key).isin(hot: _*))
+        .join(right.filter(!col(key).isin(hot: _*)), Seq(key))
+      hotJoined.unionByName(cold)
+    }
+  }
+
   /** Write a frame bucketed+sorted by `key` as a managed table —
     * repeated joins/aggregations on `key` then read pre-shuffled
     * (no Exchange under the join). */

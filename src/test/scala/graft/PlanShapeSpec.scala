@@ -40,6 +40,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "dimension-sized closure must not shuffle-join")
   }
 
+  test("heavy-hitter verify pass broadcasts the candidate set") {
+    val plan = graft.operators.Frequency.eventKeyHeavyHitters(Tables.events(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "pass-2 exact count must join against broadcast candidates, not shuffle the domain")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join anywhere in the 2-pass plan")
+  }
+
   test("merge writer plans one full-outer join on the key") {
     val plan = MergeWriter.mergedState(
       Upsert.target(Tables.customer(spark, dir)),

@@ -24,6 +24,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.length == 901)
   }
 
+  test("stats-driven skew join salts only measured hot keys and matches the plain join") {
+    // key 1 holds 60% of rows; everything else is uniform singletons
+    val left = (1 to 1000).map(i => (if (i <= 600) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val right = ((1L to 1000L).map(k => (k, s"r$k"))).toDF("k", "label")
+    val hot = Scale.hotKeys(left, "k", hotShareBp = 1000, capacity = 64)
+    assert(hot == Seq(1L), s"only the measured hot key qualifies: $hot")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "label")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val skew = Scale.skewAwareJoin(left, right, "k", salts = 8, hotShareBp = 1000)
+      .select("k", "payload", "label")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(skew.sameElements(plain))
+    // the hot path spreads key 1 across salt sub-keys: no single
+    // (k, salt) group carries the whole hot key
+    val saltSpread = left.filter($"k" === 1L)
+      .withColumn("__salt", pmod(hash(left.columns.map(col).toSeq: _*), lit(8)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(saltSpread.length > 1 && saltSpread.max < 600)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -105,6 +105,8 @@ object SparkEntry {
       Tables.documents(s, d), SampleRates, SampleDefaultBp)),
     "q49_token_budget" -> ((s, d) => Corpus.tokenBudgetPack(Tables.documents(s, d), TokenBudget)),
     "q53_outlier_fence" -> ((s, d) => EventOps.outlierReport(Tables.events(s, d))),
+    "q55_corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(
+      Tables.documents(s, d), SampleRates, SampleDefaultBp, PipelineBudget)),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -200,6 +202,48 @@ object SparkEntry {
   private val SampleRates: Seq[(String, Int)] = Seq("en" -> 1000, "zh" -> 5000)
   private val SampleDefaultBp = 2500
   private val TokenBudget = 5000L
+  private val PipelineBudget = 2000L
+
+  /** q55's oracle: the full corpus pipeline composed from the proven
+    * per-stage fragments (q37 langid CASE, q38 quality, q40
+    * fingerprint, q48 sample threshold, q49 packing window). */
+  private def corpusPipelineSql: String = {
+    val cases = SampleRates
+      .map { case (l, bp) => s"WHEN '$l' THEN ${graft.operators.Corpus.rateThreshold(bp)}" }
+      .mkString(" ")
+    s"""WITH base AS (SELECT doc_id, lang, text, ' ' || text || ' ' AS p FROM documents),
+       |lid AS (SELECT doc_id, lang, text, CASE
+       |WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+       |WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+       |WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+       |WHEN c_fr >= c_zh THEN 'fr'
+       |ELSE 'zh' END AS predicted_lang
+       |FROM (SELECT doc_id, lang, text,
+       |(length(p) - length(replace(p, ' the ', ''))) // 5 AS c_en,
+       |(length(p) - length(replace(p, ' und ', ''))) // 5 AS c_de,
+       |(length(p) - length(replace(p, ' los ', ''))) // 5 AS c_es,
+       |(length(p) - length(replace(p, ' les ', ''))) // 5 AS c_fr,
+       |(length(p) - length(replace(p, ' 的 ', ''))) // 3 AS c_zh
+       |FROM base) t),
+       |scored AS (SELECT doc_id, lang, predicted_lang,
+       |CAST(length(text) AS BIGINT) AS n_chars,
+       |CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+       |$fingerprintSql AS fingerprint,
+       |('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sample_hash,
+       |CASE lang $cases ELSE ${graft.operators.Corpus.rateThreshold(SampleDefaultBp)} END AS thr
+       |FROM lid),
+       |s2 AS (SELECT *, (10000 * n_alpha) // nullif(n_chars, 0) AS alpha_bp,
+       |(n_chars BETWEEN 50 AND 20000) AND ((10000 * n_alpha) // nullif(n_chars, 0)) > 6000 AS is_quality,
+       |sample_hash < thr AS sampled FROM scored),
+       |s3 AS (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_dedup FROM s2),
+       |s4 AS (SELECT *, is_quality AND keep_dedup AND sampled AS pre_keep FROM s3),
+       |s5 AS (SELECT *, CAST(SUM(CASE WHEN pre_keep THEN n_tokens ELSE 0 END) OVER (
+       |PARTITION BY lang ORDER BY alpha_bp DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s4)
+       |SELECT doc_id, lang, predicted_lang, n_tokens, is_quality, keep_dedup, sampled, cum_tokens,
+       |pre_keep AND cum_tokens <= $PipelineBudget AS keep
+       |FROM s5 ORDER BY doc_id""".stripMargin
+  }
 
   private def corpusSampleSql: String = {
     val cases = SampleRates
@@ -536,6 +580,7 @@ object SparkEntry {
         |HAVING 10000 * COUNT(*) > MAX(n_total) * 50
         |ORDER BY k""".stripMargin,
     "q48_corpus_sample" -> corpusSampleSql,
+    "q55_corpus_pipeline" -> corpusPipelineSql,
     "q49_token_budget" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,

@@ -36,6 +36,55 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** q55: the END-TO-END corpus-construction pipeline — what the
+    * reference does as a chain of scripts
+    * (query → validate → annotate → curate → push), composed here as
+    * ONE declarative flow: language-ID → quality score → fingerprint
+    * dedup → reproducible sampling → per-language token-budget cut,
+    * with a per-document decision trail (each stage's verdict as a
+    * column, final `keep` is their conjunction).
+    *
+    * Plan shape: every stage except dedup and packing is row-local on
+    * the single scan; the whole pipeline costs exactly TWO shuffles —
+    * the fingerprint window and the per-language packing window —
+    * regardless of how many screens are stacked. That composition is
+    * the Spark-first answer to the reference's per-resource Python
+    * loops: at 100 TB, N separate screening jobs = N scans; this is
+    * one.
+    */
+  def corpusPipeline(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
+                     defaultBp: Int, budgetPerLang: Long): DataFrame = {
+    val thr = rateBpByLang.foldLeft(lit(rateThreshold(defaultBp))) {
+      case (acc, (lang, bp)) => when(col("lang") === lang, lit(rateThreshold(bp))).otherwise(acc)
+    }
+    val scored = TextAnalysis.withPredictedLang(docs)
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
+      .withColumn("is_quality",
+        col("n_chars").between(50, 20000) && col("alpha_bp") > 6000)
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .cast(LongType))
+      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
+      .withColumn("sampled",
+        Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string"))) < thr)
+    val byFingerprint = Window.partitionBy("fingerprint")
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("alpha_bp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("keep_dedup", col("doc_id") === min(col("doc_id")).over(byFingerprint))
+      .withColumn("pre_keep", col("is_quality") && col("keep_dedup") && col("sampled"))
+      .withColumn("cum_tokens",
+        sum(when(col("pre_keep"), col("n_tokens")).otherwise(0L)).over(byLang))
+      .withColumn("keep", col("pre_keep") && col("cum_tokens") <= budgetPerLang)
+      .select("doc_id", "lang", "predicted_lang", "n_tokens", "is_quality",
+        "keep_dedup", "sampled", "cum_tokens", "keep")
+      .orderBy("doc_id")
+  }
+
   /** q49: token-budget packing — greedily fill a per-language token
     * budget with the highest-quality documents first (alpha ratio from
     * the q38 scorer, doc_id tiebreak → total order), via a running sum

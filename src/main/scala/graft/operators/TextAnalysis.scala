@@ -23,9 +23,9 @@ object TextAnalysis {
     "fr" -> " les ", "zh" -> " 的 ")
 
   /** per-document marker-count language prediction, appended as a
-    * `predicted_lang` column — shared by q37 (confusion counts) and
-    * q46 (declared-vs-content consistency). */
-  private def withPredictedLang(documents: DataFrame): DataFrame = {
+    * `predicted_lang` column — shared by q37 (confusion counts), q46
+    * (declared-vs-content consistency) and the q55 composite pipeline. */
+  private[operators] def withPredictedLang(documents: DataFrame): DataFrame = {
     val withP = documents.withColumn("__p", concat(lit(" "), col("text"), lit(" ")))
     val withCounts = LangMarkers.foldLeft(withP) { case (df, (l, m)) =>
       df.withColumn(s"c_$l",

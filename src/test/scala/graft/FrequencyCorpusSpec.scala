@@ -71,6 +71,36 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     tight.foreach(r => assert(r.getAs[Long]("cum_tokens") <= tokensOf(1L) + tokensOf(3L)))
   }
 
+  test("corpus pipeline: keep implies every stage's verdict, budget respected") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rates = Seq("en" -> 1000, "zh" -> 5000)
+    val out = Corpus.corpusPipeline(docs, rates, 2500, budgetPerLang = 2000L).collect()
+    assert(out.length == docs.count(), "one decision row per document")
+    val kept = out.filter(_.getAs[Boolean]("keep"))
+    assert(kept.nonEmpty, "pipeline must keep something")
+    kept.foreach { r =>
+      assert(r.getAs[Boolean]("is_quality") && r.getAs[Boolean]("keep_dedup")
+        && r.getAs[Boolean]("sampled"), "keep is the conjunction of stage verdicts")
+      assert(r.getAs[Long]("cum_tokens") <= 2000L, "kept docs sit inside the budget")
+    }
+    // stage verdicts agree with the standalone operators
+    val sampledIds = Corpus.stratifiedSample(docs, rates, 2500)
+      .collect().map(_.getLong(0)).toSet
+    out.foreach(r => assert(r.getAs[Boolean]("sampled") == sampledIds.contains(r.getLong(0))))
+    val dedupKeep = graft.operators.TextAnalysis.dedupedCorpus(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    out.foreach(r => assert(r.getAs[Boolean]("keep_dedup") == dedupKeep(r.getLong(0))))
+  }
+
+  test("corpus pipeline plans exactly two shuffles for five stacked screens") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.corpusPipeline(docs, Seq("en" -> 1000), 2500, 2000L)
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"langid/quality/sample are row-local; only the fingerprint window and the packing window may shuffle — found $exchanges hash exchanges")
+  }
+
   test("outlier report flags only values above the Tukey fence") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.events(spark, dir)

@@ -34,13 +34,15 @@ object Frequency {
     require((capacity + 1).toLong * phiBp >= 10000L,
       s"capacity $capacity too small for phi=$phiBp bp: candidates above the threshold could be missed")
     val keyed = df.select(key.as("k")).filter(col("k").isNotNull)
+    // sketch AND total in one aggregate — pass 1 is a single scan; the
+    // total rides along on the exploded candidate frame so pass 2 needs
+    // no third read of the data
     val cands = keyed
-      .agg(graft.functions.MgSketch.mg_sketch(col("k"), capacity).as("c"))
-      .select(explode(col("c")).as("k"))
-    val totals = keyed.agg(count(lit(1)).as("n_total"))
+      .agg(graft.functions.MgSketch.mg_sketch(col("k"), capacity).as("c"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("c")).as("k"), col("n_total"))
     keyed.join(broadcast(cands), Seq("k"))
-      .groupBy("k").agg(count(lit(1)).as("n_occurrences"))
-      .crossJoin(broadcast(totals))
+      .groupBy("k", "n_total").agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") * 10000L > col("n_total") * phiBp)
       .select(col("k"), col("n_occurrences"),
         expr("(10000 * n_occurrences) DIV n_total").as("share_bp"))

@@ -39,6 +39,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus screen matches the batch pipeline's screen verdicts") {
+    // stage documents as a single ordered file so first-arrival dedup
+    // aligns with the batch min-doc_id canonical pick
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_docstream")
+    Tables.documents(spark, sf).orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(docsDir.toFile.getAbsolutePath)
+    val rates = Seq("en" -> 1000, "zh" -> 5000)
+    val stream = graft.streaming.DocStreams.readDocStream(spark, docsDir.toFile.getAbsolutePath)
+    val q = graft.streaming.DocStreams.corpusScreen(stream, rates, 2500)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("screen_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("screen_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    // batch expectation: quality && sampled && canonical copy, no budget cut
+    val batch = graft.operators.Corpus.corpusPipeline(
+      Tables.documents(spark, sf), rates, 2500, budgetPerLang = Long.MaxValue)
+      .filter(col("is_quality") && col("sampled") && col("keep_dedup"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batch,
+      s"screen sets differ: only-stream=${streamed.diff(batch)} only-batch=${batch.diff(streamed)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session windows match the batch session_window operator") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val q = EventStreams.sessionWindows(stream)

@@ -274,6 +274,36 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q36's oracle: the multi-probe LSH ANN is approximate relative to
+    * brute force but fully DETERMINISTIC — plane literals, probe masks
+    * and tie-breaks are fixed — so DuckDB can replicate the entire
+    * candidate generation (8 tables × 8 planes, hamming≤2 probes) and
+    * ranking exactly, just like q34's banding. */
+  private def knnLshSql: String = {
+    val tables = graft.operators.Similarity.bandedPlanes(8, 8, 64)
+    val masks = (0 until 256).filter(Integer.bitCount(_) <= 2)
+    val bucketCols = tables.zipWithIndex
+      .map { case (t, i) => s"${bucketSql(t)} AS b$i" }.mkString(",\n")
+    val corpus = tables.indices
+      .map(t => s"SELECT vec_id, emb, nrm, $t AS tbl, b$t AS bucket FROM e")
+      .mkString("\nUNION ALL ")
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |$bucketCols
+       |FROM raw),
+       |corpus AS ($corpus),
+       |probes AS (SELECT vec_id, emb, nrm, tbl, xor(bucket, m) AS bucket
+       |FROM corpus CROSS JOIN (SELECT unnest([${masks.mkString(",")}]) AS m) ms
+       |WHERE vec_id < 20),
+       |scored AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+       |FROM probes q JOIN corpus c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -458,6 +488,7 @@ object SparkEntry {
     "q32_dedup_simhash" -> simhashProfileSql,
     "q33_dedup_ngram_jaccard" -> jaccardVerifySql,
     "q34_dedup_embedding" -> nearDupBandedSql,
+    "q36_knn_lsh" -> knnLshSql,
     "q35_knn_bruteforce" ->
       """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw)

@@ -533,6 +533,17 @@ object SparkEntry {
       s"""SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint
          |FROM documents) t ORDER BY doc_id""".stripMargin,
+    "q41_mm_metadata" ->
+      """WITH m AS (SELECT doc_id,
+        |CASE WHEN source IN ('src0', 'src1') THEN 'image/png'
+        |WHEN source IN ('src2', 'src3') THEN 'audio/wav'
+        |ELSE 'video/mp4' END AS mime,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+        |FROM documents)
+        |SELECT mime, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |MIN(content_hash) AS min_hash, MAX(content_hash % 640) AS max_width
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
     "q41b_mm_manifest" ->
       """SELECT mime, COUNT(*) AS n_media,
         |CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,

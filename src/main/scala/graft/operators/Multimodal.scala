@@ -27,16 +27,20 @@ object Multimodal {
       fake_width: Int, fake_height: Int)
 
   /** STUB decode: deterministic fake features in place of a real codec.
-    * (`MurmurHash3` over the payload stands in for decode output.) */
+    * The stand-in is the cross-engine 60-bit md5 of the payload
+    * ([[graft.functions.HashExpressions.Md5Kernels]]), so even though
+    * the features are fake, the partition-mapped decode PATH is
+    * oracle-checkable end-to-end — DuckDB reproduces every value. */
   def decodeStub(row: MediaRow): MediaFeatures = {
-    val h = scala.util.hashing.MurmurHash3.bytesHash(row.content, 42)
+    val md = graft.functions.HashExpressions.Md5Kernels.digest()
+    val h = graft.functions.HashExpressions.Md5Kernels.first60(md.digest(row.content))
     MediaFeatures(
       doc_id = row.doc_id,
       mime = row.mime,
       n_bytes = row.content.length.toLong,
-      content_hash = h.toLong,
-      fake_width = math.abs(h % 640),
-      fake_height = math.abs((h / 640) % 480))
+      content_hash = h,
+      fake_width = (h % 640).toInt,
+      fake_height = ((h / 640) % 480).toInt)
   }
 
   /** Build a media frame from the documents table: payload as binary,
@@ -99,7 +103,9 @@ object Multimodal {
 
   /** q41: decode/feature-extract stage — typed per-partition map over
     * the media frame, then a per-mime summary so the output is compact
-    * and deterministic. */
+    * and deterministic. Oracle-checked: the md5-based stub features let
+    * DuckDB verify the typed mapPartitions path produced exactly the
+    * right values per payload. */
   def extractFeatures(documents: DataFrame, partitions: Int = 32): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -113,7 +119,7 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         min(col("content_hash")).as("min_hash"),
-        max(col("fake_width")).as("max_width"))
+        max(col("fake_width")).cast(LongType).as("max_width"))
       .orderBy("mime")
   }
 }

@@ -304,6 +304,50 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q36b's oracle: the IVF model is fully reproducible — seed pick by
+    * the cross-engine md5-60 hash order, Lloyd means in quantized
+    * fixed-point (scaled-long sums + truncating integer division, both
+    * exact and order-independent in either engine) — so DuckDB replays
+    * seed → 2 Lloyd iterations → assignment → nProbe probing → ranking
+    * and lands on identical doubles. */
+  private def knnIvfSql: String = {
+    def iter(i: Int, prev: String, next: String): String =
+      s"""s$i AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
+         |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
+         |FROM e v CROSS JOIN $prev c),
+         |a$i AS (SELECT vec_id, emb, cell FROM (SELECT vec_id, emb, cell,
+         |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s$i) t WHERE rn = 1),
+         |m$i AS (SELECT cell, pos, SUM(CAST(round(x * 1000000) AS BIGINT)) // COUNT(*) AS comp
+         |FROM (SELECT cell, unnest(emb) AS x, generate_subscripts(emb, 1) AS pos FROM a$i) u
+         |GROUP BY cell, pos),
+         |n$i AS (SELECT cell, list(comp / 1000000.0 ORDER BY pos) AS emb FROM m$i GROUP BY cell),
+         |$next AS (SELECT p.cell, COALESCE(n$i.emb, p.emb) AS emb FROM $prev p LEFT JOIN n$i ON p.cell = n$i.cell)""".stripMargin
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw),
+       |c0 AS (SELECT rn - 1 AS cell, emb FROM (SELECT emb, row_number() OVER (
+       |ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
+       |FROM e) t WHERE rn <= 16),
+       |${iter(0, "c0", "c1")},
+       |${iter(1, "c1", "c2")},
+       |sc AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
+       |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
+       |FROM e v CROSS JOIN c2 c),
+       |corpus AS (SELECT vec_id AS neighbor_id, emb, nrm, cell FROM (
+       |SELECT vec_id, emb, nrm, cell,
+       |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, emb, nrm, cell FROM (
+       |SELECT vec_id, emb, nrm, cell,
+       |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 20) t
+       |WHERE rn <= 6),
+       |scored AS (SELECT q.query_id, c.neighbor_id,
+       |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+       |FROM probes q JOIN corpus c ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -489,6 +533,7 @@ object SparkEntry {
     "q33_dedup_ngram_jaccard" -> jaccardVerifySql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
+    "q36b_knn_ivf" -> knnIvfSql,
     "q35_knn_bruteforce" ->
       """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw)

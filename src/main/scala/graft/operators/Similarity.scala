@@ -142,19 +142,29 @@ object Similarity {
 
   /** one Lloyd iteration, fully distributed: assign every vector to its
     * nearest centroid, recompute each cell's centroid as the per-
-    * dimension mean (posexplode → partial-aggregated avg, so the
+    * dimension mean (posexplode → partial-aggregated sums, so the
     * shuffle carries C×dim partial sums per partition, not the data).
-    * Cells that lost all members keep their previous centroid. */
+    * Cells that lost all members keep their previous centroid.
+    *
+    * Means are computed in QUANTIZED fixed-point: per-dimension sums of
+    * round(x·10⁶) as longs, divided integrally by the member count, and
+    * the centroid component is that ratio /10⁶. Long sums are exact and
+    * order-independent (float averaging would be partition-order-
+    * dependent), so the refined model is bit-reproducible — in Spark
+    * re-runs AND in the DuckDB oracle, which replays the same
+    * arithmetic. Quantization error (≤5·10⁻⁷ per component) is noise
+    * relative to k-means' own convergence tolerance. */
   private def lloydStep(e: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     val means = e
       .withColumn("cell", greatest(scoreCols(centroids): _*).getField("cell"))
       .select(col("cell"), posexplode(col("embedding")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
       .collect()
       .groupBy(_.getAs[Int]("cell"))
     centroids.zipWithIndex.map { case (old, i) =>
       means.get(i)
-        .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq)
+        .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("m_scaled") / 1e6).toSeq)
         .getOrElse(old)
     }
   }
@@ -165,11 +175,15 @@ object Similarity {
     * stride first, which at 100 TB would be a full extra read); each
     * refinement is one scan + a C×dim-sized aggregate. Driver-side by
     * design: C×dim doubles is a legitimate broadcast-sized model, the
-    * standard IVF shape. */
+    * standard IVF shape. The hash order uses the cross-engine 60-bit
+    * md5 so the seed pick (and with the quantized Lloyd means, the
+    * whole model) is reproducible outside Spark. */
   def ivfCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2): Seq[Seq[Double]] = {
     val e = withNorm(embeddings)
     val seed = e
-      .select(col("embedding"), xxhash64(lit(7), col("vec_id")).as("__h"), col("vec_id"))
+      .select(col("embedding"),
+        Dedup.md5_60(concat(lit("ivf:"), col("vec_id").cast("string"))).as("__h"),
+        col("vec_id"))
       .orderBy(col("__h"), col("vec_id"))
       .limit(nCells)
       .select(col("embedding"))

@@ -220,6 +220,22 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** SQL registration (session-local twin of the GraftExtensions
+    * entries): simhash64(arr), md5_shingle_hashes(tokens, k),
+    * affine_minhash(hashes, numPerms). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "simhash64",
+      exprs => ArraySimhash(exprs.head))
+    ColumnBridge.registerFunction(spark, "md5_shingle_hashes",
+      exprs => Md5ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue))
+    ColumnBridge.registerFunction(spark, "affine_minhash",
+      exprs => {
+        val params = graft.operators.Dedup.affineParams(
+          exprs(1).eval().asInstanceOf[Number].intValue)
+        AffineMinHash(exprs(0), params.map(_._1), params.map(_._2))
+      })
+  }
+
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
 

@@ -35,4 +35,21 @@ class OntologySpec extends AnyFunSuite {
     val n = spark.sql("SELECT vec_norm_sq(array(3.0d, 4.0d)) AS n").collect()
     assert(n.head.getDouble(0) == 25.0)
   }
+
+  test("hash-sketch expressions are available via SQL registration") {
+    graft.functions.HashExpressions.registerSql(spark)
+    // simhash of one token hash = that hash's set bits
+    val s = spark.sql("SELECT simhash64(array(5L)) AS s").collect()
+    assert(s.head.getLong(0) == 5L)
+    // shingle hashes: 3 tokens, k=2 → 2 shingles, each a 60-bit value
+    val sh = spark.sql(
+      "SELECT md5_shingle_hashes(array('a','b','c'), 2) AS sh").collect()
+      .head.getSeq[Long](0)
+    assert(sh.length == 2 && sh.forall(h => h >= 0 && h < (1L << 60)))
+    // minhash over those shingles: 4 permuted minima below the modulus
+    val mh = spark.sql(
+      "SELECT affine_minhash(md5_shingle_hashes(array('a','b','c'), 2), 4) AS mh").collect()
+      .head.getSeq[Long](0)
+    assert(mh.length == 4 && mh.forall(v => v >= 0 && v < graft.operators.Dedup.Mersenne61))
+  }
 }

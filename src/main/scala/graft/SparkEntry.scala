@@ -314,7 +314,7 @@ object SparkEntry {
     def iter(i: Int, prev: String, next: String): String =
       s"""s$i AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
          |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
-         |FROM e v CROSS JOIN $prev c),
+         |FROM samp v CROSS JOIN $prev c),
          |a$i AS (SELECT vec_id, emb, cell FROM (SELECT vec_id, emb, cell,
          |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s$i) t WHERE rn = 1),
          |m$i AS (SELECT cell, pos, SUM(CAST(round(x * 1000000) AS BIGINT)) // COUNT(*) AS comp
@@ -324,9 +324,10 @@ object SparkEntry {
          |$next AS (SELECT p.cell, COALESCE(n$i.emb, p.emb) AS emb FROM $prev p LEFT JOIN n$i ON p.cell = n$i.cell)""".stripMargin
     s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw),
-       |c0 AS (SELECT rn - 1 AS cell, emb FROM (SELECT emb, row_number() OVER (
+       |samp AS (SELECT vec_id, emb, nrm, rn FROM (SELECT vec_id, emb, nrm, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
-       |FROM e) t WHERE rn <= 16),
+       |FROM e) t WHERE rn <= 4096),
+       |c0 AS (SELECT rn - 1 AS cell, emb FROM samp WHERE rn <= 16),
        |${iter(0, "c0", "c1")},
        |${iter(1, "c1", "c2")},
        |sc AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,

@@ -178,19 +178,29 @@ object Similarity {
     * standard IVF shape. The hash order uses the cross-engine 60-bit
     * md5 so the seed pick (and with the quantized Lloyd means, the
     * whole model) is reproducible outside Spark. */
-  def ivfCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2): Seq[Seq[Double]] = {
-    val e = withNorm(embeddings)
-    val seed = e
-      .select(col("embedding"),
-        Dedup.md5_60(concat(lit("ivf:"), col("vec_id").cast("string"))).as("__h"),
-        col("vec_id"))
+  def ivfCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2,
+                   trainSample: Int = 4096): Seq[Seq[Double]] = {
+    // the quantizer trains on a BOUNDED hash-ordered sample (the
+    // standard IVF practice): at 100 TB the Lloyd refinements scan
+    // `trainSample` cached rows, not the corpus — only the final cell
+    // assignment touches all data. The sample is deterministic (same
+    // md5-60 order as the seed pick), so the model stays reproducible;
+    // the seed is the sample's first nCells rows.
+    val sample = withNorm(embeddings)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        Dedup.md5_60(concat(lit("ivf:"), col("vec_id").cast("string"))).as("__h"))
       .orderBy(col("__h"), col("vec_id"))
+      .limit(trainSample)
+      .cache()
+    val seed = sample
       .limit(nCells)
       .select(col("embedding"))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
       .toSeq
-    (1 to iters).foldLeft(seed)((c, _) => lloydStep(e, c))
+    val refined = (1 to iters).foldLeft(seed)((c, _) => lloydStep(sample, c))
+    sample.unpersist()
+    refined
   }
 
   private def centroidScores(embeddings: DataFrame, nCells: Int): Seq[Column] =

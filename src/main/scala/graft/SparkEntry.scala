@@ -107,6 +107,7 @@ object SparkEntry {
     "q53_outlier_fence" -> ((s, d) => EventOps.outlierReport(Tables.events(s, d))),
     "q55_corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(
       Tables.documents(s, d), SampleRates, SampleDefaultBp, PipelineBudget)),
+    "q56_batch_fix" -> ((s, d) => Curation.orderFixes(Tables.orders(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -669,6 +670,15 @@ object SparkEntry {
         |ORDER BY k""".stripMargin,
     "q48_corpus_sample" -> corpusSampleSql,
     "q55_corpus_pipeline" -> corpusPipelineSql,
+    "q56_batch_fix" ->
+      """SELECT id, field, old_value, new_value FROM (
+        |SELECT o_orderkey AS id, 'o_orderpriority' AS field, o_orderpriority AS old_value,
+        |regexp_replace(o_orderpriority, '^4-NOT SPECIFIED$', '4-UNSPECIFIED') AS new_value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_orderstatus', o_orderstatus,
+        |regexp_replace(o_orderstatus, '^P$', 'O') FROM orders) t
+        |WHERE new_value IS DISTINCT FROM old_value
+        |ORDER BY id, field""".stripMargin,
     "q49_token_budget" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,

@@ -136,4 +136,30 @@ object Curation {
         col("value").isin("O", "F", "P").as("is_expected"), col("n"))
     pr.unionByName(st).orderBy("column_name", "value")
   }
+
+  /** Declarative batch fix with a changed-rows report — the reference's
+    * fix_* scripts (reference src/trace/fix/fix_content_url.py,
+    * fix_encoding_format.py) loop per resource, rewrite one field and
+    * push back; the Spark form applies every rule in one scan and
+    * reports (id, field, old, new) ONLY for rows a rule actually
+    * changed (null-safe compare), which is both the audit trail and
+    * the update batch a MergeWriter push-back would take. One scan per
+    * rule, no shuffle but the output sort. */
+  def batchFix(df: DataFrame, idCol: String, fixes: Seq[(String, Column)]): DataFrame =
+    fixes.map { case (field, fixed) =>
+      df.select(col(idCol).as("id"), lit(field).as("field"),
+        col(field).cast(org.apache.spark.sql.types.StringType).as("old_value"),
+        fixed.cast(org.apache.spark.sql.types.StringType).as("new_value"))
+        .filter(!(col("new_value") <=> col("old_value")))
+    }.reduce(_.unionByName(_)).orderBy("id", "field")
+
+  /** q56 instance: normalize the unspecified priority label and fold
+    * pending status into open — the enum-normalization shape of
+    * fix_encoding_format.py. */
+  def orderFixes(orders: DataFrame): DataFrame =
+    batchFix(orders, "o_orderkey", Seq(
+      "o_orderpriority" ->
+        regexp_replace(col("o_orderpriority"), "^4-NOT SPECIFIED$", "4-UNSPECIFIED"),
+      "o_orderstatus" ->
+        regexp_replace(col("o_orderstatus"), "^P$", "O")))
 }

@@ -75,6 +75,31 @@ class IntegrationOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Boolean]("exists_in_store")).toSeq == Seq(false, false, true))
   }
 
+  test("batch fix reports only rows a rule actually changed, and is idempotent") {
+    val df = Seq(
+      (1L, "4-NOT SPECIFIED", "P"),
+      (2L, "1-URGENT", "O"),
+      (3L, "4-NOT SPECIFIED", "F")
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val fixes = Seq(
+      "o_orderpriority" ->
+        regexp_replace(col("o_orderpriority"), "^4-NOT SPECIFIED$", "4-UNSPECIFIED"),
+      "o_orderstatus" -> regexp_replace(col("o_orderstatus"), "^P$", "O"))
+    val rep = Curation.batchFix(df, "o_orderkey", fixes).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rep.toSet == Set(
+      (1L, "o_orderpriority", "4-NOT SPECIFIED", "4-UNSPECIFIED"),
+      (1L, "o_orderstatus", "P", "O"),
+      (3L, "o_orderpriority", "4-NOT SPECIFIED", "4-UNSPECIFIED")),
+      s"unchanged rows must not be reported: ${rep.toSeq}")
+    // applying the fixes to already-fixed data reports nothing
+    val fixed = df
+      .withColumn("o_orderpriority",
+        regexp_replace(col("o_orderpriority"), "^4-NOT SPECIFIED$", "4-UNSPECIFIED"))
+      .withColumn("o_orderstatus", regexp_replace(col("o_orderstatus"), "^P$", "O"))
+    assert(Curation.batchFix(fixed, "o_orderkey", fixes).isEmpty)
+  }
+
   test("constraint coverage separates unconstrained, stale, and covered keys") {
     val rows = Seq("""{"k": 1, "extra": true}""", """{"k": 2}""").toDF("props")
     val out = Validation.constraintCoverage(rows, "props", Seq("k", "ghost"))

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.HashExpressions.{AffineMinHash, ArraySimhash, Md5ShingleHashes}
+import graft.functions.MgSketch.MgAgg
+import graft.operators.Dedup
+
+/** Property tests for the pure kernels behind the dedup/sketch family —
+  * the arithmetic the cross-engine oracle parity rests on. These run on
+  * the expressions' eval paths directly (no Spark session): the
+  * codegen paths emit the same statements, and the DataFrame-level
+  * specs cover those.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val M = Dedup.Mersenne61
+
+  private def longArray(xs: Seq[Long]): ArrayData = ArrayData.toArrayData(xs.toArray)
+
+  // ---- AffineMinHash: folded Mersenne arithmetic == BigInt ground truth
+
+  private val hash60Gen = Gen.chooseNum(0L, (1L << 60) - 1)
+  private val paramGen = for {
+    a <- Gen.chooseNum(1L, M - 1)
+    b <- Gen.chooseNum(0L, M - 1)
+  } yield (a, b)
+
+  property("affine minhash equals BigInt (a*h+b) mod 2^61-1") =
+    Prop.forAll(Gen.nonEmptyListOf(hash60Gen), Gen.nonEmptyListOf(paramGen)) { (hs, ps) =>
+      val expr = AffineMinHash(Literal.create(null, ArrayType(LongType)),
+        ps.map(_._1), ps.map(_._2))
+      val got = expr.nullSafeEval(longArray(hs)).asInstanceOf[ArrayData].toLongArray.toSeq
+      val want = ps.map { case (a, b) =>
+        hs.map(h => ((BigInt(a) * h + b) mod BigInt(M)).toLong).min
+      }
+      got == want
+    }
+
+  property("affine minhash is invariant to element order and duplication") =
+    Prop.forAll(Gen.nonEmptyListOf(hash60Gen), Gen.nonEmptyListOf(paramGen)) { (hs, ps) =>
+      val expr = AffineMinHash(Literal.create(null, ArrayType(LongType)),
+        ps.map(_._1), ps.map(_._2))
+      def sig(xs: Seq[Long]) =
+        expr.nullSafeEval(longArray(xs)).asInstanceOf[ArrayData].toLongArray.toSeq
+      sig(hs) == sig(hs.reverse) && sig(hs) == sig(hs ++ hs)
+    }
+
+  // ---- Md5ShingleHashes: matches a straight re-derivation
+
+  private val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+
+  property("md5 shingle hashes match direct digest of joined tokens") =
+    Prop.forAll(tokenGen, Gen.chooseNum(1, 5)) { (tokens, k) =>
+      val expr = Md5ShingleHashes(Literal.create(null, ArrayType(StringType)), k)
+      val arr = ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+      val got = expr.kernel(arr).toLongArray.toSeq
+      val n = tokens.length
+      val m = math.max(n - k + 1, 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = (0 until m).map { i =>
+        val s = tokens.slice(i, math.min(i + k, n)).mkString(" ")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      got == want && got.forall(h => h >= 0 && h < (1L << 60))
+    }
+
+  // ---- ArraySimhash: multiset semantics on 60-bit inputs
+
+  property("simhash is order-invariant and stays within 60 bits") =
+    Prop.forAll(Gen.nonEmptyListOf(hash60Gen)) { hs =>
+      val expr = ArraySimhash(Literal.create(null, ArrayType(LongType)))
+      def sig(xs: Seq[Long]) = expr.nullSafeEval(longArray(xs)).asInstanceOf[Long]
+      sig(hs) == sig(hs.reverse) && (sig(hs) >>> 60) == 0L
+    }
+
+  property("simhash of a single hash is that hash") =
+    Prop.forAll(hash60Gen) { h =>
+      val expr = ArraySimhash(Literal.create(null, ArrayType(LongType)))
+      expr.nullSafeEval(longArray(Seq(h))).asInstanceOf[Long] == h
+    }
+
+  // ---- Misra-Gries: the no-miss guarantee under arbitrary splits
+
+  private val streamGen: Gen[List[Long]] = for {
+    nHot <- Gen.chooseNum(50, 200)
+    hot <- Gen.chooseNum(0L, 5L)
+    noise <- Gen.listOfN(100, Gen.chooseNum(100L, 10000L))
+  } yield List.fill(nHot)(hot) ++ noise
+
+  property("MG sketch never drops a key with freq > N/(capacity+1), even merged") =
+    Prop.forAll(streamGen, Gen.chooseNum(8, 32), Gen.chooseNum(1, 5)) { (stream, cap, nParts) =>
+      val agg = MgAgg(BoundReference(0, LongType, nullable = false), cap)
+      // split the stream into parts, build partial buffers, merge them
+      val parts = stream.grouped(math.max(stream.size / nParts, 1)).toList
+      val bufs = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach(v => agg.update(b, new GenericInternalRow(Array[Any](v))))
+        b
+      }
+      val merged = bufs.reduceLeft(agg.merge)
+      val cands = agg.eval(merged).asInstanceOf[ArrayData].toLongArray.toSet
+      val n = stream.size
+      val truth = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustKeep = truth.filter { case (_, c) => c.toLong * (cap + 1) > n.toLong }.keySet
+      cands.size <= cap && mustKeep.subsetOf(cands)
+    }
+
+  // ---- serialization round-trip
+
+  property("MG buffer serializes and deserializes losslessly") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L))) { xs =>
+      val agg = MgAgg(BoundReference(0, LongType, nullable = false), 16)
+      val b = agg.createAggregationBuffer()
+      xs.foreach(v => agg.update(b, new GenericInternalRow(Array[Any](v))))
+      val rt = agg.deserialize(agg.serialize(b))
+      rt.toMap == b.toMap
+    }
+}

@@ -27,22 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm_sq"),
       new ExpressionInfo("graft", "vec_norm_sq"),
       exprs => VectorExpressions.ArrayNormSq(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo("graft", "simhash64"),
-      exprs => HashExpressions.ArraySimhash(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("md5_shingle_hashes"),
-      new ExpressionInfo("graft", "md5_shingle_hashes"),
-      exprs => HashExpressions.Md5ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue)))
-    e.injectFunction((
-      FunctionIdentifier("affine_minhash"),
-      new ExpressionInfo("graft", "affine_minhash"),
-      exprs => {
-        val params = graft.operators.Dedup.affineParams(
-          exprs(1).eval().asInstanceOf[Number].intValue)
-        HashExpressions.AffineMinHash(exprs(0), params.map(_._1), params.map(_._2))
-      }))
+    HashExpressions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
   }
 }

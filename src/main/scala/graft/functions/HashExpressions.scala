@@ -120,7 +120,10 @@ object HashExpressions {
         var j = 0
         while (j < k && i + j < n) {
           if (j > 0) md.update(0x20.toByte)
-          md.update(a.getUTF8String(i + j).getBytes)
+          // null elements hash as empty strings: the function is exposed
+          // to SQL where containsNull arrays are common, and an NPE here
+          // escalates to a whole-query INTERNAL_ERROR via ConstantFolding
+          if (!a.isNullAt(i + j)) md.update(a.getUTF8String(i + j).getBytes)
           j += 1
         }
         out(i) = Md5Kernels.first60(md.digest())
@@ -220,21 +223,31 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  private def literalInt(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval().asInstanceOf[Number].intValue
+    else throw new IllegalArgumentException(
+      s"$fn: second argument must be a literal integer")
+
+  /** The ONE definition of each SQL function builder — referenced by
+    * both GraftExtensions (spark.sql.extensions) and the session-local
+    * [[registerSql]], so the two registration paths can't drift. */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> ((exprs: Seq[Expression]) => ArraySimhash(exprs.head)),
+    "md5_shingle_hashes" -> ((exprs: Seq[Expression]) =>
+      Md5ShingleHashes(exprs(0), literalInt(exprs(1), "md5_shingle_hashes"))),
+    "affine_minhash" -> ((exprs: Seq[Expression]) => {
+      val params = graft.operators.Dedup.affineParams(
+        literalInt(exprs(1), "affine_minhash"))
+      AffineMinHash(exprs(0), params.map(_._1), params.map(_._2))
+    }))
+
   /** SQL registration (session-local twin of the GraftExtensions
     * entries): simhash64(arr), md5_shingle_hashes(tokens, k),
     * affine_minhash(hashes, numPerms). */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    ColumnBridge.registerFunction(spark, "simhash64",
-      exprs => ArraySimhash(exprs.head))
-    ColumnBridge.registerFunction(spark, "md5_shingle_hashes",
-      exprs => Md5ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue))
-    ColumnBridge.registerFunction(spark, "affine_minhash",
-      exprs => {
-        val params = graft.operators.Dedup.affineParams(
-          exprs(1).eval().asInstanceOf[Number].intValue)
-        AffineMinHash(exprs(0), params.map(_._1), params.map(_._2))
-      })
-  }
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
 
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))

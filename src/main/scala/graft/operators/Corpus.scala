@@ -17,6 +17,35 @@ object Corpus {
     * inlined as the SAME literal into the DuckDB oracle SQL. */
   def rateThreshold(bp: Int): Long = ((BigInt(1) << 60) * bp / 10000).toLong
 
+  /** per-language keep-threshold column — the ONE definition q48, q55
+    * and the streaming screen share (langs not listed get `defaultBp`).
+    */
+  def thresholdCol(rateBpByLang: Seq[(String, Int)], defaultBp: Int): org.apache.spark.sql.Column =
+    rateBpByLang.foldLeft(lit(rateThreshold(defaultBp))) {
+      case (acc, (lang, bp)) => when(col("lang") === lang, lit(rateThreshold(bp))).otherwise(acc)
+    }
+
+  /** the sampling hash: a pure function of doc_id, salted so it's
+    * independent of every other md5-keyed decision in the engine. */
+  def sampleHash: org.apache.spark.sql.Column =
+    Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string")))
+
+  /** row-local screen verdicts appended in one block — quality columns
+    * (q38 definitions), content fingerprint and the sampling decision.
+    * Shared verbatim by the batch pipeline (q55) and the streaming
+    * screen (graft.streaming.DocStreams), so the two cannot drift. */
+  def withScreenColumns(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
+                        defaultBp: Int): DataFrame =
+    docs
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
+      .withColumn("is_quality",
+        col("n_chars").between(50, 20000) && col("alpha_bp") > 6000)
+      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
+      .withColumn("sampled", sampleHash < thresholdCol(rateBpByLang, defaultBp))
+
   /** q48: deterministic stratified sampling — keep a document iff
     * md5_60('sample:' ‖ doc_id) falls below its language's rate
     * threshold. The decision is a pure row-local function of doc_id:
@@ -26,15 +55,10 @@ object Corpus {
     * Rates are (lang → basis points); langs not listed get `defaultBp`.
     */
   def stratifiedSample(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
-                       defaultBp: Int): DataFrame = {
-    val h = Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string")))
-    val thr = rateBpByLang.foldLeft(lit(rateThreshold(defaultBp))) {
-      case (acc, (lang, bp)) => when(col("lang") === lang, lit(rateThreshold(bp))).otherwise(acc)
-    }
-    docs.select(col("doc_id"), col("lang"), h.as("sample_hash"))
-      .filter(col("sample_hash") < thr)
+                       defaultBp: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"), sampleHash.as("sample_hash"))
+      .filter(col("sample_hash") < thresholdCol(rateBpByLang, defaultBp))
       .orderBy("doc_id")
-  }
 
   /** q55: the END-TO-END corpus-construction pipeline — what the
     * reference does as a chain of scripts
@@ -54,22 +78,11 @@ object Corpus {
     */
   def corpusPipeline(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
                      defaultBp: Int, budgetPerLang: Long): DataFrame = {
-    val thr = rateBpByLang.foldLeft(lit(rateThreshold(defaultBp))) {
-      case (acc, (lang, bp)) => when(col("lang") === lang, lit(rateThreshold(bp))).otherwise(acc)
-    }
-    val scored = TextAnalysis.withPredictedLang(docs)
-      .withColumn("n_chars", length(col("text")).cast(LongType))
-      .withColumn("n_alpha",
-        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType))
-      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
-      .withColumn("is_quality",
-        col("n_chars").between(50, 20000) && col("alpha_bp") > 6000)
+    val scored = withScreenColumns(
+      TextAnalysis.withPredictedLang(docs), rateBpByLang, defaultBp)
       .withColumn("n_tokens",
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
           .cast(LongType))
-      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
-      .withColumn("sampled",
-        Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string"))) < thr)
     val byFingerprint = Window.partitionBy("fingerprint")
     val byLang = Window.partitionBy("lang")
       .orderBy(col("alpha_bp").desc, col("doc_id"))

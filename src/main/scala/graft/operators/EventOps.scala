@@ -116,12 +116,16 @@ object EventOps {
     * reference's quality-screen shape (flag entities whose measured
     * value is implausible, reference
     * src/neuron_morphology/validation/quality_metric.py) as a
-    * distribution-aware report. Exact per-type quartiles (5 groups →
-    * tiny aggregate), fences broadcast back onto the scan, row-local
-    * compare: at 100 TB this is one pass + one broadcast join, no
-    * second shuffle. Values emitted as fixed-point µ-units; the fence
-    * arithmetic (`p75 + (p75 - p25) * 1.5`) is written identically in
-    * the oracle so the doubles agree bitwise. */
+    * distribution-aware report. Per-type quartiles reduce to 5 fence
+    * rows broadcast back onto the scan, row-local compare: one pass +
+    * one broadcast join, no second shuffle. Caveat for 100 TB: EXACT
+    * percentile state grows with the number of DISTINCT values per
+    * group (a counts-map), so on a continuous column at extreme scale
+    * swap in approx_percentile or a fixed-point bucketed quantile —
+    * the plan shape stays identical; exact is used here because the
+    * oracle hash-compares the fences. Values emitted as fixed-point
+    * µ-units; the fence arithmetic (`p75 + (p75 - p25) * 1.5`) is
+    * written identically in the oracle so the doubles agree bitwise. */
   def outlierReport(events: DataFrame): DataFrame = {
     val fences = events.groupBy("event_type")
       .agg(percentile(col("value"), lit(0.25)).as("p25"),

@@ -29,14 +29,29 @@ object Scale {
   /** Hot join keys decided from the data itself: the Misra-Gries
     * sketch surfaces candidates without shuffling the key domain, the
     * exact verify pass keeps only keys above `hotShareBp` basis points
-    * of the rows ([[Frequency.exactHeavyHitters]]). The result is a
-    * bounded, broadcast-sized model (≤ capacity keys) — the
-    * "column statistics" a static planner would read from a catalog,
-    * computed in one cheap pass when there is no catalog. */
+    * of the rows (same two-pass shape as
+    * [[Frequency.exactHeavyHitters]]). Works for ANY key type — urls,
+    * tokens, ids — by sketching over xxhash64(key); a hash collision
+    * only inflates the candidate superset, the per-key verify count
+    * stays exact. The result is a bounded, broadcast-sized model
+    * (≤ capacity keys) — the "column statistics" a static planner
+    * would read from a catalog, computed in one cheap pass when there
+    * is no catalog. */
   def hotKeys(df: DataFrame, key: String, hotShareBp: Int = 100,
-              capacity: Int = 1024): Seq[Long] =
-    Frequency.exactHeavyHitters(df, col(key), hotShareBp, capacity)
-      .select("k").collect().map(_.getLong(0)).toSeq
+              capacity: Int = 1024): Seq[Any] = {
+    require((capacity + 1).toLong * hotShareBp >= 10000L,
+      s"capacity $capacity too small for share=$hotShareBp bp")
+    val keyed = df.select(col(key).as("k"), xxhash64(col(key)).as("kh"))
+      .filter(col("k").isNotNull)
+    val cands = keyed
+      .agg(graft.functions.MgSketch.mg_sketch(col("kh"), capacity).as("c"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("c")).as("kh"), col("n_total"))
+    keyed.join(broadcast(cands), Seq("kh"))
+      .groupBy("k", "n_total").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 10000L > col("n_total") * hotShareBp)
+      .select("k").collect().map(_.get(0)).toSeq
+  }
 
   /** Stats-driven skew join: only rows carrying a HOT key (share >
     * `hotShareBp` bp, measured, not guessed) take the salted path —

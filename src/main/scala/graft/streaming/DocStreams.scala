@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Corpus, Dedup, TextAnalysis}
+import graft.operators.Corpus
 
 /** Structured Streaming form of the corpus-construction path: the
   * row-local screens of the q55 pipeline (language-ID, quality score,
@@ -34,26 +34,15 @@ object DocStreams {
     spark.readStream.schema(docsSchema).parquet(dir)
 
   /** Incremental corpus screen: every stage's verdict as a column
-    * (same trail as the batch pipeline), survivors only. */
+    * (same trail as the batch pipeline), survivors only. The row-local
+    * verdict block is [[Corpus.withScreenColumns]] — literally the
+    * batch pipeline's expressions, so the two cannot drift. */
   def corpusScreen(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
-                   defaultBp: Int): DataFrame = {
-    val thr = rateBpByLang.foldLeft(lit(Corpus.rateThreshold(defaultBp))) {
-      case (acc, (lang, bp)) => when(col("lang") === lang, lit(Corpus.rateThreshold(bp))).otherwise(acc)
-    }
-    docs
-      .withColumn("n_chars", length(col("text")).cast(LongType))
-      .withColumn("n_alpha",
-        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType))
-      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
-      .withColumn("is_quality",
-        col("n_chars").between(50, 20000) && col("alpha_bp") > 6000)
-      .withColumn("fingerprint", TextAnalysis.fingerprintCol(col("text")))
-      .withColumn("sampled",
-        Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string"))) < thr)
+                   defaultBp: Int): DataFrame =
+    Corpus.withScreenColumns(docs, rateBpByLang, defaultBp)
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("fingerprint")
       .filter(col("is_quality") && col("sampled"))
       .select("doc_id", "lang", "fingerprint", "alpha_bp")
-  }
 }

@@ -31,6 +31,11 @@ class ScaleSpec extends AnyFunSuite {
     val right = ((1L to 1000L).map(k => (k, s"r$k"))).toDF("k", "label")
     val hot = Scale.hotKeys(left, "k", hotShareBp = 1000, capacity = 64)
     assert(hot == Seq(1L), s"only the measured hot key qualifies: $hot")
+    // any key type works — the sketch runs over xxhash64(key)
+    val urls = (1 to 100).map(i => Tuple1(if (i <= 60) "https://hot.example" else s"https://u$i"))
+      .toDF("url")
+    val hotUrls = Scale.hotKeys(urls, "url", hotShareBp = 1000, capacity = 64)
+    assert(hotUrls == Seq("https://hot.example"), s"string hot key: $hotUrls")
     val plain = left.join(right, Seq("k")).select("k", "payload", "label")
       .collect().map(_.toSeq).sortBy(_.toString)
     val skew = Scale.skewAwareJoin(left, right, "k", salts = 8, hotShareBp = 1000)

@@ -108,6 +108,7 @@ object SparkEntry {
     "q55_corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(
       Tables.documents(s, d), SampleRates, SampleDefaultBp, PipelineBudget)),
     "q56_batch_fix" -> ((s, d) => Curation.orderFixes(Tables.orders(s, d))),
+    "q57_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -255,6 +256,29 @@ object SparkEntry {
        |('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sample_hash,
        |CASE lang $cases ELSE ${graft.operators.Corpus.rateThreshold(SampleDefaultBp)} END AS thr
        |FROM documents) t WHERE sample_hash < thr ORDER BY doc_id""".stripMargin
+  }
+
+  /** q57's oracle: same banded candidate pairs, then the SAME fixed
+    * number of min-label propagation rounds unrolled as CTEs — a
+    * deterministic bounded-round algorithm, so parity needs no
+    * fixpoint reasoning. */
+  private def dedupClustersSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""l$r AS (SELECT v.doc_id,
+         |LEAST(v.label, COALESCE(MIN(n.label), v.label)) AS label
+         |FROM l${r - 1} v
+         |LEFT JOIN e2 ON e2.doc_a = v.doc_id
+         |LEFT JOIN l${r - 1} n ON n.doc_id = e2.doc_b
+         |GROUP BY v.doc_id, v.label)""".stripMargin
+    }.mkString(",\n")
+    s"""$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |e2 AS (SELECT doc_a, doc_b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |$rounds
+       |SELECT doc_id, label AS cluster_id, doc_id = label AS is_canonical
+       |FROM l4 ORDER BY doc_id""".stripMargin
   }
 
   /** q34's oracle: replicate the banded candidate generation (6 tables
@@ -533,6 +557,7 @@ object SparkEntry {
     "q31_dedup_minhash" -> minhashProfileSql,
     "q32_dedup_simhash" -> simhashProfileSql,
     "q33_dedup_ngram_jaccard" -> jaccardVerifySql,
+    "q57_dedup_clusters" -> dedupClustersSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

@@ -126,6 +126,46 @@ object Dedup {
       .limit(topN)
   }
 
+  /** q57: near-dup CLUSTERS from the banding candidates — the
+    * connected-components step that turns pairwise candidates into
+    * dedup groups with an elected canonical (min doc_id reachable).
+    * Without it, a dup chain A~B, B~C keeps both A and B as "canonical"
+    * under naive pair-wise dropping.
+    *
+    * Algorithm: `rounds` synchronous min-label propagation steps
+    * (label_r(v) = min label_{r-1} over N(v) ∪ {v}) — after r rounds
+    * every node holds the min doc_id within graph distance r, so any
+    * component of diameter ≤ rounds is exactly labeled. LSH candidate
+    * components are near-cliques (identical docs collide in every
+    * band), so a small fixed bound converges; being a FIXED bound makes
+    * the operator deterministic and therefore oracle-checkable (the
+    * SQL unrolls the same rounds). The candidate edge list is cached —
+    * it is reused every round, and recomputing the signature pipeline
+    * per round would dominate.
+    *
+    * Scale shape: per round, one join edges⋈labels + one min-groupBy —
+    * all linear shuffles on doc ids; this is the standard large-graph
+    * CC discipline (label propagation) rather than any driver-side
+    * union-find. */
+  def nearDupClusters(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val pairs = minhashCandidatePairs(docs)
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    val init = docs.select(col("doc_id"), col("doc_id").as("label"))
+    val propagated = (1 to rounds).foldLeft(init) { (lab, _) =>
+      val nbrMin = edges
+        .join(lab.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+      lab.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
+    propagated
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 60-bit signature from per-token hash bit votes, computed
     * row-local with a codegen'd native expression (the nested
     * higher-order formulation evaluated interpreted, one 64-array per

@@ -36,6 +36,28 @@ class DedupSpec extends AnyFunSuite {
     assert(top.getAs[Long]("jaccard_bp") == 10000L)
   }
 
+  test("near-dup clusters label chains transitively and elect one canonical") {
+    // chain: 1~2 identical, 3 near-dups base; 10/11 identical to each
+    // other but unrelated to the 1-2-3 cluster; 4 isolated
+    val chainDocs = Seq(
+      (1L, base), (2L, base), (3L, nearDup), (4L, distinctDoc),
+      (10L, base.replace("word1", "xx")), (11L, base.replace("word1", "xx"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(chainDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)), "identical copy joins doc 1's cluster")
+    assert(out(3L)._1 == 1L, "near-dup chains into the same component transitively")
+    assert(out(4L) == ((4L, true)), "isolated doc is its own canonical")
+    assert(out(10L)._1 == out(11L)._1, "second pair forms its own cluster")
+    assert(out.values.count(_._2) == out.values.map(_._1).toSet.size,
+      "exactly one canonical per cluster")
+    // fixed 4 rounds reached the fixpoint on this graph
+    val more = Dedup.nearDupClusters(chainDocs, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._1).toMap == more, "labels stable beyond round 4")
+  }
+
   test("simhash of identical docs is identical, near-dup is hamming-close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

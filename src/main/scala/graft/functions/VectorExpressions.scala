@@ -118,6 +118,85 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** All LSH sign-buckets for a vector in ONE expression: for table t,
+    * bucket(t) = Σ_j [dot(v, planes(t)(j)) > 0]·2^j. The plane matrix
+    * rides along as a codegen reference object — one tree node where
+    * the per-plane `vec_dot(v, typedLit(plane))` formulation needs
+    * tables×planes separate subtrees holding tables×planes×dim literal
+    * nodes, which dominates analysis+codegen time for every
+    * LSH-family query. The inner fold is ordered identically to
+    * [[ArrayDotProduct]], so the sign bits (and the DuckDB oracle
+    * parity built on them) are unchanged. */
+  case class LshBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_buckets expects array<float|double>, got $t")
+    }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "lsh_buckets"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val g = getter(child)
+      val out = new Array[Int](planes.length)
+      var t = 0
+      while (t < planes.length) {
+        var bucket = 0
+        var j = 0
+        while (j < planes(t).length) {
+          val p = planes(t)(j)
+          val n = math.min(x.numElements(), p.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += read(x, g, i) * p(i); i += 1 }
+          if (s > 0) bucket |= 1 << j
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val pl = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
+        val out = ctx.freshName("out"); val t = ctx.freshName("t")
+        val j = ctx.freshName("j"); val i = ctx.freshName("i")
+        val p = ctx.freshName("p"); val s = ctx.freshName("s")
+        val n = ctx.freshName("n"); val bucket = ctx.freshName("bucket")
+        s"""
+           |int[] $out = new int[$pl.length];
+           |for (int $t = 0; $t < $pl.length; $t++) {
+           |  int $bucket = 0;
+           |  for (int $j = 0; $j < $pl[$t].length; $j++) {
+           |    double[] $p = $pl[$t][$j];
+           |    int $n = java.lang.Math.min($a.numElements(), $p.length);
+           |    double $s = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $s += (double) $a.${getter(child)}($i) * $p[$i];
+           |    }
+           |    if ($s > 0) $bucket |= 1 << $j;
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def lsh_buckets(embedding: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(embedding),
+      planes.map(_.map(_.toArray).toArray).toArray))
+
   /** Column API: codegen'd dot product (inputs auto-cast to
     * array<double>). */
   def vec_dot(a: Column, b: Column): Column =

@@ -54,11 +54,12 @@ object Similarity {
     Seq.fill(nTables, nPlanes, dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
   }
 
-  /** sign-bucket id for one table's plane set. */
-  private def bucketCol(embedding: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dot(embedding, typedLit(p)) > 0, 1 << j).otherwise(0)
-    }.reduce(_ + _)
+  /** (table → sign-bucket) for every LSH table in one codegen
+    * expression — the plane matrix is a reference object, not
+    * tables×planes×dim literal tree nodes (which made analysis+codegen
+    * the dominant cost of every LSH-family query). */
+  private def tableBucketsCol(embedding: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorExpressions.lsh_buckets(embedding, planes)
 
   /** q34: near-dup pairs above a cosine threshold, candidates from
     * multi-table hyperplane LSH — pairs colliding in ≥1 table's exact
@@ -74,12 +75,10 @@ object Similarity {
     // one row per (vector, table) with that table's bucket — computed in a
     // single projection pass, so the candidate join is ONE shuffle on the
     // composite (table, bucket) key instead of nTables separate joins.
-    val tableBuckets = array(bandedPlanes(nTables, nPlanes, dim).zipWithIndex.map {
-      case (planes, t) => struct(lit(t).as("table"),
-        bucketCol(col("embedding"), planes).as("bucket"))
-    }: _*)
-    val b = e.select(col("vec_id"), explode(tableBuckets).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val b = e.select(col("vec_id"),
+      posexplode(tableBucketsCol(col("embedding"), bandedPlanes(nTables, nPlanes, dim))))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
     val candidates = b.select(col("vec_id").as("id_a"), col("table"), col("bucket"))
       .join(b.select(col("vec_id").as("id_b"), col("table"), col("bucket")),
         Seq("table", "bucket"))
@@ -265,14 +264,10 @@ object Similarity {
     val masks = probeMasks(nPlanes, probeRadius)
     // per-table buckets in one projection; the candidate join is ONE
     // shuffle on the composite (table, bucket) key across all tables.
-    val tableBuckets = array(bandedPlanes(nTables, nPlanes, dim).zipWithIndex.map {
-      case (planes, t) => struct(lit(t).as("table"),
-        bucketCol(col("embedding"), planes).as("bucket"))
-    }: _*)
     val b = e.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(tableBuckets).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      posexplode(tableBucketsCol(col("embedding"), bandedPlanes(nTables, nPlanes, dim))))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
     val probed = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
         col("norm").as("n_q"), col("table"),

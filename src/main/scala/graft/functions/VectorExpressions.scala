@@ -197,6 +197,68 @@ object VectorExpressions {
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(embedding),
       planes.map(_.map(_.toArray).toArray).toArray))
 
+  /** dot(v, mᵢ) for every row mᵢ of a broadcast-sized matrix (IVF
+    * centroids), one expression — same reference-object trick as
+    * [[LshBucketsExpr]], same fold order as [[ArrayDotProduct]]. */
+  case class CellDotsExpr(child: Expression, cells: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_cell_dots expects array<float|double>, got $t")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "vec_cell_dots"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val g = getter(child)
+      val out = new Array[Double](cells.length)
+      var c = 0
+      while (c < cells.length) {
+        val m = cells(c)
+        val n = math.min(x.numElements(), m.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += read(x, g, i) * m(i); i += 1 }
+        out(c) = s
+        c += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val cl = ctx.addReferenceObj("cellMatrix", cells, "double[][]")
+        val out = ctx.freshName("out"); val c = ctx.freshName("c")
+        val i = ctx.freshName("i"); val m = ctx.freshName("m")
+        val s = ctx.freshName("s"); val n = ctx.freshName("n")
+        s"""
+           |double[] $out = new double[$cl.length];
+           |for (int $c = 0; $c < $cl.length; $c++) {
+           |  double[] $m = $cl[$c];
+           |  int $n = java.lang.Math.min($a.numElements(), $m.length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += (double) $a.${getter(child)}($i) * $m[$i];
+           |  }
+           |  $out[$c] = $s;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def vec_cell_dots(embedding: Column, cells: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CellDotsExpr(ColumnBridge.expression(embedding),
+      cells.map(_.toArray).toArray))
+
   /** Column API: codegen'd dot product (inputs auto-cast to
     * array<double>). */
   def vec_dot(a: Column, b: Column): Column =

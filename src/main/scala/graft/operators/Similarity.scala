@@ -128,16 +128,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** per-cell cosine scores to fixed centroids, as (score, cell)
-    * structs — shared by the nearest-cell assignment and the
-    * query-side multi-cell probing. The centroid norm is a per-cell
-    * constant factor, divided out of the argmax/sort. */
-  private def scoreCols(centroids: Seq[Seq[Double]]): Seq[Column] =
-    centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+  /** appends `__dots` (all centroid dot products, ONE codegen
+    * expression over the reference-object matrix — evaluated once per
+    * row, no per-cell literal subtrees) and returns the (score, cell)
+    * struct columns over it — shared by the nearest-cell assignment
+    * and the query-side multi-cell probing. The centroid norm is a
+    * per-cell constant factor, divided out of the argmax/sort. */
+  private def withCellScores(df: DataFrame, centroids: Seq[Seq[Double]])
+      : (DataFrame, Seq[Column]) = {
+    val withDots = df.withColumn("__dots",
+      graft.functions.VectorExpressions.vec_cell_dots(col("embedding"), centroids))
+    val cols = centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("embedding"), typedLit(c)) / (col("norm") * cn)).as("score"),
+      struct((element_at(col("__dots"), i + 1) / (col("norm") * cn)).as("score"),
         lit(i).as("cell"))
     }
+    (withDots, cols)
+  }
 
   /** one Lloyd iteration, fully distributed: assign every vector to its
     * nearest centroid, recompute each cell's centroid as the per-
@@ -154,8 +161,9 @@ object Similarity {
     * arithmetic. Quantization error (≤5·10⁻⁷ per component) is noise
     * relative to k-means' own convergence tolerance. */
   private def lloydStep(e: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
-    val means = e
-      .withColumn("cell", greatest(scoreCols(centroids): _*).getField("cell"))
+    val (withDots, scores) = withCellScores(e, centroids)
+    val means = withDots
+      .withColumn("cell", greatest(scores: _*).getField("cell"))
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
@@ -202,15 +210,16 @@ object Similarity {
     refined
   }
 
-  private def centroidScores(embeddings: DataFrame, nCells: Int): Seq[Column] =
-    scoreCols(ivfCentroids(embeddings, nCells))
-
   /** IVF coarse quantizer: cell assignment by nearest centroid.
     * Centroids are driver-side by design: C×dim doubles is a
     * legitimate broadcast-sized model, the standard IVF shape. */
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
-    withNorm(embeddings)
-      .withColumn("cell", greatest(centroidScores(embeddings, nCells): _*).getField("cell"))
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val (withDots, scores) =
+      withCellScores(withNorm(embeddings), ivfCentroids(embeddings, nCells))
+    withDots
+      .withColumn("cell", greatest(scores: _*).getField("cell"))
+      .drop("__dots")
+  }
 
   /** q36b: ANN via IVF. Corpus vectors live in their nearest cell;
     * each query probes its `nProbe` nearest cells (sorted centroid
@@ -221,8 +230,8 @@ object Similarity {
     * at scale. */
   def knnIvf(embeddings: DataFrame, nCells: Int = 16,
              nQueries: Int = 20, k: Int = 10, nProbe: Int = 6): DataFrame = {
-    val scores = centroidScores(embeddings, nCells)
-    val e = withNorm(embeddings)
+    val (e, scores) =
+      withCellScores(withNorm(embeddings), ivfCentroids(embeddings, nCells))
     val c = e.withColumn("cell", greatest(scores: _*).getField("cell"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
         col("norm").as("n_c"), col("cell"))

@@ -112,6 +112,40 @@ object KernelProperties extends Properties("graft.kernels") {
       cands.size <= cap && mustKeep.subsetOf(cands)
     }
 
+  // ---- vector kernels: match the naive sequential fold they replaced
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f))
+
+  property("lsh_buckets equals the per-plane sequential-fold sign bits") =
+    Prop.forAll(vecGen, Gen.listOfN(3, Gen.listOfN(4, vecGen))) { (v, tables) =>
+      val planes = tables.map(_.map(_.map(_.toDouble)))
+      val expr = graft.functions.VectorExpressions.LshBucketsExpr(
+        Literal.create(null, ArrayType(FloatType)),
+        planes.map(_.map(_.toArray).toArray).toArray)
+      val arr = ArrayData.toArrayData(v.toArray)
+      val got = expr.nullSafeEval(arr).asInstanceOf[ArrayData].toIntArray.toSeq
+      val want = planes.map { ps =>
+        ps.zipWithIndex.map { case (p, j) =>
+          val dot = v.map(_.toDouble).zip(p).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+          if (dot > 0) 1 << j else 0
+        }.sum
+      }
+      got == want
+    }
+
+  property("vec_cell_dots equals the naive sequential dot per cell") =
+    Prop.forAll(vecGen, Gen.listOfN(5, vecGen)) { (v, cells) =>
+      val cs = cells.map(_.map(_.toDouble))
+      val expr = graft.functions.VectorExpressions.CellDotsExpr(
+        Literal.create(null, ArrayType(FloatType)), cs.map(_.toArray).toArray)
+      val arr = ArrayData.toArrayData(v.toArray)
+      val got = expr.nullSafeEval(arr).asInstanceOf[ArrayData].toDoubleArray.toSeq
+      val want = cs.map(c =>
+        v.map(_.toDouble).zip(c).foldLeft(0.0) { case (s, (a, b)) => s + a * b })
+      got == want
+    }
+
   // ---- serialization round-trip
 
   property("MG buffer serializes and deserializes losslessly") =

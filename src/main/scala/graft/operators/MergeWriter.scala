@@ -80,6 +80,53 @@ object MergeWriter {
     fs.delete(backup, true)
   }
 
+  /** Partition-scoped merge: only partitions that updates actually
+    * touch are read, merged and rewritten — dynamic partition
+    * overwrite replaces exactly those directories and leaves every
+    * other partition's files physically untouched. This is the
+    * bounded-rewrite form of [[applyTo]] for partitioned tables: at
+    * 100 TB a full copy-on-write swap rewrites the world, while this
+    * rewrites O(touched partitions).
+    *
+    * Contract: `partCol` is a partition column of the table, present
+    * on the updates, and STABLE under updates for existing keys (a
+    * key's partition value never changes) — the standard partitioned-
+    * MERGE precondition; violating it can duplicate a key across
+    * partitions. Inserts may land in brand-new partitions. The touched
+    * partition list is collected to the driver — it is bounded by the
+    * table's partition count, a catalog-sized model, not data. */
+  def applyToPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                         key: String, partCol: String,
+                         deleteFlag: Option[String] = None): Unit = {
+    val touched = updates.select(col(partCol)).distinct().collect().map(_.get(0))
+    if (touched.nonEmpty) {
+      val target = spark.read.parquet(path).filter(col(partCol).isin(touched: _*))
+      val merged = mergedState(target, updates, key, deleteFlag)
+      // a touched partition whose rows were ALL deleted emits no output,
+      // so dynamic overwrite would silently leave its old files alive —
+      // find those and drop their directories explicitly
+      val remaining = merged.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "dynamic")
+      try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None    => spark.conf.unset(conf)
+      }
+      val emptied = touched.filterNot(remaining)
+      if (emptied.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { v =>
+          val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(partCol, String.valueOf(v))
+          fs.delete(new org.apache.hadoop.fs.Path(p, dirName), true)
+        }
+      }
+    }
+  }
+
   /** Complete or roll back an interrupted swap. Live table present →
     * any `.staging`/`.bak` leftovers are stale, drop them. Live table
     * missing → a staging dir with its `_SUCCESS` marker is a finished

@@ -51,6 +51,37 @@ class MergeReconcileSpec extends AnyFunSuite {
     assert(once.map(_.getLong(0)) == Seq(1L, 2L, 9L))
   }
 
+  test("partition-scoped merge rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmerge_").toString + "/state"
+    Seq(
+      (1L, "a", 100L), (2L, "a", 200L), // partition a: one update, one carry
+      (3L, "b", 300L),                  // partition b: deleted
+      (4L, "c", 400L), (5L, "c", 500L)  // partition c: UNTOUCHED
+    ).toDF("id", "part", "cents")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    def filesOf(p: String): Set[String] = {
+      val d = new java.io.File(s"$dir/part=$p")
+      d.list().filter(_.endsWith(".parquet")).toSet
+    }
+    val cBefore = filesOf("c")
+    val updates = Seq(
+      (1L, "a", 150L, false), // update in a
+      (3L, "b", 300L, true),  // delete in b
+      (9L, "d", 900L, false)  // insert into a NEW partition
+    ).toDF("id", "part", "cents", "gone")
+    MergeWriter.applyToPartitioned(spark, dir, updates, "id", "part", Some("gone"))
+    val state = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("part"), r.getAs[Long]("cents"))).toMap
+    assert(state == Map(
+      1L -> (("a", 150L)), 2L -> (("a", 200L)),
+      4L -> (("c", 400L)), 5L -> (("c", 500L)),
+      9L -> (("d", 900L))), s"merged state wrong: $state")
+    assert(filesOf("c") == cBefore, "untouched partition files must be left in place")
+    assert(!new java.io.File(s"$dir/part=b").exists() ||
+      spark.read.parquet(dir).filter($"part" === "b").count() == 0,
+      "deleted partition holds no live rows")
+  }
+
   test("recover rolls an interrupted swap forward or back") {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration

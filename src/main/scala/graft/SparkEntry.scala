@@ -91,6 +91,8 @@ object SparkEntry {
     "q42_corpus_dedup_apply" -> ((s, d) => TextAnalysis.dedupedCorpus(Tables.documents(s, d))),
     "q43_upsert_apply" -> ((s, d) => Upsert.applyAndRead(s,
       Tables.customer(s, d), Tables.orders(s, d), Tables.supplier(s, d))),
+    "q43b_upsert_partitioned" -> ((s, d) => Upsert.applyAndReadPartitioned(s,
+      Tables.customer(s, d), Tables.supplier(s, d))),
     "q44_index_reconcile" -> ((s, d) => {
       val a = Tables.orders(s, d).select(col("o_custkey").as("id"))
       val b = Tables.customer(s, d).filter(col("c_acctbal") >= 0)
@@ -645,6 +647,22 @@ object SparkEntry {
         |COALESCE(u.segment, t.segment) AS segment,
         |COALESCE(u.acctbal_cents, t.acctbal_cents) AS acctbal_cents,
         |u.n_orders AS n_orders
+        |FROM t FULL JOIN u ON t.c_custkey = u.c_custkey
+        |WHERE NOT COALESCE(u.is_deleted, false)
+        |ORDER BY c_custkey""".stripMargin,
+    "q43b_upsert_partitioned" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment AS segment,
+        |CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents FROM customer),
+        |u AS (
+        |SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT) AS acctbal_cents,
+        |c_acctbal < -900 AS is_deleted FROM customer WHERE c_acctbal < 0
+        |UNION ALL
+        |SELECT s_suppkey + 2000000, 'NEW',
+        |CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT), false
+        |FROM supplier)
+        |SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |COALESCE(u.segment, t.segment) AS segment,
+        |COALESCE(u.acctbal_cents, t.acctbal_cents) AS acctbal_cents
         |FROM t FULL JOIN u ON t.c_custkey = u.c_custkey
         |WHERE NOT COALESCE(u.is_deleted, false)
         |ORDER BY c_custkey""".stripMargin,

@@ -189,4 +189,37 @@ object Upsert {
     MergeWriter.applyTo(spark, dir, updates(orders, supplier), "c_custkey", Some("is_deleted"))
     spark.read.parquet(dir).orderBy("c_custkey")
   }
+
+  /** q43b's update batch: zero out every overdrawn customer (deeply
+    * negative ones deleted outright), insert suppliers as new parties
+    * under a 'NEW' segment partition. Segment comes from the customer's
+    * own row, so the partition value is stable under update — the
+    * partitioned-merge precondition. */
+  def partitionedUpdates(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val zeroed = customer.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit(0L).as("acctbal_cents"),
+        (col("c_acctbal") < -900).as("is_deleted"))
+    val inserts = supplier.select(
+      (col("s_suppkey") + 2000000L).as("c_custkey"),
+      lit("NEW").as("segment"),
+      asScaledLong(dec2(col("s_acctbal")), 2).as("acctbal_cents"),
+      lit(false).as("is_deleted"))
+    zeroed.unionByName(inserts)
+  }
+
+  /** q43b: seed a SEGMENT-PARTITIONED table, merge through the
+    * partition-scoped writer (only touched partitions rewritten), read
+    * back — the bounded-rewrite push-back path checked end-to-end
+    * through the real writer, like q43 checks the flat swap. */
+  def applyAndReadPartitioned(spark: SparkSession, customer: DataFrame,
+                              supplier: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmerge_").toString + "/state"
+    target(customer).write.mode("overwrite").partitionBy("segment").parquet(dir)
+    MergeWriter.applyToPartitioned(spark, dir, partitionedUpdates(customer, supplier),
+      "c_custkey", "segment", Some("is_deleted"))
+    spark.read.parquet(dir)
+      .select("c_custkey", "segment", "acctbal_cents")
+      .orderBy("c_custkey")
+  }
 }

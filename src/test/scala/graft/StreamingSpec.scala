@@ -123,6 +123,38 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed $streamedPairs vs batch $batchPairs")
   }
 
+  test("sketch aggregates run under streaming aggregation: KMV exactly, MG with its guarantee") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+      .select(col("user_id"))
+    val q = stream
+      .agg(
+        graft.functions.KmvSketch.kmv_sketch(xxhash64(col("user_id")), 64).as("kmv"),
+        graft.functions.MgSketch.mg_sketch(col("user_id"), 64).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("sketch_out").collect().head
+    val batchEvents = Tables.events(spark, sf).select(col("user_id"))
+    // KMV = the set of k smallest hashes: order-independent, so the
+    // streaming result is IDENTICAL to batch
+    val batchKmv = batchEvents
+      .agg(graft.functions.KmvSketch.kmv_sketch(xxhash64(col("user_id")), 64).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    assert(row.getSeq[Long](row.fieldIndex("kmv")) == batchKmv)
+    // MG candidate content is merge-order-dependent, but the no-miss
+    // guarantee is not: every user above N/(cap+1) share must be present
+    val counts = batchEvents.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = counts.map(_._2).sum
+    val mustKeep = counts.filter { case (_, c) => c * 65 > n }.map(_._1).toSet
+    val mg = row.getSeq[Long](row.fieldIndex("mg")).toSet
+    assert(mustKeep.subsetOf(mg), s"guaranteed heavy users missing: ${mustKeep.diff(mg)}")
+    assert(mg.size <= 64)
+  }
+
   test("stateful sessionizer emits closed + open sessions covering all events") {
     import spark.implicits._
     val events = Tables.events(spark, sf)

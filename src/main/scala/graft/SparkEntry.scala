@@ -260,12 +260,14 @@ object SparkEntry {
        |FROM documents) t WHERE sample_hash < thr ORDER BY doc_id""".stripMargin
   }
 
-  /** q57's oracle: same banded candidate pairs, then the SAME fixed
-    * number of min-label propagation rounds unrolled as CTEs — a
-    * deterministic bounded-round algorithm, so parity needs no
-    * fixpoint reasoning. */
+  /** q57's oracle: same banded candidate pairs, then the SAME number
+    * of min-label propagation rounds and pointer-jumping steps
+    * (constants shared with Dedup) unrolled as CTEs — a deterministic
+    * bounded-round algorithm, so parity needs no fixpoint reasoning. */
   private def dedupClustersSql: String = {
-    val rounds = (1 to 4).map { r =>
+    val R = graft.operators.Dedup.ClusterRounds
+    val J = graft.operators.Dedup.ClusterJumps
+    val rounds = (1 to R).map { r =>
       s"""l$r AS (SELECT v.doc_id,
          |LEAST(v.label, COALESCE(MIN(n.label), v.label)) AS label
          |FROM l${r - 1} v
@@ -273,14 +275,20 @@ object SparkEntry {
          |LEFT JOIN l${r - 1} n ON n.doc_id = e2.doc_b
          |GROUP BY v.doc_id, v.label)""".stripMargin
     }.mkString(",\n")
+    val jumps = (1 to J).map { j =>
+      val prev = if (j == 1) s"l$R" else s"j${j - 1}"
+      s"""j$j AS (SELECT a.doc_id, b.label
+         |FROM $prev a JOIN $prev b ON a.label = b.doc_id)""".stripMargin
+    }.mkString(",\n")
     s"""$minhashBandsSql,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |e2 AS (SELECT doc_a, doc_b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
        |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |$rounds
+       |$rounds,
+       |$jumps
        |SELECT doc_id, label AS cluster_id, doc_id = label AS is_canonical
-       |FROM l4 ORDER BY doc_id""".stripMargin
+       |FROM j$J ORDER BY doc_id""".stripMargin
   }
 
   /** q34's oracle: replicate the banded candidate generation (6 tables

@@ -126,32 +126,33 @@ object Dedup {
       .limit(topN)
   }
 
-  /** q57: near-dup CLUSTERS from the banding candidates — the
-    * connected-components step that turns pairwise candidates into
-    * dedup groups with an elected canonical (min doc_id reachable).
-    * Without it, a dup chain A~B, B~C keeps both A and B as "canonical"
-    * under naive pair-wise dropping.
+  /** number of min-label propagation rounds / pointer-jumping steps for
+    * [[nearDupClusters]] — shared with the generated q57 oracle SQL so
+    * the two can't desynchronize. Covered component diameter =
+    * ClusterRounds · 2^ClusterJumps. */
+  val ClusterRounds = 4
+  val ClusterJumps = 2
+
+  /** connected-component labels over an explicit edge list:
+    * `rounds` synchronous min-label propagation steps
+    * (label_r(v) = min label_{r-1} over N(v) ∪ {v}) followed by
+    * `jumps` pointer-jumping steps (label ← label(label)), which
+    * double the covered radius each time — components of diameter ≤
+    * rounds·2^jumps are exactly labeled with their min node id, and
+    * that min node is self-labeled (the elected canonical). Fixed
+    * bounds keep the operator deterministic (oracle-replayable).
     *
-    * Algorithm: `rounds` synchronous min-label propagation steps
-    * (label_r(v) = min label_{r-1} over N(v) ∪ {v}) — after r rounds
-    * every node holds the min doc_id within graph distance r, so any
-    * component of diameter ≤ rounds is exactly labeled. LSH candidate
-    * components are near-cliques (identical docs collide in every
-    * band), so a small fixed bound converges; being a FIXED bound makes
-    * the operator deterministic and therefore oracle-checkable (the
-    * SQL unrolls the same rounds). The candidate edge list is cached —
-    * it is reused every round, and recomputing the signature pipeline
-    * per round would dominate.
-    *
-    * Scale shape: per round, one join edges⋈labels + one min-groupBy —
-    * all linear shuffles on doc ids; this is the standard large-graph
-    * CC discipline (label propagation) rather than any driver-side
-    * union-find. */
-  def nearDupClusters(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val pairs = minhashCandidatePairs(docs)
+    * Each round is one join + one min-groupBy — linear shuffles on
+    * node ids, the standard large-graph CC discipline (no driver-side
+    * union-find). Labels are localCheckpoint'ed per step: CC iteration
+    * plans otherwise double per round (each step references the
+    * previous labels twice), and materialized rounds are what
+    * GraphX-style CC does at scale too. */
+  private[graft] def propagateLabels(nodes: DataFrame, pairs: DataFrame,
+                                     rounds: Int, jumps: Int): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    val init = docs.select(col("doc_id"), col("doc_id").as("label"))
+    val init = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     val propagated = (1 to rounds).foldLeft(init) { (lab, _) =>
       val nbrMin = edges
         .join(lab.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
@@ -159,12 +160,34 @@ object Dedup {
       lab.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
     }
-    propagated
+    val jumped = (1 to jumps).foldLeft(propagated) { (lab, _) =>
+      // label is always some node's doc_id, and every node has a label
+      // row, so the self-join is total
+      lab.alias("a")
+        .join(lab.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
+        .select(col("doc_id"), col("jump").as("label"))
+        .localCheckpoint()
+    }
+    edges.unpersist(blocking = false)
+    jumped
+  }
+
+  /** q57: near-dup CLUSTERS from the banding candidates — the
+    * connected-components step that turns pairwise candidates into
+    * dedup groups with an elected canonical (min doc_id reachable).
+    * Without it, a dup chain A~B, B~C keeps both A and B as "canonical"
+    * under naive pair-wise dropping. Components up to diameter 16
+    * (ClusterRounds · 2^ClusterJumps) are exactly labeled — LSH
+    * candidate components are near-cliques (identical docs collide in
+    * every band), so real dup-cluster diameters are tiny; raise the
+    * bounds (with the oracle) for adversarial chain data. */
+  def nearDupClusters(docs: DataFrame): DataFrame =
+    propagateLabels(docs, minhashCandidatePairs(docs), ClusterRounds, ClusterJumps)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
-  }
 
   /** SimHash: 60-bit signature from per-token hash bit votes, computed
     * row-local with a codegen'd native expression (the nested

@@ -99,31 +99,48 @@ object MergeWriter {
                          key: String, partCol: String,
                          deleteFlag: Option[String] = None): Unit = {
     val touched = updates.select(col(partCol)).distinct().collect().map(_.get(0))
+    // a NULL partition value would three-valued-NULL out of the isin
+    // filter below (existing null-partition rows silently dropped from
+    // the merge) — reject it instead of corrupting
+    require(!touched.contains(null),
+      s"applyToPartitioned: updates carry a NULL $partCol — null partitions are not mergeable")
     if (touched.nonEmpty) {
       val target = spark.read.parquet(path).filter(col(partCol).isin(touched: _*))
-      val merged = mergedState(target, updates, key, deleteFlag)
-      // a touched partition whose rows were ALL deleted emits no output,
-      // so dynamic overwrite would silently leave its old files alive —
-      // find those and drop their directories explicitly
-      val remaining = merged.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
-      val conf = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(conf)
-      spark.conf.set(conf, "dynamic")
-      try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set(conf, v)
-        case None    => spark.conf.unset(conf)
-      }
-      val emptied = touched.filterNot(remaining)
-      if (emptied.nonEmpty) {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { v =>
-          val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(partCol, String.valueOf(v))
-          fs.delete(new org.apache.hadoop.fs.Path(p, dirName), true)
+      // cache: the merged state is consumed twice (remaining-partition
+      // listing + the write) — without this the dominant full-outer
+      // join runs twice per merge
+      val merged = mergedState(target, updates, key, deleteFlag).cache()
+      try {
+        val remaining = merged.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
+        // a touched partition whose rows were ALL deleted emits no
+        // output, so dynamic overwrite would leave its old files alive.
+        // Drop those dirs BEFORE the write: their correct final state is
+        // absence, so a crash in between leaves a consistent (partially
+        // applied) table, and re-running the same merge heals it —
+        // deleting after the write instead would let deleted rows
+        // resurrect on a crash in the gap. Partition-level commit is
+        // not atomic across partitions (that needs a table format with
+        // a log); the merge is idempotent under replay, which is the
+        // recovery story here.
+        val emptied = touched.filterNot(remaining)
+        if (emptied.nonEmpty) {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptied.foreach { v =>
+            val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(partCol, String.valueOf(v))
+            fs.delete(new org.apache.hadoop.fs.Path(p, dirName), true)
+          }
         }
-      }
+        val conf = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(conf)
+        spark.conf.set(conf, "dynamic")
+        try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set(conf, v)
+          case None    => spark.conf.unset(conf)
+        }
+      } finally merged.unpersist(blocking = false)
     }
   }
 

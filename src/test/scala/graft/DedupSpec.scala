@@ -52,10 +52,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(10L)._1 == out(11L)._1, "second pair forms its own cluster")
     assert(out.values.count(_._2) == out.values.map(_._1).toSet.size,
       "exactly one canonical per cluster")
-    // fixed 4 rounds reached the fixpoint on this graph
-    val more = Dedup.nearDupClusters(chainDocs, rounds = 5).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out.view.mapValues(_._1).toMap == more, "labels stable beyond round 4")
+  }
+
+  test("label propagation + pointer jumping resolves long chains to one canonical") {
+    // a 14-node PATH graph — diameter 13, far beyond the 4 propagation
+    // rounds alone, but within rounds·2^jumps = 16
+    val nodes = (1L to 14L).map(Tuple1(_)).toDF("doc_id")
+    val pathEdges = (1L until 14L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(nodes, pathEdges,
+      Dedup.ClusterRounds, Dedup.ClusterJumps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.forall(_ == 1L),
+      s"whole path must collapse to the min node: $labels")
+    // ... and the elected canonical is a real member that is self-labeled
+    assert(labels(1L) == 1L)
   }
 
   test("simhash of identical docs is identical, near-dup is hamming-close") {

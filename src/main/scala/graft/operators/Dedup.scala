@@ -130,8 +130,8 @@ object Dedup {
     * [[nearDupClusters]] — shared with the generated q57 oracle SQL so
     * the two can't desynchronize. Covered component diameter =
     * ClusterRounds · 2^ClusterJumps. */
-  val ClusterRounds = 4
-  val ClusterJumps = 2
+  val ClusterRounds = 2
+  val ClusterJumps = 3
 
   /** connected-component labels over an explicit edge list:
     * `rounds` synchronous min-label propagation steps
@@ -144,15 +144,16 @@ object Dedup {
     *
     * Each round is one join + one min-groupBy — linear shuffles on
     * node ids, the standard large-graph CC discipline (no driver-side
-    * union-find). Labels are localCheckpoint'ed per step: CC iteration
-    * plans otherwise double per round (each step references the
-    * previous labels twice), and materialized rounds are what
-    * GraphX-style CC does at scale too. */
+    * union-find). Labels are localCheckpoint'ed per step: every step
+    * references the previous labels twice, so a lazy plan doubles per
+    * step, and materialized rounds are what GraphX-style CC does at
+    * scale too. Jumps cost one self-join each but double coverage, so
+    * the bounds favor few propagation rounds + more jumps. */
   private[graft] def propagateLabels(nodes: DataFrame, pairs: DataFrame,
                                      rounds: Int, jumps: Int): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    val init = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    val init = nodes.select(col("doc_id"), col("doc_id").as("label"))
     val propagated = (1 to rounds).foldLeft(init) { (lab, _) =>
       val nbrMin = edges
         .join(lab.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
@@ -162,7 +163,8 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
     }
-    val jumped = (1 to jumps).foldLeft(propagated) { (lab, _) =>
+    edges.unpersist(blocking = false)
+    (1 to jumps).foldLeft(propagated) { (lab, _) =>
       // label is always some node's doc_id, and every node has a label
       // row, so the self-join is total
       lab.alias("a")
@@ -170,8 +172,6 @@ object Dedup {
         .select(col("doc_id"), col("jump").as("label"))
         .localCheckpoint()
     }
-    edges.unpersist(blocking = false)
-    jumped
   }
 
   /** q57: near-dup CLUSTERS from the banding candidates — the

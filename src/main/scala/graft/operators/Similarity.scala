@@ -205,17 +205,30 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
       .toSeq
-    val refined = (1 to iters).foldLeft(seed)((c, _) => lloydStep(sample, c))
+    val refined =
+      if (seed.isEmpty) seed // empty corpus: no model, no Lloyd passes
+      else (1 to iters).foldLeft(seed)((c, _) => lloydStep(sample, c))
     sample.unpersist()
     refined
+  }
+
+  /** empty (query_id, neighbor_id, cos_bp, rank) frame — the defined
+    * ANN result over an empty corpus (no centroids → no candidates). */
+  private def emptyKnn(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("query_id", LongType), StructField("neighbor_id", LongType),
+        StructField("cos_bp", LongType), StructField("rank", LongType))))
   }
 
   /** IVF coarse quantizer: cell assignment by nearest centroid.
     * Centroids are driver-side by design: C×dim doubles is a
     * legitimate broadcast-sized model, the standard IVF shape. */
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
-    val (withDots, scores) =
-      withCellScores(withNorm(embeddings), ivfCentroids(embeddings, nCells))
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty) // empty corpus: keep the schema, zero rows
+      return withNorm(embeddings).withColumn("cell", lit(0))
+    val (withDots, scores) = withCellScores(withNorm(embeddings), cents)
     withDots
       .withColumn("cell", greatest(scores: _*).getField("cell"))
       .drop("__dots")
@@ -230,8 +243,9 @@ object Similarity {
     * at scale. */
   def knnIvf(embeddings: DataFrame, nCells: Int = 16,
              nQueries: Int = 20, k: Int = 10, nProbe: Int = 6): DataFrame = {
-    val (e, scores) =
-      withCellScores(withNorm(embeddings), ivfCentroids(embeddings, nCells))
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty) return emptyKnn(embeddings.sparkSession)
+    val (e, scores) = withCellScores(withNorm(embeddings), cents)
     val c = e.withColumn("cell", greatest(scores: _*).getField("cell"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
         col("norm").as("n_c"), col("cell"))

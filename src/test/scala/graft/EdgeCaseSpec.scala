@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Empty-input robustness: a user switching to this library will hit
+  * empty tables and empty partitions (fresh buckets, filtered views,
+  * off-hours streams). Every operator must return a defined — usually
+  * empty — frame, never throw. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val noDocs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  private lazy val noVecs: DataFrame =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family yields empty results on an empty corpus") {
+    assert(Dedup.minhashProfile(noDocs).isEmpty)
+    assert(Dedup.simhashProfile(noDocs).isEmpty)
+    assert(Dedup.jaccardVerify(noDocs).isEmpty)
+    assert(Dedup.nearDupClusters(noDocs).isEmpty)
+    assert(TextAnalysis.exactDedup(noDocs).isEmpty)
+  }
+
+  test("similarity family yields empty results on an empty corpus") {
+    assert(Similarity.knnBruteForce(noVecs).isEmpty)
+    assert(Similarity.knnLsh(noVecs).isEmpty)
+    assert(Similarity.knnIvf(noVecs).isEmpty, "IVF must not throw with zero centroids")
+    assert(Similarity.nearDupPairsBanded(noVecs).isEmpty)
+    assert(Similarity.ivfAssign(noVecs, nCells = 4).isEmpty)
+  }
+
+  test("corpus construction yields empty results on an empty corpus") {
+    assert(Corpus.stratifiedSample(noDocs, Seq("en" -> 1000), 2500).isEmpty)
+    assert(Corpus.tokenBudgetPack(noDocs, 1000L).isEmpty)
+    assert(Corpus.corpusPipeline(noDocs, Seq("en" -> 1000), 2500, 1000L).isEmpty)
+  }
+
+  test("frequency and validation report sanely over empty inputs") {
+    assert(Frequency.exactHeavyHitters(Seq.empty[Long].toDF("k"), col("k"), 100).isEmpty)
+    assert(Scale.hotKeys(Seq.empty[Long].toDF("k"), "k").isEmpty)
+    val rep = Validation.report(
+      Seq.empty[(Long, Double)].toDF("o_orderkey", "o_totalprice"),
+      Seq(Validation.InRange("o_totalprice", 0, 10)))
+    assert(rep.collect().forall(_.getAs[Long]("n_violations") == 0L),
+      "rules over an empty frame report zero violations, not nothing")
+  }
+}

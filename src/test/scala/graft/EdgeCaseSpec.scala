@@ -42,6 +42,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Corpus.corpusPipeline(noDocs, Seq("en" -> 1000), 2500, 1000L).isEmpty)
   }
 
+  test("a null text row neither crashes the text family nor hides other docs") {
+    val docs = Seq(
+      (1L, "clean alpha text here", "en", "src0", 21L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // each operator must process doc 1; doc 2 may yield nulls or drop,
+    // but must not throw
+    assert(TextAnalysis.qualityScore(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(TextAnalysis.tokenCounts(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(TextAnalysis.langId(docs).collect().nonEmpty)
+    assert(Dedup.minhashProfile(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(Dedup.simhashProfile(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(Corpus.corpusPipeline(docs, Seq("en" -> 1000), 2500, 1000L)
+      .filter($"doc_id" === 1L).count() == 1)
+    assert(Dedup.nearDupClusters(docs).filter($"doc_id" === 1L).count() == 1)
+  }
+
   test("frequency and validation report sanely over empty inputs") {
     assert(Frequency.exactHeavyHitters(Seq.empty[Long].toDF("k"), col("k"), 100).isEmpty)
     assert(Scale.hotKeys(Seq.empty[Long].toDF("k"), "k").isEmpty)

@@ -260,36 +260,24 @@ object SparkEntry {
        |FROM documents) t WHERE sample_hash < thr ORDER BY doc_id""".stripMargin
   }
 
-  /** q57's oracle: same banded candidate pairs, then the SAME number
-    * of min-label propagation rounds and pointer-jumping steps
-    * (constants shared with Dedup) unrolled as CTEs — a deterministic
-    * bounded-round algorithm, so parity needs no fixpoint reasoning. */
-  private def dedupClustersSql: String = {
-    val R = graft.operators.Dedup.ClusterRounds
-    val J = graft.operators.Dedup.ClusterJumps
-    val rounds = (1 to R).map { r =>
-      s"""l$r AS (SELECT v.doc_id,
-         |LEAST(v.label, COALESCE(MIN(n.label), v.label)) AS label
-         |FROM l${r - 1} v
-         |LEFT JOIN e2 ON e2.doc_a = v.doc_id
-         |LEFT JOIN l${r - 1} n ON n.doc_id = e2.doc_b
-         |GROUP BY v.doc_id, v.label)""".stripMargin
-    }.mkString(",\n")
-    val jumps = (1 to J).map { j =>
-      val prev = if (j == 1) s"l$R" else s"j${j - 1}"
-      s"""j$j AS (SELECT a.doc_id, b.label
-         |FROM $prev a JOIN $prev b ON a.label = b.doc_id)""".stripMargin
-    }.mkString(",\n")
-    s"""$minhashBandsSql,
+  /** q57's oracle checks the SPEC, not the algorithm: the Spark side
+    * iterates min-label propagation (+ pointer jumping) to a verified
+    * fixpoint, whose unique result is "label(v) = min doc_id reachable
+    * from v over the candidate edges" — computed here directly with a
+    * recursive reachability CTE over the same banded candidate pairs.
+    * Any correct CC algorithm matches this; an incorrect one (e.g. a
+    * bounded-round approximation that splits a component) cannot. */
+  private def dedupClustersSql: String =
+    s"""${minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |e2 AS (SELECT doc_a, doc_b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
-       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |$rounds,
-       |$jumps
-       |SELECT doc_id, label AS cluster_id, doc_id = label AS is_canonical
-       |FROM j$J ORDER BY doc_id""".stripMargin
-  }
+       |reach(doc_id, label) AS (
+       |SELECT doc_id, doc_id FROM documents
+       |UNION
+       |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
+       |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q34's oracle: replicate the banded candidate generation (6 tables
     * × 4 planes) and the exact-cosine threshold in DuckDB. */
@@ -712,8 +700,8 @@ object SparkEntry {
         |WHERE NOT (lang = predicted_lang) OR NOT (n_chars = computed_chars)
         |ORDER BY doc_id""".stripMargin,
     "q47_heavy_hitters" ->
-      """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
-        |WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      s"""WITH e AS (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events
+        |WHERE regexp_matches(json_extract_string(props, '$$.k'), '${graft.operators.Frequency.IntegerKeyPattern}')),
         |t AS (SELECT COUNT(*) AS n_total FROM e)
         |SELECT k, COUNT(*) AS n_occurrences, (10000 * COUNT(*)) // MAX(n_total) AS share_bp
         |FROM e CROSS JOIN t GROUP BY k

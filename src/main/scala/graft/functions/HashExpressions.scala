@@ -118,12 +118,19 @@ object HashExpressions {
       while (i < m) {
         md.reset()
         var j = 0
+        var wrote = false
         while (j < k && i + j < n) {
-          if (j > 0) md.update(0x20.toByte)
-          // null elements hash as empty strings: the function is exposed
-          // to SQL where containsNull arrays are common, and an NPE here
-          // escalates to a whole-query INTERNAL_ERROR via ConstantFolding
-          if (!a.isNullAt(i + j)) md.update(a.getUTF8String(i + j).getBytes)
+          // null elements are skipped entirely, separator included — the
+          // same semantics as DuckDB's array_to_string, which the oracle
+          // uses to join shingles, so the cross-engine contract holds
+          // even for SQL callers passing containsNull arrays (split()
+          // never produces them; an NPE here would escalate to a
+          // whole-query INTERNAL_ERROR via ConstantFolding)
+          if (!a.isNullAt(i + j)) {
+            if (wrote) md.update(0x20.toByte)
+            md.update(a.getUTF8String(i + j).getBytes)
+            wrote = true
+          }
           j += 1
         }
         out(i) = Md5Kernels.first60(md.digest())
@@ -154,10 +161,20 @@ object HashExpressions {
     * (2^61 ≡ 1), exact in plain long arithmetic via multiplyHigh — and
     * exactly reproducible in DuckDB HUGEINT arithmetic, so banded
     * candidates are oracle-checkable. One codegen loop: no explode, no
-    * per-permutation expression duplication, no shuffle. */
+    * per-permutation expression duplication, no shuffle.
+    *
+    * The shift-fold reduction is only valid for h ∈ [0, 2^60) — the
+    * range [[Md5Kernels.first60]] produces — and the function is also
+    * exposed to SQL on arbitrary array<bigint>, so each input is masked
+    * to its low 60 bits first (h & (2^60−1)). On in-range inputs the
+    * mask is the identity; out-of-range SQL inputs get well-defined
+    * "hash of the low 60 bits" semantics instead of silently leaving
+    * the (a·h+b) mod M contract. */
   case class AffineMinHash(child: Expression, as: Seq[Long], bs: Seq[Long])
       extends UnaryExpression {
     require(as.length == bs.length, "one (a,b) pair per permutation")
+
+    private val Mask60 = (1L << 60) - 1
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -173,7 +190,7 @@ object HashExpressions {
       val mins = Array.fill(as.length)(Long.MaxValue)
       var i = 0
       while (i < arr.numElements()) {
-        val h = arr.getLong(i)
+        val h = arr.getLong(i) & Mask60
         var p = 0
         while (p < as.length) {
           val hi = Math.multiplyHigh(as(p), h)
@@ -203,7 +220,7 @@ object HashExpressions {
            |long[] $mins = new long[$aArr.length];
            |java.util.Arrays.fill($mins, Long.MAX_VALUE);
            |for (int $i = 0; $i < $a.numElements(); $i++) {
-           |  long $h = $a.getLong($i);
+           |  long $h = $a.getLong($i) & ${Mask60}L;
            |  for (int $p = 0; $p < $aArr.length; $p++) {
            |    long $hi = Math.multiplyHigh($aArr[$p], $h);
            |    long $lo = $aArr[$p] * $h;

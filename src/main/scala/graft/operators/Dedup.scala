@@ -126,65 +126,68 @@ object Dedup {
       .limit(topN)
   }
 
-  /** number of min-label propagation rounds / pointer-jumping steps for
-    * [[nearDupClusters]] — shared with the generated q57 oracle SQL so
-    * the two can't desynchronize. Covered component diameter =
-    * ClusterRounds · 2^ClusterJumps. */
-  val ClusterRounds = 2
-  val ClusterJumps = 3
-
-  /** connected-component labels over an explicit edge list:
-    * `rounds` synchronous min-label propagation steps
-    * (label_r(v) = min label_{r-1} over N(v) ∪ {v}) followed by
-    * `jumps` pointer-jumping steps (label ← label(label)), which
-    * double the covered radius each time — components of diameter ≤
-    * rounds·2^jumps are exactly labeled with their min node id, and
-    * that min node is self-labeled (the elected canonical). Fixed
-    * bounds keep the operator deterministic (oracle-replayable).
+  /** connected-component labels over an explicit edge list, iterated to
+    * a VERIFIED fixpoint: each iteration runs one synchronous min-label
+    * propagation step (label(v) ← min label over N(v) ∪ {v}) and one
+    * pointer-jumping step (label ← label(label)), then checks whether
+    * any label changed. Both steps are monotone non-increasing (every
+    * label is a node id inside v's component, bounded below by the
+    * component minimum), so the loop terminates; and an unchanged
+    * iteration means the propagation step alone changed nothing, i.e.
+    * labels are equal across every edge — constant per component — so
+    * each label IS the component minimum. Exact connected components at
+    * ANY diameter, with the minimum node self-labeled (the elected
+    * canonical). Pointer jumping alone can never merge two self-labeled
+    * local minima (a root maps to itself), so it serves only as an
+    * accelerator here — the fixpoint check is the correctness argument.
     *
-    * Each round is one join + one min-groupBy — linear shuffles on
-    * node ids, the standard large-graph CC discipline (no driver-side
-    * union-find). Labels are localCheckpoint'ed per step: every step
-    * references the previous labels twice, so a lazy plan doubles per
-    * step, and materialized rounds are what GraphX-style CC does at
-    * scale too. Jumps cost one self-join each but double coverage, so
-    * the bounds favor few propagation rounds + more jumps. */
-  private[graft] def propagateLabels(nodes: DataFrame, pairs: DataFrame,
-                                     rounds: Int, jumps: Int): DataFrame = {
+    * Each iteration is two linear shuffles (edge join + min-groupBy,
+    * then the label self-join) plus one convergence count — the
+    * standard large-graph CC discipline (no driver-side union-find,
+    * nothing driver-sized collected). Labels are localCheckpoint'ed per
+    * step so the plan stays flat across iterations. With jumping the
+    * iteration count is O(log diameter); LSH dup components are
+    * near-cliques (identical docs collide in every band), so real
+    * corpora converge in 2–3 iterations. The fixpoint is unique and
+    * algorithm-independent — the q57 oracle therefore checks the SPEC
+    * (min reachable doc_id per node, via a recursive CTE) rather than
+    * replaying these steps. */
+  private[graft] def propagateLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    val init = nodes.select(col("doc_id"), col("doc_id").as("label"))
-    val propagated = (1 to rounds).foldLeft(init) { (lab, _) =>
+    var lab = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    while (!converged) {
       val nbrMin = edges
         .join(lab.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
-      lab.join(nbrMin, Seq("doc_id"), "left")
+      val prop = lab.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
-    }
-    edges.unpersist(blocking = false)
-    (1 to jumps).foldLeft(propagated) { (lab, _) =>
       // label is always some node's doc_id, and every node has a label
-      // row, so the self-join is total
-      lab.alias("a")
-        .join(lab.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
+      // row, so the jump self-join is total
+      val jumped = prop
+        .join(prop.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
         .select(col("doc_id"), col("jump").as("label"))
         .localCheckpoint()
+      converged = jumped
+        .join(lab.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") < col("prev")).isEmpty
+      lab = jumped
     }
+    edges.unpersist(blocking = false)
+    lab
   }
 
   /** q57: near-dup CLUSTERS from the banding candidates — the
     * connected-components step that turns pairwise candidates into
     * dedup groups with an elected canonical (min doc_id reachable).
     * Without it, a dup chain A~B, B~C keeps both A and B as "canonical"
-    * under naive pair-wise dropping. Components up to diameter 16
-    * (ClusterRounds · 2^ClusterJumps) are exactly labeled — LSH
-    * candidate components are near-cliques (identical docs collide in
-    * every band), so real dup-cluster diameters are tiny; raise the
-    * bounds (with the oracle) for adversarial chain data. */
+    * under naive pair-wise dropping. Labels are exact for any component
+    * shape (verified fixpoint, see [[propagateLabels]]). */
   def nearDupClusters(docs: DataFrame): DataFrame =
-    propagateLabels(docs, minhashCandidatePairs(docs), ClusterRounds, ClusterJumps)
+    propagateLabels(docs, minhashCandidatePairs(docs))
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")

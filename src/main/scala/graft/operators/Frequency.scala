@@ -49,10 +49,19 @@ object Frequency {
       .orderBy("k")
   }
 
+  /** Rows whose raw extracted `$.k` string is a strict integer literal
+    * that fits a BIGINT — the SAME regexp gates the DuckDB oracle, so
+    * the heavy-hitter denominator (n_total) is defined identically in
+    * both engines regardless of what the JSON holds (a bare cast would
+    * diverge: Spark ANSI errors on non-numerics, DuckDB hard-casts). */
+  val IntegerKeyPattern = "^-?[0-9]{1,18}$"
+
   /** q47 instance: heavy hitters of the JSON `k` property over events
     * (share > 0.5%). */
-  def eventKeyHeavyHitters(events: DataFrame): DataFrame =
-    exactHeavyHitters(events,
-      get_json_object(col("props"), "$.k").cast(org.apache.spark.sql.types.LongType),
+  def eventKeyHeavyHitters(events: DataFrame): DataFrame = {
+    val raw = get_json_object(col("props"), "$.k")
+    exactHeavyHitters(events.filter(raw.rlike(IntegerKeyPattern)),
+      raw.cast(org.apache.spark.sql.types.LongType),
       phiBp = 50, capacity = 256)
+  }
 }

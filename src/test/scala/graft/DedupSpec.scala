@@ -54,18 +54,48 @@ class DedupSpec extends AnyFunSuite {
       "exactly one canonical per cluster")
   }
 
-  test("label propagation + pointer jumping resolves long chains to one canonical") {
-    // a 14-node PATH graph — diameter 13, far beyond the 4 propagation
-    // rounds alone, but within rounds·2^jumps = 16
+  test("label propagation resolves long chains to one canonical") {
+    // a 14-node PATH graph — diameter 13, far beyond any single
+    // propagation round; the fixpoint loop must still collapse it
     val nodes = (1L to 14L).map(Tuple1(_)).toDF("doc_id")
     val pathEdges = (1L until 14L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.propagateLabels(nodes, pathEdges,
-      Dedup.ClusterRounds, Dedup.ClusterJumps)
+    val labels = Dedup.propagateLabels(nodes, pathEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.forall(_ == 1L),
       s"whole path must collapse to the min node: $labels")
     // ... and the elected canonical is a real member that is self-labeled
     assert(labels(1L) == 1L)
+  }
+
+  test("label propagation merges multiple local minima (non-monotone ids)") {
+    // path 2-9-10-11-1: nodes 2 and 1 are both local id-minima, so a
+    // bounded rounds-then-jumps scheme splits the component into {2,9}
+    // and {10,11,1} — pointer jumping can never merge two self-labeled
+    // roots. The verified fixpoint must label everything 1.
+    val ids = Seq(2L, 9L, 10L, 11L, 1L)
+    val nodes = ids.map(Tuple1(_)).toDF("doc_id")
+    val edges = ids.zip(ids.tail).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == ids.map(_ -> 1L).toMap,
+      s"one component, canonical 1: $labels")
+  }
+
+  test("label propagation is exact on a shuffled multi-component graph") {
+    // 30 nodes with permuted ids in 3 path components + isolates;
+    // compare against a driver-side union-find ground truth
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((1L to 30L).toVector)
+    val comps = Seq(ids.slice(0, 12), ids.slice(12, 20), ids.slice(20, 25))
+    val edgeList = comps.flatMap(c => c.zip(c.tail))
+    val nodes = ids.map(Tuple1(_)).toDF("doc_id")
+    val edges = edgeList.toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ids.map { id =>
+      id -> comps.find(_.contains(id)).map(_.min).getOrElse(id)
+    }.toMap
+    assert(labels == want, s"fixpoint labels must equal true components")
   }
 
   test("simhash of identical docs is identical, near-dup is hamming-close") {

@@ -42,6 +42,18 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want
     }
 
+  property("affine minhash masks arbitrary bigint inputs to their low 60 bits") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.nonEmptyListOf(paramGen)) { (hs, ps) =>
+      val expr = AffineMinHash(Literal.create(null, ArrayType(LongType)),
+        ps.map(_._1), ps.map(_._2))
+      val got = expr.nullSafeEval(longArray(hs)).asInstanceOf[ArrayData].toLongArray.toSeq
+      val want = ps.map { case (a, b) =>
+        hs.map(h => ((BigInt(a) * (h & ((1L << 60) - 1)) + b) mod BigInt(M)).toLong).min
+      }
+      got == want
+    }
+
   property("affine minhash is invariant to element order and duplication") =
     Prop.forAll(Gen.nonEmptyListOf(hash60Gen), Gen.nonEmptyListOf(paramGen)) { (hs, ps) =>
       val expr = AffineMinHash(Literal.create(null, ArrayType(LongType)),
@@ -69,6 +81,27 @@ object KernelProperties extends Properties("graft.kernels") {
         java.lang.Long.parseLong(hex.take(15), 16)
       }
       got == want && got.forall(h => h >= 0 && h < (1L << 60))
+    }
+
+  property("md5 shingle hashes skip null tokens like array_to_string") =
+    Prop.forAll(tokenGen, Gen.chooseNum(1, 4)) { (tokens, k) =>
+      // interleave nulls between real tokens; the digest must equal the
+      // null-free shingle joined with single spaces (separator dropped
+      // with the element, exactly DuckDB array_to_string semantics)
+      val withNulls: Seq[String] = tokens.flatMap(t => Seq(null, t)) :+ null
+      val expr = Md5ShingleHashes(Literal.create(null, ArrayType(StringType)), k)
+      val arr = ArrayData.toArrayData(
+        withNulls.map(t => if (t == null) null else UTF8String.fromString(t)).toArray)
+      val got = expr.kernel(arr).toLongArray.toSeq
+      val n = withNulls.length
+      val m = math.max(n - k + 1, 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = (0 until m).map { i =>
+        val s = withNulls.slice(i, math.min(i + k, n)).filter(_ != null).mkString(" ")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      got == want
     }
 
   // ---- ArraySimhash: multiset semantics on 60-bit inputs

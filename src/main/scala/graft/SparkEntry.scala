@@ -111,6 +111,9 @@ object SparkEntry {
       Tables.documents(s, d), SampleRates, SampleDefaultBp, PipelineBudget)),
     "q56_batch_fix" -> ((s, d) => Curation.orderFixes(Tables.orders(s, d))),
     "q57_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
+    "q54_repetition" -> ((s, d) => TextAnalysis.repetitionScreen(Tables.documents(s, d))),
+    "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
+    "q59_containment" -> ((s, d) => Dedup.containmentVerify(Tables.documents(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -278,6 +281,81 @@ object SparkEntry {
        |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB expression for the k-word shingle strings of a token list
+    * `tk` — the same semantics as Md5ShingleHashes: shingle i joins
+    * tokens i..i+k-1 with one space; arrays shorter than k yield one
+    * shingle over all tokens. */
+  private def shingleListSql(k: Int): String =
+    if (k == 1) "tk"
+    else
+      s"""CASE WHEN len(tk) < $k THEN [array_to_string(tk, ' ')]
+         |ELSE [array_to_string(tk[i:i+${k - 1}], ' ') FOR i IN range(1, len(tk) - ${k - 2})] END""".stripMargin
+
+  /** per-doc 60-bit shingle-hash rows for one n-gram size: CTE body
+    * `(doc_id, h)` over `toks(doc_id, tk)`. */
+  private def shingleHashSql(k: Int): String =
+    s"""SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |FROM (SELECT doc_id, unnest(${shingleListSql(k)}) AS s FROM toks) t$k""".stripMargin
+
+  /** q54's oracle: per-n-gram-size frequency stats via unnest+GROUP BY
+    * (the set-semantics ground truth for the row-local codegen kernel),
+    * thresholds shared with TextAnalysis so both engines cut at the
+    * same literals. */
+  private def repetitionSql: String = {
+    val stats = Seq(1, 2, 3).map { k =>
+      s"""f$k AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd, MAX(c) AS mc
+         |FROM (SELECT doc_id, h, COUNT(*) AS c FROM (${shingleHashSql(k)}) GROUP BY doc_id, h) g$k
+         |GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
+       |$stats,
+       |bp AS (SELECT f1.doc_id,
+       |(10000 * f1.mc) // nullif(f1.n, 0) AS top_token_bp,
+       |(10000 * f2.mc) // nullif(f2.n, 0) AS top_2gram_bp,
+       |(10000 * (f3.n - f3.nd)) // nullif(f3.n, 0) AS dup_3gram_bp
+       |FROM f1 JOIN f2 USING (doc_id) JOIN f3 USING (doc_id))
+       |SELECT doc_id, top_token_bp, top_2gram_bp, dup_3gram_bp,
+       |top_token_bp > ${TextAnalysis.TopTokenMaxBp}
+       | OR top_2gram_bp > ${TextAnalysis.Top2GramMaxBp}
+       | OR dup_3gram_bp > ${TextAnalysis.Dup3GramMaxBp} AS is_repetitive
+       |FROM bp ORDER BY doc_id""".stripMargin
+  }
+
+  /** q58's oracle: distinct k=3 shingle hashes per doc, benchmark set =
+    * the same deterministic id rule, overlap via LEFT JOIN counts. */
+  private def decontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
+       |hsh AS (SELECT DISTINCT doc_id, h FROM (${shingleHashSql(3)}) t),
+       |bench AS (SELECT DISTINCT h FROM hsh WHERE doc_id % ${graft.operators.Dedup.BenchmarkMod} = 0),
+       |corpus AS (SELECT doc_id, h FROM hsh WHERE doc_id % ${graft.operators.Dedup.BenchmarkMod} <> 0)
+       |SELECT doc_id, COUNT(*) AS n_shingles, COUNT(b.h) AS n_shared,
+       |(10000 * COUNT(b.h)) // nullif(COUNT(*), 0) AS contam_bp,
+       |COUNT(b.h) > 0 AS is_contaminated
+       |FROM corpus c LEFT JOIN bench b ON c.h = b.h
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q59's oracle: same candidate universe as q33 (bands ∪ control),
+    * asymmetric containment instead of Jaccard. */
+  private def containmentSql: String =
+    s"""$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |ctrl AS (SELECT d.doc_id AS doc_a, d.doc_id + 1 AS doc_b FROM documents d
+       |WHERE EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
+       |pairs AS (SELECT doc_a, doc_b, MIN(src) AS pair_source FROM (
+       |SELECT doc_a, doc_b, 'lsh' AS src FROM cand
+       |UNION ALL SELECT doc_a, doc_b, 'control' FROM ctrl) u GROUP BY doc_a, doc_b),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |scored AS (SELECT p.doc_a, p.doc_b, p.pair_source,
+       |CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT) AS n_common,
+       |CAST(len(sa.hs) AS BIGINT) AS n_a, CAST(len(sb.hs) AS BIGINT) AS n_b
+       |FROM pairs p JOIN sets sa ON p.doc_a = sa.doc_id JOIN sets sb ON p.doc_b = sb.doc_id),
+       |s2 AS (SELECT *, (10000 * n_common) // nullif(n_a, 0) AS cont_a_bp,
+       |(10000 * n_common) // nullif(n_b, 0) AS cont_b_bp FROM scored),
+       |s3 AS (SELECT *, greatest(cont_a_bp, cont_b_bp) AS cont_max_bp FROM s2)
+       |SELECT doc_a, doc_b, pair_source, n_common, n_a, n_b, cont_a_bp, cont_b_bp, cont_max_bp
+       |FROM s3 ORDER BY cont_max_bp DESC NULLS LAST, doc_a, doc_b LIMIT 200""".stripMargin
 
   /** q34's oracle: replicate the banded candidate generation (6 tables
     * × 4 planes) and the exact-cosine threshold in DuckDB. */
@@ -556,6 +634,9 @@ object SparkEntry {
     "q32_dedup_simhash" -> simhashProfileSql,
     "q33_dedup_ngram_jaccard" -> jaccardVerifySql,
     "q57_dedup_clusters" -> dedupClustersSql,
+    "q54_repetition" -> repetitionSql,
+    "q58_decontaminate" -> decontaminateSql,
+    "q59_containment" -> containmentSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

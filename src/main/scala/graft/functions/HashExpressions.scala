@@ -240,6 +240,65 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Frequency stats of an array<bigint> in one row-local pass:
+    * `[n, n_distinct, max_count]` over the non-null elements — the
+    * building block of the repetition-quality screens (top-n-gram
+    * share, duplicate-n-gram share). Computing these with
+    * explode+groupBy would shuffle corpus-size n-gram rows; computing
+    * them with higher-order aggregate lambdas evaluates interpreted
+    * (the measured 100×-slowdown trap the minhash kernel hit) — this
+    * is a sort+run-scan inside whole-stage codegen instead. */
+  case class ArrayFreqStats(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"array_freq_stats expects array<bigint>, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "array_freq_stats"
+
+    def kernel(a: ArrayData): ArrayData = {
+      val total = a.numElements()
+      var n = 0
+      val xs = new Array[Long](total)
+      var i = 0
+      while (i < total) {
+        if (!a.isNullAt(i)) { xs(n) = a.getLong(i); n += 1 }
+        i += 1
+      }
+      if (n == 0)
+        return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0L, 0L, 0L))
+      java.util.Arrays.sort(xs, 0, n)
+      var distinct = 1L
+      var maxCount = 1L
+      var run = 1L
+      i = 1
+      while (i < n) {
+        if (xs(i) == xs(i - 1)) {
+          run += 1
+          if (run > maxCount) maxCount = run
+        } else {
+          distinct += 1
+          run = 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(n.toLong, distinct, maxCount))
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("freqStats", this, classOf[ArrayFreqStats].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def literalInt(e: Expression, fn: String): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(
@@ -250,6 +309,7 @@ object HashExpressions {
     * [[registerSql]], so the two registration paths can't drift. */
   val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> ((exprs: Seq[Expression]) => ArraySimhash(exprs.head)),
+    "array_freq_stats" -> ((exprs: Seq[Expression]) => ArrayFreqStats(exprs.head)),
     "md5_shingle_hashes" -> ((exprs: Seq[Expression]) =>
       Md5ShingleHashes(exprs(0), literalInt(exprs(1), "md5_shingle_hashes"))),
     "affine_minhash" -> ((exprs: Seq[Expression]) => {
@@ -265,6 +325,9 @@ object HashExpressions {
     sqlBuilders.foreach { case (name, builder) =>
       ColumnBridge.registerFunction(spark, name, builder)
     }
+
+  def array_freq_stats(hashes: Column): Column =
+    ColumnBridge.column(ArrayFreqStats(ColumnBridge.expression(hashes)))
 
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))

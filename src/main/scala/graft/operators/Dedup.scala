@@ -100,12 +100,12 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** q33: exact word-shingle Jaccard on candidate pairs (the verify
-    * pass after LSH). Candidates = band pairs ∪ a deterministic control
-    * sample of adjacent ids (so the calibration output is never empty
-    * on a dup-free corpus). jaccard_bp is integer basis points —
-    * hash-stable. */
-  def jaccardVerify(docs: DataFrame, k: Int = 3, topN: Int = 200): DataFrame = {
+  /** candidate pairs for the verify passes: LSH band pairs ∪ a
+    * deterministic control sample of adjacent ids (so calibration
+    * output is never empty on a dup-free corpus), each joined to both
+    * sides' distinct shingle sets. Shared by q33 (Jaccard) and q59
+    * (containment) so the two screens score the same pair universe. */
+  private def scoredCandidatePairs(docs: DataFrame, k: Int): DataFrame = {
     val control = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .withColumn("pair_source", lit("control"))
@@ -116,6 +116,13 @@ object Dedup {
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+  }
+
+  /** q33: exact word-shingle Jaccard on candidate pairs (the verify
+    * pass after LSH). jaccard_bp is integer basis points —
+    * hash-stable. */
+  def jaccardVerify(docs: DataFrame, k: Int = 3, topN: Int = 200): DataFrame =
+    scoredCandidatePairs(docs, k)
       .select(col("doc_a"), col("doc_b"), col("pair_source"),
         size(array_intersect(col("sh_a"), col("sh_b")))
           .cast(org.apache.spark.sql.types.LongType).as("n_common"),
@@ -124,6 +131,52 @@ object Dedup {
       .withColumn("jaccard_bp", expr("(10000 * n_common) DIV nullif(n_union, 0)"))
       .orderBy(col("jaccard_bp").desc, col("doc_a"), col("doc_b"))
       .limit(topN)
+
+  /** q59: asymmetric shingle CONTAINMENT on the same candidate pairs —
+    * containment(A→B) = |A∩B| / |A|. Symmetric Jaccard dilutes a short
+    * doc quoted inside a long one (small |A∩B| / big |A∪B|), which is
+    * exactly the inclusion duplication a training corpus needs flagged;
+    * containment scores it 1.0. Same scale discipline as q33: scored
+    * only on banding candidates + the control sample, never all pairs. */
+  def containmentVerify(docs: DataFrame, k: Int = 3, topN: Int = 200): DataFrame =
+    scoredCandidatePairs(docs, k)
+      .select(col("doc_a"), col("doc_b"), col("pair_source"),
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_common"),
+        size(col("sh_a")).cast(org.apache.spark.sql.types.LongType).as("n_a"),
+        size(col("sh_b")).cast(org.apache.spark.sql.types.LongType).as("n_b"))
+      .withColumn("cont_a_bp", expr("(10000 * n_common) DIV nullif(n_a, 0)"))
+      .withColumn("cont_b_bp", expr("(10000 * n_common) DIV nullif(n_b, 0)"))
+      .withColumn("cont_max_bp", greatest(col("cont_a_bp"), col("cont_b_bp")))
+      .orderBy(col("cont_max_bp").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+
+  /** documents belonging to the stand-in "benchmark"/eval split —
+    * a deterministic id rule standing in for an external eval table;
+    * shared with the q58 oracle SQL. */
+  val BenchmarkMod = 20
+
+  /** q58: benchmark DECONTAMINATION — flag corpus documents sharing
+    * k-gram shingles with the benchmark/eval set, the standard screen
+    * before LLM training (test-set n-grams must not leak into training
+    * data). Scale shape: the benchmark's distinct shingle set is
+    * eval-suite-sized (fixed, small) and is BROADCAST; the corpus side
+    * explodes its shingles row-locally and probes the broadcast, then
+    * one partial-aggregated groupBy on doc_id. The corpus is never
+    * shuffled on the shingle key, so cost is linear in corpus size
+    * regardless of benchmark count. */
+  def decontaminate(docs: DataFrame, k: Int = 3): DataFrame = {
+    val bench = docs.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(explode(shingleSet(col("text"), k)).as("h")).distinct()
+    val corpus = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .select(col("doc_id"), explode(shingleSet(col("text"), k)).as("h"))
+    corpus
+      .join(broadcast(bench.withColumn("__hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_shared"))
+      .withColumn("contam_bp", expr("(10000 * n_shared) DIV nullif(n_shingles, 0)"))
+      .withColumn("is_contaminated", col("n_shared") > 0)
+      .orderBy("doc_id")
   }
 
   /** connected-component labels over an explicit edge list, iterated to

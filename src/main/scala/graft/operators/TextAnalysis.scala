@@ -93,6 +93,40 @@ object TextAnalysis {
           .cast(LongType).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** repetition flag thresholds (basis points) — shared with the q54
+    * oracle SQL so both engines cut at the same literals. The shape
+    * follows the published MassiveText/Gopher repetition filters
+    * (top-n-gram share, duplicate-n-gram share), re-based to word
+    * n-grams since this corpus has no line structure. */
+  val TopTokenMaxBp = 1000L
+  val Top2GramMaxBp = 2000L
+  val Dup3GramMaxBp = 3000L
+
+  /** q54: repetition-quality screen — share of the most frequent
+    * token, share of the most frequent word 2-gram, duplicate word
+    * 3-gram share, each in integer basis points, plus the keep flag.
+    * Everything is row-local: per n-gram size one codegen kernel pass
+    * (shingle hashes → sort+run-scan frequency stats, no explode, no
+    * shuffle of n-gram rows), so the operator is a single corpus scan
+    * plus the output sort — the shape that survives 100 TB, where an
+    * explode+groupBy over 3-grams would shuffle 3× the corpus token
+    * count. */
+  def repetitionScreen(documents: DataFrame): DataFrame = {
+    def stats(k: Int) = graft.functions.HashExpressions.array_freq_stats(
+      Dedup.shingleHashes(col("text"), k))
+    documents
+      .select(col("doc_id"), stats(1).as("s1"), stats(2).as("s2"), stats(3).as("s3"))
+      .select(col("doc_id"),
+        expr("(10000 * s1[2]) DIV nullif(s1[0], 0)").as("top_token_bp"),
+        expr("(10000 * s2[2]) DIV nullif(s2[0], 0)").as("top_2gram_bp"),
+        expr("(10000 * (s3[0] - s3[1])) DIV nullif(s3[0], 0)").as("dup_3gram_bp"))
+      .withColumn("is_repetitive",
+        col("top_token_bp") > TopTokenMaxBp ||
+          col("top_2gram_bp") > Top2GramMaxBp ||
+          col("dup_3gram_bp") > Dup3GramMaxBp)
+      .orderBy("doc_id")
+  }
+
   /** canonical form used for fingerprinting: lowercase, strip
     * non-alphanumerics, collapse whitespace. */
   def canonicalText(c: Column): Column =

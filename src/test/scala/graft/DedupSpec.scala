@@ -98,6 +98,37 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == want, s"fixpoint labels must equal true components")
   }
 
+  test("decontamination flags corpus docs overlapping the benchmark split") {
+    // doc 0 and 20 are benchmark (id % 20 == 0); doc 1 copies doc 0,
+    // doc 2 is unrelated
+    val docs = Seq(
+      (0L, base), (20L, distinctDoc.replace("other1", "unique")),
+      (1L, base), (2L, (1 to 60).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(0L) && !out.contains(20L), "benchmark docs are not scored")
+    assert(out(1L).getAs[Long]("contam_bp") == 10000L, "verbatim copy is fully contaminated")
+    assert(out(1L).getAs[Boolean]("is_contaminated"))
+    assert(out(2L).getAs[Long]("n_shared") == 0L)
+    assert(!out(2L).getAs[Boolean]("is_contaminated"))
+  }
+
+  test("containment catches a short doc quoted inside a long one") {
+    val longDoc = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val shortDoc = (1 to 20).map(i => s"tok$i").mkString(" ")  // prefix quote
+    // adjacent ids → the control sample guarantees the (1,2) pair is scored
+    val docs = Seq((1L, shortDoc), (2L, longDoc)).toDF("doc_id", "text")
+    val row = Dedup.containmentVerify(docs).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(row.getAs[Long]("cont_a_bp") == 10000L, "short doc fully contained")
+    assert(row.getAs[Long]("cont_b_bp") < 3000L, "long doc mostly novel")
+    // the symmetric Jaccard for the same pair dilutes the signal
+    val jac = Dedup.jaccardVerify(docs).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(jac.getAs[Long]("jaccard_bp") < 3000L)
+  }
+
   test("simhash of identical docs is identical, near-dup is hamming-close") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -104,6 +104,21 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want
     }
 
+  // ---- ArrayFreqStats: sort+run-scan equals naive groupBy counts
+
+  property("array_freq_stats equals naive frequency map on non-null elements") =
+    Prop.forAll(Gen.listOf(Gen.option(Gen.chooseNum(-50L, 50L)))) { xs =>
+      val expr = graft.functions.HashExpressions.ArrayFreqStats(
+        Literal.create(null, ArrayType(LongType)))
+      val arr = ArrayData.toArrayData(xs.map(_.map(Long.box).orNull).toArray)
+      val got = expr.kernel(arr).toLongArray.toSeq
+      val vals = xs.flatten
+      val counts = vals.groupBy(identity).view.mapValues(_.size.toLong)
+      val want = Seq(vals.size.toLong, counts.size.toLong,
+        if (vals.isEmpty) 0L else counts.values.max)
+      got == want
+    }
+
   // ---- ArraySimhash: multiset semantics on 60-bit inputs
 
   property("simhash is order-invariant and stays within 60 bits") =

@@ -68,4 +68,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     val perDoc = frames.groupBy("doc_id").count().collect()
     assert(perDoc.forall(_.getLong(1) >= 1))
   }
+
+  test("repetition screen flags dominated and looping docs, passes diverse text") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("x").mkString(" ")),             // one token repeated
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")),    // all distinct
+      (3L, Seq.fill(8)("a b c").mkString(" "))           // looping phrase
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScreen(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("top_token_bp") == 10000L)
+    assert(out(1L).getAs[Long]("top_2gram_bp") == 10000L)
+    // 8 three-gram occurrences, 1 distinct → (8-1)/8 = 8750 bp
+    assert(out(1L).getAs[Long]("dup_3gram_bp") == 8750L)
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    assert(out(2L).getAs[Long]("top_token_bp") == 10000L / 60)
+    assert(out(2L).getAs[Long]("dup_3gram_bp") == 0L)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+    // "a b c" ×8 = 24 tokens, top token share 8/24 = 3333 bp
+    assert(out(3L).getAs[Long]("top_token_bp") == 3333L)
+    assert(out(3L).getAs[Boolean]("is_repetitive"))
+  }
 }

@@ -45,4 +45,39 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("fingerprint")
       .filter(col("is_quality") && col("sampled"))
       .select("doc_id", "lang", "fingerprint", "alpha_bp")
+
+  /** documents schema when the SOURCE carries the ingest timestamp —
+    * event time, not processing time. */
+  val docsWithTsSchema: StructType = StructType(
+    docsSchema.fields :+ StructField("ingest_ts", TimestampType))
+
+  def readDocStreamWithTs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsWithTsSchema).parquet(dir)
+
+  /** EVENT-TIME corpus screen: identical verdict expressions, but the
+    * watermark and dedup state are keyed on the source's own ingest_ts
+    * column. Unlike the processing-time variant above, this is
+    * REPLAYABLE — reprocessing the same input from a checkpoint (or a
+    * backfill) advances the watermark through the same event-time
+    * sequence and reaches the same verdicts, which is what an audited
+    * training-data pipeline needs. State is still bounded by the
+    * watermark horizon. */
+  def corpusScreenEventTime(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
+                            defaultBp: Int): DataFrame =
+    Corpus.withScreenColumns(docs, rateBpByLang, defaultBp)
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .filter(col("is_quality") && col("sampled"))
+      .select("doc_id", "lang", "fingerprint", "alpha_bp", "ingest_ts")
+
+  /** event-time ingest monitoring: per-hour × language document counts
+    * under the watermark — the operational feed of a document ingest
+    * pipeline (in append mode each window finalizes exactly once, when
+    * the watermark passes its end). One shuffle on (window, lang);
+    * state is one watermark horizon of open windows per language. */
+  def hourlyLangCounts(docs: DataFrame): DataFrame =
+    docs.withWatermark("ingest_ts", "1 hour")
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("lang"), col("n"))
 }

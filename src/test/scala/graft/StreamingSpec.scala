@@ -65,6 +65,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("event-time corpus screen matches batch verdicts and dedups across restarts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_evt_docs")
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    val rates = Seq("en" -> 1000, "zh" -> 5000)
+    // deterministic event time: epoch + doc_id seconds
+    def stage(docs: org.apache.spark.sql.DataFrame): Unit = docs
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") * 1000000L) + 1600000000000000L))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // memory sink can't resume from a checkpoint — use the real file
+    // sink, which is also what an ingest pipeline would write
+    val outDir = base.resolve("out").toString
+    def runScreen(): Set[Long] = {
+      val stream = graft.streaming.DocStreams.readDocStreamWithTs(spark, srcDir)
+      val q = graft.streaming.DocStreams.corpusScreenEventTime(stream, rates, 2500)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(outDir).collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+
+    stage(Tables.documents(spark, sf).orderBy("doc_id"))
+    val streamed = runScreen()
+    val batch = graft.operators.Corpus.corpusPipeline(
+      Tables.documents(spark, sf), rates, 2500, budgetPerLang = Long.MaxValue)
+      .filter(col("is_quality") && col("sampled") && col("keep_dedup"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed == batch,
+      s"only-stream=${streamed.diff(batch)} only-batch=${batch.diff(streamed)}")
+
+    // restart from the checkpoint: a re-sent copy of a kept doc (same
+    // fingerprint, in-watermark event time) must NOT be emitted again;
+    // a genuinely new doc must be
+    val keptId = streamed.max
+    val keptText = Tables.documents(spark, sf)
+      .filter(col("doc_id") === keptId).collect().head.getAs[String]("text")
+    stage(Seq(
+      (90001L, keptText, "en", "resend", keptText.length.toLong),
+      (90002L, ("fresh doc " + (1 to 40).map(i => s"nv$i").mkString(" ")), "en", "new", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val after = runScreen()
+    assert(!after.contains(90001L), "duplicate content re-sent across restart must stay deduped")
+  }
+
+  test("event-time hourly language counts equal the batch aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt_counts").toString
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") % 7) * 3600000000L + 1600000000000000L))
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    val stream = graft.streaming.DocStreams.readDocStreamWithTs(spark, dir)
+    val q = graft.streaming.DocStreams.hourlyLangCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("evt_counts_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("evt_counts_out")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = docs
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("h"), col("lang"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session windows match the batch session_window operator") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val q = EventStreams.sessionWindows(stream)

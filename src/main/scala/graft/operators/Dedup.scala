@@ -218,16 +218,21 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint()
-      // label is always some node's doc_id, and every node has a label
-      // row, so the jump self-join is total
-      val jumped = prop
-        .join(prop.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
-        .select(col("doc_id"), col("jump").as("label"))
-        .localCheckpoint()
-      converged = jumped
+      // the convergence test is on the PROPAGATION step alone — that is
+      // the edge-stability condition the exactness proof needs — so the
+      // final iteration never pays for a jump
+      converged = prop
         .join(lab.withColumnRenamed("label", "prev"), Seq("doc_id"))
         .filter(col("label") < col("prev")).isEmpty
-      lab = jumped
+      lab =
+        if (converged) prop
+        else
+          // label is always some node's doc_id, and every node has a
+          // label row, so the jump self-join is total
+          prop
+            .join(prop.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
+            .select(col("doc_id"), col("jump").as("label"))
+            .localCheckpoint()
     }
     edges.unpersist(blocking = false)
     lab

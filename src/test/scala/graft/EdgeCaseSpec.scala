@@ -26,6 +26,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.jaccardVerify(noDocs).isEmpty)
     assert(Dedup.nearDupClusters(noDocs).isEmpty)
     assert(TextAnalysis.exactDedup(noDocs).isEmpty)
+    assert(Dedup.decontaminate(noDocs).isEmpty)
+    assert(Dedup.containmentVerify(noDocs).isEmpty)
+    assert(TextAnalysis.repetitionScreen(noDocs).isEmpty)
   }
 
   test("similarity family yields empty results on an empty corpus") {
@@ -57,6 +60,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Corpus.corpusPipeline(docs, Seq("en" -> 1000), 2500, 1000L)
       .filter($"doc_id" === 1L).count() == 1)
     assert(Dedup.nearDupClusters(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(TextAnalysis.repetitionScreen(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(Dedup.decontaminate(docs).filter($"doc_id" === 1L).count() == 1)
   }
 
   test("frequency and validation report sanely over empty inputs") {

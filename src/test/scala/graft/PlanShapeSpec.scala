@@ -48,6 +48,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "no shuffle join anywhere in the 2-pass plan")
   }
 
+  test("repetition screen is one scan with zero exchanges before the output sort") {
+    val plan = graft.operators.TextAnalysis.repetitionScreen(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString()
+    // the only Exchange allowed is the range partition for the sort —
+    // no hashpartitioning means no n-gram explode+groupBy crept in
+    assert(!plan.contains("hashpartitioning"),
+      s"repetition stats must stay row-local (codegen kernel), got:\n$plan")
+    assert(!plan.contains("Generate"), "no explode in the repetition screen")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val plan = graft.operators.Dedup.decontaminate(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "corpus must probe a broadcast benchmark set, never shuffle on the shingle key")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join on shingle hashes is the 100 TB killer this operator avoids")
+  }
+
   test("merge writer plans one full-outer join on the key") {
     val plan = MergeWriter.mergedState(
       Upsert.target(Tables.customer(spark, dir)),

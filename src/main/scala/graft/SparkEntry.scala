@@ -327,8 +327,10 @@ object SparkEntry {
   private def decontaminateSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
        |hsh AS (SELECT DISTINCT doc_id, h FROM (${shingleHashSql(3)}) t),
-       |bench AS (SELECT DISTINCT h FROM hsh WHERE doc_id % ${graft.operators.Dedup.BenchmarkMod} = 0),
-       |corpus AS (SELECT doc_id, h FROM hsh WHERE doc_id % ${graft.operators.Dedup.BenchmarkMod} <> 0)
+       |bench AS (SELECT DISTINCT h FROM hsh
+       |WHERE doc_id % ${graft.operators.Dedup.BenchmarkMod} = 0 AND doc_id < ${graft.operators.Dedup.BenchmarkMaxId}),
+       |corpus AS (SELECT doc_id, h FROM hsh
+       |WHERE NOT (doc_id % ${graft.operators.Dedup.BenchmarkMod} = 0 AND doc_id < ${graft.operators.Dedup.BenchmarkMaxId}))
        |SELECT doc_id, COUNT(*) AS n_shingles, COUNT(b.h) AS n_shared,
        |(10000 * COUNT(b.h)) // nullif(COUNT(*), 0) AS contam_bp,
        |COUNT(b.h) > 0 AS is_contaminated

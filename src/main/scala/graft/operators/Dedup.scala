@@ -151,10 +151,19 @@ object Dedup {
       .orderBy(col("cont_max_bp").desc, col("doc_a"), col("doc_b"))
       .limit(topN)
 
-  /** documents belonging to the stand-in "benchmark"/eval split —
-    * a deterministic id rule standing in for an external eval table;
-    * shared with the q58 oracle SQL. */
+  /** documents belonging to the stand-in "benchmark"/eval split — a
+    * deterministic id rule standing in for an external eval table;
+    * shared with the q58 oracle SQL. The id cap matters for the scale
+    * posture: a real eval suite is FIXED-SIZE, so the stand-in must be
+    * too — a pure modulus rule would grow the "benchmark" linearly with
+    * the corpus and silently break the broadcast at 100 TB. */
   val BenchmarkMod = 20
+  val BenchmarkMaxId = 1000L
+
+  /** the benchmark membership predicate (one definition for operator,
+    * oracle and specs). */
+  private def isBenchmark(id: Column): Column =
+    id % BenchmarkMod === 0 && id < BenchmarkMaxId
 
   /** q58: benchmark DECONTAMINATION — flag corpus documents sharing
     * k-gram shingles with the benchmark/eval set, the standard screen
@@ -166,9 +175,9 @@ object Dedup {
     * shuffled on the shingle key, so cost is linear in corpus size
     * regardless of benchmark count. */
   def decontaminate(docs: DataFrame, k: Int = 3): DataFrame = {
-    val bench = docs.filter(col("doc_id") % BenchmarkMod === 0)
+    val bench = docs.filter(isBenchmark(col("doc_id")))
       .select(explode(shingleSet(col("text"), k)).as("h")).distinct()
-    val corpus = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+    val corpus = docs.filter(!isBenchmark(col("doc_id")))
       .select(col("doc_id"), explode(shingleSet(col("text"), k)).as("h"))
     corpus
       .join(broadcast(bench.withColumn("__hit", lit(1L))), Seq("h"), "left")

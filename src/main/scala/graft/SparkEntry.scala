@@ -114,6 +114,8 @@ object SparkEntry {
     "q54_repetition" -> ((s, d) => TextAnalysis.repetitionScreen(Tables.documents(s, d))),
     "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     "q59_containment" -> ((s, d) => Dedup.containmentVerify(Tables.documents(s, d))),
+    "q60_corpus_card" -> ((s, d) => Corpus.corpusCard(
+      Tables.documents(s, d), SampleRates, SampleDefaultBp)),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -358,6 +360,28 @@ object SparkEntry {
        |s3 AS (SELECT *, greatest(cont_a_bp, cont_b_bp) AS cont_max_bp FROM s2)
        |SELECT doc_a, doc_b, pair_source, n_common, n_a, n_b, cont_a_bp, cont_b_bp, cont_max_bp
        |FROM s3 ORDER BY cont_max_bp DESC NULLS LAST, doc_a, doc_b LIMIT 200""".stripMargin
+
+  /** q60's oracle: the same screen expressions as the q55 fragments,
+    * rolled up by source × lang. */
+  private def corpusCardSql: String = {
+    val cases = SampleRates
+      .map { case (l, bp) => s"WHEN '$l' THEN ${graft.operators.Corpus.rateThreshold(bp)}" }
+      .mkString(" ")
+    s"""WITH scored AS (SELECT source, lang,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+       |(length(text) BETWEEN 50 AND 20000)
+       | AND ((10000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) // nullif(length(text), 0)) > 6000 AS is_quality,
+       |doc_id = MIN(doc_id) OVER (PARTITION BY $fingerprintSql) AS keep_dedup,
+       |('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       | < CASE lang $cases ELSE ${graft.operators.Corpus.rateThreshold(SampleDefaultBp)} END AS sampled
+       |FROM documents)
+       |SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+       |COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |CAST((10000 * SUM(CASE WHEN is_quality THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS quality_bp,
+       |CAST((10000 * SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dedup_keep_bp,
+       |CAST((10000 * SUM(CASE WHEN sampled THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS sampled_bp
+       |FROM scored GROUP BY ROLLUP (source, lang) ORDER BY 1, 2""".stripMargin
+  }
 
   /** q34's oracle: replicate the banded candidate generation (6 tables
     * × 4 planes) and the exact-cosine threshold in DuckDB. */
@@ -639,6 +663,7 @@ object SparkEntry {
     "q54_repetition" -> repetitionSql,
     "q58_decontaminate" -> decontaminateSql,
     "q59_containment" -> containmentSql,
+    "q60_corpus_card" -> corpusCardSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

@@ -98,6 +98,38 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** q60: the CORPUS CARD — the composition report a corpus release
+    * ships with: per source × language (with rollup totals) document
+    * and token counts plus screen pass-rates in basis points. Derived
+    * from the SAME verdict expressions as the q55 pipeline
+    * ([[withScreenColumns]]), so the card cannot drift from what the
+    * pipeline actually keeps. One scan + the fingerprint window + one
+    * ROLLUP aggregate (two shuffles total at any corpus size). ROLLUP
+    * goes through SQL for the same Spark 4.1 reason as q08 (Dataset
+    * .rollup re-tags grouping attributes under the Expand node). */
+  def corpusCard(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
+                 defaultBp: Int): DataFrame = {
+    val scored = withScreenColumns(docs, rateBpByLang, defaultBp)
+      .withColumn("n_tokens",
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .cast(LongType))
+      .withColumn("keep_dedup",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+      .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled")
+    scored.createOrReplaceTempView("graft_corpus_card_src")
+    scored.sparkSession.sql(
+      """SELECT coalesce(source, '(all)') AS source,
+        |       coalesce(lang, '(all)') AS lang,
+        |       count(1) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       (10000 * sum(CASE WHEN is_quality THEN 1 ELSE 0 END)) DIV count(1) AS quality_bp,
+        |       (10000 * sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END)) DIV count(1) AS dedup_keep_bp,
+        |       (10000 * sum(CASE WHEN sampled THEN 1 ELSE 0 END)) DIV count(1) AS sampled_bp
+        |FROM graft_corpus_card_src
+        |GROUP BY ROLLUP (source, lang)
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
   /** q49: token-budget packing — greedily fill a per-language token
     * budget with the highest-quality documents first (alpha ratio from
     * the q38 scorer, doc_id tiebreak → total order), via a running sum

@@ -70,6 +70,27 @@ object DocStreams {
       .filter(col("is_quality") && col("sampled"))
       .select("doc_id", "lang", "fingerprint", "alpha_bp", "ingest_ts")
 
+  /** Streaming NEAR-DUP LOOKUP against an indexed corpus: each
+    * incoming document computes its MinHash band keys row-locally
+    * (the same codegen kernels as the batch q31 — stateless, so the
+    * streaming plan is the batch expressions verbatim) and probes the
+    * static corpus band index with a stream-static equi-join. Emits
+    * one row per band collision (new_doc_id, corpus_doc_id, band_idx)
+    * — the ingest-time "is this a near-dup of something we already
+    * hold" feed; downstream dedups/aggregates per pair (kept raw here:
+    * per-pair aggregation on a stream needs watermark state, while the
+    * collision feed itself is stateless and unbounded-safe).
+    *
+    * At 100 TB the index is [[graft.operators.Dedup.minhashBands]]
+    * persisted bucketed by (band_idx, band_hash), so each micro-batch
+    * probes co-located buckets without reshuffling the index. */
+  def nearDupLookup(docs: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.operators.Dedup.minhashBands(docs)
+      .withColumnRenamed("doc_id", "new_doc_id")
+      .join(corpusBands.withColumnRenamed("doc_id", "corpus_doc_id"),
+        Seq("band_idx", "band_hash"))
+      .select("new_doc_id", "corpus_doc_id", "band_idx")
+
   /** event-time ingest monitoring: per-hour × language document counts
     * under the watermark — the operational feed of a document ingest
     * pipeline (in append mode each window finalizes exactly once, when

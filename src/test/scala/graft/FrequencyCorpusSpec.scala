@@ -122,4 +122,32 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     }
     assert(n == manual, s"report rows $n vs manual $manual")
   }
+
+  test("corpus card rolls up composition with consistent totals") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"alpha$i").mkString(" ")  // quality text
+    val docs = Seq(
+      (1L, good, "en", "srcA", 0L),
+      (2L, good, "en", "srcA", 0L),            // dup of 1 → dedup keeps 1
+      (3L, good + " more", "de", "srcB", 0L),
+      (4L, "short", "en", "srcB", 0L)          // fails quality (< 50 chars)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = Corpus.corpusCard(docs, Seq("en" -> 10000), 10000).collect()
+    val rows = card.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // grand total row aggregates everything
+    val total = rows(("(all)", "(all)"))
+    assert(total.getAs[Long]("n_docs") == 4L)
+    assert(total.getAs[Long]("sampled_bp") == 10000L, "all langs at 100% sample rate")
+    // per-source subtotal rows exist and add up
+    assert(rows(("srcA", "(all)")).getAs[Long]("n_docs") == 2L)
+    assert(rows(("srcB", "(all)")).getAs[Long]("n_docs") == 2L)
+    // dedup keep rate: srcA keeps 1 of 2 (verbatim dup dropped)
+    assert(rows(("srcA", "en")).getAs[Long]("dedup_keep_bp") == 5000L)
+    // quality: srcB has one good, one too-short doc
+    assert(rows(("srcB", "(all)")).getAs[Long]("quality_bp") == 5000L)
+    // token totals are additive across the hierarchy
+    val leafSum = card.filter(r => r.getString(0) != "(all)" && r.getString(1) != "(all)")
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(total.getAs[Long]("n_tokens") == leafSum)
+  }
 }

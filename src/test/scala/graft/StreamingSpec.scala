@@ -140,6 +140,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming near-dup lookup flags an incoming copy of an indexed corpus doc") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf)
+    val index = graft.operators.Dedup.minhashBands(corpus)
+    // incoming batch: one verbatim copy of corpus doc 7, one novel doc
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .collect().head.getAs[String]("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndlookup").toString
+    Seq(
+      (80001L, copied, "en", "ingest", copied.length.toLong),
+      (80002L, (1 to 50).map(i => s"zz$i").mkString(" "), "en", "ingest", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = graft.streaming.DocStreams.readDocStream(spark, dir)
+    val q = graft.streaming.DocStreams.nearDupLookup(stream, index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndlookup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("ndlookup_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // identical text collides in EVERY band with its source doc
+    assert(hits.count(_ == (80001L, 7L)) == 8,
+      s"verbatim copy must collide in all 8 bands: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 80002L), "novel doc has no collisions")
+  }
+
   test("streaming session windows match the batch session_window operator") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val q = EventStreams.sessionWindows(stream)

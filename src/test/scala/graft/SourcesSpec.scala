@@ -51,4 +51,25 @@ class SourcesSpec extends AnyFunSuite {
     // partition filter must prune, not scan+filter
     assert(!scanned.contains("Filter (o_orderstatus"), "partition filter should be pruned at scan")
   }
+
+  test("operators are source-format agnostic: CSV and JSON inputs give parquet-identical results") {
+    // the oracle gate runs on parquet; this pins that the same operator
+    // over the same rows staged as CSV or JSON computes the same frame —
+    // i.e. operators depend only on the DataFrame contract, not the source
+    val docs = Tables.documents(spark, sf)
+    val want = graft.operators.TextAnalysis.qualityScore(docs).collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_src_parity")
+    val csvDir = base.resolve("csv").toString
+    val jsonDir = base.resolve("json").toString
+    docs.write.option("header", "true").option("quoteAll", "true").csv(csvDir)
+    docs.write.json(jsonDir)
+    val fromCsv = spark.read.option("header", "true")
+      .schema(graft.streaming.DocStreams.docsSchema).csv(csvDir)
+    val fromJson = spark.read
+      .schema(graft.streaming.DocStreams.docsSchema).json(jsonDir)
+    assert(graft.operators.TextAnalysis.qualityScore(fromCsv).collect().toSeq == want,
+      "CSV-sourced result differs from parquet")
+    assert(graft.operators.TextAnalysis.qualityScore(fromJson).collect().toSeq == want,
+      "JSON-sourced result differs from parquet")
+  }
 }

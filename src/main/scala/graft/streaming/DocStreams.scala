@@ -91,6 +91,22 @@ object DocStreams {
         Seq("band_idx", "band_hash"))
       .select("new_doc_id", "corpus_doc_id", "band_idx")
 
+  /** The MAINTENANCE half of incremental near-dup: append each incoming
+    * document's band rows to the persisted index [[nearDupLookup]]
+    * probes. Band computation is stateless/row-local, the sink is a
+    * plain append (band rows are immutable facts about a doc), and the
+    * checkpoint makes it exactly-once per input file — so lookup +
+    * maintenance together give ingest-time dedup whose index grows with
+    * the corpus, no rebuild. Returns the started query. */
+  def bandIndexMaintenance(docs: DataFrame, indexPath: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.operators.Dedup.minhashBands(docs)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", indexPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** event-time ingest monitoring: per-hour × language document counts
     * under the watermark — the operational feed of a document ingest
     * pipeline (in append mode each window finalizes exactly once, when

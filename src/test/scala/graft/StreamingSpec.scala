@@ -168,6 +168,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 80002L), "novel doc has no collisions")
   }
 
+  test("band-index maintenance + lookup give incremental ingest dedup") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ndmaint")
+    val srcDir = base.resolve("src").toString
+    val indexDir = base.resolve("index").toString
+    val ckpt = base.resolve("ckpt").toString
+    def stage(rows: Seq[(Long, String)]): Unit = rows
+      .map { case (id, t) => (id, t, "en", "ingest", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val docA = (1 to 40).map(i => s"ma$i").mkString(" ")
+    val docB = (1 to 40).map(i => s"mb$i").mkString(" ")
+    // batch 1 builds the index
+    stage(Seq((1L, docA)))
+    val m1 = graft.streaming.DocStreams.bandIndexMaintenance(
+      graft.streaming.DocStreams.readDocStream(spark, srcDir), indexDir, ckpt)
+    m1.processAllAvailable(); m1.stop()
+    // batch 2: one dup of doc 1, one novel doc — checkpoint resume
+    // indexes only the new file
+    stage(Seq((2L, docA), (3L, docB)))
+    val m2 = graft.streaming.DocStreams.bandIndexMaintenance(
+      graft.streaming.DocStreams.readDocStream(spark, srcDir), indexDir, ckpt)
+    m2.processAllAvailable(); m2.stop()
+    val index = spark.read.parquet(indexDir)
+    assert(index.count() == 3 * 8, "8 band rows per doc, exactly once each")
+    // lookup over the maintained index flags the dup against BOTH copies
+    val probeDir = base.resolve("probe").toString
+    stage(Seq.empty); Seq((9L, docA, "en", "probe", docA.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(probeDir)
+    val q = graft.streaming.DocStreams.nearDupLookup(
+      graft.streaming.DocStreams.readDocStream(spark, probeDir), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndmaint_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val hits = spark.table("ndmaint_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(hits.count(_ == (9L, 1L)) == 8 && hits.count(_ == (9L, 2L)) == 8,
+      s"probe must collide with both indexed copies in all bands: $hits")
+    assert(!hits.exists(_._2 == 3L), "no collision with the unrelated doc")
+  }
+
   test("streaming session windows match the batch session_window operator") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val q = EventStreams.sessionWindows(stream)

@@ -187,7 +187,12 @@ object SparkEntry {
       |SELECT doc_id, simhash, CAST(SUM(bucket_n - 1) AS BIGINT) AS n_band_mates
       |FROM buckets GROUP BY doc_id, simhash ORDER BY doc_id""".stripMargin
 
-  private def jaccardVerifySql: String =
+  /** the ONE definition of the q33/q59 candidate universe in SQL
+    * (bands ∪ adjacent-id control sample, + per-doc shingle sets) —
+    * the SQL twin of Dedup.scoredCandidatePairs, shared so the two
+    * verify screens can't drift onto different pair sets. Appends the
+    * CTEs `cand`, `ctrl`, `pairs`, `sets` after [[minhashBandsSql]]. */
+  private def candidatePairsSql: String =
     s"""$minhashBandsSql,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -196,7 +201,10 @@ object SparkEntry {
        |pairs AS (SELECT doc_a, doc_b, MIN(src) AS pair_source FROM (
        |SELECT doc_a, doc_b, 'lsh' AS src FROM cand
        |UNION ALL SELECT doc_a, doc_b, 'control' FROM ctrl) u GROUP BY doc_a, doc_b),
-       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id)""".stripMargin
+
+  private def jaccardVerifySql: String =
+    s"""$candidatePairsSql,
        |scored AS (SELECT p.doc_a, p.doc_b, p.pair_source,
        |CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT) AS n_common,
        |CAST(len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT) AS n_union
@@ -312,11 +320,13 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
        |$stats,
-       |bp AS (SELECT f1.doc_id,
+       |bp AS (SELECT d.doc_id,
        |(10000 * f1.mc) // nullif(f1.n, 0) AS top_token_bp,
        |(10000 * f2.mc) // nullif(f2.n, 0) AS top_2gram_bp,
        |(10000 * (f3.n - f3.nd)) // nullif(f3.n, 0) AS dup_3gram_bp
-       |FROM f1 JOIN f2 USING (doc_id) JOIN f3 USING (doc_id))
+       |-- LEFT from documents: a null-text doc has no shingle rows here
+       |-- but the Spark operator keeps it with NULL verdicts
+       |FROM documents d LEFT JOIN f1 USING (doc_id) LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id))
        |SELECT doc_id, top_token_bp, top_2gram_bp, dup_3gram_bp,
        |top_token_bp > ${TextAnalysis.TopTokenMaxBp}
        | OR top_2gram_bp > ${TextAnalysis.Top2GramMaxBp}
@@ -339,18 +349,11 @@ object SparkEntry {
        |FROM corpus c LEFT JOIN bench b ON c.h = b.h
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** q59's oracle: same candidate universe as q33 (bands ∪ control),
-    * asymmetric containment instead of Jaccard. */
+  /** q59's oracle: same candidate universe as q33 (shared
+    * [[candidatePairsSql]] CTEs), asymmetric containment instead of
+    * Jaccard. */
   private def containmentSql: String =
-    s"""$minhashBandsSql,
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |ctrl AS (SELECT d.doc_id AS doc_a, d.doc_id + 1 AS doc_b FROM documents d
-       |WHERE EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
-       |pairs AS (SELECT doc_a, doc_b, MIN(src) AS pair_source FROM (
-       |SELECT doc_a, doc_b, 'lsh' AS src FROM cand
-       |UNION ALL SELECT doc_a, doc_b, 'control' FROM ctrl) u GROUP BY doc_a, doc_b),
-       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+    s"""$candidatePairsSql,
        |scored AS (SELECT p.doc_a, p.doc_b, p.pair_source,
        |CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT) AS n_common,
        |CAST(len(sa.hs) AS BIGINT) AS n_a, CAST(len(sb.hs) AS BIGINT) AS n_b
@@ -380,7 +383,11 @@ object SparkEntry {
        |CAST((10000 * SUM(CASE WHEN is_quality THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS quality_bp,
        |CAST((10000 * SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dedup_keep_bp,
        |CAST((10000 * SUM(CASE WHEN sampled THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS sampled_bp
-       |FROM scored GROUP BY ROLLUP (source, lang) ORDER BY 1, 2""".stripMargin
+       |FROM scored GROUP BY ROLLUP (source, lang)
+       |-- empty-corpus parity: DuckDB emits a 0-count grand-total row on
+       |-- empty input, Spark's Expand-based rollup emits nothing
+       |HAVING COUNT(*) > 0
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** q34's oracle: replicate the banded candidate generation (6 tables

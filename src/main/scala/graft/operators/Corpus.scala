@@ -30,6 +30,18 @@ object Corpus {
   def sampleHash: org.apache.spark.sql.Column =
     Dedup.md5_60(concat(lit("sample:"), col("doc_id").cast("string")))
 
+  /** the ONE BPE-ish token count (q39's segmentation) — shared by the
+    * pipeline, the packer and the corpus card so a tokenizer change
+    * cannot make the card report different counts than the cut used. */
+  def tokenCountCol: org.apache.spark.sql.Column =
+    expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+      .cast(LongType)
+
+  /** the ONE dedup-survivor rule (min doc_id per content fingerprint;
+    * requires the `fingerprint` column from [[withScreenColumns]]). */
+  def keepDedupCol: org.apache.spark.sql.Column =
+    col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fingerprint"))
+
   /** row-local screen verdicts appended in one block — quality columns
     * (q38 definitions), content fingerprint and the sampling decision.
     * Shared verbatim by the batch pipeline (q55) and the streaming
@@ -80,15 +92,12 @@ object Corpus {
                      defaultBp: Int, budgetPerLang: Long): DataFrame = {
     val scored = withScreenColumns(
       TextAnalysis.withPredictedLang(docs), rateBpByLang, defaultBp)
-      .withColumn("n_tokens",
-        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
-          .cast(LongType))
-    val byFingerprint = Window.partitionBy("fingerprint")
+      .withColumn("n_tokens", tokenCountCol)
     val byLang = Window.partitionBy("lang")
       .orderBy(col("alpha_bp").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
-      .withColumn("keep_dedup", col("doc_id") === min(col("doc_id")).over(byFingerprint))
+      .withColumn("keep_dedup", keepDedupCol)
       .withColumn("pre_keep", col("is_quality") && col("keep_dedup") && col("sampled"))
       .withColumn("cum_tokens",
         sum(when(col("pre_keep"), col("n_tokens")).otherwise(0L)).over(byLang))
@@ -110,11 +119,8 @@ object Corpus {
   def corpusCard(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
                  defaultBp: Int): DataFrame = {
     val scored = withScreenColumns(docs, rateBpByLang, defaultBp)
-      .withColumn("n_tokens",
-        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
-          .cast(LongType))
-      .withColumn("keep_dedup",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+      .withColumn("n_tokens", tokenCountCol)
+      .withColumn("keep_dedup", keepDedupCol)
       .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled")
     scored.createOrReplaceTempView("graft_corpus_card_src")
     scored.sparkSession.sql(
@@ -138,8 +144,7 @@ object Corpus {
     * Token counts use the q39 BPE-ish segmentation. */
   def tokenBudgetPack(docs: DataFrame, budgetPerLang: Long): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"),
-      expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
-        .cast(LongType).as("n_tokens"),
+      tokenCountCol.as("n_tokens"),
       length(col("text")).cast(LongType).as("n_chars"),
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"))
       .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))

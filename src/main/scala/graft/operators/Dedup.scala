@@ -223,23 +223,26 @@ object Dedup {
       val nbrMin = edges
         .join(lab.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+      // the changed flag rides the prop projection itself, so detecting
+      // convergence costs one filter scan of the checkpointed frame —
+      // not an extra join against the previous labels
       val prop = lab.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
       // the convergence test is on the PROPAGATION step alone — that is
       // the edge-stability condition the exactness proof needs — so the
       // final iteration never pays for a jump
-      converged = prop
-        .join(lab.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .filter(col("label") < col("prev")).isEmpty
+      converged = prop.filter(col("changed")).isEmpty
+      val labels = prop.drop("changed")
       lab =
-        if (converged) prop
+        if (converged) labels
         else
           // label is always some node's doc_id, and every node has a
           // label row, so the jump self-join is total
-          prop
-            .join(prop.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
+          labels
+            .join(labels.select(col("doc_id").as("label"), col("label").as("jump")), Seq("label"))
             .select(col("doc_id"), col("jump").as("label"))
             .localCheckpoint()
     }

@@ -53,8 +53,11 @@ object Frequency {
     * that fits a BIGINT — the SAME regexp gates the DuckDB oracle, so
     * the heavy-hitter denominator (n_total) is defined identically in
     * both engines regardless of what the JSON holds (a bare cast would
-    * diverge: Spark ANSI errors on non-numerics, DuckDB hard-casts). */
-  val IntegerKeyPattern = "^-?[0-9]{1,18}$"
+    * diverge: Spark ANSI errors on non-numerics, DuckDB hard-casts).
+    * Anchored with \z, not $: Java regex lets $ match before a trailing
+    * newline while RE2 (DuckDB) does not — \z means end-of-text in
+    * both. */
+  val IntegerKeyPattern = "^-?[0-9]{1,18}\\z"
 
   /** q47 instance: heavy hitters of the JSON `k` property over events
     * (share > 0.5%). */

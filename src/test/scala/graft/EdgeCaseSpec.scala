@@ -43,6 +43,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Corpus.stratifiedSample(noDocs, Seq("en" -> 1000), 2500).isEmpty)
     assert(Corpus.tokenBudgetPack(noDocs, 1000L).isEmpty)
     assert(Corpus.corpusPipeline(noDocs, Seq("en" -> 1000), 2500, 1000L).isEmpty)
+    // Spark's Expand-based rollup emits nothing on empty input (the
+    // oracle's HAVING COUNT(*) > 0 mirrors this)
+    assert(Corpus.corpusCard(noDocs, Seq("en" -> 1000), 2500).isEmpty)
   }
 
   test("a null text row neither crashes the text family nor hides other docs") {

@@ -70,7 +70,10 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_evt_docs")
     val srcDir = base.resolve("src").toString
     val ckpt = base.resolve("ckpt").toString
-    val rates = Seq("en" -> 1000, "zh" -> 5000)
+    // 100% sample rates: the restart assertions below must isolate the
+    // DEDUP state — with a lossy sampler a re-sent doc could be dropped
+    // by its sample hash and the cross-restart dedup check is vacuous
+    val rates = Seq("en" -> 10000, "zh" -> 10000)
     // deterministic event time: epoch + doc_id seconds
     def stage(docs: org.apache.spark.sql.DataFrame): Unit = docs
       .withColumn("ingest_ts",
@@ -103,16 +106,19 @@ class StreamingSpec extends AnyFunSuite {
 
     // restart from the checkpoint: a re-sent copy of a kept doc (same
     // fingerprint, in-watermark event time) must NOT be emitted again;
-    // a genuinely new doc must be
+    // a genuinely new quality doc MUST be — proving both the state
+    // resume and that the screen still passes fresh content
     val keptId = streamed.max
     val keptText = Tables.documents(spark, sf)
       .filter(col("doc_id") === keptId).collect().head.getAs[String]("text")
+    val novel = (1 to 40).map(i => s"novelword$i").mkString(" ")
     stage(Seq(
       (90001L, keptText, "en", "resend", keptText.length.toLong),
-      (90002L, ("fresh doc " + (1 to 40).map(i => s"nv$i").mkString(" ")), "en", "new", 0L)
+      (90002L, novel, "en", "new", novel.length.toLong)
     ).toDF("doc_id", "text", "lang", "source", "n_chars"))
     val after = runScreen()
     assert(!after.contains(90001L), "duplicate content re-sent across restart must stay deduped")
+    assert(after.contains(90002L), "novel quality doc must be emitted on resume")
   }
 
   test("event-time hourly language counts equal the batch aggregation") {
@@ -196,7 +202,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(index.count() == 3 * 8, "8 band rows per doc, exactly once each")
     // lookup over the maintained index flags the dup against BOTH copies
     val probeDir = base.resolve("probe").toString
-    stage(Seq.empty); Seq((9L, docA, "en", "probe", docA.length.toLong))
+    Seq((9L, docA, "en", "probe", docA.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("append").parquet(probeDir)
     val q = graft.streaming.DocStreams.nearDupLookup(

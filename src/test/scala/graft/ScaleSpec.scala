@@ -72,6 +72,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed band index joins near-dup lookups without exchanging the corpus side") {
+    // substantiates nearDupLookup's scale claim: persist the corpus
+    // band index bucketed on the join key, and only the (small) probe
+    // side shuffles — the corpus-sized index reads pre-partitioned
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      graft.operators.Dedup.minhashBands(docs)
+        .write.mode("overwrite")
+        .bucketBy(8, "band_idx", "band_hash")
+        .sortBy("band_idx", "band_hash")
+        .saveAsTable("band_index_b")
+      val probe = graft.operators.Dedup.minhashBands(docs.filter(col("doc_id") < 5))
+        .withColumnRenamed("doc_id", "new_doc_id")
+      val joined = probe.join(
+        spark.table("band_index_b").withColumnRenamed("doc_id", "corpus_doc_id"),
+        Seq("band_idx", "band_hash"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"only the probe side may shuffle, the index must read pre-bucketed:\n$plan")
+      assert(joined.count() > 0, "identical docs must collide with their own bands")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS band_index_b")
+    }
+  }
+
   test("sketch aggregates land within tolerance of exact values") {
     val orders = Tables.orders(spark, sf)
     val exact = orders.agg(countDistinct(col("o_custkey"))).collect().head.getLong(0)

@@ -98,6 +98,26 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == want, s"fixpoint labels must equal true components")
   }
 
+  test("label propagation matches union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val n = 40
+      val ids = rnd.shuffle((1L to 200L).toVector).take(n)
+      val edges = (1 to 30)
+        .map(_ => (ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = ids.map(i => i -> ids.filter(j => find(j) == find(i)).min).toMap
+      val labels = Dedup.propagateLabels(
+        ids.map(Tuple1(_)).toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == want, s"trial $trial: fixpoint != union-find ground truth")
+    }
+  }
+
   test("decontamination flags corpus docs overlapping the benchmark split") {
     // doc 0 and 20 are benchmark (id % 20 == 0); doc 1 copies doc 0,
     // doc 2 is unrelated

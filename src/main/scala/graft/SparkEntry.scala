@@ -116,6 +116,8 @@ object SparkEntry {
     "q59_containment" -> ((s, d) => Dedup.containmentVerify(Tables.documents(s, d))),
     "q60_corpus_card" -> ((s, d) => Corpus.corpusCard(
       Tables.documents(s, d), SampleRates, SampleDefaultBp)),
+    "q61_semantic_dedup" -> ((s, d) => Similarity.semanticDedupReport(
+      Tables.documents(s, d), Tables.embeddings(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -389,6 +391,16 @@ object SparkEntry {
        |HAVING COUNT(*) > 0
        |ORDER BY 1, 2""".stripMargin
   }
+
+  /** q61's oracle: the q34 pair query as a subquery (CTEs nest fine in
+    * DuckDB), enriched with both sides' lang + content fingerprint. */
+  private def semanticDedupSql: String =
+    s"""WITH meta AS (SELECT doc_id, lang, $fingerprintSql AS fp FROM documents)
+       |SELECT p.id_a, p.id_b, p.cos_bp, a.lang AS lang_a, b.lang AS lang_b,
+       |a.lang <> b.lang AS cross_lang, a.fp = b.fp AS lexical_dup
+       |FROM ($nearDupBandedSql) p
+       |JOIN meta a ON p.id_a = a.doc_id JOIN meta b ON p.id_b = b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** q34's oracle: replicate the banded candidate generation (6 tables
     * × 4 planes) and the exact-cosine threshold in DuckDB. */
@@ -671,6 +683,7 @@ object SparkEntry {
     "q58_decontaminate" -> decontaminateSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
+    "q61_semantic_dedup" -> semanticDedupSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

@@ -263,6 +263,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** q61: SEMANTIC dedup report — the banded embedding near-dup pairs
+    * (q34's candidate discipline: LSH buckets, never all-pairs) joined
+    * back to document metadata on both sides. This is the screen the
+    * lexical family cannot do: paraphrases share no n-grams but sit
+    * close in embedding space, and a pair with different `lang` values
+    * is a translation candidate. `lexical_dup` flags which semantic
+    * pairs the fingerprint dedup would ALSO have caught — the report's
+    * value is precisely the rows where it is false. Two metadata joins
+    * on doc id over the (small) pair frame; linear at any corpus size. */
+  def semanticDedupReport(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    nearDupPairsBanded(embeddings)
+      .join(meta.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+        col("fp").as("fp_a")), Seq("id_a"))
+      .join(meta.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+        col("fp").as("fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_bp"),
+        col("lang_a"), col("lang_b"),
+        (col("lang_a") =!= col("lang_b")).as("cross_lang"),
+        (col("fp_a") === col("fp_b")).as("lexical_dup"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** all XOR masks of hamming weight ≤ radius — the multi-probe set. */
   private def probeMasks(nPlanes: Int, radius: Int): Seq[Int] =
     (0 until (1 << nPlanes)).filter(Integer.bitCount(_) <= radius)

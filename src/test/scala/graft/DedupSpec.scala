@@ -199,6 +199,22 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.subsetOf(exact), "banded emits only true ≥-threshold pairs")
   }
 
+  test("semantic dedup report covers exactly the banded pair set with consistent flags") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+    val embs = graft.Tables.embeddings(spark, sfDir)
+    val report = Similarity.semanticDedupReport(docs, embs).collect()
+    val pairs = Similarity.nearDupPairsBanded(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(report.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs,
+      "metadata joins must neither drop nor invent pairs")
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getAs[Boolean]("cross_lang") ==
+        (r.getAs[String]("lang_a") != r.getAs[String]("lang_b")))
+    }
+  }
+
   test("knn IVF finds identical-vector neighbors within a cell") {
     val vecs = (0 until 64).map { i =>
       val arr = Array.fill(8)(0.0f); arr(i % 8) = 1.0f

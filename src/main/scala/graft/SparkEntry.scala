@@ -199,7 +199,9 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |ctrl AS (SELECT d.doc_id AS doc_a, d.doc_id + 1 AS doc_b FROM documents d
-       |WHERE EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
+       |WHERE ('0x' || substr(md5('ctrl:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |  < ${graft.operators.Corpus.rateThreshold(graft.operators.Dedup.CtrlSampleBp)}
+       |AND EXISTS (SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id + 1)),
        |pairs AS (SELECT doc_a, doc_b, MIN(src) AS pair_source FROM (
        |SELECT doc_a, doc_b, 'lsh' AS src FROM cand
        |UNION ALL SELECT doc_a, doc_b, 'control' FROM ctrl) u GROUP BY doc_a, doc_b),

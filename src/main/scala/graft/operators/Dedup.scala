@@ -100,13 +100,28 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** control-sample rate (basis points) for the verify passes — a
+    * HASH-sampled subset of adjacent-id pairs, so the calibration work
+    * stays a fixed fraction of the corpus instead of one scored pair
+    * per document (at 100 TB the control must not double the
+    * shingle-set join load). Shared with the oracle SQL. */
+  val CtrlSampleBp = 2000
+
+  /** the control membership predicate: md5-thresholded on doc_a, pure
+    * function of the id — reproducible across runs and engines. */
+  private def inControl(id: Column): Column =
+    md5_60(concat(lit("ctrl:"), id.cast("string"))) <
+      Corpus.rateThreshold(CtrlSampleBp)
+
   /** candidate pairs for the verify passes: LSH band pairs ∪ a
-    * deterministic control sample of adjacent ids (so calibration
-    * output is never empty on a dup-free corpus), each joined to both
-    * sides' distinct shingle sets. Shared by q33 (Jaccard) and q59
-    * (containment) so the two screens score the same pair universe. */
+    * deterministic hash-sampled control of adjacent-id pairs (so
+    * calibration output is never empty on a dup-free corpus but stays
+    * a bounded fraction of it), each joined to both sides' distinct
+    * shingle sets. Shared by q33 (Jaccard) and q59 (containment) so
+    * the two screens score the same pair universe. */
   private def scoredCandidatePairs(docs: DataFrame, k: Int): DataFrame = {
-    val control = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    val control = docs.filter(inControl(col("doc_id")))
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .withColumn("pair_source", lit("control"))
     val cands = minhashCandidatePairs(docs).withColumn("pair_source", lit("lsh"))

@@ -137,15 +137,16 @@ class DedupSpec extends AnyFunSuite {
   test("containment catches a short doc quoted inside a long one") {
     val longDoc = (1 to 80).map(i => s"tok$i").mkString(" ")
     val shortDoc = (1 to 20).map(i => s"tok$i").mkString(" ")  // prefix quote
-    // adjacent ids → the control sample guarantees the (1,2) pair is scored
-    val docs = Seq((1L, shortDoc), (2L, longDoc)).toDF("doc_id", "text")
+    // ids (2,3): doc 2 is in the hash-sampled control (md5('ctrl:2')
+    // below the 2000bp threshold), so the adjacent pair is always scored
+    val docs = Seq((2L, shortDoc), (3L, longDoc)).toDF("doc_id", "text")
     val row = Dedup.containmentVerify(docs).collect()
-      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+      .find(r => r.getLong(0) == 2L && r.getLong(1) == 3L).get
     assert(row.getAs[Long]("cont_a_bp") == 10000L, "short doc fully contained")
     assert(row.getAs[Long]("cont_b_bp") < 3000L, "long doc mostly novel")
     // the symmetric Jaccard for the same pair dilutes the signal
     val jac = Dedup.jaccardVerify(docs).collect()
-      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+      .find(r => r.getLong(0) == 2L && r.getLong(1) == 3L).get
     assert(jac.getAs[Long]("jaccard_bp") < 3000L)
   }
 

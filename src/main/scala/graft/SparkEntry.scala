@@ -118,6 +118,10 @@ object SparkEntry {
       Tables.documents(s, d), SampleRates, SampleDefaultBp)),
     "q61_semantic_dedup" -> ((s, d) => Similarity.semanticDedupReport(
       Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q62_mixture_rebalance" -> ((s, d) => Corpus.mixtureBalance(
+      Tables.documents(s, d), MixWeights, MixDefaultBp)),
+    "q63_pack_manifest" -> ((s, d) => Corpus.packManifest(
+      Tables.documents(s, d), CtxTokens)),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -225,6 +229,12 @@ object SparkEntry {
   private val TokenBudget = 5000L
   private val PipelineBudget = 2000L
 
+  /** q62 mixture targets: relative weights in bp (src0 over-weighted so
+    * it binds; unlisted sources share the default) + q63 context size. */
+  private val MixWeights: Seq[(String, Int)] = Seq("src0" -> 2000, "src1" -> 1000)
+  private val MixDefaultBp = 500
+  private val CtxTokens = 512L
+
   /** q55's oracle: the full corpus pipeline composed from the proven
     * per-stage fragments (q37 langid CASE, q38 quality, q40
     * fingerprint, q48 sample threshold, q49 packing window). */
@@ -276,6 +286,55 @@ object SparkEntry {
        |CASE lang $cases ELSE ${graft.operators.Corpus.rateThreshold(SampleDefaultBp)} END AS thr
        |FROM documents) t WHERE sample_hash < thr ORDER BY doc_id""".stripMargin
   }
+
+  /** q62's oracle: the same integer mixture arithmetic, with the one
+    * overflow-prone product in HUGEINT (Spark side: DECIMAL(38,0)) and
+    * the identical "mix:"-salted hash-threshold keep rule. Weight CASE
+    * literals come from [[MixWeights]] so the two sides cannot drift. */
+  private def mixtureRebalanceSql: String = {
+    val cases = MixWeights
+      .map { case (s, bp) => s"WHEN '$s' THEN $bp" }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, source,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |FROM documents),
+       |stats AS (SELECT source, COUNT(1) AS n_docs,
+       |CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens FROM toks GROUP BY source),
+       |w AS (SELECT source, n_docs, avail_tokens,
+       |CAST(CASE source $cases ELSE $MixDefaultBp END AS BIGINT) AS weight_bp FROM stats),
+       |tot AS (SELECT CAST(SUM(weight_bp) AS BIGINT) AS w_total FROM w),
+       |sc AS (SELECT CAST(MIN(CAST(avail_tokens AS HUGEINT) * w_total // weight_bp) AS BIGINT) AS total_tokens_max
+       |FROM w, tot),
+       |rates AS (SELECT source, weight_bp, n_docs, avail_tokens,
+       |least(10000, (10000 * (total_tokens_max * weight_bp // w_total)) // nullif(avail_tokens, 0)) AS rate_bp
+       |FROM w, tot, sc),
+       |kept AS (SELECT t.source, COUNT(1) AS kept_docs,
+       |CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens
+       |FROM toks t JOIN rates r ON t.source = r.source
+       |WHERE ('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |  < r.rate_bp * ${graft.operators.Corpus.RateQuantum}
+       |GROUP BY t.source)
+       |SELECT r.source, r.weight_bp, r.n_docs, r.avail_tokens, r.rate_bp,
+       |coalesce(k.kept_docs, 0) AS kept_docs, coalesce(k.kept_tokens, 0) AS kept_tokens
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source ORDER BY 1""".stripMargin
+  }
+
+  /** q63's oracle: the manifest spec is a plain exclusive running sum —
+    * the naive window here checks the bucketed two-level prefix sum on
+    * the Spark side (WINDOWED SUM(BIGINT) is HUGEINT in DuckDB → cast).
+    */
+  private def packManifestSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |FROM documents),
+       |c AS (SELECT lang, doc_id, n_tokens,
+       |CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |FROM toks)
+       |SELECT lang, doc_id, n_tokens,
+       |cum_before // $CtxTokens AS seq_id,
+       |cum_before % $CtxTokens AS seq_offset,
+       |((cum_before + greatest(n_tokens, 1) - 1) // $CtxTokens) > (cum_before // $CtxTokens) AS straddles
+       |FROM c ORDER BY lang, doc_id""".stripMargin
 
   /** q57's oracle checks the SPEC, not the algorithm: the Spark side
     * iterates min-label propagation (+ pointer jumping) to a verified
@@ -686,6 +745,8 @@ object SparkEntry {
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,
+    "q62_mixture_rebalance" -> mixtureRebalanceSql,
+    "q63_pack_manifest" -> packManifestSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

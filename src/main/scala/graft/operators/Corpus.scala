@@ -136,6 +136,102 @@ object Corpus {
         |ORDER BY 1, 2""".stripMargin)
   }
 
+  /** q62: MIXTURE REBALANCING — compute, then apply, the per-source
+    * sampling rates that steer the corpus toward a target composition
+    * (the data-mixing step every training run starts from: "20% src0,
+    * 10% src1, the rest uniform"). Weights are RELATIVE (basis points
+    * of an arbitrary total); the scarcest source binds: the achievable
+    * corpus total is minᵥ(availᵥ·W ÷ wᵥ) tokens, each source
+    * contributes its share of that, and the binding source keeps 100%.
+    * The keep decision is the engine's hash-threshold idiom (pure
+    * row-local function of doc_id, salt "mix:") — reproducible across
+    * runs, engines and repartitioning, like [[stratifiedSample]].
+    *
+    * All arithmetic is integer (floor division), with the one
+    * overflow-prone product (availᵥ·W can pass 2⁶³ at 100 TB) done in
+    * DECIMAL(38,0) here and HUGEINT in the oracle — exact in both, so
+    * the report hash-compares. The rate is quantised to the same
+    * 2⁶⁰/10⁴ grid as [[rateThreshold]] (RateQuantum·bp ≤ 2⁶⁰ for
+    * bp ≤ 10⁴, so ANSI-safe).
+    *
+    * Plan shape: per-source stats are one map-side-combined aggregate
+    * (dimension-sized: one row per source); the rate model derived
+    * from them is broadcast back onto a second column-pruned scan for
+    * the keep filter + kept-stats aggregate. Two scans of
+    * (doc_id, source, text) total — the stats pass is unavoidable
+    * (rates depend on global composition), and nothing ever shuffles
+    * on more than the source key. */
+  def mixtureBalance(docs: DataFrame, weightBpBySource: Seq[(String, Int)],
+                     defaultBp: Int): DataFrame = {
+    val weightCol = weightBpBySource.foldLeft(lit(defaultBp.toLong)) {
+      case (acc, (s, bp)) => when(col("source") === s, lit(bp.toLong)).otherwise(acc)
+    }
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokenCountCol.as("n_tokens"))
+    val stats = toks.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast(LongType).as("avail_tokens"))
+      .withColumn("weight_bp", weightCol)
+    val wTotal = stats.agg(sum(col("weight_bp")).cast(LongType).as("w_total"))
+    val scaled = stats.crossJoin(broadcast(wTotal))
+      .withColumn("tot_if_binding",
+        expr("CAST(CAST(avail_tokens AS DECIMAL(38,0)) * w_total DIV weight_bp AS BIGINT)"))
+    val totMax = scaled.agg(min(col("tot_if_binding")).as("total_tokens_max"))
+    val rates = scaled.crossJoin(broadcast(totMax))
+      .withColumn("want_tokens", expr("total_tokens_max * weight_bp DIV w_total"))
+      .withColumn("rate_bp", least(lit(10000L),
+        expr("(10000 * want_tokens) DIV nullif(avail_tokens, 0)")))
+      .select("source", "weight_bp", "n_docs", "avail_tokens", "rate_bp")
+    val kept = toks
+      .join(broadcast(rates.select("source", "rate_bp")), Seq("source"))
+      .filter(Dedup.md5_60(concat(lit("mix:"), col("doc_id").cast("string")))
+        < col("rate_bp") * lit(RateQuantum))
+      .groupBy("source").agg(
+        count(lit(1)).as("kept_docs"),
+        sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("weight_bp"), col("n_docs"),
+        col("avail_tokens"), col("rate_bp"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** floor(2⁶⁰/10⁴) — the per-bp step of the hash-threshold grid when
+    * the rate is a COLUMN (a literal bp goes through the exact
+    * [[rateThreshold]]; a column rate multiplies this quantum — ~10⁻⁵
+    * relative quantisation, identical in both engines). */
+  val RateQuantum: Long = (1L << 60) / 10000L
+
+  /** q63: SEQUENCE-PACKING MANIFEST — the concat-and-chunk step that
+    * turns a filtered corpus into fixed-length training sequences:
+    * documents are laid end-to-end per language in doc_id order and
+    * cut every `ctxTokens` tokens (GPT-style pretraining packing).
+    * The manifest row per document — which sequence it starts in, at
+    * which token offset, and whether it straddles a cut — IS the
+    * training-data artifact: a reader can slice sequence `seq_id` from
+    * the token stream without re-tokenising the corpus.
+    *
+    * The running sum uses [[Scale.bucketedRunningSum]], not a naive
+    * per-language window: at 100 TB a single language would otherwise
+    * be a single task. Token counts are the shared [[tokenCountCol]]
+    * (q39's segmentation), so the manifest agrees with every other
+    * token-counting operator. One (group, bucket)-keyed shuffle plus a
+    * dimension-sized offset aggregate; output order (lang, doc_id). */
+  def packManifest(docs: DataFrame, ctxTokens: Long): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    val d = docs.select(col("doc_id"), col("lang"), tokenCountCol.as("n_tokens"))
+    Scale.bucketedRunningSum(d, "lang", "doc_id", "n_tokens", "cum_tokens",
+        bucketSpan = 200L)
+      .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"cum_before DIV $ctxTokens"))
+      .withColumn("seq_offset", expr(s"cum_before % $ctxTokens"))
+      .withColumn("straddles",
+        expr(s"(cum_before + greatest(n_tokens, 1) - 1) DIV $ctxTokens") > col("seq_id"))
+      .select("lang", "doc_id", "n_tokens", "seq_id", "seq_offset", "straddles")
+      .orderBy("lang", "doc_id")
+  }
+
   /** q49: token-budget packing — greedily fill a per-language token
     * budget with the highest-quality documents first (alpha ratio from
     * the q38 scorer, doc_id tiebreak → total order), via a running sum

@@ -78,6 +78,51 @@ object Scale {
     }
   }
 
+  /** Ordered running sum WITHOUT the one-task-per-group window.
+    *
+    * `Window.partitionBy(group).orderBy(orderCol)` puts every row of a
+    * group into ONE task — correct, but a 100 TB corpus with five
+    * languages becomes five tasks. This is the classic two-level
+    * parallel prefix sum instead: rows are binned by a monotone
+    * function of the order key (`orderCol DIV bucketSpan`), per-bucket
+    * partial sums form a tiny frame whose own running sum gives each
+    * bucket its global offset, and the full-data window then runs per
+    * (group, bucket) — parallelism scales with data volume, not with
+    * the number of groups. Exactly equal to the naive window when
+    * (`groupCol`, `orderCol`) is a unique key (spec-proven).
+    *
+    * Plan cost: one map-side-combined aggregate over (group, bucket)
+    * (dimension-sized output), a broadcast join of the offsets, and
+    * one shuffle keyed by (group, bucket) for the intra-bucket window
+    * — same shuffle count as the naive form, but no partition is ever
+    * larger than a bucket. `orderCol` must be numeric and
+    * non-negative; `bucketSpan` sizes the bucket in ORDER-KEY units
+    * (for dense ids: rows per bucket ≈ span, so pick span so a bucket
+    * fits a task comfortably).
+    */
+  def bucketedRunningSum(df: DataFrame, groupCol: String, orderCol: String,
+                         valueCol: String, outCol: String,
+                         bucketSpan: Long): DataFrame = {
+    require(bucketSpan > 0, s"bucketSpan must be positive, got $bucketSpan")
+    val bucketed = df.withColumn("__bucket",
+      expr(s"CAST($orderCol AS BIGINT) DIV $bucketSpan"))
+    val offsets = bucketed.groupBy(groupCol, "__bucket")
+      .agg(sum(col(valueCol)).as("__bsum"))
+      .withColumn("__offset", coalesce(
+        sum(col("__bsum")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+            .orderBy("__bucket")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(groupCol), col("__bucket"), col("__offset"))
+    val intra = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "__bucket").orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .withColumn(outCol, col("__offset") + sum(col(valueCol)).over(intra))
+      .drop("__bucket", "__offset")
+  }
+
   /** Write a frame bucketed+sorted by `key` as a managed table —
     * repeated joins/aggregations on `key` then read pre-shuffled
     * (no Exchange under the join). */

@@ -150,4 +150,61 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_tokens")).sum
     assert(total.getAs[Long]("n_tokens") == leafSum)
   }
+
+  test("mixture rebalance: scarcest source binds, rates follow the weights") {
+    // ten alpha tokens per doc (pure-alpha words: "tokN" would split
+    // into alpha+digit under the BPE-ish segmentation); A is
+    // over-weighted and scarce → binds
+    def doc(id: Long, src: String) =
+      (id, List.fill(10)("tok").mkString(" "), "en", src, 0L)
+    val docs = ((1L to 2L).map(doc(_, "A")) ++ (3L to 6L).map(doc(_, "B"))
+      ++ (7L to 16L).map(doc(_, "C")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Corpus.mixtureBalance(docs, Seq("A" -> 5000, "B" -> 2500), 2500)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // avail tokens: A=20, B=40, C=100; W=10000
+    // achievable total = min(20·10⁴/5000, 40·10⁴/2500, 100·10⁴/2500) = 40
+    // want: A 20 (all of it → 10000bp), B 10 (2500bp), C 10 (1000bp)
+    assert(rows("A").getAs[Long]("rate_bp") == 10000L)
+    assert(rows("B").getAs[Long]("rate_bp") == 2500L)
+    assert(rows("C").getAs[Long]("rate_bp") == 1000L)
+    assert(rows("A").getAs[Long]("avail_tokens") == 20L)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("avail_tokens"))
+    }
+  }
+
+  test("mixture rebalance approaches the target composition on a real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val rows = Corpus.mixtureBalance(docs, Seq("src0" -> 2000, "src1" -> 1000), 500)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // src0 is over-weighted 4× vs the default → it binds (sources are
+    // near-uniform in the generator) and keeps everything
+    assert(rows("src0").getAs[Long]("rate_bp") == 10000L)
+    assert(rows("src0").getAs[Long]("kept_docs") == rows("src0").getAs[Long]("n_docs"))
+    // everyone else is down-sampled, none above the binding source's rate
+    rows.values.foreach(r => assert(r.getAs[Long]("rate_bp") <= 10000L))
+    val defaultRates = rows.filterKeys(s => s != "src0" && s != "src1")
+      .values.map(_.getAs[Long]("rate_bp"))
+    assert(defaultRates.forall(_ < 10000L), "default-weight sources are down-sampled")
+  }
+
+  test("pack manifest: sequence ids, offsets and straddle flags are exact") {
+    def doc(id: Long, lang: String, n: Int) =
+      (id, List.fill(n)("word").mkString(" "), lang, "s", 0L)
+    // en: 4+4+4 tokens, ctx=10 → cum_before 0,4,8; doc 3 straddles the cut
+    // fr: a single 12-token doc spans two sequences from offset 0
+    val docs = Seq(doc(1, "en", 4), doc(2, "en", 4), doc(3, "en", 4),
+      doc(11, "fr", 12))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Corpus.packManifest(docs, 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("seq_id") == 0L && m(1L).getAs[Long]("seq_offset") == 0L)
+    assert(m(2L).getAs[Long]("seq_offset") == 4L && !m(2L).getAs[Boolean]("straddles"))
+    assert(m(3L).getAs[Long]("seq_offset") == 8L && m(3L).getAs[Boolean]("straddles"))
+    // languages pack independently: fr restarts at sequence 0, offset 0
+    assert(m(11L).getAs[Long]("seq_id") == 0L && m(11L).getAs[Long]("seq_offset") == 0L)
+    assert(m(11L).getAs[Boolean]("straddles"), "12 tokens cannot fit one 10-token sequence")
+  }
 }

@@ -134,4 +134,36 @@ class ScaleSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("bucketed running sum equals the naive per-group window exactly") {
+    // ids deliberately sparse + shuffled input order; spans small enough
+    // that every group straddles many buckets
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((0 until 2000).map { i =>
+      (s"g${i % 3}", i.toLong * 3 + (i % 2), rnd.nextInt(100).toLong)
+    })
+    val df = rows.toDF("g", "id", "v").repartition(8)
+    val naive = df.withColumn("cum",
+      sum("v").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bucketed = Scale.bucketedRunningSum(df, "g", "id", "v", "cum", bucketSpan = 100L)
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bucketed == naive)
+  }
+
+  test("bucketed running sum never materialises a whole group in one window partition") {
+    // the point of the two-level form: intra-bucket windows are keyed by
+    // (group, bucket), so the plan's full-data Window must sort/partition
+    // on BOTH — a window specced on the group alone would be the
+    // one-task-per-group shape this primitive exists to avoid
+    val df = (0 until 1000).map(i => ("g", i.toLong, 1L)).toDF("g", "id", "v")
+    val plan = Scale.bucketedRunningSum(df, "g", "id", "v", "cum", bucketSpan = 50L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("__bucket"),
+      "expected the intra-bucket window keyed by (group, __bucket)")
+  }
 }

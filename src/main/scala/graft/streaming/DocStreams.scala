@@ -107,6 +107,30 @@ object DocStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CORPUS COMPOSITION: the per-source × language half of
+    * the q60 corpus card, maintained continuously — per event-time hour
+    * window: doc and token counts plus quality/sample pass counts, from
+    * the SAME verdict expressions as the batch card
+    * ([[Corpus.withScreenColumns]] / [[Corpus.tokenCountCol]]), so the
+    * live feed cannot drift from the release card. The dedup column is
+    * deliberately absent: min-doc_id-per-fingerprint needs a global
+    * window (batch-side), while everything here is row-local before one
+    * watermarked aggregate. State = one watermark horizon of open
+    * (window, source, lang) groups; one shuffle per micro-batch. */
+  def sourceComposition(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
+                        defaultBp: Int): DataFrame =
+    Corpus.withScreenColumns(docs, rateBpByLang, defaultBp)
+      .withColumn("n_tokens", Corpus.tokenCountCol)
+      .withWatermark("ingest_ts", "1 hour")
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("source"), col("lang"),
+        col("n_docs"), col("n_tokens"), col("n_quality"), col("n_sampled"))
+
   /** event-time ingest monitoring: per-hour × language document counts
     * under the watermark — the operational feed of a document ingest
     * pipeline (in append mode each window finalizes exactly once, when

@@ -46,6 +46,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     // Spark's Expand-based rollup emits nothing on empty input (the
     // oracle's HAVING COUNT(*) > 0 mirrors this)
     assert(Corpus.corpusCard(noDocs, Seq("en" -> 1000), 2500).isEmpty)
+    assert(Corpus.mixtureBalance(noDocs, Seq("src0" -> 2000), 500).isEmpty)
+    assert(Corpus.packManifest(noDocs, 512L).isEmpty)
   }
 
   test("a null text row neither crashes the text family nor hides other docs") {
@@ -65,6 +67,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.nearDupClusters(docs).filter($"doc_id" === 1L).count() == 1)
     assert(TextAnalysis.repetitionScreen(docs).filter($"doc_id" === 1L).count() == 1)
     assert(Dedup.decontaminate(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(Corpus.mixtureBalance(docs, Seq("src0" -> 2000), 500).collect().nonEmpty)
+    assert(Corpus.packManifest(docs, 512L).filter($"doc_id" === 1L).count() == 1)
   }
 
   test("frequency and validation report sanely over empty inputs") {

@@ -146,6 +146,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming source composition equals the batch card expressions per window") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt_comp").toString
+    val rates = Seq("en" -> 1000, "zh" -> 5000)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") % 5) * 3600000000L + 1600000000000000L))
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    val stream = graft.streaming.DocStreams.readDocStreamWithTs(spark, dir)
+    val q = graft.streaming.DocStreams.sourceComposition(stream, rates, 2500)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("evt_comp_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val streamed = spark.table("evt_comp_out").collect().map(key).toMap
+    val batch = graft.operators.Corpus.withScreenColumns(docs, rates, 2500)
+      .withColumn("n_tokens", graft.operators.Corpus.tokenCountCol)
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(unix_micros(col("window.start")).as("hour_us"), col("source"),
+        col("lang"), col("n_docs"), col("n_tokens"), col("n_quality"), col("n_sampled"))
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the feed carries every (source, lang) cell the batch card has
+    assert(streamed.keySet.map { case (_, s, l) => (s, l) } ==
+      batch.keySet.map { case (_, s, l) => (s, l) })
+  }
+
   test("streaming near-dup lookup flags an incoming copy of an indexed corpus doc") {
     import spark.implicits._
     val corpus = Tables.documents(spark, sf)

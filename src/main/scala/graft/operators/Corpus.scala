@@ -234,20 +234,23 @@ object Corpus {
 
   /** q49: token-budget packing — greedily fill a per-language token
     * budget with the highest-quality documents first (alpha ratio from
-    * the q38 scorer, doc_id tiebreak → total order), via a running sum
-    * over one window. One shuffle on lang; at 100 TB the per-language
-    * running sum is the standard "cut the corpus at N tokens" step.
-    * Token counts use the q39 BPE-ish segmentation. */
+    * the q38 scorer, doc_id tiebreak → total order). The running sum is
+    * [[Scale.bucketedRunningSum]] over quality-rank buckets (a pure
+    * descending function of alpha_bp, so equal-quality ties never
+    * straddle a bucket; nulls bucket last, matching DESC NULLS LAST) —
+    * at 100 TB the naive per-language window would put an entire
+    * language in one task. Token counts use the q39 BPE-ish
+    * segmentation. Output is identical to the naive window (the oracle
+    * checks exactly that). */
   def tokenBudgetPack(docs: DataFrame, budgetPerLang: Long): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"),
       tokenCountCol.as("n_tokens"),
       length(col("text")).cast(LongType).as("n_chars"),
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"))
       .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("alpha_bp").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    Scale.bucketedRunningSum(d, "lang",
+        expr("(10000 - coalesce(alpha_bp, -1)) DIV 250"),
+        Seq(col("alpha_bp").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= budgetPerLang)
       .select("lang", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("lang", "doc_id")

@@ -104,10 +104,24 @@ object Scale {
                          valueCol: String, outCol: String,
                          bucketSpan: Long): DataFrame = {
     require(bucketSpan > 0, s"bucketSpan must be positive, got $bucketSpan")
-    val bucketed = df.withColumn("__bucket",
-      expr(s"CAST($orderCol AS BIGINT) DIV $bucketSpan"))
-    val offsets = bucketed.groupBy(groupCol, "__bucket")
-      .agg(sum(col(valueCol)).as("__bsum"))
+    bucketedRunningSum(df, groupCol,
+      expr(s"CAST($orderCol AS BIGINT) DIV $bucketSpan"),
+      Seq(col(orderCol)), col(valueCol), outCol)
+  }
+
+  /** General form: `bucketCol` is ANY expression that is monotone
+    * non-decreasing along `orderCols` within a group (rows tying on
+    * the bucket-driving key must map to the same bucket — a pure
+    * function of that key guarantees it), e.g. a quality rank bucketed
+    * descending for a best-first packing order. `valueCol` may be
+    * conditional (`when(...)`) — the partials aggregate it identically.
+    */
+  def bucketedRunningSum(df: DataFrame, groupCol: String, bucketCol: Column,
+                         orderCols: Seq[Column], valueCol: Column,
+                         outCol: String): DataFrame = {
+    val bucketed = df.withColumn("__bucket", bucketCol)
+    val offsets = bucketed.groupBy(col(groupCol), col("__bucket"))
+      .agg(sum(valueCol).as("__bsum"))
       .withColumn("__offset", coalesce(
         sum(col("__bsum")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
@@ -116,10 +130,10 @@ object Scale {
         lit(0L)))
       .select(col(groupCol), col("__bucket"), col("__offset"))
     val intra = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol, "__bucket").orderBy(orderCol)
+      .partitionBy(col(groupCol), col("__bucket")).orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     bucketed.join(broadcast(offsets), Seq(groupCol, "__bucket"))
-      .withColumn(outCol, col("__offset") + sum(col(valueCol)).over(intra))
+      .withColumn(outCol, col("__offset") + sum(valueCol).over(intra))
       .drop("__bucket", "__offset")
   }
 

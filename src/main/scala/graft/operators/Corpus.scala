@@ -189,7 +189,7 @@ object Corpus {
       .groupBy("source").agg(
         count(lit(1)).as("kept_docs"),
         sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
-    rates.join(kept, Seq("source"), "left")
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("weight_bp"), col("n_docs"),
         col("avail_tokens"), col("rate_bp"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),

@@ -67,6 +67,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "a shuffle join on shingle hashes is the 100 TB killer this operator avoids")
   }
 
+  test("mixture rebalance never shuffle-joins: the rate model rides broadcasts") {
+    val plan = graft.operators.Corpus.mixtureBalance(
+      Tables.documents(spark, dir), Seq("src0" -> 2000), 500)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      "per-source rates must broadcast back onto the scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join would mean corpus rows exchanging for a dimension-sized model")
+  }
+
+  test("pack manifest runs on the bucketed prefix sum, not a per-language window") {
+    val plan = graft.operators.Corpus.packManifest(Tables.documents(spark, dir), 512L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("__bucket"),
+      "the running sum must be keyed by (lang, __bucket) — a plain per-lang window " +
+        "is the one-task-per-language shape bucketedRunningSum exists to avoid")
+    assert(!plan.contains("SortMergeJoin"), "bucket offsets must broadcast")
+  }
+
   test("merge writer plans one full-outer join on the key") {
     val plan = MergeWriter.mergedState(
       Upsert.target(Tables.customer(spark, dir)),

@@ -128,13 +128,18 @@ object Scale {
             .orderBy("__bucket")
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col(groupCol), col("__bucket"), col("__offset"))
+      .select(col(groupCol).as("__og"), col("__bucket").as("__ob"), col("__offset"))
     val intra = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol), col("__bucket")).orderBy(orderCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    bucketed.join(broadcast(offsets), Seq(groupCol, "__bucket"))
+    // null-SAFE join: a null group (or a null bucket value from a null
+    // order key) is a valid window partition in the naive form, so it
+    // must keep its offset row here too — a plain equi-join would
+    // silently drop those rows
+    bucketed.join(broadcast(offsets),
+        col(groupCol) <=> col("__og") && col("__bucket") <=> col("__ob"))
       .withColumn(outCol, col("__offset") + sum(valueCol).over(intra))
-      .drop("__bucket", "__offset")
+      .drop("__bucket", "__offset", "__og", "__ob")
   }
 
   /** Write a frame bucketed+sorted by `key` as a managed table —

@@ -155,6 +155,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(bucketed == naive)
   }
 
+  test("bucketed running sum keeps null groups — a valid window partition") {
+    val df = Seq((Some("g"), 1L, 5L), (None, 2L, 7L), (None, 3L, 11L))
+      .toDF("g", "id", "v")
+    val got = Scale.bucketedRunningSum(df, "g", "id", "v", "cum", bucketSpan = 100L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 7L, 3L -> 18L),
+      s"null-group rows must accumulate like any other partition, got $got")
+  }
+
   test("bucketed running sum never materialises a whole group in one window partition") {
     // the point of the two-level form: intra-bucket windows are keyed by
     // (group, bucket), so the plan's full-data Window must sort/partition

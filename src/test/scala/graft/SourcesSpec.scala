@@ -71,5 +71,13 @@ class SourcesSpec extends AnyFunSuite {
       "CSV-sourced result differs from parquet")
     assert(graft.operators.TextAnalysis.qualityScore(fromJson).collect().toSeq == want,
       "JSON-sourced result differs from parquet")
+    // a multi-pass operator too: the mixture report re-scans its input
+    // (stats pass + apply pass), so it exercises source re-reads
+    val mixWant = graft.operators.Corpus
+      .mixtureBalance(docs, Seq("src0" -> 2000), 500).collect().toSeq
+    assert(graft.operators.Corpus.mixtureBalance(fromCsv, Seq("src0" -> 2000), 500)
+      .collect().toSeq == mixWant, "CSV-sourced mixture report differs from parquet")
+    assert(graft.operators.Corpus.mixtureBalance(fromJson, Seq("src0" -> 2000), 500)
+      .collect().toSeq == mixWant, "JSON-sourced mixture report differs from parquet")
   }
 }

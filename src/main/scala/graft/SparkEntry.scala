@@ -122,6 +122,11 @@ object SparkEntry {
       Tables.documents(s, d), MixWeights, MixDefaultBp)),
     "q63_pack_manifest" -> ((s, d) => Corpus.packManifest(
       Tables.documents(s, d), CtxTokens)),
+    "q64_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.corpusDiff(docs, Curation.releaseView(docs))
+    }),
+    "q65_quality_norm" -> ((s, d) => Corpus.qualityNormalize(Tables.documents(s, d))),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -335,6 +340,45 @@ object SparkEntry {
        |cum_before % $CtxTokens AS seq_offset,
        |((cum_before + greatest(n_tokens, 1) - 1) // $CtxTokens) > (cum_before // $CtxTokens) AS straddles
        |FROM c ORDER BY lang, doc_id""".stripMargin
+
+  /** q64's oracle: the same id-rule release view and the same null-safe
+    * change taxonomy over a full-outer join; the content compare is the
+    * shared [[fingerprintSql]]. */
+  private def corpusDiffSql: String =
+    s"""WITH b AS (
+       |SELECT doc_id,
+       |CASE WHEN doc_id % 17 = 0 THEN text || ' revised' ELSE text END AS text,
+       |CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang, source
+       |FROM documents WHERE doc_id % 31 <> 0
+       |UNION ALL
+       |SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 41 = 0),
+       |fa AS (SELECT doc_id, 1 AS in_a, $fingerprintSql AS fp_a, lang AS lang_a, source AS src_a FROM documents),
+       |fb AS (SELECT doc_id, 1 AS in_b, $fingerprintSql AS fp_b, lang AS lang_b, source AS src_b FROM b),
+       |j AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id, in_a, in_b,
+       |fp_a, fp_b, lang_a, lang_b, src_a, src_b
+       |FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id),
+       |d AS (SELECT doc_id,
+       |CASE WHEN in_a IS NULL THEN 'added'
+       |WHEN in_b IS NULL THEN 'removed'
+       |WHEN fp_a IS DISTINCT FROM fp_b THEN 'text_changed'
+       |WHEN lang_a IS DISTINCT FROM lang_b OR src_a IS DISTINCT FROM src_b THEN 'meta_changed'
+       |ELSE 'unchanged' END AS change_type,
+       |coalesce(lang_b, lang_a) AS lang FROM j)
+       |SELECT doc_id, change_type, lang FROM d
+       |WHERE change_type <> 'unchanged' ORDER BY doc_id""".stripMargin
+
+  /** q65's oracle checks the SPEC via rank() window semantics (rank−1 =
+    * strictly-worse count), not the histogram algorithm the Spark side
+    * uses — same integer floor formula, so values hash-compare. */
+  private def qualityNormSql: String =
+    """WITH scored AS (SELECT doc_id, source,
+      |(10000 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)) // nullif(CAST(length(text) AS BIGINT), 0) AS alpha_bp
+      |FROM documents),
+      |s AS (SELECT * FROM scored WHERE alpha_bp IS NOT NULL)
+      |SELECT doc_id, source, alpha_bp,
+      |(10000 * (CAST(rank() OVER (PARTITION BY source ORDER BY alpha_bp) AS BIGINT) - 1))
+      | // nullif(CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) - 1, 0) AS pct_bp
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** q57's oracle checks the SPEC, not the algorithm: the Spark side
     * iterates min-label propagation (+ pointer jumping) to a verified
@@ -747,6 +791,8 @@ object SparkEntry {
     "q61_semantic_dedup" -> semanticDedupSql,
     "q62_mixture_rebalance" -> mixtureRebalanceSql,
     "q63_pack_manifest" -> packManifestSql,
+    "q64_corpus_diff" -> corpusDiffSql,
+    "q65_quality_norm" -> qualityNormSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

@@ -232,6 +232,41 @@ object Corpus {
       .orderBy("lang", "doc_id")
   }
 
+  /** q65: per-source QUALITY NORMALIZATION — each document's quality
+    * score (q38's alpha ratio) re-expressed as its percent rank WITHIN
+    * its source, in basis points: pct_bp = 10⁴·|strictly worse| ÷ (n−1)
+    * (integer floor; null for singleton sources; unscoreable docs —
+    * null alpha — are excluded). Sources differ wildly in score
+    * distribution, so a single global threshold over-filters clean
+    * sources and under-filters noisy ones; normalizing first is the
+    * standard pre-mixing step.
+    *
+    * Scale shape: NOT a per-source window (one task per source at
+    * 100 TB). alpha_bp has a bounded domain (0..10⁴), so the exact rank
+    * comes from a histogram: per-(source, alpha_bp) counts — a
+    * map-side-combined aggregate with ≤10⁰⁰¹·|sources| output rows — a
+    * tiny cumulative window over THAT, then a broadcast join back and a
+    * row-local formula. The oracle checks the spec via rank() window
+    * semantics, not this algorithm. */
+  def qualityNormalize(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
+      .filter(col("alpha_bp").isNotNull)
+    val hist = scored.groupBy("source", "alpha_bp").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("source").orderBy("alpha_bp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("n_less", coalesce(sum(col("n")).over(wCum), lit(0L)))
+      .withColumn("n_source", sum(col("n")).over(Window.partitionBy("source")))
+      .select("source", "alpha_bp", "n_less", "n_source")
+    scored.join(broadcast(cum), Seq("source", "alpha_bp"))
+      .withColumn("pct_bp", expr("(10000 * n_less) DIV nullif(n_source - 1, 0)"))
+      .select("doc_id", "source", "alpha_bp", "pct_bp")
+      .orderBy("doc_id")
+  }
+
   /** q49: token-budget packing — greedily fill a per-language token
     * budget with the highest-quality documents first (alpha ratio from
     * the q38 scorer, doc_id tiebreak → total order). The running sum is

@@ -162,4 +162,47 @@ object Curation {
         regexp_replace(col("o_orderpriority"), "^4-NOT SPECIFIED$", "4-UNSPECIFIED"),
       "o_orderstatus" ->
         regexp_replace(col("o_orderstatus"), "^P$", "O")))
+
+  /** deterministic stand-in "next release" of a documents corpus —
+    * removals, text revisions, metadata changes and additions by pure
+    * id rules, mirrored literally in the q64 oracle SQL so both engines
+    * diff the identical pair of releases. */
+  def releaseView(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 31 =!= 0)
+      .withColumn("text", when(col("doc_id") % 17 === 0,
+        concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      .withColumn("lang", when(col("doc_id") % 13 === 0, lit("xx"))
+        .otherwise(col("lang")))
+      .unionByName(docs.filter(col("doc_id") % 41 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+
+  /** q64: CORPUS RELEASE DIFF — the dataset-versioning audit between
+    * two corpus releases: per document, added / removed / text_changed
+    * (content fingerprint differs — q40's normalization, so whitespace
+    * noise is not a change) / meta_changed (lang or source moved).
+    * The reference's update loops imply exactly this question ("what
+    * did this batch of pushes change?", reference
+    * src/neuron_morphology/feature_annotations/check_annotation_success_update.py);
+    * here it is one declarative pass. Plan: both releases pruned to
+    * (id, fingerprint, lang, source), one co-partitioned full-outer
+    * join on doc_id — linear at any corpus size; all comparisons
+    * null-safe so absent metadata diffs like any other value. */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def prep(df: DataFrame, suf: String) = df.select(col("doc_id"),
+      lit(1).as(s"in_$suf"),
+      TextAnalysis.fingerprintCol(col("text")).as(s"fp_$suf"),
+      col("lang").as(s"lang_$suf"), col("source").as(s"src_$suf"))
+    prep(a, "a").join(prep(b, "b"), Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("in_a").isNull, lit("added"))
+          .when(col("in_b").isNull, lit("removed"))
+          .when(!(col("fp_a") <=> col("fp_b")), lit("text_changed"))
+          .when(!(col("lang_a") <=> col("lang_b"))
+            || !(col("src_a") <=> col("src_b")), lit("meta_changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("doc_id"), col("change_type"),
+        coalesce(col("lang_b"), col("lang_a")).as("lang"))
+      .orderBy("doc_id")
+  }
 }

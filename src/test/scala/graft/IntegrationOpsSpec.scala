@@ -121,4 +121,61 @@ class IntegrationOpsSpec extends AnyFunSuite {
     val r3 = out.find(_.getLong(0) == 3L).get
     assert(r3.getAs[Boolean]("lang_match") && !r3.getAs[Boolean]("chars_match"))
   }
+
+  test("corpus diff classifies every change type and ignores whitespace noise") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String, String, String)]) =
+      rows.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = df(Seq(
+      (1L, "stable text here", "en", "s1"),
+      (2L, "will be removed", "en", "s1"),
+      (3L, "content that changes", "en", "s1"),
+      (4L, "same words", "en", "s1"),        // lang flips → meta_changed
+      (5L, "spaced   out", "en", "s1")))     // whitespace-only → NOT a change
+    val b = df(Seq(
+      (1L, "stable text here", "en", "s1"),
+      (3L, "content that CHANGED completely", "en", "s1"),
+      (4L, "same words", "de", "s1"),
+      (5L, "spaced out", "en", "s1"),
+      (6L, "brand new doc", "en", "s1")))
+    val got = graft.operators.Curation.corpusDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "removed", 3L -> "text_changed",
+      4L -> "meta_changed", 6L -> "added"),
+      s"unexpected diff: $got (1 unchanged and 5 whitespace-only must be absent)")
+  }
+
+  test("quality normalization equals the naive percent-rank window, ties included") {
+    import spark.implicits._
+    // source A: scores with a tie; source B: singleton (pct null)
+    def doc(id: Long, src: String, alpha: String) =
+      (id, alpha, "en", src, alpha.length.toLong)
+    val docs = Seq(
+      doc(1L, "A", "aaaa"),       // alpha_bp 10000
+      doc(2L, "A", "aa..."),      // 4000
+      doc(3L, "A", "aa.--"),      // 4000 (tie with 2)
+      doc(4L, "A", "....."),      // 0
+      doc(5L, "B", "aaa")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.Corpus.qualityNormalize(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // A has 4 docs: pct = 10000·strictly_worse/3
+    assert(got(4L) == Some(0L))
+    assert(got(2L) == Some(3333L) && got(3L) == Some(3333L), "ties share a rank")
+    assert(got(1L) == Some(10000L))
+    assert(got(5L) == None, "singleton source has no defined rank")
+    // cross-check against the naive per-source window formula
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val naive = docs
+      .withColumn("n_chars2", length(col("text")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars2, 0)"))
+      .filter(col("alpha_bp").isNotNull)
+      .withColumn("r", rank().over(w.orderBy("alpha_bp")).cast("long"))
+      .withColumn("pct_bp", expr("(10000 * (r - 1)) DIV nullif(COUNT(1) OVER (PARTITION BY source) - 1, 0)"))
+      .select("doc_id", "pct_bp").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == naive)
+  }
 }

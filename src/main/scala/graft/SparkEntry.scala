@@ -351,7 +351,7 @@ object SparkEntry {
        |CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang, source
        |FROM documents WHERE doc_id % 31 <> 0
        |UNION ALL
-       |SELECT doc_id + 1000000, text, lang, source FROM documents WHERE doc_id % 41 = 0),
+       |SELECT doc_id + 1000000000000, text, lang, source FROM documents WHERE doc_id % 41 = 0),
        |fa AS (SELECT doc_id, 1 AS in_a, $fingerprintSql AS fp_a, lang AS lang_a, source AS src_a FROM documents),
        |fb AS (SELECT doc_id, 1 AS in_b, $fingerprintSql AS fp_b, lang AS lang_b, source AS src_b FROM b),
        |j AS (SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id, in_a, in_b,

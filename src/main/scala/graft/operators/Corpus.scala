@@ -244,7 +244,7 @@ object Corpus {
     * Scale shape: NOT a per-source window (one task per source at
     * 100 TB). alpha_bp has a bounded domain (0..10⁴), so the exact rank
     * comes from a histogram: per-(source, alpha_bp) counts — a
-    * map-side-combined aggregate with ≤10⁰⁰¹·|sources| output rows — a
+    * map-side-combined aggregate with ≤ 10001·|sources| output rows — a
     * tiny cumulative window over THAT, then a broadcast join back and a
     * row-local formula. The oracle checks the spec via rank() window
     * semantics, not this algorithm. */

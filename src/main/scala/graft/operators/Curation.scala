@@ -174,7 +174,9 @@ object Curation {
       .withColumn("lang", when(col("doc_id") % 13 === 0, lit("xx"))
         .otherwise(col("lang")))
       .unionByName(docs.filter(col("doc_id") % 41 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        // clone-id offset far above any real doc_id range so "added"
+        // rows can never collide with an existing id at larger SFs
+        .withColumn("doc_id", col("doc_id") + lit(1000000000000L)))
 
   /** q64: CORPUS RELEASE DIFF — the dataset-versioning audit between
     * two corpus releases: per document, added / removed / text_changed

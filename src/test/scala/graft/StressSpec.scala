@@ -48,4 +48,49 @@ class StressSpec extends AnyFunSuite {
     assert(out.filter(col("contam_bp") < 0 || col("contam_bp") > 10000).isEmpty)
     assert(out.filter(col("is_contaminated") =!= (col("n_shared") > 0)).isEmpty)
   }
+
+  test("pack manifest at sf0.1 satisfies the packing invariants") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val ctx = 512L
+    val m = graft.operators.Corpus.packManifest(docs, ctx).cache()
+    try {
+      assert(m.count() == docs.count(), "one manifest row per document")
+      // offsets live inside a sequence; ids are non-negative
+      assert(m.filter(col("seq_offset") < 0 || col("seq_offset") >= ctx).isEmpty)
+      assert(m.filter(col("seq_id") < 0).isEmpty)
+      // per language, the highest sequence id is exactly the one the
+      // total token stream length dictates — no gaps at the top, no
+      // overflow: (total - 1) DIV ctx when every doc starts in-range
+      val bad = m.groupBy("lang")
+        .agg(max(col("seq_id")).as("max_seq"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(col("seq_id") * ctx + col("seq_offset")).as("max_start"))
+        .filter(col("max_start") >= col("total_tokens")
+          || col("max_seq") > expr(s"(total_tokens - 1) DIV $ctx"))
+      assert(bad.isEmpty, "sequence ids must track the cumulative token stream")
+      // straddle flag consistency: a doc straddles iff its tokens cross
+      // the next cut
+      val inconsistent = m.filter(
+        col("straddles") =!= (col("seq_offset") + greatest(col("n_tokens"), lit(1L)) > ctx))
+      assert(inconsistent.isEmpty, "straddle flag must match offset+len vs ctx")
+    } finally m.unpersist()
+  }
+
+  test("mixture rebalance at sf0.1 satisfies the composition invariants") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val rows = graft.operators.Corpus
+      .mixtureBalance(docs, Seq("src0" -> 2000, "src1" -> 1000), 500)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_bp")
+      assert(rate >= 0 && rate <= 10000, s"rate out of range: $r")
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("avail_tokens"))
+    }
+    // at least one source binds (keeps everything) and, with these
+    // skewed weights on a near-uniform corpus, someone is down-sampled
+    assert(rows.exists(_.getAs[Long]("rate_bp") == 10000L), "a binding source must exist")
+    assert(rows.exists(_.getAs[Long]("rate_bp") < 10000L), "non-binding sources are cut")
+  }
 }

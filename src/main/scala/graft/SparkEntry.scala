@@ -310,7 +310,7 @@ object SparkEntry {
        |sc AS (SELECT CAST(MIN(CAST(avail_tokens AS HUGEINT) * w_total // weight_bp) AS BIGINT) AS total_tokens_max
        |FROM w, tot),
        |rates AS (SELECT source, weight_bp, n_docs, avail_tokens,
-       |least(10000, (10000 * (total_tokens_max * weight_bp // w_total)) // nullif(avail_tokens, 0)) AS rate_bp
+       |least(10000, (10000 * CAST(CAST(total_tokens_max AS HUGEINT) * weight_bp // w_total AS BIGINT)) // nullif(avail_tokens, 0)) AS rate_bp
        |FROM w, tot, sc),
        |kept AS (SELECT t.source, COUNT(1) AS kept_docs,
        |CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens

@@ -178,7 +178,10 @@ object Corpus {
         expr("CAST(CAST(avail_tokens AS DECIMAL(38,0)) * w_total DIV weight_bp AS BIGINT)"))
     val totMax = scaled.agg(min(col("tot_if_binding")).as("total_tokens_max"))
     val rates = scaled.crossJoin(broadcast(totMax))
-      .withColumn("want_tokens", expr("total_tokens_max * weight_bp DIV w_total"))
+      // DECIMAL for the same reason as tot_if_binding: total·weight can
+      // pass 2⁶³ when one source is huge and weights are skewed
+      .withColumn("want_tokens",
+        expr("CAST(CAST(total_tokens_max AS DECIMAL(38,0)) * weight_bp DIV w_total AS BIGINT)"))
       .withColumn("rate_bp", least(lit(10000L),
         expr("(10000 * want_tokens) DIV nullif(avail_tokens, 0)")))
       .select("source", "weight_bp", "n_docs", "avail_tokens", "rate_bp")

@@ -163,6 +163,9 @@ object Corpus {
     * on more than the source key. */
   def mixtureBalance(docs: DataFrame, weightBpBySource: Seq[(String, Int)],
                      defaultBp: Int): DataFrame = {
+    // weights divide — fail fast instead of a deep ANSI divide-by-zero
+    require(defaultBp > 0 && weightBpBySource.forall(_._2 > 0),
+      s"mixture weights must be positive: default=$defaultBp, $weightBpBySource")
     val weightCol = weightBpBySource.foldLeft(lit(defaultBp.toLong)) {
       case (acc, (s, bp)) => when(col("source") === s, lit(bp.toLong)).otherwise(acc)
     }

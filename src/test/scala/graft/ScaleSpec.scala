@@ -137,22 +137,25 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed running sum equals the naive per-group window exactly") {
     // ids deliberately sparse + shuffled input order; spans small enough
-    // that every group straddles many buckets
-    val rnd = new scala.util.Random(7)
-    val rows = rnd.shuffle((0 until 2000).map { i =>
-      (s"g${i % 3}", i.toLong * 3 + (i % 2), rnd.nextInt(100).toLong)
-    })
-    val df = rows.toDF("g", "id", "v").repartition(8)
-    val naive = df.withColumn("cum",
-      sum("v").over(org.apache.spark.sql.expressions.Window
-        .partitionBy("g").orderBy("id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .select("g", "id", "cum").collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val bucketed = Scale.bucketedRunningSum(df, "g", "id", "v", "cum", bucketSpan = 100L)
-      .select("g", "id", "cum").collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(bucketed == naive)
+    // that every group straddles many buckets; negative values exercise
+    // non-monotone partial sums
+    for (seed <- Seq(7, 23, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = rnd.shuffle((0 until 2000).map { i =>
+        (s"g${i % 3}", i.toLong * 3 + (i % 2), rnd.nextInt(200).toLong - 50L)
+      })
+      val df = rows.toDF("g", "id", "v").repartition(8)
+      val naive = df.withColumn("cum",
+        sum("v").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val bucketed = Scale.bucketedRunningSum(df, "g", "id", "v", "cum", bucketSpan = 100L)
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(bucketed == naive, s"seed $seed")
+    }
   }
 
   test("bucketed running sum keeps null groups — a valid window partition") {

@@ -266,8 +266,13 @@ object Corpus {
     val cum = hist
       .withColumn("n_less", coalesce(sum(col("n")).over(wCum), lit(0L)))
       .withColumn("n_source", sum(col("n")).over(Window.partitionBy("source")))
-      .select("source", "alpha_bp", "n_less", "n_source")
-    scored.join(broadcast(cum), Seq("source", "alpha_bp"))
+      .select(col("source").as("__hs"), col("alpha_bp").as("__ha"),
+        col("n_less"), col("n_source"))
+    // null-SAFE on source: a null source is a valid rank partition
+    // (rank() PARTITION BY treats it as one) — an equi-join would
+    // silently drop those docs from the report
+    scored.join(broadcast(cum),
+        col("source") <=> col("__hs") && col("alpha_bp") === col("__ha"))
       .withColumn("pct_bp", expr("(10000 * n_less) DIV nullif(n_source - 1, 0)"))
       .select("doc_id", "source", "alpha_bp", "pct_bp")
       .orderBy("doc_id")

@@ -156,7 +156,9 @@ class IntegrationOpsSpec extends AnyFunSuite {
       doc(2L, "A", "aa..."),      // 4000
       doc(3L, "A", "aa.--"),      // 4000 (tie with 2)
       doc(4L, "A", "....."),      // 0
-      doc(5L, "B", "aaa")
+      doc(5L, "B", "aaa"),
+      doc(6L, null.asInstanceOf[String], "aa"),  // null source = its own partition
+      doc(7L, null.asInstanceOf[String], "a.")
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = graft.operators.Corpus.qualityNormalize(docs).collect()
       .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
@@ -165,6 +167,9 @@ class IntegrationOpsSpec extends AnyFunSuite {
     assert(got(2L) == Some(3333L) && got(3L) == Some(3333L), "ties share a rank")
     assert(got(1L) == Some(10000L))
     assert(got(5L) == None, "singleton source has no defined rank")
+    // null source ranks within its own two-doc partition
+    assert(got(6L) == Some(10000L) && got(7L) == Some(0L),
+      "null-source docs must rank against each other, not vanish")
     // cross-check against the naive per-source window formula
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
     val naive = docs

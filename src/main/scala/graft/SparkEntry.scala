@@ -120,8 +120,11 @@ object SparkEntry {
       Tables.documents(s, d), Tables.embeddings(s, d))),
     "q62_mixture_rebalance" -> ((s, d) => Corpus.mixtureBalance(
       Tables.documents(s, d), MixWeights, MixDefaultBp)),
+    // testdata ids are dense and small — a 200-id span gives the
+    // oracle-checked path real multi-bucket offset merges (production
+    // callers use the default span, sized in Scale.bucketedRunningSum)
     "q63_pack_manifest" -> ((s, d) => Corpus.packManifest(
-      Tables.documents(s, d), CtxTokens)),
+      Tables.documents(s, d), CtxTokens, bucketSpan = 200L)),
     "q64_corpus_diff" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.corpusDiff(docs, Curation.releaseView(docs))

@@ -223,12 +223,16 @@ object Corpus {
     * be a single task. Token counts are the shared [[tokenCountCol]]
     * (q39's segmentation), so the manifest agrees with every other
     * token-counting operator. One (group, bucket)-keyed shuffle plus a
-    * dimension-sized offset aggregate; output order (lang, doc_id). */
-  def packManifest(docs: DataFrame, ctxTokens: Long): DataFrame = {
+    * dimension-sized offset aggregate; output order (lang, doc_id).
+    * `bucketSpan` follows bucketedRunningSum's sizing rule — the
+    * default suits dense production id ranges; tests pass a small span
+    * so the multi-bucket merge is exercised on tiny data. */
+  def packManifest(docs: DataFrame, ctxTokens: Long,
+                   bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
     val d = docs.select(col("doc_id"), col("lang"), tokenCountCol.as("n_tokens"))
     Scale.bucketedRunningSum(d, "lang", "doc_id", "n_tokens", "cum_tokens",
-        bucketSpan = 200L)
+        bucketSpan)
       .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
       .withColumn("seq_id", expr(s"cum_before DIV $ctxTokens"))
       .withColumn("seq_offset", expr(s"cum_before % $ctxTokens"))
@@ -294,8 +298,11 @@ object Corpus {
       length(col("text")).cast(LongType).as("n_chars"),
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"))
       .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
+    // bucket = one bucket PER alpha value (10002 ordered buckets):
+    // offsets stay dimension-sized while a bucket is ~corpus/10⁴ rows —
+    // coarser spans would make each bucket a corpus-fraction-sized task
     Scale.bucketedRunningSum(d, "lang",
-        expr("(10000 - coalesce(alpha_bp, -1)) DIV 250"),
+        expr("10000 - coalesce(alpha_bp, -1)"),
         Seq(col("alpha_bp").desc, col("doc_id")), col("n_tokens"), "cum_tokens")
       .filter(col("cum_tokens") <= budgetPerLang)
       .select("lang", "doc_id", "n_tokens", "cum_tokens")

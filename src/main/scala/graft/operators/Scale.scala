@@ -96,9 +96,17 @@ object Scale {
     * one shuffle keyed by (group, bucket) for the intra-bucket window
     * — same shuffle count as the naive form, but no partition is ever
     * larger than a bucket. `orderCol` must be numeric and
-    * non-negative; `bucketSpan` sizes the bucket in ORDER-KEY units
-    * (for dense ids: rows per bucket ≈ span, so pick span so a bucket
-    * fits a task comfortably).
+    * non-negative; `bucketSpan` sizes the bucket in ORDER-KEY units.
+    *
+    * Sizing `bucketSpan` is a two-sided constraint: a bucket must fit
+    * a task (≲ a few million rows), AND the offsets frame —
+    * |groups| × (key range ÷ span) rows — must stay broadcast-sized.
+    * For dense ids both hold across many orders of magnitude (e.g.
+    * span 10⁶ at 10¹¹ rows: 10⁶-row buckets, 10⁵ offset rows); a span
+    * so small that offsets approach the data size defeats the design.
+    * Degenerate case: if the bucket key has too few distinct values
+    * (everything in one bucket), the plan silently reduces to the
+    * naive one-task window — bucket on a finer key instead.
     */
   def bucketedRunningSum(df: DataFrame, groupCol: String, orderCol: String,
                          valueCol: String, outCol: String,

@@ -311,9 +311,11 @@ object SparkEntry {
        |CAST(CASE source $cases ELSE $MixDefaultBp END AS BIGINT) AS weight_bp FROM stats),
        |tot AS (SELECT CAST(SUM(weight_bp) AS BIGINT) AS w_total FROM w),
        |sc AS (SELECT CAST(MIN(CAST(avail_tokens AS HUGEINT) * w_total // weight_bp) AS BIGINT) AS total_tokens_max
-       |FROM w, tot),
+       |FROM w, tot WHERE avail_tokens > 0),
        |rates AS (SELECT source, weight_bp, n_docs, avail_tokens,
-       |least(10000, (10000 * CAST(CAST(total_tokens_max AS HUGEINT) * weight_bp // w_total AS BIGINT)) // nullif(avail_tokens, 0)) AS rate_bp
+       |CASE WHEN avail_tokens = 0 THEN 0
+       |ELSE least(10000, (10000 * CAST(CAST(total_tokens_max AS HUGEINT) * weight_bp // w_total AS BIGINT)) // avail_tokens)
+       |END AS rate_bp
        |FROM w, tot, sc),
        |kept AS (SELECT t.source, COUNT(1) AS kept_docs,
        |CAST(SUM(t.n_tokens) AS BIGINT) AS kept_tokens

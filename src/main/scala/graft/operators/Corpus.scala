@@ -122,18 +122,27 @@ object Corpus {
       .withColumn("n_tokens", tokenCountCol)
       .withColumn("keep_dedup", keepDedupCol)
       .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled")
-    scored.createOrReplaceTempView("graft_corpus_card_src")
-    scored.sparkSession.sql(
-      """SELECT coalesce(source, '(all)') AS source,
-        |       coalesce(lang, '(all)') AS lang,
-        |       count(1) AS n_docs,
-        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |       (10000 * sum(CASE WHEN is_quality THEN 1 ELSE 0 END)) DIV count(1) AS quality_bp,
-        |       (10000 * sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END)) DIV count(1) AS dedup_keep_bp,
-        |       (10000 * sum(CASE WHEN sampled THEN 1 ELSE 0 END)) DIV count(1) AS sampled_bp
-        |FROM graft_corpus_card_src
-        |GROUP BY ROLLUP (source, lang)
-        |ORDER BY 1, 2""".stripMargin)
+    // per-call unique view name: concurrent corpusCard calls on one
+    // session must not race on createOrReplaceTempView, and the view
+    // must not leak into the session namespace. spark.sql analyzes
+    // eagerly (Dataset.ofRows asserts analysis), so the view reference
+    // is resolved into the returned plan before we drop it.
+    val view = "graft_corpus_card_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    scored.createOrReplaceTempView(view)
+    try {
+      scored.sparkSession.sql(
+        s"""SELECT coalesce(source, '(all)') AS source,
+           |       coalesce(lang, '(all)') AS lang,
+           |       count(1) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |       (10000 * sum(CASE WHEN is_quality THEN 1 ELSE 0 END)) DIV count(1) AS quality_bp,
+           |       (10000 * sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END)) DIV count(1) AS dedup_keep_bp,
+           |       (10000 * sum(CASE WHEN sampled THEN 1 ELSE 0 END)) DIV count(1) AS sampled_bp
+           |FROM $view
+           |GROUP BY ROLLUP (source, lang)
+           |ORDER BY 1, 2""".stripMargin)
+    } finally scored.sparkSession.catalog.dropTempView(view)
   }
 
   /** q62: MIXTURE REBALANCING — compute, then apply, the per-source
@@ -143,6 +152,9 @@ object Corpus {
     * of an arbitrary total); the scarcest source binds: the achievable
     * corpus total is minᵥ(availᵥ·W ÷ wᵥ) tokens, each source
     * contributes its share of that, and the binding source keeps 100%.
+    * A weighted source with NO tokens at all is excluded from the
+    * binding min (it would otherwise zero the whole mixture) and is
+    * reported with rate_bp 0.
     * The keep decision is the engine's hash-threshold idiom (pure
     * row-local function of doc_id, salt "mix:") — reproducible across
     * runs, engines and repartitioning, like [[stratifiedSample]].
@@ -179,14 +191,21 @@ object Corpus {
     val scaled = stats.crossJoin(broadcast(wTotal))
       .withColumn("tot_if_binding",
         expr("CAST(CAST(avail_tokens AS DECIMAL(38,0)) * w_total DIV weight_bp AS BIGINT)"))
-    val totMax = scaled.agg(min(col("tot_if_binding")).as("total_tokens_max"))
+    // a source with avail_tokens = 0 (all-null/empty text) cannot bind:
+    // taking its tot_if_binding = 0 into the min would silently zero
+    // every other source's rate and empty the mixture. Exclude it from
+    // the binding min and report it with rate_bp 0 (there is nothing to
+    // keep from it anyway) — the oracle SQL mirrors both rules.
+    val totMax = scaled.filter(col("avail_tokens") > 0L)
+      .agg(min(col("tot_if_binding")).as("total_tokens_max"))
     val rates = scaled.crossJoin(broadcast(totMax))
       // DECIMAL for the same reason as tot_if_binding: total·weight can
       // pass 2⁶³ when one source is huge and weights are skewed
       .withColumn("want_tokens",
         expr("CAST(CAST(total_tokens_max AS DECIMAL(38,0)) * weight_bp DIV w_total AS BIGINT)"))
-      .withColumn("rate_bp", least(lit(10000L),
-        expr("(10000 * want_tokens) DIV nullif(avail_tokens, 0)")))
+      .withColumn("rate_bp", when(col("avail_tokens") === 0L, lit(0L))
+        .otherwise(least(lit(10000L),
+          expr("(10000 * want_tokens) DIV avail_tokens"))))
       .select("source", "weight_bp", "n_docs", "avail_tokens", "rate_bp")
     val kept = toks
       .join(broadcast(rates.select("source", "rate_bp")), Seq("source"))

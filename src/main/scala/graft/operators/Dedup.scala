@@ -234,7 +234,20 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     var lab = nodes.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var converged = false
+    var iters = 0
     while (!converged) {
+      // safety valve, NOT a correctness bound: with pointer jumping the
+      // fixpoint lands in O(log diameter) iterations (≤ ~40 even for a
+      // path over every 64-bit id), so hitting 64 means the monotone
+      // non-increase argument was broken by a regression (e.g. a
+      // non-deterministic label source) — fail with diagnostics instead
+      // of letting the driver loop spin forever.
+      iters += 1
+      if (iters > 64)
+        throw new IllegalStateException(
+          "propagateLabels did not converge after 64 iterations — " +
+            "labels are not monotone; check that the pair source is " +
+            "deterministic and doc ids are stable")
       val nbrMin = edges
         .join(lab.select(col("doc_id").as("doc_b"), col("label").as("nbr_label")), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))

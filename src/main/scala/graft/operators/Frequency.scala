@@ -50,10 +50,14 @@ object Frequency {
   }
 
   /** Rows whose raw extracted `$.k` string is a strict integer literal
-    * that fits a BIGINT — the SAME regexp gates the DuckDB oracle, so
-    * the heavy-hitter denominator (n_total) is defined identically in
+    * of AT MOST 18 DIGITS — a deliberately conservative gate: every
+    * match fits a BIGINT with no overflow check needed, but valid
+    * 19-digit BIGINTs (10¹⁸..2⁶³−1 and their negatives) are excluded
+    * by design. The SAME regexp gates the DuckDB oracle, so the
+    * heavy-hitter denominator (n_total) is defined identically in
     * both engines regardless of what the JSON holds (a bare cast would
-    * diverge: Spark ANSI errors on non-numerics, DuckDB hard-casts).
+    * diverge: Spark ANSI errors on non-numerics, DuckDB hard-casts;
+    * a 19-digit gate would need TRY_CAST-style range checks in both).
     * Anchored with \z, not $: Java regex lets $ match before a trailing
     * newline while RE2 (DuckDB) does not — \z means end-of-text in
     * both. */

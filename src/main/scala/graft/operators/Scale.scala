@@ -95,8 +95,11 @@ object Scale {
     * (dimension-sized output), a broadcast join of the offsets, and
     * one shuffle keyed by (group, bucket) for the intra-bucket window
     * — same shuffle count as the naive form, but no partition is ever
-    * larger than a bucket. `orderCol` must be numeric and
-    * non-negative; `bucketSpan` sizes the bucket in ORDER-KEY units.
+    * larger than a bucket. `orderCol` must be numeric (negative keys
+    * are fine: bucketing uses floor division, which is monotone over
+    * the whole integer range — truncating DIV would fold -span+1..-1
+    * into bucket 0 with 0..span-1 and silently break the monotone
+    * precondition); `bucketSpan` sizes the bucket in ORDER-KEY units.
     *
     * Sizing `bucketSpan` is a two-sided constraint: a bucket must fit
     * a task (≲ a few million rows), AND the offsets frame —
@@ -112,8 +115,13 @@ object Scale {
                          valueCol: String, outCol: String,
                          bucketSpan: Long): DataFrame = {
     require(bucketSpan > 0, s"bucketSpan must be positive, got $bucketSpan")
+    // floor division, not DIV: (x - pmod(x, s)) DIV s is exact integer
+    // floor(x/s) for every BIGINT except Long.MinValue (where the
+    // subtraction would underflow and ANSI mode fails loud, which is
+    // the right outcome for a sentinel key). For x >= 0 it equals DIV,
+    // so non-negative callers see identical buckets.
     bucketedRunningSum(df, groupCol,
-      expr(s"CAST($orderCol AS BIGINT) DIV $bucketSpan"),
+      expr(s"(CAST($orderCol AS BIGINT) - pmod(CAST($orderCol AS BIGINT), $bucketSpan)) DIV $bucketSpan"),
       Seq(col(orderCol)), col(valueCol), outCol)
   }
 

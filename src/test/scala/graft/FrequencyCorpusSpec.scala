@@ -175,6 +175,28 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture rebalance: a zero-token source cannot bind and gets rate 0") {
+    // source Z exists in the corpus but all its docs have null/empty
+    // text → avail_tokens = 0. It must not drag total_tokens_max to 0
+    // (which would silently empty every other source); it is reported
+    // with rate_bp 0 and the other sources' rates are exactly what they
+    // would be without it.
+    def doc(id: Long, src: String, text: String) = (id, text, "en", src, 0L)
+    val withZ = (Seq(doc(100L, "Z", ""), doc(101L, "Z", null)) ++
+      (1L to 2L).map(doc(_, "A", List.fill(10)("tok").mkString(" "))) ++
+      (3L to 6L).map(doc(_, "B", List.fill(10)("tok").mkString(" "))))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Corpus.mixtureBalance(withZ, Seq("A" -> 5000, "B" -> 2500), 2500)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("Z").getAs[Long]("avail_tokens") == 0L)
+    assert(rows("Z").getAs[Long]("rate_bp") == 0L)
+    assert(rows("Z").getAs[Long]("kept_docs") == 0L)
+    // A (avail 20, weight 5000) binds among the positive-avail sources:
+    // W = 10000, total = min(20·10⁴/5000, 40·10⁴/2500) = 40
+    assert(rows("A").getAs[Long]("rate_bp") == 10000L)
+    assert(rows("B").getAs[Long]("rate_bp") == 2500L)
+  }
+
   test("mixture rebalance approaches the target composition on a real corpus") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val rows = Corpus.mixtureBalance(docs, Seq("src0" -> 2000, "src1" -> 1000), 500)

@@ -158,6 +158,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed running sum is exact for negative order keys (floor-div buckets)") {
+    // truncating DIV would fold -99..-1 into bucket 0 together with
+    // 0..99, breaking the monotone-bucket precondition; floor division
+    // keeps buckets monotone over the whole integer range
+    val rnd = new scala.util.Random(13)
+    val rows = rnd.shuffle((-500 until 500).map { i =>
+      ("g" + math.abs(i % 2), i.toLong * 3, rnd.nextInt(100).toLong - 20L)
+    })
+    val df = rows.toDF("g", "id", "v").repartition(8)
+    val naive = df.withColumn("cum",
+      sum("v").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bucketed = Scale.bucketedRunningSum(df, "g", "id", "v", "cum", bucketSpan = 100L)
+      .select("g", "id", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bucketed == naive)
+  }
+
   test("bucketed running sum keeps null groups — a valid window partition") {
     val df = Seq((Some("g"), 1L, 5L), (None, 2L, 7L), (None, 3L, 11L))
       .toDF("g", "id", "v")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws, expr, lit, split_part, when}
 
 import graft.operators._
 
@@ -130,6 +130,19 @@ object SparkEntry {
       Curation.corpusDiff(docs, Curation.releaseView(docs))
     }),
     "q65_quality_norm" -> ((s, d) => Corpus.qualityNormalize(Tables.documents(s, d))),
+    "q66_pii_scrub" -> ((s, d) => Privacy.piiScrub(piiFixture(Tables.documents(s, d)))),
+    // block on (second name word, length band): the discriminating
+    // token of the "<adjective> <noun>" part-name shape — a second
+    // pass with another key is just another call (see fuzzyNameMatches)
+    "q67_fuzzy_names" -> ((s, d) => Curation.fuzzyNameMatches(
+      Tables.part(s, d), "p_name", maxDist = 2,
+      Seq(split_part(col("name"), lit(" "), lit(2)),
+        expr("length(name) DIV 4")))),
+    "q68_top_terms" -> ((s, d) => Frequency.sourceTopTerms(Tables.documents(s, d))),
+    "q69_semantic_outliers" -> ((s, d) => Similarity.labelCentroidOutliers(
+      Tables.embeddings(s, d), k = 5)),
+    "q70_dataset_split" -> ((s, d) => Corpus.datasetSplit(
+      Tables.documents(s, d), valBp = 500, testBp = 500)),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
@@ -242,6 +255,21 @@ object SparkEntry {
   private val MixWeights: Seq[(String, Int)] = Seq("src0" -> 2000, "src1" -> 1000)
   private val MixDefaultBp = 500
   private val CtxTokens = 512L
+
+  /** q66 test fixture: the synthetic corpus carries no PII, so the
+    * inventory entry injects deterministic positives (an email for
+    * doc_id % 5, an IPv4 for % 7, a 9-10 digit account number for
+    * % 11) before the scrub — the SAME expression, in SQL form, feeds
+    * the oracle. concat_ws skips NULL parts in both engines. The
+    * operator itself ([[graft.operators.Privacy.piiScrub]]) takes any
+    * (id, text) frame. */
+  private def piiFixture(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat_ws(" ", col("text"),
+      when(col("doc_id") % 5 === 0,
+        expr("concat('contact u', CAST(doc_id AS STRING), '@example.com')")),
+      when(col("doc_id") % 7 === 0, lit("from 10.0.0.1")),
+      when(col("doc_id") % 11 === 0,
+        expr("concat('acct ', CAST(900000000 + doc_id AS STRING))"))))
 
   /** q55's oracle: the full corpus pipeline composed from the proven
     * per-stage fragments (q37 langid CASE, q38 quality, q40
@@ -605,6 +633,90 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q66's oracle: the same fixture injection, the same Java/RE2-common
+    * patterns (interpolated from [[graft.operators.Privacy]] so the two
+    * engines can never drift), the same email→IP→ID redaction order. */
+  private def piiScrubSql: String = {
+    val (em, ip, id) =
+      (graft.operators.Privacy.EmailPattern,
+        graft.operators.Privacy.Ipv4Pattern,
+        graft.operators.Privacy.IdNumPattern)
+    s"""WITH d AS (SELECT doc_id, concat_ws(' ', text,
+       |CASE WHEN doc_id % 5 = 0 THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+       |CASE WHEN doc_id % 7 = 0 THEN 'from 10.0.0.1' END,
+       |CASE WHEN doc_id % 11 = 0 THEN 'acct ' || CAST(900000000 + doc_id AS VARCHAR) END) AS text
+       |FROM documents),
+       |c AS (SELECT doc_id,
+       |CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+       |CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+       |CAST(len(regexp_extract_all(text, '$id')) AS BIGINT) AS n_idnum,
+       |md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |'$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$id', '<ID>', 'g')) AS redacted_fp
+       |FROM d)
+       |SELECT doc_id, n_email, n_ipv4, n_idnum,
+       |n_email + n_ipv4 + n_idnum AS pii_total, redacted_fp
+       |FROM c WHERE n_email + n_ipv4 + n_idnum > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** q67's oracle: the same distinct-name universe, blocking key and
+    * threshold (levenshtein is the textbook DP edit distance in both
+    * engines; names are ASCII so binary string `<` agrees). */
+  private def fuzzyNamesSql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+      |b AS (SELECT name, split_part(name, ' ', 2) AS w2, length(name) // 4 AS lb FROM n)
+      |SELECT a.name AS name_a, b2.name AS name_b,
+      |CAST(levenshtein(a.name, b2.name) AS BIGINT) AS edit_dist
+      |FROM b a JOIN b b2 ON a.w2 = b2.w2 AND a.lb = b2.lb AND a.name < b2.name
+      |WHERE levenshtein(a.name, b2.name) <= 2 ORDER BY 1, 2""".stripMargin
+
+  /** q68's oracle checks the SPEC (exact per-source term shares via a
+    * plain unnest + GROUP BY), not the sketch — MG's no-miss bound is
+    * what makes the sketch→verify output exactly this. */
+  private def topTermsSql: String =
+    """WITH toks AS (SELECT source,
+      |unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS token
+      |FROM documents),
+      |tot AS (SELECT source, COUNT(1) AS n_total FROM toks GROUP BY source),
+      |c AS (SELECT source, token, COUNT(1) AS n_occurrences FROM toks GROUP BY source, token)
+      |SELECT c.source, c.token, c.n_occurrences,
+      |(10000 * c.n_occurrences) // t.n_total AS share_bp
+      |FROM c JOIN tot t ON c.source = t.source
+      |WHERE c.n_occurrences * 10000 > t.n_total * 200 ORDER BY 1, 2""".stripMargin
+
+  /** q69's oracle: the same exact-integer centroid (floor-quantised
+    * component sums — BIGINT, order-independent) and the same double
+    * cosine fold (list_dot_product matches the codegen vec_dot
+    * bitwise, the q34/q35 discipline). */
+  private def semanticOutliersSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |comp AS (SELECT label, pos, CAST(floor(emb[pos] * 1000000.0) AS BIGINT) AS q
+      |FROM (SELECT label, emb, unnest(generate_series(1, len(emb))) AS pos FROM e)),
+      |cs AS (SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s FROM comp GROUP BY label, pos),
+      |cent AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid FROM cs GROUP BY label),
+      |sc AS (SELECT vec_id, CAST(e.label AS BIGINT) AS label,
+      |CAST(floor(10000.0 * list_dot_product(emb, centroid) /
+      |sqrt(list_dot_product(emb, emb) * list_dot_product(centroid, centroid))) AS BIGINT) AS cos_bp
+      |FROM e JOIN cent ON e.label = cent.label
+      |WHERE list_dot_product(emb, emb) > 0 AND list_dot_product(centroid, centroid) > 0)
+      |SELECT vec_id, label, cos_bp FROM (
+      |SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_bp, vec_id) AS rk FROM sc) t
+      |WHERE rk <= 5 ORDER BY label, vec_id""".stripMargin
+
+  /** q70's oracle: split threshold on the 60-bit md5 of the shared
+    * content fingerprint ([[fingerprintSql]]) — null text hashes to
+    * null in both engines and falls through to 'train'. */
+  private def datasetSplitSql: String = {
+    val q = graft.operators.Corpus.RateQuantum
+    s"""SELECT doc_id, source,
+       |CASE WHEN h < ${500L * q} THEN 'test'
+       |WHEN h < ${1000L * q} THEN 'val' ELSE 'train' END AS split,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, source, text,
+       |('0x' || substr(md5('split:' || $fingerprintSql), 1, 15))::BIGINT AS h
+       |FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -798,6 +910,11 @@ object SparkEntry {
     "q63_pack_manifest" -> packManifestSql,
     "q64_corpus_diff" -> corpusDiffSql,
     "q65_quality_norm" -> qualityNormSql,
+    "q66_pii_scrub" -> piiScrubSql,
+    "q67_fuzzy_names" -> fuzzyNamesSql,
+    "q68_top_terms" -> topTermsSql,
+    "q69_semantic_outliers" -> semanticOutliersSql,
+    "q70_dataset_split" -> datasetSplitSql,
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,

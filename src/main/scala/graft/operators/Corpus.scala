@@ -327,4 +327,30 @@ object Corpus {
       .select("lang", "doc_id", "n_tokens", "cum_tokens")
       .orderBy("lang", "doc_id")
   }
+
+  /** q70: LEAKAGE-SAFE train/val/test SPLIT manifest. The split key is
+    * the content FINGERPRINT, not the doc id: two near-identical
+    * documents (same text modulo case/punctuation — the q40
+    * canonicalisation) always land in the SAME split, so a duplicate
+    * can never put eval text into the training set — the split-time
+    * half of decontamination (q58 screens against an external
+    * benchmark; this screens the corpus against its own held-out
+    * splits). Assignment is the engine's hash-threshold idiom (60-bit
+    * md5, "split:" salt): a pure row-local function of content —
+    * reproducible across runs, engines, repartitioning and corpus
+    * GROWTH (adding documents never reassigns an existing one, unlike
+    * any modulo-on-row-number scheme). One scan, no shuffle but the
+    * output sort. */
+  def datasetSplit(docs: DataFrame, valBp: Int, testBp: Int): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp < 10000,
+      s"val+test must leave room for train: val=$valBp test=$testBp bp")
+    val h = Dedup.md5_60(concat(lit("split:"),
+      TextAnalysis.fingerprintCol(col("text"))))
+    val split = when(h < lit(testBp.toLong * RateQuantum), "test")
+      .when(h < lit((testBp.toLong + valBp) * RateQuantum), "val")
+      .otherwise("train")
+    docs.select(col("doc_id"), col("source"), split.as("split"),
+        tokenCountCol.as("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -105,6 +105,45 @@ object Curation {
       .orderBy("p_partkey")
   }
 
+  /** q67: FUZZY name-collision screen — the edit-distance sibling of
+    * [[registrationDedup]] (the reference's registration check catches
+    * exact name collisions; real curation also wants "Smith-2024-axon"
+    * vs "Smith-2024-axn"). Classic blocked record linkage:
+    *
+    *  1. the name UNIVERSE is deduplicated first (exact `distinct` —
+    *     at corpus scale the distinct-name frame is orders of magnitude
+    *     smaller than the row count, and it is the only thing that ever
+    *     self-joins);
+    *  2. candidate pairs come from an EQUALITY join on a blocking key
+    *     (never an all-pairs product), so the quadratic cost is bounded
+    *     by the largest block;
+    *  3. `levenshtein` runs only on in-block pairs.
+    *
+    * Blocking keys trade recall for scale by construction (a typo
+    * inside the key escapes the block — standard practice is a second
+    * pass with a different key, which is just another call with a
+    * different `blockKey`). `blockKey` expressions are evaluated over a
+    * one-column frame named `name`. */
+  def fuzzyNameMatches(df: DataFrame, nameCol: String, maxDist: Int,
+                       blockKey: Seq[Column]): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val blocked = blockKey.zipWithIndex.foldLeft(names) {
+      case (acc, (k, i)) => acc.withColumn(s"__bk$i", k)
+    }
+    val bks = blockKey.indices.map(i => s"__bk$i")
+    val a = blocked.select(col("name").as("name_a") +: bks.map(col): _*)
+    val b = blocked.select(col("name").as("name_b") +: bks.map(col): _*)
+    a.join(b, bks)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .filter(col("edit_dist") <= maxDist)
+      .select("name_a", "name_b", "edit_dist")
+      .orderBy("name_a", "name_b")
+  }
+
   /** q27: declared-vs-computed consistency (region_comparison.py:
     * declared brain region vs atlas placement): declared order status
     * vs a flag recomputed from the raw lineitems. */

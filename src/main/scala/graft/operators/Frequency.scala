@@ -71,4 +71,47 @@ object Frequency {
       raw.cast(org.apache.spark.sql.types.LongType),
       phiBp = 50, capacity = 256)
   }
+
+  /** GROUPED exact heavy hitters: the [[exactHeavyHitters]] discipline
+    * with a group key — one MG sketch (and one total) per group in a
+    * single map-side-combined aggregate, candidates broadcast back for
+    * the exact verify. String keys ride as the engine's cross-engine
+    * 60-bit md5 inside the Long-keyed sketch; the verify pass counts by
+    * the ORIGINAL string, so a (vanishingly unlikely) hash collision
+    * can only add a candidate, never corrupt a count — output stays
+    * exact. The MG no-miss bound applies per group (each group's
+    * denominator is its own total). */
+  def groupedHeavyHitters(df: DataFrame, group: Column, key: Column,
+                          phiBp: Int, capacity: Int = 256): DataFrame = {
+    require((capacity + 1).toLong * phiBp >= 10000L,
+      s"capacity $capacity too small for phi=$phiBp bp: candidates above the threshold could be missed")
+    val keyed = df.select(group.as("grp"), key.as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("h", Dedup.md5_60(col("k")))
+    val cands = keyed.groupBy("grp")
+      .agg(graft.functions.MgSketch.mg_sketch(col("h"), capacity).as("c"),
+        count(lit(1)).as("n_total"))
+      .select(col("grp"), explode(col("c")).as("h"), col("n_total"))
+    keyed.join(broadcast(cands), Seq("grp", "h"))
+      .groupBy("grp", "k", "n_total").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * 10000L > col("n_total") * phiBp)
+      .select(col("grp"), col("k"), col("n_occurrences"),
+        expr("(10000 * n_occurrences) DIV n_total").as("share_bp"))
+      .orderBy("grp", "k")
+  }
+
+  /** q68 instance: the per-source TOP-TERMS report over the corpus
+    * (tokens with share > 2% within their source) — the vocabulary-
+    * dominance card a training-data release ships with. Tokens use the
+    * ONE corpus segmentation ([[Corpus.tokenCountCol]]'s regex), so
+    * term shares and token budgets agree. The explode is row-local
+    * (Generate, no shuffle); only sketch summaries and candidate-key
+    * rows ever cross the wire — the token DOMAIN never shuffles. */
+  def sourceTopTerms(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("tok"))
+    groupedHeavyHitters(toks, col("source"), col("tok"),
+      phiBp = 200, capacity = 256)
+      .withColumnRenamed("grp", "source").withColumnRenamed("k", "token")
+  }
 }

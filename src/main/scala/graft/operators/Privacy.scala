@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** PII screening and redaction for training corpora — the scrub pass a
+  * corpus runs before anything leaves the ingest zone (reference
+  * analogue: the content-hygiene side of the curation screens, e.g.
+  * src/neuron_morphology/validation/quality_metric.py's per-entity
+  * report discipline, applied to text privacy).
+  *
+  * Everything is row-local regex work over one scan — no shuffle at
+  * any corpus size except the deterministic output sort. Patterns are
+  * written to the common subset of Java regex (Spark) and RE2 (DuckDB
+  * oracle): character classes, bounded repetition and `\b` word
+  * boundaries only — no backreferences, no lookaround.
+  */
+object Privacy {
+
+  /** RFC-shaped email addresses (pragmatic form, not full RFC 5322). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** dotted-quad IPv4 literals (syntactic — no octet range check, the
+    * redaction posture is better-safe). */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** long digit runs (9-18 digits): account/ID/SSN-shaped numbers.
+    * 18-digit cap for the same conservative reason as
+    * [[Frequency.IntegerKeyPattern]]. */
+  val IdNumPattern = "\\b[0-9]{9,18}\\b"
+
+  private def countMatches(t: Column, pattern: String): Column =
+    size(regexp_extract_all(t, lit(pattern), lit(0))).cast(LongType)
+
+  /** q66: per-document PII report + redacted-content fingerprint.
+    *
+    * Counts are per-pattern over the RAW text (independent detectors —
+    * a digit run inside an email is intentionally counted by both if it
+    * matches both patterns; the fixtures and real-world hits rarely
+    * overlap). Redaction is sequential — emails first, then IPs, then
+    * bare ID runs — so the replacement tokens (`<EMAIL>`, `<IP>`,
+    * `<ID>`) can never be re-matched by a later pattern (they contain
+    * no digits). The fingerprint of the redacted text is what a
+    * downstream dedup/release step would key on; only documents with at
+    * least one hit are listed (the clean corpus majority stays out of
+    * the report). */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(IdNumPattern), lit("<ID>"))
+    docs.select(
+        col(idCol),
+        countMatches(t, EmailPattern).as("n_email"),
+        countMatches(t, Ipv4Pattern).as("n_ipv4"),
+        countMatches(t, IdNumPattern).as("n_idnum"),
+        md5(redacted).as("redacted_fp"))
+      .withColumn("pii_total",
+        col("n_email") + col("n_ipv4") + col("n_idnum"))
+      .filter(col("pii_total") > 0L)
+      .select(idCol, "n_email", "n_ipv4", "n_idnum", "pii_total", "redacted_fp")
+      .orderBy(idCol)
+  }
+}

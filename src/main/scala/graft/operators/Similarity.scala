@@ -288,6 +288,47 @@ object Similarity {
   }
 
   /** all XOR masks of hamming weight ≤ radius — the multi-probe set. */
+  /** q69: SEMANTIC OUTLIERS per label group — the k vectors farthest
+    * (lowest cosine) from their own group's centroid: mislabeled /
+    * off-topic / garbage embeddings, the vector-space twin of the
+    * q53 Tukey-fence screen.
+    *
+    * The centroid is built EXACTLY so the report hash-compares across
+    * engines: components are floor-quantized to 10⁻⁶ (floor, not
+    * round — identical in Java and DuckDB for every sign) and summed
+    * as BIGINTs (associative — no float-order dependence), via
+    * posexplode + a map-side-combined (label, pos) aggregate whose
+    * output is dimension-sized (|labels| × dim). Cosine is
+    * scale-invariant, so the UNNORMALIZED component-sum serves as the
+    * centroid directly — no division, no floor-vs-truncate parity
+    * risk. The per-row cosine then runs on the codegen vec kernels
+    * against the broadcast centroid (sequential double folds — bitwise
+    * equal in both engines, the q34/q35 discipline), and the bottom-k
+    * election is the TopKPerKey bounded heap, never a full sort.
+    * Output score in floor'd basis points; ties broken by vec_id. */
+  def labelCentroidOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val sums = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q", floor(col("v").cast("double") * lit(1000000.0)).cast("long"))
+      .groupBy("label", "pos").agg(sum(col("q")).as("s"))
+    val cents = sums.groupBy("label")
+      // dimension-sized frame: the interpreted HOF here touches
+      // |labels| rows, not data-scale rows
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), x -> CAST(x.s AS DOUBLE))")
+        .as("centroid"))
+    val vn = graft.functions.VectorExpressions.vec_norm_sq(col("embedding"))
+    val cn = graft.functions.VectorExpressions.vec_norm_sq(col("centroid"))
+    val scored = embeddings.join(broadcast(cents), Seq("label"))
+      .filter(vn > 0.0 && cn > 0.0)
+      .withColumn("cos_bp",
+        floor(lit(10000.0) * dot(col("embedding"), col("centroid"))
+          / sqrt(vn * cn)).cast("long"))
+    graft.plans.TopKPerKey(scored, Seq(col("label")),
+      Seq(col("cos_bp").asc, col("vec_id").asc), k)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("cos_bp"))
+      .orderBy("label", "vec_id")
+  }
+
   private def probeMasks(nPlanes: Int, radius: Int): Seq[Int] =
     (0 until (1 << nPlanes)).filter(Integer.bitCount(_) <= radius)
 

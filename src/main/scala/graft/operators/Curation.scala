@@ -123,17 +123,42 @@ object Curation {
     * inside the key escapes the block — standard practice is a second
     * pass with a different key, which is just another call with a
     * different `blockKey`). `blockKey` expressions are evaluated over a
-    * one-column frame named `name`. */
+    * one-column frame named `name`.
+    *
+    * SCALE GUARD: block sizes grow with the distinct-name universe and
+    * in-block work is quadratic, so the total levenshtein cost is
+    * bounded ONLY if the largest block is. The plan therefore measures
+    * every block (one map-side-combined count over the distinct-name
+    * frame, broadcast back) and FAILS FAST — `assert_true` inside the
+    * self-join input — the moment any block exceeds `maxBlock`, instead
+    * of silently running a maxBlock²-breaking product. With the guard,
+    * worst-case comparisons are ≤ maxBlock²/2 per block and the join
+    * stays an equality join at any corpus size. Callers hitting the
+    * guard should pick a finer `blockKey` (or consciously raise the
+    * cap), not remove it. */
   def fuzzyNameMatches(df: DataFrame, nameCol: String, maxDist: Int,
-                       blockKey: Seq[Column]): DataFrame = {
+                       blockKey: Seq[Column], maxBlock: Int = 10000): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
     val names = df.select(col(nameCol).as("name"))
       .filter(col("name").isNotNull).distinct()
     val blocked = blockKey.zipWithIndex.foldLeft(names) {
       case (acc, (k, i)) => acc.withColumn(s"__bk$i", k)
     }
     val bks = blockKey.indices.map(i => s"__bk$i")
-    val a = blocked.select(col("name").as("name_a") +: bks.map(col): _*)
+    // dimension-sized (one row per block); the filter below cannot be
+    // pruned away — assert_true throws on the first oversized block
+    val sizes = blocked.groupBy(bks.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val guarded = blocked.join(broadcast(sizes), bks)
+      .filter(assert_true(col("__bn") <= maxBlock,
+        concat(lit(s"fuzzyNameMatches: a block exceeds maxBlock=$maxBlock ("),
+          col("__bn"),
+          lit(" names share one blocking key); in-block cost is " +
+            "quadratic — use a finer blockKey or raise maxBlock"))).isNull)
+    // guard one side only: every block appears on side a, so the assert
+    // still covers all blocks while the sizes aggregate is planned once
+    val a = guarded.select(col("name").as("name_a") +: bks.map(col): _*)
     val b = blocked.select(col("name").as("name_b") +: bks.map(col): _*)
     a.join(b, bks)
       .filter(col("name_a") < col("name_b"))

@@ -25,10 +25,14 @@ object Privacy {
     * redaction posture is better-safe). */
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** long digit runs (9-18 digits): account/ID/SSN-shaped numbers.
-    * 18-digit cap for the same conservative reason as
-    * [[Frequency.IntegerKeyPattern]]. */
-  val IdNumPattern = "\\b[0-9]{9,18}\\b"
+  /** long digit runs (9+ digits): account/ID/SSN-shaped numbers. No
+    * upper bound — PII matches are never cast to a number, so the
+    * BIGINT-fit cap of [[Frequency.IntegerKeyPattern]] does not apply
+    * and a 19-digit PAN must still be caught. `\b` word boundaries mean
+    * a digit run glued to letters ("acct123456789x") is NOT matched —
+    * a deliberate precision choice (matching mid-token runs would
+    * shred hex ids and hashes); both engines agree. */
+  val IdNumPattern = "\\b[0-9]{9,}\\b"
 
   private def countMatches(t: Column, pattern: String): Column =
     size(regexp_extract_all(t, lit(pattern), lit(0))).cast(LongType)

@@ -287,7 +287,6 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** all XOR masks of hamming weight ≤ radius — the multi-probe set. */
   /** q69: SEMANTIC OUTLIERS per label group — the k vectors farthest
     * (lowest cosine) from their own group's centroid: mislabeled /
     * off-topic / garbage embeddings, the vector-space twin of the
@@ -329,6 +328,7 @@ object Similarity {
       .orderBy("label", "vec_id")
   }
 
+  /** all XOR masks of hamming weight ≤ radius — the multi-probe set. */
   private def probeMasks(nPlanes: Int, radius: Int): Seq[Int] =
     (0 until (1 << nPlanes)).filter(Integer.bitCount(_) <= radius)
 

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Curation, Frequency, Privacy, Similarity}
+
+/** Per-operator specs for the corpus-hygiene family (q66–q70): PII
+  * scrub, fuzzy name linkage, per-source top terms, semantic outliers
+  * and the leakage-safe dataset split. These pin the operators'
+  * SEMANTIC invariants; PlanShapeSpec pins their physical shapes. */
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def messages(t: Throwable): String = {
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  // ---------------------------------------------------------------- q66
+
+  test("pii scrub: null text neither crashes nor reports") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    assert(Privacy.piiScrub(docs).isEmpty,
+      "null and clean docs must both stay out of the report")
+  }
+
+  test("pii scrub: an all-PII doc counts every detector, including 19+ digit runs") {
+    val docs = Seq(
+      // a 19-digit PAN-shaped run — the bounded {9,18} regex silently
+      // missed these (ADVICE r5); the unbounded pattern must not
+      (1L, "mail me a.user@example.com from 10.1.2.3 card 1234567890123456789")
+    ).toDF("doc_id", "text")
+    val r = Privacy.piiScrub(docs).collect().head
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_ipv4") == 1L)
+    assert(r.getAs[Long]("n_idnum") == 1L, "19-digit run must be caught")
+    assert(r.getAs[Long]("pii_total") == 3L)
+  }
+
+  test("pii scrub: digit runs glued to letters are a documented non-match") {
+    // \b boundaries: matching mid-token runs would shred hex ids and
+    // hashes — the posture is precision here, recall via the boundary
+    val docs = Seq((1L, "ref acct123456789x stays, bare 987654321 is caught"))
+      .toDF("doc_id", "text")
+    val r = Privacy.piiScrub(docs).collect().head
+    assert(r.getAs[Long]("n_idnum") == 1L, "only the bare run matches")
+  }
+
+  test("pii scrub: docs equal modulo PII share one redacted fingerprint") {
+    val docs = Seq(
+      (1L, "mail a.user@example.com from 10.0.0.1 acct 900000001"),
+      (2L, "mail other.person@foo.org from 192.168.7.13 acct 123456789123")
+    ).toDF("doc_id", "text")
+    val fps = Privacy.piiScrub(docs).collect().map(_.getAs[String]("redacted_fp"))
+    assert(fps.length == 2 && fps.distinct.length == 1,
+      "email→IP→ID redaction must canonicalize both docs to the same text")
+  }
+
+  test("pii scrub: a digit-bearing email is counted once, not double-counted") {
+    // 'u123456789@' has no word boundary between 'u' and the digits, so
+    // the ID detector cannot fire inside the address
+    val docs = Seq((1L, "contact u123456789@example.com today")).toDF("doc_id", "text")
+    val r = Privacy.piiScrub(docs).collect().head
+    assert(r.getAs[Long]("n_email") == 1L && r.getAs[Long]("n_idnum") == 0L)
+  }
+
+  // ---------------------------------------------------------------- q67
+
+  private def fuzzy(df: org.apache.spark.sql.DataFrame, maxDist: Int,
+                    maxBlock: Int = 10000) =
+    Curation.fuzzyNameMatches(df, "name", maxDist,
+      Seq(substring(col("name"), 1, 1)), maxBlock)
+
+  test("fuzzy names: maxDist is an inclusive boundary, duplicates collapse first") {
+    // block 's': smith, smyth, smythe; dists: smith~smyth 1,
+    // smyth~smythe 1, smith~smythe 2. 'smith' appears twice in the
+    // input — the distinct() universe must not emit a self-pair.
+    val df = Seq("smith", "smith", "smyth", "smythe", "zeta").toDF("name")
+    val pairs = fuzzy(df, maxDist = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(("smith", "smyth", 1L), ("smyth", "smythe", 1L)))
+    val pairs2 = fuzzy(df, maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs2.contains(("smith", "smythe", 2L)), "dist == maxDist is included")
+  }
+
+  test("fuzzy names: the block guard fails fast on a degenerate one-block universe") {
+    // every name shares the blocking key → one 40-name block; with
+    // maxBlock below that the plan must throw, not run the 40² product
+    val df = (1 to 40).map(i => f"aname$i%03d").toDF("name")
+    val e = intercept[Throwable] { fuzzy(df, maxDist = 2, maxBlock = 10).collect() }
+    assert(messages(e).contains("maxBlock"),
+      s"expected the guard message, got: ${messages(e)}")
+  }
+
+  test("fuzzy names: guard is a pass-through when every block fits") {
+    val df = Seq("alpha", "alphb", "beta", "betb", "gamma").toDF("name")
+    val tight = fuzzy(df, maxDist = 1, maxBlock = 3).collect().toSet
+    val loose = fuzzy(df, maxDist = 1, maxBlock = 10000).collect().toSet
+    assert(tight == loose, "the guard must never change the result, only bound cost")
+    assert(tight.nonEmpty)
+  }
+
+  test("fuzzy names: inventory blocking key reproduces q67 on real part names") {
+    val out = Curation.fuzzyNameMatches(
+      Tables.part(spark, sf), "p_name", maxDist = 2,
+      Seq(split_part(col("name"), lit(" "), lit(2)), expr("length(name) DIV 4")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("edit_dist") <= 2L)
+      assert(r.getString(0) < r.getString(1), "pairs are ordered, no self-pairs")
+    }
+  }
+
+  // ---------------------------------------------------------------- q68
+
+  test("grouped heavy hitters: per-group exactness against a plain groupBy") {
+    // group A: 'x' at 30% plus singletons; group B: 'y' at 40% — each
+    // group's threshold uses its OWN total (the per-group no-miss bound)
+    val rows = (Seq.fill(300)(("A", "x")) ++ (1 to 700).map(i => ("A", s"a$i")) ++
+      Seq.fill(200)(("B", "y")) ++ (1 to 300).map(i => ("B", s"b$i")))
+    val df = rows.toDF("grp", "k").repartition(8)
+    val got = Frequency.groupedHeavyHitters(df, col("grp"), col("k"),
+      phiBp = 200, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case ((g, _), c) =>
+        c * 10000L > rows.count(_._1 == g).toLong * 200L }
+    assert(got.keySet == expected.keySet, s"got ${got.keySet}")
+    got.foreach { case (gk, c) => assert(c == expected(gk), s"$gk count must be exact") }
+  }
+
+  test("source top terms matches a manual exact share computation") {
+    val docs = Seq(
+      (1L, "the the the cat", "en", "src0", 0L),
+      (2L, "the dog runs", "en", "src0", 0L),
+      (3L, "unique words only here", "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Frequency.sourceTopTerms(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // src0 has 7 tokens; 'the' appears 4× (share 5714bp > 200bp)
+    assert(out(("src0", "the")) == 4L)
+    // every src1 token has share 2500bp — all above the 2% threshold
+    assert(out.keys.count(_._1 == "src1") == 4)
+    out.foreach { case ((s, _), _) => assert(Set("src0", "src1")(s)) }
+  }
+
+  // ---------------------------------------------------------------- q69
+
+  test("semantic outliers: a singleton label scores its own centroid at ~1") {
+    val df = Seq((1L, Array(0.5f, 0.5f, 0f, 0f), 7L))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(df, k = 5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("cos_bp") >= 9990L,
+      "cosine with its own (quantized) centroid must be ≈ 10000 bp")
+  }
+
+  test("semantic outliers: all-zero vectors are excluded, never NaN") {
+    val df = Seq(
+      (1L, Array(1f, 0f), 3L),
+      (2L, Array(0f, 1f), 3L),
+      (3L, Array(0f, 0f), 3L) // zero norm — cosine undefined
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(df, k = 5).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L), "zero vector dropped")
+    out.foreach(r => assert(!r.isNullAt(r.fieldIndex("cos_bp"))))
+  }
+
+  test("semantic outliers: the bottom-k election surfaces the planted outlier") {
+    val near = Seq(Array(1f, 0.01f), Array(1f, -0.01f), Array(0.99f, 0f),
+      Array(1f, 0.02f), Array(0.98f, -0.01f))
+    val rows = near.zipWithIndex.map { case (v, i) => (i.toLong, v, 1L) } :+
+      (99L, Array(-1f, 0f), 1L) // opposite direction: the mislabeled vector
+    val out = Similarity.labelCentroidOutliers(rows.toDF("vec_id", "embedding", "label"),
+      k = 2).collect()
+    assert(out.length == 2, "k bounds the per-label report")
+    val worst = out.minBy(_.getAs[Long]("cos_bp"))
+    assert(worst.getLong(0) == 99L, "the planted outlier has the lowest cosine")
+    assert(worst.getAs[Long]("cos_bp") < 0L, "opposite vector scores negative")
+  }
+
+  // ---------------------------------------------------------------- q70
+
+  test("dataset split: assignment is stable under corpus growth") {
+    // the documented invariant: adding documents never reassigns an
+    // existing one (split is a pure function of content — no
+    // row_number / modulo scheme can promise this)
+    def mk(ids: Range) = ids.map(i => (i.toLong, s"document body number $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val before = Corpus.datasetSplit(mk(1 to 300), 500, 500)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val after = Corpus.datasetSplit(mk(1 to 600), 500, 500)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    before.foreach { case (id, s) => assert(after(id) == s, s"doc $id reassigned") }
+  }
+
+  test("dataset split: duplicate content always lands in one split (leakage safety)") {
+    val docs = Seq(
+      (1L, "The  Quick  Brown Fox!", "a"),
+      (2L, "the quick brown fox", "b"), // same q40 canonical form as 1
+      (3L, "an entirely different document", "a")
+    ).toDF("doc_id", "text", "source")
+    val by = Corpus.datasetSplit(docs, 3000, 3000).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(by(1L) == by(2L),
+      "near-identical docs must share a split or eval text leaks into train")
+  }
+
+  test("dataset split: null text falls through to train; fractions track the bp targets") {
+    val docs = ((1 to 2000).map(i => (i.toLong, s"synthetic doc text $i", "s")) :+
+      (9999L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.datasetSplit(docs, valBp = 1000, testBp = 1000).collect()
+    assert(out.length == 2001, "every doc gets a split row")
+    val byId = out.map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(byId(9999L) == "train", "null fingerprint hashes to null → train")
+    val frac = out.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(frac("val") > 120 && frac("val") < 280, s"~10% val, got $frac")
+    assert(frac("test") > 120 && frac("test") < 280, s"~10% test, got $frac")
+    intercept[IllegalArgumentException] { Corpus.datasetSplit(docs, 6000, 4000) }
+  }
+}

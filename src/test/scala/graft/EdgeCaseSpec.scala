@@ -71,6 +71,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Corpus.packManifest(docs, 512L).filter($"doc_id" === 1L).count() == 1)
   }
 
+  test("hygiene family (q66-q70) yields empty results on empty inputs") {
+    val noLabeled = Seq.empty[(Long, Array[Float], Long)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Privacy.piiScrub(noDocs.select("doc_id", "text")).isEmpty)
+    assert(Curation.fuzzyNameMatches(noDocs.select($"text".as("nm")), "nm", 2,
+      Seq(substring(col("name"), 1, 1))).isEmpty)
+    assert(Frequency.sourceTopTerms(noDocs).isEmpty)
+    assert(Similarity.labelCentroidOutliers(noLabeled).isEmpty)
+    assert(Corpus.datasetSplit(noDocs, 500, 500).isEmpty)
+  }
+
+  test("hygiene family survives a null-text row without hiding other docs") {
+    val docs = Seq(
+      (1L, "mail a.user@example.com please", "en", "src0", 0L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Privacy.piiScrub(docs).count() == 1L)
+    assert(Frequency.sourceTopTerms(docs).filter($"token" === "mail").count() == 1L)
+    assert(Corpus.datasetSplit(docs, 500, 500).count() == 2L,
+      "the null-text doc still gets a (train) split row")
+  }
+
   test("frequency and validation report sanely over empty inputs") {
     assert(Frequency.exactHeavyHitters(Seq.empty[Long].toDF("k"), col("k"), 100).isEmpty)
     assert(Scale.hotKeys(Seq.empty[Long].toDF("k"), "k").isEmpty)

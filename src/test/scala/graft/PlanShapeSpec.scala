@@ -86,6 +86,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "bucket offsets must broadcast")
   }
 
+  test("pii scrub and dataset split are row-local: zero hash exchanges") {
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      "pii_scrub" -> graft.operators.Privacy.piiScrub(docs),
+      "dataset_split" -> graft.operators.Corpus.datasetSplit(docs, 500, 500)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("hashpartitioning"),
+        s"$name must stay one scan + row-local exprs + output sort, got:\n$plan")
+      assert(!plan.contains("Generate"), s"$name: no explode anywhere")
+    }
+  }
+
+  test("top terms: token domain never shuffle-joins, candidates broadcast") {
+    val plan = graft.operators.Frequency.sourceTopTerms(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "verify pass must probe broadcast candidates")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join on tokens is the domain-shuffle this two-pass plan avoids")
+    // sketch pass must partial-aggregate before its exchange so only
+    // capacity-sized summaries cross the wire, never raw tokens
+    assert(plan.contains("ObjectHashAggregate"),
+      "MG sketch must run as a map-side-combined imperative aggregate")
+  }
+
+  test("semantic outliers: centroid broadcasts, election is the bounded heap") {
+    val plan = graft.operators.Similarity.labelCentroidOutliers(
+      Tables.embeddings(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |labels|×dim centroid frame must broadcast back onto the scan")
+    assert("TopKPerKey \\[".r.findAllIn(plan).length == 2,
+      "bottom-k must run on the two-phase TopKPerKey exec, not a full sort")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join for a dimension-sized model")
+  }
+
   test("merge writer plans one full-outer join on the key") {
     val plan = MergeWriter.mergedState(
       Upsert.target(Tables.customer(spark, dir)),

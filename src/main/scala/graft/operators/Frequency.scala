@@ -33,7 +33,16 @@ object Frequency {
                         capacity: Int = 256): DataFrame = {
     require((capacity + 1).toLong * phiBp >= 10000L,
       s"capacity $capacity too small for phi=$phiBp bp: candidates above the threshold could be missed")
+    // round-robin repartition makes the keyed projection an Exchange
+    // that BOTH passes consume — Spark plans it once (ReusedExchange,
+    // plan-pinned): the source is scanned and the key extracted exactly
+    // once, and pass 2 re-reads only the shuffled key column (~8 B/row)
+    // instead of re-running the scan + extraction. At 100 TB that
+    // trades the second full pass for a key-column shuffle two orders
+    // of magnitude smaller than the input — and round-robin rows can't
+    // skew, whatever the key distribution.
     val keyed = df.select(key.as("k")).filter(col("k").isNotNull)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     // sketch AND total in one aggregate — pass 1 is a single scan; the
     // total rides along on the exploded candidate frame so pass 2 needs
     // no third read of the data
@@ -85,6 +94,13 @@ object Frequency {
                           phiBp: Int, capacity: Int = 256): DataFrame = {
     require((capacity + 1).toLong * phiBp >= 10000L,
       s"capacity $capacity too small for phi=$phiBp bp: candidates above the threshold could be missed")
+    // deliberately NOT the shared-exchange trick used by
+    // [[exactHeavyHitters]]: here the keyed frame is an exploded token
+    // stream whose shuffle payload (grp, token, hash per row) is LARGER
+    // than the source text, so materializing it to shuffle files costs
+    // more than running the row-local explode+hash twice — measured at
+    // bench SF and strictly worse at 100 TB (a corpus-sized shuffle
+    // write vs a second CPU-only pass over the scan)
     val keyed = df.select(group.as("grp"), key.as("k"))
       .filter(col("k").isNotNull)
       .withColumn("h", Dedup.md5_60(col("k")))

@@ -48,6 +48,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "no shuffle join anywhere in the 2-pass plan")
   }
 
+  test("heavy-hitter passes share ONE scan via a reused exchange") {
+    // reuse is decided by AQE at runtime — execute, then inspect the
+    // final adaptive plan: the keyed projection's round-robin exchange
+    // must appear once and be consumed twice, so the source is scanned
+    // (and the JSON key extracted) exactly once for sketch + verify.
+    // (q68 deliberately does NOT reuse: its keyed frame is the exploded
+    // token stream, larger than the source — see groupedHeavyHitters.)
+    val df = graft.operators.Frequency.eventKeyHeavyHitters(Tables.events(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"),
+      s"q47: the second pass must read the reused key shuffle, not rescan, got:\n${plan.take(3000)}")
+  }
+
   test("repetition screen is one scan with zero exchanges before the output sort") {
     val plan = graft.operators.TextAnalysis.repetitionScreen(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString()

@@ -145,8 +145,48 @@ object SparkEntry {
       Tables.documents(s, d), valBp = 500, testBp = 500)),
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
-    "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d)))
+    "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d))),
+    // format twins: the SAME oracle-checked operators over the SAME
+    // rows, staged through CSV/JSON instead of parquet. The oracle
+    // keeps reading parquet, so the driver's three-way hash check now
+    // proves the non-parquet read paths are value-exact end-to-end
+    // (the reference consumes JSON payloads throughout, e.g.
+    // /root/reference/src/schemas/query_data.py:79-146)
+    "q71_csv_documents" -> ((s, d) =>
+      TextAnalysis.qualityScore(viaFormat(Tables.documents(s, d), "csv", "documents"))),
+    "q72_json_documents" -> ((s, d) =>
+      TextAnalysis.exactDedup(viaFormat(Tables.documents(s, d), "json", "documents"))),
+    "q73_csv_orders" -> ((s, d) =>
+      Relational.topK(viaFormat(Tables.orders(s, d), "csv", "orders"))),
+    "q74_json_orders" -> ((s, d) =>
+      Relational.latestOrderPerCustomer(viaFormat(Tables.orders(s, d), "json", "orders")))
   )
+
+  /** format-twin → base query whose oracle SQL it must reproduce. */
+  private val FmtTwins: Seq[(String, String)] = Seq(
+    "q71_csv_documents" -> "q38_text_quality",
+    "q72_json_documents" -> "q30_dedup_exact",
+    "q73_csv_orders" -> "q04_topk",
+    "q74_json_orders" -> "q05_window_rank")
+
+  /** Stage `df` as CSV/JSON under java.io.tmpdir and read it back with
+    * the ORIGINAL schema (no inference — the twin tests value fidelity,
+    * not schema guessing). quoteAll + header on CSV so string columns
+    * (document text with commas/quotes) survive; JSON is lossless for
+    * the star schema's types by construction. Doubles round-trip
+    * exactly in both formats (shortest-round-trip decimal rendering). */
+  private def viaFormat(df: DataFrame, fmt: String, tag: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_twin/$tag.$fmt"
+    fmt match {
+      case "csv" =>
+        df.write.mode("overwrite").option("header", "true")
+          .option("quoteAll", "true").csv(dir)
+        df.sparkSession.read.schema(df.schema).option("header", "true").csv(dir)
+      case "json" =>
+        df.write.mode("overwrite").json(dir)
+        df.sparkSession.read.schema(df.schema).json(dir)
+    }
+  }
 
   // Money/measure outputs are fixed-point BIGINTs at the column's natural
   // scale (×100 / ×10⁴ / ×10⁶) — see graft.operators.Decimals: decimal
@@ -717,7 +757,10 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_qty,

@@ -673,6 +673,34 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q41/q41b's shared oracle CTEs: the media fixture's closed form
+    * ([[graft.operators.Multimodal.synthMedia]]) — modality by source,
+    * geometry from doc_id, header lengths from the encoders' exact
+    * ASCII layouts ("P6 w h 255\n" = 9 + digits; "AU8 n\n" = 5 +
+    * digits; "VID f w h 255\n" = 11 + digits). The oracle never sees
+    * the bytes; it replays what the REAL Spark-side decoders must
+    * recover from them. */
+  private val mediaHdrSql: String =
+    """m AS (SELECT doc_id,
+      |CASE WHEN source IN ('src0','src1') THEN 'image/x-raw-rgb'
+      |WHEN source IN ('src2','src3') THEN 'audio/x-raw-u8'
+      |ELSE 'video/x-raw-rgb' END AS mime FROM documents),
+      |d AS (SELECT doc_id, mime,
+      |CASE WHEN mime = 'image/x-raw-rgb' THEN 4 + doc_id % 13
+      |WHEN mime = 'video/x-raw-rgb' THEN 4 + doc_id % 7 ELSE 0 END AS w,
+      |CASE WHEN mime = 'image/x-raw-rgb' THEN 4 + doc_id % 11
+      |WHEN mime = 'video/x-raw-rgb' THEN 4 + doc_id % 5 ELSE 0 END AS h,
+      |CASE WHEN mime = 'image/x-raw-rgb' THEN 1
+      |WHEN mime = 'video/x-raw-rgb' THEN 2 + doc_id % 4 ELSE 0 END AS fr,
+      |CASE WHEN mime = 'audio/x-raw-u8' THEN 64 + (doc_id % 50) * 4 ELSE 0 END AS ns
+      |FROM m),
+      |hdr AS (SELECT *,
+      |CASE mime
+      |WHEN 'image/x-raw-rgb' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3
+      |WHEN 'audio/x-raw-u8' THEN 5 + length(CAST(ns AS VARCHAR)) + ns
+      |ELSE 11 + length(CAST(fr AS VARCHAR)) + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + fr*w*h*3
+      |END AS n_bytes FROM d)""".stripMargin
+
   /** q66's oracle: the same fixture injection, the same Java/RE2-common
     * patterns (interpolated from [[graft.operators.Privacy]] so the two
     * engines can never drift), the same email→IP→ID redaction order. */
@@ -1006,25 +1034,23 @@ object SparkEntry {
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint
          |FROM documents) t ORDER BY doc_id""".stripMargin,
     "q41_mm_metadata" ->
-      """WITH m AS (SELECT doc_id,
-        |CASE WHEN source IN ('src0', 'src1') THEN 'image/png'
-        |WHEN source IN ('src2', 'src3') THEN 'audio/wav'
-        |ELSE 'video/mp4' END AS mime,
-        |CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
-        |FROM documents)
-        |SELECT mime, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |MIN(content_hash) AS min_hash, MAX(content_hash % 640) AS max_width
-        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+      s"""WITH $mediaHdrSql,
+         |pix AS (SELECT doc_id, SUM((doc_id*31 + i*7) % 256) AS sum_pix
+         |FROM (SELECT doc_id, unnest(range(0, fr*w*h*3)) AS i FROM hdr) GROUP BY doc_id),
+         |amp AS (SELECT doc_id, SUM((doc_id*17 + i*5) % 256) AS sum_amp
+         |FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM hdr) GROUP BY doc_id)
+         |SELECT mime, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |CAST(SUM(w) AS BIGINT) AS sum_width, CAST(SUM(h) AS BIGINT) AS sum_height,
+         |CAST(SUM(fr) AS BIGINT) AS sum_frames, CAST(SUM(ns) AS BIGINT) AS sum_samples,
+         |CAST(SUM(COALESCE(p.sum_pix, 0)) AS BIGINT) AS sum_pix,
+         |CAST(SUM(COALESCE(a.sum_amp, 0)) AS BIGINT) AS sum_amp
+         |FROM hdr LEFT JOIN pix p USING (doc_id) LEFT JOIN amp a USING (doc_id)
+         |GROUP BY mime ORDER BY mime""".stripMargin,
     "q41b_mm_manifest" ->
-      """SELECT mime, COUNT(*) AS n_media,
-        |CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
-        |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM (SELECT doc_id, text,
-        |CASE WHEN source IN ('src0', 'src1') THEN 'image/png'
-        |WHEN source IN ('src2', 'src3') THEN 'audio/wav'
-        |ELSE 'video/mp4' END AS mime FROM documents) m
-        |GROUP BY mime ORDER BY mime""".stripMargin,
+      s"""WITH $mediaHdrSql
+         |SELECT mime, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM hdr GROUP BY mime ORDER BY mime""".stripMargin,
     "q42_corpus_dedup_apply" ->
       s"""SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint

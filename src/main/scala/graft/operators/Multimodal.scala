@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets.US_ASCII
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,89 +10,209 @@ import org.apache.spark.sql.types._
   * opaque binary columns + typed metadata, with decode/feature-extract
   * as a partition-mapped stage.
   *
-  * The Spark-side plumbing is real — schema, typed Dataset encoders,
-  * partitioning, per-partition batch processing — while the actual
-  * byte decoding is STUBBED (image/audio codecs are not in this
-  * container): `decodeStub` derives deterministic fake features from
-  * the bytes. Swapping in a real decoder touches only that function.
+  * The container ships no image/audio codec libraries, so the engine
+  * defines MINIMAL UNCOMPRESSED formats — PPM's P6 shape for images
+  * ("P6 <w> <h> 255\n" + w·h·3 raw RGB bytes), an 8-bit-PCM shape for
+  * audio ("AU8 <n>\n" + n unsigned samples), and a concatenated-frame
+  * container for video ("VID <frames> <w> <h> 255\n" + frames P6 pixel
+  * buffers) — and the decoders are REAL: they sniff the magic, parse
+  * the ASCII header and aggregate the raw payload, the same work a
+  * codec's metadata/stats path does, with zero external dependencies.
+  * The decoders never see anything but bytes; only the test FIXTURE
+  * ([[synthMedia]]) synthesizes payloads from doc_id by a closed form
+  * shared with the DuckDB oracle, which is what makes every decoded
+  * value exactly checkable end-to-end. Reference analogue: the
+  * thumbnail/stimulus-image content checks
+  * (src/trace/thumbnail.py:25, src/trace/fix/check_image_stimulus_match.py).
   *
   * At 100 TB: binary payloads dominate I/O, so the media frame is
   * repartitioned before the decode stage to even out payload skew, and
-  * features are computed per-partition (amortizing any
-  * decoder-initialization cost exactly like a Pandas-UDF batch would).
+  * features are computed per-partition (amortizing any decoder
+  * initialization cost exactly like a Pandas-UDF batch would). A real
+  * deployment swaps [[mediaFrame]] for its own binary table and
+  * [[decodeMedia]] for its codec — every other line stays.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+
+  /** modality-generic decoded features: unused fields are 0 for a
+    * given modality (image: frames=1, samples/amp=0; audio: dims/pix=0;
+    * video: samples/amp=0). Sums, not means — exact integers, no
+    * division parity risk between engines. */
   final case class MediaFeatures(
-      doc_id: Long, mime: String, n_bytes: Long, content_hash: Long,
-      fake_width: Int, fake_height: Int)
+      doc_id: Long, mime: String, n_bytes: Long,
+      width: Long, height: Long, n_frames: Long, n_samples: Long,
+      sum_pix: Long, sum_amp: Long)
 
-  /** STUB decode: deterministic fake features in place of a real codec.
-    * The stand-in is the cross-engine 60-bit md5 of the payload
-    * ([[graft.functions.HashExpressions.Md5Kernels]]), so even though
-    * the features are fake, the partition-mapped decode PATH is
-    * oracle-checkable end-to-end — DuckDB reproduces every value. */
-  def decodeStub(row: MediaRow): MediaFeatures = {
-    val md = graft.functions.HashExpressions.Md5Kernels.digest()
-    val h = graft.functions.HashExpressions.Md5Kernels.first60(md.digest(row.content))
-    MediaFeatures(
-      doc_id = row.doc_id,
-      mime = row.mime,
-      n_bytes = row.content.length.toLong,
-      content_hash = h,
-      fake_width = (h % 640).toInt,
-      fake_height = ((h / 640) % 480).toInt)
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_sum: Long)
+
+  val ImageMime = "image/x-raw-rgb"
+  val AudioMime = "audio/x-raw-u8"
+  val VideoMime = "video/x-raw-rgb"
+
+  // ------------------------------------------------------------ codecs
+
+  /** encode a P6 image: ASCII header + w·h·3 raw RGB bytes. */
+  def encodeImage(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3,
+      s"pixel buffer ${pixels.length} != $w x $h x 3")
+    s"P6 $w $h 255\n".getBytes(US_ASCII) ++ pixels
   }
 
-  /** Build a media frame from the documents table: payload as binary,
-    * mime derived from source — the schema a real ingest would carry. */
-  def mediaFrame(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      when(col("source").isin("src0", "src1"), "image/png")
-        .when(col("source").isin("src2", "src3"), "audio/wav")
-        .otherwise("video/mp4").as("mime"),
-      col("text").cast(BinaryType).as("content"))
+  /** encode unsigned-8-bit PCM audio: ASCII header + raw samples. */
+  def encodeAudio(samples: Array[Byte]): Array[Byte] =
+    s"AU8 ${samples.length}\n".getBytes(US_ASCII) ++ samples
 
-  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_hash: Long)
+  /** encode a video container: header + `frames` concatenated P6 pixel
+    * buffers (no per-frame headers — fixed geometry). */
+  def encodeVideo(frames: Int, w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == frames * w * h * 3,
+      s"pixel buffer ${pixels.length} != $frames x $w x $h x 3")
+    s"VID $frames $w $h 255\n".getBytes(US_ASCII) ++ pixels
+  }
 
-  /** STUB resize: a real implementation decodes, scales, re-encodes;
-    * the stub derives a deterministic "resized" payload slice so the
-    * batch shape (binary in → binary out, metadata updated) is real. */
-  def resizeStub(row: MediaRow, maxBytes: Int = 64): MediaRow =
-    row.copy(content = row.content.take(maxBytes))
+  private def headerEnd(bytes: Array[Byte]): Int = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "media payload has no header line")
+    nl
+  }
 
-  /** STUB frame sampling: every `stride`-th chunk of the payload stands
-    * in for a decoded video frame; emits one row per sampled frame —
-    * the 1→N explode shape a real frame sampler has. */
-  def frameSampleStub(row: MediaRow, chunk: Int = 32, stride: Int = 4): Iterator[FrameSample] =
-    row.content.grouped(chunk).zipWithIndex
-      .filter(_._2 % stride == 0)
-      .map { case (bytes, i) =>
-        FrameSample(row.doc_id, i,
-          scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong)
+  private def sumFrom(bytes: Array[Byte], from: Int, len: Int): Long = {
+    var s = 0L
+    var i = from
+    val end = from + len
+    while (i < end) { s += bytes(i) & 0xFF; i += 1 }
+    s
+  }
+
+  /** REAL decode: sniff the magic, parse the ASCII header, validate the
+    * payload length, aggregate the raw bytes. Dispatches on CONTENT,
+    * not on the mime column — a mislabeled payload decodes as what it
+    * is, and an unknown magic fails loud. */
+  def decodeMedia(row: MediaRow): MediaFeatures = {
+    val bytes = row.content
+    val nl = headerEnd(bytes)
+    val header = new String(bytes, 0, nl, US_ASCII).split(" ")
+    val payload = bytes.length - nl - 1
+    header(0) match {
+      case "P6" =>
+        val w = header(1).toInt; val h = header(2).toInt
+        require(header(3) == "255", s"unsupported maxval ${header(3)}")
+        require(payload == w * h * 3, s"truncated image: $payload != ${w * h * 3}")
+        MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
+          w, h, 1L, 0L, sumFrom(bytes, nl + 1, payload), 0L)
+      case "AU8" =>
+        val n = header(1).toInt
+        require(payload == n, s"truncated audio: $payload != $n")
+        MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
+          0L, 0L, 0L, n, 0L, sumFrom(bytes, nl + 1, payload))
+      case "VID" =>
+        val f = header(1).toInt; val w = header(2).toInt; val h = header(3).toInt
+        require(header(4) == "255", s"unsupported maxval ${header(4)}")
+        require(payload == f * w * h * 3, s"truncated video: $payload != ${f * w * h * 3}")
+        MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
+          w, h, f, 0L, sumFrom(bytes, nl + 1, payload), 0L)
+      case m =>
+        throw new IllegalArgumentException(s"unknown media magic '$m'")
+    }
+  }
+
+  /** REAL nearest-neighbour resize for P6 payloads: parse the header,
+    * sample source pixels at the scaled grid, re-encode a valid P6
+    * (so decode∘resize works). Non-image payloads pass through — a
+    * real pipeline resizes only its images. */
+  def resizeImage(row: MediaRow, newW: Int, newH: Int): MediaRow = {
+    val bytes = row.content
+    val nl = headerEnd(bytes)
+    val header = new String(bytes, 0, nl, US_ASCII).split(" ")
+    if (header(0) != "P6") row
+    else {
+      val w = header(1).toInt; val h = header(2).toInt
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = y * h / newH
+        var x = 0
+        while (x < newW) {
+          val src = nl + 1 + (sy * w + x * w / newW) * 3
+          val dst = (y * newW + x) * 3
+          out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+          x += 1
+        }
+        y += 1
       }
-
-  /** resize stage: per-partition map keeping the binary column shape. */
-  def resizeAll(documents: DataFrame, maxBytes: Int = 64): Dataset[MediaRow] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    mediaFrame(documents).as[MediaRow].mapPartitions(_.map(resizeStub(_, maxBytes)))
+      row.copy(content = encodeImage(newW, newH, out))
+    }
   }
 
-  /** frame-sample stage: 1→N flatMap per media row. */
-  def sampleFrames(documents: DataFrame): Dataset[FrameSample] = {
+  /** REAL frame sampling: parse the VID container, emit every
+    * `stride`-th frame's pixel sum — the 1→N explode shape of a video
+    * frame sampler. Non-video payloads yield no frames. */
+  def sampleFrameStats(row: MediaRow, stride: Int = 2): Iterator[FrameSample] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val bytes = row.content
+    val nl = headerEnd(bytes)
+    val header = new String(bytes, 0, nl, US_ASCII).split(" ")
+    if (header(0) != "VID") Iterator.empty
+    else {
+      val f = header(1).toInt
+      val frameLen = header(2).toInt * header(3).toInt * 3
+      (0 until f by stride).iterator.map { i =>
+        FrameSample(row.doc_id, i, sumFrom(bytes, nl + 1 + i * frameLen, frameLen))
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- fixture
+
+  /** Synthetic payload FIXTURE: geometry and bytes are closed-form
+    * functions of doc_id — the SAME closed form feeds the DuckDB
+    * oracle (SparkEntry), so the real decoders above are value-checked
+    * end-to-end with no codec in the container. pixel(i) =
+    * (doc_id·31 + i·7) mod 256; sample(i) = (doc_id·17 + i·5) mod 256. */
+  def synthMedia(docId: Long, mime: String): Array[Byte] = mime match {
+    case ImageMime =>
+      val w = 4 + (docId % 13).toInt; val h = 4 + (docId % 11).toInt
+      encodeImage(w, h, bytesOf(docId, w * h * 3, 31, 7))
+    case AudioMime =>
+      encodeAudio(bytesOf(docId, 64 + (docId % 50).toInt * 4, 17, 5))
+    case VideoMime =>
+      val f = 2 + (docId % 4).toInt
+      val w = 4 + (docId % 7).toInt; val h = 4 + (docId % 5).toInt
+      encodeVideo(f, w, h, bytesOf(docId, f * w * h * 3, 31, 7))
+    case m => throw new IllegalArgumentException(s"no synthesizer for mime '$m'")
+  }
+
+  private def bytesOf(docId: Long, n: Int, a: Long, b: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = ((docId * a + i.toLong * b) % 256L).toByte; i += 1 }
+    out
+  }
+
+  /** Media frame over the documents table: one payload per doc, the
+    * modality assigned by source (the typed metadata column a real
+    * ingest carries), content from [[synthMedia]]. A deployment swaps
+    * this for its own (id, mime, binary) table. */
+  def mediaFrame(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    mediaFrame(documents).as[MediaRow].mapPartitions(_.flatMap(frameSampleStub(_)))
+    documents.select(col("doc_id"),
+        when(col("source").isin("src0", "src1"), ImageMime)
+          .when(col("source").isin("src2", "src3"), AudioMime)
+          .otherwise(VideoMime).as("mime"))
+      .as[(Long, String)]
+      .map { case (id, mime) => MediaRow(id, mime, synthMedia(id, mime)) }
+      .toDF()
   }
+
+  // ---------------------------------------------------------- operators
 
   /** q41b: media manifest over the metadata layer only — mime, payload
-    * byte counts, id range per media type. No decode involved, so
-    * unlike q41's stubbed features this IS oracle-checkable: it proves
-    * the binary-column schema and byte accounting (the real part of
-    * the multimodal plumbing) against DuckDB exactly. */
+    * byte counts, id range per media type. No decode involved: it
+    * proves the binary-column schema and byte accounting against
+    * DuckDB exactly. */
   def mediaManifest(documents: DataFrame): DataFrame =
     mediaFrame(documents)
       .select(col("doc_id"), col("mime"), length(col("content")).cast(LongType).as("n_bytes"))
@@ -101,25 +223,44 @@ object Multimodal {
         max(col("doc_id")).as("last_doc"))
       .orderBy("mime")
 
-  /** q41: decode/feature-extract stage — typed per-partition map over
-    * the media frame, then a per-mime summary so the output is compact
-    * and deterministic. Oracle-checked: the md5-based stub features let
-    * DuckDB verify the typed mapPartitions path produced exactly the
-    * right values per payload. */
+  /** q41: decode/feature-extract — typed per-partition map running the
+    * REAL [[decodeMedia]] over every payload, then a per-mime summary
+    * of the decoded geometry and payload statistics. Every aggregate is
+    * an exact integer the oracle reproduces from the fixture's closed
+    * form — so the whole decode path (header parse, length validation,
+    * byte aggregation) is hash-checked per round. */
   def extractFeatures(documents: DataFrame, partitions: Int = 32): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaFrame(documents)
       .repartition(partitions, col("doc_id"))
       .as[MediaRow]
-    val features = media.mapPartitions(_.map(decodeStub)).toDF()
-    features
+    media.mapPartitions(_.map(decodeMedia)).toDF()
       .groupBy("mime")
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        min(col("content_hash")).as("min_hash"),
-        max(col("fake_width")).cast(LongType).as("max_width"))
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("sum_pix")).as("sum_pix"),
+        sum(col("sum_amp")).as("sum_amp"))
       .orderBy("mime")
+  }
+
+  /** resize stage: per-partition map keeping the binary column shape;
+    * images land at exactly (newW, newH), other modalities pass through. */
+  def resizeAll(documents: DataFrame, newW: Int = 8, newH: Int = 6): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaFrame(documents).as[MediaRow].mapPartitions(_.map(resizeImage(_, newW, newH)))
+  }
+
+  /** frame-sample stage: 1→N flatMap per media row (videos only). */
+  def sampleFrames(documents: DataFrame, stride: Int = 2): Dataset[FrameSample] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaFrame(documents).as[MediaRow].mapPartitions(_.flatMap(sampleFrameStats(_, stride)))
   }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaRow, decodeMedia, encodeAudio, encodeImage, encodeVideo}
+
+/** Unit specs for the REAL media codecs (q41): header parse, payload
+  * validation, content-based dispatch, nearest-neighbour resize and
+  * video frame sampling — all byte-level, no Spark involved, because
+  * the decoders are plain functions the partition map runs. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def img(w: Int, h: Int, px: Int => Int): MediaRow =
+    MediaRow(1L, Multimodal.ImageMime,
+      encodeImage(w, h, Array.tabulate(w * h * 3)(i => px(i).toByte)))
+
+  test("image decode recovers header geometry and exact pixel sums") {
+    val f = decodeMedia(img(3, 2, i => i)) // bytes 0..17
+    assert(f.width == 3 && f.height == 2 && f.n_frames == 1)
+    assert(f.sum_pix == (0 until 18).sum)
+    assert(f.n_samples == 0 && f.sum_amp == 0)
+    assert(f.n_bytes == "P6 3 2 255\n".length + 18)
+  }
+
+  test("audio decode recovers sample count and unsigned sums (bytes > 127 included)") {
+    val samples = Array[Int](0, 127, 128, 255, 200).map(_.toByte)
+    val f = decodeMedia(MediaRow(2L, Multimodal.AudioMime, encodeAudio(samples)))
+    assert(f.n_samples == 5)
+    assert(f.sum_amp == 0 + 127 + 128 + 255 + 200, "bytes must aggregate unsigned")
+    assert(f.width == 0 && f.sum_pix == 0)
+  }
+
+  test("video decode reads frame count; frame sums partition the total pixel sum") {
+    val w = 2; val h = 2; val frames = 3
+    val px = Array.tabulate(frames * w * h * 3)(i => (i * 11).toByte)
+    val row = MediaRow(3L, Multimodal.VideoMime, encodeVideo(frames, w, h, px))
+    val f = decodeMedia(row)
+    assert(f.n_frames == 3 && f.width == 2 && f.height == 2)
+    val all = Multimodal.sampleFrameStats(row, stride = 1).toSeq
+    assert(all.map(_.frame_idx) == Seq(0, 1, 2))
+    assert(all.map(_.frame_sum).sum == f.sum_pix,
+      "per-frame sums must partition the decoded total")
+    val strided = Multimodal.sampleFrameStats(row, stride = 2).toSeq
+    assert(strided.map(_.frame_idx) == Seq(0, 2))
+    assert(strided.map(_.frame_sum) == Seq(all(0).frame_sum, all(2).frame_sum))
+  }
+
+  test("decode dispatches on content magic, not the mime column") {
+    val mislabeled = MediaRow(4L, Multimodal.AudioMime,
+      encodeImage(2, 2, new Array[Byte](12)))
+    val f = decodeMedia(mislabeled)
+    assert(f.width == 2 && f.height == 2 && f.n_samples == 0,
+      "a P6 payload decodes as an image whatever the metadata claims")
+  }
+
+  test("corrupt payloads fail loud, never return garbage features") {
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(5L, "x", "GIF87a trailing\n".getBytes("US-ASCII")))
+    }
+    // truncated pixel buffer: header promises 2x2x3=12 bytes, has 7
+    val truncated = "P6 2 2 255\n".getBytes("US-ASCII") ++ new Array[Byte](7)
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(6L, "x", truncated))
+    }
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(7L, "x", Array[Byte]())) // no header line at all
+    }
+  }
+
+  test("resize is a real nearest-neighbour kernel: identity at same dims, sampled otherwise") {
+    val original = img(4, 4, i => i * 3)
+    assert(Multimodal.resizeImage(original, 4, 4).content
+      .sameElements(original.content), "same-dims resize must be the identity")
+    val down = Multimodal.resizeImage(original, 2, 2)
+    val f = decodeMedia(down)
+    assert(f.width == 2 && f.height == 2)
+    // 4x4 -> 2x2 nearest neighbour picks source pixels (0,0),(2,0),(0,2),(2,2)
+    val src = original.content.drop("P6 4 4 255\n".length)
+    val want = Seq(0, 2, 8, 10).flatMap(p => src.slice(p * 3, p * 3 + 3))
+    assert(down.content.drop("P6 2 2 255\n".length).toSeq == want)
+    // audio passes through untouched
+    val au = MediaRow(8L, Multimodal.AudioMime, encodeAudio(new Array[Byte](4)))
+    assert(Multimodal.resizeImage(au, 2, 2) eq au)
+  }
+
+  test("fixture payloads are valid media: synth -> decode agrees with the closed form") {
+    Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
+      val im = decodeMedia(MediaRow(id, Multimodal.ImageMime,
+        Multimodal.synthMedia(id, Multimodal.ImageMime)))
+      assert(im.width == 4 + id % 13 && im.height == 4 + id % 11)
+      val n = (im.width * im.height * 3).toInt
+      assert(im.sum_pix == (0 until n).map(i => (id * 31 + i * 7) % 256).sum)
+      val au = decodeMedia(MediaRow(id, Multimodal.AudioMime,
+        Multimodal.synthMedia(id, Multimodal.AudioMime)))
+      assert(au.n_samples == 64 + (id % 50) * 4)
+      val vd = decodeMedia(MediaRow(id, Multimodal.VideoMime,
+        Multimodal.synthMedia(id, Multimodal.VideoMime)))
+      assert(vd.n_frames == 2 + id % 4)
+    }
+  }
+}

@@ -51,7 +51,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.filter(_.getLong(0) <= 2).forall(_.getAs[Long]("n_same_fingerprint") == 2))
   }
 
-  test("multimodal decode stub is deterministic and partition-count independent") {
+  test("multimodal decode is deterministic and partition-count independent") {
     val docs = Tables.documents(spark, sf)
     val a = Multimodal.extractFeatures(docs, partitions = 2).collect()
     val b = Multimodal.extractFeatures(docs, partitions = 7).collect()
@@ -59,14 +59,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.length == 3) // three mime groups
   }
 
-  test("multimodal resize caps payloads, frame sampling explodes 1-to-N") {
+  test("multimodal resize lands images at target dims, frame sampling explodes videos 1-to-N") {
     val docs = Tables.documents(spark, sf)
-    val resized = Multimodal.resizeAll(docs, maxBytes = 16).collect()
-    assert(resized.forall(_.content.length <= 16))
-    val frames = Multimodal.sampleFrames(docs)
-    assert(frames.count() > docs.count()) // multiple frames per doc
-    val perDoc = frames.groupBy("doc_id").count().collect()
-    assert(perDoc.forall(_.getLong(1) >= 1))
+    val resized = Multimodal.resizeAll(docs, newW = 8, newH = 6).collect()
+    resized.filter(_.mime == Multimodal.ImageMime).foreach { r =>
+      val f = Multimodal.decodeMedia(r)
+      assert(f.width == 8 && f.height == 6, "resized image must re-decode at target dims")
+    }
+    val frames = Multimodal.sampleFrames(docs, stride = 1)
+    val videoDocs = Multimodal.mediaFrame(docs)
+      .filter($"mime" === Multimodal.VideoMime).count()
+    assert(frames.count() >= 2 * videoDocs, "every video has >= 2 frames")
+    assert(frames.groupBy("doc_id").count().collect().forall(_.getLong(1) >= 1))
   }
 
   test("repetition screen flags dominated and looping docs, passes diverse text") {

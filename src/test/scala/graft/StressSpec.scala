@@ -76,6 +76,108 @@ class StressSpec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("event-time corpus screen soak at sf0.1 on RocksDB: bounded state across restarts") {
+    // the state-store soak at the largest local SF (no sf1 testdata
+    // exists): 5000 docs streamed in three staged runs with TWO real
+    // checkpoint restarts between them, on the production state-store
+    // configuration (RocksDB + changelog checkpointing). Event time is
+    // spread at 10s/doc so the 1-hour dedup watermark covers only ~360
+    // docs — the run exercises real eviction, and the final state must
+    // be bounded by the WATERMARK HORIZON, not the corpus size.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val base = java.nio.file.Files.createTempDirectory("graft_soak")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val epochUs = 1600000000000000L
+    def ts(idCol: org.apache.spark.sql.Column) =
+      timestamp_micros(idCol * 10000000L + epochUs)
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.1").cache()
+      // picks must be corpus-unique by fingerprint AND screen-passing,
+      // so their dedup outcome is decided ONLY by the injected copies
+      val uniq = graft.operators.TextAnalysis.fingerprint(docs)
+        .filter(col("n_same_fingerprint") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      val ok = graft.operators.Corpus.withScreenColumns(docs, Seq("en" -> 10000), 10000)
+        .filter(col("is_quality") && col("sampled"))
+        .select("doc_id").as[Long].collect().toSet
+      val earlyIds = (100L to 999L).filter(i => uniq(i) && ok(i)).take(10)
+      val tailIds = (1700L to 1999L).filter(i => uniq(i) && ok(i)).takeRight(10)
+      assert(earlyIds.size == 10 && tailIds.size == 10, "fixture picks must exist")
+
+      def stageRange(lo: Long, hi: Long): Unit =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .withColumn("ingest_ts", ts(col("doc_id")))
+          .coalesce(2).write.mode("append").parquet(srcDir)
+      // duplicate CONTENT under fresh ids, arriving at the stream head
+      def stageCopies(ids: Seq[Long], newBase: Long, atSec: Long): Unit =
+        docs.filter(col("doc_id").isin(ids: _*))
+          .withColumn("doc_id", col("doc_id") + newBase)
+          .withColumn("ingest_ts", timestamp_micros(lit(atSec * 1000000L + epochUs)))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+
+      var lastState: (Long, Long) = (0L, 0L) // (numRowsTotal, memoryUsedBytes)
+      def run(): Set[Long] = {
+        val q = graft.streaming.DocStreams.corpusScreenEventTime(
+            graft.streaming.DocStreams.readDocStreamWithTs(spark, srcDir),
+            Seq("en" -> 10000), 10000)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+        q.recentProgress.reverseIterator
+          .find(_.stateOperators.nonEmpty)
+          .foreach { p =>
+            val so = p.stateOperators.head
+            lastState = (so.numRowsTotal, so.memoryUsedBytes)
+          }
+        spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      }
+
+      stageRange(0L, 2000L) // ts 0 .. 20000s
+      val afterA = run()
+      assert(afterA.size > 1500, s"stage A must pass most docs, got ${afterA.size}")
+      val stateA = lastState
+      // restart 1: watermark resumes at ~19990s-1h, so tail-of-A
+      // fingerprints are IN state, early-A fingerprints are EVICTED
+      stageRange(2000L, 3500L)
+      stageCopies(tailIds, 90000L, atSec = 20000L)
+      stageCopies(earlyIds, 91000L, atSec = 20000L)
+      val afterB = run()
+      assert(tailIds.forall(i => !afterB.contains(i + 90000L)),
+        "in-horizon duplicate content must be dropped by RESTORED RocksDB state")
+      assert(earlyIds.forall(i => afterB.contains(i + 91000L)),
+        "content older than the watermark horizon re-enters — state eviction is real")
+      // restart 2: the rest of the corpus
+      stageRange(3500L, 5000L)
+      val afterC = run()
+      val outRows = spark.read.parquet(outDir).count()
+      assert(outRows == afterC.size.toLong,
+        "clean resume: no input file may be reprocessed into duplicate output rows")
+      // bounded state: the horizon holds ~360 docs (1h / 10s-per-doc);
+      // assert an order-of-magnitude bound, far below the 5020 processed
+      assert(lastState._1 < 1500L,
+        s"state rows ${lastState._1} must be bounded by the watermark horizon, not the corpus")
+      info(s"soak state: after A rows=${stateA._1} mem=${stateA._2}B; " +
+        s"final rows=${lastState._1} mem=${lastState._2}B; output=$outRows of 5020 staged")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("mixture rebalance at sf0.1 satisfies the composition invariants") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val rows = graft.operators.Corpus

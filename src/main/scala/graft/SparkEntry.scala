@@ -159,8 +159,14 @@ object SparkEntry {
     "q73_csv_orders" -> ((s, d) =>
       Relational.topK(viaFormat(Tables.orders(s, d), "csv", "orders"))),
     "q74_json_orders" -> ((s, d) =>
-      Relational.latestOrderPerCustomer(viaFormat(Tables.orders(s, d), "json", "orders")))
+      Relational.latestOrderPerCustomer(viaFormat(Tables.orders(s, d), "json", "orders"))),
+    "q75_rarity_screen" -> ((s, d) => Frequency.rarityScreen(
+      Tables.documents(s, d), RarityPhiBp, capacity = 1024, RarityFenceBp))
   )
+
+  /** q75 model/fence constants, interpolated into the oracle SQL. */
+  private val RarityPhiBp = 10
+  private val RarityFenceBp = 5000
 
   /** format-twin → base query whose oracle SQL it must reproduce. */
   private val FmtTwins: Seq[(String, String)] = Seq(
@@ -785,8 +791,30 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q75's oracle checks the SPEC (exact vocabulary via a plain
+    * GROUP BY + the same integer cost formulas) — the MG no-miss bound
+    * plus the exact verify pass is what makes the sketch plan's output
+    * identical to it. */
+  private def raritySql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS tok FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_total FROM toks),
+       |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+       |vocab AS (SELECT tok, cnt FROM c, tot WHERE cnt * 10000 > n_total * $RarityPhiBp),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |SUM(CASE WHEN v.cnt IS NOT NULL THEN (t.n_total * 10000) // v.cnt
+       |ELSE (t.n_total * 10000) // ((t.n_total * $RarityPhiBp) // 10000 + 1) END) AS sum_cost
+       |FROM toks LEFT JOIN vocab v USING (tok), tot t GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+       |CAST((10000 * n_oov) // n_tokens AS BIGINT) AS oov_bp,
+       |CAST(sum_cost // n_tokens AS BIGINT) AS mean_cost,
+       |(10000 * n_oov) // n_tokens > $RarityFenceBp AS is_tail
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) }
+    baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
+      ("q75_rarity_screen" -> raritySql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -28,21 +28,27 @@ object Frequency {
 
   /** keys with frequency share strictly above `phiBp` basis points,
     * with exact counts. Requires capacity+1 ≥ 10000/phiBp (the MG
-    * no-miss condition). */
+    * no-miss condition).
+    *
+    * `shareScan = true` (default): a round-robin repartition makes the
+    * keyed projection an Exchange BOTH passes consume — Spark plans it
+    * once (ReusedExchange, plan-pinned): the source is scanned and the
+    * key extracted exactly once, and pass 2 re-reads only the shuffled
+    * key column (~8 B/row) instead of re-running the scan+extraction.
+    * The right trade when extraction is expensive relative to the key
+    * (q47's JSON parse). Pass `false` when the keyed frame is LARGER
+    * than its source (an exploded token stream): re-running the
+    * row-local extraction twice is cheaper than materializing a
+    * corpus-sized shuffle — see [[groupedHeavyHitters]]. */
   def exactHeavyHitters(df: DataFrame, key: Column, phiBp: Int,
-                        capacity: Int = 256): DataFrame = {
+                        capacity: Int = 256, shareScan: Boolean = true): DataFrame = {
     require((capacity + 1).toLong * phiBp >= 10000L,
       s"capacity $capacity too small for phi=$phiBp bp: candidates above the threshold could be missed")
-    // round-robin repartition makes the keyed projection an Exchange
-    // that BOTH passes consume — Spark plans it once (ReusedExchange,
-    // plan-pinned): the source is scanned and the key extracted exactly
-    // once, and pass 2 re-reads only the shuffled key column (~8 B/row)
-    // instead of re-running the scan + extraction. At 100 TB that
-    // trades the second full pass for a key-column shuffle two orders
-    // of magnitude smaller than the input — and round-robin rows can't
-    // skew, whatever the key distribution.
-    val keyed = df.select(key.as("k")).filter(col("k").isNotNull)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val projected = df.select(key.as("k")).filter(col("k").isNotNull)
+    val keyed =
+      if (shareScan)
+        projected.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      else projected
     // sketch AND total in one aggregate — pass 1 is a single scan; the
     // total rides along on the exploded candidate frame so pass 2 needs
     // no third read of the data
@@ -114,6 +120,63 @@ object Frequency {
       .select(col("grp"), col("k"), col("n_occurrences"),
         expr("(10000 * n_occurrences) DIV n_total").as("share_bp"))
       .orderBy("grp", "k")
+  }
+
+  /** q75: corpus-adaptive RARE-TOKEN screen — the integer-exact sibling
+    * of perplexity filtering (CCNet/Gopher-style: score each document
+    * against a model trained on the corpus ITSELF, cut the tail). The
+    * "model" is the exact heavy-hitter vocabulary (token share >
+    * `phiBp` of the whole token stream — the two-pass sketch+verify
+    * discipline above, so the token domain never shuffles), broadcast
+    * back onto a third row-local pass that scores every token:
+    *
+    *   cost(tok) = N·10⁴ DIV count(tok)        (inverse frequency —
+    *     a Zipf surprisal proxy; same RANKING as −log p, chosen
+    *     because both engines compute it exactly in BIGINT, where a
+    *     float log2 could flip a floor at the ulp)
+    *   cost(OOV) = N·10⁴ DIV (at-threshold count + 1)   (every
+    *     out-of-vocabulary token is AT MOST threshold-frequent, so it
+    *     pays the ceiling)
+    *
+    * Output per document (docs with ≥1 token): token count, OOV count
+    * and share, mean token cost, and the `is_tail` flag (OOV share >
+    * `fenceOovBp`). Plan: three linear passes over the corpus (sketch,
+    * verify, score), two broadcast joins, one map-side-combined doc
+    * aggregate — nothing keyed by token ever crosses the wire.
+    * N·10⁴ must fit BIGINT: fine to ~10¹⁵ tokens (≈ 4 PB of text),
+    * beyond the 100 TB design point. */
+  def rarityScreen(docs: DataFrame, phiBp: Int = 10, capacity: Int = 1024,
+                   fenceOovBp: Int = 5000): DataFrame = {
+    require((capacity + 1).toLong * phiBp >= 10000L,
+      s"capacity $capacity too small for phi=$phiBp bp: vocabulary tokens could be missed")
+    val keyed = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("tok"))
+      .withColumn("h", Dedup.md5_60(col("tok")))
+    // explode_outer keeps the n_total row even when the sketch is empty,
+    // so the scoring pass always has its 1-row total to broadcast
+    val cands = keyed
+      .agg(graft.functions.MgSketch.mg_sketch(col("h"), capacity).as("c"),
+        count(lit(1)).as("n_total"))
+      .select(explode_outer(col("c")).as("h"), col("n_total"))
+    val vocab = keyed.join(broadcast(cands.filter(col("h").isNotNull)), Seq("h"))
+      .groupBy("tok", "n_total").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10000L > col("n_total") * phiBp)
+      .select("tok", "cnt")
+    val total = cands.groupBy().agg(max(col("n_total")).as("n_total"))
+    keyed.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("cost", when(col("cnt").isNotNull,
+          expr("(n_total * 10000) DIV cnt"))
+        .otherwise(expr(s"(n_total * 10000) DIV ((n_total * $phiBp) DIV 10000 + 1)")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("cost")).as("sum_cost"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"),
+        expr("sum_cost DIV n_tokens").as("mean_cost"),
+        (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
+      .orderBy("doc_id")
   }
 
   /** q68 instance: the per-source TOP-TERMS report over the corpus

@@ -80,6 +80,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Frequency.sourceTopTerms(noDocs).isEmpty)
     assert(Similarity.labelCentroidOutliers(noLabeled).isEmpty)
     assert(Corpus.datasetSplit(noDocs, 500, 500).isEmpty)
+    assert(Frequency.rarityScreen(noDocs).isEmpty)
   }
 
   test("hygiene family survives a null-text row without hiding other docs") {

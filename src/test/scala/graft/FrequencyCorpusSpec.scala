@@ -41,6 +41,33 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("rarity screen: exact integer costs, OOV ceiling, strict tail boundary") {
+    // N=8 tokens; 'the' (6/8) is the only >25%-share vocab entry.
+    // cost(the) = 80000 DIV 6 = 13333; OOV ceiling = 80000 DIV 3 = 26666
+    val docs = Seq(
+      (1L, "the the the the"),  // all vocab: mean 13333, oov_bp 0
+      (2L, "the the zz qq"),    // mean (2*13333+2*26666) DIV 4 = 19999, oov_bp 5000
+      (3L, null.asInstanceOf[String]) // zero tokens: absent from the report
+    ).toDF("doc_id", "text")
+    val out = Frequency.rarityScreen(docs, phiBp = 2500, capacity = 1024,
+      fenceOovBp = 5000).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "only token-bearing docs are scored")
+    assert(out(1L).getAs[Long]("mean_cost") == 13333L)
+    assert(out(1L).getAs[Long]("oov_bp") == 0L && !out(1L).getAs[Boolean]("is_tail"))
+    assert(out(2L).getAs[Long]("mean_cost") == 19999L)
+    assert(out(2L).getAs[Long]("n_oov") == 2L && out(2L).getAs[Long]("oov_bp") == 5000L)
+    assert(!out(2L).getAs[Boolean]("is_tail"), "fence is a STRICT bound: 5000 > 5000 is false")
+    // an all-gibberish doc crosses the fence
+    val tail = Frequency.rarityScreen(
+      docs.unionByName(Seq((4L, "xq zv wk")).toDF("doc_id", "text")),
+      phiBp = 2500, capacity = 1024, fenceOovBp = 5000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(tail(4L).getAs[Long]("oov_bp") == 10000L && tail(4L).getAs[Boolean]("is_tail"))
+    intercept[IllegalArgumentException] {
+      Frequency.rarityScreen(docs, phiBp = 10, capacity = 16)
+    }
+  }
+
   test("stratified sample is a pure function of doc_id: stable under repartitioning") {
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr", s"text $i"))
       .toDF("doc_id", "lang", "text")

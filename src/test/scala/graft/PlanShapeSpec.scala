@@ -126,6 +126,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "MG sketch must run as a map-side-combined imperative aggregate")
   }
 
+  test("rarity screen: model rides broadcasts, token domain never shuffle-joins") {
+    val plan = graft.operators.Frequency.rarityScreen(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocabulary and total must broadcast back onto the scoring scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join on tokens would be the 100 TB killer the sketch plan avoids")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the vocabulary sketch must be map-side combined")
+  }
+
   test("semantic outliers: centroid broadcasts, election is the bounded heap") {
     val plan = graft.operators.Similarity.labelCentroidOutliers(
       Tables.embeddings(spark, dir))

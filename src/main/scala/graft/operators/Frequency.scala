@@ -147,6 +147,28 @@ object Frequency {
     * beyond the 100 TB design point. */
   def rarityScreen(docs: DataFrame, phiBp: Int = 10, capacity: Int = 1024,
                    fenceOovBp: Int = 5000): DataFrame = {
+    val (keyed, vocab, total) = rarityParts(docs, phiBp, capacity)
+    keyed.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("cost", when(col("cnt").isNotNull,
+          expr("(n_total * 10000) DIV cnt"))
+        .otherwise(expr(s"(n_total * 10000) DIV ((n_total * $phiBp) DIV 10000 + 1)")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("cost")).as("sum_cost"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"),
+        expr("sum_cost DIV n_tokens").as("mean_cost"),
+        (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
+      .orderBy("doc_id")
+  }
+
+  /** the (token stream, vocabulary, 1-row total) building blocks of the
+    * rarity screen — shared by the batch operator above and the
+    * collected [[rarityModel]]. */
+  private def rarityParts(docs: DataFrame, phiBp: Int,
+                          capacity: Int): (DataFrame, DataFrame, DataFrame) = {
     require((capacity + 1).toLong * phiBp >= 10000L,
       s"capacity $capacity too small for phi=$phiBp bp: vocabulary tokens could be missed")
     val keyed = docs.select(col("doc_id"),
@@ -163,20 +185,21 @@ object Frequency {
       .filter(col("cnt") * 10000L > col("n_total") * phiBp)
       .select("tok", "cnt")
     val total = cands.groupBy().agg(max(col("n_total")).as("n_total"))
-    keyed.join(broadcast(vocab), Seq("tok"), "left")
-      .crossJoin(broadcast(total))
-      .withColumn("cost", when(col("cnt").isNotNull,
-          expr("(n_total * 10000) DIV cnt"))
-        .otherwise(expr(s"(n_total * 10000) DIV ((n_total * $phiBp) DIV 10000 + 1)")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(col("cost")).as("sum_cost"))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"),
-        expr("sum_cost DIV n_tokens").as("mean_cost"),
-        (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
-      .orderBy("doc_id")
+    (keyed, vocab, total)
+  }
+
+  /** The q75 vocabulary MODEL, collected to the driver: (token → exact
+    * count, total token count). Bounded by `capacity` entries — a
+    * broadcast-sized model like the IVF centroids, NOT a data-scale
+    * collect. Train batch-side on a released corpus, then score an
+    * ingest stream row-locally with
+    * [[graft.streaming.DocStreams.rarityLookup]]. */
+  def rarityModel(docs: DataFrame, phiBp: Int = 10,
+                  capacity: Int = 1024): (Map[String, Long], Long) = {
+    val (_, vocab, total) = rarityParts(docs, phiBp, capacity)
+    val m = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = total.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    (m, n)
   }
 
   /** q68 instance: the per-source TOP-TERMS report over the corpus

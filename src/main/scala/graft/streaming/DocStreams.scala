@@ -91,6 +91,40 @@ object DocStreams {
         Seq("band_idx", "band_hash"))
       .select("new_doc_id", "corpus_doc_id", "band_idx")
 
+  /** Streaming RARITY LOOKUP: incoming documents scored row-locally
+    * against a STATIC vocabulary model — the ingest-time twin of the
+    * batch q75 screen ([[graft.operators.Frequency.rarityScreen]]).
+    * The model ([[graft.operators.Frequency.rarityModel]]: token →
+    * exact count + corpus total, ≤ capacity entries) is trained
+    * batch-side on the released corpus and rides as ONE map literal;
+    * scoring is the same integer cost formulas, evaluated per row with
+    * higher-order functions — STATELESS, so it runs at any ingest rate
+    * with zero state store. (The HOF fold evaluates interpreted — fine
+    * at ingest rates; the batch screen keeps the codegen explode path
+    * for full-corpus scans.) Docs with zero tokens are dropped, same
+    * contract as the batch screen. */
+  def rarityLookup(docs: DataFrame, model: Map[String, Long], nTotal: Long,
+                   phiBp: Int = 10, fenceOovBp: Int = 5000): DataFrame = {
+    val ceil = nTotal * 10000L / (nTotal * phiBp / 10000L + 1L)
+    docs
+      .withColumn("__m", map_from_arrays(
+        typedlit(model.keys.toSeq), typedlit(model.values.toSeq)))
+      .withColumn("__toks",
+        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(__toks, t -> element_at(__m, t) IS NULL)) AS BIGINT)")
+          .as("n_oov"),
+        expr(s"aggregate(__toks, CAST(0 AS BIGINT), (acc, t) -> acc + " +
+          s"coalesce(CAST(${nTotal * 10000L} AS BIGINT) DIV element_at(__m, t), " +
+          s"CAST($ceil AS BIGINT)))").as("sum_cost"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"),
+        expr("sum_cost DIV n_tokens").as("mean_cost"),
+        (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
+  }
+
   /** The MAINTENANCE half of incremental near-dup: append each incoming
     * document's band rows to the persisted index [[nearDupLookup]]
     * probes. Band computation is stateless/row-local, the sink is a

@@ -209,6 +209,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 80002L), "novel doc has no collisions")
   }
 
+  test("streaming rarity lookup equals the batch screen under the batch-trained model") {
+    // train the q75 vocabulary on the corpus batch-side, then score the
+    // SAME corpus as an ingest stream against the static model — every
+    // per-doc figure must match the batch operator exactly (the model
+    // is fixed, the scoring formulas are shared integer arithmetic)
+    val dir = sf
+    val docs = Tables.documents(spark, dir)
+    val want = graft.operators.Frequency.rarityScreen(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("mean_cost"), r.getAs[Boolean]("is_tail"))).toMap
+    val (model, n) = graft.operators.Frequency.rarityModel(docs)
+    assert(model.nonEmpty && model.size <= 1024, "model is bounded, broadcast-sized")
+    val q = graft.streaming.DocStreams.rarityLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), model, n)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rarity_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rarity_out").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("mean_cost"), r.getAs[Boolean]("is_tail"))).toMap
+    assert(got == want, "stream scoring must reproduce the batch screen verbatim")
+  }
+
   test("band-index maintenance + lookup give incremental ingest dedup") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ndmaint")

@@ -161,7 +161,8 @@ object SparkEntry {
     "q74_json_orders" -> ((s, d) =>
       Relational.latestOrderPerCustomer(viaFormat(Tables.orders(s, d), "json", "orders"))),
     "q75_rarity_screen" -> ((s, d) => Frequency.rarityScreen(
-      Tables.documents(s, d), RarityPhiBp, capacity = 1024, RarityFenceBp))
+      Tables.documents(s, d), RarityPhiBp, capacity = 1024, RarityFenceBp)),
+    "q76_pq_encode" -> ((s, d) => Similarity.pqEncode(Tables.embeddings(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -679,6 +680,52 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q76's oracle: the PQ model is reproducible by the q36b discipline
+    * — one md5-60-ordered sample ("pq:" salt) seeds every subspace,
+    * Lloyd means in quantized fixed-point, squared-L2 assignment via
+    * d2 = ‖c‖² − 2·x·c with min-code tie-break — so DuckDB replays
+    * seed → 2 Lloyd steps → assignment per subspace, then the same
+    * packing and error formulas, and lands on identical bits. */
+  private def pqEncodeSql: String = {
+    val m = 8; val d = 8; val k = 16; val iters = 2
+    def sub(e: String, mi: Int) = s"$e[${mi * d + 1}:${(mi + 1) * d}]"
+    val perSub = (0 until m).map { mi =>
+      def iter(j: Int): String =
+        s"""s${mi}_$j AS (SELECT v.vec_id, v.sub, c.code,
+           |list_dot_product(c.emb, c.emb) - 2*list_dot_product(v.sub, c.emb) AS d2
+           |FROM samp$mi v CROSS JOIN c${mi}_$j c),
+           |a${mi}_$j AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+           |row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM s${mi}_$j) t WHERE rn = 1),
+           |m${mi}_$j AS (SELECT code, pos, SUM(CAST(round(x * 1000000) AS BIGINT)) // COUNT(*) AS comp
+           |FROM (SELECT code, unnest(sub) AS x, generate_subscripts(sub, 1) AS pos FROM a${mi}_$j) u
+           |GROUP BY code, pos),
+           |n${mi}_$j AS (SELECT code, list(comp / 1000000.0 ORDER BY pos) AS emb FROM m${mi}_$j GROUP BY code),
+           |c${mi}_${j + 1} AS (SELECT p.code, COALESCE(n.emb, p.emb) AS emb FROM c${mi}_$j p LEFT JOIN n${mi}_$j n ON p.code = n.code)""".stripMargin
+      s"""samp$mi AS (SELECT vec_id, ${sub("emb", mi)} AS sub, rn FROM samp),
+         |c${mi}_0 AS (SELECT rn - 1 AS code, sub AS emb FROM samp$mi WHERE rn <= $k),
+         |${(0 until iters).map(iter).mkString(",\n")},
+         |x$mi AS (SELECT r.vec_id, c.code,
+         |list_dot_product(c.emb, c.emb) - 2*list_dot_product(${sub("r.emb", mi)}, c.emb) AS d2
+         |FROM raw r CROSS JOIN c${mi}_$iters c),
+         |f$mi AS (SELECT vec_id, code, d2 FROM (SELECT vec_id, code, d2,
+         |row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM x$mi) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val packed = (0 until m).map(mi => s"f$mi.code * ${1L << (4 * mi)}").mkString(" + ")
+    val errTerms = (0 until m).map(mi =>
+      s"(list_dot_product(${sub("r.emb", mi)}, ${sub("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
+    val joins = (0 until m).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |samp AS (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
+       |ORDER BY ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
+       |FROM raw) t WHERE rn <= 4096),
+       |$perSub,
+       |enc AS (SELECT r.vec_id, CAST($packed AS BIGINT) AS pq_code,
+       |$errTerms AS err2, list_dot_product(r.emb, r.emb) AS x2 FROM raw r $joins)
+       |SELECT vec_id, pq_code,
+       |CASE WHEN x2 > 0 THEN CAST(floor(10000.0 * greatest(err2, 0.0) / x2) AS BIGINT) ELSE 0 END AS err_bp
+       |FROM enc ORDER BY vec_id""".stripMargin
+  }
+
   /** q41/q41b's shared oracle CTEs: the media fixture's closed form
     * ([[graft.operators.Multimodal.synthMedia]]) — modality by source,
     * geometry from doc_id, header lengths from the encoders' exact
@@ -814,7 +861,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
-      ("q75_rarity_screen" -> raritySql)
+      ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

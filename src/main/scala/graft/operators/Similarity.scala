@@ -212,6 +212,122 @@ object Similarity {
     refined
   }
 
+  /** appends `__pqdots$mi` (all code-centroid dot products for ONE
+    * subspace, one codegen expression over the reference-object
+    * matrix) and returns the (d2, code) struct columns over it, where
+    * d2 = ‖c‖² − 2·x_m·c — the squared-L2 argmin objective with the
+    * row-constant ‖x_m‖² dropped (it cannot change the argmin). Tie →
+    * smaller code, via `least` struct ordering. */
+  private def withPqScores(df: DataFrame, mi: Int, sub: Column,
+                           cents: Seq[Seq[Double]]): (DataFrame, Seq[Column]) = {
+    val dotsCol = s"__pqdots$mi"
+    val withDots = df.withColumn(dotsCol,
+      graft.functions.VectorExpressions.vec_cell_dots(sub, cents))
+    val cols = cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      struct((lit(cn2) - lit(2.0) * element_at(col(dotsCol), i + 1)).as("d2"),
+        lit(i).as("code"))
+    }
+    (withDots, cols)
+  }
+
+  /** one squared-L2 Lloyd iteration over a subvector frame — the
+    * [[lloydStep]] discipline (quantized fixed-point integer means,
+    * exact and order-independent) with L2 assignment instead of
+    * cosine, min-code tie-break. */
+  private def lloydStepL2(e: DataFrame, mi: Int, cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val (withDots, scores) = withPqScores(e, mi, col("embedding"), cents)
+    val means = withDots
+      .withColumn("code", least(scores: _*).getField("code"))
+      .select(col("code"), posexplode(col("embedding")))
+      .groupBy(col("code"), col("pos"))
+      .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
+      .collect()
+      .groupBy(_.getAs[Int]("code"))
+    cents.zipWithIndex.map { case (old, i) =>
+      means.get(i)
+        .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("m_scaled") / 1e6).toSeq)
+        .getOrElse(old)
+    }
+  }
+
+  /** q76 PQ codebook MODEL: `m` per-subspace centroid matrices
+    * (k × dim/m), trained with the [[ivfCentroids]] discipline — one
+    * bounded md5-60-hash-ordered sample ("pq:" salt; the SAME rows
+    * seed every subspace), `iters` quantized-integer Lloyd steps per
+    * subspace under squared-L2 assignment. m·k·(dim/m) doubles —
+    * broadcast-sized, bit-reproducible, replayed by the oracle. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, dim: Int = 64, k: Int = 16,
+                  iters: Int = 2, trainSample: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val d = dim / m
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"),
+        Dedup.md5_60(concat(lit("pq:"), col("vec_id").cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(trainSample)
+      .cache()
+    val seedRows = sample.limit(k).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toSeq
+    val books = (0 until m).map { mi =>
+      val seed: Seq[Seq[Double]] = seedRows.map(v => v.slice(mi * d, mi * d + d).toSeq)
+      if (seed.isEmpty) Seq.empty[Seq[Double]]
+      else {
+        val sub = sample.select(slice(col("embedding"), mi * d + 1, d).as("embedding"))
+        (1 to iters).foldLeft(seed)((c, _) => lloydStepL2(sub, mi, c))
+      }
+    }
+    sample.unpersist()
+    books
+  }
+
+  /** q76: PRODUCT-QUANTIZATION encode — every vector compressed to m
+    * 4-bit codes packed into ONE BIGINT (m=8, k=16: 4 bytes standing in
+    * for 256 bytes of float32 — the 100 TB embedding-store compression
+    * path; ADC search scans codes against a k×m lookup table instead
+    * of raw vectors). Encoding is row-local against the broadcast
+    * codebook model: one scan, zero hash exchanges (plan-pinned).
+    * `err_bp` is the squared reconstruction error as basis points of
+    * ‖x‖² (floor; clamped at 0 against fold round-off) — the fidelity
+    * column a compression report needs. Zero vectors get err_bp 0 by
+    * definition. Exactly oracle-checked: the model replay plus these
+    * double formulas land on identical bits in DuckDB. */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, dim: Int = 64, k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 16, s"4-bit packing holds at most 16 codes, got k=$k")
+    require(m * 4 <= 63, s"packed code must fit one BIGINT, got m=$m")
+    val books = pqCodebooks(embeddings, m, dim, k)
+    val d = dim / m
+    if (books.headOption.forall(_.isEmpty)) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("pq_code", LongType), StructField("err_bp", LongType))))
+    }
+    var df = embeddings.select(col("vec_id"), col("embedding"))
+    val bests = (0 until m).map { mi =>
+      val (withDots, scores) = withPqScores(df, mi,
+        slice(col("embedding"), mi * d + 1, d), books(mi))
+      df = withDots.withColumn(s"__best$mi", least(scores: _*))
+      col(s"__best$mi")
+    }
+    val packed = (0 until m).map { mi =>
+      bests(mi).getField("code").cast("long") * lit(1L << (4 * mi))
+    }.reduce(_ + _)
+    // err² = Σ_m (‖x_m‖² + d2_m); ‖x_m‖² restores the term the argmin
+    // objective dropped. Sum order is fixed 0..m-1 in both engines.
+    val err2 = (0 until m).map { mi =>
+      graft.functions.VectorExpressions.vec_norm_sq(
+        slice(col("embedding"), mi * d + 1, d)) + bests(mi).getField("d2")
+    }.reduce(_ + _)
+    val x2 = graft.functions.VectorExpressions.vec_norm_sq(col("embedding"))
+    df.select(col("vec_id"), packed.as("pq_code"),
+        when(x2 > 0.0,
+          floor(lit(10000.0) * greatest(err2, lit(0.0)) / x2).cast("long"))
+          .otherwise(0L).as("err_bp"))
+      .orderBy("vec_id")
+  }
+
   /** empty (query_id, neighbor_id, cos_bp, rank) frame — the defined
     * ANN result over an empty corpus (no centroids → no candidates). */
   private def emptyKnn(spark: org.apache.spark.sql.SparkSession): DataFrame = {

@@ -185,6 +185,53 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(worst.getAs[Long]("cos_bp") < 0L, "opposite vector scores negative")
   }
 
+  // ---------------------------------------------------------------- q76
+
+  test("pq encode: codes are valid 4-bit packs, deterministic under repartitioning") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.pqEncode(emb).collect()
+    val b = Similarity.pqEncode(emb.repartition(7)).collect()
+    assert(a.sameElements(b), "model + codes must not depend on partitioning")
+    a.foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      assert(code >= 0L && code < (1L << 32), s"8 nibbles must fit 32 bits: $code")
+      assert(r.getAs[Long]("err_bp") >= 0L)
+    }
+    assert(a.length == emb.count())
+  }
+
+  test("pq encode: identical vectors share a code; exact-point corpora reconstruct exactly") {
+    // 24 copies of 4 distinct vectors whose components are exact
+    // multiples of 1e-6: Lloyd means land exactly on the points, so
+    // every vector reconstructs with zero error
+    val patterns = Seq(0.5f, -0.25f, 1.0f, 0.125f)
+      .map(v => Array.fill(64)(v))
+    val rows = (0 until 24).map(i => (i.toLong, patterns(i % 4), 0L))
+    val out = Similarity.pqEncode(rows.toDF("vec_id", "embedding", "label")).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    (0 until 24).foreach { i =>
+      assert(byId(i.toLong).getAs[Long]("pq_code") ==
+        byId((i % 4).toLong).getAs[Long]("pq_code"),
+        "identical vectors must share their code")
+      assert(byId(i.toLong).getAs[Long]("err_bp") == 0L,
+        s"exact-point corpus must reconstruct exactly: ${byId(i.toLong)}")
+    }
+    assert(out.map(_.getAs[Long]("pq_code")).distinct.length == 4,
+      "distinct points get distinct codes")
+  }
+
+  test("pq encode: zero vectors and bad k fail safe") {
+    val mix = Seq(
+      (1L, Array.fill(64)(0f), 0L),
+      (2L, Array.fill(64)(0.5f), 0L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqEncode(mix).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("err_bp") == 0L, "zero vector: err_bp is 0 by definition")
+    assert(out.size == 2)
+    intercept[IllegalArgumentException] { Similarity.pqEncode(mix, k = 17) }
+    intercept[IllegalArgumentException] { Similarity.pqEncode(mix, m = 7) }
+  }
+
   // ---------------------------------------------------------------- q70
 
   test("dataset split: assignment is stable under corpus growth") {

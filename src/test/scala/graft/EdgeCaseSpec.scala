@@ -37,6 +37,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.knnIvf(noVecs).isEmpty, "IVF must not throw with zero centroids")
     assert(Similarity.nearDupPairsBanded(noVecs).isEmpty)
     assert(Similarity.ivfAssign(noVecs, nCells = 4).isEmpty)
+    assert(Similarity.pqEncode(noVecs).isEmpty, "PQ must not throw with an empty codebook")
   }
 
   test("corpus construction yields empty results on an empty corpus") {

@@ -137,6 +137,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "the vocabulary sketch must be map-side combined")
   }
 
+  test("pq encode: scoring is one row-local scan against the broadcast model") {
+    // codebook training runs bounded sample jobs up front (the q36b
+    // discipline); the ENCODE plan itself must be scan + row-local
+    // expressions + output sort — no join, no explode, no hash exchange
+    val plan = graft.operators.Similarity.pqEncode(Tables.embeddings(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning"),
+      s"encode must not shuffle, got:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "the model rides as expressions, not a join")
+    assert(!plan.contains("Generate"), "no explode in the encode pass")
+  }
+
   test("semantic outliers: centroid broadcasts, election is the bounded heap") {
     val plan = graft.operators.Similarity.labelCentroidOutliers(
       Tables.embeddings(spark, dir))

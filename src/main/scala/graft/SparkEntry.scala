@@ -162,7 +162,9 @@ object SparkEntry {
       Relational.latestOrderPerCustomer(viaFormat(Tables.orders(s, d), "json", "orders"))),
     "q75_rarity_screen" -> ((s, d) => Frequency.rarityScreen(
       Tables.documents(s, d), RarityPhiBp, capacity = 1024, RarityFenceBp)),
-    "q76_pq_encode" -> ((s, d) => Similarity.pqEncode(Tables.embeddings(s, d)))
+    "q76_pq_encode" -> ((s, d) => Similarity.pqEncode(Tables.embeddings(s, d))),
+    "q76b_pq_adc" -> ((s, d) => Similarity.pqAdcSearch(Tables.embeddings(s, d))),
+    "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -686,10 +688,15 @@ object SparkEntry {
     * d2 = ‖c‖² − 2·x·c with min-code tie-break — so DuckDB replays
     * seed → 2 Lloyd steps → assignment per subspace, then the same
     * packing and error formulas, and lands on identical bits. */
-  private def pqEncodeSql: String = {
-    val m = 8; val d = 8; val k = 16; val iters = 2
-    def sub(e: String, mi: Int) = s"$e[${mi * d + 1}:${(mi + 1) * d}]"
-    val perSub = (0 until m).map { mi =>
+  private val PqM = 8; private val PqD = 8
+  private val PqK = 16; private val PqIters = 2
+
+  private def pqSubSql(e: String, mi: Int) = s"$e[${mi * PqD + 1}:${(mi + 1) * PqD}]"
+
+  /** shared PQ-model CTEs: sample → per-subspace seed → Lloyd steps →
+    * per-vector code assignment f0..f7 (code + relative d2). */
+  private def pqModelCtes: String = {
+    val perSub = (0 until PqM).map { mi =>
       def iter(j: Int): String =
         s"""s${mi}_$j AS (SELECT v.vec_id, v.sub, c.code,
            |list_dot_product(c.emb, c.emb) - 2*list_dot_product(v.sub, c.emb) AS d2
@@ -701,30 +708,77 @@ object SparkEntry {
            |GROUP BY code, pos),
            |n${mi}_$j AS (SELECT code, list(comp / 1000000.0 ORDER BY pos) AS emb FROM m${mi}_$j GROUP BY code),
            |c${mi}_${j + 1} AS (SELECT p.code, COALESCE(n.emb, p.emb) AS emb FROM c${mi}_$j p LEFT JOIN n${mi}_$j n ON p.code = n.code)""".stripMargin
-      s"""samp$mi AS (SELECT vec_id, ${sub("emb", mi)} AS sub, rn FROM samp),
-         |c${mi}_0 AS (SELECT rn - 1 AS code, sub AS emb FROM samp$mi WHERE rn <= $k),
-         |${(0 until iters).map(iter).mkString(",\n")},
+      s"""samp$mi AS (SELECT vec_id, ${pqSubSql("emb", mi)} AS sub, rn FROM samp),
+         |c${mi}_0 AS (SELECT rn - 1 AS code, sub AS emb FROM samp$mi WHERE rn <= $PqK),
+         |${(0 until PqIters).map(iter).mkString(",\n")},
          |x$mi AS (SELECT r.vec_id, c.code,
-         |list_dot_product(c.emb, c.emb) - 2*list_dot_product(${sub("r.emb", mi)}, c.emb) AS d2
-         |FROM raw r CROSS JOIN c${mi}_$iters c),
+         |list_dot_product(c.emb, c.emb) - 2*list_dot_product(${pqSubSql("r.emb", mi)}, c.emb) AS d2
+         |FROM raw r CROSS JOIN c${mi}_$PqIters c),
          |f$mi AS (SELECT vec_id, code, d2 FROM (SELECT vec_id, code, d2,
          |row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM x$mi) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val packed = (0 until m).map(mi => s"f$mi.code * ${1L << (4 * mi)}").mkString(" + ")
-    val errTerms = (0 until m).map(mi =>
-      s"(list_dot_product(${sub("r.emb", mi)}, ${sub("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
-    val joins = (0 until m).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
-    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |samp AS (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
        |FROM raw) t WHERE rn <= 4096),
-       |$perSub,
+       |$perSub""".stripMargin
+  }
+
+  private def pqEncodeSql: String = {
+    val packed = (0 until PqM).map(mi => s"f$mi.code * ${1L << (4 * mi)}").mkString(" + ")
+    val errTerms = (0 until PqM).map(mi =>
+      s"(list_dot_product(${pqSubSql("r.emb", mi)}, ${pqSubSql("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
+    val joins = (0 until PqM).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
+    s"""WITH $pqModelCtes,
        |enc AS (SELECT r.vec_id, CAST($packed AS BIGINT) AS pq_code,
        |$errTerms AS err2, list_dot_product(r.emb, r.emb) AS x2 FROM raw r $joins)
        |SELECT vec_id, pq_code,
        |CASE WHEN x2 > 0 THEN CAST(floor(10000.0 * greatest(err2, 0.0) / x2) AS BIGINT) ELSE 0 END AS err_bp
        |FROM enc ORDER BY vec_id""".stripMargin
   }
+
+  /** q76b's oracle: the ADC pair distance is the same per-subspace
+    * term chain the Spark LUT builds (‖q_m‖² + (‖c‖² − 2·q_m·c)),
+    * ranked by the FLOORED micro value then neighbor id — exactly the
+    * TopKPerKey ordering. */
+  /** shared ADC CTEs (pair distances + floored ranking) on top of
+    * [[pqModelCtes]]. */
+  private def pqAdcCtes: String = {
+    val terms = (0 until PqM).map { mi =>
+      s"(list_dot_product(${pqSubSql("q.emb", mi)}, ${pqSubSql("q.emb", mi)}) + " +
+        s"(list_dot_product(cb$mi.emb, cb$mi.emb) - 2*list_dot_product(${pqSubSql("q.emb", mi)}, cb$mi.emb)))"
+    }.mkString(" + ")
+    val codeJoins = (0 until PqM).map(mi => s"JOIN f$mi ON x.vec_id = f$mi.vec_id").mkString(" ")
+    val bookJoins = (0 until PqM).map(mi => s"JOIN c${mi}_$PqIters cb$mi ON cb$mi.code = f$mi.code").mkString(" ")
+    s"""pair AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, $terms AS d2
+       |FROM raw q JOIN raw x ON q.vec_id < 20 AND q.vec_id <> x.vec_id
+       |$codeJoins $bookJoins),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |CAST(floor(1000000.0 * d2) AS BIGINT) AS adc_d2_micro,
+       |row_number() OVER (PARTITION BY query_id
+       |ORDER BY CAST(floor(1000000.0 * d2) AS BIGINT), neighbor_id) AS rank FROM pair)""".stripMargin
+  }
+
+  private def pqAdcSql: String =
+    s"""WITH $pqModelCtes,
+       |$pqAdcCtes
+       |SELECT query_id, neighbor_id, adc_d2_micro, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q77's oracle: ADC top-100 candidates, then the exact full-vector
+    * squared-L2 re-rank with the same term tree as the Spark side. */
+  private def pqRerankSql: String =
+    s"""WITH $pqModelCtes,
+       |$pqAdcCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 100),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |CAST(floor(1000000.0 * (list_dot_product(q.emb, q.emb) +
+       |(list_dot_product(x.emb, x.emb) - 2*list_dot_product(q.emb, x.emb)))) AS BIGINT) AS d2_micro
+       |FROM cand c JOIN raw q ON c.query_id = q.vec_id JOIN raw x ON c.neighbor_id = x.vec_id),
+       |rr AS (SELECT query_id, neighbor_id, d2_micro,
+       |row_number() OVER (PARTITION BY query_id ORDER BY d2_micro, neighbor_id) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, d2_micro, CAST(rank AS BIGINT) AS rank
+       |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** q41/q41b's shared oracle CTEs: the media fixture's closed form
     * ([[graft.operators.Multimodal.synthMedia]]) — modality by source,
@@ -861,7 +915,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
-      ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql)
+      ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
+      ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

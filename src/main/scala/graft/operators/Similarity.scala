@@ -296,7 +296,6 @@ object Similarity {
     require(k >= 2 && k <= 16, s"4-bit packing holds at most 16 codes, got k=$k")
     require(m * 4 <= 63, s"packed code must fit one BIGINT, got m=$m")
     val books = pqCodebooks(embeddings, m, dim, k)
-    val d = dim / m
     if (books.headOption.forall(_.isEmpty)) {
       import org.apache.spark.sql.types._
       return embeddings.sparkSession.createDataFrame(
@@ -304,6 +303,11 @@ object Similarity {
         StructType(Seq(StructField("vec_id", LongType),
           StructField("pq_code", LongType), StructField("err_bp", LongType))))
     }
+    encodeWithBooks(embeddings, books, m, dim / m)
+  }
+
+  private def encodeWithBooks(embeddings: DataFrame, books: Seq[Seq[Seq[Double]]],
+                              m: Int, d: Int): DataFrame = {
     var df = embeddings.select(col("vec_id"), col("embedding"))
     val bests = (0 until m).map { mi =>
       val (withDots, scores) = withPqScores(df, mi,
@@ -326,6 +330,97 @@ object Similarity {
           floor(lit(10000.0) * greatest(err2, lit(0.0)) / x2).cast("long"))
           .otherwise(0L).as("err_bp"))
       .orderBy("vec_id")
+  }
+
+  /** q76b: ADC (asymmetric distance computation) kNN over the PQ
+    * codes — the search half of product quantization: the corpus side
+    * is ONLY the packed 4-bit codes (4 B/vector), never raw vectors;
+    * each query builds its per-subspace lookup table row-locally
+    * (16 exact per-subspace squared-L2 distances per table, from the
+    * same broadcast codebooks), and a candidate's distance is eight
+    * array lookups keyed by nibble — at 100 TB this scans a table two
+    * orders of magnitude smaller than the float32 store. Queries are
+    * dimension-sized and broadcast; ranking is the TopKPerKey bounded
+    * heap. `adc_d2_micro` = floor(10⁶·Σ_m ‖q_m − c_{m,code}‖²) — the
+    * identical double in both engines, so the whole compressed-search
+    * path is exactly oracle-checked. */
+  def pqAdcSearch(embeddings: DataFrame, m: Int = 8, dim: Int = 64, k: Int = 16,
+                  nQueries: Int = 20, topK: Int = 10): DataFrame = {
+    val books = pqCodebooks(embeddings, m, dim, k)
+    if (books.headOption.forall(_.isEmpty)) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("adc_d2_micro", LongType), StructField("rank", LongType))))
+    }
+    val d = dim / m
+    val codes = encodeWithBooks(embeddings, books, m, d)
+      .select(col("vec_id").as("neighbor_id"), col("pq_code"))
+    var q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    (0 until m).foreach { mi =>
+      val sub = slice(col("embedding"), mi * d + 1, d)
+      q = q.withColumn(s"__dots$mi",
+        graft.functions.VectorExpressions.vec_cell_dots(sub, books(mi)))
+      val entries = books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        val cn2 = c.map(x => x * x).sum
+        graft.functions.VectorExpressions.vec_norm_sq(sub) +
+          (lit(cn2) - lit(2.0) * element_at(col(s"__dots$mi"), i + 1))
+      }
+      q = q.withColumn(s"__lut$mi", array(entries: _*)).drop(s"__dots$mi")
+    }
+    val pairD2 = (0 until m).map { mi =>
+      element_at(col(s"__lut$mi"),
+        expr(s"CAST((pq_code DIV ${1L << (4 * mi)}) % 16 AS INT)") + 1)
+    }.reduce(_ + _)
+    val scored = broadcast(q.drop("embedding")).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * pairD2).cast("long").as("adc_d2_micro"))
+    graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("adc_d2_micro").asc, col("neighbor_id").asc), topK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2_micro").asc, col("neighbor_id").asc))
+        .cast(org.apache.spark.sql.types.LongType))
+      .select("query_id", "neighbor_id", "adc_d2_micro", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q77: the full production PQ search — ADC candidate generation
+    * over the compressed codes ([[pqAdcSearch]], top-`candidates` per
+    * query) followed by an EXACT re-rank: only the candidate rows
+    * fetch their raw vectors back (hash join on id — linear in
+    * queries×candidates, not the corpus), exact squared-L2, top-k.
+    * This is why 4-bit codes suffice at 100 TB: the coarse scan reads
+    * 4 B/vector and the expensive float reads touch ~candidates rows
+    * per query. Recall@10 ≈ 0.8 at candidates=100 on random vectors
+    * (spec-asserted ≥ 0.65 vs exact L2 — random data is quantization's
+    * worst case; structured embeddings do better). */
+  def pqSearchReranked(embeddings: DataFrame, m: Int = 8, dim: Int = 64,
+                       k: Int = 16, nQueries: Int = 20,
+                       candidates: Int = 100, topK: Int = 10): DataFrame = {
+    val cand = pqAdcSearch(embeddings, m, dim, k, nQueries, candidates)
+      .select("query_id", "neighbor_id")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val vq = graft.functions.VectorExpressions.vec_norm_sq(col("e_q"))
+    val vc = graft.functions.VectorExpressions.vec_norm_sq(col("e_c"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("e_q")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * (vq + (vc - lit(2.0) * dot(col("e_q"), col("e_c")))))
+          .cast("long").as("d2_micro"))
+    graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("d2_micro").asc, col("neighbor_id").asc), topK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("d2_micro").asc, col("neighbor_id").asc))
+        .cast(org.apache.spark.sql.types.LongType))
+      .select("query_id", "neighbor_id", "d2_micro", "rank")
+      .orderBy("query_id", "rank")
   }
 
   /** empty (query_id, neighbor_id, cos_bp, rank) frame — the defined

@@ -38,6 +38,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.nearDupPairsBanded(noVecs).isEmpty)
     assert(Similarity.ivfAssign(noVecs, nCells = 4).isEmpty)
     assert(Similarity.pqEncode(noVecs).isEmpty, "PQ must not throw with an empty codebook")
+    assert(Similarity.pqAdcSearch(noVecs).isEmpty)
+    assert(Similarity.pqSearchReranked(noVecs).isEmpty)
   }
 
   test("corpus construction yields empty results on an empty corpus") {

@@ -164,7 +164,8 @@ object SparkEntry {
       Tables.documents(s, d), RarityPhiBp, capacity = 1024, RarityFenceBp)),
     "q76_pq_encode" -> ((s, d) => Similarity.pqEncode(Tables.embeddings(s, d))),
     "q76b_pq_adc" -> ((s, d) => Similarity.pqAdcSearch(Tables.embeddings(s, d))),
-    "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d)))
+    "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d))),
+    "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -643,11 +644,14 @@ object SparkEntry {
     * exact and order-independent in either engine) — so DuckDB replays
     * seed → 2 Lloyd iterations → assignment → nProbe probing → ranking
     * and lands on identical doubles. */
-  private def knnIvfSql: String = {
+  /** shared IVF model + probe CTEs (used by q36b and q78): sample →
+    * seed → 2 Lloyd iterations → per-vector cell (`corpus`) and
+    * per-query nProbe cells (`probes`). Expects a `raw` CTE in scope. */
+  private def ivfModelCtes: String = {
     def iter(i: Int, prev: String, next: String): String =
       s"""s$i AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
          |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
-         |FROM samp v CROSS JOIN $prev c),
+         |FROM vsamp v CROSS JOIN $prev c),
          |a$i AS (SELECT vec_id, emb, cell FROM (SELECT vec_id, emb, cell,
          |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s$i) t WHERE rn = 1),
          |m$i AS (SELECT cell, pos, SUM(CAST(round(x * 1000000) AS BIGINT)) // COUNT(*) AS comp
@@ -655,12 +659,11 @@ object SparkEntry {
          |GROUP BY cell, pos),
          |n$i AS (SELECT cell, list(comp / 1000000.0 ORDER BY pos) AS emb FROM m$i GROUP BY cell),
          |$next AS (SELECT p.cell, COALESCE(n$i.emb, p.emb) AS emb FROM $prev p LEFT JOIN n$i ON p.cell = n$i.cell)""".stripMargin
-    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw),
-       |samp AS (SELECT vec_id, emb, nrm, rn FROM (SELECT vec_id, emb, nrm, row_number() OVER (
+    s"""e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw),
+       |vsamp AS (SELECT vec_id, emb, nrm, rn FROM (SELECT vec_id, emb, nrm, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
        |FROM e) t WHERE rn <= 4096),
-       |c0 AS (SELECT rn - 1 AS cell, emb FROM samp WHERE rn <= 16),
+       |c0 AS (SELECT rn - 1 AS cell, emb FROM vsamp WHERE rn <= 16),
        |${iter(0, "c0", "c1")},
        |${iter(1, "c1", "c2")},
        |sc AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
@@ -672,7 +675,12 @@ object SparkEntry {
        |probes AS (SELECT vec_id AS query_id, emb, nrm, cell FROM (
        |SELECT vec_id, emb, nrm, cell,
        |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 20) t
-       |WHERE rn <= 6),
+       |WHERE rn <= 6)""".stripMargin
+  }
+
+  private def knnIvfSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |$ivfModelCtes,
        |scored AS (SELECT q.query_id, c.neighbor_id,
        |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
        |FROM probes q JOIN corpus c ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
@@ -680,7 +688,6 @@ object SparkEntry {
        |row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp, rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** q76's oracle: the PQ model is reproducible by the q36b discipline
     * — one md5-60-ordered sample ("pq:" salt) seeds every subspace,
@@ -693,8 +700,12 @@ object SparkEntry {
 
   private def pqSubSql(e: String, mi: Int) = s"$e[${mi * PqD + 1}:${(mi + 1) * PqD}]"
 
+  private val RawVecCte =
+    "raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+
   /** shared PQ-model CTEs: sample → per-subspace seed → Lloyd steps →
-    * per-vector code assignment f0..f7 (code + relative d2). */
+    * per-vector code assignment f0..f7 (code + relative d2). Expects a
+    * `raw` CTE in scope (see [[RawVecCte]]). */
   private def pqModelCtes: String = {
     val perSub = (0 until PqM).map { mi =>
       def iter(j: Int): String =
@@ -717,8 +728,7 @@ object SparkEntry {
          |f$mi AS (SELECT vec_id, code, d2 FROM (SELECT vec_id, code, d2,
          |row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM x$mi) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |samp AS (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
+    s"""samp AS (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
        |FROM raw) t WHERE rn <= 4096),
        |$perSub""".stripMargin
@@ -729,7 +739,8 @@ object SparkEntry {
     val errTerms = (0 until PqM).map(mi =>
       s"(list_dot_product(${pqSubSql("r.emb", mi)}, ${pqSubSql("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
     val joins = (0 until PqM).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
-    s"""WITH $pqModelCtes,
+    s"""WITH $RawVecCte,
+       |$pqModelCtes,
        |enc AS (SELECT r.vec_id, CAST($packed AS BIGINT) AS pq_code,
        |$errTerms AS err2, list_dot_product(r.emb, r.emb) AS x2 FROM raw r $joins)
        |SELECT vec_id, pq_code,
@@ -737,12 +748,10 @@ object SparkEntry {
        |FROM enc ORDER BY vec_id""".stripMargin
   }
 
-  /** q76b's oracle: the ADC pair distance is the same per-subspace
-    * term chain the Spark LUT builds (‖q_m‖² + (‖c‖² − 2·q_m·c)),
-    * ranked by the FLOORED micro value then neighbor id — exactly the
-    * TopKPerKey ordering. */
-  /** shared ADC CTEs (pair distances + floored ranking) on top of
-    * [[pqModelCtes]]. */
+  /** shared ADC CTEs on top of [[pqModelCtes]]: the pair distance is
+    * the same per-subspace term chain the Spark LUT builds
+    * (‖q_m‖² + (‖c‖² − 2·q_m·c)), ranked by the FLOORED micro value
+    * then neighbor id — exactly the TopKPerKey ordering. */
   private def pqAdcCtes: String = {
     val terms = (0 until PqM).map { mi =>
       s"(list_dot_product(${pqSubSql("q.emb", mi)}, ${pqSubSql("q.emb", mi)}) + " +
@@ -760,15 +769,43 @@ object SparkEntry {
   }
 
   private def pqAdcSql: String =
-    s"""WITH $pqModelCtes,
+    s"""WITH $RawVecCte,
+       |$pqModelCtes,
        |$pqAdcCtes
        |SELECT query_id, neighbor_id, adc_d2_micro, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q78's oracle: both reproducible models in one WITH — the IVF
+    * replay supplies `corpus` (cell per vector) and `probes` (nProbe
+    * cells per query), the PQ replay supplies codes f0..f7 and the
+    * iterated codebooks; the pair distance is the ADC term chain over
+    * cell-matched candidates only. */
+  private def ivfPqSql: String = {
+    val terms = (0 until PqM).map { mi =>
+      s"(list_dot_product(${pqSubSql("q.emb", mi)}, ${pqSubSql("q.emb", mi)}) + " +
+        s"(list_dot_product(cb$mi.emb, cb$mi.emb) - 2*list_dot_product(${pqSubSql("q.emb", mi)}, cb$mi.emb)))"
+    }.mkString(" + ")
+    val codeJoins = (0 until PqM).map(mi => s"JOIN f$mi ON x.neighbor_id = f$mi.vec_id").mkString(" ")
+    val bookJoins = (0 until PqM).map(mi => s"JOIN c${mi}_$PqIters cb$mi ON cb$mi.code = f$mi.code").mkString(" ")
+    s"""WITH $RawVecCte,
+       |$ivfModelCtes,
+       |$pqModelCtes,
+       |pair AS (SELECT q.query_id, x.neighbor_id, $terms AS d2
+       |FROM probes q JOIN corpus x ON q.cell = x.cell AND q.query_id <> x.neighbor_id
+       |$codeJoins $bookJoins),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |CAST(floor(1000000.0 * d2) AS BIGINT) AS adc_d2_micro,
+       |row_number() OVER (PARTITION BY query_id
+       |ORDER BY CAST(floor(1000000.0 * d2) AS BIGINT), neighbor_id) AS rank FROM pair)
+       |SELECT query_id, neighbor_id, adc_d2_micro, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q77's oracle: ADC top-100 candidates, then the exact full-vector
     * squared-L2 re-rank with the same term tree as the Spark side. */
   private def pqRerankSql: String =
-    s"""WITH $pqModelCtes,
+    s"""WITH $RawVecCte,
+       |$pqModelCtes,
        |$pqAdcCtes,
        |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 100),
        |ex AS (SELECT c.query_id, c.neighbor_id,
@@ -916,7 +953,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
-      ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql)
+      ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
+      ("q78_ivf_pq" -> ivfPqSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

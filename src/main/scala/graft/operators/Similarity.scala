@@ -358,8 +358,21 @@ object Similarity {
     val d = dim / m
     val codes = encodeWithBooks(embeddings, books, m, d)
       .select(col("vec_id").as("neighbor_id"), col("pq_code"))
-    var q = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding"))
+    val q = withAdcLuts(embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding")), books, m, d)
+    val scored = broadcast(q.drop("embedding")).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * adcPairD2(m)).cast("long").as("adc_d2_micro"))
+    rankAscending(scored, "adc_d2_micro", topK)
+  }
+
+  /** attach the per-subspace ADC LUT columns `__lut0..__lut{m-1}` —
+    * 16 exact per-subspace squared-L2 distances each, computed
+    * row-locally from ONE codegen dot-product batch per subspace. */
+  private def withAdcLuts(q0: DataFrame, books: Seq[Seq[Seq[Double]]],
+                          m: Int, d: Int): DataFrame = {
+    var q = q0
     (0 until m).foreach { mi =>
       val sub = slice(col("embedding"), mi * d + 1, d)
       q = q.withColumn(s"__dots$mi",
@@ -371,23 +384,26 @@ object Similarity {
       }
       q = q.withColumn(s"__lut$mi", array(entries: _*)).drop(s"__dots$mi")
     }
-    val pairD2 = (0 until m).map { mi =>
-      element_at(col(s"__lut$mi"),
-        expr(s"CAST((pq_code DIV ${1L << (4 * mi)}) % 16 AS INT)") + 1)
-    }.reduce(_ + _)
-    val scored = broadcast(q.drop("embedding")).crossJoin(codes)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        floor(lit(1000000.0) * pairD2).cast("long").as("adc_d2_micro"))
+    q
+  }
+
+  /** candidate ADC distance: m nibble-keyed LUT lookups, summed 0..m-1. */
+  private def adcPairD2(m: Int): Column = (0 until m).map { mi =>
+    element_at(col(s"__lut$mi"),
+      expr(s"CAST((pq_code DIV ${1L << (4 * mi)}) % 16 AS INT)") + 1)
+  }.reduce(_ + _)
+
+  /** bounded-heap top-k ascending on `distCol` (tie → neighbor_id),
+    * with the rank column and deterministic output order. */
+  private def rankAscending(scored: DataFrame, distCol: String, topK: Int): DataFrame =
     graft.plans.TopKPerKey(scored, Seq(col("query_id")),
-      Seq(col("adc_d2_micro").asc, col("neighbor_id").asc), topK)
+      Seq(col(distCol).asc, col("neighbor_id").asc), topK)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("adc_d2_micro").asc, col("neighbor_id").asc))
+          .orderBy(col(distCol).asc, col("neighbor_id").asc))
         .cast(org.apache.spark.sql.types.LongType))
-      .select("query_id", "neighbor_id", "adc_d2_micro", "rank")
+      .select("query_id", "neighbor_id", distCol, "rank")
       .orderBy("query_id", "rank")
-  }
 
   /** q77: the full production PQ search — ADC candidate generation
     * over the compressed codes ([[pqAdcSearch]], top-`candidates` per
@@ -413,14 +429,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         floor(lit(1000000.0) * (vq + (vc - lit(2.0) * dot(col("e_q"), col("e_c")))))
           .cast("long").as("d2_micro"))
-    graft.plans.TopKPerKey(scored, Seq(col("query_id")),
-      Seq(col("d2_micro").asc, col("neighbor_id").asc), topK)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("d2_micro").asc, col("neighbor_id").asc))
-        .cast(org.apache.spark.sql.types.LongType))
-      .select("query_id", "neighbor_id", "d2_micro", "rank")
-      .orderBy("query_id", "rank")
+    rankAscending(scored, "d2_micro", topK)
+  }
+
+  /** q78: IVF-PQ — the canonical web-scale ANN index, composed from
+    * the two models this engine already trains reproducibly: the IVF
+    * coarse quantizer restricts candidates to each query's `nProbe`
+    * nearest cells (equality join on the cell id — never a full code
+    * scan), and the PQ codes give the candidate distances via the ADC
+    * LUTs. The corpus-side index is (cell, 4-bit codes) per vector —
+    * at 100 TB it is persisted partitioned by cell so a probe reads
+    * only its cells' files; raw vectors are touched by NOTHING in this
+    * query (re-rank composes on top exactly as in q77). Output ranks
+    * by the floored ADC micro distance; both models and the whole
+    * probe/score path replay exactly in the oracle. */
+  def knnIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 6,
+               m: Int = 8, dim: Int = 64, k: Int = 16,
+               nQueries: Int = 20, topK: Int = 10): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCells)
+    val books = pqCodebooks(embeddings, m, dim, k)
+    if (cents.isEmpty || books.headOption.forall(_.isEmpty)) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("adc_d2_micro", LongType), StructField("rank", LongType))))
+    }
+    val d = dim / m
+    val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
+    // the persisted index shape: one row per vector, its cell + codes
+    val index = eScored
+      .withColumn("cell", greatest(scores: _*).getField("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(encodeWithBooks(embeddings, books, m, d)
+        .select(col("vec_id").as("neighbor_id"), col("pq_code")), Seq("neighbor_id"))
+    // query side: LUTs first (once per query), then the probe fan-out
+    val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+      .getField("cell")
+    val probes = withAdcLuts(
+        eScored.filter(col("vec_id") < nQueries), books, m, d)
+      .select(col("vec_id").as("query_id") +:
+        (0 until m).map(mi => col(s"__lut$mi")) :+
+        explode(probeCells).as("cell"): _*)
+    val scored = broadcast(probes).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * adcPairD2(m)).cast("long").as("adc_d2_micro"))
+    rankAscending(scored, "adc_d2_micro", topK)
   }
 
   /** empty (query_id, neighbor_id, cos_bp, rank) frame — the defined

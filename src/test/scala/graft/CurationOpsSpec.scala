@@ -247,6 +247,38 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: probing every cell degenerates to the plain ADC scan exactly") {
+    // with nProbe = nCells the cell restriction is vacuous, so the
+    // composed index must reproduce the flat ADC ranking bit-for-bit —
+    // pins that the IVF layer only FILTERS candidates, never perturbs
+    // the ADC distances
+    val emb = Tables.embeddings(spark, sf)
+    val full = Similarity.pqAdcSearch(emb).collect().toSeq
+    val viaIvf = Similarity.knnIvfPq(emb, nCells = 16, nProbe = 16).collect().toSeq
+    assert(viaIvf == full, "all-cells IVF-PQ must equal the flat ADC scan")
+  }
+
+  test("ivf-pq: restricted probing returns valid ranks and is deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.knnIvfPq(emb).collect()
+    val b = Similarity.knnIvfPq(emb.repartition(5)).collect()
+    assert(a.sameElements(b), "both models and the probe walk are reproducible")
+    val byQuery = a.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= 10)
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to rs.length), "ranks are dense from 1")
+    }
+    // the flat ADC scan can only improve on the restricted index: any
+    // pair both return must carry the same distance
+    val flat = Similarity.pqAdcSearch(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("adc_d2_micro")).toMap
+    a.foreach { r =>
+      flat.get((r.getLong(0), r.getLong(1))).foreach(d =>
+        assert(d == r.getAs[Long]("adc_d2_micro"), "distances agree across index layouts"))
+    }
+  }
+
   test("pq encode: zero vectors and bad k fail safe") {
     val mix = Seq(
       (1L, Array.fill(64)(0f), 0L),

@@ -40,6 +40,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.pqEncode(noVecs).isEmpty, "PQ must not throw with an empty codebook")
     assert(Similarity.pqAdcSearch(noVecs).isEmpty)
     assert(Similarity.pqSearchReranked(noVecs).isEmpty)
+    assert(Similarity.knnIvfPq(noVecs).isEmpty)
   }
 
   test("corpus construction yields empty results on an empty corpus") {

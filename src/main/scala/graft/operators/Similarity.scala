@@ -303,6 +303,17 @@ object Similarity {
         StructType(Seq(StructField("vec_id", LongType),
           StructField("pq_code", LongType), StructField("err_bp", LongType))))
     }
+    encodeWithBooks(embeddings, books, m, dim / m).orderBy("vec_id")
+  }
+
+  /** model-driven PQ encode for a PRE-TRAINED codebook — the shape a
+    * deployment uses once the model is frozen (and the only shape a
+    * STREAM can use: no training scan, no sort — stateless row-local
+    * expressions against the broadcast model, so it runs unchanged on
+    * a readStream frame; see graft.streaming.VecStreams). */
+  def pqEncodeWithModel(embeddings: DataFrame, books: Seq[Seq[Seq[Double]]],
+                        m: Int = 8, dim: Int = 64): DataFrame = {
+    require(books.size == m && dim % m == 0, s"need $m codebooks for dim $dim")
     encodeWithBooks(embeddings, books, m, dim / m)
   }
 
@@ -329,7 +340,6 @@ object Similarity {
         when(x2 > 0.0,
           floor(lit(10000.0) * greatest(err2, lit(0.0)) / x2).cast("long"))
           .otherwise(0L).as("err_bp"))
-      .orderBy("vec_id")
   }
 
   /** q76b: ADC (asymmetric distance computation) kNN over the PQ

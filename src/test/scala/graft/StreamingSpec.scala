@@ -214,8 +214,12 @@ class StreamingSpec extends AnyFunSuite {
     // SAME corpus as an ingest stream against the static model — every
     // per-doc figure must match the batch operator exactly (the model
     // is fixed, the scoring formulas are shared integer arithmetic)
-    val dir = sf
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, sf)
+    // stage to a clean dir: a file-source stream consumes EVERY parquet
+    // file under its path (the testdata dir holds all ten tables; the
+    // foreign rows would only be dropped by the zero-token filter)
+    val dir = java.nio.file.Files.createTempDirectory("graft_raritystream").toString
+    docs.write.mode("overwrite").parquet(dir)
     val want = graft.operators.Frequency.rarityScreen(docs).collect()
       .map(r => r.getLong(0) ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
@@ -234,6 +238,30 @@ class StreamingSpec extends AnyFunSuite {
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
           r.getAs[Long]("mean_cost"), r.getAs[Boolean]("is_tail"))).toMap
     assert(got == want, "stream scoring must reproduce the batch screen verbatim")
+  }
+
+  test("streaming pq encode equals the batch encode under the frozen codebooks") {
+    // train the codebooks batch-side, stream the same vectors through
+    // the model-driven encode — every (vec_id, pq_code, err_bp) must
+    // match the batch operator (stateless expressions, shared model)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // stage to a clean dir: a file-source stream consumes EVERY parquet
+    // file under its path, and the testdata dir holds all ten tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecstream").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val books = graft.operators.Similarity.pqCodebooks(emb)
+    val want = graft.operators.Similarity.pqEncode(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q = graft.streaming.VecStreams.pqEncodeStream(
+        graft.streaming.VecStreams.readVecStream(spark, dir), books)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pq_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pq_stream_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "stream encode must reproduce the batch codes verbatim")
   }
 
   test("band-index maintenance + lookup give incremental ingest dedup") {

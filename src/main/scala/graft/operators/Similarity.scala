@@ -231,23 +231,35 @@ object Similarity {
     (withDots, cols)
   }
 
-  /** one squared-L2 Lloyd iteration over a subvector frame — the
-    * [[lloydStep]] discipline (quantized fixed-point integer means,
-    * exact and order-independent) with L2 assignment instead of
-    * cosine, min-code tie-break. */
-  private def lloydStepL2(e: DataFrame, mi: Int, cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
-    val (withDots, scores) = withPqScores(e, mi, col("embedding"), cents)
-    val means = withDots
-      .withColumn("code", least(scores: _*).getField("code"))
-      .select(col("code"), posexplode(col("embedding")))
-      .groupBy(col("code"), col("pos"))
+  /** one squared-L2 Lloyd iteration over ALL m subspaces in ONE Spark
+    * job — the [[lloydStep]] discipline (quantized fixed-point integer
+    * means, exact and order-independent) with L2 assignment and
+    * min-code tie-break, per subspace. Subspaces never interact: each
+    * is its own Union branch (assignment + posexplode over ITS
+    * subvectors, a small codegen stage — one fused mega-projection was
+    * tried and hit codegen blowup), merged by a single
+    * (subspace, code, pos) aggregate whose m·k·(dim/m) rows come back
+    * to the driver once. Identical math to iterating the subspaces
+    * separately, so the oracle replay is untouched. */
+  private def lloydIterAll(sample: DataFrame, books: Seq[Seq[Seq[Double]]],
+                           m: Int, d: Int): Seq[Seq[Seq[Double]]] = {
+    val parts = (0 until m).map { mi =>
+      val sub = sample.select(slice(col("embedding"), mi * d + 1, d).as("embedding"))
+      val (withDots, scores) = withPqScores(sub, mi, col("embedding"), books(mi))
+      withDots.withColumn("code", least(scores: _*).getField("code"))
+        .select(lit(mi).as("mi"), col("code"), posexplode(col("embedding")))
+    }
+    val byCell = parts.reduce(_.unionByName(_))
+      .groupBy("mi", "code", "pos")
       .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
       .collect()
-      .groupBy(_.getAs[Int]("code"))
-    cents.zipWithIndex.map { case (old, i) =>
-      means.get(i)
-        .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("m_scaled") / 1e6).toSeq)
-        .getOrElse(old)
+      .groupBy(r => (r.getAs[Int]("mi"), r.getAs[Int]("code")))
+    (0 until m).map { mi =>
+      books(mi).zipWithIndex.map { case (old, ci) =>
+        byCell.get((mi, ci))
+          .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("m_scaled") / 1e6).toSeq)
+          .getOrElse(old)
+      }
     }
   }
 
@@ -269,14 +281,12 @@ object Similarity {
       .cache()
     val seedRows = sample.limit(k).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toSeq
-    val books = (0 until m).map { mi =>
-      val seed: Seq[Seq[Double]] = seedRows.map(v => v.slice(mi * d, mi * d + d).toSeq)
-      if (seed.isEmpty) Seq.empty[Seq[Double]]
-      else {
-        val sub = sample.select(slice(col("embedding"), mi * d + 1, d).as("embedding"))
-        (1 to iters).foldLeft(seed)((c, _) => lloydStepL2(sub, mi, c))
-      }
+    val seeds: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
+      seedRows.map(v => v.slice(mi * d, mi * d + d).toSeq): Seq[Seq[Double]]
     }
+    val books =
+      if (seedRows.isEmpty) seeds
+      else (1 to iters).foldLeft(seeds)((b, _) => lloydIterAll(sample, b, m, d))
     sample.unpersist()
     books
   }

@@ -376,42 +376,58 @@ object Similarity {
           StructField("adc_d2_micro", LongType), StructField("rank", LongType))))
     }
     val d = dim / m
+    // the repartition is a deliberate stage barrier, not a data move:
+    // fused into one stage with the join, the encode expressions fall
+    // out of workable codegen and the stage runs 4× slower (measured);
+    // in production the codes ARE a persisted table, so this models
+    // exactly that scan boundary — the shuffled payload is 12 B/row
     val codes = encodeWithBooks(embeddings, books, m, d)
       .select(col("vec_id").as("neighbor_id"), col("pq_code"))
+      .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
     val q = withAdcLuts(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding")), books, m, d)
     val scored = broadcast(q.drop("embedding")).crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        floor(lit(1000000.0) * adcPairD2(m)).cast("long").as("adc_d2_micro"))
+        floor(lit(1000000.0) * adcPairD2(books, m)).cast("long").as("adc_d2_micro"))
     rankAscending(scored, "adc_d2_micro", topK)
   }
 
-  /** attach the per-subspace ADC LUT columns `__lut0..__lut{m-1}` —
-    * 16 exact per-subspace squared-L2 distances each, computed
-    * row-locally from ONE codegen dot-product batch per subspace. */
+  /** attach the per-subspace ADC LUT columns: `__dots$mi` (all 16
+    * query·centroid dot products, ONE codegen batch expression) and
+    * `__qn$mi` (the query subvector's norm²). The full LUT entry
+    * ‖q_m‖² + (‖c‖² − 2·q_m·c) is assembled at LOOKUP time from these
+    * plus a 16-double ‖c‖² literal array — two small expression nodes
+    * per subspace instead of a 16-entry array of sums, which made
+    * per-run analysis+codegen (not the data) the dominant ADC cost. */
   private def withAdcLuts(q0: DataFrame, books: Seq[Seq[Seq[Double]]],
                           m: Int, d: Int): DataFrame = {
     var q = q0
     (0 until m).foreach { mi =>
       val sub = slice(col("embedding"), mi * d + 1, d)
       q = q.withColumn(s"__dots$mi",
-        graft.functions.VectorExpressions.vec_cell_dots(sub, books(mi)))
-      val entries = books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        val cn2 = c.map(x => x * x).sum
-        graft.functions.VectorExpressions.vec_norm_sq(sub) +
-          (lit(cn2) - lit(2.0) * element_at(col(s"__dots$mi"), i + 1))
-      }
-      q = q.withColumn(s"__lut$mi", array(entries: _*)).drop(s"__dots$mi")
+          graft.functions.VectorExpressions.vec_cell_dots(sub, books(mi)))
+        .withColumn(s"__qn$mi",
+          graft.functions.VectorExpressions.vec_norm_sq(sub))
     }
     q
   }
 
-  /** candidate ADC distance: m nibble-keyed LUT lookups, summed 0..m-1. */
-  private def adcPairD2(m: Int): Column = (0 until m).map { mi =>
-    element_at(col(s"__lut$mi"),
-      expr(s"CAST((pq_code DIV ${1L << (4 * mi)}) % 16 AS INT)") + 1)
-  }.reduce(_ + _)
+  /** per-subspace column names [[withAdcLuts]] attaches. */
+  private def adcLutCols(m: Int): Seq[Column] =
+    (0 until m).flatMap(mi => Seq(col(s"__dots$mi"), col(s"__qn$mi")))
+
+  /** candidate ADC distance: m nibble-keyed lookups — same term tree
+    * as before (‖q_m‖² + (‖c‖² − 2·q_m·c), summed 0..m-1), so the
+    * oracle replay is untouched. */
+  private def adcPairD2(books: Seq[Seq[Seq[Double]]], m: Int): Column =
+    (0 until m).map { mi =>
+      val cn2 = books(mi).map(c => c.map(x => x * x).sum)
+      val idx = expr(s"CAST((pq_code DIV ${1L << (4 * mi)}) % 16 AS INT)") + 1
+      col(s"__qn$mi") +
+        (element_at(typedlit(cn2), idx) -
+          lit(2.0) * element_at(col(s"__dots$mi"), idx))
+    }.reduce(_ + _)
 
   /** bounded-heap top-k ascending on `distCol` (tie → neighbor_id),
     * with the rank column and deterministic output order. */
@@ -478,24 +494,28 @@ object Similarity {
     }
     val d = dim / m
     val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
-    // the persisted index shape: one row per vector, its cell + codes
+    // the persisted index shape: one row per vector, its cell + codes.
+    // The repartition is the same stage barrier as in [[pqAdcSearch]]:
+    // it keeps the cell/encode expressions out of the probe join's
+    // codegen stage and models the persisted-index scan boundary
     val index = eScored
       .withColumn("cell", greatest(scores: _*).getField("cell"))
       .select(col("vec_id").as("neighbor_id"), col("cell"))
       .join(encodeWithBooks(embeddings, books, m, d)
         .select(col("vec_id").as("neighbor_id"), col("pq_code")), Seq("neighbor_id"))
+      .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
     // query side: LUTs first (once per query), then the probe fan-out
     val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
       .getField("cell")
     val probes = withAdcLuts(
         eScored.filter(col("vec_id") < nQueries), books, m, d)
       .select(col("vec_id").as("query_id") +:
-        (0 until m).map(mi => col(s"__lut$mi")) :+
+        adcLutCols(m) :+
         explode(probeCells).as("cell"): _*)
     val scored = broadcast(probes).join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        floor(lit(1000000.0) * adcPairD2(m)).cast("long").as("adc_d2_micro"))
+        floor(lit(1000000.0) * adcPairD2(books, m)).cast("long").as("adc_d2_micro"))
     rankAscending(scored, "adc_d2_micro", topK)
   }
 

@@ -14,7 +14,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val medianReps = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_REPS", "3").toInt
+    // clamped to >= 1: the median of zero reps is undefined, and dying
+    // after timing every query would lose the whole run's output
+    val medianReps = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

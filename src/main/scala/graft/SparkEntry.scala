@@ -191,7 +191,10 @@ object SparkEntry {
       case "csv" =>
         df.write.mode("overwrite").option("header", "true")
           .option("quoteAll", "true").csv(dir)
-        df.sparkSession.read.schema(df.schema).option("header", "true").csv(dir)
+        // multiLine: quoted text containing embedded newlines spans
+        // physical lines; without it the reader would shred such rows
+        df.sparkSession.read.schema(df.schema).option("header", "true")
+          .option("multiLine", "true").csv(dir)
       case "json" =>
         df.write.mode("overwrite").json(dir)
         df.sparkSession.read.schema(df.schema).json(dir)

@@ -123,12 +123,17 @@ object Multimodal {
     * (so decode∘resize works). Non-image payloads pass through — a
     * real pipeline resizes only its images. */
   def resizeImage(row: MediaRow, newW: Int, newH: Int): MediaRow = {
+    require(newW >= 1 && newH >= 1, s"target dims must be positive, got ${newW}x$newH")
     val bytes = row.content
     val nl = headerEnd(bytes)
     val header = new String(bytes, 0, nl, US_ASCII).split(" ")
     if (header(0) != "P6") row
     else {
       val w = header(1).toInt; val h = header(2).toInt
+      // same validation as decodeMedia: a truncated payload must fail
+      // loud here too, not throw AIOOBE from inside the pixel loop
+      require(bytes.length - nl - 1 == w * h * 3,
+        s"truncated image: ${bytes.length - nl - 1} != ${w * h * 3}")
       val out = new Array[Byte](newW * newH * 3)
       var y = 0
       while (y < newH) {

@@ -22,6 +22,22 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vec_dot(a, b)
 
+  /** `least`/`greatest` demand ≥2 arguments, but a degenerate model
+    * (single-vector corpus → one centroid/one code) is still valid —
+    * pad the argmin/argmax instead of failing analysis. */
+  private def leastOf(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head else least(cols: _*)
+  private def greatestOf(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head else greatest(cols: _*)
+
+  /** the 4-bit packing bound every PQ entry point must enforce — an
+    * unguarded k>16 would silently overflow codes into the next
+    * nibble and corrupt every downstream lookup. */
+  private def requirePackable(m: Int, k: Int): Unit = {
+    require(k >= 2 && k <= 16, s"4-bit packing holds at most 16 codes, got k=$k")
+    require(m * 4 <= 63, s"packed code must fit one BIGINT, got m=$m")
+  }
+
   /** embeddings + scalar L2 norm. cosine(a,b) = dot(a,b)/(‖a‖·‖b‖) —
     * carrying a norm scalar instead of materializing normalized copies
     * of every vector keeps the pair stage free of array allocations. */
@@ -163,7 +179,7 @@ object Similarity {
   private def lloydStep(e: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
     val (withDots, scores) = withCellScores(e, centroids)
     val means = withDots
-      .withColumn("cell", greatest(scores: _*).getField("cell"))
+      .withColumn("cell", greatestOf(scores).getField("cell"))
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
@@ -246,7 +262,7 @@ object Similarity {
     val parts = (0 until m).map { mi =>
       val sub = sample.select(slice(col("embedding"), mi * d + 1, d).as("embedding"))
       val (withDots, scores) = withPqScores(sub, mi, col("embedding"), books(mi))
-      withDots.withColumn("code", least(scores: _*).getField("code"))
+      withDots.withColumn("code", leastOf(scores).getField("code"))
         .select(lit(mi).as("mi"), col("code"), posexplode(col("embedding")))
     }
     val byCell = parts.reduce(_.unionByName(_))
@@ -303,8 +319,7 @@ object Similarity {
     * definition. Exactly oracle-checked: the model replay plus these
     * double formulas land on identical bits in DuckDB. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, dim: Int = 64, k: Int = 16): DataFrame = {
-    require(k >= 2 && k <= 16, s"4-bit packing holds at most 16 codes, got k=$k")
-    require(m * 4 <= 63, s"packed code must fit one BIGINT, got m=$m")
+    requirePackable(m, k)
     val books = pqCodebooks(embeddings, m, dim, k)
     if (books.headOption.forall(_.isEmpty)) {
       import org.apache.spark.sql.types._
@@ -313,7 +328,8 @@ object Similarity {
         StructType(Seq(StructField("vec_id", LongType),
           StructField("pq_code", LongType), StructField("err_bp", LongType))))
     }
-    encodeWithBooks(embeddings, books, m, dim / m).orderBy("vec_id")
+    encodeWithBooks(embeddings.select(col("vec_id"), col("embedding")),
+      books, m, dim / m).orderBy("vec_id")
   }
 
   /** model-driven PQ encode for a PRE-TRAINED codebook — the shape a
@@ -324,16 +340,23 @@ object Similarity {
   def pqEncodeWithModel(embeddings: DataFrame, books: Seq[Seq[Seq[Double]]],
                         m: Int = 8, dim: Int = 64): DataFrame = {
     require(books.size == m && dim % m == 0, s"need $m codebooks for dim $dim")
-    encodeWithBooks(embeddings, books, m, dim / m)
+    require(books.forall(_.nonEmpty), "empty codebook: train on a non-empty corpus")
+    requirePackable(m, books.map(_.size).max.max(2))
+    encodeWithBooks(embeddings.select(col("vec_id"), col("embedding")),
+      books, m, dim / m)
   }
 
-  private def encodeWithBooks(embeddings: DataFrame, books: Seq[Seq[Seq[Double]]],
-                              m: Int, d: Int): DataFrame = {
-    var df = embeddings.select(col("vec_id"), col("embedding"))
+  /** `base` must carry `embedding` plus whatever `keep` references —
+    * letting callers compute sibling row-local columns (e.g. the IVF
+    * cell) in the SAME scan instead of a corpus self-join. */
+  private def encodeWithBooks(base: DataFrame, books: Seq[Seq[Seq[Double]]],
+                              m: Int, d: Int,
+                              keep: Seq[Column] = Seq(col("vec_id"))): DataFrame = {
+    var df = base
     val bests = (0 until m).map { mi =>
       val (withDots, scores) = withPqScores(df, mi,
         slice(col("embedding"), mi * d + 1, d), books(mi))
-      df = withDots.withColumn(s"__best$mi", least(scores: _*))
+      df = withDots.withColumn(s"__best$mi", leastOf(scores))
       col(s"__best$mi")
     }
     val packed = (0 until m).map { mi =>
@@ -346,10 +369,10 @@ object Similarity {
         slice(col("embedding"), mi * d + 1, d)) + bests(mi).getField("d2")
     }.reduce(_ + _)
     val x2 = graft.functions.VectorExpressions.vec_norm_sq(col("embedding"))
-    df.select(col("vec_id"), packed.as("pq_code"),
+    df.select(keep :+ packed.as("pq_code") :+
         when(x2 > 0.0,
           floor(lit(10000.0) * greatest(err2, lit(0.0)) / x2).cast("long"))
-          .otherwise(0L).as("err_bp"))
+          .otherwise(0L).as("err_bp"): _*)
   }
 
   /** q76b: ADC (asymmetric distance computation) kNN over the PQ
@@ -366,23 +389,19 @@ object Similarity {
     * path is exactly oracle-checked. */
   def pqAdcSearch(embeddings: DataFrame, m: Int = 8, dim: Int = 64, k: Int = 16,
                   nQueries: Int = 20, topK: Int = 10): DataFrame = {
+    requirePackable(m, k)
     val books = pqCodebooks(embeddings, m, dim, k)
-    if (books.headOption.forall(_.isEmpty)) {
-      import org.apache.spark.sql.types._
-      return embeddings.sparkSession.createDataFrame(
-        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("query_id", LongType),
-          StructField("neighbor_id", LongType),
-          StructField("adc_d2_micro", LongType), StructField("rank", LongType))))
-    }
+    if (books.headOption.forall(_.isEmpty)) return emptyAdc(embeddings)
     val d = dim / m
     // the repartition is a deliberate stage barrier, not a data move:
     // fused into one stage with the join, the encode expressions fall
     // out of workable codegen and the stage runs 4× slower (measured);
     // in production the codes ARE a persisted table, so this models
     // exactly that scan boundary — the shuffled payload is 12 B/row
-    val codes = encodeWithBooks(embeddings, books, m, d)
-      .select(col("vec_id").as("neighbor_id"), col("pq_code"))
+    val codes = encodeWithBooks(
+        embeddings.select(col("vec_id"), col("embedding")), books, m, d,
+        keep = Seq(col("vec_id").as("neighbor_id")))
+      .select("neighbor_id", "pq_code")
       .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
     val q = withAdcLuts(embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding")), books, m, d)
@@ -482,27 +501,24 @@ object Similarity {
   def knnIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 6,
                m: Int = 8, dim: Int = 64, k: Int = 16,
                nQueries: Int = 20, topK: Int = 10): DataFrame = {
+    requirePackable(m, k)
     val cents = ivfCentroids(embeddings, nCells)
     val books = pqCodebooks(embeddings, m, dim, k)
-    if (cents.isEmpty || books.headOption.forall(_.isEmpty)) {
-      import org.apache.spark.sql.types._
-      return embeddings.sparkSession.createDataFrame(
-        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("query_id", LongType),
-          StructField("neighbor_id", LongType),
-          StructField("adc_d2_micro", LongType), StructField("rank", LongType))))
-    }
+    if (cents.isEmpty || books.headOption.forall(_.isEmpty)) return emptyAdc(embeddings)
     val d = dim / m
     val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
-    // the persisted index shape: one row per vector, its cell + codes.
+    // the persisted index shape: one row per vector, its cell + codes —
+    // BOTH are row-local expressions, so they come out of ONE scan (the
+    // cell rides through the encode projection via `keep`; a self-join
+    // of two corpus scans here would be the avoidable 100 TB shuffle).
     // The repartition is the same stage barrier as in [[pqAdcSearch]]:
     // it keeps the cell/encode expressions out of the probe join's
     // codegen stage and models the persisted-index scan boundary
-    val index = eScored
-      .withColumn("cell", greatest(scores: _*).getField("cell"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"))
-      .join(encodeWithBooks(embeddings, books, m, d)
-        .select(col("vec_id").as("neighbor_id"), col("pq_code")), Seq("neighbor_id"))
+    val index = encodeWithBooks(
+        eScored.withColumn("cell", greatestOf(scores).getField("cell")),
+        books, m, d,
+        keep = Seq(col("vec_id").as("neighbor_id"), col("cell")))
+      .select("neighbor_id", "cell", "pq_code")
       .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
     // query side: LUTs first (once per query), then the probe fan-out
     val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
@@ -517,6 +533,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         floor(lit(1000000.0) * adcPairD2(books, m)).cast("long").as("adc_d2_micro"))
     rankAscending(scored, "adc_d2_micro", topK)
+  }
+
+  /** empty (query_id, neighbor_id, adc_d2_micro, rank) frame — the
+    * defined ADC-family result over an empty corpus (no model). */
+  private def emptyAdc(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    embeddings.sparkSession.createDataFrame(
+      embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("neighbor_id", LongType),
+        StructField("adc_d2_micro", LongType), StructField("rank", LongType))))
   }
 
   /** empty (query_id, neighbor_id, cos_bp, rank) frame — the defined
@@ -537,7 +564,7 @@ object Similarity {
       return withNorm(embeddings).withColumn("cell", lit(0))
     val (withDots, scores) = withCellScores(withNorm(embeddings), cents)
     withDots
-      .withColumn("cell", greatest(scores: _*).getField("cell"))
+      .withColumn("cell", greatestOf(scores).getField("cell"))
       .drop("__dots")
   }
 
@@ -553,7 +580,7 @@ object Similarity {
     val cents = ivfCentroids(embeddings, nCells)
     if (cents.isEmpty) return emptyKnn(embeddings.sparkSession)
     val (e, scores) = withCellScores(withNorm(embeddings), cents)
-    val c = e.withColumn("cell", greatest(scores: _*).getField("cell"))
+    val c = e.withColumn("cell", greatestOf(scores).getField("cell"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
         col("norm").as("n_c"), col("cell"))
     // top-nProbe cells: sort the (score, cell) structs descending by

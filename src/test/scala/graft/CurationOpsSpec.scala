@@ -287,8 +287,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val out = Similarity.pqEncode(mix).collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("err_bp") == 0L, "zero vector: err_bp is 0 by definition")
     assert(out.size == 2)
+    // k>16 would silently overflow the 4-bit packing — EVERY pq entry
+    // point must refuse, not just pqEncode
     intercept[IllegalArgumentException] { Similarity.pqEncode(mix, k = 17) }
     intercept[IllegalArgumentException] { Similarity.pqEncode(mix, m = 7) }
+    intercept[IllegalArgumentException] { Similarity.pqAdcSearch(mix, k = 17) }
+    intercept[IllegalArgumentException] { Similarity.pqSearchReranked(mix, k = 17) }
+    intercept[IllegalArgumentException] { Similarity.knnIvfPq(mix, k = 17) }
+  }
+
+  test("pq family survives a single-vector corpus (one-code degenerate model)") {
+    // one vector -> one centroid per subspace: the argmin has a single
+    // candidate, which must encode (code 0, exact reconstruction)
+    // rather than fail analysis
+    val one = Seq((7L, Array.tabulate(64)(i => (i * 0.125f) - 4f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val enc = Similarity.pqEncode(one).collect()
+    assert(enc.length == 1 && enc.head.getAs[Long]("pq_code") == 0L)
+    assert(enc.head.getAs[Long]("err_bp") == 0L,
+      "a vector that IS the centroid reconstructs exactly")
+    assert(Similarity.pqAdcSearch(one).isEmpty, "no neighbors exist for the only vector")
+    assert(Similarity.knnIvfPq(one).isEmpty)
   }
 
   // ---------------------------------------------------------------- q70

@@ -149,6 +149,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "no explode in the encode pass")
   }
 
+  test("ivf-pq: the (cell, codes) index comes from ONE corpus scan") {
+    // cell assignment and PQ codes are both row-local — a self-join of
+    // two corpus scans here is the avoidable 100 TB shuffle. Final
+    // adaptive plan: exactly 2 scans (index + query side), no SMJ.
+    val df = graft.operators.Similarity.knnIvfPq(Tables.embeddings(spark, dir))
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).length == 2,
+      s"expected index scan + query scan only, got:\n${fin.take(2500)}")
+    assert(!fin.contains("SortMergeJoin"), "index construction must not shuffle-join")
+  }
+
   test("semantic outliers: centroid broadcasts, election is the bounded heap") {
     val plan = graft.operators.Similarity.labelCentroidOutliers(
       Tables.embeddings(spark, dir))

@@ -498,6 +498,36 @@ object Similarity {
     * query (re-rank composes on top exactly as in q77). Output ranks
     * by the floored ADC micro distance; both models and the whole
     * probe/score path replay exactly in the oracle. */
+  /** The persistable IVF-PQ INDEX: one (vec_id, cell, pq_code) row per
+    * vector, from ONE corpus scan (cell assignment and codes are both
+    * row-local against the broadcast models). Deployments write this
+    * `partitionBy("cell")` — a q78-style probe then reads only its
+    * probed cells' files (partition pruning, spec-proven) and the
+    * float32 store is never touched at search time. */
+  def buildIvfPqIndex(embeddings: DataFrame, nCells: Int = 16,
+                      m: Int = 8, dim: Int = 64, k: Int = 16): DataFrame = {
+    requirePackable(m, k)
+    val cents = ivfCentroids(embeddings, nCells)
+    val books = pqCodebooks(embeddings, m, dim, k)
+    if (cents.isEmpty || books.headOption.forall(_.isEmpty)) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("cell", IntegerType), StructField("pq_code", LongType))))
+    }
+    ivfPqIndexFor(embeddings, cents, books, m, dim / m)
+  }
+
+  private def ivfPqIndexFor(embeddings: DataFrame, cents: Seq[Seq[Double]],
+                            books: Seq[Seq[Seq[Double]]], m: Int, d: Int): DataFrame = {
+    val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
+    encodeWithBooks(
+        eScored.withColumn("cell", greatestOf(scores).getField("cell")),
+        books, m, d, keep = Seq(col("vec_id"), col("cell")))
+      .select("vec_id", "cell", "pq_code")
+  }
+
   def knnIvfPq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 6,
                m: Int = 8, dim: Int = 64, k: Int = 16,
                nQueries: Int = 20, topK: Int = 10): DataFrame = {
@@ -507,18 +537,12 @@ object Similarity {
     if (cents.isEmpty || books.headOption.forall(_.isEmpty)) return emptyAdc(embeddings)
     val d = dim / m
     val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
-    // the persisted index shape: one row per vector, its cell + codes —
-    // BOTH are row-local expressions, so they come out of ONE scan (the
-    // cell rides through the encode projection via `keep`; a self-join
-    // of two corpus scans here would be the avoidable 100 TB shuffle).
+    // the index shape is [[buildIvfPqIndex]] (same models, one scan).
     // The repartition is the same stage barrier as in [[pqAdcSearch]]:
     // it keeps the cell/encode expressions out of the probe join's
     // codegen stage and models the persisted-index scan boundary
-    val index = encodeWithBooks(
-        eScored.withColumn("cell", greatestOf(scores).getField("cell")),
-        books, m, d,
-        keep = Seq(col("vec_id").as("neighbor_id"), col("cell")))
-      .select("neighbor_id", "cell", "pq_code")
+    val index = ivfPqIndexFor(embeddings, cents, books, m, d)
+      .withColumnRenamed("vec_id", "neighbor_id")
       .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
     // query side: LUTs first (once per query), then the probe fan-out
     val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)

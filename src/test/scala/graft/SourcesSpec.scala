@@ -52,6 +52,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scanned.contains("Filter (o_orderstatus"), "partition filter should be pruned at scan")
   }
 
+  test("persisted ivf-pq index prunes to the probed cells' partitions") {
+    // the q78 scale claim made concrete: write the (vec_id, cell,
+    // pq_code) index partitionBy(cell); a probe restricted to its
+    // cells must PRUNE at the scan — never read, then filter
+    val emb = Tables.embeddings(spark, sf)
+    val index = graft.operators.Similarity.buildIvfPqIndex(emb)
+    val dir = tmp("graft_ivfpq_index")
+    index.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    assert(new java.io.File(dir).list().exists(_.startsWith("cell=")),
+      "index must lay out one directory per cell")
+    val probe = spark.read.parquet(dir).filter(col("cell").isin(2, 5))
+    val plan = probe.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Filter (cell"),
+      "cell restriction must prune partitions at the scan, not filter after it")
+    assert(probe.count() ==
+      index.filter(col("cell").isin(2, 5)).count(),
+      "pruned read returns exactly the probed cells' rows")
+    // the persisted index round-trips the codes exactly
+    val back = spark.read.parquet(dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pq_code")).toMap
+    val want = index.collect().map(r => r.getLong(0) -> r.getAs[Long]("pq_code")).toMap
+    assert(back == want)
+  }
+
   test("operators are source-format agnostic: CSV and JSON inputs give parquet-identical results") {
     // the oracle gate runs on parquet; this pins that the same operator
     // over the same rows staged as CSV or JSON computes the same frame —

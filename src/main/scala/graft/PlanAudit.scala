@@ -8,7 +8,8 @@ object PlanAudit {
     val spark = GraftSession.local(8)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q03_join_revenue", "q22_quality_metrics",
-        "q31_dedup_minhash", "q34_dedup_embedding", "q50_stream_window")
+        "q31_dedup_minhash", "q34_dedup_embedding", "q50_stream_window",
+        "q47_heavy_hitters", "q75_rarity_screen", "q76b_pq_adc", "q78_ivf_pq")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

@@ -84,6 +84,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage(au, 2, 2) eq au)
   }
 
+  test("synth -> decode agrees with the closed form for arbitrary doc ids") {
+    // property-style sweep: the fixture generator and the real decoder
+    // must agree on geometry and exact byte sums for ANY id, not just
+    // the spot-checked handful — this is the contract the oracle's
+    // closed-form replay rests on
+    val rnd = new scala.util.Random(11)
+    (Seq(0L, 1L) ++ Seq.fill(60)(math.abs(rnd.nextLong()) % 10000000L)).foreach { id =>
+      val f = decodeMedia(MediaRow(id, Multimodal.ImageMime,
+        Multimodal.synthMedia(id, Multimodal.ImageMime)))
+      val n = (f.width * f.height * 3).toInt
+      assert(f.width == 4 + id % 13 && f.height == 4 + id % 11)
+      assert(f.sum_pix == (0 until n).map(i => (id * 31 + i * 7) % 256).sum)
+      val a = decodeMedia(MediaRow(id, Multimodal.AudioMime,
+        Multimodal.synthMedia(id, Multimodal.AudioMime)))
+      assert(a.n_samples == 64 + (id % 50) * 4)
+      assert(a.sum_amp == (0L until a.n_samples).map(i => (id * 17 + i * 5) % 256).sum)
+      val v = decodeMedia(MediaRow(id, Multimodal.VideoMime,
+        Multimodal.synthMedia(id, Multimodal.VideoMime)))
+      assert(v.n_frames == 2 + id % 4 && v.width == 4 + id % 7 && v.height == 4 + id % 5)
+    }
+  }
+
   test("fixture payloads are valid media: synth -> decode agrees with the closed form") {
     Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
       val im = decodeMedia(MediaRow(id, Multimodal.ImageMime,

@@ -33,25 +33,40 @@ object Bench {
       spark.range(2).write.mode("overwrite").parquet(wdir)
       spark.read.parquet(wdir).count()
     } catch { case _: Throwable => }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failing query must surface as an error string, never as a fast
+    // timing (a silently-broken query would otherwise read as a speedup)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time(fn)
-      val warm = (1 to medianReps).map(_ => time(fn)).sorted
-      (name, cold, warm(warm.length / 2))
+      val (cold, coldErr) = time(fn)
+      val warmRuns = (1 to medianReps).map(_ => time(fn))
+      val warm = warmRuns.map(_._1).sorted
+      val err = (coldErr ++ warmRuns.flatMap(_._2)).headOption
+      (name, cold, warm(warm.length / 2), warm.head, err)
     }
-    def obj(f: ((String, Double, Double)) => (String, Double)): String =
+    def obj(f: ((String, Double, Double, Double, Option[String])) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val cold = obj { case (k, c, _) => k -> c }
-    val warm = obj { case (k, _, m) => k -> m }
+    val cold = obj { case (k, c, _, _, _) => k -> c }
+    val warm = obj { case (k, _, m, _, _) => k -> m }
+    // per-query warm MIN: the load-insensitive floor — box noise only
+    // ever inflates timings, so min-over-reps is the number least
+    // polluted by a busy driver host (r6's q43 "5.08s median" was pure
+    // load; a min column makes the next phantom self-evident)
+    val warmMin = obj { case (k, _, _, mn, _) => k -> mn }
+    val errsJson = results.collect { case (k, _, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,""" +
-      s""""queries_warm_median":$warm,"warm_median_total":$warmTotal,""" +
+      s""""queries_warm_median":$warm,"queries_warm_min":$warmMin,""" +
+      s""""warm_median_total":$warmTotal,"errors":$errsJson,""" +
       s""""warm_reps":$medianReps,"sf":"$sfDir"}""")
     spark.stop()
   }

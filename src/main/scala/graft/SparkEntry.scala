@@ -165,7 +165,8 @@ object SparkEntry {
     "q76_pq_encode" -> ((s, d) => Similarity.pqEncode(Tables.embeddings(s, d))),
     "q76b_pq_adc" -> ((s, d) => Similarity.pqAdcSearch(Tables.embeddings(s, d))),
     "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d))),
-    "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d)))
+    "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
+    "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -179,22 +180,35 @@ object SparkEntry {
     "q73_csv_orders" -> "q04_topk",
     "q74_json_orders" -> "q05_window_rank")
 
+  /** CSV null sentinel: with quoteAll, a NULL string column would
+    * otherwise write as a quoted empty string and read back as "" — a
+    * silent null→empty coercion. Writing nulls as this sentinel (and
+    * telling the reader so) keeps NULL and '' distinct; a document
+    * whose text is literally the sentinel would coerce the other way,
+    * which the star schema's generated text never is. */
+  private val CsvNull = "\\N"
+
+  /** staging-path token: two JVMs running the twins concurrently (bench
+    * + the correctness harness) must not overwrite each other's files
+    * mid-read, so each process stages under its own pid-keyed dir. */
+  private lazy val fmtTwinToken: String = s"p${ProcessHandle.current().pid()}"
+
   /** Stage `df` as CSV/JSON under java.io.tmpdir and read it back with
     * the ORIGINAL schema (no inference — the twin tests value fidelity,
     * not schema guessing). quoteAll + header on CSV so string columns
     * (document text with commas/quotes) survive; JSON is lossless for
     * the star schema's types by construction. Doubles round-trip
     * exactly in both formats (shortest-round-trip decimal rendering). */
-  private def viaFormat(df: DataFrame, fmt: String, tag: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_twin/$tag.$fmt"
+  private[graft] def viaFormat(df: DataFrame, fmt: String, tag: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_twin/$fmtTwinToken/$tag.$fmt"
     fmt match {
       case "csv" =>
         df.write.mode("overwrite").option("header", "true")
-          .option("quoteAll", "true").csv(dir)
+          .option("quoteAll", "true").option("nullValue", CsvNull).csv(dir)
         // multiLine: quoted text containing embedded newlines spans
         // physical lines; without it the reader would shred such rows
         df.sparkSession.read.schema(df.schema).option("header", "true")
-          .option("multiLine", "true").csv(dir)
+          .option("multiLine", "true").option("nullValue", CsvNull).csv(dir)
       case "json" =>
         df.write.mode("overwrite").json(dir)
         df.sparkSession.read.schema(df.schema).json(dir)
@@ -953,11 +967,59 @@ object SparkEntry {
        |(10000 * n_oov) // n_tokens > $RarityFenceBp AS is_tail
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** q79's oracle: the morphology fixture's closed form
+    * ([[graft.operators.Morphology.synthSwc]]) replayed in SQL — the
+    * node/parent layout regenerated with generate_series, segment
+    * lengths and the spike-radius XOR predicate evaluated per node, and
+    * the structural counts taken from their closed forms. The oracle
+    * never parses a payload; the Spark side never sees the closed form
+    * — exactly the q41 discipline, on a TREE. */
+  private def morphMetricsSql: String =
+    """WITH p AS (SELECT doc_id,
+      |1 + doc_id % 3 AS tc, 1 + doc_id % 4 AS d, 2 + doc_id % 5 AS sp,
+      |CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS e7,
+      |CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS e11
+      |FROM documents),
+      |p2 AS (SELECT *, CAST(pow(2, d + 1) AS BIGINT) - 1 AS secs FROM p),
+      |n1 AS (SELECT *, unnest(generate_series(0, tc - 1)) AS t FROM p2),
+      |n2 AS (SELECT *, unnest(generate_series(0, secs - 1)) AS s FROM n1),
+      |n3 AS (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM n2),
+      |reg AS (SELECT doc_id, 2 + t*secs*sp + s*sp + k AS i,
+      |CASE WHEN k > 0 THEN 2 + t*secs*sp + s*sp + k - 1
+      |WHEN s = 0 THEN 1
+      |ELSE 2 + t*secs*sp + ((s-1)//2)*sp + sp - 1 END AS par
+      |FROM n3),
+      |x7 AS (SELECT doc_id, 2 + tc*secs*sp + k AS i,
+      |CASE WHEN k > 0 THEN 2 + tc*secs*sp + k - 1 ELSE 1 + secs*sp END AS par
+      |FROM (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM p2 WHERE e7 = 1)),
+      |x11 AS (SELECT doc_id, 2 + (tc*secs + e7)*sp + k AS i,
+      |CASE WHEN k > 0 THEN 2 + (tc*secs + e7)*sp + k - 1 ELSE sp + 1 END AS par
+      |FROM (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM p2 WHERE e11 = 1)),
+      |seg AS (SELECT doc_id, i, par FROM reg
+      |UNION ALL SELECT doc_id, i, par FROM x7
+      |UNION ALL SELECT doc_id, i, par FROM x11),
+      |agg AS (SELECT doc_id,
+      |CAST(SUM(1 + (i % 3)) AS BIGINT) AS total_len_um,
+      |CAST(SUM(CASE WHEN par <> 1 AND ((i % 13 = 0) <> (par % 13 = 0))
+      |THEN 1 ELSE 0 END) AS BIGINT) AS n_radical
+      |FROM seg GROUP BY doc_id)
+      |SELECT p2.doc_id AS morph_id,
+      |CAST(tc AS BIGINT) AS n_neurites,
+      |CAST(1 + (tc*secs + e7 + e11)*sp AS BIGINT) AS n_points,
+      |CAST(tc*secs + e7 + e11 AS BIGINT) AS n_sections,
+      |CAST(d + e7 AS BIGINT) AS max_branch_order,
+      |agg.total_len_um, agg.n_radical,
+      |CAST(e7 AS BIGINT) AS n_single_child,
+      |CAST(e11 AS BIGINT) AS n_multifurc,
+      |CAST(CASE WHEN p2.doc_id % 5 = 0 OR p2.doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_hetero_neurites
+      |FROM p2 JOIN agg ON p2.doc_id = agg.doc_id
+      |ORDER BY morph_id""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
       ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
-      ("q78_ivf_pq" -> ivfPqSql)
+      ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

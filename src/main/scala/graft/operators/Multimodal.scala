@@ -86,33 +86,53 @@ object Multimodal {
     s
   }
 
+  /** header fields after the magic, validated: exactly `n` of them,
+    * all nonnegative integers — so a malformed header ("P6\n", junk
+    * fields, adversarial dims) fails with the same
+    * IllegalArgumentException contract as every other corrupt payload,
+    * never a raw ArrayIndexOutOfBounds/NumberFormatException. */
+  private def headerFields(header: Array[String], n: Int): Array[Long] = {
+    require(header.length == n + 1,
+      s"malformed ${header.headOption.getOrElse("?")} header: expected $n fields, got ${header.length - 1}")
+    header.drop(1).map { f =>
+      val v = try f.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"non-numeric header field '$f'")
+      }
+      require(v >= 0, s"negative header field $v")
+      v
+    }
+  }
+
   /** REAL decode: sniff the magic, parse the ASCII header, validate the
     * payload length, aggregate the raw bytes. Dispatches on CONTENT,
     * not on the mime column — a mislabeled payload decodes as what it
-    * is, and an unknown magic fails loud. */
+    * is, and an unknown magic fails loud. Expected-size math is done in
+    * Long: adversarial Int dims (e.g. "P6 100000 100000 255") must fail
+    * the length check, not wrap it. */
   def decodeMedia(row: MediaRow): MediaFeatures = {
     val bytes = row.content
     val nl = headerEnd(bytes)
     val header = new String(bytes, 0, nl, US_ASCII).split(" ")
-    val payload = bytes.length - nl - 1
+    val payload = (bytes.length - nl - 1).toLong
     header(0) match {
       case "P6" =>
-        val w = header(1).toInt; val h = header(2).toInt
-        require(header(3) == "255", s"unsupported maxval ${header(3)}")
+        val Array(w, h, maxval) = headerFields(header, 3)
+        require(maxval == 255L, s"unsupported maxval $maxval")
         require(payload == w * h * 3, s"truncated image: $payload != ${w * h * 3}")
         MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
-          w, h, 1L, 0L, sumFrom(bytes, nl + 1, payload), 0L)
+          w, h, 1L, 0L, sumFrom(bytes, nl + 1, payload.toInt), 0L)
       case "AU8" =>
-        val n = header(1).toInt
+        val Array(n) = headerFields(header, 1)
         require(payload == n, s"truncated audio: $payload != $n")
         MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
-          0L, 0L, 0L, n, 0L, sumFrom(bytes, nl + 1, payload))
+          0L, 0L, 0L, n, 0L, sumFrom(bytes, nl + 1, payload.toInt))
       case "VID" =>
-        val f = header(1).toInt; val w = header(2).toInt; val h = header(3).toInt
-        require(header(4) == "255", s"unsupported maxval ${header(4)}")
+        val Array(f, w, h, maxval) = headerFields(header, 4)
+        require(maxval == 255L, s"unsupported maxval $maxval")
         require(payload == f * w * h * 3, s"truncated video: $payload != ${f * w * h * 3}")
         MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
-          w, h, f, 0L, sumFrom(bytes, nl + 1, payload), 0L)
+          w, h, f, 0L, sumFrom(bytes, nl + 1, payload.toInt), 0L)
       case m =>
         throw new IllegalArgumentException(s"unknown media magic '$m'")
     }
@@ -129,11 +149,13 @@ object Multimodal {
     val header = new String(bytes, 0, nl, US_ASCII).split(" ")
     if (header(0) != "P6") row
     else {
-      val w = header(1).toInt; val h = header(2).toInt
+      val Array(wL, hL, maxval) = headerFields(header, 3)
+      require(maxval == 255L, s"unsupported maxval $maxval")
       // same validation as decodeMedia: a truncated payload must fail
       // loud here too, not throw AIOOBE from inside the pixel loop
-      require(bytes.length - nl - 1 == w * h * 3,
-        s"truncated image: ${bytes.length - nl - 1} != ${w * h * 3}")
+      require((bytes.length - nl - 1).toLong == wL * hL * 3,
+        s"truncated image: ${bytes.length - nl - 1} != ${wL * hL * 3}")
+      val w = wL.toInt; val h = hL.toInt
       val out = new Array[Byte](newW * newH * 3)
       var y = 0
       while (y < newH) {
@@ -161,8 +183,14 @@ object Multimodal {
     val header = new String(bytes, 0, nl, US_ASCII).split(" ")
     if (header(0) != "VID") Iterator.empty
     else {
-      val f = header(1).toInt
-      val frameLen = header(2).toInt * header(3).toInt * 3
+      val Array(fL, wL, hL, maxval) = headerFields(header, 4)
+      require(maxval == 255L, s"unsupported maxval $maxval")
+      // same fail-loud length validation as decodeMedia: a truncated
+      // VID must raise here, not AIOOBE from inside sumFrom
+      require((bytes.length - nl - 1).toLong == fL * wL * hL * 3,
+        s"truncated video: ${bytes.length - nl - 1} != ${fL * wL * hL * 3}")
+      val f = fL.toInt
+      val frameLen = (wL * hL * 3).toInt
       (0 until f by stride).iterator.map { i =>
         FrameSample(row.doc_id, i, sumFrom(bytes, nl + 1 + i * frameLen, frameLen))
       }
@@ -234,11 +262,15 @@ object Multimodal {
     * an exact integer the oracle reproduces from the fixture's closed
     * form — so the whole decode path (header parse, length validation,
     * byte aggregation) is hash-checked per round. */
-  def extractFeatures(documents: DataFrame, partitions: Int = 32): DataFrame = {
+  def extractFeatures(documents: DataFrame, partitions: Int = 0): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    // default width = the session's shuffle parallelism (same derivation
+    // as pqAdcSearch) — a hardcoded 32 would be wrong on a real cluster
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
     val media: Dataset[MediaRow] = mediaFrame(documents)
-      .repartition(partitions, col("doc_id"))
+      .repartition(width, col("doc_id"))
       .as[MediaRow]
     media.mapPartitions(_.map(decodeMedia)).toDF()
       .groupBy("mime")

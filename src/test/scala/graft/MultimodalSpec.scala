@@ -66,6 +66,27 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       decodeMedia(MediaRow(7L, "x", Array[Byte]())) // no header line at all
     }
+    // malformed headers: missing fields, non-numeric fields — the
+    // IllegalArgumentException contract, not AIOOBE/NumberFormat
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(8L, "x", "P6\n".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(9L, "x", "AU8\n".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(10L, "x", "P6 a b 255\nxxx".getBytes("US-ASCII")))
+    }
+    // adversarial dims whose w*h*3 overflows Int: the Long-math length
+    // check must reject, not wrap around into a false match
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(11L, "x", "P6 100000 100000 255\n".getBytes("US-ASCII")))
+    }
+    // a truncated VID must fail loud from the frame sampler too
+    val shortVid = "VID 2 2 2 255\n".getBytes("US-ASCII") ++ new Array[Byte](13)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrameStats(MediaRow(12L, "x", shortVid), stride = 1).toSeq
+    }
   }
 
   test("resize is a real nearest-neighbour kernel: identity at same dims, sampled otherwise") {

@@ -32,6 +32,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == df.count())
   }
 
+  test("csv format twin keeps NULL and empty string distinct") {
+    // with quoteAll, a NULL string would otherwise write as "" and read
+    // back as empty — viaFormat's nullValue sentinel must disambiguate
+    import spark.implicits._
+    val df = Seq((1L, "plain"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("id", "text")
+    val back = SparkEntry.viaFormat(df, "csv", "null_twin").orderBy("id").collect()
+    assert(back(0).getString(1) == "plain")
+    assert(back(1).isNullAt(1), "NULL must survive the CSV round trip as NULL")
+    assert(back(2).getString(1) == "", "empty string must stay empty, not become NULL")
+    val backJson = SparkEntry.viaFormat(df, "json", "null_twin").orderBy("id").collect()
+    assert(backJson(1).isNullAt(1) && backJson(2).getString(1) == "")
+  }
+
   test("tsv (tab-delimited csv) report like the reference batch report") {
     val df = SparkEntry.queries("q22_quality_metrics")(spark, sf).limit(50)
     val dir = tmp("graft_tsv")

@@ -166,7 +166,8 @@ object SparkEntry {
     "q76b_pq_adc" -> ((s, d) => Similarity.pqAdcSearch(Tables.embeddings(s, d))),
     "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d))),
     "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
-    "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d)))
+    "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d))),
+    "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -1015,11 +1016,42 @@ object SparkEntry {
       |FROM p2 JOIN agg ON p2.doc_id = agg.doc_id
       |ORDER BY morph_id""".stripMargin
 
+  /** q80's oracle: the trace fixture's closed form
+    * ([[graft.operators.Traces.synthTrace]]) — per-sweep waveform
+    * aggregates in closed form (step/ramp/flat sums and peaks), the
+    * deterministic mislabel rotation, and the classifier's guaranteed
+    * verdicts on those waveforms. The oracle never decodes a byte. */
+  private def traceCheckSql: String =
+    """WITH p AS (SELECT doc_id,
+      |2 + doc_id % 3 AS sweeps, 16 + (doc_id % 8) * 2 AS n,
+      |1000 + (doc_id % 4) * 500 AS rate, 10 + doc_id % 20 AS amp, doc_id % 5 AS off
+      |FROM documents),
+      |sw AS (SELECT *, unnest(generate_series(0, sweeps - 1)) AS s FROM p),
+      |c AS (SELECT doc_id, s, rate, n, off,
+      |(doc_id + s) % 3 AS typ,
+      |CASE (doc_id + s) % 3 WHEN 0 THEN 0 WHEN 1 THEN amp * (n // 2)
+      |ELSE n * (n - 1) // 2 END AS sum_stim,
+      |CASE (doc_id + s) % 3 WHEN 0 THEN off WHEN 1 THEN 2 * amp + off
+      |ELSE 2 * (n - 1) + off END AS peak_resp,
+      |(doc_id * 7 + s) % 13 = 0 AS mislabeled
+      |FROM sw)
+      |SELECT doc_id AS trace_id, CAST(s AS BIGINT) AS sweep,
+      |CAST(rate AS BIGINT) AS rate_hz,
+      |CASE (CASE WHEN mislabeled THEN (typ + 1) % 3 ELSE typ END)
+      |WHEN 0 THEN 'flat' WHEN 1 THEN 'step' ELSE 'ramp' END AS declared,
+      |CASE typ WHEN 0 THEN 'flat' WHEN 1 THEN 'step' ELSE 'ramp' END AS computed,
+      |NOT mislabeled AS is_match,
+      |CAST(sum_stim AS BIGINT) AS sum_stim,
+      |CAST(2 * sum_stim + n * off AS BIGINT) AS sum_resp,
+      |CAST(peak_resp AS BIGINT) AS peak_resp
+      |FROM c ORDER BY trace_id, sweep""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
       ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
-      ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql)
+      ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql) +
+      ("q80_trace_check" -> traceCheckSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -56,7 +56,9 @@ object TextAnalysis {
     * check_nwb_stimulus_match.py) re-expressed over documents: compare
     * the declared lang/n_chars metadata against what the content
     * itself says, list only the disagreeing rows. Row-local compute on
-    * one scan; the only exchange is the output sort. */
+    * one scan; the only exchange is the output sort. Binary twin: q80
+    * ([[Traces.sweepConsistency]]) runs the same declared-vs-computed
+    * check against DECODED SAMPLE CONTENT instead of text. */
   def contentMetadataCheck(documents: DataFrame): DataFrame =
     withPredictedLang(documents)
       .select(col("doc_id"), col("lang"), col("predicted_lang"),

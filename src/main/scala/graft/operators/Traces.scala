@@ -1,0 +1,183 @@
+package graft.operators
+
+import java.nio.ByteOrder
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Trace-signal modality (SURVEY §2C, q80): electrophysiology-style
+  * sweep recordings as opaque binary payloads, decoded and checked for
+  * declared-vs-computed stimulus consistency. Reference analogues:
+  *   - stimulus types extracted from the NWB BINARY content and
+  *     compared against the declared metadata, mismatches reported:
+  *     /root/reference/src/trace/fix/check_nwb_stimulus_match.py:33-95
+  *   - sweep selection + rate/unit/conversion decode of response data:
+  *     /root/reference/src/trace/thumbnail.py:25-46
+  *
+  * Same method as [[Multimodal]] (q41) and [[Morphology]] (q79): the
+  * container ships no HDF5/NWB library, so the engine defines a MINIMAL
+  * sweep container — "TRC <sweeps> <n> <rate> <lbl0,...>\n" followed,
+  * per sweep, by n int16-LE stimulus samples then n int16-LE response
+  * samples. The DECODER is real: header arity/numeric validation,
+  * payload-length check, little-endian sample decode, a content-based
+  * stimulus classifier (delta analysis), and exact integer channel
+  * aggregates. The declared per-sweep labels ride in the header (the
+  * metadata side); the classifier recomputes the stimulus type from
+  * the SAMPLES (the content side); q80 reports both and the match
+  * verdict — the binary twin of q46's text-side declared-vs-computed
+  * check. Only the fixture [[synthTrace]] ties payloads to a closed
+  * form of the entity id, which the DuckDB oracle replays.
+  *
+  * At 100 TB: payloads dominate I/O; the decode is row-local behind one
+  * skew-evening repartition (zero exchanges otherwise) and reduces each
+  * blob to a few longs per sweep — narrow rows for downstream joins.
+  * A real deployment swaps [[synthTrace]] for its NWB files and
+  * [[classify]] for its protocol detector; schema and plumbing stay.
+  */
+object Traces {
+
+  final case class TraceRow(trace_id: Long, trc: Array[Byte])
+
+  final case class SweepReport(
+      trace_id: Long, sweep: Long, rate_hz: Long,
+      declared: String, computed: String, is_match: Boolean,
+      sum_stim: Long, sum_resp: Long, peak_resp: Long)
+
+  /** stimulus classes the content-based classifier can emit. */
+  val Names: Vector[String] = Vector("flat", "step", "ramp")
+
+  // -------------------------------------------------------------- codec
+
+  /** encode a trace container: ASCII header (declared per-sweep labels
+    * included — the "metadata" channel) + per sweep, n int16-LE
+    * stimulus samples then n int16-LE response samples. */
+  def encodeTrace(rateHz: Int, labels: Seq[String],
+                  sweeps: Seq[(Array[Short], Array[Short])]): Array[Byte] = {
+    require(sweeps.nonEmpty, "a trace needs at least one sweep")
+    require(labels.length == sweeps.length,
+      s"${labels.length} labels for ${sweeps.length} sweeps")
+    val n = sweeps.head._1.length
+    sweeps.foreach { case (st, re) =>
+      require(st.length == n && re.length == n, "ragged sweep channels")
+    }
+    val header = s"TRC ${sweeps.length} $n $rateHz ${labels.mkString(",")}\n"
+      .getBytes(US_ASCII)
+    val buf = java.nio.ByteBuffer.allocate(sweeps.length * n * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    sweeps.foreach { case (st, re) => st.foreach(buf.putShort); re.foreach(buf.putShort) }
+    header ++ buf.array()
+  }
+
+  /** content-based stimulus classification from the sample deltas:
+    * constant → flat; constant positive slope → ramp; a single upward
+    * jump → step; anything else → other. Purely a function of the
+    * decoded samples — the "computed" side of the consistency check. */
+  def classify(stim: Array[Short]): String = {
+    val deltas = Array.tabulate(stim.length - 1)(i => stim(i + 1) - stim(i))
+    if (deltas.forall(_ == 0)) "flat"
+    else if (deltas(0) > 0 && deltas.forall(_ == deltas(0))) "ramp"
+    else if (deltas.count(_ != 0) == 1 && deltas.filter(_ != 0).head > 0) "step"
+    else "other"
+  }
+
+  /** REAL decode: header arity/numeric/label-count validation, payload
+    * length check (Long math), little-endian int16 channel decode, then
+    * per-sweep classification and exact integer aggregates. Fails loud
+    * with IllegalArgumentException on any malformed payload — the q41
+    * decoder contract. */
+  def decodeTrace(row: TraceRow): Seq[SweepReport] = {
+    val bytes = row.trc
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, "trace payload has no header line")
+    val header = new String(bytes, 0, nl, US_ASCII).split(" ")
+    require(header.length == 5 && header(0) == "TRC",
+      s"malformed TRC header: ${header.length} fields, magic '${header.headOption.getOrElse("?")}'")
+    val Array(sweeps, n, rate) =
+      try header.slice(1, 4).map(_.toLong)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"non-numeric TRC header field")
+      }
+    require(sweeps > 0 && n > 1 && rate > 0, s"bad TRC geometry $sweeps x $n @ $rate")
+    val labels = header(4).split(",", -1)
+    require(labels.length == sweeps,
+      s"${labels.length} declared labels for $sweeps sweeps")
+    val payload = (bytes.length - nl - 1).toLong
+    require(payload == sweeps * n * 4,
+      s"truncated trace: $payload != ${sweeps * n * 4}")
+    val buf = java.nio.ByteBuffer.wrap(bytes, nl + 1, payload.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    (0 until sweeps.toInt).map { s =>
+      val stim = Array.fill(n.toInt)(buf.getShort())
+      val resp = Array.fill(n.toInt)(buf.getShort())
+      val computed = classify(stim)
+      SweepReport(row.trace_id, s.toLong, rate,
+        declared = labels(s), computed = computed,
+        is_match = labels(s) == computed,
+        sum_stim = stim.foldLeft(0L)(_ + _),
+        sum_resp = resp.foldLeft(0L)(_ + _),
+        peak_resp = resp.foldLeft(Long.MinValue)((m, v) => math.max(m, v.toLong)))
+    }
+  }
+
+  // ------------------------------------------------------------- fixture
+
+  /** Synthetic trace FIXTURE: geometry, waveforms and labels are closed
+    * forms of the entity id — 2 + id%3 sweeps of 16 + (id%8)·2 samples
+    * at 1000 + (id%4)·500 Hz; sweep s carries stimulus type
+    * (id+s)%3 ∈ {flat, step(amp 10+id%20 at n/2), ramp(slope 1)} and
+    * response = 2·stimulus + (id%5). The declared header label is the
+    * true type EXCEPT when (id·7+s)%13 == 0, where it is rotated one
+    * class forward — the deterministic mislabel the consistency check
+    * must catch. The DuckDB oracle (SparkEntry) replays exactly this;
+    * the decoder above never sees it. */
+  def synthTrace(id: Long): Array[Byte] = {
+    val sweeps = (2 + id % 3).toInt
+    val n = (16 + (id % 8) * 2).toInt
+    val rate = (1000 + (id % 4) * 500).toInt
+    val amp = (10 + id % 20).toShort
+    val off = (id % 5).toShort
+    val channels = (0 until sweeps).map { s =>
+      val typ = ((id + s) % 3).toInt
+      val stim = Array.tabulate(n) { i =>
+        typ match {
+          case 0 => 0.toShort
+          case 1 => if (i < n / 2) 0.toShort else amp
+          case _ => i.toShort
+        }
+      }
+      val resp = stim.map(v => (2 * v + off).toShort)
+      (stim, resp)
+    }
+    val labels = (0 until sweeps).map { s =>
+      val typ = ((id + s) % 3).toInt
+      if ((id * 7 + s) % 13 == 0) Names((typ + 1) % 3) else Names(typ)
+    }
+    encodeTrace(rate, labels, channels)
+  }
+
+  /** Trace frame over the documents table: one sweep container per
+    * entity — the opaque-binary shape a real trace store carries. */
+  def traceFrame(documents: DataFrame): Dataset[TraceRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map(id => TraceRow(id, synthTrace(id)))
+  }
+
+  /** q80: decode every container (row-local, per-partition) and emit
+    * the per-sweep declared-vs-computed consistency report — q46's
+    * binary twin. */
+  def sweepConsistency(documents: DataFrame, partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    traceFrame(documents)
+      .repartition(width, col("trace_id"))
+      .as[TraceRow]
+      .mapPartitions(_.flatMap(decodeTrace))
+      .toDF()
+      .orderBy("trace_id", "sweep")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Traces
+import graft.operators.Traces._
+
+/** Byte-level spec for the q80 trace-signal kernel: hand-built sweep
+  * containers (independent of the fixture), classifier edge cases,
+  * corrupt-payload contracts, and the fixture-vs-closed-form sweep the
+  * DuckDB oracle relies on. */
+class TracesSpec extends AnyFunSuite {
+
+  test("decode on a hand-built container: channels, aggregates, verdicts") {
+    // two sweeps of 4 samples at 2000 Hz: a correct 'step' and a 'ramp'
+    // mislabeled as 'flat'
+    val step = (Array[Short](0, 0, 7, 7), Array[Short](1, 1, 15, 15))
+    val ramp = (Array[Short](0, 1, 2, 3), Array[Short](5, 7, 9, 11))
+    val bytes = encodeTrace(2000, Seq("step", "flat"), Seq(step, ramp))
+    val got = decodeTrace(TraceRow(42L, bytes))
+    assert(got.map(_.computed) == Seq("step", "ramp"),
+      "the classifier works from the SAMPLES, not the declared labels")
+    assert(got.map(_.is_match) == Seq(true, false))
+    assert(got.map(_.rate_hz) == Seq(2000L, 2000L))
+    assert(got.map(_.sum_stim) == Seq(14L, 6L))
+    assert(got.map(_.sum_resp) == Seq(32L, 32L))
+    assert(got.map(_.peak_resp) == Seq(15L, 11L))
+  }
+
+  test("classifier: flat/step/ramp and the 'other' fallback") {
+    assert(classify(Array[Short](3, 3, 3, 3)) == "flat")
+    assert(classify(Array[Short](0, 0, 9, 9)) == "step")
+    assert(classify(Array[Short](2, 4, 6, 8)) == "ramp")
+    assert(classify(Array[Short](5, 3, 1, 0)) == "other", "decreasing is no known stimulus")
+    assert(classify(Array[Short](0, 4, 0, 4)) == "other")
+    assert(classify(Array[Short](0, -3, -3, -3)) == "other", "a downward jump is not a step")
+  }
+
+  test("corrupt payloads fail loud with the IllegalArgumentException contract") {
+    val good = synthTrace(9L)
+    intercept[IllegalArgumentException] { // truncated samples
+      decodeTrace(TraceRow(1L, good.dropRight(3)))
+    }
+    intercept[IllegalArgumentException] { // wrong magic
+      decodeTrace(TraceRow(1L, "XYZ 1 4 1000 flat\n".getBytes("US-ASCII") ++ new Array[Byte](16)))
+    }
+    intercept[IllegalArgumentException] { // missing header fields
+      decodeTrace(TraceRow(1L, "TRC 1 4\n".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] { // non-numeric geometry
+      decodeTrace(TraceRow(1L, "TRC one 4 1000 flat\n".getBytes("US-ASCII")))
+    }
+    intercept[IllegalArgumentException] { // label count != sweep count
+      decodeTrace(TraceRow(1L, "TRC 2 2 1000 flat\n".getBytes("US-ASCII") ++ new Array[Byte](16)))
+    }
+    intercept[IllegalArgumentException] { // no header line at all
+      decodeTrace(TraceRow(1L, Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("fixture sweep: decode(synthTrace(id)) matches the oracle's closed form") {
+    val rnd = new scala.util.Random(17)
+    val ids = Seq(0L, 1L, 13L, 26L) ++ Seq.fill(60)(math.abs(rnd.nextLong()) % 100000L)
+    ids.foreach { id =>
+      val got = decodeTrace(TraceRow(id, synthTrace(id)))
+      val sweeps = 2 + id % 3; val n = 16 + (id % 8) * 2
+      val amp = 10 + id % 20; val off = id % 5
+      assert(got.length == sweeps, s"id=$id")
+      got.zipWithIndex.foreach { case (r, s) =>
+        val typ = ((id + s) % 3).toInt
+        val mislabeled = (id * 7 + s) % 13 == 0
+        val sumStim = typ match {
+          case 0 => 0L
+          case 1 => amp * (n / 2)
+          case _ => n * (n - 1) / 2
+        }
+        val peakResp = typ match {
+          case 0 => off
+          case 1 => 2 * amp + off
+          case _ => 2 * (n - 1) + off
+        }
+        assert(r.rate_hz == 1000 + (id % 4) * 500, s"id=$id s=$s")
+        assert(r.computed == Names(typ), s"id=$id s=$s")
+        assert(r.declared == (if (mislabeled) Names((typ + 1) % 3) else Names(typ)), s"id=$id s=$s")
+        assert(r.is_match == !mislabeled, s"id=$id s=$s")
+        assert(r.sum_stim == sumStim, s"id=$id s=$s")
+        assert(r.sum_resp == 2 * sumStim + n * off, s"id=$id s=$s")
+        assert(r.peak_resp == peakResp, s"id=$id s=$s")
+      }
+    }
+  }
+
+  test("spark end-to-end: distributed decode equals the driver-side decode") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = spark.range(1, 41).select($"id".as("doc_id"))
+    val got = Traces.sweepConsistency(docs).as[SweepReport].collect().toSeq
+    val want = (1L until 41L).flatMap(id => decodeTrace(TraceRow(id, synthTrace(id))))
+    assert(got == want)
+  }
+}

@@ -13,6 +13,41 @@ object BenchOne {
   }
 }
 
+/** PQ-family cost split: model-training constant vs scan/search work.
+  * The q76-q78/q81 bench figures are dominated by the per-query model
+  * training (bounded sample + small Lloyd jobs) that a deployment pays
+  * ONCE per index build — this prints the split so optimization effort
+  * targets the right half. Warm medians over SPARK_GRAFT_REPS. */
+object BenchPqSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = GraftSession.local(32)
+    val emb = Tables.embeddings(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    val tIvf = med(() => { Similarity.ivfCentroids(emb, 16); () })
+    val tBooks = med(() => { Similarity.pqCodebooks(emb); () })
+    val books = Similarity.pqCodebooks(emb)
+    val tEncode = med(() => { Similarity.pqEncodeWithModel(emb, books).count(); () })
+    val tFull = med(() => { Similarity.pqEncode(emb).count(); () })
+    val tAdc = med(() => { Similarity.pqAdcSearch(emb).count(); () })
+    val tIvfPq = med(() => { Similarity.knnIvfPq(emb).count(); () })
+    val tRpq = med(() => { Similarity.knnIvfRpq(emb).count(); () })
+    println(f"""{"ivf_train_s":$tIvf%.3f,"pq_train_s":$tBooks%.3f,""" +
+      f""""encode_scan_s":$tEncode%.3f,"encode_full_s":$tFull%.3f,""" +
+      f""""adc_search_s":$tAdc%.3f,"ivfpq_search_s":$tIvfPq%.3f,""" +
+      f""""ivf_rpq_search_s":$tRpq%.3f,"reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
 /** Statistical microbench: WARM medians over SPARK_GRAFT_REPS runs per
   * query (args = names; no args = full inventory). Single-shot
   * timings on a shared box are load-noise-dominated — medians are what

@@ -167,7 +167,9 @@ object SparkEntry {
     "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d))),
     "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d))),
-    "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d)))
+    "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
+    "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
+    "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -722,9 +724,10 @@ object SparkEntry {
     "raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
 
   /** shared PQ-model CTEs: sample → per-subspace seed → Lloyd steps →
-    * per-vector code assignment f0..f7 (code + relative d2). Expects a
-    * `raw` CTE in scope (see [[RawVecCte]]). */
-  private def pqModelCtes: String = {
+    * per-vector code assignment f0..f7 (code + relative d2). `src` is
+    * the (vec_id, emb) CTE the model trains on and encodes — `raw` for
+    * q76-family, `rraw` (residuals) for q81-family. */
+  private def pqModelCtes(src: String = "raw"): String = {
     val perSub = (0 until PqM).map { mi =>
       def iter(j: Int): String =
         s"""s${mi}_$j AS (SELECT v.vec_id, v.sub, c.code,
@@ -742,13 +745,13 @@ object SparkEntry {
          |${(0 until PqIters).map(iter).mkString(",\n")},
          |x$mi AS (SELECT r.vec_id, c.code,
          |list_dot_product(c.emb, c.emb) - 2*list_dot_product(${pqSubSql("r.emb", mi)}, c.emb) AS d2
-         |FROM raw r CROSS JOIN c${mi}_$PqIters c),
+         |FROM $src r CROSS JOIN c${mi}_$PqIters c),
          |f$mi AS (SELECT vec_id, code, d2 FROM (SELECT vec_id, code, d2,
          |row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM x$mi) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""samp AS (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
-       |FROM raw) t WHERE rn <= 4096),
+       |FROM $src) t WHERE rn <= 4096),
        |$perSub""".stripMargin
   }
 
@@ -758,7 +761,7 @@ object SparkEntry {
       s"(list_dot_product(${pqSubSql("r.emb", mi)}, ${pqSubSql("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
     val joins = (0 until PqM).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
     s"""WITH $RawVecCte,
-       |$pqModelCtes,
+       |${pqModelCtes()},
        |enc AS (SELECT r.vec_id, CAST($packed AS BIGINT) AS pq_code,
        |$errTerms AS err2, list_dot_product(r.emb, r.emb) AS x2 FROM raw r $joins)
        |SELECT vec_id, pq_code,
@@ -788,7 +791,7 @@ object SparkEntry {
 
   private def pqAdcSql: String =
     s"""WITH $RawVecCte,
-       |$pqModelCtes,
+       |${pqModelCtes()},
        |$pqAdcCtes
        |SELECT query_id, neighbor_id, adc_d2_micro, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
@@ -807,9 +810,71 @@ object SparkEntry {
     val bookJoins = (0 until PqM).map(mi => s"JOIN c${mi}_$PqIters cb$mi ON cb$mi.code = f$mi.code").mkString(" ")
     s"""WITH $RawVecCte,
        |$ivfModelCtes,
-       |$pqModelCtes,
+       |${pqModelCtes()},
        |pair AS (SELECT q.query_id, x.neighbor_id, $terms AS d2
        |FROM probes q JOIN corpus x ON q.cell = x.cell AND q.query_id <> x.neighbor_id
+       |$codeJoins $bookJoins),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |CAST(floor(1000000.0 * d2) AS BIGINT) AS adc_d2_micro,
+       |row_number() OVER (PARTITION BY query_id
+       |ORDER BY CAST(floor(1000000.0 * d2) AS BIGINT), neighbor_id) AS rank FROM pair)
+       |SELECT query_id, neighbor_id, adc_d2_micro, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** residual CTEs shared by q81/q81b: every corpus vector's residual
+    * against its cell's FINAL centroid (c2), rebuilt element-wise —
+    * the same double subtraction the Spark zip_with performs. */
+  private def residualCtes: String =
+    """rpos AS (SELECT x.neighbor_id AS vec_id, x.cell, c.emb AS cemb,
+      |unnest(x.emb) AS vx, generate_subscripts(x.emb, 1) AS pos
+      |FROM corpus x JOIN c2 c ON x.cell = c.cell),
+      |rraw AS (SELECT vec_id, cell, list(vx - cemb[pos] ORDER BY pos) AS emb
+      |FROM rpos GROUP BY vec_id, cell)""".stripMargin
+
+  /** q81's oracle: IVF replay supplies cells and final centroids, the
+    * residual CTEs rebuild x − centroid(cell), the PQ replay trains and
+    * assigns ON THE RESIDUALS (src = rraw), and err_bp divides by the
+    * ORIGINAL ‖x‖² so the column is q76-comparable. */
+  private def pqResidualSql: String = {
+    val packed = (0 until PqM).map(mi => s"f$mi.code * ${1L << (4 * mi)}").mkString(" + ")
+    val errTerms = (0 until PqM).map(mi =>
+      s"(list_dot_product(${pqSubSql("r.emb", mi)}, ${pqSubSql("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
+    val joins = (0 until PqM).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
+    s"""WITH $RawVecCte,
+       |$ivfModelCtes,
+       |$residualCtes,
+       |${pqModelCtes("rraw")},
+       |enc AS (SELECT r.vec_id, r.cell, CAST($packed AS BIGINT) AS pq_code,
+       |$errTerms AS err2, list_dot_product(o.emb, o.emb) AS x2
+       |FROM rraw r JOIN raw o ON r.vec_id = o.vec_id $joins)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, pq_code,
+       |CASE WHEN x2 > 0 THEN CAST(floor(10000.0 * greatest(err2, 0.0) / x2) AS BIGINT) ELSE 0 END AS err_bp
+       |FROM enc ORDER BY vec_id""".stripMargin
+  }
+
+  /** q81b's oracle: the IVFADC query path — each (query, probed cell)
+    * pair's residual is rebuilt against THAT cell's centroid, and the
+    * ADC term chain runs in residual space against the residual-trained
+    * codebooks and codes. */
+  private def ivfRpqSql: String = {
+    val terms = (0 until PqM).map { mi =>
+      s"(list_dot_product(${pqSubSql("q.emb", mi)}, ${pqSubSql("q.emb", mi)}) + " +
+        s"(list_dot_product(cb$mi.emb, cb$mi.emb) - 2*list_dot_product(${pqSubSql("q.emb", mi)}, cb$mi.emb)))"
+    }.mkString(" + ")
+    val codeJoins = (0 until PqM).map(mi => s"JOIN f$mi ON x.vec_id = f$mi.vec_id").mkString(" ")
+    val bookJoins = (0 until PqM).map(mi => s"JOIN c${mi}_$PqIters cb$mi ON cb$mi.code = f$mi.code").mkString(" ")
+    s"""WITH $RawVecCte,
+       |$ivfModelCtes,
+       |$residualCtes,
+       |${pqModelCtes("rraw")},
+       |qpos AS (SELECT p.query_id, p.cell, c.emb AS cemb,
+       |unnest(p.emb) AS vx, generate_subscripts(p.emb, 1) AS pos
+       |FROM probes p JOIN c2 c ON p.cell = c.cell),
+       |qres AS (SELECT query_id, cell, list(vx - cemb[pos] ORDER BY pos) AS emb
+       |FROM qpos GROUP BY query_id, cell),
+       |pair AS (SELECT q.query_id, x.vec_id AS neighbor_id, $terms AS d2
+       |FROM qres q JOIN rraw x ON q.cell = x.cell AND q.query_id <> x.vec_id
        |$codeJoins $bookJoins),
        |ranked AS (SELECT query_id, neighbor_id,
        |CAST(floor(1000000.0 * d2) AS BIGINT) AS adc_d2_micro,
@@ -823,7 +888,7 @@ object SparkEntry {
     * squared-L2 re-rank with the same term tree as the Spark side. */
   private def pqRerankSql: String =
     s"""WITH $RawVecCte,
-       |$pqModelCtes,
+       |${pqModelCtes()},
        |$pqAdcCtes,
        |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 100),
        |ex AS (SELECT c.query_id, c.neighbor_id,
@@ -1051,7 +1116,8 @@ object SparkEntry {
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
       ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
       ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql) +
-      ("q80_trace_check" -> traceCheckSql)
+      ("q80_trace_check" -> traceCheckSql) + ("q81_pq_residual" -> pqResidualSql) +
+      ("q81b_ivf_rpq" -> ivfRpqSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -219,7 +219,7 @@ object Similarity {
       .limit(nCells)
       .select(col("embedding"))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
       .toSeq
     val refined =
       if (seed.isEmpty) seed // empty corpus: no model, no Lloyd passes
@@ -295,8 +295,10 @@ object Similarity {
       .orderBy(col("__h"), col("vec_id"))
       .limit(trainSample)
       .cache()
+    // Number-boxed: the frame may carry float32 corpus vectors OR
+    // double residuals (q81 trains codebooks on x − centroid)
     val seedRows = sample.limit(k).select(col("embedding"))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toSeq
+      .collect().map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq).toSeq
     val seeds: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
       seedRows.map(v => v.slice(mi * d, mi * d + d).toSeq): Seq[Seq[Double]]
     }
@@ -348,10 +350,14 @@ object Similarity {
 
   /** `base` must carry `embedding` plus whatever `keep` references —
     * letting callers compute sibling row-local columns (e.g. the IVF
-    * cell) in the SAME scan instead of a corpus self-join. */
+    * cell) in the SAME scan instead of a corpus self-join. `errRef`
+    * overrides the denominator of err_bp: q81 encodes RESIDUALS but
+    * reports error relative to the ORIGINAL vector's norm², so its
+    * fidelity column is directly comparable with q76's. */
   private def encodeWithBooks(base: DataFrame, books: Seq[Seq[Seq[Double]]],
                               m: Int, d: Int,
-                              keep: Seq[Column] = Seq(col("vec_id"))): DataFrame = {
+                              keep: Seq[Column] = Seq(col("vec_id")),
+                              errRef: Option[Column] = None): DataFrame = {
     var df = base
     val bests = (0 until m).map { mi =>
       val (withDots, scores) = withPqScores(df, mi,
@@ -368,7 +374,8 @@ object Similarity {
       graft.functions.VectorExpressions.vec_norm_sq(
         slice(col("embedding"), mi * d + 1, d)) + bests(mi).getField("d2")
     }.reduce(_ + _)
-    val x2 = graft.functions.VectorExpressions.vec_norm_sq(col("embedding"))
+    val x2 = errRef.getOrElse(
+      graft.functions.VectorExpressions.vec_norm_sq(col("embedding")))
     df.select(keep :+ packed.as("pq_code") :+
         when(x2 > 0.0,
           floor(lit(10000.0) * greatest(err2, lit(0.0)) / x2).cast("long"))
@@ -552,6 +559,101 @@ object Similarity {
       .select(col("vec_id").as("query_id") +:
         adcLutCols(m) :+
         explode(probeCells).as("cell"): _*)
+    val scored = broadcast(probes).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * adcPairD2(books, m)).cast("long").as("adc_d2_micro"))
+    rankAscending(scored, "adc_d2_micro", topK)
+  }
+
+  /** residual frame: per vector, its IVF cell and the DOUBLE residual
+    * x − centroid(cell) standing in the `embedding` column, plus the
+    * ORIGINAL ‖x‖² (`__x2`) for fidelity reporting. Row-local against
+    * the broadcast centroid matrix — one scan, zero exchanges. The
+    * float→double subtraction is exact (float widens losslessly), so
+    * the DuckDB replay lands on identical residual doubles. */
+  private def residualFrame(embeddings: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
+    val centLit = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    eScored
+      .withColumn("cell", greatestOf(scores).getField("cell"))
+      .withColumn("__x2",
+        graft.functions.VectorExpressions.vec_norm_sq(col("embedding")))
+      .withColumn("embedding",
+        zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+          (x, c) => x - c))
+      .select("vec_id", "cell", "embedding", "__x2")
+  }
+
+  /** q81: RESIDUAL product quantization under the IVF layout (the
+    * IVFADC composition of Jégou et al.): each vector is assigned its
+    * coarse cell, and PQ encodes the residual x − centroid(cell)
+    * instead of x itself. Residual energy ≪ vector energy once the
+    * coarse quantizer has soaked up the cell mean, so the SAME 4-bit
+    * budget (one BIGINT per vector) spends its codes on a tighter
+    * distribution — err_bp (still relative to the ORIGINAL ‖x‖², so
+    * directly comparable with q76's column) drops accordingly; the
+    * measured comparison lives in SURVEY §7. Output is the persistable
+    * residual index (vec_id, cell, pq_code, err_bp): partitionBy(cell)
+    * gives the q78 pruning layout with residual-grade fidelity. Both
+    * models train on bounded hash-ordered samples with quantized-
+    * integer Lloyd means, so the whole pipeline — cell, residual,
+    * codebooks, codes, error — replays bit-exactly in the oracle. */
+  def pqResidualEncode(embeddings: DataFrame, nCells: Int = 16, m: Int = 8,
+                       dim: Int = 64, k: Int = 16): DataFrame = {
+    requirePackable(m, k)
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("cell", LongType), StructField("pq_code", LongType),
+          StructField("err_bp", LongType))))
+    }
+    val res = residualFrame(embeddings, cents)
+    val books = pqCodebooks(res, m, dim, k)
+    encodeWithBooks(res, books, m, dim / m,
+        keep = Seq(col("vec_id"), col("cell").cast("long").as("cell")),
+        errRef = Some(col("__x2")))
+      .orderBy("vec_id")
+  }
+
+  /** q81b: IVF search over the RESIDUAL codes — the full IVFADC query
+    * path: each (query, probed cell) pair builds its ADC LUTs on the
+    * query's OWN residual against that cell (q − centroid(cell)), so a
+    * candidate's ADC distance approximates ‖q − (centroid + r̂)‖² — the
+    * true distance to the candidate's reconstruction. Same probe
+    * fan-out, stage barrier, broadcast and bounded-heap shape as q78;
+    * only the geometry the codes live in changed. */
+  def knnIvfRpq(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 6,
+                m: Int = 8, dim: Int = 64, k: Int = 16,
+                nQueries: Int = 20, topK: Int = 10): DataFrame = {
+    requirePackable(m, k)
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty) return emptyAdc(embeddings)
+    val d = dim / m
+    val res = residualFrame(embeddings, cents)
+    val books = pqCodebooks(res, m, dim, k)
+    if (books.headOption.forall(_.isEmpty)) return emptyAdc(embeddings)
+    val index = encodeWithBooks(res, books, m, d,
+        keep = Seq(col("vec_id").as("neighbor_id"), col("cell")))
+      .select("neighbor_id", "cell", "pq_code")
+      .repartition(embeddings.sparkSession.sessionState.conf.numShufflePartitions)
+    val (eScored, scores) = withCellScores(withNorm(embeddings), cents)
+    val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+      .getField("cell")
+    val centLit = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    // per (query, probed cell): the query's residual in THAT cell's
+    // frame, then the standard LUT columns over it
+    val qres = eScored.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(probeCells).as("cell"))
+      .withColumn("embedding",
+        zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+          (x, c) => x - c))
+    val probes = withAdcLuts(qres, books, m, d)
+      .select(col("query_id") +: col("cell") +: adcLutCols(m): _*)
     val scored = broadcast(probes).join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

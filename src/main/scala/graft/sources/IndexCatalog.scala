@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** CATALOG registration for the persisted ANN index tables (SURVEY
+  * §2E): the q76/q78/q81 artifacts written as NAMED tables instead of
+  * anonymous parquet directories, so any metastore-aware engine —
+  * another Spark session, Trino/DuckDB via the warehouse layout,
+  * the reference's "aggregated view" consumers
+  * (/root/reference/view_aggregate) — can read the indexes by name
+  * without knowing the directory layout.
+  *
+  * Layout contract (documented for external readers, see README):
+  *   - `<table>_ivfpq`: columns (vec_id BIGINT, pq_code BIGINT,
+  *     cell INT), PARTITIONED BY cell — a probe restricted to its
+  *     cells prunes to those partitions' files at the scan; the
+  *     float32 vector store is never touched at search time.
+  *   - `<table>_pqcodes`: columns (vec_id BIGINT, pq_code BIGINT,
+  *     err_bp BIGINT), BUCKETED BY vec_id — q77-style exact re-rank
+  *     joins (codes ⋈ candidates on vec_id) co-locate without a
+  *     shuffle of the big side when the raw-vector table is bucketed
+  *     the same way.
+  *
+  * At 100 TB both writes are one corpus scan (the models are bounded
+  * broadcast objects); the catalog entry is metadata-only on top. */
+object IndexCatalog {
+
+  /** Build + register the IVF-PQ index as a catalog table partitioned
+    * by cell (the q78 pruning layout, now addressable by name). */
+  def registerIvfPqIndex(embeddings: DataFrame, table: String,
+                         nCells: Int = 16, m: Int = 8, dim: Int = 64,
+                         k: Int = 16): Unit =
+    Similarity.buildIvfPqIndex(embeddings, nCells, m, dim, k)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("cell")
+      .saveAsTable(table)
+
+  /** Build + register the flat PQ code table bucketed by vec_id (the
+    * q77 re-rank join key), `buckets` files per write. */
+  def registerPqCodes(embeddings: DataFrame, table: String,
+                      buckets: Int = 16, m: Int = 8, dim: Int = 64,
+                      k: Int = 16): Unit =
+    Similarity.pqEncode(embeddings, m, dim, k)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(table)
+
+  /** External-reader path: the registered index by name, restricted to
+    * the probed cells — the filter is a partition predicate, so the
+    * scan reads only those cells' files (spec-proven). */
+  def probeCells(spark: SparkSession, table: String, cells: Seq[Int]): DataFrame =
+    spark.table(table).filter(col("cell").isin(cells: _*))
+}

@@ -172,6 +172,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "no shuffle join for a dimension-sized model")
   }
 
+  test("binary-kernel decodes (morphology, traces) are one scan + one repartition") {
+    // the q79/q80 shape: heavy blob in, narrow rows out — exactly ONE
+    // exchange (the skew-evening repartition before the decode stage)
+    // plus the output sort's range exchange; no join, no aggregation
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      "morph_metrics" -> graft.operators.Morphology.morphMetrics(docs),
+      "trace_check" -> graft.operators.Traces.sweepConsistency(docs)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert("hashpartitioning".r.findAllIn(plan).length == 1,
+        s"$name: exactly the one decode-stage repartition, got:\n${plan.take(2000)}")
+      assert(!plan.contains("Join"), s"$name: decode is row-local, no join")
+      assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+        s"$name: the typed per-partition decode stage must be present")
+    }
+  }
+
+  test("residual pq encode: residual + cell + codes ride ONE corpus scan") {
+    // cell assignment, residual subtraction and code assignment are all
+    // row-local against broadcast models — a join between a cell frame
+    // and an encode frame would scan the corpus twice
+    val df = graft.operators.Similarity.pqResidualEncode(Tables.embeddings(spark, dir))
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).length == 1,
+      s"expected one corpus scan, got:\n${fin.take(2500)}")
+    assert(!fin.contains("Join"), "models ride as expressions, not joins")
+  }
+
   test("merge writer plans one full-outer join on the key") {
     val plan = MergeWriter.mergedState(
       Upsert.target(Tables.customer(spark, dir)),

@@ -90,6 +90,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(back == want)
   }
 
+  test("catalog-registered indexes: named round trip, pruning intact, bucketed codes") {
+    // the persisted-index layout (SourcesSpec test above) addressable
+    // by NAME: saveAsTable + spark.table must preserve both the values
+    // and the partition-pruning behavior external readers rely on
+    val emb = Tables.embeddings(spark, sf)
+    graft.sources.IndexCatalog.registerIvfPqIndex(emb, "graft_ivfpq_t")
+    graft.sources.IndexCatalog.registerPqCodes(emb, "graft_pqcodes_t")
+    try {
+      val byName = spark.table("graft_ivfpq_t")
+      val direct = graft.operators.Similarity.buildIvfPqIndex(emb)
+      assert(byName.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pq_code")).toMap
+        == direct.collect().map(r => r.getLong(0) -> r.getAs[Long]("pq_code")).toMap,
+        "catalog round trip must preserve the codes exactly")
+      // probe through the external-reader path: still pruned at scan
+      val probe = graft.sources.IndexCatalog.probeCells(spark, "graft_ivfpq_t", Seq(2, 5))
+      val plan = probe.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Filter (cell"),
+        "catalog probe must prune partitions at the scan, not filter after it")
+      assert(probe.count() == direct.filter(col("cell").isin(2, 5)).count())
+      // the code table is bucketed: the catalog records the spec
+      val cat = spark.sql("DESCRIBE TABLE EXTENDED graft_pqcodes_t")
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(cat.contains("Num Buckets") && cat.contains("vec_id"),
+        s"bucket spec must be recorded in the catalog:\n$cat")
+      assert(spark.table("graft_pqcodes_t").count() == emb.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivfpq_t")
+      spark.sql("DROP TABLE IF EXISTS graft_pqcodes_t")
+    }
+  }
+
   test("operators are source-format agnostic: CSV and JSON inputs give parquet-identical results") {
     // the oracle gate runs on parquet; this pins that the same operator
     // over the same rows staged as CSV or JSON computes the same frame —

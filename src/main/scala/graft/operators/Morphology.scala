@@ -304,6 +304,13 @@ object Morphology {
     documents.select(col("doc_id")).as[Long].map(id => MorphRow(id, synthSwc(id)))
   }
 
+  /** the decode stage alone: parse + tree-walk per partition. */
+  private def decodeStage(rows: Dataset[MorphRow]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions(_.map(r => treeMetrics(r.morph_id, parseSwc(r.swc)))).toDF()
+  }
+
   /** q79: parse + tree-walk every payload (row-local, per-partition),
     * one metrics row per entity. The repartition evens payload skew
     * before the decode stage, same as q41's extractFeatures. */
@@ -312,11 +319,16 @@ object Morphology {
     import spark.implicits._
     val width = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    morphFrame(documents)
-      .repartition(width, col("morph_id"))
-      .as[MorphRow]
-      .mapPartitions(_.map(r => treeMetrics(r.morph_id, parseSwc(r.swc))))
-      .toDF()
+    decodeStage(morphFrame(documents)
+        .repartition(width, col("morph_id"))
+        .as[MorphRow])
       .orderBy("morph_id")
   }
+
+  /** stream-safe decode: the same parser and tree walk, stateless and
+    * row-local (no repartition, no sort) — runs unchanged on a
+    * readStream documents frame (graft.streaming.DocStreams
+    * .morphMetricsStream, spec-equal to the batch q79). */
+  def morphMetricsRowLocal(documents: DataFrame): DataFrame =
+    decodeStage(morphFrame(documents))
 }

@@ -611,12 +611,34 @@ object Similarity {
           StructField("cell", LongType), StructField("pq_code", LongType),
           StructField("err_bp", LongType))))
     }
-    val res = residualFrame(embeddings, cents)
-    val books = pqCodebooks(res, m, dim, k)
-    encodeWithBooks(res, books, m, dim / m,
-        keep = Seq(col("vec_id"), col("cell").cast("long").as("cell")),
-        errRef = Some(col("__x2")))
-      .orderBy("vec_id")
+    val (_, books) = rpqModels(embeddings, cents, m, dim, k)
+    pqResidualEncodeWithModel(embeddings, cents, books, m, dim).orderBy("vec_id")
+  }
+
+  /** the q81 model pair for a trained coarse quantizer: residual
+    * codebooks are trained ON THE RESIDUALS (that is the whole point —
+    * the code budget adapts to the post-coarse distribution). Exposed
+    * so deployments/streams can freeze and reuse the pair. */
+  def rpqModels(embeddings: DataFrame, cents: Seq[Seq[Double]], m: Int = 8,
+                dim: Int = 64, k: Int = 16): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
+    (cents, pqCodebooks(residualFrame(embeddings, cents), m, dim, k))
+
+  /** model-driven residual encode for PRE-TRAINED models — the frozen
+    * shape a deployment (and the only shape a STREAM) uses: cell
+    * assignment, residual subtraction and code assignment are all
+    * stateless row-local expressions against the broadcast models, so
+    * this runs unchanged on a readStream frame (graft.streaming
+    * .VecStreams.rpqEncodeStream, spec-equal to the batch q81). */
+  def pqResidualEncodeWithModel(embeddings: DataFrame, cents: Seq[Seq[Double]],
+                                books: Seq[Seq[Seq[Double]]],
+                                m: Int = 8, dim: Int = 64): DataFrame = {
+    require(cents.nonEmpty, "empty centroid model: train on a non-empty corpus")
+    require(books.size == m && dim % m == 0, s"need $m codebooks for dim $dim")
+    require(books.forall(_.nonEmpty), "empty codebook: train on a non-empty corpus")
+    requirePackable(m, books.map(_.size).max.max(2))
+    encodeWithBooks(residualFrame(embeddings, cents), books, m, dim / m,
+      keep = Seq(col("vec_id"), col("cell").cast("long").as("cell")),
+      errRef = Some(col("__x2")))
   }
 
   /** q81b: IVF search over the RESIDUAL codes — the full IVFADC query

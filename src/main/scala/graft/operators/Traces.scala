@@ -165,6 +165,13 @@ object Traces {
     documents.select(col("doc_id")).as[Long].map(id => TraceRow(id, synthTrace(id)))
   }
 
+  /** the decode stage alone: per-partition container decode, 1→N. */
+  private def decodeStage(rows: Dataset[TraceRow]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions(_.flatMap(decodeTrace)).toDF()
+  }
+
   /** q80: decode every container (row-local, per-partition) and emit
     * the per-sweep declared-vs-computed consistency report — q46's
     * binary twin. */
@@ -173,11 +180,16 @@ object Traces {
     import spark.implicits._
     val width = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    traceFrame(documents)
-      .repartition(width, col("trace_id"))
-      .as[TraceRow]
-      .mapPartitions(_.flatMap(decodeTrace))
-      .toDF()
+    decodeStage(traceFrame(documents)
+        .repartition(width, col("trace_id"))
+        .as[TraceRow])
       .orderBy("trace_id", "sweep")
   }
+
+  /** stream-safe decode: stateless and row-local (no repartition, no
+    * sort) — runs unchanged on a readStream documents frame
+    * (graft.streaming.DocStreams.traceCheckStream, spec-equal to the
+    * batch q80). */
+  def sweepConsistencyRowLocal(documents: DataFrame): DataFrame =
+    decodeStage(traceFrame(documents))
 }

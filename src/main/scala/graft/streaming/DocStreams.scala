@@ -125,6 +125,21 @@ object DocStreams {
         (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
   }
 
+  /** Ingest-time morphology validation (q79's stream twin): the same
+    * SWC parser and tree walk, stateless and row-local — every arriving
+    * entity's payload is screened at ingest, the shape the reference's
+    * per-resource validation loop has (one resource at a time) but on
+    * the streaming engine. Spec-equal to the batch q79. */
+  def morphMetricsStream(docs: DataFrame): DataFrame =
+    graft.operators.Morphology.morphMetricsRowLocal(docs)
+
+  /** Ingest-time trace consistency (q80's stream twin): decode +
+    * classify + declared-vs-computed per sweep, stateless/row-local —
+    * a mislabeled trace is caught the moment it lands. Spec-equal to
+    * the batch q80. */
+  def traceCheckStream(docs: DataFrame): DataFrame =
+    graft.operators.Traces.sweepConsistencyRowLocal(docs)
+
   /** The MAINTENANCE half of incremental near-dup: append each incoming
     * document's band rows to the persisted index [[nearDupLookup]]
     * probes. Band computation is stateless/row-local, the sink is a

@@ -29,4 +29,13 @@ object VecStreams {
   def pqEncodeStream(vecs: DataFrame, books: Seq[Seq[Seq[Double]]],
                      m: Int = 8, dim: Int = 64): DataFrame =
     Similarity.pqEncodeWithModel(vecs, books, m, dim)
+
+  /** ingest-time RESIDUAL encode (q81's stream twin): cell assignment +
+    * residual subtraction + code assignment against the frozen IVF
+    * centroids and residual codebooks — appends directly to the
+    * partitioned residual index the q81b search probes. */
+  def rpqEncodeStream(vecs: DataFrame, cents: Seq[Seq[Double]],
+                      books: Seq[Seq[Seq[Double]]],
+                      m: Int = 8, dim: Int = 64): DataFrame =
+    Similarity.pqResidualEncodeWithModel(vecs, cents, books, m, dim)
 }

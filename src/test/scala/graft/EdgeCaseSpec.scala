@@ -43,6 +43,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.knnIvfPq(noVecs).isEmpty)
   }
 
+  test("binary kernels and the residual family yield empty results on empty inputs") {
+    assert(Morphology.morphMetrics(noDocs).isEmpty)
+    assert(Traces.sweepConsistency(noDocs).isEmpty)
+    assert(Similarity.pqResidualEncode(noVecs).isEmpty,
+      "residual PQ must not throw with zero centroids")
+    assert(Similarity.knnIvfRpq(noVecs).isEmpty)
+  }
+
   test("corpus construction yields empty results on an empty corpus") {
     assert(Corpus.stratifiedSample(noDocs, Seq("en" -> 1000), 2500).isEmpty)
     assert(Corpus.tokenBudgetPack(noDocs, 1000L).isEmpty)

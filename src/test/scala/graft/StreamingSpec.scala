@@ -264,6 +264,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream encode must reproduce the batch codes verbatim")
   }
 
+  test("streaming binary kernels (morphology, traces) equal their batch twins") {
+    // the q79/q80 decode is stateless row-local work, so the stream
+    // plan is the batch parser verbatim — per-entity metrics must match
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_binstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.DocStreams.readDocStream(spark, dir)
+
+    val wantMorph = graft.operators.Morphology.morphMetrics(docs).collect().toSet
+    val qm = graft.streaming.DocStreams.morphMetricsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("morph_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    qm.processAllAvailable(); qm.stop()
+    assert(spark.table("morph_stream_out").collect().toSet == wantMorph,
+      "stream tree walk must reproduce the batch metrics verbatim")
+
+    val wantTrace = graft.operators.Traces.sweepConsistency(docs).collect().toSet
+    val qt = graft.streaming.DocStreams.traceCheckStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("trace_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    qt.processAllAvailable(); qt.stop()
+    assert(spark.table("trace_stream_out").collect().toSet == wantTrace,
+      "stream decode must reproduce the batch consistency report verbatim")
+  }
+
+  test("streaming residual encode equals the batch q81 under frozen models") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rvecstream").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val cents = graft.operators.Similarity.ivfCentroids(emb, 16)
+    val (_, books) = graft.operators.Similarity.rpqModels(emb, cents)
+    val q = graft.streaming.VecStreams.rpqEncodeStream(
+        graft.streaming.VecStreams.readVecStream(spark, dir), cents, books)
+      .writeStream.outputMode("append").format("memory").queryName("rpq_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rpq_stream_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = graft.operators.Similarity
+      .pqResidualEncodeWithModel(emb, cents, books).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, "stream residual encode must reproduce the batch codes verbatim")
+  }
+
   test("band-index maintenance + lookup give incremental ingest dedup") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ndmaint")

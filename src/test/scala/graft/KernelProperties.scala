@@ -21,6 +21,75 @@ object KernelProperties extends Properties("graft.kernels") {
 
   private val M = Dedup.Mersenne61
 
+  // ---- Morphology SWC parser: render→parse is the identity for any
+  //      valid tree, under every header variant the format allows
+
+  private val swcTreeGen: Gen[Seq[graft.operators.Morphology.SwcNode]] = for {
+    n <- Gen.chooseNum(1, 40)
+    types <- Gen.listOfN(n, Gen.chooseNum(2, 4))
+    radii <- Gen.listOfN(n, Gen.chooseNum(1, 60))
+    coords <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(-50, 50),
+      Gen.zip(Gen.chooseNum(-50, 50), Gen.chooseNum(-50, 50))))
+    // parent of node i+2 is any earlier node: always a valid tree
+    parents <- Gen.sequence[Seq[Int], Int]((0 until n).map(i => Gen.chooseNum(1, i + 1)))
+  } yield {
+    import graft.operators.Morphology.SwcNode
+    SwcNode(1L, 1, 0, 0, 0, 10, -1L) +: (0 until n).map { i =>
+      SwcNode(i + 2L, types(i), coords(i)._1.toDouble, coords(i)._2._1.toDouble,
+        coords(i)._2._2.toDouble, radii(i).toDouble, parents(i).toLong)
+    }
+  }
+
+  property("swc render->parse roundtrips for any tree and header variant") =
+    Prop.forAll(swcTreeGen, Gen.oneOf(0, 1, 2)) { (nodes, variant) =>
+      val (hdr, order) = variant match {
+        case 0 => ("# n type x y z r parent", Seq("type", "x", "y", "z", "radius", "parent"))
+        case 1 => ("# n type x y z radius parent", Seq("type", "x", "y", "z", "radius", "parent"))
+        case _ => ("# n type radius x y z parent", Seq("type", "radius", "x", "y", "z", "parent"))
+      }
+      val text = (Seq("# property fixture", hdr) ++ nodes.map { nd =>
+        val f = Map("type" -> nd.typ.toString,
+          "x" -> nd.x.toLong.toString, "y" -> nd.y.toLong.toString,
+          "z" -> nd.z.toLong.toString, "radius" -> nd.radius.toLong.toString,
+          "parent" -> nd.parent.toString)
+        s"${nd.id} ${order.map(f).mkString(" ")}"
+      }).mkString("", "\n", "\n")
+      val parsed = graft.operators.Morphology.parseSwc(text.getBytes("US-ASCII"))
+      // and the tree walk accepts every generated tree (single root,
+      // all reachable by construction) without throwing
+      graft.operators.Morphology.treeMetrics(1L, parsed)
+      parsed == nodes
+    }
+
+  // ---- Traces codec: encode→decode recovers exact channel aggregates
+
+  private val sweepGen: Gen[(Array[Short], Array[Short])] = for {
+    n <- Gen.chooseNum(2, 32)
+    st <- Gen.listOfN(n, Gen.chooseNum(-300, 300))
+    re <- Gen.listOfN(n, Gen.chooseNum(-300, 300))
+  } yield (st.map(_.toShort).toArray, re.map(_.toShort).toArray)
+
+  property("trace encode->decode recovers sums, peaks and labels exactly") =
+    Prop.forAll(Gen.chooseNum(1, 5).flatMap(s => Gen.listOfN(s, sweepGen)),
+      Gen.chooseNum(1, 100000)) { (sweeps0, rate) =>
+      // ragged channels are rejected by encode; align lengths first
+      val n = sweeps0.head._1.length
+      val sweeps = sweeps0.map { case (st, re) =>
+        (st.padTo(n, 0.toShort).take(n), re.padTo(n, 0.toShort).take(n))
+      }
+      val labels = sweeps.indices.map(i => graft.operators.Traces.Names(i % 3))
+      val bytes = graft.operators.Traces.encodeTrace(rate, labels, sweeps)
+      val got = graft.operators.Traces.decodeTrace(
+        graft.operators.Traces.TraceRow(9L, bytes))
+      got.length == sweeps.length && got.zipWithIndex.forall { case (r, i) =>
+        r.rate_hz == rate && r.declared == labels(i) &&
+          r.sum_stim == sweeps(i)._1.foldLeft(0L)(_ + _) &&
+          r.sum_resp == sweeps(i)._2.foldLeft(0L)(_ + _) &&
+          r.peak_resp == sweeps(i)._2.map(_.toLong).max &&
+          r.is_match == (r.computed == labels(i))
+      }
+    }
+
   private def longArray(xs: Seq[Long]): ArrayData = ArrayData.toArrayData(xs.toArray)
 
   // ---- AffineMinHash: folded Mersenne arithmetic == BigInt ground truth

@@ -162,33 +162,71 @@ object Similarity {
     (withDots, cols)
   }
 
-  /** one Lloyd iteration, fully distributed: assign every vector to its
-    * nearest centroid, recompute each cell's centroid as the per-
-    * dimension mean (posexplode → partial-aggregated sums, so the
-    * shuffle carries C×dim partial sums per partition, not the data).
+  /** Spark's `CAST(round(col * 1000000) AS BIGINT)` replicated for the
+    * driver-side Lloyd passes: `round` on doubles is BigDecimal
+    * HALF_UP, the cast truncates. The oracle replays this exact
+    * arithmetic, so both engines and the driver land on the same
+    * scaled longs. */
+  private[graft] def roundScaled(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** sequential-fold dot — [[graft.functions.VectorExpressions]]'s
+    * fold order (index 0 upward, floats widened per element), the one
+    * every engine in the three-way check agrees on. */
+  private def seqDot(x: Array[Double], c: Array[Double]): Double = {
+    val n = math.min(x.length, c.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += x(i) * c(i); i += 1 }
+    s
+  }
+
+  /** one Lloyd iteration over the COLLECTED training sample, on the
+    * driver: assign every sample vector to its nearest centroid (the
+    * cosine argmax of [[withCellScores]], with `greatest`-struct
+    * semantics: NaN ranks greatest, score ties go to the larger cell
+    * index), recompute each cell's centroid as the per-dimension mean.
     * Cells that lost all members keep their previous centroid.
+    *
+    * The sample is bounded by design (`trainSample` rows — the model
+    * would not be broadcast-sized otherwise), so the refinement is a
+    * few million flops; running it as Spark jobs paid per-iteration
+    * scheduling plus a fresh whole-stage-codegen compile for every new
+    * centroid literal matrix, which BenchPqSplit measured as the
+    * dominant cost of every PQ/IVF query (train 1.7s vs 0.15s scan).
     *
     * Means are computed in QUANTIZED fixed-point: per-dimension sums of
     * round(x·10⁶) as longs, divided integrally by the member count, and
     * the centroid component is that ratio /10⁶. Long sums are exact and
-    * order-independent (float averaging would be partition-order-
-    * dependent), so the refined model is bit-reproducible — in Spark
-    * re-runs AND in the DuckDB oracle, which replays the same
-    * arithmetic. Quantization error (≤5·10⁻⁷ per component) is noise
-    * relative to k-means' own convergence tolerance. */
-  private def lloydStep(e: DataFrame, centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
-    val (withDots, scores) = withCellScores(e, centroids)
-    val means = withDots
-      .withColumn("cell", greatestOf(scores).getField("cell"))
-      .select(col("cell"), posexplode(col("embedding")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
-      .collect()
-      .groupBy(_.getAs[Int]("cell"))
+    * order-independent, so the refined model is bit-identical to the
+    * distributed form — spec-pinned against a Spark-side replica in
+    * LloydEquivalenceSpec and replayed by every PQ/IVF oracle. */
+  private[graft] def lloydStepLocal(rows: Array[(Array[Double], Double)],
+                                        centroids: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val cs = centroids.map(_.toArray).toIndexedSeq
+    val cn = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+    val maxLen = cs.map(_.length).max max rows.iterator.map(_._1.length).maxOption.getOrElse(0)
+    if (maxLen == 0) return centroids // degenerate: every vector empty
+    val sums = Array.ofDim[Long](cs.length, maxLen)
+    val counts = Array.ofDim[Long](cs.length, maxLen)
+    rows.foreach { case (x, norm) =>
+      var best = 0; var bestScore = 0.0; var ci = 0
+      while (ci < cs.length) {
+        val s = seqDot(x, cs(ci)) / (norm * cn(ci))
+        if (ci == 0 || java.lang.Double.compare(s, bestScore) >= 0) {
+          best = ci; bestScore = s
+        }
+        ci += 1
+      }
+      var i = 0
+      while (i < x.length) {
+        sums(best)(i) += roundScaled(x(i)); counts(best)(i) += 1L; i += 1
+      }
+    }
     centroids.zipWithIndex.map { case (old, i) =>
-      means.get(i)
-        .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("m_scaled") / 1e6).toSeq)
-        .getOrElse(old)
+      if (counts(i)(0) == 0L) old
+      else (0 until maxLen).takeWhile(counts(i)(_) > 0L)
+        .map(p => (sums(i)(p) / counts(i)(p)) / 1e6)
     }
   }
 
@@ -204,28 +242,28 @@ object Similarity {
   def ivfCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 2,
                    trainSample: Int = 4096): Seq[Seq[Double]] = {
     // the quantizer trains on a BOUNDED hash-ordered sample (the
-    // standard IVF practice): at 100 TB the Lloyd refinements scan
-    // `trainSample` cached rows, not the corpus — only the final cell
-    // assignment touches all data. The sample is deterministic (same
-    // md5-60 order as the seed pick), so the model stays reproducible;
-    // the seed is the sample's first nCells rows.
-    val sample = withNorm(embeddings)
+    // standard IVF practice): at 100 TB the corpus pays exactly ONE
+    // TakeOrdered selection scan (an nCells-sized heap per partition —
+    // no count() pass), and the Lloyd refinements run on the driver
+    // over the collected sample ([[lloydStepLocal]]) — bit-identical
+    // math, none of the per-iteration job + codegen-compile overhead.
+    // The sample is deterministic (same md5-60 order as the seed
+    // pick), so the model stays reproducible; the seed is the sample's
+    // first nCells rows. Collected payload ≤ trainSample × dim doubles
+    // (2 MB at the defaults) — a bounded model input, not a corpus
+    // collect.
+    val rows = withNorm(embeddings)
       .select(col("vec_id"), col("embedding"), col("norm"),
         Dedup.md5_60(concat(lit("ivf:"), col("vec_id").cast("string"))).as("__h"))
       .orderBy(col("__h"), col("vec_id"))
       .limit(trainSample)
-      .cache()
-    val seed = sample
-      .limit(nCells)
-      .select(col("embedding"))
+      .select(col("embedding"), col("norm"))
       .collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
-      .toSeq
-    val refined =
-      if (seed.isEmpty) seed // empty corpus: no model, no Lloyd passes
-      else (1 to iters).foldLeft(seed)((c, _) => lloydStep(sample, c))
-    sample.unpersist()
-    refined
+      // Number-boxed: float32 corpus vectors widen losslessly
+      .map(r => (r.getSeq[Number](0).map(_.doubleValue()).toArray, r.getDouble(1)))
+    val seed = rows.take(nCells).map(_._1.toSeq).toSeq
+    if (seed.isEmpty) seed // empty corpus: no model, no Lloyd passes
+    else (1 to iters).foldLeft(seed)((c, _) => lloydStepLocal(rows, c))
   }
 
   /** appends `__pqdots$mi` (all code-centroid dot products for ONE
@@ -247,34 +285,46 @@ object Similarity {
     (withDots, cols)
   }
 
-  /** one squared-L2 Lloyd iteration over ALL m subspaces in ONE Spark
-    * job — the [[lloydStep]] discipline (quantized fixed-point integer
-    * means, exact and order-independent) with L2 assignment and
-    * min-code tie-break, per subspace. Subspaces never interact: each
-    * is its own Union branch (assignment + posexplode over ITS
-    * subvectors, a small codegen stage — one fused mega-projection was
-    * tried and hit codegen blowup), merged by a single
-    * (subspace, code, pos) aggregate whose m·k·(dim/m) rows come back
-    * to the driver once. Identical math to iterating the subspaces
-    * separately, so the oracle replay is untouched. */
-  private def lloydIterAll(sample: DataFrame, books: Seq[Seq[Seq[Double]]],
-                           m: Int, d: Int): Seq[Seq[Seq[Double]]] = {
-    val parts = (0 until m).map { mi =>
-      val sub = sample.select(slice(col("embedding"), mi * d + 1, d).as("embedding"))
-      val (withDots, scores) = withPqScores(sub, mi, col("embedding"), books(mi))
-      withDots.withColumn("code", leastOf(scores).getField("code"))
-        .select(lit(mi).as("mi"), col("code"), posexplode(col("embedding")))
-    }
-    val byCell = parts.reduce(_.unionByName(_))
-      .groupBy("mi", "code", "pos")
-      .agg(expr("SUM(CAST(round(col * 1000000) AS BIGINT)) DIV COUNT(*)").as("m_scaled"))
-      .collect()
-      .groupBy(r => (r.getAs[Int]("mi"), r.getAs[Int]("code")))
+  /** one squared-L2 Lloyd iteration over ALL m subspaces, on the
+    * driver over the collected training sample — the [[lloydStepLocal]]
+    * discipline (quantized fixed-point integer means, exact and
+    * order-independent) with L2 assignment and min-code tie-break
+    * (`least`-struct semantics: NaN ranks greatest so real distances
+    * always win, d2 ties go to the smaller code), per subspace.
+    * Subspaces never interact. Bit-identical to the distributed form —
+    * spec-pinned against a Spark-side replica in LloydEquivalenceSpec —
+    * so the oracle replay is untouched. */
+  private[graft] def lloydIterAllLocal(rows: Array[Array[Double]],
+                                           books: Seq[Seq[Seq[Double]]],
+                                           m: Int, d: Int): Seq[Seq[Seq[Double]]] = {
     (0 until m).map { mi =>
+      val cs = books(mi).map(_.toArray).toIndexedSeq
+      val cn2 = cs.map(c => c.map(x => x * x).sum)
+      val sums = Array.ofDim[Long](cs.length, d)
+      val counts = Array.ofDim[Long](cs.length, d)
+      rows.foreach { x =>
+        // slice(embedding, mi*d+1, d): empty past the row's end
+        val subLen = math.max(0, math.min(d, x.length - mi * d))
+        val sub = new Array[Double](subLen)
+        var i = 0
+        while (i < subLen) { sub(i) = x(mi * d + i); i += 1 }
+        var best = 0; var bestD2 = 0.0; var ci = 0
+        while (ci < cs.length) {
+          val d2 = cn2(ci) - 2.0 * seqDot(sub, cs(ci))
+          if (ci == 0 || java.lang.Double.compare(d2, bestD2) < 0) {
+            best = ci; bestD2 = d2
+          }
+          ci += 1
+        }
+        i = 0
+        while (i < subLen) {
+          sums(best)(i) += roundScaled(sub(i)); counts(best)(i) += 1L; i += 1
+        }
+      }
       books(mi).zipWithIndex.map { case (old, ci) =>
-        byCell.get((mi, ci))
-          .map(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("m_scaled") / 1e6).toSeq)
-          .getOrElse(old)
+        if (d == 0 || counts(ci)(0) == 0L) old
+        else (0 until d).takeWhile(counts(ci)(_) > 0L)
+          .map(p => (sums(ci)(p) / counts(ci)(p)) / 1e6)
       }
     }
   }
@@ -289,24 +339,26 @@ object Similarity {
                   iters: Int = 2, trainSample: Int = 4096): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
     val d = dim / m
-    val sample = embeddings
+    // ONE TakeOrdered selection scan; Lloyd refinement on the driver
+    // over the collected sample ([[lloydIterAllLocal]]) — see
+    // [[ivfCentroids]] for why (bounded model input, bit-identical
+    // math, no per-iteration job/codegen overhead).
+    val rows = embeddings
       .select(col("vec_id"), col("embedding"),
         Dedup.md5_60(concat(lit("pq:"), col("vec_id").cast("string"))).as("__h"))
       .orderBy(col("__h"), col("vec_id"))
       .limit(trainSample)
-      .cache()
-    // Number-boxed: the frame may carry float32 corpus vectors OR
-    // double residuals (q81 trains codebooks on x − centroid)
-    val seedRows = sample.limit(k).select(col("embedding"))
-      .collect().map(_.getSeq[Number](0).map(_.doubleValue()).toIndexedSeq).toSeq
+      .select(col("embedding"))
+      .collect()
+      // Number-boxed: the frame may carry float32 corpus vectors OR
+      // double residuals (q81 trains codebooks on x − centroid)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val seedRows = rows.take(k).map(_.toIndexedSeq).toSeq
     val seeds: Seq[Seq[Seq[Double]]] = (0 until m).map { mi =>
       seedRows.map(v => v.slice(mi * d, mi * d + d).toSeq): Seq[Seq[Double]]
     }
-    val books =
-      if (seedRows.isEmpty) seeds
-      else (1 to iters).foldLeft(seeds)((b, _) => lloydIterAll(sample, b, m, d))
-    sample.unpersist()
-    books
+    if (seedRows.isEmpty) seeds
+    else (1 to iters).foldLeft(seeds)((b, _) => lloydIterAllLocal(rows, b, m, d))
   }
 
   /** q76: PRODUCT-QUANTIZATION encode — every vector compressed to m

@@ -169,7 +169,8 @@ object SparkEntry {
     "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d))),
     "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
     "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
-    "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d)))
+    "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d))),
+    "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -666,8 +667,11 @@ object SparkEntry {
     * and lands on identical doubles. */
   /** shared IVF model + probe CTEs (used by q36b and q78): sample →
     * seed → 2 Lloyd iterations → per-vector cell (`corpus`) and
-    * per-query nProbe cells (`probes`). Expects a `raw` CTE in scope. */
-  private def ivfModelCtes: String = {
+    * per-query nProbe cells (`probes`). Expects a `raw` CTE in scope.
+    * The model always TRAINS on `raw`; `assignSrc` is the (vec_id,
+    * emb) universe that gets cell-assigned — q82 freezes the model on
+    * the base corpus and assigns the post-merge universe. */
+  private def ivfModelCtes(assignSrc: String = "raw"): String = {
     def iter(i: Int, prev: String, next: String): String =
       s"""s$i AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
          |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
@@ -679,17 +683,20 @@ object SparkEntry {
          |GROUP BY cell, pos),
          |n$i AS (SELECT cell, list(comp / 1000000.0 ORDER BY pos) AS emb FROM m$i GROUP BY cell),
          |$next AS (SELECT p.cell, COALESCE(n$i.emb, p.emb) AS emb FROM $prev p LEFT JOIN n$i ON p.cell = n$i.cell)""".stripMargin
-    s"""e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw),
-       |vsamp AS (SELECT vec_id, emb, nrm, rn FROM (SELECT vec_id, emb, nrm, row_number() OVER (
+    s"""e AS MATERIALIZED (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw),
+       |vsamp AS MATERIALIZED (SELECT vec_id, emb, nrm, rn FROM (SELECT vec_id, emb, nrm, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
        |FROM e) t WHERE rn <= 4096),
        |c0 AS (SELECT rn - 1 AS cell, emb FROM vsamp WHERE rn <= 16),
        |${iter(0, "c0", "c1")},
        |${iter(1, "c1", "c2")},
-       |sc AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
+       |${if (assignSrc == "raw") "" // identical SQL to the pre-q82 form:
+        // an extra always-on CTE layer here changed DuckDB's
+        // inline-vs-materialize choice and blew up the q81-family plans
+        else s"ea AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM $assignSrc),\n"}sc AS MATERIALIZED (SELECT v.vec_id, v.emb, v.nrm, c.cell,
        |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
-       |FROM e v CROSS JOIN c2 c),
-       |corpus AS (SELECT vec_id AS neighbor_id, emb, nrm, cell FROM (
+       |FROM ${if (assignSrc == "raw") "e" else "ea"} v CROSS JOIN c2 c),
+       |corpus AS MATERIALIZED (SELECT vec_id AS neighbor_id, emb, nrm, cell FROM (
        |SELECT vec_id, emb, nrm, cell,
        |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc) t WHERE rn = 1),
        |probes AS (SELECT vec_id AS query_id, emb, nrm, cell FROM (
@@ -700,7 +707,7 @@ object SparkEntry {
 
   private def knnIvfSql: String =
     s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |$ivfModelCtes,
+       |${ivfModelCtes()},
        |scored AS (SELECT q.query_id, c.neighbor_id,
        |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
        |FROM probes q JOIN corpus c ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
@@ -727,7 +734,11 @@ object SparkEntry {
     * per-vector code assignment f0..f7 (code + relative d2). `src` is
     * the (vec_id, emb) CTE the model trains on and encodes — `raw` for
     * q76-family, `rraw` (residuals) for q81-family. */
-  private def pqModelCtes(src: String = "raw"): String = {
+  /** `src` is the (vec_id, emb) frame the codes are ASSIGNED over;
+    * `sampSrc` (default: src) is what the codebooks TRAIN on — q82
+    * freezes training on the base corpus's residuals while encoding
+    * the post-merge universe. */
+  private def pqModelCtes(src: String = "raw", sampSrc: String = ""): String = {
     val perSub = (0 until PqM).map { mi =>
       def iter(j: Int): String =
         s"""s${mi}_$j AS (SELECT v.vec_id, v.sub, c.code,
@@ -746,12 +757,12 @@ object SparkEntry {
          |x$mi AS (SELECT r.vec_id, c.code,
          |list_dot_product(c.emb, c.emb) - 2*list_dot_product(${pqSubSql("r.emb", mi)}, c.emb) AS d2
          |FROM $src r CROSS JOIN c${mi}_$PqIters c),
-         |f$mi AS (SELECT vec_id, code, d2 FROM (SELECT vec_id, code, d2,
+         |f$mi AS MATERIALIZED (SELECT vec_id, code, d2 FROM (SELECT vec_id, code, d2,
          |row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM x$mi) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""samp AS (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
+    s"""samp AS MATERIALIZED (SELECT vec_id, emb, rn FROM (SELECT vec_id, emb, row_number() OVER (
        |ORDER BY ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rn
-       |FROM $src) t WHERE rn <= 4096),
+       |FROM ${if (sampSrc.isEmpty) src else sampSrc}) t WHERE rn <= 4096),
        |$perSub""".stripMargin
   }
 
@@ -809,7 +820,7 @@ object SparkEntry {
     val codeJoins = (0 until PqM).map(mi => s"JOIN f$mi ON x.neighbor_id = f$mi.vec_id").mkString(" ")
     val bookJoins = (0 until PqM).map(mi => s"JOIN c${mi}_$PqIters cb$mi ON cb$mi.code = f$mi.code").mkString(" ")
     s"""WITH $RawVecCte,
-       |$ivfModelCtes,
+       |${ivfModelCtes()},
        |${pqModelCtes()},
        |pair AS (SELECT q.query_id, x.neighbor_id, $terms AS d2
        |FROM probes q JOIN corpus x ON q.cell = x.cell AND q.query_id <> x.neighbor_id
@@ -829,7 +840,7 @@ object SparkEntry {
     """rpos AS (SELECT x.neighbor_id AS vec_id, x.cell, c.emb AS cemb,
       |unnest(x.emb) AS vx, generate_subscripts(x.emb, 1) AS pos
       |FROM corpus x JOIN c2 c ON x.cell = c.cell),
-      |rraw AS (SELECT vec_id, cell, list(vx - cemb[pos] ORDER BY pos) AS emb
+      |rraw AS MATERIALIZED (SELECT vec_id, cell, list(vx - cemb[pos] ORDER BY pos) AS emb
       |FROM rpos GROUP BY vec_id, cell)""".stripMargin
 
   /** q81's oracle: IVF replay supplies cells and final centroids, the
@@ -842,12 +853,40 @@ object SparkEntry {
       s"(list_dot_product(${pqSubSql("r.emb", mi)}, ${pqSubSql("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
     val joins = (0 until PqM).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
     s"""WITH $RawVecCte,
-       |$ivfModelCtes,
+       |${ivfModelCtes()},
        |$residualCtes,
        |${pqModelCtes("rraw")},
        |enc AS (SELECT r.vec_id, r.cell, CAST($packed AS BIGINT) AS pq_code,
        |$errTerms AS err2, list_dot_product(o.emb, o.emb) AS x2
        |FROM rraw r JOIN raw o ON r.vec_id = o.vec_id $joins)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, pq_code,
+       |CASE WHEN x2 > 0 THEN CAST(floor(10000.0 * greatest(err2, 0.0) / x2) AS BIGINT) ELSE 0 END AS err_bp
+       |FROM enc ORDER BY vec_id""".stripMargin
+  }
+
+  /** q82's oracle: the q81 replay with the model pair FROZEN on the
+    * base corpus — both training CTE chains draw only base rows (the
+    * IVF sample from `raw`, the PQ sample from `rbase` = base
+    * residuals), while assignment, residual rebuild and encode run
+    * over the post-merge universe `uni` (base ∪ the derived arrival
+    * batch: ids at +1000000, reversed vectors). The merge is
+    * insert-only, so the final index state IS the frozen-model encode
+    * of the universe — what the partition-scoped writer must produce. */
+  private def indexUpsertSql: String = {
+    val packed = (0 until PqM).map(mi => s"f$mi.code * ${1L << (4 * mi)}").mkString(" + ")
+    val errTerms = (0 until PqM).map(mi =>
+      s"(list_dot_product(${pqSubSql("r.emb", mi)}, ${pqSubSql("r.emb", mi)}) + f$mi.d2)").mkString(" + ")
+    val joins = (0 until PqM).map(mi => s"JOIN f$mi ON r.vec_id = f$mi.vec_id").mkString(" ")
+    s"""WITH $RawVecCte,
+       |uni AS (SELECT vec_id, emb FROM raw UNION ALL
+       |SELECT vec_id + 1000000 AS vec_id, list_reverse(emb) AS emb FROM raw WHERE vec_id < 500),
+       |${ivfModelCtes("uni")},
+       |$residualCtes,
+       |rbase AS (SELECT vec_id, cell, emb FROM rraw WHERE vec_id < 1000000),
+       |${pqModelCtes("rraw", "rbase")},
+       |enc AS (SELECT r.vec_id, r.cell, CAST($packed AS BIGINT) AS pq_code,
+       |$errTerms AS err2, list_dot_product(o.emb, o.emb) AS x2
+       |FROM rraw r JOIN uni o ON r.vec_id = o.vec_id $joins)
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, pq_code,
        |CASE WHEN x2 > 0 THEN CAST(floor(10000.0 * greatest(err2, 0.0) / x2) AS BIGINT) ELSE 0 END AS err_bp
        |FROM enc ORDER BY vec_id""".stripMargin
@@ -865,7 +904,7 @@ object SparkEntry {
     val codeJoins = (0 until PqM).map(mi => s"JOIN f$mi ON x.vec_id = f$mi.vec_id").mkString(" ")
     val bookJoins = (0 until PqM).map(mi => s"JOIN c${mi}_$PqIters cb$mi ON cb$mi.code = f$mi.code").mkString(" ")
     s"""WITH $RawVecCte,
-       |$ivfModelCtes,
+       |${ivfModelCtes()},
        |$residualCtes,
        |${pqModelCtes("rraw")},
        |qpos AS (SELECT p.query_id, p.cell, c.emb AS cemb,
@@ -1117,7 +1156,7 @@ object SparkEntry {
       ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
       ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql) +
       ("q80_trace_check" -> traceCheckSql) + ("q81_pq_residual" -> pqResidualSql) +
-      ("q81b_ivf_rpq" -> ivfRpqSql)
+      ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -735,6 +735,62 @@ object Similarity {
     rankAscending(scored, "adc_d2_micro", topK)
   }
 
+  /** q82: INDEX MAINTENANCE — the apply step that keeps a persisted
+    * IVFADC index alive as the corpus grows, completing the lifecycle
+    * (build q81 → search q81b → persist/catalog → MAINTAIN). New
+    * arrivals are encoded with the FROZEN model pair (the deployment
+    * invariant: retraining would silently re-key every existing code,
+    * so codebooks only change on an explicit rebuild) and merged into
+    * the cell-partitioned index through the partition-scoped writer —
+    * dynamic partition overwrite rewrites ONLY the cells the batch
+    * lands in and leaves every other cell's files physically untouched
+    * (spec-proven). At 100 TB that is the difference between an index
+    * you can update nightly and one you rebuild: the rewrite is
+    * O(touched cells), the encode is one row-local scan of the BATCH.
+    *
+    * The batch here is derived deterministically so the oracle can
+    * replay it (new ids at `idOffset`, reversed vectors — reversal
+    * preserves none of the subspace structure, so the new vectors
+    * exercise real re-encoding, while list_reverse replays it
+    * exactly in SQL). Inserts only, by contract: a re-embedded
+    * EXISTING key may change coarse cell, which the partitioned
+    * merge's stable-partition precondition forbids — a cell move is a
+    * delete+insert pair (two merges), exactly as in any partitioned
+    * MERGE. The streaming twin of the encode half is
+    * [[graft.streaming.VecStreams.rpqEncodeStream]]; this is the batch
+    * apply of that feed.
+    *
+    * Reference analogue: the register-or-update push-back loops
+    * (/root/reference/src/neuron_morphology/morphology_registration.py)
+    * — arrivals merged into a persisted store keyed by id — applied to
+    * the ANN index artifact. */
+  def indexUpsertApply(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+                       nCells: Int = 16, m: Int = 8, dim: Int = 64, k: Int = 16,
+                       deltaCount: Int = 500, idOffset: Long = 1000000L): DataFrame = {
+    requirePackable(m, k)
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("cell", LongType), StructField("pq_code", LongType),
+          StructField("err_bp", LongType))))
+    }
+    val (_, books) = rpqModels(embeddings, cents, m, dim, k)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_upsert_").toString + "/index"
+    pqResidualEncodeWithModel(embeddings, cents, books, m, dim)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val delta = embeddings.filter(col("vec_id") < deltaCount)
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    MergeWriter.applyToPartitioned(spark, dir,
+      pqResidualEncodeWithModel(delta, cents, books, m, dim), "vec_id", "cell")
+    spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("pq_code"), col("err_bp"))
+      .orderBy("vec_id")
+  }
+
   /** empty (query_id, neighbor_id, adc_d2_micro, rank) frame — the
     * defined ADC-family result over an empty corpus (no model). */
   private def emptyAdc(embeddings: DataFrame): DataFrame = {

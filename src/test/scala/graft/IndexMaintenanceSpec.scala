@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MergeWriter, Similarity}
+
+/** q82 index maintenance: merging a frozen-model-encoded arrival batch
+  * into the persisted cell-partitioned residual index. The value state
+  * is oracle-checked (CORRECTNESS q82); this spec pins the two
+  * properties the oracle cannot see:
+  *   - the writer path changes nothing: the post-merge read-back
+  *     equals the plain union of base and delta encodes, and
+  *   - the rewrite is bounded: cells the batch does not land in keep
+  *     their files PHYSICALLY identical (same names, same bytes
+  *     mtime), which at 100 TB is what makes nightly index updates
+  *     O(touched cells) instead of an index rebuild.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("index upsert equals the frozen-model union; untouched cells physically intact") {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroids(e, 16)
+    val (_, books) = Similarity.rpqModels(e, cents)
+    val base = Similarity.pqResidualEncodeWithModel(e, cents, books)
+    // a SMALL batch (8 vectors) so some cells are guaranteed untouched
+    val delta = e.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val deltaIdx = Similarity.pqResidualEncodeWithModel(delta, cents, books)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxspec_").toString + "/index"
+    base.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    def fileState(): Map[String, Map[String, Long]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+    val before = fileState()
+    val touched = deltaIdx.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.nonEmpty && touched.size < before.size,
+      s"precondition: the batch must land in a strict subset of cells, got $touched")
+
+    MergeWriter.applyToPartitioned(spark, dir, deltaIdx, "vec_id", "cell")
+
+    val after = fileState()
+    before.foreach { case (cellDir, files) =>
+      val cell = cellDir.stripPrefix("cell=").toLong
+      if (!touched.contains(cell))
+        assert(after(cellDir) == files,
+          s"untouched $cellDir was rewritten: ${files.keySet} -> ${after(cellDir).keySet}")
+      else
+        assert(after(cellDir) != files, s"touched $cellDir should have been rewritten")
+    }
+
+    // writer round trip = plain union (no row lost, duplicated or altered)
+    val got = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("pq_code"), col("err_bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = base.unionByName(deltaIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, "post-merge index state must equal base ∪ delta encode")
+  }
+
+  test("q82 entry: new ids appended, base ids re-encoded identically, err_bp comparable") {
+    val out = Similarity.indexUpsertApply(spark, Tables.embeddings(spark, sfDir))
+      .collect()
+    val (delta, baseRows) = out.partition(_.getLong(0) >= 1000000L)
+    assert(delta.length == 500 && baseRows.length == 500)
+    // base half must be exactly the q81 encode (frozen models are the
+    // SAME models q81 trains — insert-only merge cannot disturb them)
+    val q81 = Similarity.pqResidualEncode(Tables.embeddings(spark, sfDir)).collect()
+    assert(baseRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      q81.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "merging new arrivals must not change existing index rows")
+    // reversed vectors are genuinely re-encoded, not copied
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val changed = (0L until 500L).count(i => byId(i) != byId(i + 1000000L))
+    assert(changed > 400, s"reversal should re-key nearly every vector, got $changed/500")
+  }
+}

@@ -38,4 +38,29 @@ object VecStreams {
                       books: Seq[Seq[Seq[Double]]],
                       m: Int = 8, dim: Int = 64): DataFrame =
     Similarity.pqResidualEncodeWithModel(vecs, cents, books, m, dim)
+
+  /** CONTINUOUS index maintenance — q82's stream form, closing the
+    * loop: every arriving micro-batch is residual-encoded against the
+    * frozen model pair ([[rpqEncodeStream]]'s expressions) and MERGEd
+    * by vec_id into the persisted cell-partitioned index through the
+    * partition-scoped writer, so each batch rewrites ONLY the cells it
+    * lands in and every other cell's files stay physically untouched —
+    * the index the q81b search probes is continuously current without
+    * a rebuild. The checkpoint makes delivery effectively-once per
+    * batch; the keyed merge is idempotent under batch replay (the q43
+    * discipline), which is the recovery story. Same insert-only
+    * contract as the batch q82: a re-embedded key that changes coarse
+    * cell needs a delete+insert pair across two merges. */
+  def indexMaintainSink(vecs: DataFrame, path: String, checkpoint: String,
+                        cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                        m: Int = 8, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.MergeWriter.applyToPartitioned(batch.sparkSession, path,
+          Similarity.pqResidualEncodeWithModel(batch.toDF(), cents, books, m, dim),
+          "vec_id", "cell")
+      }
+      .start()
 }

@@ -49,6 +49,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.pqResidualEncode(noVecs).isEmpty,
       "residual PQ must not throw with zero centroids")
     assert(Similarity.knnIvfRpq(noVecs).isEmpty)
+    assert(Similarity.indexUpsertApply(spark, noVecs).isEmpty,
+      "index upsert must not throw with no model to freeze")
   }
 
   test("corpus construction yields empty results on an empty corpus") {

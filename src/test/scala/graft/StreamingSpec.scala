@@ -308,6 +308,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream residual encode must reproduce the batch codes verbatim")
   }
 
+  test("streaming index maintenance merges each batch into touched cells only") {
+    import org.apache.spark.sql.functions.{col, reverse}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_idxmaint")
+    val srcDir = base.resolve("src").toString
+    val indexDir = base.resolve("index").toString
+    val ckpt = base.resolve("ckpt").toString
+    val cents = graft.operators.Similarity.ivfCentroids(emb, 16)
+    val (_, books) = graft.operators.Similarity.rpqModels(emb, cents)
+    val enc = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Similarity.pqResidualEncodeWithModel(df, cents, books)
+    enc(emb).write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+    def fileState(): Map[String, Map[String, Long]] =
+      new java.io.File(indexDir).listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }.toMap
+    def delta(offset: Long, n: Int) = emb.filter(col("vec_id") < n)
+      .select((col("vec_id") + offset).as("vec_id"),
+        reverse(col("embedding")).as("embedding"), col("label"))
+    def arrive(batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.mode("append").parquet(srcDir)
+      val q = graft.streaming.VecStreams.indexMaintainSink(
+        graft.streaming.VecStreams.readVecStream(spark, srcDir),
+        indexDir, ckpt, cents, books)
+      q.processAllAvailable(); q.stop()
+    }
+    def indexState() = spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("pq_code"), col("err_bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val before = fileState()
+    val d1 = delta(1000L, 4) // a SMALL batch: some cells must stay untouched
+    val touched = enc(d1).select("cell").distinct().collect().map(_.getLong(0))
+      .map(c => s"cell=$c").toSet
+    assert(touched.size < before.size, s"precondition: strict cell subset, got $touched")
+    arrive(d1)
+    assert(indexState() == asSet(enc(emb)) ++ asSet(enc(d1)),
+      "batch 1 must merge into the persisted index")
+    fileState().foreach { case (cellDir, files) =>
+      if (!touched.contains(cellDir))
+        assert(files == before(cellDir), s"untouched $cellDir was rewritten by the stream")
+    }
+
+    // batch 2 resumes from the checkpoint: only the NEW file is encoded
+    // and merged; batch 1's rows survive untouched
+    arrive(delta(2000L, 3))
+    assert(indexState() ==
+      asSet(enc(emb)) ++ asSet(enc(d1)) ++ asSet(enc(delta(2000L, 3))),
+      "checkpoint resume must merge only the new arrivals, keeping batch 1")
+  }
+
   test("band-index maintenance + lookup give incremental ingest dedup") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ndmaint")

@@ -15,14 +15,21 @@ import sys
 import duckdb
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
+    # buffer-manager headroom: one long-lived connection accumulating
+    # pages across 80+ heavy model-replay queries has OOM'd under the
+    # default (80%-of-RAM) limit even with host memory free
+    con.execute("SET memory_limit='24GB'")
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
     for t in tables:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
 
+
+def main(sf_dir: str, out_dir: str) -> int:
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
@@ -31,6 +38,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        # fresh connection per query: no cross-query buffer growth, and
+        # one pathological oracle can't sink the rest of the sweep
+        con = connect(sf_dir)
         got = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").fetch_arrow_table()
         if name not in oracle:
@@ -38,8 +48,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                   + ("OK" if got.num_rows > 0 else "EMPTY!"))
             if got.num_rows == 0:
                 n_bad += 1
+            con.close()
             continue
-        exp = con.execute(oracle[name]).fetch_arrow_table()
+        try:
+            exp = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as exc:  # noqa
+            print(f"[FAIL] {name}: oracle error {str(exc)[:120]}")
+            n_bad += 1
+            con.close()
+            continue
         ok = True
         g_cols = sorted(got.column_names)
         e_cols = sorted(exp.column_names)
@@ -76,6 +93,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[ok]   {name}: rows={got.num_rows}")
         else:
             n_bad += 1
+        con.close()
     print(f"=== {n_bad} failing")
     return 1 if n_bad else 0
 

@@ -59,8 +59,21 @@ object Bench {
     // polluted by a busy driver host (r6's q43 "5.08s median" was pure
     // load; a min column makes the next phantom self-evident)
     val warmMin = obj { case (k, _, _, mn, _) => k -> mn }
+    // full JSON string escape incl. control chars: Spark error messages
+    // are routinely multi-line, and a raw newline inside the string
+    // would break BOTH the one-line contract and the JSON — exactly
+    // when a query fails and the error field matters most
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errsJson = results.collect { case (k, _, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum

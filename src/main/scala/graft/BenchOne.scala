@@ -25,21 +25,22 @@ object BenchPqSplit {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = GraftSession.local(32)
     val emb = Tables.embeddings(spark, sfDir)
-    def med(fn: () => Unit): Double = {
-      fn() // untimed warmup
+    // med returns the warmup run's value too, so callers that need the
+    // trained artifact don't pay one more untimed training for it
+    def med[A](fn: () => A): (Double, A) = {
+      val warm = fn() // untimed warmup
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
       }.sorted
-      ts(ts.length / 2)
+      (ts(ts.length / 2), warm)
     }
-    val tIvf = med(() => { Similarity.ivfCentroids(emb, 16); () })
-    val tBooks = med(() => { Similarity.pqCodebooks(emb); () })
-    val books = Similarity.pqCodebooks(emb)
-    val tEncode = med(() => { Similarity.pqEncodeWithModel(emb, books).count(); () })
-    val tFull = med(() => { Similarity.pqEncode(emb).count(); () })
-    val tAdc = med(() => { Similarity.pqAdcSearch(emb).count(); () })
-    val tIvfPq = med(() => { Similarity.knnIvfPq(emb).count(); () })
-    val tRpq = med(() => { Similarity.knnIvfRpq(emb).count(); () })
+    val (tIvf, _) = med(() => Similarity.ivfCentroids(emb, 16))
+    val (tBooks, books) = med(() => Similarity.pqCodebooks(emb))
+    val (tEncode, _) = med(() => Similarity.pqEncodeWithModel(emb, books).count())
+    val (tFull, _) = med(() => Similarity.pqEncode(emb).count())
+    val (tAdc, _) = med(() => Similarity.pqAdcSearch(emb).count())
+    val (tIvfPq, _) = med(() => Similarity.knnIvfPq(emb).count())
+    val (tRpq, _) = med(() => Similarity.knnIvfRpq(emb).count())
     println(f"""{"ivf_train_s":$tIvf%.3f,"pq_train_s":$tBooks%.3f,""" +
       f""""encode_scan_s":$tEncode%.3f,"encode_full_s":$tFull%.3f,""" +
       f""""adc_search_s":$tAdc%.3f,"ivfpq_search_s":$tIvfPq%.3f,""" +

@@ -194,8 +194,26 @@ object SparkEntry {
 
   /** staging-path token: two JVMs running the twins concurrently (bench
     * + the correctness harness) must not overwrite each other's files
-    * mid-read, so each process stages under its own pid-keyed dir. */
-  private lazy val fmtTwinToken: String = s"p${ProcessHandle.current().pid()}"
+    * mid-read, so each process stages under its own pid-keyed dir. A
+    * shutdown hook removes THIS process's dir (pid-keying would
+    * otherwise turn the previously-bounded tmp footprint into one full
+    * twin copy per JVM run, accumulating across bench/test loops);
+    * other pids' live dirs are never touched — deleting them would
+    * reintroduce the concurrent-overwrite race the token exists for. */
+  private lazy val fmtTwinToken: String = {
+    val tok = s"p${ProcessHandle.current().pid()}"
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fmt_twin", tok)
+    sys.addShutdownHook {
+      try if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }
+    tok
+  }
 
   /** Stage `df` as CSV/JSON under java.io.tmpdir and read it back with
     * the ORIGINAL schema (no inference — the twin tests value fidelity,

@@ -86,6 +86,23 @@ object Multimodal {
     s
   }
 
+  /** overflow-checked Long product: adversarial header dims must fail
+    * the length check, never wrap it — w*h*3 wrapping Long back to a
+    * small value could otherwise EQUAL a tiny payload and smuggle a
+    * nonsense geometry through as valid. */
+  private def mulExact(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b) catch {
+      case _: ArithmeticException =>
+        throw new IllegalArgumentException(s"header dims overflow: $a * $b")
+    }
+
+  /** image/video dims must be strictly positive: a zero-dim header
+    * makes every frame zero bytes, so ANY frame count "validates"
+    * against an empty payload — "VID 2147483647 0 0 255" would pass
+    * the length check and emit two billion empty frames. */
+  private def requirePositive(dims: Long*): Unit =
+    dims.foreach(d => require(d >= 1, s"non-positive dimension $d"))
+
   /** header fields after the magic, validated: exactly `n` of them,
     * all nonnegative integers — so a malformed header ("P6\n", junk
     * fields, adversarial dims) fails with the same
@@ -119,7 +136,9 @@ object Multimodal {
       case "P6" =>
         val Array(w, h, maxval) = headerFields(header, 3)
         require(maxval == 255L, s"unsupported maxval $maxval")
-        require(payload == w * h * 3, s"truncated image: $payload != ${w * h * 3}")
+        requirePositive(w, h)
+        val expected = mulExact(mulExact(w, h), 3L)
+        require(payload == expected, s"truncated image: $payload != $expected")
         MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
           w, h, 1L, 0L, sumFrom(bytes, nl + 1, payload.toInt), 0L)
       case "AU8" =>
@@ -130,7 +149,9 @@ object Multimodal {
       case "VID" =>
         val Array(f, w, h, maxval) = headerFields(header, 4)
         require(maxval == 255L, s"unsupported maxval $maxval")
-        require(payload == f * w * h * 3, s"truncated video: $payload != ${f * w * h * 3}")
+        requirePositive(f, w, h)
+        val expected = mulExact(mulExact(mulExact(f, w), h), 3L)
+        require(payload == expected, s"truncated video: $payload != $expected")
         MediaFeatures(row.doc_id, row.mime, bytes.length.toLong,
           w, h, f, 0L, sumFrom(bytes, nl + 1, payload.toInt), 0L)
       case m =>
@@ -151,10 +172,12 @@ object Multimodal {
     else {
       val Array(wL, hL, maxval) = headerFields(header, 3)
       require(maxval == 255L, s"unsupported maxval $maxval")
+      requirePositive(wL, hL)
       // same validation as decodeMedia: a truncated payload must fail
       // loud here too, not throw AIOOBE from inside the pixel loop
-      require((bytes.length - nl - 1).toLong == wL * hL * 3,
-        s"truncated image: ${bytes.length - nl - 1} != ${wL * hL * 3}")
+      val expected = mulExact(mulExact(wL, hL), 3L)
+      require((bytes.length - nl - 1).toLong == expected,
+        s"truncated image: ${bytes.length - nl - 1} != $expected")
       val w = wL.toInt; val h = hL.toInt
       val out = new Array[Byte](newW * newH * 3)
       var y = 0
@@ -185,10 +208,12 @@ object Multimodal {
     else {
       val Array(fL, wL, hL, maxval) = headerFields(header, 4)
       require(maxval == 255L, s"unsupported maxval $maxval")
+      requirePositive(fL, wL, hL)
       // same fail-loud length validation as decodeMedia: a truncated
       // VID must raise here, not AIOOBE from inside sumFrom
-      require((bytes.length - nl - 1).toLong == fL * wL * hL * 3,
-        s"truncated video: ${bytes.length - nl - 1} != ${fL * wL * hL * 3}")
+      val expected = mulExact(mulExact(mulExact(fL, wL), hL), 3L)
+      require((bytes.length - nl - 1).toLong == expected,
+        s"truncated video: ${bytes.length - nl - 1} != $expected")
       val f = fL.toInt
       val frameLen = (wL * hL * 3).toInt
       (0 until f by stride).iterator.map { i =>

@@ -631,8 +631,15 @@ object Similarity {
       .withColumn("cell", greatestOf(scores).getField("cell"))
       .withColumn("__x2",
         graft.functions.VectorExpressions.vec_norm_sq(col("embedding")))
+      // centroid TRUNCATED to the row's length: zip_with pads the
+      // shorter side with null, and a null-padded residual would feed
+      // nulls into the primitive-getter vector kernels downstream — a
+      // short row must keep the flat family's defined short-row
+      // semantics (residual over the components that exist), matching
+      // the oracle's positional rebuild
       .withColumn("embedding",
-        zip_with(col("embedding"), element_at(centLit, col("cell") + 1),
+        zip_with(col("embedding"),
+          slice(element_at(centLit, col("cell") + 1), lit(1), size(col("embedding"))),
           (x, c) => x - c))
       .select("vec_id", "cell", "embedding", "__x2")
   }
@@ -655,14 +662,7 @@ object Similarity {
                        dim: Int = 64, k: Int = 16): DataFrame = {
     requirePackable(m, k)
     val cents = ivfCentroids(embeddings, nCells)
-    if (cents.isEmpty) {
-      import org.apache.spark.sql.types._
-      return embeddings.sparkSession.createDataFrame(
-        embeddings.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("vec_id", LongType),
-          StructField("cell", LongType), StructField("pq_code", LongType),
-          StructField("err_bp", LongType))))
-    }
+    if (cents.isEmpty) return emptyResidualIndex(embeddings.sparkSession)
     val (_, books) = rpqModels(embeddings, cents, m, dim, k)
     pqResidualEncodeWithModel(embeddings, cents, books, m, dim).orderBy("vec_id")
   }
@@ -769,13 +769,7 @@ object Similarity {
                        deltaCount: Int = 500, idOffset: Long = 1000000L): DataFrame = {
     requirePackable(m, k)
     val cents = ivfCentroids(embeddings, nCells)
-    if (cents.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("vec_id", LongType),
-          StructField("cell", LongType), StructField("pq_code", LongType),
-          StructField("err_bp", LongType))))
-    }
+    if (cents.isEmpty) return emptyResidualIndex(spark)
     val (_, books) = rpqModels(embeddings, cents, m, dim, k)
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_upsert_").toString + "/index"
     pqResidualEncodeWithModel(embeddings, cents, books, m, dim)
@@ -789,6 +783,17 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("pq_code"), col("err_bp"))
       .orderBy("vec_id")
+  }
+
+  /** empty (vec_id, cell, pq_code, err_bp) frame — the defined
+    * residual-index state over an empty corpus (no model to train);
+    * shared by q81 and q82 so their empty schemas cannot drift. */
+  private def emptyResidualIndex(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("cell", LongType), StructField("pq_code", LongType),
+        StructField("err_bp", LongType))))
   }
 
   /** empty (query_id, neighbor_id, adc_d2_micro, rank) frame — the

@@ -104,8 +104,14 @@ object Traces {
     require(labels.length == sweeps,
       s"${labels.length} declared labels for $sweeps sweeps")
     val payload = (bytes.length - nl - 1).toLong
-    require(payload == sweeps * n * 4,
-      s"truncated trace: $payload != ${sweeps * n * 4}")
+    // overflow-checked product: "TRC 1 4611686018427387905 ..." would
+    // wrap sweeps*n*4 back to 4 and "validate" against a 4-byte payload
+    val expected =
+      try Math.multiplyExact(Math.multiplyExact(sweeps, n), 4L) catch {
+        case _: ArithmeticException =>
+          throw new IllegalArgumentException(s"TRC geometry overflow: $sweeps x $n")
+      }
+    require(payload == expected, s"truncated trace: $payload != $expected")
     val buf = java.nio.ByteBuffer.wrap(bytes, nl + 1, payload.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     (0 until sweeps.toInt).map { s =>

@@ -51,6 +51,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.knnIvfRpq(noVecs).isEmpty)
     assert(Similarity.indexUpsertApply(spark, noVecs).isEmpty,
       "index upsert must not throw with no model to freeze")
+    // ragged SHORT vector: the residual keeps the flat family's
+    // defined short-row semantics (residual over the components that
+    // exist) — zip_with must not null-pad into the vector kernels
+    val mix = Seq((1L, Array.fill(8)(0.5f)), (2L, Array(0.25f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val ragged = Similarity.pqResidualEncode(mix, nCells = 2, m = 2, dim = 8, k = 2)
+      .collect()
+    assert(ragged.length == 2 &&
+      ragged.forall(r => !r.isNullAt(2) && !r.isNullAt(3)),
+      "short rows must encode to defined codes, not nulls")
   }
 
   test("corpus construction yields empty results on an empty corpus") {

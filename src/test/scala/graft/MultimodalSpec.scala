@@ -87,6 +87,26 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Multimodal.sampleFrameStats(MediaRow(12L, "x", shortVid), stride = 1).toSeq
     }
+    // ZERO-dim header: every frame is 0 bytes, so any frame count
+    // "validates" against an empty payload — must reject the geometry,
+    // not iterate two billion empty frames
+    val zeroDim = "VID 2147483647 0 0 255\n".getBytes("US-ASCII")
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrameStats(MediaRow(13L, "x", zeroDim), stride = 1).toSeq
+    }
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(13L, "x", zeroDim))
+    }
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(14L, "x", "P6 0 0 255\n".getBytes("US-ASCII")))
+    }
+    // LONG-overflowing dims: w*h*3 wrapping back to a small value must
+    // not "equal" a tiny payload (6148914691236517206 * 1 * 3 == 2 in
+    // wrapped Long arithmetic)
+    val wrap = "P6 6148914691236517206 1 255\n".getBytes("US-ASCII") ++ new Array[Byte](2)
+    intercept[IllegalArgumentException] {
+      decodeMedia(MediaRow(15L, "x", wrap))
+    }
   }
 
   test("resize is a real nearest-neighbour kernel: identity at same dims, sampled otherwise") {

@@ -56,6 +56,11 @@ class TracesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // no header line at all
       decodeTrace(TraceRow(1L, Array[Byte](1, 2, 3)))
     }
+    intercept[IllegalArgumentException] { // sweeps*n*4 wraps Long to 4
+      decodeTrace(TraceRow(1L,
+        "TRC 1 4611686018427387905 1000 flat\n".getBytes("US-ASCII")
+          ++ new Array[Byte](4)))
+    }
   }
 
   test("fixture sweep: decode(synthTrace(id)) matches the oracle's closed form") {

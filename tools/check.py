@@ -41,8 +41,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         # fresh connection per query: no cross-query buffer growth, and
         # one pathological oracle can't sink the rest of the sweep
         con = connect(sf_dir)
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{d}/*.parquet')").fetch_arrow_table()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{d}/*.parquet')").fetch_arrow_table()
+        except Exception as exc:  # noqa - a failed query leaves an empty dump dir
+            print(f"[FAIL] {name}: unreadable dump {str(exc)[:120]}")
+            n_bad += 1
+            con.close()
+            continue
         if name not in oracle:
             print(f"[rows-only] {name}: rows={got.num_rows} "
                   + ("OK" if got.num_rows > 0 else "EMPTY!"))

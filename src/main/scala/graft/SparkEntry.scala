@@ -170,7 +170,9 @@ object SparkEntry {
     "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
     "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
     "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d))),
-    "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d)))
+    "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d))),
+    "q83_block_dedup" -> ((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
+    "q84_bloom_decontaminate" -> ((s, d) => Dedup.decontaminateBloom(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -577,6 +579,26 @@ object SparkEntry {
        |COUNT(b.h) > 0 AS is_contaminated
        |FROM corpus c LEFT JOIN bench b ON c.h = b.h
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q83's oracle: the same block split (fixed-width token windows over
+    * the q39 tokenization), first occurrence per 60-bit block hash via
+    * row_number (≡ Spark's min-(doc_id, blk_idx) struct election — the
+    * PARTITION BY is the hash, not the block text, so the two engines
+    * agree even on a hash collision), reassembly ordered by blk_idx. */
+  private def blockDedupSql: String = {
+    val b = graft.operators.Dedup.BlockTokens
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |b1 AS (SELECT doc_id, tk, unnest(generate_series(0, (len(tk) + ${b - 1}) // $b - 1)) AS i FROM toks),
+       |blk AS (SELECT doc_id, i AS blk_idx, array_to_string(tk[(i*$b + 1):(i*$b + $b)], ' ') AS blk FROM b1),
+       |flg AS (SELECT doc_id, blk_idx, blk,
+       |row_number() OVER (PARTITION BY ('0x' || substr(md5(blk), 1, 15))::BIGINT
+       |ORDER BY doc_id, blk_idx) = 1 AS kept FROM blk)
+       |SELECT doc_id, COUNT(*) AS n_blocks,
+       |COUNT(*) FILTER (WHERE NOT kept) AS n_dropped,
+       |(10000 * COUNT(*) FILTER (WHERE NOT kept)) // COUNT(*) AS drop_bp,
+       |coalesce(string_agg(blk, ' ' ORDER BY blk_idx) FILTER (WHERE kept), '') AS retained_text
+       |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** q59's oracle: same candidate universe as q33 (shared
     * [[candidatePairsSql]] CTEs), asymmetric containment instead of
@@ -1362,6 +1384,10 @@ object SparkEntry {
     "q57_dedup_clusters" -> dedupClustersSql,
     "q54_repetition" -> repetitionSql,
     "q58_decontaminate" -> decontaminateSql,
+    "q83_block_dedup" -> blockDedupSql,
+    // q84 implements q58's exact spec under a different physical
+    // strategy (bloom prefilter + exact confirm); one oracle, two plans
+    "q84_bloom_decontaminate" -> decontaminateSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

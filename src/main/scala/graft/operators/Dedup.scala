@@ -203,6 +203,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q84: BLOOM-PREFILTERED decontamination — the SAME logical spec as
+    * [[decontaminate]] (and the same oracle SQL), under the physical
+    * strategy a 100 TB corpus needs when the eval suite itself is too
+    * big to broadcast as a raw hash set: the benchmark's distinct
+    * shingles fold into a fixed-size Bloom filter (bitwise-OR merge —
+    * order-independent, deterministic; Spark's own BloomFilterAggregate,
+    * the engine's runtime-filter machinery), which rides the plan as a
+    * byte-array literal. Every corpus shingle probes the filter
+    * ROW-LOCALLY inside a higher-order filter; only the surviving
+    * candidates — true overlaps plus the filter's false-positive dust —
+    * are exploded and join the exact benchmark set for confirmation.
+    *
+    * Exactness: a Bloom filter has NO false negatives, so every true
+    * overlap reaches the exact join; false positives are discarded
+    * there. The output is therefore bit-identical to [[decontaminate]]
+    * for every filter size (spec-asserted) — the bloom parameters tune
+    * COST only. Scale: corpus cost is one row-local probe pass +
+    * a candidate stream that is ~n_true_overlaps + fpp·n_shingles; the
+    * exact join shuffles only that sliver (AQE broadcasts the
+    * benchmark side when it fits — either way the full corpus shingle
+    * stream never exchanges). The filter is sized by the FIXED
+    * benchmark (n items at numBits), not the corpus, so collecting its
+    * bytes driver-side follows the bounded-model discipline
+    * (q75 vocabulary, PQ codebooks). */
+  def decontaminateBloom(docs: DataFrame, k: Int = 3,
+                         estItems: Long = 1L << 16,
+                         numBits: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bench = docs.filter(isBenchmark(col("doc_id")))
+      .select(explode(shingleSet(col("text"), k)).as("h")).distinct()
+    // the bounded model: benchmark-sized, built in one pass (partial
+    // blooms OR-merge map-side), collected like any broadcast model
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("h"))),
+        Literal(estItems), Literal(numBits)).toAggregateExpression())
+    val bloomBytes = bench.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    def mightContain(v: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(v))))
+    val corpus = docs.filter(!isBenchmark(col("doc_id")))
+      .select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast(org.apache.spark.sql.types.LongType).as("n_shingles"),
+        filter(col("sh"), h => mightContain(h)).as("cand"))
+    // explode_outer keeps zero-candidate docs (h = null joins nothing)
+    corpus
+      .select(col("doc_id"), col("n_shingles"), explode_outer(col("cand")).as("h"))
+      .join(bench.withColumn("__hit", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"), count(col("__hit")).as("n_shared"))
+      .withColumn("contam_bp", expr("(10000 * n_shared) DIV nullif(n_shingles, 0)"))
+      .withColumn("is_contaminated", col("n_shared") > 0)
+      .select("doc_id", "n_shingles", "n_shared", "contam_bp", "is_contaminated")
+      .orderBy("doc_id")
+  }
+
   /** connected-component labels over an explicit edge list, iterated to
     * a VERIFIED fixpoint: each iteration runs one synchronous min-label
     * propagation step (label(v) ← min label over N(v) ∪ {v}) and one
@@ -289,6 +351,68 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
+
+  /** q83 block width (tokens per block) — shared with the oracle SQL. */
+  val BlockTokens = 8
+
+  /** q83: BLOCK-LEVEL exact dedup — the line/paragraph dedup pass of
+    * production corpus pipelines (C4 drops repeated lines, RefinedWeb
+    * line-dedups before document dedup; the synthetic text is
+    * newline-free, so fixed 8-token blocks stand in for lines, the rule
+    * shared verbatim with the oracle). Unlike document-level dedup
+    * (q30/q42), this removes duplicated SPANS — boilerplate, quoted
+    * headers, license blocks — while keeping the host documents: each
+    * distinct block survives only at its first occurrence (min
+    * (doc_id, blk_idx) corpus-wide), and every document is reassembled
+    * from its retained blocks in original order.
+    *
+    * Scale shape: block split is row-local (one HOF over the token
+    * array, no shuffle); winner election is a groupBy on the 60-bit
+    * block hash with map-side partial aggregation (a boilerplate block
+    * repeated 10⁹ times combines to one row per map task BEFORE the
+    * exchange — the reason this is a groupBy+join and not a window,
+    * which would move every instance of the hot key into one task);
+    * the winner join shuffles on the same hash key (AQE splits any
+    * residual skew) and reassembly is one partial-aggregated groupBy
+    * on doc_id. Two corpus scans (block stream feeds both the election
+    * and the join probe), three linear exchanges, nothing all-pairs,
+    * no driver-side state. */
+  def blockDedup(docs: DataFrame, blockTokens: Int = BlockTokens): DataFrame = {
+    val b = blockTokens
+    require(b >= 1, s"blockTokens must be >= 1, got $b")
+    // null text reads as '' so every document appears in the output
+    // (split('') yields [""], i.e. one empty block per empty doc —
+    // empty docs therefore dedup against each other like any block)
+    val blocks = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(tk) + ${b - 1}) DIV $b - 1)," +
+          s" i -> array_join(slice(tk, i * $b + 1, $b), ' '))")))
+      .withColumnRenamed("pos", "blk_idx")
+      .withColumnRenamed("col", "blk")
+      .withColumn("h", md5_60(col("blk")))
+    val winners = blocks
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("blk_idx"))).as("w"))
+    blocks.join(winners, Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("w.doc_id") && col("blk_idx") === col("w.blk_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        // when() without otherwise yields null for dropped blocks and
+        // collect_list skips nulls; array_sort on (blk_idx, blk) structs
+        // restores original order (blk_idx is unique per doc), making
+        // the result partition-order-proof
+        array_join(
+          expr("transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(blk_idx, blk) END)), s -> s.blk)"),
+          " ").as("retained_text"))
+      .withColumn("drop_bp", expr("(10000 * n_dropped) DIV n_blocks"))
+      .select("doc_id", "n_blocks", "n_dropped", "drop_bp", "retained_text")
+      .orderBy("doc_id")
+  }
 
   /** SimHash: 60-bit signature from per-token hash bit votes, computed
     * row-local with a codegen'd native expression (the nested

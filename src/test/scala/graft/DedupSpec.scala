@@ -134,6 +134,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!out(2L).getAs[Boolean]("is_contaminated"))
   }
 
+  test("bloom decontamination is bit-identical to the broadcast-set form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val want = Dedup.decontaminate(docs).collect().toSeq
+    val got = Dedup.decontaminateBloom(docs).collect().toSeq
+    assert(got == want, "bloom prefilter + exact confirm must reproduce q58 exactly")
+    // a deliberately tiny filter (64 bits → false positives everywhere)
+    // changes COST only — the exact confirm join discards the dust, so
+    // the output is still bit-identical: no false negatives, by
+    // construction, at ANY filter size
+    val tiny = Dedup.decontaminateBloom(docs, estItems = 8, numBits = 64)
+      .collect().toSeq
+    assert(tiny == want, "filter size must never change the result")
+  }
+
   test("containment catches a short doc quoted inside a long one") {
     val longDoc = (1 to 80).map(i => s"tok$i").mkString(" ")
     val shortDoc = (1 to 20).map(i => s"tok$i").mkString(" ")  // prefix quote
@@ -148,6 +162,52 @@ class DedupSpec extends AnyFunSuite {
     val jac = Dedup.jaccardVerify(docs).collect()
       .find(r => r.getLong(0) == 2L && r.getLong(1) == 3L).get
     assert(jac.getAs[Long]("jaccard_bp") < 3000L)
+  }
+
+  test("block dedup keeps first occurrence and reassembles in order") {
+    // 8-token blocks: A|B, A|C, A|B (verbatim copy), and a doc that
+    // repeats its own first block (A|A)
+    def blk(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val (a, bb, c, d) = (blk("a"), blk("b"), blk("c"), blk("d"))
+    val docs = Seq(
+      (1L, s"$a $bb"), (2L, s"$a $c"), (3L, s"$a $bb"), (4L, s"$d $d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("retained_text") == s"$a $bb",
+      "first occurrences keep everything")
+    assert(out(1L).getAs[Long]("n_dropped") == 0L)
+    assert(out(2L).getAs[String]("retained_text") == c,
+      "shared leading block drops, novel tail kept in order")
+    assert(out(2L).getAs[Long]("drop_bp") == 5000L)
+    assert(out(3L).getAs[String]("retained_text") == "",
+      "verbatim copy loses every block")
+    assert(out(3L).getAs[Long]("drop_bp") == 10000L)
+    assert(out(4L).getAs[String]("retained_text") == d,
+      "a doc's own repeated block dedups against its first occurrence")
+  }
+
+  test("block dedup: short tail block, cross-doc order, and null text") {
+    def blk(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val tail = "t1 t2 t3" // 3-token tail block
+    val docs = Seq(
+      (5L, s"${blk("x")} $tail"),
+      (6L, tail), // the 3-token string is a full block here — same hash
+      (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(5L).getAs[Long]("n_blocks") == 2L)
+    assert(out(5L).getAs[String]("retained_text") == s"${blk("x")} $tail",
+      "doc 5 owns both first occurrences")
+    assert(out(6L).getAs[String]("retained_text") == "",
+      "doc 6's only block already occurred as doc 5's tail")
+    // null text reads as one empty block; the two null docs dedup
+    // against each other, first doc_id winning
+    assert(out(7L).getAs[Long]("n_blocks") == 1L &&
+      out(7L).getAs[Long]("n_dropped") == 0L)
+    assert(out(8L).getAs[Long]("n_dropped") == 1L)
   }
 
   test("simhash of identical docs is identical, near-dup is hamming-close") {

@@ -113,6 +113,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("block dedup: winner election partial-aggregates map-side, no cartesian") {
+    // the groupBy+join formulation exists precisely so a boilerplate
+    // block repeated 10⁹ times map-side-combines to one row per task
+    // BEFORE the exchange (a window over h would move every instance of
+    // the hot key into one task) — pin the partial min on the hash key
+    val plan = graft.operators.Dedup.blockDedup(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_min"),
+      s"winner election must map-side combine before shuffling on h:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "block join must stay an equality join on the hash key")
+    assert(!plan.contains("Window"),
+      "election must not be a window over the (skewable) block hash")
+  }
+
+  test("bloom decontamination probes row-locally before any exchange") {
+    val df = graft.operators.Dedup.decontaminateBloom(Tables.documents(spark, dir))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("might_contain"),
+      s"corpus shingles must probe the bloom literal row-locally:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // the probe (a filter over the shingle array) happens INSIDE the
+    // projection that feeds the explode — before any exchange — so the
+    // full corpus shingle stream never shuffles; only candidates do
+    val exploded = plan.linesIterator.filter(_.contains("Generate")).mkString
+    assert(exploded.contains("cand") || plan.contains("explode_outer") ||
+      plan.contains("Generate explode"),
+      s"explode must run on the prefiltered candidate array:\n$plan")
+  }
+
   test("top terms: token domain never shuffle-joins, candidates broadcast") {
     val plan = graft.operators.Frequency.sourceTopTerms(Tables.documents(spark, dir))
       .queryExecution.executedPlan.toString()

@@ -172,7 +172,9 @@ object SparkEntry {
     "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d))),
     "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d))),
     "q83_block_dedup" -> ((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
-    "q84_bloom_decontaminate" -> ((s, d) => Dedup.decontaminateBloom(Tables.documents(s, d)))
+    "q84_bloom_decontaminate" -> ((s, d) => Dedup.decontaminateBloom(Tables.documents(s, d))),
+    "q85_bpe_merges" -> ((s, d) => Bpe.mergeTable(s, Tables.documents(s, d))),
+    "q85b_bpe_tokenize" -> ((s, d) => Bpe.tokenizeStats(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -598,6 +600,75 @@ object SparkEntry {
        |(10000 * COUNT(*) FILTER (WHERE NOT kept)) // COUNT(*) AS drop_bp,
        |coalesce(string_agg(blk, ' ' ORDER BY blk_idx) FILTER (WHERE kept), '') AS retained_text
        |FROM flg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** the q85 family's shared replay chain: word-frequency table →
+    * bounded vocabulary → K rounds of (pair count over vocab words →
+    * argmax merge → greedy rewrite). The greedy left-to-right merge
+    * replays via the run-parity closed form (select a match position
+    * iff its offset within its run of consecutive match positions is
+    * even — runs > 1 only arise for self-pairs, see
+    * BpeExpressions.applyMerge). Every d{r}/m{r} is MATERIALIZED: the
+    * chain references each round twice, and DuckDB re-inlines plain
+    * CTEs per reference (the q82 oracle-health lesson — un-materialized
+    * this chain is exponential in K). */
+  private def bpeChainSql: String = {
+    val v = graft.operators.Bpe.VocabWords
+    val minN = graft.operators.Bpe.MinPairCount
+    val k = graft.operators.Bpe.MaxMerges
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT syms[i] AS l, syms[i+1] AS rgt, CAST(SUM(c) AS BIGINT) AS n
+         |FROM (SELECT v.c, d.syms, unnest(generate_series(1, len(d.syms) - 1)) AS i
+         |FROM d${r - 1} d JOIN vocab v USING (w)) t GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT l, rgt, n FROM p$r WHERE n >= $minN
+         |ORDER BY n DESC, l, rgt LIMIT 1),
+         |f${r}a AS (SELECT d.w, d.syms, m.l, m.rgt,
+         |unnest(generate_series(1, len(d.syms))) AS i
+         |FROM d${r - 1} d LEFT JOIN m$r m ON true),
+         |f$r AS (SELECT *, coalesce(i < len(syms) AND syms[i] = l AND syms[i+1] = rgt, false) AS mt FROM f${r}a),
+         |g$r AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY i) AS grp FROM f$r),
+         |s$r AS (SELECT *, mt AND ((i - MIN(i) OVER (PARTITION BY w, mt, grp)) % 2 = 0) AS sel FROM g$r),
+         |e$r AS (SELECT w, i, CASE WHEN sel THEN l || rgt ELSE syms[i] END AS s,
+         |coalesce(LAG(sel) OVER (PARTITION BY w ORDER BY i), false) AS psel FROM s$r),
+         |d$r AS MATERIALIZED (SELECT w, list(s ORDER BY i) FILTER (WHERE NOT psel) AS syms
+         |FROM e$r GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |FROM (SELECT unnest(tk) AS w FROM toks) t GROUP BY w),
+       |vocab AS MATERIALIZED (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT $v),
+       |d0 AS MATERIALIZED (SELECT w, regexp_extract_all(w, '.') AS syms FROM wc),
+       |$rounds""".stripMargin
+  }
+
+  /** q85's oracle: the merge table — one row per non-empty round, rank
+    * = round number (once a round selects nothing every later round
+    * sees the identical pair table, so ranks are contiguous in both
+    * engines). */
+  private def bpeMergesSql: String = {
+    val k = graft.operators.Bpe.MaxMerges
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS rank, l AS left_sym, rgt AS right_sym, l || rgt AS merged, n AS pair_n FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeChainSql}\nSELECT * FROM (\n$union\n) u ORDER BY rank"
+  }
+
+  /** q85b's oracle: per-word final token counts (words the chain
+    * dropped — the zero-length '' artifact of split — re-enter with
+    * count 0 via the left join) aggregated per document. */
+  private def bpeTokenizeSql: String = {
+    val k = graft.operators.Bpe.MaxMerges
+    s"""WITH ${bpeChainSql},
+       |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS nb FROM d$k),
+       |perword AS (SELECT wc.w,
+       |CAST(len(regexp_extract_all(wc.w, '.')) AS BIGINT) AS ns,
+       |coalesce(f.nb, 0) AS nb FROM wc LEFT JOIN fin f USING (w)),
+       |docw AS (SELECT doc_id, unnest(tk) AS w FROM toks)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |CAST(SUM(p.ns) AS BIGINT) AS n_syms, CAST(SUM(p.nb) AS BIGINT) AS n_bpe,
+       |(10000 * CAST(SUM(p.nb) AS BIGINT)) // nullif(CAST(SUM(p.ns) AS BIGINT), 0) AS comp_bp
+       |FROM docw JOIN perword p USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** q59's oracle: same candidate universe as q33 (shared
@@ -1388,6 +1459,8 @@ object SparkEntry {
     // q84 implements q58's exact spec under a different physical
     // strategy (bloom prefilter + exact confirm); one oracle, two plans
     "q84_bloom_decontaminate" -> decontaminateSql,
+    "q85_bpe_merges" -> bpeMergesSql,
+    "q85b_bpe_tokenize" -> bpeTokenizeSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

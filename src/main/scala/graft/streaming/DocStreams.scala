@@ -140,6 +140,16 @@ object DocStreams {
   def traceCheckStream(docs: DataFrame): DataFrame =
     graft.operators.Traces.sweepConsistencyRowLocal(docs)
 
+  /** Ingest-time BPE tokenization stats (q85b's stream twin): arriving
+    * documents are tokenized against the FROZEN batch-trained merge
+    * list — stateless row-local work, the same contract as
+    * [[rarityLookup]]/pqEncodeStream (retraining the tokenizer would
+    * silently re-segment the whole corpus, so a deployment trains
+    * batch-side and freezes; spec-equal to the batch q85b). */
+  def bpeTokenizeStream(docs: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame =
+    graft.operators.Bpe.tokenizeStatsRowLocal(docs, merges)
+
   /** The MAINTENANCE half of incremental near-dup: append each incoming
     * document's band rows to the persisted index [[nearDupLookup]]
     * probes. Band computation is stateless/row-local, the sink is a

@@ -128,6 +128,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "election must not be a window over the (skewable) block hash")
   }
 
+  test("bpe tokenize: the apply scan is row-local against the frozen model") {
+    // induction runs driver-side over the bounded vocabulary BEFORE
+    // this plan exists; the returned scan must be scan → kernel
+    // projection → output sort, zero hash exchanges, no explode
+    val plan = graft.operators.Bpe.tokenizeStats(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("bpe_stats"), s"kernel expression missing:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"apply must not shuffle — the model is a literal:\n$plan")
+    assert(!plan.contains("Generate"), "no explode in the apply scan")
+  }
+
   test("bloom decontamination probes row-locally before any exchange") {
     val df = graft.operators.Dedup.decontaminateBloom(Tables.documents(spark, dir))
     val plan = df.queryExecution.executedPlan.toString()

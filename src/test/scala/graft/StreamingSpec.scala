@@ -240,6 +240,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream scoring must reproduce the batch screen verbatim")
   }
 
+  test("streaming bpe tokenize equals the batch stats under the frozen merges") {
+    // train merges batch-side, stream the same corpus through the
+    // frozen-model tokenizer — every per-doc figure must match the
+    // batch operator exactly (stateless row-local kernel, shared model)
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpestream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val merges = graft.operators.Bpe.trainMerges(
+      graft.operators.Bpe.vocabulary(docs)).map(m => (m.left, m.right))
+    assert(merges.nonEmpty && merges.size <= graft.operators.Bpe.MaxMerges,
+      "model is bounded by the merge budget")
+    val want = graft.operators.Bpe.tokenizeStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_syms"),
+          r.getAs[Long]("n_bpe"))).toMap
+    val q = graft.streaming.DocStreams.bpeTokenizeStream(
+        graft.streaming.DocStreams.readDocStream(spark, dir), merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bpe_stream_out").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_syms"),
+          r.getAs[Long]("n_bpe"))).toMap
+    assert(got == want, "stream tokenization must reproduce the batch stats verbatim")
+  }
+
   test("streaming pq encode equals the batch encode under the frozen codebooks") {
     // train the codebooks batch-side, stream the same vectors through
     // the model-driven encode — every (vec_id, pq_code, err_bp) must

@@ -608,7 +608,10 @@ object SparkEntry {
     * replays via the run-parity closed form (select a match position
     * iff its offset within its run of consecutive match positions is
     * even — runs > 1 only arise for self-pairs, see
-    * BpeExpressions.applyMerge). Every d{r}/m{r} is MATERIALIZED: the
+    * BpeExpressions.applyMerge). The symbol split uses (?s). so RE2
+    * matches newline code points too, same as the Scala kernel's
+    * codePointSyms (tokens() only splits on spaces, so a newline stays
+    * inside a word). Every d{r}/m{r} is MATERIALIZED: the
     * chain references each round twice, and DuckDB re-inlines plain
     * CTEs per reference (the q82 oracle-health lesson — un-materialized
     * this chain is exponential in K). */
@@ -637,7 +640,7 @@ object SparkEntry {
        |wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
        |FROM (SELECT unnest(tk) AS w FROM toks) t GROUP BY w),
        |vocab AS MATERIALIZED (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT $v),
-       |d0 AS MATERIALIZED (SELECT w, regexp_extract_all(w, '.') AS syms FROM wc),
+       |d0 AS MATERIALIZED (SELECT w, regexp_extract_all(w, '(?s).') AS syms FROM wc),
        |$rounds""".stripMargin
   }
 
@@ -661,7 +664,7 @@ object SparkEntry {
     s"""WITH ${bpeChainSql},
        |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS nb FROM d$k),
        |perword AS (SELECT wc.w,
-       |CAST(len(regexp_extract_all(wc.w, '.')) AS BIGINT) AS ns,
+       |CAST(len(regexp_extract_all(wc.w, '(?s).')) AS BIGINT) AS ns,
        |coalesce(f.nb, 0) AS nb FROM wc LEFT JOIN fin f USING (w)),
        |docw AS (SELECT doc_id, unnest(tk) AS w FROM toks)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,

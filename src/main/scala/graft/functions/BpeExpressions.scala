@@ -47,7 +47,8 @@ object BpeExpressions {
   }
 
   /** a word's initial symbols: one per Unicode code point (matches the
-    * oracle's regexp_extract_all(w, '.') on newline-free tokens). */
+    * oracle's regexp_extract_all(w, '(?s).') — every code point,
+    * newlines included). */
   def codePointSyms(w: String): Array[String] = {
     val n = w.codePointCount(0, w.length)
     val out = new Array[String](n)
@@ -63,9 +64,12 @@ object BpeExpressions {
     out
   }
 
-  /** full apply: code-point split, then every merge in rank order. */
-  def tokenize(word: String, merges: Array[(String, String)]): Array[String] = {
-    var syms = codePointSyms(word)
+  /** every merge in rank order over an already-split symbol array —
+    * the single copy of the merge loop (kernel callers split first so
+    * they can count initial symbols). */
+  def applyMerges(syms0: Array[String],
+                  merges: Array[(String, String)]): Array[String] = {
+    var syms = syms0
     var r = 0
     while (r < merges.length && syms.length >= 2) {
       val (l, rt) = merges(r)
@@ -74,6 +78,10 @@ object BpeExpressions {
     }
     syms
   }
+
+  /** full apply: code-point split, then every merge in rank order. */
+  def tokenize(word: String, merges: Array[(String, String)]): Array[String] =
+    applyMerges(codePointSyms(word), merges)
 
   /** per-document BPE stats over a word array against a frozen merge
     * list: (n_words, n_syms -- code points before any merge,
@@ -107,14 +115,7 @@ object BpeExpressions {
           words += 1
           val s = codePointSyms(w)
           syms0 += s.length
-          var cur = s
-          var r = 0
-          while (r < mergeArr.length && cur.length >= 2) {
-            val (l, rt) = mergeArr(r)
-            cur = applyMerge(cur, l, rt, l + rt)
-            r += 1
-          }
-          bpe += cur.length
+          bpe += applyMerges(s, mergeArr).length
         }
         i += 1
       }
@@ -136,7 +137,10 @@ object BpeExpressions {
   def bpe_stats(words: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeStats(ColumnBridge.expression(words), merges))
 
-  /** the tokenized symbol array itself (streaming twin + specs). */
+  /** the tokenized symbol array itself — the user-facing "give me the
+    * actual tokens" column (the q85b stats query only needs counts, so
+    * it uses [[BpeStats]]; this is the API a training-data exporter
+    * calls, spec-pinned against the driver-side [[tokenize]]). */
   case class BpeTokens(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -46,6 +46,12 @@ object Bpe {
 
   final case class Merge(rank: Int, left: String, right: String, pairN: Long)
 
+  /** binary UTF-8 comparison (what Spark's UTF8String and DuckDB's
+    * default collation both use). */
+  private def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** the bounded word-frequency table: one corpus scan, map-side
     * combined, TakeOrdered selection. */
   private[graft] def vocabulary(docs: DataFrame): Seq[(String, Long)] =
@@ -76,7 +82,17 @@ object Bpe {
       }
       val best = counts.toSeq
         .filter(_._2 >= MinPairCount)
-        .sortBy { case ((l, r), n) => (-n, l, r) }
+        .sortWith { case (((l1, r1), n1), ((l2, r2), n2)) =>
+          // tie-break in UTF-8 BYTE order, not Java UTF-16 order: the
+          // oracle's ORDER BY and vocabulary()'s Spark orderBy both
+          // compare binary UTF-8, and the two orders disagree between
+          // supplementary code points and U+E000..U+FFFF
+          if (n1 != n2) n1 > n2
+          else {
+            val c = utf8Cmp(l1, l2)
+            if (c != 0) c < 0 else utf8Cmp(r1, r2) < 0
+          }
+        }
         .headOption
       best match {
         case None => done = true

@@ -250,6 +250,12 @@ object Dedup {
         ColumnBridge.expression(xxhash64(v))))
     val corpus = docs.filter(!isBenchmark(col("doc_id")))
       .select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      // match decontaminate's explode semantics exactly: a doc with a
+      // null (or empty) shingle set produces zero exploded rows there,
+      // so it must not survive here either — without this filter,
+      // explode_outer would emit a spurious (n_shingles=null, n_shared=0)
+      // row for null-text docs and break the bit-identity contract
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         size(col("sh")).cast(org.apache.spark.sql.types.LongType).as("n_shingles"),
         filter(col("sh"), h => mightContain(h)).as("cand"))

@@ -80,6 +80,35 @@ class BpeSpec extends AnyFunSuite {
       "single-char words have no pairs")
   }
 
+  test("tie-break compares UTF-8 bytes, not Java UTF-16 units") {
+    // U+E000 is 3 UTF-8 bytes (EE 80 80), U+1F600 is 4 (F0 9F 98 80):
+    // byte order puts E000 first; Java UTF-16 order would put the
+    // surrogate pair (D83D DE00) first. The oracle and vocabulary()
+    // both compare bytes, so trainMerges must too.
+    val e000 = "\uE000"
+    val smile = new String(Character.toChars(0x1F600))
+    val merges = Bpe.trainMerges(Seq((smile * 2, 2L), (e000 * 2, 2L)))
+    assert(merges.head.left == e000 && merges.head.right == e000,
+      "UTF-8 byte order breaks the tie toward U+E000")
+  }
+
+  test("bpe_tokens returns the token array itself, equal to the driver tokenize") {
+    val merges = Seq(("e", "r"), ("m", "er"))
+    val words = Seq((1L, "merger"), (2L, "er"), (3L, ""), (4L, null.asInstanceOf[String]))
+    val got = words.toDF("id", "w")
+      .select($"id", BpeExpressions.bpe_tokens($"w", merges).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1)).map(_.toList)).toMap
+    words.foreach { case (id, w) =>
+      if (w == null) assert(got(id).isEmpty, "null word -> null tokens")
+      else {
+        val want = BpeExpressions.tokenize(w, merges.toArray).toList
+        assert(got(id).contains(want), s"word '$w'")
+        assert(got(id).get.mkString == w, "tokens reconstruct the word")
+      }
+    }
+  }
+
   test("tokenize applies merges in rank order") {
     val merges = Array(("e", "r"), ("m", "er"))
     assert(BpeExpressions.tokenize("merger", merges).toSeq ==

@@ -146,6 +146,16 @@ class DedupSpec extends AnyFunSuite {
     val tiny = Dedup.decontaminateBloom(docs, estItems = 8, numBits = 64)
       .collect().toSeq
     assert(tiny == want, "filter size must never change the result")
+    // null-text corpus docs: explode drops them in decontaminate, so the
+    // bloom form's explode_outer path must drop them too (regression:
+    // it used to emit a spurious n_shingles=null row)
+    val withNull = Seq(
+      (0L, base), (1L, base), (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val wantN = Dedup.decontaminate(withNull).collect().toSeq
+    val gotN = Dedup.decontaminateBloom(withNull).collect().toSeq
+    assert(!wantN.exists(_.getLong(0) == 2L), "null-text doc is out of domain")
+    assert(gotN == wantN, "bit-identity must hold with null text in the corpus")
   }
 
   test("containment catches a short doc quoted inside a long one") {

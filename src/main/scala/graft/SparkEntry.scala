@@ -174,7 +174,9 @@ object SparkEntry {
     "q83_block_dedup" -> ((s, d) => Dedup.blockDedup(Tables.documents(s, d))),
     "q84_bloom_decontaminate" -> ((s, d) => Dedup.decontaminateBloom(Tables.documents(s, d))),
     "q85_bpe_merges" -> ((s, d) => Bpe.mergeTable(s, Tables.documents(s, d))),
-    "q85b_bpe_tokenize" -> ((s, d) => Bpe.tokenizeStats(Tables.documents(s, d)))
+    "q85b_bpe_tokenize" -> ((s, d) => Bpe.tokenizeStats(Tables.documents(s, d))),
+    "q86_tfidf_terms" -> ((s, d) => Search.tfidfTerms(Tables.documents(s, d))),
+    "q87_keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -672,6 +674,54 @@ object SparkEntry {
        |(10000 * CAST(SUM(p.nb) AS BIGINT)) // nullif(CAST(SUM(p.ns) AS BIGINT), 0) AS comp_bp
        |FROM docw JOIN perword p USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q86's oracle: per-doc top-m terms by exact scaled tf-idf. The
+    * idf is the log-free rational Robertson core — see
+    * graft.operators.Search — so every product/DIV replays exactly. */
+  private def tfidfTermsSql: String = {
+    val m = graft.operators.Search.TfidfTopM
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |FROM (SELECT doc_id, unnest(tk) AS w FROM toks) t GROUP BY doc_id, w),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+       |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |((10000 * (n.n_docs - df.df + 1)) // (df.df + 1)) * tf.tf AS tfidf_bp
+       |FROM tf JOIN df USING (term) CROSS JOIN n),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_bp DESC, term) AS rank FROM scored)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf_bp
+       |FROM rk WHERE rank <= $m ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** q87's oracle: the literal query set (interpolated from the same
+    * constant the Spark side scores), AND semantics via min(tf) > 0,
+    * the shared rational idf, and length-normalized integer scoring. */
+  private def keywordSearchSql: String = {
+    val qvals = graft.operators.Search.Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val pivot = graft.operators.Search.LenPivot
+    val k = graft.operators.Search.SearchTopK
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |q(query_id, term) AS (VALUES $qvals),
+       |terms AS (SELECT DISTINCT term FROM q),
+       |tf AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, tm.term,
+       |CAST(len(list_filter(t.tk, x -> x = tm.term)) AS BIGINT) AS tf
+       |FROM toks t CROSS JOIN terms tm),
+       |df AS (SELECT term, CAST(COUNT(*) FILTER (WHERE tf > 0) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+       |contrib AS (SELECT q.query_id, tf.doc_id, tf.n_tokens, tf.tf,
+       |((10000 * (n.n_docs - df.df + 1)) // (df.df + 1)) * tf.tf AS c
+       |FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term CROSS JOIN n),
+       |agg AS (SELECT query_id, doc_id,
+       |CAST((10000 * SUM(c)) // ($pivot + MIN(n_tokens)) AS BIGINT) AS score_bp,
+       |MIN(tf) AS min_tf FROM contrib GROUP BY query_id, doc_id),
+       |rk AS (SELECT query_id, doc_id, score_bp,
+       |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id) AS rank
+       |FROM agg WHERE min_tf > 0)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_bp
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q59's oracle: same candidate universe as q33 (shared
@@ -1464,6 +1514,8 @@ object SparkEntry {
     "q84_bloom_decontaminate" -> decontaminateSql,
     "q85_bpe_merges" -> bpeMergesSql,
     "q85b_bpe_tokenize" -> bpeTokenizeSql,
+    "q86_tfidf_terms" -> tfidfTermsSql,
+    "q87_keyword_search" -> keywordSearchSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Lexical retrieval over the corpus (SURVEY.md §2C, q86/q87) — the
+  * keyword-search complement to the ANN family: tf-idf term weighting
+  * and BM25-style ranked multi-term search, the tooling a curation
+  * team uses to find and audit corpus slices ("show me the docs about
+  * X") and the lexical half of hybrid retrieval. Reference analogue:
+  * the reference delegates ranked text search to its store's ES
+  * search index and only audits it
+  * (/root/reference/src/search_index/search_index_discrepancy.py
+  * queries the index and diffs it against the store — the q44
+  * pattern); here ranked retrieval itself is a first-class engine
+  * operator, so no external search service is needed.
+  *
+  * All scoring is EXACT integer arithmetic (scaled basis points,
+  * truncating DIV) so every rank replays bit-for-bit in the DuckDB
+  * oracle: idf_bp(t) = (10000·(N − df + 1)) DIV (df + 1) — the
+  * rational core of the Robertson idf with the log dropped (log is
+  * monotone, so per-term RANK order is identical; dropping it keeps
+  * the arithmetic engine-exact instead of trusting two libm's to
+  * round ln identically).
+  */
+object Search {
+
+  /** per-doc term count bound for [[tfidfTerms]]. */
+  val TfidfTopM = 5
+
+  /** search result bound for [[keywordSearch]]. */
+  val SearchTopK = 10
+
+  /** terms ranked per document: m highest tf·idf_bp terms (tie → term
+    * asc, binary UTF-8 in both engines).
+    *
+    * Scale shape: tf = one explode + map-side-combined groupBy
+    * (doc_id, term); df = a second partial-combined agg OVER the tf
+    * frame (term domain only — the corpus never re-shuffles) and is
+    * broadcast back (vocabulary-bounded, the q47/q75 discipline); the
+    * doc-count scalar is a 1-row broadcast. Ranking is the TopKPerKey
+    * bounded heap keyed on doc_id — never a full per-partition sort —
+    * with the residual row_number window touching ≤ m rows per doc. */
+  def tfidfTerms(docs: DataFrame, m: Int = TfidfTopM): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(Dedup.tokens(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_bp",
+        expr("((10000 * (n_docs - df + 1)) DIV (df + 1)) * tf"))
+    graft.plans.TopKPerKey(scored, Seq(col("doc_id")),
+      Seq(col("tfidf_bp").desc, col("term").asc), m)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf_bp").desc, col("term").asc)).cast(LongType))
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf_bp")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** the fixed demo query set (query_id → AND-terms); interpolated
+    * into the oracle SQL so both engines score the same literals. */
+  val Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("merge", "join"),
+    2 -> Seq("window", "scan", "sort"),
+    3 -> Seq("dup", "stream"))
+
+  /** length-normalization pivot of the BM25-style score:
+    * score_bp = (10000 · Σ_t idf_bp(t)·tf(t,d)) DIV (LenPivot + len). */
+  val LenPivot = 1500L
+
+  /** q87: ranked keyword search — top-k docs per query under AND
+    * semantics (a doc qualifies iff it contains EVERY query term),
+    * scored by length-normalized Σ idf_bp·tf.
+    *
+    * Scale shape: the query set is a LITERAL, so the corpus pays ONE
+    * row-local scan — per distinct query term a tf column via a
+    * higher-order filter over the token array (no explode of the
+    * token stream, no shuffle); the df/N statistics are one scalar
+    * aggregate broadcast back (1-row crossJoin, the q60/q75 pattern);
+    * each doc then fans out to its (query, score) rows by inlining a
+    * literal struct array (row-local, ×|queries|), non-qualifying
+    * rows drop BEFORE any exchange, and the only shuffle in the plan
+    * is the TopKPerKey bounded heap's final clustering on query_id —
+    * map-side partials cap it at k rows per (query, input partition).
+    * A window over query_id instead would move every qualifying doc
+    * onto |queries| hot partitions; the heap never materializes more
+    * than k rows per key anywhere. */
+  def keywordSearch(docs: DataFrame,
+                    queries: Seq[(Int, Seq[String])] = Queries,
+                    k: Int = SearchTopK): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val terms = queries.flatMap(_._2).distinct
+    val toks = docs.select(col("doc_id"),
+      Dedup.tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val base = toks.select(
+      col("doc_id") +:
+        size(col("tk")).cast(LongType).as("n_tokens") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).cast(LongType).as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val perQuery: Column = array(queries.map { case (qid, qterms) =>
+      val idx = qterms.map(terms.indexOf)
+      val raw = idx.map(i =>
+        expr(s"((10000 * (n_docs - __df$i + 1)) DIV (__df$i + 1)) * __tf$i"))
+        .reduce(_ + _)
+      val ok = idx.map(i => col(s"__tf$i") > 0).reduce(_ && _)
+      struct(lit(qid).as("query_id"), ok.as("ok"), raw.as("raw"))
+    }: _*)
+    val candidates = scored
+      .select(col("doc_id"), col("n_tokens"), inline(perQuery))
+      .filter(col("ok"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"(10000 * raw) DIV ($LenPivot + n_tokens)").as("score_bp"))
+    graft.plans.TopKPerKey(candidates, Seq(col("query_id")),
+      Seq(col("score_bp").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_bp").desc, col("doc_id").asc)).cast(LongType))
+      .select("query_id", "rank", "doc_id", "score_bp")
+      .orderBy("query_id", "rank")
+  }
+}

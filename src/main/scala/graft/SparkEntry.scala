@@ -176,7 +176,13 @@ object SparkEntry {
     "q85_bpe_merges" -> ((s, d) => Bpe.mergeTable(s, Tables.documents(s, d))),
     "q85b_bpe_tokenize" -> ((s, d) => Bpe.tokenizeStats(Tables.documents(s, d))),
     "q86_tfidf_terms" -> ((s, d) => Search.tfidfTerms(Tables.documents(s, d))),
-    "q87_keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d)))
+    "q87_keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d))),
+    "q88_indexed_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Search.indexedSearch(Search.postingIndex(docs), Search.docCount(docs))
+    }),
+    "q89_hybrid_rrf" -> ((s, d) =>
+      Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -694,16 +700,18 @@ object SparkEntry {
        |FROM rk WHERE rank <= $m ORDER BY doc_id, rank""".stripMargin
   }
 
-  /** q87's oracle: the literal query set (interpolated from the same
-    * constant the Spark side scores), AND semantics via min(tf) > 0,
-    * the shared rational idf, and length-normalized integer scoring. */
-  private def keywordSearchSql: String = {
+  /** shared CTE chain of the q87/q88/q89 lexical ranking (the literal
+    * query set is interpolated from the same constant the Spark side
+    * scores; AND semantics via min(tf) > 0; the shared rational idf;
+    * length-normalized integer scoring). `rk` = every qualifying
+    * (query, doc) ranked — MATERIALIZED so q89's fusion re-reads it
+    * instead of re-inlining the scoring chain. */
+  private def keywordCtes: String = {
     val qvals = graft.operators.Search.Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
     val pivot = graft.operators.Search.LenPivot
-    val k = graft.operators.Search.SearchTopK
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
        |q(query_id, term) AS (VALUES $qvals),
        |terms AS (SELECT DISTINCT term FROM q),
        |tf AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, tm.term,
@@ -717,11 +725,46 @@ object SparkEntry {
        |agg AS (SELECT query_id, doc_id,
        |CAST((10000 * SUM(c)) // ($pivot + MIN(n_tokens)) AS BIGINT) AS score_bp,
        |MIN(tf) AS min_tf FROM contrib GROUP BY query_id, doc_id),
-       |rk AS (SELECT query_id, doc_id, score_bp,
+       |rk AS MATERIALIZED (SELECT query_id, doc_id, score_bp,
        |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id) AS rank
-       |FROM agg WHERE min_tf > 0)
+       |FROM agg WHERE min_tf > 0)""".stripMargin
+  }
+
+  /** q87's oracle (q88 shares it verbatim: the indexed path is
+    * bit-identical to the scan path by construction). */
+  private def keywordSearchSql: String = {
+    val k = graft.operators.Search.SearchTopK
+    s"""WITH $keywordCtes
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_bp
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q89's oracle: reciprocal-rank fusion of the lexical ranking (the
+    * shared `rk` chain) and the exact cosine kNN restricted to the
+    * query ids — rank-only inputs, so the fused score is exact
+    * integer arithmetic in both engines. */
+  private def hybridRrfSql: String = {
+    val k = graft.operators.Search.SearchTopK
+    val rrfK = graft.operators.Search.RrfK
+    val qids = graft.operators.Search.Queries.map(_._1).mkString(", ")
+    s"""WITH $keywordCtes,
+       |lex AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= $k),
+       |vraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ve AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM vraw),
+       |knn AS (SELECT query_id, doc_id, rank FROM (
+       |SELECT CAST(vq.vec_id AS INTEGER) AS query_id, vc.vec_id AS doc_id,
+       |ROW_NUMBER() OVER (PARTITION BY vq.vec_id
+       |ORDER BY list_dot_product(vq.emb, vc.emb) / (vq.nrm * vc.nrm) DESC, vc.vec_id) AS rank
+       |FROM ve vq JOIN ve vc ON vq.vec_id <> vc.vec_id WHERE vq.vec_id IN ($qids)) t
+       |WHERE rank <= $k),
+       |u AS (SELECT * FROM lex UNION ALL SELECT * FROM knn),
+       |f AS (SELECT query_id, doc_id,
+       |CAST(SUM(10000 // ($rrfK + rank)) AS BIGINT) AS rrf_bp,
+       |CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2),
+       |frk AS (SELECT query_id, doc_id, rrf_bp, n_lists,
+       |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_bp DESC, doc_id) AS rank FROM f)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_bp, n_lists
+       |FROM frk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q59's oracle: same candidate universe as q33 (shared
@@ -1516,6 +1559,8 @@ object SparkEntry {
     "q85b_bpe_tokenize" -> bpeTokenizeSql,
     "q86_tfidf_terms" -> tfidfTermsSql,
     "q87_keyword_search" -> keywordSearchSql,
+    "q88_indexed_search" -> keywordSearchSql,
+    "q89_hybrid_rrf" -> hybridRrfSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

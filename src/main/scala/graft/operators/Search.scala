@@ -132,4 +132,119 @@ object Search {
       .select("query_id", "rank", "doc_id", "score_bp")
       .orderBy("query_id", "rank")
   }
+
+  /** The inverted posting-list index (q88's build half): one row per
+    * (term, doc) with the term frequency and the doc length
+    * denormalized into the posting — the impact-index layout that
+    * lets a search score without a second per-doc fetch (Lucene
+    * stores norms per posting-adjacent for the same reason). Build =
+    * one explode + one map-side-combined (term, doc) aggregate; the
+    * persisted form is bucketBy(term) (see
+    * [[graft.sources.IndexCatalog.registerPostingIndex]]) so a query
+    * reads only its terms' buckets. */
+  def postingIndex(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      Dedup.tokens(coalesce(col("text"), lit(""))).as("tk"))
+    toks
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tokens"),
+        explode(col("tk")).as("term"))
+      .groupBy("term", "doc_id", "n_tokens").agg(count(lit(1)).as("tf"))
+  }
+
+  /** the index's 1-row corpus-size metadata (frozen at build time,
+    * like the ANN codebooks — the searcher must NOT derive N from the
+    * pruned postings it happens to read). */
+  def docCount(docs: DataFrame): DataFrame = docs.agg(count(lit(1)).as("n_docs"))
+
+  /** q88: ranked keyword search THROUGH the posting index — the
+    * amortized path to q87's scan path, exactly the q78-vs-q76b
+    * relationship: the corpus is touched zero times, only the query
+    * terms' postings are read (bucket-pruned off the persisted form),
+    * and the output is bit-identical to [[keywordSearch]] (shared
+    * oracle, spec-asserted equality).
+    *
+    * Scale shape: the term filter prunes the scan to the query terms'
+    * buckets; df per term = a count over that sliver (each term's
+    * postings ARE its df); query map, df and N broadcast onto the
+    * sliver; the (query, doc) aggregate and the TopKPerKey heap
+    * shuffle only matched postings — never the corpus, never the
+    * vocabulary. */
+  def indexedSearch(postings: DataFrame, nDocs: DataFrame,
+                    queries: Seq[(Int, Seq[String])] = Queries,
+                    k: Int = SearchTopK): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qsize = queries.map { case (qid, ts) => (qid, ts.distinct.size.toLong) }
+      .toDF("query_id", "n_terms")
+    val terms = queries.flatMap(_._2).distinct
+    val rel = postings.filter(col("term").isin(terms: _*))
+    val dfT = rel.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = rel
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("c", expr("((10000 * (n_docs - df + 1)) DIV (df + 1)) * tf"))
+    val candidates = contrib
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("raw"), countDistinct("term").as("n_hit"),
+        min("n_tokens").as("n_tokens"))
+      .join(broadcast(qsize), Seq("query_id"))
+      // AND semantics: every distinct query term present
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"(10000 * raw) DIV ($LenPivot + n_tokens)").as("score_bp"))
+    graft.plans.TopKPerKey(candidates, Seq(col("query_id")),
+      Seq(col("score_bp").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_bp").desc, col("doc_id").asc)).cast(LongType))
+      .select("query_id", "rank", "doc_id", "score_bp")
+      .orderBy("query_id", "rank")
+  }
+
+  /** RRF discount constant (Cormack et al.'s k=60, the standard). */
+  val RrfK = 60L
+
+  /** q89: HYBRID retrieval — reciprocal-rank fusion of the lexical
+    * ranking ([[keywordSearch]]) and the exact vector ranking
+    * ([[Similarity.knnBruteForce]] with the query ids as query
+    * vectors). RRF is rank-only, so the fused score is exact integer
+    * arithmetic by construction: contrib = 10000 DIV (60 + rank),
+    * summed per (query, doc), ties → doc asc; n_lists records how
+    * many modalities surfaced the doc (2 = agreement). This is the
+    * standard fusion production hybrid search runs (lexical recall +
+    * semantic recall, no score calibration needed — which is exactly
+    * why RRF won: scores from different modalities never compare,
+    * ranks always do).
+    *
+    * Scale shape: both input rankings are already k-bounded per
+    * query, so fusion moves ≤ 2k rows per query — the union, the
+    * (query, doc) aggregate and the final heap are all
+    * queries×k-sized, never corpus-sized. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                queries: Seq[(Int, Seq[String])] = Queries,
+                k: Int = SearchTopK): DataFrame = {
+    val qids = queries.map(_._1)
+    val lex = keywordSearch(docs, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = Similarity.knnBruteForce(embeddings, nQueries = qids.max + 1, k = k)
+      .filter(col("query_id").isin(qids.map(_.toLong): _*))
+      .select(col("query_id").cast(IntegerType).as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = lex.unionByName(vec)
+      .withColumn("contrib", expr(s"10000 DIV ($RrfK + rank)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_bp"), count(lit(1)).as("n_lists"))
+    graft.plans.TopKPerKey(fused, Seq(col("query_id")),
+      Seq(col("rrf_bp").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_bp").desc, col("doc_id").asc)).cast(LongType))
+      .select("query_id", "rank", "doc_id", "rrf_bp", "n_lists")
+      .orderBy("query_id", "rank")
+  }
 }

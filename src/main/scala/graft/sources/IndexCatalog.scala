@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Search, Similarity}
 
 /** CATALOG registration for the persisted ANN index tables (SURVEY
   * §2E): the q76/q78/q81 artifacts written as NAMED tables instead of
@@ -53,4 +53,30 @@ object IndexCatalog {
     * scan reads only those cells' files (spec-proven). */
   def probeCells(spark: SparkSession, table: String, cells: Seq[Int]): DataFrame =
     spark.table(table).filter(col("cell").isin(cells: _*))
+
+  /** Build + register the inverted posting index BUCKETED by term
+    * (q88's persisted layout: a search's term-equality filter prunes
+    * the scan to its terms' buckets) plus the 1-row corpus-size
+    * metadata table `<table>_meta` frozen at build time — the
+    * searcher must not derive N from whatever pruned sliver it reads.
+    * Layout contract: (term STRING, doc_id BIGINT, n_tokens BIGINT,
+    * tf BIGINT), doc length denormalized into the posting so scoring
+    * needs no per-doc second fetch. */
+  def registerPostingIndex(docs: DataFrame, table: String, buckets: Int = 16): Unit = {
+    Search.postingIndex(docs)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(table)
+    Search.docCount(docs)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** External-reader search path: q87's ranking through the
+    * registered posting index by name — bit-identical output,
+    * corpus never touched, scan bucket-pruned to the query terms. */
+  def searchPostings(spark: SparkSession, table: String,
+                     queries: Seq[(Int, Seq[String])] = Search.Queries,
+                     k: Int = Search.SearchTopK): DataFrame =
+    Search.indexedSearch(spark.table(table), spark.table(s"${table}_meta"),
+      queries, k)
 }

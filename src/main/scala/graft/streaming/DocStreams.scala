@@ -166,6 +166,45 @@ object DocStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** The MAINTENANCE half of the lexical index (q88's stream form —
+    * the Lucene segment model): each micro-batch's documents become a
+    * new immutable posting SEGMENT under `seg=<batchId>` plus a
+    * per-segment doc-count meta row, so [[searchSegments]] always
+    * scores against the exact frozen N = Σ segment counts. Overwrite
+    * into the batch-id-keyed directory makes replay idempotent (a
+    * crash between the two writes re-runs the batch into the same
+    * segment paths); posting rows are per-doc facts, disjoint across
+    * segments as long as a doc ingests once (file source +
+    * checkpoint), so the segment union is bit-equal to a batch
+    * rebuild over the union corpus — spec-proven. Compaction of many
+    * small segments into the bucketed q88 layout is the batch
+    * [[graft.sources.IndexCatalog.registerPostingIndex]]. */
+  def postingMaintenance(docs: DataFrame, indexPath: String, metaPath: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        graft.operators.Search.postingIndex(b).write.mode("overwrite")
+          .parquet(s"$indexPath/seg=$batchId")
+        graft.operators.Search.docCount(b).write.mode("overwrite")
+          .parquet(s"$metaPath/seg=$batchId")
+      }
+      .start()
+
+  /** q87's exact ranking over the live segmented index: postings =
+    * the segment union (the seg partition column is bookkeeping, not
+    * data), N = the summed per-segment counts — never derived from
+    * the postings a query happens to read. */
+  def searchSegments(spark: SparkSession, indexPath: String, metaPath: String,
+                     queries: Seq[(Int, Seq[String])] = graft.operators.Search.Queries,
+                     k: Int = graft.operators.Search.SearchTopK): DataFrame =
+    graft.operators.Search.indexedSearch(
+      spark.read.parquet(indexPath).drop("seg"),
+      spark.read.parquet(metaPath).agg(sum("n_docs").as("n_docs")),
+      queries, k)
+
   /** Streaming CORPUS COMPOSITION: the per-source × language half of
     * the q60 corpus card, maintained continuously — per event-time hour
     * window: doc and token counts plus quality/sample pass counts, from

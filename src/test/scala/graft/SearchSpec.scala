@@ -99,4 +99,97 @@ class SearchSpec extends AnyFunSuite {
       "df join must broadcast the vocabulary-bounded side")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"))
   }
+
+  test("posting index: one row per (term, doc) with tf and denormalized doc length") {
+    val rows = Search.postingIndex(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getAs[Long]("tf"), r.getAs[Long]("n_tokens"))).toMap
+    assert(rows(("merge", 1L)) == (2L, 3L))
+    assert(rows(("join", 1L)) == (1L, 3L))
+    assert(rows(("scan", 3L)) == (1L, 4L))
+    assert(rows(("", 4L)) == (1L, 1L), "null text posts its single empty token")
+    assert(rows.size == 7, "distinct (term, doc) pairs only")
+  }
+
+  test("indexed search is bit-identical to the corpus-scan search") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val scan = Search.keywordSearch(docs).collect().toSeq
+    val idx = Search.indexedSearch(Search.postingIndex(docs), Search.docCount(docs))
+      .collect().toSeq
+    assert(idx == scan, "the index is a physical strategy, not a semantics change")
+    assert(scan.nonEmpty, "the equivalence must be witnessed on real matches")
+  }
+
+  test("registered posting index: catalog round trip and bucket-pruned search") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.sources.IndexCatalog.registerPostingIndex(docs, "graft_postings_spec", buckets = 16)
+    try {
+      // search through the named table = the scan-path ranking
+      val viaCatalog = graft.sources.IndexCatalog
+        .searchPostings(spark, "graft_postings_spec").collect().toSeq
+      assert(viaCatalog == Search.keywordSearch(docs).collect().toSeq)
+      // the term-equality filter prunes the scan to the query terms'
+      // buckets — the corpus-scale payoff of the bucketBy(term) layout.
+      // (autoBucketedScan drops the bucketed layout when nothing
+      // downstream wants its partitioning, which also forfeits
+      // pruning — pin the pruned shape with it off.)
+      val terms = Search.Queries.flatMap(_._2).distinct
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = try spark.table("graft_postings_spec")
+        .filter(col("term").isin(terms: _*))
+        .queryExecution.executedPlan.toString()
+      finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      val m = "SelectedBucketsCount: (\\d+) out of 16".r.findFirstMatchIn(pruned)
+      assert(m.isDefined, s"bucket pruning must show at the scan, got:\n${pruned.take(1500)}")
+      assert(m.get.group(1).toInt < 16, "query terms must touch a strict subset of buckets")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_postings_spec")
+      spark.sql("DROP TABLE IF EXISTS graft_postings_spec_meta")
+      ()
+    }
+  }
+
+  test("hybrid RRF equals a by-hand fusion of the two rankings") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Search.Queries.map(_._1).toSet
+    val lex = Search.keywordSearch(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val vec = graft.operators.Similarity.knnBruteForce(emb, nQueries = 4).collect()
+      .filter(r => qids.contains(r.getLong(0).toInt))
+      .map(r => (r.getLong(0).toInt, r.getLong(1)) -> r.getAs[Long]("rank")).toMap
+    val expected = (lex.keySet ++ vec.keySet).toSeq.map { key =>
+      val contrib = lex.get(key).map(r => 10000L / (60L + r)).getOrElse(0L) +
+        vec.get(key).map(r => 10000L / (60L + r)).getOrElse(0L)
+      (key._1, key._2, contrib, Seq(lex.get(key), vec.get(key)).flatten.size.toLong)
+    }
+    val got = Search.hybridRrf(docs, emb).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getAs[Long]("rrf_bp"), r.getAs[Long]("n_lists")))
+    // every fused row reproduces the hand computation...
+    val byKey = expected.map(e => (e._1, e._2) -> e).toMap
+    got.foreach(g => assert(byKey((g._1, g._2)) == g, s"mismatch at $g"))
+    // ...and per query the top-k by (rrf_bp desc, doc asc) is what ranks
+    qids.foreach { q =>
+      val want = expected.filter(_._1 == q).sortBy(e => (-e._3, e._2)).take(10).map(e => (e._2, e._3))
+      val have = got.filter(_._1 == q).sortBy(_._2).map(g => (g._2, g._3))
+      assert(have.toSet == want.toSet, s"query $q fused top-k diverges")
+    }
+  }
+
+  test("hybrid RRF: both-list agreement sums contributions, ties break doc asc") {
+    // doc 10 ranks 2nd lexically + 1st by vector; doc 11 the reverse —
+    // identical fused score 10000/61 + 10000/62 = 163 + 161 = 324,
+    // tie broken by doc_id; doc 12 is vector-only (rank 3 → 158)
+    val docs = Seq(
+      (1L, "alpha beta"), (10L, "merge"), (11L, "merge merge word"), (12L, "gamma")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (10L, Array(0.9f, 0.1f)),
+      (11L, Array(0f, 1f)), (12L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Search.hybridRrf(docs, emb, Seq(1 -> Seq("merge")), k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getAs[Long]("rrf_bp"), r.getAs[Long]("n_lists")))
+    assert(got.toSeq == Seq((1L, 10L, 324L, 2L), (2L, 11L, 324L, 2L), (3L, 12L, 158L, 1L)),
+      s"got ${got.toSeq}")
+  }
 }

@@ -654,4 +654,44 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("posting-index maintenance: segment union equals the batch rebuild, search stays exact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_postmaint")
+    val srcDir = base.resolve("src").toString
+    val indexDir = base.resolve("index").toString
+    val metaDir = base.resolve("meta").toString
+    val ckpt = base.resolve("ckpt").toString
+    def stage(rows: Seq[(Long, String)]): Unit = rows
+      .map { case (id, t) => (id, t, "en", "ingest", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def docsSoFar = spark.read.parquet(srcDir).select("doc_id", "text")
+
+    val qs = Seq(1 -> Seq("merge", "join"), 2 -> Seq("scan"))
+    // batch 1: two docs
+    stage(Seq((1L, "merge join merge"), (2L, "join scan")))
+    val m1 = graft.streaming.DocStreams.postingMaintenance(
+      graft.streaming.DocStreams.readDocStream(spark, srcDir), indexDir, metaDir, ckpt)
+    m1.processAllAvailable(); m1.stop()
+    val s1 = graft.streaming.DocStreams.searchSegments(spark, indexDir, metaDir, qs)
+      .collect().toSeq
+    assert(s1 == graft.operators.Search.keywordSearch(docsSoFar, qs).collect().toSeq,
+      "one-segment index must already match the batch scan path")
+    // batch 2 (checkpoint resume): a new doc CHANGES df(scan) and N —
+    // the maintained index must re-rank exactly like a full rebuild
+    stage(Seq((3L, "window scan")))
+    val m2 = graft.streaming.DocStreams.postingMaintenance(
+      graft.streaming.DocStreams.readDocStream(spark, srcDir), indexDir, metaDir, ckpt)
+    m2.processAllAvailable(); m2.stop()
+    val s2 = graft.streaming.DocStreams.searchSegments(spark, indexDir, metaDir, qs)
+      .collect().toSeq
+    assert(s2 == graft.operators.Search.keywordSearch(docsSoFar, qs).collect().toSeq,
+      "segment union + summed meta counts must equal a batch rebuild over the union corpus")
+    // exactly one posting row per (term, doc): batch 2 indexed ONLY the new file
+    val postings = spark.read.parquet(indexDir)
+    assert(postings.count() == postings.select("term", "doc_id").distinct().count(),
+      "checkpoint resume must not re-index already-ingested docs")
+    assert(spark.read.parquet(metaDir).agg(sum("n_docs")).head.getLong(0) == 3L)
+  }
 }

@@ -182,7 +182,8 @@ object SparkEntry {
       Search.indexedSearch(Search.postingIndex(docs), Search.docCount(docs))
     }),
     "q89_hybrid_rrf" -> ((s, d) =>
-      Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)))
+      Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q90_phrase_search" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -765,6 +766,34 @@ object SparkEntry {
        |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_bp DESC, doc_id) AS rank FROM f)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_bp, n_lists
        |FROM frk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q90's oracle: per-phrase overlapping-occurrence counts via
+    * position-indexed list lambdas (range is [a,b) and collapses to
+    * empty when the doc is shorter than the phrase), then the shared
+    * rational-idf + length-normalized integer scoring. */
+  private def phraseSearchSql: String = {
+    val k = graft.operators.Search.SearchTopK
+    val pivot = graft.operators.Search.LenPivot
+    val branches = graft.operators.Search.Phrases.map { case (qid, p) =>
+      val cond = p.zipWithIndex
+        .map { case (t, j) => s"tk[i+$j] = '$t'" }.mkString(" AND ")
+      s"""SELECT $qid AS query_id, doc_id, n_tokens,
+         |CAST(len(list_filter(range(1, len(tk) - ${p.length} + 2), i -> $cond)) AS BIGINT) AS tf
+         |FROM toksn""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |toksn AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+       |ptf AS ($branches),
+       |df AS (SELECT query_id, CAST(COUNT(*) FILTER (WHERE tf > 0) AS BIGINT) AS df FROM ptf GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+       |sc AS (SELECT p.query_id, p.doc_id, p.tf AS phrase_tf,
+       |CAST((10000 * (((10000 * (n.n_docs - d.df + 1)) // (d.df + 1)) * p.tf)) // ($pivot + p.n_tokens) AS BIGINT) AS score_bp
+       |FROM ptf p JOIN df d USING (query_id) CROSS JOIN n WHERE p.tf > 0),
+       |rk AS (SELECT query_id, doc_id, phrase_tf, score_bp,
+       |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, phrase_tf, score_bp
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q59's oracle: same candidate universe as q33 (shared
@@ -1561,6 +1590,7 @@ object SparkEntry {
     "q87_keyword_search" -> keywordSearchSql,
     "q88_indexed_search" -> keywordSearchSql,
     "q89_hybrid_rrf" -> hybridRrfSql,
+    "q90_phrase_search" -> phraseSearchSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

@@ -206,6 +206,75 @@ object Search {
       .orderBy("query_id", "rank")
   }
 
+  /** the fixed demo phrase set (query_id → exact token phrase);
+    * query 3 is deliberately self-adjacent — overlapping occurrences
+    * each count (both engines scan every start position). */
+  val Phrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "scan"),
+    2 -> Seq("merge", "join"),
+    3 -> Seq("batch", "batch"))
+
+  /** overlapping occurrence count of an exact token phrase — purely
+    * row-local: every start position 1..n−p+1 tests the p tokens in
+    * place (element_at is 1-based); the n ≥ p guard keeps the
+    * position sequence ascending. */
+  private def phraseTf(tk: Column, phrase: Seq[String]): Column = {
+    val p = phrase.length
+    val hits = filter(
+      sequence(lit(1), size(tk) - lit(p - 1)),
+      i => phrase.zipWithIndex.map { case (t, j) =>
+        element_at(tk, i + lit(j)) === lit(t)
+      }.reduce(_ && _))
+    when(size(tk) >= lit(p), size(hits).cast(LongType)).otherwise(lit(0L))
+  }
+
+  /** q90: exact PHRASE search — the "quoted query" of a search UI and
+    * the verbatim-overlap primitive of decontamination: top-k docs
+    * per phrase, ranked by the q87 discipline (rational idf over the
+    * phrase's doc frequency, length-normalized integer score), with
+    * the phrase frequency = overlapping in-order token matches.
+    *
+    * Scale shape: identical to [[keywordSearch]] — the phrase set is
+    * a literal, so the corpus pays ONE row-local scan (per-phrase tf
+    * via position-indexed HOFs over the token array — no n-gram
+    * explode), df/N one broadcast scalar row, disqualified rows drop
+    * pre-exchange, only the bounded heap shuffles. */
+  def phraseSearch(docs: DataFrame,
+                   phrases: Seq[(Int, Seq[String])] = Phrases,
+                   k: Int = SearchTopK): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "every query needs a non-empty phrase")
+    val toks = docs.select(col("doc_id"),
+      Dedup.tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val base = toks.select(
+      col("doc_id") +:
+        size(col("tk")).cast(LongType).as("n_tokens") +:
+        phrases.zipWithIndex.map { case ((_, p), i) =>
+          phraseTf(col("tk"), p).as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      phrases.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val perQuery: Column = array(phrases.zipWithIndex.map { case ((qid, _), i) =>
+      struct(lit(qid).as("query_id"), (col(s"__tf$i") > 0).as("ok"),
+        expr(s"((10000 * (n_docs - __df$i + 1)) DIV (__df$i + 1)) * __tf$i").as("raw"),
+        col(s"__tf$i").as("phrase_tf"))
+    }: _*)
+    val candidates = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_tokens"), inline(perQuery))
+      .filter(col("ok"))
+      .select(col("query_id"), col("doc_id"), col("phrase_tf"),
+        expr(s"(10000 * raw) DIV ($LenPivot + n_tokens)").as("score_bp"))
+    graft.plans.TopKPerKey(candidates, Seq(col("query_id")),
+      Seq(col("score_bp").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_bp").desc, col("doc_id").asc)).cast(LongType))
+      .select("query_id", "rank", "doc_id", "phrase_tf", "score_bp")
+      .orderBy("query_id", "rank")
+  }
+
   /** RRF discount constant (Cormack et al.'s k=60, the standard). */
   val RrfK = 60L
 

@@ -176,6 +176,40 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search: overlapping in-order matches, exact scores, short-doc edge") {
+    // df(a b)=2 of N=4 → idf = (10000·3) DIV 3 = 10000
+    // df(b a)=1 → idf = (10000·4) DIV 2 = 20000
+    // df(x x)=1 → 20000
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b"×2 (pos 1,3), "b a"×2 (pos 2,4)
+      (2L, "x x x"),       // self-adjacent overlap: "x x"×2
+      (3L, "a b"),         // exact-length doc
+      (4L, "b")            // shorter than every phrase
+    ).toDF("doc_id", "text")
+    val qs = Seq(1 -> Seq("a", "b"), 2 -> Seq("b", "a"), 3 -> Seq("x", "x"))
+    val out = Search.phraseSearch(docs, qs, k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r).toMap
+    assert(out.keySet == Set((1, 1L), (1, 3L), (2, 1L), (3, 2L)))
+    assert(out((1, 1L)).getAs[Long]("phrase_tf") == 2L)
+    assert(out((1, 1L)).getAs[Long]("score_bp") == (10000L * 10000L * 2L) / (1500L + 5L))
+    assert(out((1, 3L)).getAs[Long]("phrase_tf") == 1L)
+    assert(out((1, 3L)).getAs[Long]("score_bp") == (10000L * 10000L * 1L) / (1500L + 2L))
+    // doc1's double hit (raw 20000 over len 5 → 132890) outranks
+    // doc3's single hit (raw 10000 over len 2 → 66577)
+    assert(out((1, 1L)).getAs[Long]("rank") == 1L && out((1, 3L)).getAs[Long]("rank") == 2L)
+    assert(out((2, 1L)).getAs[Long]("phrase_tf") == 2L, "reversed phrase is distinct")
+    assert(out((3, 2L)).getAs[Long]("phrase_tf") == 2L, "self-adjacent overlaps each count")
+  }
+
+  test("phrase search is one row-local scan: no n-gram explode, no join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Search.phraseSearch(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"), "stats must broadcast")
+    assert("TopKPerKey \\[".r.findAllIn(plan).length == 2)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected ≤2 corpus scans (stats + score), got $scans")
+  }
+
   test("hybrid RRF: both-list agreement sums contributions, ties break doc asc") {
     // doc 10 ranks 2nd lexically + 1st by vector; doc 11 the reverse —
     // identical fused score 10000/61 + 10000/62 = 163 + 161 = 324,

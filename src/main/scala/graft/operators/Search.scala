@@ -37,12 +37,18 @@ object Search {
     * asc, binary UTF-8 in both engines).
     *
     * Scale shape: tf = one explode + map-side-combined groupBy
-    * (doc_id, term); df = a second partial-combined agg OVER the tf
-    * frame (term domain only — the corpus never re-shuffles) and is
-    * broadcast back (vocabulary-bounded, the q47/q75 discipline); the
-    * doc-count scalar is a 1-row broadcast. Ranking is the TopKPerKey
-    * bounded heap keyed on doc_id — never a full per-partition sort —
-    * with the residual row_number window touching ≤ m rows per doc. */
+    * (doc_id, term); df = a second partial-combined agg over the tf
+    * frame (the exchange is vocab×partitions partial rows, never the
+    * corpus); the doc-count scalar is a 1-row broadcast. The df
+    * re-join on term is deliberately UNHINTED: a raw-token vocabulary
+    * is unbounded at corpus scale (unlike the q47/q75 sketch models,
+    * which are capacity-bounded by construction), so AQE must keep
+    * the choice — broadcast when the measured vocab is small,
+    * skew-splittable shuffle join when it is not; forcing broadcast
+    * here would be a driver-OOM landmine at 100 TB. Ranking is the
+    * TopKPerKey bounded heap keyed on doc_id — never a full
+    * per-partition sort — with the residual row_number window
+    * touching ≤ m rows per doc. */
   def tfidfTerms(docs: DataFrame, m: Int = TfidfTopM): DataFrame = {
     val tf = docs
       .select(col("doc_id"),
@@ -51,7 +57,7 @@ object Search {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), Seq("term"))
+      .join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf_bp",
         expr("((10000 * (n_docs - df + 1)) DIV (df + 1)) * tf"))
@@ -297,7 +303,15 @@ object Search {
   def hybridRrf(docs: DataFrame, embeddings: DataFrame,
                 queries: Seq[(Int, Seq[String])] = Queries,
                 k: Int = SearchTopK): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
     val qids = queries.map(_._1)
+    // the vector side addresses the query-vector block by id upper
+    // bound (knnBruteForce scores every vec_id < max+1) — an
+    // unbounded id would silently turn the kNN into a corpus-wide
+    // self-join, so fail loud instead
+    require(qids.forall(q => q >= 0 && q < 1024),
+      s"query ids address the query-vector block and must sit in [0, 1024); got $qids")
     val lex = keywordSearch(docs, queries, k)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val vec = Similarity.knnBruteForce(embeddings, nQueries = qids.max + 1, k = k)

@@ -92,12 +92,18 @@ class SearchSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected ≤2 corpus scans, got $scans:\n${plan.take(2000)}")
   }
 
-  test("tfidf terms: df/N stats ride broadcasts; corpus shuffles once on (doc, term)") {
+  test("tfidf terms: AQE picks a broadcast df join at small vocab; no forced hint") {
+    // the df side is deliberately unhinted (a raw-token vocabulary is
+    // unbounded at corpus scale) — what we pin is that AQE, having
+    // measured this corpus's small vocab, lands on a broadcast join
+    // at runtime rather than a shuffle join
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val plan = Search.tfidfTerms(docs).queryExecution.executedPlan.toString()
-    assert(!plan.contains("SortMergeJoin"),
-      "df join must broadcast the vocabulary-bounded side")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"))
+    val q = Search.tfidfTerms(docs)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the measured-small df side, got:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "small-vocab df join must not shuffle-join")
   }
 
   test("posting index: one row per (term, doc) with tf and denormalized doc length") {

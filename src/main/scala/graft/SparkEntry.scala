@@ -183,7 +183,8 @@ object SparkEntry {
     }),
     "q89_hybrid_rrf" -> ((s, d) =>
       Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
-    "q90_phrase_search" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d)))
+    "q90_phrase_search" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d))),
+    "q91_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -794,6 +795,33 @@ object SparkEntry {
        |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id) AS rank FROM sc)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, phrase_tf, score_bp
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q91's oracle: sliding windows via unnest(range), the same 60-bit
+    * window hash, distinct-doc election, and a gaps-and-islands
+    * longest-run (positions are 1-based here vs 0-based posexplode —
+    * only consecutiveness matters, and each engine is internally
+    * consistent). */
+  private def spanDedupSql: String = {
+    val w = 8
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |winpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${w - 2})) AS i FROM toks),
+       |wins AS (SELECT doc_id, i AS pos,
+       |('0x' || substr(md5(array_to_string(tk[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h FROM winpos),
+       |dupcte AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h) t WHERE nd >= 2),
+       |fl AS (SELECT w.doc_id, w.pos, (d.h IS NOT NULL) AS isdup FROM wins w LEFT JOIN dupcte d USING (h)),
+       |runs AS (SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fl WHERE isdup),
+       |mr AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_dup_run FROM (SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY 1, 2) t GROUP BY 1),
+       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, CAST(COUNT(*) FILTER (WHERE isdup) AS BIGINT) AS n_dup_windows FROM fl GROUP BY 1),
+       |base AS (SELECT t.doc_id, CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+       |CAST(coalesce(pd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |CAST(coalesce(mr.max_dup_run, 0) AS BIGINT) AS max_dup_run
+       |FROM toks t LEFT JOIN pd USING (doc_id) LEFT JOIN mr USING (doc_id))
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |CASE WHEN n_windows > 0 THEN (10000 * n_dup_windows) // n_windows ELSE CAST(0 AS BIGINT) END AS dup_bp,
+       |max_dup_run,
+       |CASE WHEN max_dup_run > 0 THEN max_dup_run + ${w - 1} ELSE CAST(0 AS BIGINT) END AS max_span_tokens
+       |FROM base ORDER BY doc_id""".stripMargin
   }
 
   /** q59's oracle: same candidate universe as q33 (shared
@@ -1591,6 +1619,7 @@ object SparkEntry {
     "q88_indexed_search" -> keywordSearchSql,
     "q89_hybrid_rrf" -> hybridRrfSql,
     "q90_phrase_search" -> phraseSearchSql,
+    "q91_span_dedup" -> spanDedupSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

@@ -429,6 +429,82 @@ object Dedup {
     graft.functions.HashExpressions.simhash64(
       transform(tokens(text), t => md5_60(t)))
 
+  /** q91: SPAN-LEVEL duplication diagnostic — the sliding-window form
+    * of exact substring dedup (the granularity of Lee et al. 2022's
+    * suffix-array pass, between q30's whole-doc and q83's fixed
+    * blocks): a w-token window at EVERY offset is duplicated iff its
+    * content occurs in ≥ 2 DISTINCT documents (within-doc repetition
+    * is q54's screen); per doc the report carries window counts, the
+    * duplicated share, and the longest duplicated RUN — r consecutive
+    * duplicated windows certify a verbatim cross-doc span of
+    * r + w − 1 tokens, the number a curation team acts on.
+    *
+    * Scale shape: the window stream (≈ token stream sized) is
+    * hash-partitioned on the window hash ONCE and that exchange
+    * feeds BOTH consumers — the distinct-doc election and the
+    * flag-back join (the q47 shared-exchange discipline; plan-pinned
+    * ReusedExchange) — so the corpus pays one window-keyed and one
+    * doc-keyed exchange total. The max-run is computed row-locally
+    * from the collected duplicated positions (bounded by doc length)
+    * inside the one doc-keyed aggregate — never a second per-doc
+    * window pass. Short docs (< w tokens) produce no windows and
+    * re-enter with zeros via the doc-side left join. */
+  def spanDedup(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val w = windowTokens
+    require(w >= 1, s"windowTokens must be >= 1, got $w")
+    val wins = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(tk) >= $w THEN transform(sequence(1, size(tk) - ${w - 1})," +
+          s" i -> array_join(slice(tk, i, $w), ' ')) ELSE array() END")))
+      .select(col("doc_id"), col("pos"), md5_60(col("col")).as("h"))
+      // the joins push isnotnull(doc_id) / isnotnull(h) into ONE
+      // consumer's subtree each; both are no-ops on this data (md5 of a
+      // coalesced string is never null) — stating them here keeps the
+      // two subtrees canonically equal so the exchange below is planned
+      // once (see the __prune_guard note)
+      .filter(col("doc_id").isNotNull && col("h").isNotNull)
+    val byH = wins.repartition(col("h"))
+    // the throwaway max(pos) keeps the election's column set identical
+    // to the flag join's — column pruning would otherwise make the two
+    // exchange subtrees canonicalize UNEQUAL and Spark would scan and
+    // shuffle the window stream twice instead of reusing it
+    val dup = byH.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"), max("pos").as("__prune_guard"))
+      // the >= 0 conjunct is vacuous (posexplode positions start at 0)
+      // but the optimizer cannot prove it, so the guard aggregate — and
+      // with it the pos column — survives pruning in this branch
+      .filter(col("nd") >= 2 && col("__prune_guard") >= 0)
+      .select(col("h"), lit(true).as("isdup"))
+    val flagged = byH.join(dup, Seq("h"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("isdup"), lit(false)).as("isdup"))
+    val perDoc = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_windows"),
+        // longest run of consecutive duplicated positions, folded
+        // row-locally over the sorted position list (collect_list
+        // skips the nulls of non-dup windows)
+        expr("""aggregate(
+          array_sort(collect_list(CASE WHEN isdup THEN pos END)),
+          struct(CAST(-2 AS INT) AS prev, CAST(0 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS best),
+          (a, p) -> struct(p AS prev,
+            CASE WHEN p = a.prev + 1 THEN a.cur + 1 ELSE CAST(1 AS BIGINT) END AS cur,
+            greatest(a.best, CASE WHEN p = a.prev + 1 THEN a.cur + 1 ELSE CAST(1 AS BIGINT) END) AS best),
+          a -> a.best)""").as("max_dup_run"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .withColumn("dup_bp", expr(
+        "CASE WHEN n_windows > 0 THEN (10000 * n_dup_windows) DIV n_windows ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("max_span_tokens", expr(
+        s"CASE WHEN max_dup_run > 0 THEN max_dup_run + ${w - 1} ELSE CAST(0 AS BIGINT) END"))
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_bp",
+        "max_dup_run", "max_span_tokens")
+      .orderBy("doc_id")
+  }
+
   /** q32: per-doc SimHash profile with 15-bit chunk banding — docs
     * sharing any of the 4 chunks are hamming-near candidates. */
   def simhashProfile(docs: DataFrame): DataFrame = {

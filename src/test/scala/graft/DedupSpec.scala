@@ -335,4 +335,42 @@ class DedupSpec extends AnyFunSuite {
     val recall = lshSet.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.8, s"LSH recall $recall vs brute force")
   }
+
+  test("span dedup: cross-doc windows flag, runs certify span length, within-doc repeats don't") {
+    // w=2 (bigram windows) keeps the fixture hand-checkable
+    val docs = Seq(
+      (1L, "a b c x a b"),  // bigrams ab bc cx xa ab → dup: ab(×2), bc; max run 2
+      (2L, "a b q b c"),    // bigrams ab bq qb bc → dup: ab, bc; isolated → run 1
+      (3L, "m m m"),        // mm repeats WITHIN one doc only → never dup
+      (4L, "z")             // shorter than the window → zero windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, windowTokens = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_windows") == 5L)
+    assert(out(1L).getAs[Long]("n_dup_windows") == 3L,
+      "the second 'a b' occurrence is duplicated too (its content is cross-doc)")
+    assert(out(1L).getAs[Long]("max_dup_run") == 2L)
+    assert(out(1L).getAs[Long]("max_span_tokens") == 3L,
+      "2 consecutive dup bigrams certify a 3-token verbatim span ('a b c')")
+    assert(out(1L).getAs[Long]("dup_bp") == 6000L)
+    assert(out(2L).getAs[Long]("n_dup_windows") == 2L
+      && out(2L).getAs[Long]("max_dup_run") == 1L
+      && out(2L).getAs[Long]("max_span_tokens") == 2L)
+    assert(out(3L).getAs[Long]("n_dup_windows") == 0L,
+      "within-doc repetition is q54's screen, not cross-doc duplication")
+    assert(out(4L).getAs[Long]("n_windows") == 0L
+      && out(4L).getAs[Long]("dup_bp") == 0L
+      && out(4L).getAs[Long]("max_span_tokens") == 0L,
+      "short docs re-enter with zeros")
+  }
+
+  test("span dedup shares ONE window-keyed exchange between election and flag join") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = Dedup.spanDedup(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"),
+      s"the flag join must re-read the h-partitioned window stream, not re-shuffle it:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

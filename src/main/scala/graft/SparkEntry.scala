@@ -184,7 +184,11 @@ object SparkEntry {
     "q89_hybrid_rrf" -> ((s, d) =>
       Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q90_phrase_search" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d))),
-    "q91_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d)))
+    "q91_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
+    "q92_orc_documents" -> ((s, d) =>
+      TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
+    "q93_orc_lineitem" -> ((s, d) =>
+      Relational.pricingSummary(viaFormat(Tables.lineitem(s, d), "orc", "lineitem")))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -196,7 +200,9 @@ object SparkEntry {
     "q71_csv_documents" -> "q38_text_quality",
     "q72_json_documents" -> "q30_dedup_exact",
     "q73_csv_orders" -> "q04_topk",
-    "q74_json_orders" -> "q05_window_rank")
+    "q74_json_orders" -> "q05_window_rank",
+    "q92_orc_documents" -> "q54_repetition",
+    "q93_orc_lineitem" -> "q01_pricing_summary")
 
   /** CSV null sentinel: with quoteAll, a NULL string column would
     * otherwise write as a quoted empty string and read back as "" — a
@@ -248,6 +254,12 @@ object SparkEntry {
       case "json" =>
         df.write.mode("overwrite").json(dir)
         df.sparkSession.read.schema(df.schema).json(dir)
+      case "orc" =>
+        // columnar like parquet but a distinct reader/writer + type
+        // mapping path; nulls, decimals and dates are native, so no
+        // sentinel tricks — the twin pins the round trip is value-exact
+        df.write.mode("overwrite").orc(dir)
+        df.sparkSession.read.schema(df.schema).orc(dir)
     }
   }
 

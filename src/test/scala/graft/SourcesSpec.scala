@@ -149,4 +149,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.mixtureBalance(fromJson, Seq("src0" -> 2000), 500)
       .collect().toSeq == mixWant, "JSON-sourced mixture report differs from parquet")
   }
+
+  test("orc round trip is value-exact and pushes filters to the scan") {
+    val dir = tmp("graft_orc")
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docs.schema).orc(dir)
+    assert(back.collect().toSeq.sortBy(_.getLong(0)) ==
+      docs.collect().toSeq.sortBy(_.getLong(0)), "ORC round trip must be lossless")
+    // the columnar reader must receive the predicate and the pruned schema
+    val plan = back.filter(col("doc_id") < 100).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"doc_id predicate should reach the ORC scan, got:\n${plan.take(1200)}")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "projection should prune the ORC read schema to the two selected columns")
+  }
 }

@@ -139,6 +139,61 @@ object Search {
       .orderBy("query_id", "rank")
   }
 
+  /** Frozen query-term statistics for the percolator: per-term df and
+    * the corpus size, from ONE aggregate job over the corpus (the
+    * model-build step — the rarityLookup/pqEncodeStream frozen-model
+    * discipline applied to lexical scoring). */
+  def keywordStats(docs: DataFrame,
+                   queries: Seq[(Int, Seq[String])] = Queries): (Map[String, Long], Long) = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val terms = queries.flatMap(_._2).distinct
+    val toks = docs.select(Dedup.tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val row = toks.agg(
+      count(lit(1)).as("n_docs"),
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("tk"), t), 1L).otherwise(0L)).as(s"__df$i")
+      }: _*).head()
+    (terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i + 1) }.toMap,
+      row.getLong(0))
+  }
+
+  /** The percolator scoring pass: every arriving document evaluated
+    * against the STANDING query set under frozen df/N — one row per
+    * qualifying (doc, query) with the exact q87 score. Entirely
+    * row-local (the idf weights are literals), so it runs unchanged on
+    * a stream ([[graft.streaming.DocStreams.percolateStream]]); with
+    * the stats frozen from the same corpus, top-k over this output is
+    * bit-identical to [[keywordSearch]] (spec-pinned). */
+  def percolate(docs: DataFrame, dfByTerm: Map[String, Long], nDocs: Long,
+                queries: Seq[(Int, Seq[String])] = Queries): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val terms = queries.flatMap(_._2).distinct
+    require(terms.forall(dfByTerm.contains),
+      s"every query term needs a frozen df entry; missing ${terms.filterNot(dfByTerm.contains)}")
+    val toks = docs.select(col("doc_id"),
+      Dedup.tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val base = toks.select(
+      col("doc_id") +:
+        size(col("tk")).cast(LongType).as("n_tokens") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).cast(LongType).as(s"__tf$i")
+        }: _*)
+    val idfOf = terms.map(t =>
+      t -> (10000L * (nDocs - dfByTerm(t) + 1)) / (dfByTerm(t) + 1)).toMap
+    val perQuery: Column = array(queries.map { case (qid, qterms) =>
+      val raw = qterms.map(t =>
+        col(s"__tf${terms.indexOf(t)}") * lit(idfOf(t))).reduce(_ + _)
+      val ok = qterms.map(t => col(s"__tf${terms.indexOf(t)}") > 0).reduce(_ && _)
+      struct(lit(qid).as("query_id"), ok.as("ok"), raw.as("raw"))
+    }: _*)
+    base.select(col("doc_id"), col("n_tokens"), inline(perQuery))
+      .filter(col("ok"))
+      .select(col("doc_id"), col("query_id"),
+        expr(s"(10000 * raw) DIV ($LenPivot + n_tokens)").as("score_bp"))
+  }
+
   /** The inverted posting-list index (q88's build half): one row per
     * (term, doc) with the term frequency and the doc length
     * denormalized into the posting — the impact-index layout that

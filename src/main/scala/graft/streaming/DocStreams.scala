@@ -205,6 +205,20 @@ object DocStreams {
       spark.read.parquet(metaPath).agg(sum("n_docs").as("n_docs")),
       queries, k)
 
+  /** Ingest-time PERCOLATION — standing queries evaluated against
+    * every arriving document (the alerting/routing half of a search
+    * deployment; ES calls it percolate): row-local scoring under the
+    * FROZEN df/N stats of [[graft.operators.Search.keywordStats]], the
+    * same frozen-model discipline as [[rarityLookup]]. Emits one row
+    * per qualifying (doc, query) with the exact q87 score —
+    * spec-proven equal to the batch [[graft.operators.Search.percolate]]
+    * (and, top-k'd under shared stats, to keywordSearch itself).
+    * Re-freezing stats as the corpus drifts is a batch-side rebuild,
+    * exactly like the ANN codebooks. */
+  def percolateStream(docs: DataFrame, dfByTerm: Map[String, Long], nDocs: Long,
+                      queries: Seq[(Int, Seq[String])] = graft.operators.Search.Queries): DataFrame =
+    graft.operators.Search.percolate(docs, dfByTerm, nDocs, queries)
+
   /** Streaming CORPUS COMPOSITION: the per-source × language half of
     * the q60 corpus card, maintained continuously — per event-time hour
     * window: doc and token counts plus quality/sample pass counts, from

@@ -216,6 +216,24 @@ class SearchSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected ≤2 corpus scans (stats + score), got $scans")
   }
 
+  test("percolator under frozen stats reproduces the live search exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (dfs, n) = Search.keywordStats(docs)
+    assert(n == docs.count(), "frozen N is the corpus size")
+    val rows = Search.percolate(docs, dfs, n).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getAs[Long]("score_bp")))
+    // top-k of the percolator's qualifying rows = the ranked search
+    val want = Search.keywordSearch(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getAs[Long]("score_bp"))).toSet
+    val got = rows.groupBy(_._1).values.flatMap(qs =>
+      qs.sortBy(t => (-t._3, t._2)).take(Search.SearchTopK).toSeq).toSet
+    assert(got == want, "frozen-stats scoring must equal the live scoring on the same corpus")
+    // a query term missing from the frozen model fails loud
+    intercept[IllegalArgumentException] {
+      Search.percolate(docs, dfs - "merge", n)
+    }
+  }
+
   test("hybrid RRF: both-list agreement sums contributions, ties break doc asc") {
     // doc 10 ranks 2nd lexically + 1st by vector; doc 11 the reverse —
     // identical fused score 10000/61 + 10000/62 = 163 + 161 = 324,

@@ -655,6 +655,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest-time percolation matches the batch scorer under the same frozen stats") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_percolate")
+    val srcDir = base.resolve("src").toString
+    val corpus = Tables.documents(spark, sf)
+    val (dfs, n) = graft.operators.Search.keywordStats(corpus)
+    // stream a slice of the corpus through the standing queries
+    corpus.filter(col("doc_id") < 100)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.DocStreams.percolateStream(
+      graft.streaming.DocStreams.readDocStream(spark, srcDir), dfs, n)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("percolate_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("percolate_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.operators.Search
+      .percolate(corpus.filter(col("doc_id") < 100), dfs, n).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch, "stream and batch percolation must agree row-for-row")
+    assert(streamed.nonEmpty, "the slice must hit at least one standing query")
+  }
+
   test("posting-index maintenance: segment union equals the batch rebuild, search stays exact") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_postmaint")

@@ -24,14 +24,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) does not read natively — read the nanos as long and convert.
-    * The data is µs-precision (sub-µs always zero), so this is lossless.
+  /** Normalize events.ts to TimestampType regardless of how the
+    * generator's parquet writer encoded it. Observed encodings across
+    * driver testdata generations: TIMESTAMP(NANOS) (Spark reads it as
+    * nanos-long under `nanosAsLong`; the data is µs-precision so the
+    * DIV 1000 is lossless) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (Spark reads TIMESTAMP_NTZ; the generator writes naive UTC wall
+    * clocks and the session timezone is UTC, so the cast re-labels the
+    * same instant). Dispatching on the actual read schema keeps both
+    * generations loadable with identical downstream values.
     */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported parquet encoding $other")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

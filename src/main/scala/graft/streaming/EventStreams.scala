@@ -20,23 +20,18 @@ import graft.operators.Decimals._
   */
 object EventStreams {
 
-  /** schema of the events table as the file-stream source needs it
-    * (ts arrives as nanos-long; converted on read like Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet. The
+    * file-stream source needs a declared schema; probe it from the
+    * files already present (a stream dir is seeded with at least one
+    * file before the query starts) so the ts encoding — nanos-long vs
+    * TIMESTAMP_NTZ, which varies across testdata generations — is
+    * whatever is actually on disk, then normalize exactly like the
+    * batch loader (graft.Tables.normalizeEventsTs). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val fileSchema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(fileSchema).parquet(dir))
   }
 
   /** Tumbling 1-hour windows with a 2-hour watermark — the streaming

@@ -38,9 +38,17 @@ object Corpus {
       .cast(LongType)
 
   /** the ONE dedup-survivor rule (min doc_id per content fingerprint;
-    * requires the `fingerprint` column from [[withScreenColumns]]). */
-  def keepDedupCol: org.apache.spark.sql.Column =
-    col("doc_id") === min(col("doc_id")).over(Window.partitionBy("fingerprint"))
+    * requires the `fingerprint` column from [[withScreenColumns]]),
+    * appended as `keep_dedup`. Election is the q83 groupBy+winner-join
+    * shape ([[Scale.keyAggJoin]]), NOT a fingerprint window: at corpus
+    * scale the hottest fingerprint class (boilerplate duplicated 10⁶×)
+    * would serialize through one window task, while the groupBy
+    * partial-aggregates map-side and the join is AQE-skew-splittable. */
+  def withKeepDedup(df: DataFrame): DataFrame =
+    Scale.keyAggJoin(df, Seq("fingerprint"),
+        Seq(min(col("doc_id")).as("__dedup_winner")))
+      .withColumn("keep_dedup", col("doc_id") === col("__dedup_winner"))
+      .drop("__dedup_winner")
 
   /** row-local screen verdicts appended in one block — quality columns
     * (q38 definitions), content fingerprint and the sampling decision.
@@ -80,10 +88,14 @@ object Corpus {
     * with a per-document decision trail (each stage's verdict as a
     * column, final `keep` is their conjunction).
     *
-    * Plan shape: every stage except dedup and packing is row-local on
-    * the single scan; the whole pipeline costs exactly TWO shuffles —
-    * the fingerprint window and the per-language packing window —
-    * regardless of how many screens are stacked. That composition is
+    * Plan shape: every stage except dedup and the budget cut is
+    * row-local on the scan; dedup is the q83 groupBy+winner-join
+    * election ([[withKeepDedup]] — map-side partial min, AQE-splittable
+    * join, never a fingerprint window) and the per-language budget cut
+    * runs on [[Scale.bucketedRunningSum]] bucketed by the quality
+    * score (alpha_bp descending, ≤ 10002 buckets per language) — the
+    * dominant language of a real corpus (≈half of 100 TB) would
+    * otherwise serialize through ONE window task. That composition is
     * the Spark-first answer to the reference's per-resource Python
     * loops: at 100 TB, N separate screening jobs = N scans; this is
     * one.
@@ -93,14 +105,17 @@ object Corpus {
     val scored = withScreenColumns(
       TextAnalysis.withPredictedLang(docs), rateBpByLang, defaultBp)
       .withColumn("n_tokens", tokenCountCol)
-    val byLang = Window.partitionBy("lang")
-      .orderBy(col("alpha_bp").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("keep_dedup", keepDedupCol)
+    val preKept = withKeepDedup(scored)
       .withColumn("pre_keep", col("is_quality") && col("keep_dedup") && col("sampled"))
-      .withColumn("cum_tokens",
-        sum(when(col("pre_keep"), col("n_tokens")).otherwise(0L)).over(byLang))
+    // bucket key: quality score descending (coalesce puts null alpha_bp
+    // after every real score, matching desc NULLS LAST); monotone along
+    // (alpha_bp desc, doc_id) and a pure function of alpha_bp, so ties
+    // share a bucket — the general-form contract
+    Scale.bucketedRunningSum(preKept, "lang",
+        expr("coalesce(10000 - alpha_bp, 10001)"),
+        Seq(col("alpha_bp").desc, col("doc_id")),
+        when(col("pre_keep"), col("n_tokens")).otherwise(0L),
+        "cum_tokens")
       .withColumn("keep", col("pre_keep") && col("cum_tokens") <= budgetPerLang)
       .select("doc_id", "lang", "predicted_lang", "n_tokens", "is_quality",
         "keep_dedup", "sampled", "cum_tokens", "keep")
@@ -112,15 +127,15 @@ object Corpus {
     * and token counts plus screen pass-rates in basis points. Derived
     * from the SAME verdict expressions as the q55 pipeline
     * ([[withScreenColumns]]), so the card cannot drift from what the
-    * pipeline actually keeps. One scan + the fingerprint window + one
-    * ROLLUP aggregate (two shuffles total at any corpus size). ROLLUP
+    * pipeline actually keeps. One scan + the q83 dedup election
+    * ([[withKeepDedup]]) + one ROLLUP aggregate. ROLLUP
     * goes through SQL for the same Spark 4.1 reason as q08 (Dataset
     * .rollup re-tags grouping attributes under the Expand node). */
   def corpusCard(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
                  defaultBp: Int): DataFrame = {
-    val scored = withScreenColumns(docs, rateBpByLang, defaultBp)
-      .withColumn("n_tokens", tokenCountCol)
-      .withColumn("keep_dedup", keepDedupCol)
+    val scored = withKeepDedup(
+        withScreenColumns(docs, rateBpByLang, defaultBp)
+          .withColumn("n_tokens", tokenCountCol))
       .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled")
     // per-call unique view name: concurrent corpusCard calls on one
     // session must not race on createOrReplaceTempView, and the view

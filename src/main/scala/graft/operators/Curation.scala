@@ -89,15 +89,17 @@ object Curation {
   }
 
   /** q26: pre-registration dedup — flag rows whose normalized name
-    * collides within the incoming batch (window count) or with the
-    * existing store (broadcast semi-style left join), like the
+    * collides within the incoming batch (q83 groupBy+join count via
+    * [[Scale.keyAggJoin]] — a batch is bounded in practice, but the
+    * one-task-per-hot-name window shape is banned repo-wide) or with
+    * the existing store (broadcast semi-style left join), like the
     * registration pipeline's name-collision screen. */
   def registrationDedup(incoming: DataFrame, existing: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lower(col("p_name")))
     val ex = existing.select(lower(col("p_name")).as("ex_name")).distinct()
-    incoming
-      .withColumn("n_same_name", count(lit(1)).over(w))
-      .join(broadcast(ex), lower(col("p_name")) === col("ex_name"), "left")
+    Scale.keyAggJoin(
+        incoming.withColumn("__name", lower(col("p_name"))),
+        Seq("__name"), Seq(count(lit(1)).as("n_same_name")))
+      .join(broadcast(ex), col("__name") === col("ex_name"), "left")
       .select(
         col("p_partkey"), col("p_name"),
         (col("n_same_name") > 1).as("dup_in_batch"),

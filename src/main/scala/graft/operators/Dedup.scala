@@ -75,13 +75,17 @@ object Dedup {
   }
 
   /** q31: per-doc MinHash profile — is the doc a banding candidate
-    * duplicate, and how many band-mates does it have. */
+    * duplicate, and how many band-mates does it have. Bucket sizes via
+    * the q83 groupBy+join shape ([[Scale.keyAggJoin]]), not a
+    * (band_idx, band_hash) window: a degenerate band value (every
+    * near-empty doc hashing to one bucket) would drag the whole bucket
+    * into ONE window task, while the groupBy count combines it
+    * map-side and the join back is AQE-skew-splittable. Price: the
+    * signature pipeline is computed for both branches — row-local
+    * compute that scales linearly, unlike the one-task window. */
   def minhashProfile(docs: DataFrame): DataFrame = {
-    // bucket sizes via window count — a groupBy+self-join would
-    // recompute the whole signature pipeline for the second branch
-    val w = Window.partitionBy("band_idx", "band_hash")
-    minhashBands(docs)
-      .withColumn("bucket_n", count(lit(1)).over(w))
+    Scale.keyAggJoin(minhashBands(docs), Seq("band_idx", "band_hash"),
+        Seq(count(lit(1)).as("bucket_n")))
       .groupBy("doc_id")
       .agg(
         sum(col("bucket_n") - 1).as("n_band_mates"),
@@ -506,7 +510,10 @@ object Dedup {
   }
 
   /** q32: per-doc SimHash profile with 15-bit chunk banding — docs
-    * sharing any of the 4 chunks are hamming-near candidates. */
+    * sharing any of the 4 chunks are hamming-near candidates. Bucket
+    * sizes via the q83 groupBy+join shape ([[Scale.keyAggJoin]]), same
+    * hot-chunk rationale as [[minhashProfile]] (a 15-bit chunk of
+    * boilerplate-heavy signatures is GUARANTEED hot at corpus scale). */
   def simhashProfile(docs: DataFrame): DataFrame = {
     val withSig = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
     val chunkCols = (0 until 4).map(j =>
@@ -515,9 +522,8 @@ object Dedup {
     val bandsDf = withSig
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_hash"))
-    val w = Window.partitionBy("band_idx", "band_hash")
-    bandsDf
-      .withColumn("bucket_n", count(lit(1)).over(w))
+    Scale.keyAggJoin(bandsDf, Seq("band_idx", "band_hash"),
+        Seq(count(lit(1)).as("bucket_n")))
       .groupBy("doc_id")
       .agg(max(col("simhash")).as("simhash"),
         sum(col("bucket_n") - 1).as("n_band_mates"))

@@ -158,6 +158,33 @@ object Scale {
       .drop("__bucket", "__offset", "__og", "__ob")
   }
 
+  /** Append per-key aggregates via groupBy + null-safe join back — the
+    * q83 election shape (`Dedup.blockDedup`) as a reusable primitive,
+    * replacing `agg(...) OVER (PARTITION BY key)` windows.
+    *
+    * Why not a window: a window moves EVERY row of a key into one task
+    * — at 100 TB a boilerplate fingerprint class duplicated 10⁵–10⁶×
+    * (the C4/RefinedWeb finding) serializes through a single task, and
+    * AQE can split skewed joins but NOT window partitions. Here the
+    * hot key partial-aggregates map-side (combining to one row per map
+    * task BEFORE the exchange) and the join back is an equality join
+    * AQE can skew-split. Price: the input subtree is computed twice
+    * (election + probe, the documented q83 trade); both passes are
+    * row-local compute that scales linearly, unlike the one-task
+    * window. The join is null-safe (`<=>`) because a null key is a
+    * valid window partition in the form this replaces — a plain
+    * equi-join would silently drop those rows.
+    *
+    * Left column order is preserved; the aggregate columns append on
+    * the right, so callers read like the `withColumn` they replace. */
+  def keyAggJoin(df: DataFrame, keys: Seq[String], aggCols: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggCols.nonEmpty, "keys and aggCols must be non-empty")
+    val agg = df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val renamed = keys.foldLeft(agg)((a, k) => a.withColumnRenamed(k, "__k_" + k))
+    val cond = keys.map(k => col(k) <=> col("__k_" + k)).reduce(_ && _)
+    df.join(renamed, cond).drop(keys.map("__k_" + _): _*)
+  }
+
   /** Write a frame bucketed+sorted by `key` as a managed table —
     * repeated joins/aggregations on `key` then read pre-shuffled
     * (no Exchange under the join). */

@@ -140,12 +140,16 @@ object TextAnalysis {
     md5(canonicalText(text).cast(BinaryType))
 
   /** q40: content fingerprint + how many docs share it — near-dup at
-    * the "same text modulo punctuation" level. */
+    * the "same text modulo punctuation" level. Class sizes come from a
+    * map-side-partial groupBy + join ([[Scale.keyAggJoin]]), not a
+    * fingerprint window: a boilerplate page duplicated 10⁶× would put
+    * its whole class into one window task, while the groupBy combines
+    * it to one row per map task and the join is AQE-skew-splittable. */
   def fingerprint(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
-    documents
+    val fp = documents
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
-      .withColumn("n_same_fingerprint", count(lit(1)).over(w))
+    Scale.keyAggJoin(fp, Seq("fingerprint"),
+        Seq(count(lit(1)).as("n_same_fingerprint")))
       .orderBy("doc_id")
   }
 
@@ -160,12 +164,17 @@ object TextAnalysis {
 
   /** q42: apply the dedup policy — the retained training corpus. Each
     * canonical-fingerprint group keeps its smallest doc_id; everything
-    * else is marked dropped. One shuffle on the fingerprint. */
+    * else is marked dropped. Winner election is the q83 groupBy+join
+    * shape ([[Scale.keyAggJoin]]): the hot fingerprint class combines
+    * map-side before the exchange instead of serializing through one
+    * window task. */
   def dedupedCorpus(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    documents
+    val fp = documents
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+    Scale.keyAggJoin(fp, Seq("fingerprint"),
+        Seq(min(col("doc_id")).as("__winner")))
+      .withColumn("keep", col("doc_id") === col("__winner"))
+      .drop("__winner")
       .orderBy("doc_id")
   }
 }

@@ -119,13 +119,37 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Boolean]("keep_dedup") == dedupKeep(r.getLong(0))))
   }
 
-  test("corpus pipeline plans exactly two shuffles for five stacked screens") {
+  test("corpus pipeline: every shuffle belongs to the election or the bucketed cut") {
+    // the r8 shape: langid/quality/sample stay row-local on the scan;
+    // the shuffles that remain are the q83 dedup election (map-side
+    // partial min + AQE-splittable winner join on fingerprint) and
+    // bucketedRunningSum's (group, bucket)-keyed pieces — every hash
+    // exchange must be keyed by fingerprint or by the bucket key, and
+    // none may be a bare-lang (one-task-per-language) partition
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Corpus.corpusPipeline(docs, Seq("en" -> 1000), 2500, 2000L)
       .queryExecution.executedPlan.toString()
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 2,
-      s"langid/quality/sample are row-local; only the fingerprint window and the packing window may shuffle — found $exchanges hash exchanges")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "election and budget cut still shuffle")
+    // one bare-lang exchange is expected and harmless: it feeds the
+    // offsets frame's running sum, which runs over the per-(lang,
+    // bucket) PARTIAL SUMS (dimension-sized, ≤ |langs|×10002 rows) —
+    // never over document rows
+    val bareLang = exchanges.filterNot(l =>
+      l.contains("fingerprint") || l.contains("__bucket") || l.contains("__k_"))
+    assert(bareLang.size <= 1 && plan.contains("__bsum"),
+      s"unexpected data-stream shuffle (bare-lang window crept back in?):\n${bareLang.mkString("\n")}")
+    // and any window over bare lang must consume the aggregated offsets
+    // frame, not document rows: the full-data windows are (lang,
+    // __bucket)-keyed
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("lang") &&
+        !l.contains("__bucket") && !l.contains("__bsum")).toSeq
+    assert(dataWindows.isEmpty,
+      s"per-language window over document rows crept back in:\n${dataWindows.mkString("\n")}")
+    assert(plan.contains("partial_min"),
+      "the dedup election must map-side combine before its exchange")
   }
 
   test("outlier report flags only values above the Tukey fence") {

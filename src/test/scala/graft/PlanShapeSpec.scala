@@ -128,6 +128,51 @@ class PlanShapeSpec extends AnyFunSuite {
       "election must not be a window over the (skewable) block hash")
   }
 
+  test("fingerprint/band elections (q40/q42/q31/q32/q26) are groupBy+join, never a hot-key window") {
+    // the r8 refit: the LAST single-task-per-hot-key windows in the
+    // inventory (a boilerplate fingerprint class or a degenerate LSH
+    // band is GUARANTEED hot at 100 TB; AQE splits skewed joins but
+    // never window partitions). Pin: no Window node anywhere in these
+    // plans, and the election partial-aggregates map-side.
+    val docs = Tables.documents(spark, dir)
+    Seq(
+      "q40" -> graft.operators.TextAnalysis.fingerprint(docs),
+      "q42" -> graft.operators.TextAnalysis.dedupedCorpus(docs),
+      "q31" -> graft.operators.Dedup.minhashProfile(docs),
+      "q32" -> graft.operators.Dedup.simhashProfile(docs),
+      "q26" -> graft.operators.Curation.registrationDedup(
+        Tables.part(spark, dir), Tables.part(spark, dir))
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"),
+        s"$name: hot-key window crept back into the election:\n${plan.take(2000)}")
+      assert(plan.contains("partial_count") || plan.contains("partial_min"),
+        s"$name: election must map-side combine before the exchange:\n${plan.take(2000)}")
+    }
+  }
+
+  test("corpus pipeline + card (q55/q60): dedup election joins, budget cut runs bucketed") {
+    val docs = Tables.documents(spark, dir)
+    val pipe = graft.operators.Corpus.corpusPipeline(
+      docs, Seq("en" -> 10000), 10000, 100000L)
+    val pipePlan = pipe.queryExecution.executedPlan.toString()
+    // the only Window partition keys allowed are bucketedRunningSum's
+    // (lang, __bucket) intra-bucket sum and its dimension-sized offsets
+    // frame — never the raw fingerprint or bare lang over the data
+    pipePlan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(!l.contains("fingerprint"),
+        s"q55: fingerprint window crept back in:\n$l")
+      assert(l.contains("__bucket") || !l.contains("lang"),
+        s"q55: per-language window without bucketing crept back in:\n$l")
+    }
+    assert(pipePlan.contains("__bucket"),
+      "q55: the budget cut must run on bucketedRunningSum")
+    val cardPlan = graft.operators.Corpus.corpusCard(docs, Seq("en" -> 10000), 10000)
+      .queryExecution.executedPlan.toString()
+    assert(!cardPlan.contains("Window"),
+      s"q60: the dedup election must be the groupBy+join shape:\n${cardPlan.take(2000)}")
+  }
+
   test("bpe tokenize: the apply scan is row-local against the frozen model") {
     // induction runs driver-side over the bounded vocabulary BEFORE
     // this plan exists; the returned scan must be scan → kernel

@@ -188,7 +188,11 @@ object SparkEntry {
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
-      Relational.pricingSummary(viaFormat(Tables.lineitem(s, d), "orc", "lineitem")))
+      Relational.pricingSummary(viaFormat(Tables.lineitem(s, d), "orc", "lineitem"))),
+    "q94_region_atlas" -> ((s, d) => Atlas.regionConsistency(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q95_region_lca" -> ((s, d) => Atlas.firstCommonAncestor(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
   )
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
@@ -1426,6 +1430,71 @@ object SparkEntry {
       |CAST(peak_resp AS BIGINT) AS peak_resp
       |FROM c ORDER BY trace_id, sweep""".stripMargin
 
+  /** q94/q95 shared oracle scaffolding: the geo ancestor closure as a
+    * recursive CTE (with depth-0 self rows — the with_ascendants
+    * shape), the closed-form voxel volume replayed from `range()`, and
+    * the per-entity declared/computed resolution. Constants mirror
+    * [[graft.operators.Atlas]] (16³ grid, 1000 µm voxels, axis primes,
+    * cell code (ix+3iy+7iz) mod 32). */
+  private def regionAtlasCtes: String =
+    """WITH RECURSIVE edges AS (
+      |SELECT n_name AS child, r_name AS parent FROM nation JOIN region ON n_regionkey = r_regionkey
+      |UNION ALL SELECT r_name, 'WORLD' FROM region
+      |), anc AS (
+      |SELECT node, node AS ancestor, 0 AS depth FROM (SELECT child AS node FROM edges UNION SELECT parent FROM edges)
+      |UNION ALL
+      |SELECT a.node, e.parent, a.depth + 1 FROM anc a JOIN edges e ON a.ancestor = e.child
+      |), vol AS (
+      |SELECT g.ix, g.iy, g.iz, coalesce(n.n_name, r.r_name) AS computed_region
+      |FROM (SELECT i // 256 AS ix, (i // 16) % 16 AS iy, i % 16 AS iz,
+      |             (i // 256 + 3 * ((i // 16) % 16) + 7 * (i % 16)) % 32 AS v
+      |      FROM range(4096) t(i)) g
+      |LEFT JOIN nation n ON g.v = n.n_nationkey
+      |LEFT JOIN region r ON g.v - 25 = r.r_regionkey
+      |), decl AS (
+      |SELECT c_custkey,
+      |CASE WHEN c_custkey % 5 = 0 THEN r_name ELSE n_name END AS declared_region,
+      |((CAST(c_custkey AS BIGINT) * 7919) % 16000) // 1000 AS ix,
+      |((CAST(c_custkey AS BIGINT) * 104729) % 16000) // 1000 AS iy,
+      |((CAST(c_custkey AS BIGINT) * 1299709) % 16000) // 1000 AS iz
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+      |), ap AS (SELECT DISTINCT node, ancestor FROM anc WHERE depth >= 1
+      |), verdicts AS (
+      |SELECT j.c_custkey, j.declared_region, j.computed_region,
+      |CASE WHEN j.computed_region IS NULL THEN 'unresolved'
+      |     WHEN j.declared_region = j.computed_region THEN 'same region'
+      |     WHEN ia.ancestor IS NOT NULL THEN 'ancestor'
+      |     WHEN ib.ancestor IS NOT NULL THEN 'descendant'
+      |     ELSE 'mismatch' END AS relationship
+      |FROM (SELECT d.c_custkey, d.declared_region, v.computed_region
+      |      FROM decl d JOIN vol v USING (ix, iy, iz)) j
+      |LEFT JOIN ap ia ON j.declared_region = ia.node AND j.computed_region = ia.ancestor
+      |LEFT JOIN ap ib ON j.computed_region = ib.node AND j.declared_region = ib.ancestor
+      |)""".stripMargin
+
+  private def regionAtlasSql: String =
+    regionAtlasCtes +
+      """
+        |SELECT c_custkey, declared_region, computed_region,
+        |relationship IN ('same region', 'ancestor', 'descendant') AS agreement,
+        |relationship
+        |FROM verdicts ORDER BY 1""".stripMargin
+
+  private def regionLcaSql: String =
+    regionAtlasCtes +
+      """, pairs AS (
+        |SELECT declared_region, computed_region, count(*) AS n_entities
+        |FROM verdicts WHERE relationship = 'mismatch' GROUP BY 1, 2
+        |)
+        |SELECT p.declared_region, p.computed_region, p.n_entities,
+        |first(a.ancestor ORDER BY a.depth, b.depth, a.ancestor) AS first_common_ancestor,
+        |first(a.depth ORDER BY a.depth, b.depth, a.ancestor) AS depth_from_declared,
+        |first(b.depth ORDER BY a.depth, b.depth, a.ancestor) AS depth_from_computed
+        |FROM pairs p
+        |JOIN anc a ON a.node = p.declared_region
+        |JOIN anc b ON b.node = p.computed_region AND b.ancestor = a.ancestor
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -1632,6 +1701,8 @@ object SparkEntry {
     "q89_hybrid_rrf" -> hybridRrfSql,
     "q90_phrase_search" -> phraseSearchSql,
     "q91_span_dedup" -> spanDedupSql,
+    "q94_region_atlas" -> regionAtlasSql,
+    "q95_region_lca" -> regionLcaSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

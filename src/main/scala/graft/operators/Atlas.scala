@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Voxel-atlas region resolution — the Spark form of the reference's
+  * coordinate-vs-declared brain-region validation (its second-largest
+  * validation module): position → voxel index → raw-volume lookup
+  * (reference src/neuron_morphology/validation/region_comparison.py:81-97
+  * `get_region`: `voxel_data.positions_to_indices`, then a raw-volume
+  * read), agreement judged as "ancestor or descendant" on the region
+  * hierarchy (region_comparison.py:286-331 `check_agreement`, via
+  * `reg_map.get(id, with_ascendants=True)`), and the FIRST COMMON
+  * ANCESTOR reported when the two disagree (region_comparison.py:
+  * 318-329 — the first entry of the observed region's leaf→root
+  * ancestor list that also appears in the declared region's list).
+  *
+  * Re-expressed Spark-first over the repo's geography ontology (the
+  * q29 closure): the atlas is a synthetic voxel volume whose cells
+  * resolve to nation leaves, region interior nodes, or unclassified
+  * space, generated in CLOSED FORM so the DuckDB oracle replays it
+  * exactly; entity positions are closed-form functions of the entity
+  * key (the engine's hash-threshold discipline — reproducible across
+  * runs, engines and repartitioning).
+  *
+  * Scale shape: the voxel volume is dimension-sized (a real 25 µm
+  * Allen volume is ~10⁷ voxels — broadcast or at worst a bucketed
+  * dimension join; here 16³) and rides a broadcast; the ancestor
+  * closure is dimension-sized and rides broadcasts (q29 discipline);
+  * coordinate→bin is row-local arithmetic on the scan. Entities flow
+  * through one scan + broadcast joins — zero data-sized shuffles
+  * before the output sort, at any entity count.
+  */
+object Atlas {
+
+  /** voxels per axis: positions land in [0, GridSize·VoxelUm) µm. */
+  val GridSize = 16
+
+  /** voxel edge length in µm (integer so binning is exact floor
+    * division in both engines). */
+  val VoxelUm = 1000L
+
+  /** per-axis position multipliers (primes, so the three axes decorrelate). */
+  private val AxisPrime = Seq(7919L, 104729L, 1299709L)
+
+  /** closed-form entity position on one axis, in µm — a pure row-local
+    * function of the entity key, replayed verbatim by the oracle SQL. */
+  def positionUm(key: Column, axis: Int): Column =
+    pmod(key * lit(AxisPrime(axis)), lit(GridSize * VoxelUm))
+
+  /** position → voxel index: the positions_to_indices step (floor
+    * division by the voxel edge — exact integer in both engines). */
+  def voxelIndex(key: Column, axis: Int): Column =
+    positionUm(key, axis).divide(lit(VoxelUm)).cast("long")
+
+  /** The synthetic annotation volume: one row per voxel cell, cell
+    * value v = (ix + 3·iy + 7·iz) mod 32 decoding to a nation leaf
+    * (v < 25), a region interior node (25 ≤ v < 30) — declarations and
+    * volumes genuinely mix granularities — or unclassified space
+    * (v ≥ 30, like the Allen volume's id-0 outside-brain voxels, where
+    * the lookup resolves to nothing). */
+  def voxelGrid(spark: SparkSession, nation: DataFrame, region: DataFrame): DataFrame = {
+    val g = GridSize
+    val cells = spark.range(g.toLong * g * g)
+      .select(expr(s"id DIV ${g * g}").as("ix"),
+        expr(s"(id DIV $g) % $g").as("iy"),
+        expr(s"id % $g").as("iz"))
+      .withColumn("v", expr("(ix + 3 * iy + 7 * iz) % 32"))
+    cells
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("v") === col("n_nationkey"), "left")
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("v") - 25 === col("r_regionkey"), "left")
+      .select(col("ix"), col("iy"), col("iz"),
+        coalesce(col("n_name"), col("r_name")).as("computed_region"))
+  }
+
+  /** ancestor sets over the geography ontology INCLUDING self at depth
+    * 0 — the reg_map.get(..., with_ascendants=True) shape (the
+    * reference's list starts at the node itself). Built on the q29
+    * closure; dimension-sized, broadcast by callers. */
+  def geoAncestors(region: DataFrame, nation: DataFrame): DataFrame = {
+    val edges = nation
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("child"), col("r_name").as("parent"))
+      .unionByName(region.select(col("r_name").as("child"), lit("WORLD").as("parent")))
+    val selfRows = edges.select(col("child").as("node"))
+      .unionByName(edges.select(col("parent").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("ancestor"), lit(0).as("depth"))
+    Ontology.transitiveClosure(edges, maxDepth = 3).unionByName(selfRows)
+  }
+
+  /** q94: voxel-atlas region consistency — each entity's DECLARED
+    * region (customers declare at mixed granularity: every 5th key
+    * declares only its coarse region, the rest their nation) versus
+    * the region COMPUTED from its coordinates through the annotation
+    * volume, judged on the hierarchy:
+    *
+    *   - `same region` — declared == computed;
+    *   - `ancestor`    — computed is a proper ancestor of declared;
+    *   - `descendant`  — computed is a proper descendant of declared;
+    *   - `unresolved`  — the coordinates land in unclassified space
+    *                     (the reference's "region not resolved" row);
+    *   - `mismatch`    — disjoint branches (q95 reports their LCA).
+    *
+    * `agreement` is the reference's criterion: true iff same region /
+    * ancestor / descendant. */
+  def regionConsistency(customer: DataFrame, nation: DataFrame,
+                        region: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    val declared = customer
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, col("r_name"))
+          .otherwise(col("n_name")).as("declared_region"),
+        voxelIndex(col("c_custkey"), 0).as("ix"),
+        voxelIndex(col("c_custkey"), 1).as("iy"),
+        voxelIndex(col("c_custkey"), 2).as("iz"))
+    val resolved = declared
+      .join(broadcast(voxelGrid(spark, nation, region)), Seq("ix", "iy", "iz"))
+    val ancPairs = geoAncestors(region, nation)
+      .filter(col("depth") >= 1)
+      .select(col("node"), col("ancestor")).distinct()
+    resolved
+      .join(broadcast(ancPairs.select(col("node").as("__an"), col("ancestor").as("__aa"))),
+        col("declared_region") === col("__an") && col("computed_region") === col("__aa"),
+        "left")
+      .join(broadcast(ancPairs.select(col("node").as("__dn"), col("ancestor").as("__da"))),
+        col("computed_region") === col("__dn") && col("declared_region") === col("__da"),
+        "left")
+      .withColumn("relationship",
+        when(col("computed_region").isNull, "unresolved")
+          .when(col("declared_region") === col("computed_region"), "same region")
+          .when(col("__aa").isNotNull, "ancestor")
+          .when(col("__da").isNotNull, "descendant")
+          .otherwise("mismatch"))
+      .withColumn("agreement",
+        col("relationship").isin("same region", "ancestor", "descendant"))
+      .select("c_custkey", "declared_region", "computed_region",
+        "agreement", "relationship")
+      .orderBy("c_custkey")
+  }
+
+  /** q95: FIRST COMMON ANCESTOR for the disagreeing pairs — the
+    * reference's report column for non-agreeing regions
+    * (region_comparison.py:318-329: the lowest entry of the observed
+    * ancestor list shared with the declared list). One dimension-sized
+    * frame per distinct (declared, computed) mismatch pair with its
+    * entity count; the LCA minimises (depth from declared, depth from
+    * computed, name) over the shared-ancestor join — on a tree the
+    * first key already decides, the rest make the election total.
+    *
+    * Scale shape: the pair domain aggregate map-side-combines the
+    * entity stream down to a dimension-sized frame (≤ |nodes|²); the
+    * ancestor joins and the min-struct election then run on that frame
+    * only — entities are never rejoined. */
+  def firstCommonAncestor(customer: DataFrame, nation: DataFrame,
+                          region: DataFrame): DataFrame = {
+    val pairs = regionConsistency(customer, nation, region)
+      .filter(col("relationship") === "mismatch")
+      .groupBy("declared_region", "computed_region")
+      .agg(count(lit(1)).as("n_entities"))
+    val anc = geoAncestors(region, nation)
+    pairs
+      .join(broadcast(anc.select(col("node").as("declared_region"),
+        col("ancestor").as("anc"), col("depth").as("d_decl"))),
+        Seq("declared_region"))
+      .join(broadcast(anc.select(col("node").as("computed_region"),
+        col("ancestor").as("anc"), col("depth").as("d_comp"))),
+        Seq("computed_region", "anc"))
+      .groupBy("declared_region", "computed_region", "n_entities")
+      .agg(min(struct(col("d_decl"), col("d_comp"), col("anc"))).as("m"))
+      .select(col("declared_region"), col("computed_region"), col("n_entities"),
+        col("m.anc").as("first_common_ancestor"),
+        col("m.d_decl").as("depth_from_declared"),
+        col("m.d_comp").as("depth_from_computed"))
+      .orderBy("declared_region", "computed_region")
+  }
+}

@@ -54,11 +54,8 @@ object SparkEntry {
       Validation.InSet("o_orderstatus", Seq("O", "F", "P")),
       Validation.Matches("o_orderpriority", "^[1-5]-[A-Z ]+$"),
       Validation.Unique("o_orderkey")))),
-    "q21b_violation_rows" -> ((s, d) => Validation.violationRows(Tables.orders(s, d), "o_orderkey", Seq(
-      Validation.NotNull("o_custkey"),
-      Validation.InRange("o_totalprice", 0, 300000),
-      Validation.InSet("o_orderstatus", Seq("O", "F")),
-      Validation.Matches("o_orderpriority", "^[1-3]-[A-Z ]+$")))),
+    "q21b_violation_rows" -> ((s, d) => Validation.violationRows(
+      Tables.orders(s, d), "o_orderkey", OrderRowRules)),
     "q22_quality_metrics" -> ((s, d) => Curation.qualityMetrics(Tables.lineitem(s, d))),
     "q23_feature_annotations" -> ((s, d) => Curation.featureAnnotations(
       Tables.part(s, d), Tables.lineitem(s, d))),
@@ -192,8 +189,18 @@ object SparkEntry {
     "q94_region_atlas" -> ((s, d) => Atlas.regionConsistency(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q95_region_lca" -> ((s, d) => Atlas.firstCommonAncestor(
-      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d)))
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q96_check_matrix" -> ((s, d) => Validation.checkMatrix(
+      Tables.orders(s, d), Tables.lineitem(s, d), OrderRowRules))
   )
+
+  /** the ONE per-order row-rule set — q21b's listing and q96's matrix
+    * share it so the two reports cannot disagree on what a rule means. */
+  private val OrderRowRules: Seq[Validation.Rule] = Seq(
+    Validation.NotNull("o_custkey"),
+    Validation.InRange("o_totalprice", 0, 300000),
+    Validation.InSet("o_orderstatus", Seq("O", "F")),
+    Validation.Matches("o_orderpriority", "^[1-3]-[A-Z ]+$"))
 
   /** q75 model/fence constants, interpolated into the oracle SQL. */
   private val RarityPhiBp = 10
@@ -1495,6 +1502,39 @@ object SparkEntry {
         |JOIN anc b ON b.node = p.computed_region AND b.ancestor = a.ancestor
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
 
+  /** q96 oracle: replays the matrix with q21b's exact rule predicates
+    * and null semantics (`violation IS NOT TRUE` = pass). */
+  private def checkMatrixSql: String =
+    """WITH li AS (
+      |SELECT l_orderkey, count(*) AS n_items, min(l_shipdate) AS min_ship FROM lineitem GROUP BY 1
+      |), m AS (
+      |SELECT o_orderkey,
+      |(o_custkey IS NULL) IS NOT TRUE AS pass_not_null_o_custkey,
+      |(NOT (o_totalprice BETWEEN 0 AND 300000)) IS NOT TRUE AS pass_range_o_totalprice,
+      |(o_orderstatus NOT IN ('O', 'F')) IS NOT TRUE AS pass_enum_o_orderstatus,
+      |(NOT regexp_matches(o_orderpriority, '^[1-3]-[A-Z ]+$')) IS NOT TRUE AS pass_regex_o_orderpriority,
+      |coalesce(n_items, 0) >= 1 AS pass_has_lineitems,
+      |coalesce(n_items BETWEEN 1 AND 7, FALSE) AS pass_item_count,
+      |coalesce(min_ship >= o_orderdate, TRUE) AS pass_ship_after_order
+      |FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+      |)
+      |SELECT m.*,
+      |CAST((CASE WHEN pass_not_null_o_custkey THEN 0 ELSE 1 END
+      | + CASE WHEN pass_range_o_totalprice THEN 0 ELSE 1 END
+      | + CASE WHEN pass_enum_o_orderstatus THEN 0 ELSE 1 END
+      | + CASE WHEN pass_regex_o_orderpriority THEN 0 ELSE 1 END
+      | + CASE WHEN pass_has_lineitems THEN 0 ELSE 1 END
+      | + CASE WHEN pass_item_count THEN 0 ELSE 1 END
+      | + CASE WHEN pass_ship_after_order THEN 0 ELSE 1 END) AS INTEGER) AS n_failed,
+      |(CASE WHEN pass_not_null_o_custkey THEN 0 ELSE 1 END
+      | + CASE WHEN pass_range_o_totalprice THEN 0 ELSE 1 END
+      | + CASE WHEN pass_enum_o_orderstatus THEN 0 ELSE 1 END
+      | + CASE WHEN pass_regex_o_orderpriority THEN 0 ELSE 1 END
+      | + CASE WHEN pass_has_lineitems THEN 0 ELSE 1 END
+      | + CASE WHEN pass_item_count THEN 0 ELSE 1 END
+      | + CASE WHEN pass_ship_after_order THEN 0 ELSE 1 END) = 0 AS all_pass
+      |FROM m ORDER BY o_orderkey""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -1703,6 +1743,7 @@ object SparkEntry {
     "q91_span_dedup" -> spanDedupSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q95_region_lca" -> regionLcaSql,
+    "q96_check_matrix" -> checkMatrixSql,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

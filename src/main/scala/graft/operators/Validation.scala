@@ -90,6 +90,45 @@ object Validation {
       .orderBy("key")
   }
 
+  /** q96: the composed per-entity CHECK MATRIX — the orchestration
+    * shape of the reference's two largest files (validator.py:1-532 and
+    * trace/validation/validation.py:1-482: run N named checks per
+    * entity, emit a pass/fail matrix the curator reads), built from
+    * SHARED verdict definitions so the matrix cannot drift from the
+    * standalone checks (q60 discipline):
+    *
+    *   - one `pass_<rule>` boolean per row-local [[Rule]] — THE SAME
+    *     rule objects as q21b, with q21b's null semantics (a null
+    *     violation verdict counts as pass: `violation IS NOT TRUE`);
+    *   - `pass_has_lineitems` — the q20 reference-resolvability check;
+    *   - `pass_item_count` — cardinality fence on the child table;
+    *   - `pass_ship_after_order` — cross-table date consistency (the
+    *     q27 declared-vs-computed family); vacuously true when there
+    *     are no lineitems (that failure is has_lineitems' to report);
+    *   - `n_failed` / `all_pass` — the workbook rollup columns.
+    *
+    * Scale shape: row rules are row-local on the orders scan; the child
+    * table collapses through ONE map-side-combined per-order aggregate
+    * before the (equi, AQE-splittable) join — no window, nothing
+    * all-pairs, and adding more named checks adds zero exchanges. */
+  def checkMatrix(orders: DataFrame, lineitem: DataFrame,
+                  rules: Seq[Rule]): DataFrame = {
+    val li = lineitem.groupBy(col("l_orderkey").as("__ok"))
+      .agg(count(lit(1)).as("__n_items"), min(col("l_shipdate")).as("__min_ship"))
+    val checks: Seq[(String, Column)] =
+      rules.filter(!_.isInstanceOf[Unique]).map(r =>
+        ("pass_" + r.name) -> !coalesce(r.violation, lit(false))) ++ Seq(
+        "pass_has_lineitems" -> (coalesce(col("__n_items"), lit(0L)) >= 1),
+        "pass_item_count" -> coalesce(col("__n_items").between(1, 7), lit(false)),
+        "pass_ship_after_order" -> coalesce(col("__min_ship") >= col("o_orderdate"), lit(true)))
+    orders.join(li, col("o_orderkey") === col("__ok"), "left")
+      .select(col("o_orderkey") +: checks.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("n_failed",
+        checks.map { case (n, _) => when(col(n), 0).otherwise(1) }.reduce(_ + _))
+      .withColumn("all_pass", col("n_failed") === 0)
+      .orderBy("o_orderkey")
+  }
+
   /** q21b: the same listing exploded to one (id, rule) row — the
     * flat shape that joins/sorts/compares cleanly downstream. Checks
     * stay row-local over a single scan; the only exchange is the

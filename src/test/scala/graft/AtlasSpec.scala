@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Atlas
+
+/** q94/q95: voxel-atlas region resolution and the LCA report. */
+class AtlasSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def cust = Tables.customer(spark, dir)
+  private def nat = Tables.nation(spark, dir)
+  private def reg = Tables.region(spark, dir)
+
+  test("voxel grid covers every cell exactly once; unclassified cells resolve to null") {
+    val g = Atlas.voxelGrid(spark, nat, reg).collect()
+    assert(g.length == Atlas.GridSize * Atlas.GridSize * Atlas.GridSize)
+    val nulls = g.count(_.isNullAt(3))
+    assert(nulls > 0, "cell codes 30/31 must exist and resolve to nothing")
+    // closed form replayed by hand for a sample cell
+    g.foreach { r =>
+      val v = (r.getLong(0) + 3 * r.getLong(1) + 7 * r.getLong(2)) % 32
+      if (v >= 30) assert(r.isNullAt(3), s"cell code $v must be unclassified")
+      else assert(!r.isNullAt(3), s"cell code $v must resolve")
+    }
+  }
+
+  test("region consistency verdicts are faithful to the hierarchy") {
+    val natRegion = nat.join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val out = Atlas.regionConsistency(cust, nat, reg).collect()
+    assert(out.length == cust.count())
+    val byRel = out.groupBy(_.getAs[String]("relationship"))
+    // at 150 customers every verdict class should be populated except
+    // possibly the rarest; require the load-bearing ones
+    assert(byRel.contains("mismatch") && byRel.contains("unresolved"))
+    out.foreach { r =>
+      val decl = r.getAs[String]("declared_region")
+      val comp = r.getAs[String]("computed_region")
+      val rel = r.getAs[String]("relationship")
+      val agree = r.getAs[Boolean]("agreement")
+      assert(agree == Set("same region", "ancestor", "descendant").contains(rel))
+      rel match {
+        case "unresolved"  => assert(comp == null)
+        case "same region" => assert(decl == comp)
+        // computed must be declared's parent region (2-level hierarchy)
+        case "ancestor"    => assert(natRegion(decl) == comp)
+        case "descendant"  => assert(natRegion(comp) == decl)
+        case "mismatch"    =>
+          assert(comp != null && decl != comp
+            && natRegion.get(decl) != Some(comp) && natRegion.get(comp) != Some(decl))
+      }
+    }
+  }
+
+  test("first common ancestor: same-region pairs meet at the region, others at WORLD") {
+    val natRegion = nat.join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val out = Atlas.firstCommonAncestor(cust, nat, reg).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val decl = r.getAs[String]("declared_region")
+      val comp = r.getAs[String]("computed_region")
+      val lca = r.getAs[String]("first_common_ancestor")
+      assert(r.getAs[Long]("n_entities") > 0)
+      // mismatch pairs only, so the LCA is never one of the two nodes
+      assert(lca != decl && lca != comp)
+      val declRegion = natRegion.getOrElse(decl, decl) // region declarations map to themselves
+      val compRegion = natRegion.getOrElse(comp, comp)
+      if (declRegion == compRegion) {
+        assert(lca == declRegion, s"same-branch pair ($decl, $comp) must meet at $declRegion")
+        assert(r.getAs[Int]("depth_from_declared") == (if (decl == declRegion) 0 else 1))
+      } else {
+        assert(lca == "WORLD", s"cross-region pair ($decl, $comp) must meet at WORLD")
+      }
+    }
+  }
+}

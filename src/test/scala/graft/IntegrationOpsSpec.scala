@@ -52,6 +52,53 @@ class IntegrationOpsSpec extends AnyFunSuite {
     assert(v.length == 1 && v.head.getLong(0) == 2)
   }
 
+  test("check matrix composes the shared rules with cross-table checks") {
+    val orders = Seq(
+      (1L, Some(10L), 500.0, "O", "1-URGENT", "1996-01-05"),   // all pass
+      (2L, None, 500.0, "O", "1-URGENT", "1996-01-05"),        // null custkey
+      (3L, Some(10L), 999999.0, "X", "9-BAD", "1996-01-05"),   // range+enum+regex
+      (4L, Some(10L), 500.0, "O", "1-URGENT", "1996-01-05")    // no lineitems
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+      "o_orderpriority", "d")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val li = Seq(
+      (1L, "1996-02-01"), (2L, "1996-02-01"),
+      (3L, "1995-12-31") // ships BEFORE the order date
+    ).toDF("l_orderkey", "s").withColumn("l_shipdate", to_timestamp(col("s"))).drop("s")
+
+    val rules: Seq[Validation.Rule] = Seq(
+      Validation.NotNull("o_custkey"),
+      Validation.InRange("o_totalprice", 0, 300000),
+      Validation.InSet("o_orderstatus", Seq("O", "F")),
+      Validation.Matches("o_orderpriority", "^[1-3]-[A-Z ]+$"))
+    val out = Validation.checkMatrix(orders, li, rules).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[Boolean]("all_pass") && out(1L).getAs[Int]("n_failed") == 0)
+    assert(!out(2L).getAs[Boolean]("pass_not_null_o_custkey")
+      && out(2L).getAs[Int]("n_failed") == 1)
+    assert(!out(3L).getAs[Boolean]("pass_range_o_totalprice")
+      && !out(3L).getAs[Boolean]("pass_enum_o_orderstatus")
+      && !out(3L).getAs[Boolean]("pass_regex_o_orderpriority")
+      && !out(3L).getAs[Boolean]("pass_ship_after_order")
+      && out(3L).getAs[Int]("n_failed") == 4)
+    // no lineitems: has_lineitems and item_count fail, the ship-date
+    // check is vacuously true (that failure is has_lineitems' to report)
+    assert(!out(4L).getAs[Boolean]("pass_has_lineitems")
+      && !out(4L).getAs[Boolean]("pass_item_count")
+      && out(4L).getAs[Boolean]("pass_ship_after_order")
+      && out(4L).getAs[Int]("n_failed") == 2)
+    // matrix verdicts agree with the standalone q21b listing (shared rules)
+    val listed = Validation.violationRows(orders, "o_orderkey", rules)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    out.values.foreach { r =>
+      rules.foreach { rule =>
+        assert(r.getAs[Boolean]("pass_" + rule.name) ==
+          !listed.contains((r.getLong(0), rule.name)))
+      }
+    }
+  }
+
   test("curation upsert prefers new annotation over existing") {
     val orders = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)

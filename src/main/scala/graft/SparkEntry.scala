@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, expr, lit, split_part, when}
+import org.apache.spark.sql.functions.{col, concat_ws, expr, lit, pmod, split_part, when}
 
 import graft.operators._
 
@@ -177,6 +177,23 @@ object SparkEntry {
     "q88_indexed_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Search.indexedSearch(Search.postingIndex(docs), Search.docCount(docs))
+    }),
+    "q88b_compacted_search" -> ((s, d) => {
+      // the full segment lifecycle under the oracle: per-batch posting
+      // segments (the exact writes postingMaintenance's foreachBatch
+      // performs, here split by doc parity), compacted to the bucketed
+      // q88 layout + frozen meta, searched by catalog name — must rank
+      // identically to q87/q88 (same oracle SQL)
+      val docs = Tables.documents(s, d)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_twin/$fmtTwinToken/q88b_segs"
+      Seq(0, 1).foreach { par =>
+        val b = docs.filter(pmod(col("doc_id"), lit(2)) === par)
+        Search.postingIndex(b).write.mode("overwrite").parquet(s"$base/index/seg=$par")
+        Search.docCount(b).write.mode("overwrite").parquet(s"$base/meta/seg=$par")
+      }
+      val table = s"graft_q88b_compacted_$fmtTwinToken"
+      graft.sources.IndexCatalog.compactSegments(s, s"$base/index", s"$base/meta", table)
+      graft.sources.IndexCatalog.searchPostings(s, table)
     }),
     "q89_hybrid_rrf" -> ((s, d) =>
       Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -1738,6 +1755,7 @@ object SparkEntry {
     "q86_tfidf_terms" -> tfidfTermsSql,
     "q87_keyword_search" -> keywordSearchSql,
     "q88_indexed_search" -> keywordSearchSql,
+    "q88b_compacted_search" -> keywordSearchSql,
     "q89_hybrid_rrf" -> hybridRrfSql,
     "q90_phrase_search" -> phraseSearchSql,
     "q91_span_dedup" -> spanDedupSql,

@@ -106,41 +106,56 @@ object MergeWriter {
       s"applyToPartitioned: updates carry a NULL $partCol — null partitions are not mergeable")
     if (touched.nonEmpty) {
       val target = spark.read.parquet(path).filter(col(partCol).isin(touched: _*))
-      // cache: the merged state is consumed twice (remaining-partition
-      // listing + the write) — without this the dominant full-outer
-      // join runs twice per merge
-      val merged = mergedState(target, updates, key, deleteFlag).cache()
+      val merged0 = mergedState(target, updates, key, deleteFlag)
+      // Deletes can empty a touched partition, and dynamic overwrite
+      // would then leave its old files alive — that path must LIST the
+      // merged state's partitions before writing, so it caches (the
+      // merged frame is consumed twice). Without a delete flag no
+      // touched partition can empty (every touched partition keeps at
+      // least its update rows), so the insert/update-only path — the
+      // per-batch index-maintenance hot loop — skips the cache and the
+      // extra listing job and goes straight to the write.
+      val merged = if (deleteFlag.isEmpty) merged0 else merged0.cache()
       try {
-        val remaining = merged.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
-        // a touched partition whose rows were ALL deleted emits no
-        // output, so dynamic overwrite would leave its old files alive.
-        // Drop those dirs BEFORE the write: their correct final state is
-        // absence, so a crash in between leaves a consistent (partially
-        // applied) table, and re-running the same merge heals it —
-        // deleting after the write instead would let deleted rows
-        // resurrect on a crash in the gap. Partition-level commit is
-        // not atomic across partitions (that needs a table format with
-        // a log); the merge is idempotent under replay, which is the
-        // recovery story here.
-        val emptied = touched.filterNot(remaining)
-        if (emptied.nonEmpty) {
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          emptied.foreach { v =>
-            val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(partCol, String.valueOf(v))
-            fs.delete(new org.apache.hadoop.fs.Path(p, dirName), true)
+        if (deleteFlag.nonEmpty) {
+          val remaining = merged.select(col(partCol)).distinct().collect().map(_.get(0)).toSet
+          // a touched partition whose rows were ALL deleted emits no
+          // output, so dynamic overwrite would leave its old files alive.
+          // Drop those dirs BEFORE the write: their correct final state is
+          // absence, so a crash in between leaves a consistent (partially
+          // applied) table, and re-running the same merge heals it —
+          // deleting after the write instead would let deleted rows
+          // resurrect on a crash in the gap. Partition-level commit is
+          // not atomic across partitions (that needs a table format with
+          // a log); the merge is idempotent under replay, which is the
+          // recovery story here.
+          val emptied = touched.filterNot(remaining)
+          if (emptied.nonEmpty) {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            emptied.foreach { v =>
+              val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(partCol, String.valueOf(v))
+              fs.delete(new org.apache.hadoop.fs.Path(p, dirName), true)
+            }
           }
         }
         val conf = "spark.sql.sources.partitionOverwriteMode"
         val prev = spark.conf.getOption(conf)
         spark.conf.set(conf, "dynamic")
-        try merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+        // cluster by the partition column before the write: without it
+        // every shuffle task writes a file into every touched partition
+        // dir (tasks × partitions small files — the classic partitioned-
+        // write explosion; measured 32×50 files for a 50-row merge).
+        // REBALANCE (not repartition) so AQE still splits a hot
+        // partition's output across tasks instead of serializing it.
+        try merged.hint("rebalance", partCol)
+          .write.mode("overwrite").partitionBy(partCol).parquet(path)
         finally prev match {
           case Some(v) => spark.conf.set(conf, v)
           case None    => spark.conf.unset(conf)
         }
-      } finally merged.unpersist(blocking = false)
+      } finally if (deleteFlag.nonEmpty) merged.unpersist(blocking = false)
     }
   }
 
@@ -232,7 +247,8 @@ object Upsert {
   def applyAndReadPartitioned(spark: SparkSession, customer: DataFrame,
                               supplier: DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_pmerge_").toString + "/state"
-    target(customer).write.mode("overwrite").partitionBy("segment").parquet(dir)
+    target(customer).hint("rebalance", "segment")
+      .write.mode("overwrite").partitionBy("segment").parquet(dir)
     MergeWriter.applyToPartitioned(spark, dir, partitionedUpdates(customer, supplier),
       "c_custkey", "segment", Some("is_deleted"))
     spark.read.parquet(dir)

@@ -773,6 +773,7 @@ object Similarity {
     val (_, books) = rpqModels(embeddings, cents, m, dim, k)
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_upsert_").toString + "/index"
     pqResidualEncodeWithModel(embeddings, cents, books, m, dim)
+      .hint("rebalance", "cell") // ≈1 file per cell, not tasks × cells
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     val delta = embeddings.filter(col("vec_id") < deltaCount)
       .select((col("vec_id") + idOffset).as("vec_id"),

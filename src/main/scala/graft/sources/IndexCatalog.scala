@@ -34,6 +34,7 @@ object IndexCatalog {
                          nCells: Int = 16, m: Int = 8, dim: Int = 64,
                          k: Int = 16): Unit =
     Similarity.buildIvfPqIndex(embeddings, nCells, m, dim, k)
+      .hint("rebalance", "cell") // ≈1 file per cell, not tasks × cells
       .write.mode("overwrite").format("parquet")
       .partitionBy("cell")
       .saveAsTable(table)
@@ -68,6 +69,26 @@ object IndexCatalog {
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(table)
     Search.docCount(docs)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** COMPACTION: many small streaming segments → the one bucketed q88
+    * layout (the Lucene merge step of the segment model —
+    * [[graft.streaming.DocStreams.postingMaintenance]] writes the
+    * segments, this folds them). Segments are disjoint per-doc posting
+    * facts, so the segment union IS the batch index over the union
+    * corpus; the frozen meta table is the summed per-segment count,
+    * never derived from a pruned sliver. After compaction queries pay
+    * bucket-pruned scans instead of a per-segment small-file sprawl —
+    * the read-amplification half of why Lucene merges. */
+  def compactSegments(spark: SparkSession, indexPath: String, metaPath: String,
+                      table: String, buckets: Int = 16): Unit = {
+    spark.read.parquet(indexPath).drop("seg")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(table)
+    spark.read.parquet(metaPath)
+      .agg(sum("n_docs").cast("long").as("n_docs"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
   }
 

@@ -38,7 +38,18 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // the int64 branch GUARDS its nanos assumption: a generation
+      // writing plain int64 MICROS (no logical type) would otherwise be
+      // silently divided by 1000, shifting every timestamp 1000×. Any
+      // plausible event time is ≥ 1e17 as nanos (≈ 1973) while micros
+      // magnitudes sit ≈ 1e15 — reject, never guess. Row-local codegen
+      // comparison; no extra job at load time.
+      case LongType => df.withColumn("ts", expr(
+        "timestamp_micros(CASE WHEN ts IS NULL OR ts >= 100000000000000000 " +
+          "THEN ts DIV 1000 ELSE raise_error(concat('events.ts: int64 value ', " +
+          "CAST(ts AS STRING), ' is too small to be nanos-since-epoch — refusing " +
+          "to guess the encoding (plain int64 micros must be rejected, not " +
+          "divided)')) END)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalArgumentException(

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types._
 
 import graft.operators.Decimals._
 
@@ -29,7 +28,15 @@ object EventStreams {
     * batch loader (graft.Tables.normalizeEventsTs). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case e: Throwable => throw new IllegalArgumentException(
+        s"readEventStream: cannot probe the ts encoding from '$dir' — the " +
+          "stream dir must be seeded with at least one parquet file before " +
+          "the query starts (the schema is then fixed for the stream's " +
+          s"lifetime; files with a different encoding appended later will " +
+          s"mismatch). Probe failure: ${e.getMessage}", e)
+      }
     graft.Tables.normalizeEventsTs(
       spark.readStream.schema(fileSchema).parquet(dir))
   }

@@ -118,6 +118,19 @@ class EdgeCaseSpec extends AnyFunSuite {
       "the null-text doc still gets a (train) split row")
   }
 
+  test("events.ts int64 branch refuses micros-magnitude values instead of guessing") {
+    // nanos since epoch (2026) pass and divide losslessly ...
+    val ok = Tables.normalizeEventsTs(
+      Seq(1767225600000000000L).toDF("ts")).collect()
+    assert(ok.head.getTimestamp(0).getTime == 1767225600000L)
+    // ... a plain int64-micros generation (1000x too small for nanos)
+    // must fail loud, never be silently divided into the year 1970
+    val bad = Tables.normalizeEventsTs(Seq(1767225600000000L).toDF("ts"))
+    val e = intercept[Exception](bad.collect())
+    assert(String.valueOf(e.getMessage).contains("refusing")
+      || String.valueOf(e.getCause).contains("refusing"))
+  }
+
   test("frequency and validation report sanely over empty inputs") {
     assert(Frequency.exactHeavyHitters(Seq.empty[Long].toDF("k"), col("k"), 100).isEmpty)
     assert(Scale.hotKeys(Seq.empty[Long].toDF("k"), "k").isEmpty)

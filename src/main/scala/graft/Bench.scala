@@ -49,8 +49,11 @@ object Bench {
       val err = (coldErr ++ warmRuns.flatMap(_._2)).headOption
       (name, cold, warm(warm.length / 2), warm.head, err)
     }
+    // timings rounded to ms: sub-ms digits are pure noise, and the full
+    // double repr quadrupled the line length — long enough that tail
+    // captures of this one-line contract truncated mid-JSON
     def obj(f: ((String, Double, Double, Double, Option[String])) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); s"\"" + k + "\":" + v }
+      results.map { r => val (k, v) = f(r); f"""\"$k\":$v%.3f""" }
         .mkString("{", ",", "}")
     val cold = obj { case (k, c, _, _, _) => k -> c }
     val warm = obj { case (k, _, m, _, _) => k -> m }
@@ -77,9 +80,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cold,""" +
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$cold,""" +
       s""""queries_warm_median":$warm,"queries_warm_min":$warmMin,""" +
-      s""""warm_median_total":$warmTotal,"errors":$errsJson,""" +
+      f""""warm_median_total":$warmTotal%.3f,"errors":$errsJson,""" +
       s""""warm_reps":$medianReps,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -205,6 +205,8 @@ object SparkEntry {
       Relational.pricingSummary(viaFormat(Tables.lineitem(s, d), "orc", "lineitem"))),
     "q94_region_atlas" -> ((s, d) => Atlas.regionConsistency(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q94b_region_neighbours" -> ((s, d) => Atlas.regionConsistencyNeighbours(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q95_region_lca" -> ((s, d) => Atlas.firstCommonAncestor(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q96_check_matrix" -> ((s, d) => Validation.checkMatrix(
@@ -1504,6 +1506,40 @@ object SparkEntry {
         |relationship
         |FROM verdicts ORDER BY 1""".stripMargin
 
+  private def regionNeighboursSql: String =
+    regionAtlasCtes +
+      """, offs(dx, dy, dz) AS (VALUES (1,0,0), (-1,0,0), (0,1,0), (0,-1,0), (0,0,1), (0,0,-1)
+        |), ctr AS (
+        |SELECT d.c_custkey, d.declared_region, v.computed_region, d.ix, d.iy, d.iz
+        |FROM decl d JOIN vol v USING (ix, iy, iz)
+        |), neigh AS (
+        |SELECT DISTINCT c.c_custkey, c.declared_region, v2.computed_region AS neigh_region
+        |FROM ctr c CROSS JOIN offs o
+        |JOIN vol v2 ON v2.ix = c.ix + o.dx AND v2.iy = c.iy + o.dy AND v2.iz = c.iz + o.dz
+        |WHERE v2.computed_region IS NOT NULL AND v2.computed_region IS DISTINCT FROM c.computed_region
+        |), judged AS (
+        |SELECT n.c_custkey, n.neigh_region,
+        |CASE WHEN n.declared_region = n.neigh_region THEN 'same region'
+        |     WHEN ia.ancestor IS NOT NULL THEN 'ancestor'
+        |     WHEN ib.ancestor IS NOT NULL THEN 'descendant'
+        |     ELSE 'mismatch' END AS neigh_relationship
+        |FROM neigh n
+        |LEFT JOIN ap ia ON n.declared_region = ia.node AND n.neigh_region = ia.ancestor
+        |LEFT JOIN ap ib ON n.neigh_region = ib.node AND n.declared_region = ib.ancestor
+        |), nagg AS (
+        |SELECT c_custkey, count(*) AS n_neighbour_regions,
+        |bool_or(neigh_relationship IN ('same region', 'ancestor', 'descendant')) AS neigh_agreement,
+        |min(CASE WHEN neigh_relationship IN ('same region', 'ancestor', 'descendant') THEN neigh_region END) AS neigh_region,
+        |arg_min(neigh_relationship, neigh_region) FILTER (WHERE neigh_relationship IN ('same region', 'ancestor', 'descendant')) AS neigh_relationship
+        |FROM judged GROUP BY 1
+        |)
+        |SELECT v.c_custkey, v.declared_region, v.computed_region, v.relationship,
+        |coalesce(n.n_neighbour_regions, 0) AS n_neighbour_regions,
+        |coalesce(n.neigh_agreement, FALSE) AS neigh_agreement,
+        |n.neigh_region, n.neigh_relationship
+        |FROM verdicts v LEFT JOIN nagg n USING (c_custkey)
+        |ORDER BY 1""".stripMargin
+
   private def regionLcaSql: String =
     regionAtlasCtes +
       """, pairs AS (
@@ -1760,6 +1796,7 @@ object SparkEntry {
     "q90_phrase_search" -> phraseSearchSql,
     "q91_span_dedup" -> spanDedupSql,
     "q94_region_atlas" -> regionAtlasSql,
+    "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,
     "q96_check_matrix" -> checkMatrixSql,
     "q59_containment" -> containmentSql,

@@ -91,6 +91,46 @@ object Atlas {
     Ontology.transitiveClosure(edges, maxDepth = 3).unionByName(selfRows)
   }
 
+  /** the ONE hierarchy-verdict rule, shared by q94 and q94b so the
+    * center and neighbour judgments cannot drift: appends `out` ∈
+    * {unresolved, same region, ancestor, descendant, mismatch} for the
+    * (declaredCol, computedCol) pair via two broadcast left joins
+    * against the proper-ancestor pairs of the q29 closure. */
+  private def withRelationship(df: DataFrame, declaredCol: String,
+                               computedCol: String, region: DataFrame,
+                               nation: DataFrame, out: String): DataFrame = {
+    val ancPairs = geoAncestors(region, nation)
+      .filter(col("depth") >= 1)
+      .select(col("node"), col("ancestor")).distinct()
+    df.join(broadcast(ancPairs.select(col("node").as("__an"), col("ancestor").as("__aa"))),
+        col(declaredCol) === col("__an") && col(computedCol) === col("__aa"), "left")
+      .join(broadcast(ancPairs.select(col("node").as("__dn"), col("ancestor").as("__da"))),
+        col(computedCol) === col("__dn") && col(declaredCol) === col("__da"), "left")
+      .withColumn(out,
+        when(col(computedCol).isNull, "unresolved")
+          .when(col(declaredCol) === col(computedCol), "same region")
+          .when(col("__aa").isNotNull, "ancestor")
+          .when(col("__da").isNotNull, "descendant")
+          .otherwise("mismatch"))
+      .drop("__an", "__aa", "__dn", "__da")
+  }
+
+  /** entity frame with declared region + voxel indices — the shared
+    * front half of q94/q94b. */
+  private def declaredWithVoxel(customer: DataFrame, nation: DataFrame,
+                                region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, col("r_name"))
+          .otherwise(col("n_name")).as("declared_region"),
+        voxelIndex(col("c_custkey"), 0).as("ix"),
+        voxelIndex(col("c_custkey"), 1).as("iy"),
+        voxelIndex(col("c_custkey"), 2).as("iz"))
+
   /** q94: voxel-atlas region consistency — each entity's DECLARED
     * region (customers declare at mixed granularity: every 5th key
     * declares only its coarse region, the rest their nation) versus
@@ -109,39 +149,77 @@ object Atlas {
   def regionConsistency(customer: DataFrame, nation: DataFrame,
                         region: DataFrame): DataFrame = {
     val spark = customer.sparkSession
-    val declared = customer
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
-        col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"),
-        when(pmod(col("c_custkey"), lit(5)) === 0, col("r_name"))
-          .otherwise(col("n_name")).as("declared_region"),
-        voxelIndex(col("c_custkey"), 0).as("ix"),
-        voxelIndex(col("c_custkey"), 1).as("iy"),
-        voxelIndex(col("c_custkey"), 2).as("iz"))
-    val resolved = declared
+    val resolved = declaredWithVoxel(customer, nation, region)
       .join(broadcast(voxelGrid(spark, nation, region)), Seq("ix", "iy", "iz"))
-    val ancPairs = geoAncestors(region, nation)
-      .filter(col("depth") >= 1)
-      .select(col("node"), col("ancestor")).distinct()
-    resolved
-      .join(broadcast(ancPairs.select(col("node").as("__an"), col("ancestor").as("__aa"))),
-        col("declared_region") === col("__an") && col("computed_region") === col("__aa"),
-        "left")
-      .join(broadcast(ancPairs.select(col("node").as("__dn"), col("ancestor").as("__da"))),
-        col("computed_region") === col("__dn") && col("declared_region") === col("__da"),
-        "left")
-      .withColumn("relationship",
-        when(col("computed_region").isNull, "unresolved")
-          .when(col("declared_region") === col("computed_region"), "same region")
-          .when(col("__aa").isNotNull, "ancestor")
-          .when(col("__da").isNotNull, "descendant")
-          .otherwise("mismatch"))
+    withRelationship(resolved, "declared_region", "computed_region",
+        region, nation, "relationship")
       .withColumn("agreement",
         col("relationship").isin("same region", "ancestor", "descendant"))
       .select("c_custkey", "declared_region", "computed_region",
         "agreement", "relationship")
+      .orderBy("c_custkey")
+  }
+
+  /** q94b: NEIGHBOUR-AWARE region consistency — the reference's
+    * with_neighbours fallback (region_comparison.py:89-103 collects
+    * the face-adjacent voxels' regions, :360-369 re-judges a
+    * disagreeing declaration against each neighbour, one agreement
+    * suffices): borderline placements (a soma microns from a boundary)
+    * should not fail on voxel rounding. Per entity: the center verdict
+    * (q94's, via the shared rule), the count of DISTINCT
+    * face-neighbour regions differing from the center (out-of-volume
+    * and unclassified neighbours drop), whether ANY neighbour agrees
+    * with the declaration, and the first agreeing neighbour (name
+    * order, deterministic) with its relationship.
+    *
+    * Scale shape: the 6-offset fan-out is a bounded ×6 explode on the
+    * entity scan; volume and closure ride the same broadcasts as q94;
+    * the neighbour dedup + per-entity fold are one map-side-combined
+    * aggregate chain keyed by the entity — nothing data²-sized. */
+  def regionConsistencyNeighbours(customer: DataFrame, nation: DataFrame,
+                                  region: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    val grid = voxelGrid(spark, nation, region)
+    val center = withRelationship(
+      declaredWithVoxel(customer, nation, region)
+        .join(broadcast(grid), Seq("ix", "iy", "iz")),
+      "declared_region", "computed_region", region, nation, "relationship")
+    val offCol = array(
+      Seq((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
+        .map { case (a, b, c) =>
+          struct(lit(a).as("dx"), lit(b).as("dy"), lit(c).as("dz")) }: _*)
+    val gridN = grid.select(col("ix").as("jx"), col("iy").as("jy"),
+      col("iz").as("jz"), col("computed_region").as("neigh_region"))
+    val neigh = center
+      .select(col("c_custkey"), col("declared_region"), col("computed_region"),
+        col("ix"), col("iy"), col("iz"))
+      .withColumn("o", explode(offCol))
+      .select(col("c_custkey"), col("declared_region"), col("computed_region"),
+        (col("ix") + col("o.dx")).as("jx"),
+        (col("iy") + col("o.dy")).as("jy"),
+        (col("iz") + col("o.dz")).as("jz"))
+      .join(broadcast(gridN), Seq("jx", "jy", "jz"))
+      .filter(col("neigh_region").isNotNull &&
+        !(col("neigh_region") <=> col("computed_region")))
+      .select("c_custkey", "declared_region", "neigh_region").distinct()
+    val judged = withRelationship(neigh, "declared_region", "neigh_region",
+        region, nation, "neigh_relationship")
+      .withColumn("agrees", col("neigh_relationship")
+        .isin("same region", "ancestor", "descendant"))
+    val agg = judged.groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_neighbour_regions"),
+        max(col("agrees")).as("neigh_agreement"),
+        min(when(col("agrees"),
+          struct(col("neigh_region"), col("neigh_relationship")))).as("w"))
+    center
+      .select("c_custkey", "declared_region", "computed_region", "relationship")
+      .join(agg, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("declared_region"), col("computed_region"),
+        col("relationship"),
+        coalesce(col("n_neighbour_regions"), lit(0L)).as("n_neighbour_regions"),
+        coalesce(col("neigh_agreement"), lit(false)).as("neigh_agreement"),
+        col("w.neigh_region").as("neigh_region"),
+        col("w.neigh_relationship").as("neigh_relationship"))
       .orderBy("c_custkey")
   }
 

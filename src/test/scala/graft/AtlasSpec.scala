@@ -56,6 +56,33 @@ class AtlasSpec extends AnyFunSuite {
     }
   }
 
+  test("neighbour fallback: center verdict preserved, agreement only via a real neighbour") {
+    val out = Atlas.regionConsistencyNeighbours(cust, nat, reg).collect()
+    val center = Atlas.regionConsistency(cust, nat, reg).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("relationship")).toMap
+    assert(out.length == center.size)
+    out.foreach { r =>
+      // the center verdict is exactly q94's (shared rule)
+      assert(r.getAs[String]("relationship") == center(r.getLong(0)))
+      val n = r.getAs[Long]("n_neighbour_regions")
+      val agrees = r.getAs[Boolean]("neigh_agreement")
+      assert(n >= 0 && n <= 6)
+      if (agrees) {
+        // the elected neighbour must exist, differ from the center
+        // region, and carry an agreeing relationship
+        assert(r.getAs[String]("neigh_region") != null)
+        assert(!(r.getAs[String]("neigh_region") == r.getAs[String]("computed_region")))
+        assert(Set("same region", "ancestor", "descendant")
+          .contains(r.getAs[String]("neigh_relationship")))
+      } else assert(r.getAs[String]("neigh_region") == null)
+    }
+    // the fallback must actually rescue some borderline disagreements
+    assert(out.exists(r => !Set("same region", "ancestor", "descendant")
+        .contains(r.getAs[String]("relationship"))
+      && r.getAs[Boolean]("neigh_agreement")),
+      "some mismatched/unresolved center should agree via a neighbour")
+  }
+
   test("first common ancestor: same-region pairs meet at the region, others at WORLD") {
     val natRegion = nat.join(reg, col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name"), col("r_name")).collect()

@@ -173,6 +173,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q60: the dedup election must be the groupBy+join shape:\n${cardPlan.take(2000)}")
   }
 
+  test("atlas family (q94/q94b/q95) and check matrix: dimension models broadcast, no data shuffle-join") {
+    // the voxel volume, ancestor closure and offsets are all
+    // dimension-sized — entities must flow through broadcast joins,
+    // never a SortMergeJoin (q96's per-order child aggregate may
+    // shuffle; that is its one legitimate data exchange)
+    val (c, n, r) = (Tables.customer(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))
+    Seq(
+      // q94b's center ⟗ neighbour-aggregate join is keyed by the unique
+      // entity id on both sides — a legitimate linear equi-join (AQE
+      // handles it; no hot key is possible on a unique key), so only
+      // c_custkey may sort-merge; the volume/closure joins must not
+      "q94" -> graft.operators.Atlas.regionConsistency(c, n, r),
+      "q94b" -> graft.operators.Atlas.regionConsistencyNeighbours(c, n, r),
+      "q95" -> graft.operators.Atlas.firstCommonAncestor(c, n, r)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: volume/closure must broadcast:\n${plan.take(1500)}")
+      val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+      assert(smj.forall(l => l.contains("c_custkey")),
+        s"$name: a shuffle join for a dimension-sized model:\n${smj.mkString("\n")}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+    }
+    val mPlan = graft.operators.Validation.checkMatrix(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir), Seq(
+        graft.operators.Validation.NotNull("o_custkey")))
+      .queryExecution.executedPlan.toString()
+    assert(mPlan.contains("partial_count"),
+      "q96: the child-table aggregate must map-side combine")
+    assert(!mPlan.contains("Window") && !mPlan.contains("CartesianProduct"))
+  }
+
   test("bpe tokenize: the apply scan is row-local against the frozen model") {
     // induction runs driver-side over the bounded vocabulary BEFORE
     // this plan exists; the returned scan must be scan → kernel

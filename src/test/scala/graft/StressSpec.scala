@@ -178,6 +178,41 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-key election: one fingerprint class holding most of the corpus still elects correctly") {
+    // the r8 de-window scenario made concrete: a boilerplate page
+    // duplicated across most of the corpus (the C4/RefinedWeb finding).
+    // The election must stay correct — and its plan must partial-
+    // aggregate the hot class map-side rather than move every copy
+    // into one window task (the shape AQE cannot rescue).
+    import spark.implicits._
+    val n = 200000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      // 90% of rows share ONE text (modulo punctuation — exercising the
+      // canonicalization too); the rest are unique
+      when(pmod(col("id"), lit(10)) =!= 0, concat(lit("the same boilerplate page"),
+          when(pmod(col("id"), lit(2)) === 0, lit("!")).otherwise(lit("?"))))
+        .otherwise(concat(lit("unique document "), col("id"))).as("text"))
+    val out = graft.operators.TextAnalysis.dedupedCorpus(docs)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window") && plan.contains("partial_min"),
+      "election must be the map-side-combined groupBy+join shape")
+    val agg = out.agg(
+      sum(when(col("keep"), 1L).otherwise(0L)),
+      count(lit(1))).collect().head
+    // survivors: every unique doc (n/10) plus exactly ONE of the hot class
+    assert(agg.getLong(1) == n, "every doc gets a verdict row")
+    assert(agg.getLong(0) == n / 10 + 1,
+      s"expected ${n / 10 + 1} survivors, got ${agg.getLong(0)}")
+    // the hot class's sole survivor is its minimum doc_id (1 — the
+    // first row not ≡0 mod 10; '!' and '?' variants share a fingerprint
+    // because canonicalization strips punctuation)
+    val winner = out.join(docs, "doc_id")
+      .filter(col("keep") && col("text").contains("boilerplate")
+        && col("text").endsWith("?"))
+      .agg(min(col("doc_id"))).collect().head.getLong(0)
+    assert(winner == 1L, s"hot-class ('?' variant) winner must be doc 1, got $winner")
+  }
+
   test("mixture rebalance at sf0.1 satisfies the composition invariants") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val rows = graft.operators.Corpus

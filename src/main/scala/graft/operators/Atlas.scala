@@ -146,8 +146,11 @@ object Atlas {
     *
     * `agreement` is the reference's criterion: true iff same region /
     * ancestor / descendant. */
-  def regionConsistency(customer: DataFrame, nation: DataFrame,
-                        region: DataFrame): DataFrame = {
+  /** unordered verdict frame — the streaming-compatible core of q94
+    * (stream-static joins only: the entity side may be a stream, the
+    * volume/closure sides are bounded static broadcasts). */
+  def regionVerdicts(customer: DataFrame, nation: DataFrame,
+                     region: DataFrame): DataFrame = {
     val spark = customer.sparkSession
     val resolved = declaredWithVoxel(customer, nation, region)
       .join(broadcast(voxelGrid(spark, nation, region)), Seq("ix", "iy", "iz"))
@@ -157,8 +160,11 @@ object Atlas {
         col("relationship").isin("same region", "ancestor", "descendant"))
       .select("c_custkey", "declared_region", "computed_region",
         "agreement", "relationship")
-      .orderBy("c_custkey")
   }
+
+  def regionConsistency(customer: DataFrame, nation: DataFrame,
+                        region: DataFrame): DataFrame =
+    regionVerdicts(customer, nation, region).orderBy("c_custkey")
 
   /** q94b: NEIGHBOUR-AWARE region consistency — the reference's
     * with_neighbours fallback (region_comparison.py:89-103 collects

@@ -140,6 +140,19 @@ object DocStreams {
   def traceCheckStream(docs: DataFrame): DataFrame =
     graft.operators.Traces.sweepConsistencyRowLocal(docs)
 
+  /** Ingest-time region validation (q94's stream twin): every arriving
+    * entity's declared region is checked against the region computed
+    * from its coordinates the moment it registers — the reference runs
+    * this as a per-resource batch loop; here the voxel volume and
+    * ancestor closure are bounded STATIC broadcasts and the verdict is
+    * a stream-static join chain, so the check is continuous and
+    * stateless (re-snapshotting the volume on an atlas release is a
+    * batch-side swap, the frozen-model contract). Spec-equal to the
+    * batch q94. */
+  def regionCheckStream(entities: DataFrame, nation: DataFrame,
+                        region: DataFrame): DataFrame =
+    graft.operators.Atlas.regionVerdicts(entities, nation, region)
+
   /** Ingest-time BPE tokenization stats (q85b's stream twin): arriving
     * documents are tokenized against the FROZEN batch-trained merge
     * list — stateless row-local work, the same contract as

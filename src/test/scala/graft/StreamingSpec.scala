@@ -318,6 +318,22 @@ class StreamingSpec extends AnyFunSuite {
       "stream decode must reproduce the batch consistency report verbatim")
   }
 
+  test("streaming region check equals the batch q94 against the static volume") {
+    val dir0 = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, dir0)
+    val (nat, reg) = (Tables.nation(spark, dir0), Tables.region(spark, dir0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_regstream").toString
+    cust.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(cust.schema).parquet(dir)
+    val want = graft.operators.Atlas.regionConsistency(cust, nat, reg).collect().toSet
+    val q = graft.streaming.DocStreams.regionCheckStream(stream, nat, reg)
+      .writeStream.outputMode("append").format("memory").queryName("region_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("region_stream_out").collect().toSet == want,
+      "ingest-time verdicts must reproduce the batch report verbatim")
+  }
+
   test("streaming residual encode equals the batch q81 under frozen models") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_rvecstream").toString

@@ -210,7 +210,10 @@ object SparkEntry {
     "q95_region_lca" -> ((s, d) => Atlas.firstCommonAncestor(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q96_check_matrix" -> ((s, d) => Validation.checkMatrix(
-      Tables.orders(s, d), Tables.lineitem(s, d), OrderRowRules))
+      Tables.orders(s, d), Tables.lineitem(s, d), OrderRowRules)),
+    "q97_bundle_completeness" -> ((s, d) => Validation.bundleCompleteness(
+      Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey",
+      col("l_returnflag"), Seq("A", "N", "R")))
   )
 
   /** the ONE per-order row-rule set — q21b's listing and q96's matrix
@@ -1799,6 +1802,21 @@ object SparkEntry {
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,
     "q96_check_matrix" -> checkMatrixSql,
+    "q97_bundle_completeness" ->
+      """WITH m AS (
+        |SELECT l_orderkey AS k, list_sort(list_distinct(list(l_returnflag))) AS present
+        |FROM lineitem GROUP BY 1
+        |)
+        |SELECT o_orderkey,
+        |coalesce(array_to_string(list_sort(coalesce(present, [])), ','), '') AS present_classes,
+        |coalesce(array_to_string(list_sort(list_filter(['A', 'N', 'R'],
+        |  x -> NOT list_contains(coalesce(present, []), x))), ','), '') AS missing_classes,
+        |CAST(len(list_filter(['A', 'N', 'R'],
+        |  x -> NOT list_contains(coalesce(present, []), x))) AS BIGINT) AS n_missing,
+        |len(list_filter(['A', 'N', 'R'],
+        |  x -> NOT list_contains(coalesce(present, []), x))) = 0 AS complete
+        |FROM orders LEFT JOIN m ON o_orderkey = k
+        |ORDER BY 1""".stripMargin,
     "q59_containment" -> containmentSql,
     "q60_corpus_card" -> corpusCardSql,
     "q61_semantic_dedup" -> semanticDedupSql,

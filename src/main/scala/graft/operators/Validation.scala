@@ -129,6 +129,36 @@ object Validation {
       .orderBy("o_orderkey")
   }
 
+  /** q97: BUNDLE COMPLETENESS — the reference's expected-member check
+    * for composed entities (e_model/expected_fields.py:16-17: an
+    * e-model bundle must carry one member of each expected class —
+    * generates_members / has_part_members — and the script walks every
+    * bundle reporting what is missing). Spark form: member classes
+    * collected DISTINCT per parent in one map-side-combined aggregate,
+    * missing = expected ∖ present, parents with no members at all
+    * report the full expected set (left join). Class lists are emitted
+    * as sorted comma-joined strings — deterministic, and hash-friendly
+    * for the oracle compare. */
+  def bundleCompleteness(parents: DataFrame, parentKey: String,
+                         members: DataFrame, memberKey: String,
+                         classCol: Column, expected: Seq[String]): DataFrame = {
+    val agg = members.groupBy(col(memberKey).as("__k"))
+      .agg(collect_set(classCol).as("__present"))
+    val expectedCol = array(expected.map(lit): _*)
+    parents.join(agg, col(parentKey) === col("__k"), "left")
+      .select(col(parentKey),
+        coalesce(col("__present"), expr("CAST(array() AS ARRAY<STRING>)")).as("__p"))
+      .select(col(parentKey),
+        concat_ws(",", array_sort(col("__p"))).as("present_classes"),
+        concat_ws(",", array_sort(array_except(expectedCol, col("__p"))))
+          .as("missing_classes"))
+      .withColumn("n_missing",
+        when(col("missing_classes") === "", lit(0L))
+          .otherwise(size(split(col("missing_classes"), ",")).cast("long")))
+      .withColumn("complete", col("n_missing") === 0)
+      .orderBy(parentKey)
+  }
+
   /** q21b: the same listing exploded to one (id, rule) row — the
     * flat shape that joins/sorts/compares cleanly downstream. Checks
     * stay row-local over a single scan; the only exchange is the

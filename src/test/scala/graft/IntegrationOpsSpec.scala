@@ -99,6 +99,28 @@ class IntegrationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bundle completeness lists missing member classes per parent") {
+    val parents = Seq(1L, 2L, 3L).toDF("pid")
+    val members = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "A"), // complete (dup ok)
+      (2L, "B")                                    // missing A, C
+      // parent 3: no members at all
+    ).toDF("mid", "cls")
+    val out = Validation.bundleCompleteness(parents, "pid", members, "mid",
+      col("cls"), Seq("A", "B", "C")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("complete")
+      && out(1L).getAs[String]("present_classes") == "A,B,C"
+      && out(1L).getAs[String]("missing_classes") == "")
+    assert(!out(2L).getAs[Boolean]("complete")
+      && out(2L).getAs[String]("missing_classes") == "A,C"
+      && out(2L).getAs[Long]("n_missing") == 2L)
+    assert(!out(3L).getAs[Boolean]("complete")
+      && out(3L).getAs[String]("present_classes") == ""
+      && out(3L).getAs[String]("missing_classes") == "A,B,C"
+      && out(3L).getAs[Long]("n_missing") == 3L)
+  }
+
   test("curation upsert prefers new annotation over existing") {
     val orders = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)

@@ -203,6 +203,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(mPlan.contains("partial_count"),
       "q96: the child-table aggregate must map-side combine")
     assert(!mPlan.contains("Window") && !mPlan.contains("CartesianProduct"))
+    val bPlan = graft.operators.Validation.bundleCompleteness(
+      Tables.orders(spark, dir), "o_orderkey",
+      Tables.lineitem(spark, dir), "l_orderkey",
+      org.apache.spark.sql.functions.col("l_returnflag"), Seq("A", "N", "R"))
+      .queryExecution.executedPlan.toString()
+    assert(bPlan.contains("partial_collect_set") || bPlan.contains("objHashAggregate")
+      || bPlan.contains("ObjectHashAggregate"),
+      s"q97: member classes must partial-aggregate map-side:\n${bPlan.take(1500)}")
+    assert(!bPlan.contains("Window") && !bPlan.contains("CartesianProduct"))
   }
 
   test("bpe tokenize: the apply scan is row-local against the frozen model") {

@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * comparing rounds, and emitting both keeps old BENCH files
   * comparable. */
 object Bench {
+  /** locale-fixed 3-decimal format: the f-interpolator uses the default
+    * JVM locale, so a decimal-comma locale (de_DE) would emit `0,123`
+    * and break the one-line JSON contract. */
+  def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,7 +59,7 @@ object Bench {
     // double repr quadrupled the line length — long enough that tail
     // captures of this one-line contract truncated mid-JSON
     def obj(f: ((String, Double, Double, Double, Option[String])) => (String, Double)): String =
-      results.map { r => val (k, v) = f(r); f"""\"$k\":$v%.3f""" }
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + fmt3(v) }
         .mkString("{", ",", "}")
     val cold = obj { case (k, c, _, _, _) => k -> c }
     val warm = obj { case (k, _, m, _, _) => k -> m }
@@ -80,10 +86,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$cold,""" +
-      s""""queries_warm_median":$warm,"queries_warm_min":$warmMin,""" +
-      f""""warm_median_total":$warmTotal%.3f,"errors":$errsJson,""" +
-      s""""warm_reps":$medianReps,"sf":"$sfDir"}""")
+    // field order is deliberate: the driver's artifact capture `tail`s
+    // this line and has twice truncated it mid-JSON — the scalars, the
+    // errors object and queries_warm_min (the trusted cross-round
+    // number) come FIRST so a tail cut only ever costs the historical
+    // cold figures at the end
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","warm_reps":$medianReps,""" +
+      s""""warm_median_total":${fmt3(warmTotal)},"errors":$errsJson,""" +
+      s""""queries_warm_min":$warmMin,"queries_warm_median":$warm,""" +
+      s""""queries":$cold}""")
     spark.stop()
   }
 }

@@ -7,7 +7,7 @@ object BenchOne {
     args.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[benchone] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(s"[benchone] $name rows=$n t=${Bench.fmt3((System.nanoTime() - t0) / 1e9)} s")
     }
     spark.stop()
   }
@@ -41,10 +41,11 @@ object BenchPqSplit {
     val (tAdc, _) = med(() => Similarity.pqAdcSearch(emb).count())
     val (tIvfPq, _) = med(() => Similarity.knnIvfPq(emb).count())
     val (tRpq, _) = med(() => Similarity.knnIvfRpq(emb).count())
-    println(f"""{"ivf_train_s":$tIvf%.3f,"pq_train_s":$tBooks%.3f,""" +
-      f""""encode_scan_s":$tEncode%.3f,"encode_full_s":$tFull%.3f,""" +
-      f""""adc_search_s":$tAdc%.3f,"ivfpq_search_s":$tIvfPq%.3f,""" +
-      f""""ivf_rpq_search_s":$tRpq%.3f,"reps":$reps,"sf":"$sfDir"}""")
+    import Bench.fmt3
+    println(s"""{"ivf_train_s":${fmt3(tIvf)},"pq_train_s":${fmt3(tBooks)},""" +
+      s""""encode_scan_s":${fmt3(tEncode)},"encode_full_s":${fmt3(tFull)},""" +
+      s""""adc_search_s":${fmt3(tAdc)},"ivfpq_search_s":${fmt3(tIvfPq)},""" +
+      s""""ivf_rpq_search_s":${fmt3(tRpq)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
@@ -69,7 +70,8 @@ object BenchStats {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val med = ts(ts.length / 2)
-      println(f"""{"query":"$name","median_s":$med%.3f,"min_s":${ts.head}%.3f,"max_s":${ts.last}%.3f,"reps":$reps}""")
+      println(s"""{"query":"$name","median_s":${Bench.fmt3(med)},"min_s":${Bench.fmt3(ts.head)},""" +
+        s""""max_s":${Bench.fmt3(ts.last)},"reps":$reps}""")
     }
     spark.stop()
   }
@@ -143,11 +145,12 @@ object BenchIdxSplit {
         Similarity.pqResidualEncodeWithModel(deltaSmall, centsBig, booksBig, m, dim),
         "vec_id", "cell")
     }
-    println(f"""{"train_s":$tTrain%.3f,"base_build_s":$tBuild%.3f,""" +
-      f""""maintain_s":$tMaintain%.3f,"cells":$nCells,""" +
-      f""""base_build_${nCellsBig}c_s":$tBuildBig%.3f,""" +
-      f""""maintain_50row_${nCellsBig}c_s":$tMaintainBig%.3f,""" +
-      f""""reps":$reps,"sf":"$sfDir"}""")
+    import Bench.fmt3
+    println(s"""{"train_s":${fmt3(tTrain)},"base_build_s":${fmt3(tBuild)},""" +
+      s""""maintain_s":${fmt3(tMaintain)},"cells":$nCells,""" +
+      s""""base_build_${nCellsBig}c_s":${fmt3(tBuildBig)},""" +
+      s""""maintain_50row_${nCellsBig}c_s":${fmt3(tMaintainBig)},""" +
+      s""""reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -244,7 +244,11 @@ object Atlas {
     * only — entities are never rejoined. */
   def firstCommonAncestor(customer: DataFrame, nation: DataFrame,
                           region: DataFrame): DataFrame = {
-    val pairs = regionConsistency(customer, nation, region)
+    // compose the UNORDERED verdict core: regionConsistency appends the
+    // output sort, and relying on EliminateSorts to prune a sort below
+    // an aggregate is an optimizer rescue, not a plan (plan-pinned:
+    // no Sort below Aggregate in PlanShapeSpec)
+    val pairs = regionVerdicts(customer, nation, region)
       .filter(col("relationship") === "mismatch")
       .groupBy("declared_region", "computed_region")
       .agg(count(lit(1)).as("n_entities"))

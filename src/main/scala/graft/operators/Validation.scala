@@ -151,10 +151,11 @@ object Validation {
       .select(col(parentKey),
         concat_ws(",", array_sort(col("__p"))).as("present_classes"),
         concat_ws(",", array_sort(array_except(expectedCol, col("__p"))))
-          .as("missing_classes"))
-      .withColumn("n_missing",
-        when(col("missing_classes") === "", lit(0L))
-          .otherwise(size(split(col("missing_classes"), ",")).cast("long")))
+          .as("missing_classes"),
+        // counted on the ARRAY, not the joined string: a class value
+        // containing a comma (or an empty-string class) would miscount
+        // through a split; the string columns stay for display/hash
+        size(array_except(expectedCol, col("__p"))).cast("long").as("n_missing"))
       .withColumn("complete", col("n_missing") === 0)
       .orderBy(parentKey)
   }

@@ -80,7 +80,15 @@ object IndexCatalog {
     * corpus; the frozen meta table is the summed per-segment count,
     * never derived from a pruned sliver. After compaction queries pay
     * bucket-pruned scans instead of a per-segment small-file sprawl —
-    * the read-amplification half of why Lucene merges. */
+    * the read-amplification half of why Lucene merges.
+    *
+    * PRECONDITION: segments must be per-doc DISJOINT (true for the
+    * postingMaintenance append-only segment model, where each doc lands
+    * in exactly one micro-batch segment). The frozen meta sums
+    * per-segment n_docs; a re-ingested doc appearing in TWO segments
+    * would double-count N and skew idf ranking after compaction — an
+    * update-capable segment model must dedup doc versions before
+    * compacting (or derive N from the distinct doc domain). */
   def compactSegments(spark: SparkSession, indexPath: String, metaPath: String,
                       table: String, buckets: Int = 16): Unit = {
     spark.read.parquet(indexPath).drop("seg")

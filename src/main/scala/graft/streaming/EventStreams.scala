@@ -29,8 +29,11 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema =
+      // NonFatal only: wrapping an OutOfMemoryError / InterruptedException
+      // in IllegalArgumentException with a 'seed the dir' message would
+      // mislead — fatal errors propagate unwrapped
       try spark.read.parquet(dir).schema
-      catch { case e: Throwable => throw new IllegalArgumentException(
+      catch { case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"readEventStream: cannot probe the ts encoding from '$dir' — the " +
           "stream dir must be seeded with at least one parquet file before " +
           "the query starts (the schema is then fixed for the stream's " +

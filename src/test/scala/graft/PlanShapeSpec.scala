@@ -196,6 +196,19 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name: a shuffle join for a dimension-sized model:\n${smj.mkString("\n")}")
       assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
     }
+    // q95 composes the UNORDERED verdict core: the only Sort in its
+    // plan is the final output sort ABOVE the pair aggregate — an
+    // interior sort below the aggregate would mean the ordered q94
+    // frame leaked back into the composition (and only EliminateSorts
+    // was saving the plan)
+    val lcaPlan = graft.operators.Atlas.firstCommonAncestor(c, n, r)
+      .queryExecution.optimizedPlan.toString()
+    val sortLines = lcaPlan.linesIterator.zipWithIndex
+      .filter(_._1.contains("Sort ")).toSeq
+    val aggLine = lcaPlan.linesIterator.zipWithIndex
+      .find(_._1.contains("Aggregate")).map(_._2).getOrElse(Int.MaxValue)
+    assert(sortLines.forall(_._2 < aggLine),
+      s"q95: a Sort below the pair aggregate:\n${lcaPlan.take(2000)}")
     val mPlan = graft.operators.Validation.checkMatrix(
       Tables.orders(spark, dir), Tables.lineitem(spark, dir), Seq(
         graft.operators.Validation.NotNull("o_custkey")))

@@ -1463,8 +1463,11 @@ object SparkEntry {
     * recursive CTE (with depth-0 self rows — the with_ascendants
     * shape), the closed-form voxel volume replayed from `range()`, and
     * the per-entity declared/computed resolution. Constants mirror
-    * [[graft.operators.Atlas]] (16³ grid, 1000 µm voxels, axis primes,
-    * cell code (ix+3iy+7iz) mod 32). */
+    * [[graft.operators.Atlas]] (16³ grid, rational 1875/2 µm voxel
+    * spacing with per-axis origins −500/−1000/−250 µm, positions in
+    * [0, 14000) µm, axis primes, cell code (ix+3iy+7iz) mod 32); the
+    * `(p − origin)·den DIV num` binning is floor-exact because the
+    * numerator is always non-negative. */
   private def regionAtlasCtes: String =
     """WITH RECURSIVE edges AS (
       |SELECT n_name AS child, r_name AS parent FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -1483,9 +1486,9 @@ object SparkEntry {
       |), decl AS (
       |SELECT c_custkey,
       |CASE WHEN c_custkey % 5 = 0 THEN r_name ELSE n_name END AS declared_region,
-      |((CAST(c_custkey AS BIGINT) * 7919) % 16000) // 1000 AS ix,
-      |((CAST(c_custkey AS BIGINT) * 104729) % 16000) // 1000 AS iy,
-      |((CAST(c_custkey AS BIGINT) * 1299709) % 16000) // 1000 AS iz
+      |(((CAST(c_custkey AS BIGINT) * 7919) % 14000 + 500) * 2) // 1875 AS ix,
+      |(((CAST(c_custkey AS BIGINT) * 104729) % 14000 + 1000) * 2) // 1875 AS iy,
+      |(((CAST(c_custkey AS BIGINT) * 1299709) % 14000 + 250) * 2) // 1875 AS iz
       |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
       |), ap AS (SELECT DISTINCT node, ancestor FROM anc WHERE depth >= 1
       |), verdicts AS (

@@ -33,25 +33,50 @@ import org.apache.spark.sql.functions._
   */
 object Atlas {
 
-  /** voxels per axis: positions land in [0, GridSize·VoxelUm) µm. */
+  /** voxels per axis. */
   val GridSize = 16
 
-  /** voxel edge length in µm (integer so binning is exact floor
-    * division in both engines). */
-  val VoxelUm = 1000L
+  /** The AFFINE world→voxel transform, as a real NRRD-header volume
+    * carries it (reference morph_metrics_dke.py:135
+    * `compute_world_to_vox_mat` builds it from `space origin` /
+    * `space directions`; region_comparison.py uses voxcell's
+    * positions_to_indices): a per-axis origin translation plus a
+    * spacing division. Spacing is RATIONAL (num/den integer µm — here
+    * 1875/2 = 937.5 µm) and origins are nonzero, so the binning stays
+    * integer-exact in both engines: index = ((p − origin)·den) DIV num,
+    * with p ≥ origin guaranteed (origins sit below the position domain)
+    * so truncating division IS floor division. A position exactly on a
+    * voxel boundary belongs to the HIGHER voxel (floor semantics —
+    * spec-pinned). */
+  val SpacingNumUm = 1875L
+  val SpacingDenUm = 2L
+  val OriginUm: Seq[Long] = Seq(-500L, -1000L, -250L)
 
   /** per-axis position multipliers (primes, so the three axes decorrelate). */
   private val AxisPrime = Seq(7919L, 104729L, 1299709L)
 
+  /** entity positions land in [0, PosModUm) µm per axis — sized so the
+    * affine transform maps the whole domain inside the 16-voxel grid
+    * for every axis origin (max index = (13999+1000)·2 DIV 1875 = 15). */
+  val PosModUm = 14000L
+
   /** closed-form entity position on one axis, in µm — a pure row-local
     * function of the entity key, replayed verbatim by the oracle SQL. */
   def positionUm(key: Column, axis: Int): Column =
-    pmod(key * lit(AxisPrime(axis)), lit(GridSize * VoxelUm))
+    pmod(key * lit(AxisPrime(axis)), lit(PosModUm))
 
-  /** position → voxel index: the positions_to_indices step (floor
-    * division by the voxel edge — exact integer in both engines). */
+  /** world µm → voxel index on one axis: the positions_to_indices step
+    * through the rational affine. The divide-then-cast is exact here:
+    * operands are exact small integers, the true quotient's granularity
+    * (1/num) is far above double epsilon, and truncation toward zero
+    * equals floor because p ≥ origin keeps the numerator non-negative. */
+  def worldToVoxel(um: Column, axis: Int): Column =
+    ((um - lit(OriginUm(axis))) * lit(SpacingDenUm))
+      .divide(lit(SpacingNumUm)).cast("long")
+
+  /** entity-key → voxel index (position closed form + affine). */
   def voxelIndex(key: Column, axis: Int): Column =
-    positionUm(key, axis).divide(lit(VoxelUm)).cast("long")
+    worldToVoxel(positionUm(key, axis), axis)
 
   /** The synthetic annotation volume: one row per voxel cell, cell
     * value v = (ix + 3·iy + 7·iz) mod 32 decoding to a nation leaf

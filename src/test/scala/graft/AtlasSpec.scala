@@ -27,6 +27,39 @@ class AtlasSpec extends AnyFunSuite {
     }
   }
 
+  test("affine transform: rational spacing bins by floor; boundary positions take the higher voxel") {
+    import org.apache.spark.sql.Row
+    // spacing = 1875/2 = 937.5 µm, origin(axis 0) = −500 µm. A position
+    // EXACTLY on a voxel boundary ((p + 500)·2 divisible by 1875) must
+    // land in the higher voxel (floor semantics), and the half-µm
+    // spacing must be honored exactly — 437 vs 438 µm straddles the
+    // first boundary (937.5 − 500 = 437.5).
+    val rows = Seq(
+      0L -> 0L,      // origin-adjacent: (0+500)*2/1875 = 0
+      437L -> 0L,    // just below the 437.5 µm boundary
+      438L -> 1L,    // just above it — the half-µm den=2 matters
+      1375L -> 2L,   // exact boundary: (1375+500)*2 = 3750 = 2·1875
+      13999L -> 15L) // domain max stays inside the 16-voxel grid
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("um", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("want", org.apache.spark.sql.types.LongType))))
+    val got = df.select(col("um"), col("want"),
+      Atlas.worldToVoxel(col("um"), 0).as("ix")).collect()
+    got.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"worldToVoxel(${r.getLong(0)}) = ${r.getLong(2)}, want ${r.getLong(1)}"))
+    // every axis keeps the whole position domain inside the grid — the
+    // q94 inner grid join must never drop an entity on bounds
+    (0 to 2).foreach { ax =>
+      val bounds = spark.range(0, Atlas.PosModUm)
+        .select(Atlas.worldToVoxel(col("id"), ax).as("ix"))
+        .agg(min("ix"), max("ix")).head()
+      assert(bounds.getLong(0) >= 0 && bounds.getLong(1) < Atlas.GridSize,
+        s"axis $ax: voxel range [${bounds.getLong(0)}, ${bounds.getLong(1)}] escapes the grid")
+    }
+  }
+
   test("region consistency verdicts are faithful to the hierarchy") {
     val natRegion = nat.join(reg, col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name"), col("r_name")).collect()

@@ -213,7 +213,11 @@ object SparkEntry {
       Tables.orders(s, d), Tables.lineitem(s, d), OrderRowRules)),
     "q97_bundle_completeness" -> ((s, d) => Validation.bundleCompleteness(
       Tables.orders(s, d), "o_orderkey", Tables.lineitem(s, d), "l_orderkey",
-      col("l_returnflag"), Seq("A", "N", "R")))
+      col("l_returnflag"), Seq("A", "N", "R"))),
+    "q98_leaf_regions" -> ((s, d) => NeuriteAtlas.leafRegionAttribution(
+      Tables.documents(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q98b_neurite_features" -> ((s, d) =>
+      NeuriteAtlas.neuriteFeatures(Tables.documents(s, d)))
   )
 
   /** the ONE per-order row-rule set — q21b's listing and q96's matrix
@@ -1429,6 +1433,108 @@ object SparkEntry {
       |FROM p2 JOIN agg ON p2.doc_id = agg.doc_id
       |ORDER BY morph_id""".stripMargin
 
+  /** q98/q98b shared oracle scaffolding: the morphology fixture's
+    * closed-form NODE table (same generation as q79's oracle) extended
+    * with per-node type, section identity and the leaf-end flag. A
+    * section is a (t, s) chain (plus the e7/e11 defect chains); a
+    * regular section is a leaf iff it sits in the bottom half of the
+    * complete binary tree (s >= secs DIV 2) and — when the e7 chain
+    * hangs off neurite 0's deepest leaf — that one section stops being
+    * terminal. `nd` is MATERIALIZED: q98 references it twice (position
+    * recursion + world binning) and DuckDB re-inlines CTEs per
+    * reference (the q81 oracle-health lesson). */
+  private def morphNodeCtes: String =
+    """WITH RECURSIVE p AS (SELECT doc_id,
+      |1 + doc_id % 3 AS tc, 1 + doc_id % 4 AS d, 2 + doc_id % 5 AS sp,
+      |CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS e7,
+      |CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS e11
+      |FROM documents),
+      |p2 AS (SELECT *, CAST(pow(2, d + 1) AS BIGINT) - 1 AS secs FROM p),
+      |n1 AS (SELECT *, unnest(generate_series(0, tc - 1)) AS t FROM p2),
+      |n2 AS (SELECT *, unnest(generate_series(0, secs - 1)) AS s FROM n1),
+      |n3 AS (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM n2),
+      |nd AS MATERIALIZED (
+      |SELECT doc_id, 2 + t*secs*sp + s*sp + k AS i,
+      |CASE WHEN k > 0 THEN 2 + t*secs*sp + s*sp + k - 1
+      |WHEN s = 0 THEN 1
+      |ELSE 2 + t*secs*sp + ((s-1)//2)*sp + sp - 1 END AS par,
+      |CASE WHEN doc_id % 5 = 0 AND t = 0 AND s = secs - 1 THEN 3 ELSE 2 + t % 3 END AS typ,
+      |t*secs + s AS sec,
+      |CASE WHEN k = sp - 1 AND s >= secs // 2
+      | AND NOT (e7 = 1 AND t = 0 AND s = secs - 1) THEN 1 ELSE 0 END AS leaf_end
+      |FROM n3
+      |UNION ALL
+      |SELECT doc_id, 2 + tc*secs*sp + k,
+      |CASE WHEN k > 0 THEN 2 + tc*secs*sp + k - 1 ELSE 1 + secs*sp END,
+      |4, tc*secs, CASE WHEN k = sp - 1 THEN 1 ELSE 0 END
+      |FROM (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM p2 WHERE e7 = 1)
+      |UNION ALL
+      |SELECT doc_id, 2 + (tc*secs + e7)*sp + k,
+      |CASE WHEN k > 0 THEN 2 + (tc*secs + e7)*sp + k - 1 ELSE sp + 1 END,
+      |2, tc*secs + 1, CASE WHEN k = sp - 1 THEN 1 ELSE 0 END
+      |FROM (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM p2 WHERE e11 = 1)
+      |)""".stripMargin
+
+  /** maps the fixture's SWC type codes to the engine's neurite names
+    * (NeuriteAtlas.typeName). */
+  private def neuriteTypeCase: String =
+    """CASE typ WHEN 2 THEN 'axon' WHEN 3 THEN 'basal dendrite'
+      |WHEN 4 THEN 'apical dendrite' ELSE 'custom type ' || typ END""".stripMargin
+
+  /** q98's oracle: node positions by a recursive walk over the closed
+    *-form parent links (offset 1+(i%3) on axis i%3), registered into
+    * world space (soma at the q94 placement closed form, ×150 µm),
+    * binned through the SAME rational affine as the q94 oracle, and
+    * looked up in the same closed-form volume; counts accumulate per
+    * (morphology, neurite type, region) with leaf ends flagged from
+    * the section closed form. */
+  private def leafRegionsSql: String =
+    morphNodeCtes +
+      """, pos AS (
+        |SELECT doc_id, CAST(1 AS BIGINT) AS i,
+        |CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS z
+        |FROM p2
+        |UNION ALL
+        |SELECT n.doc_id, n.i,
+        |q.x + CASE WHEN n.i % 3 = 0 THEN 1 ELSE 0 END,
+        |q.y + CASE WHEN n.i % 3 = 1 THEN 2 ELSE 0 END,
+        |q.z + CASE WHEN n.i % 3 = 2 THEN 3 ELSE 0 END
+        |FROM nd n JOIN pos q ON n.doc_id = q.doc_id AND n.par = q.i
+        |), vx AS (
+        |SELECT n.doc_id, n.typ, n.leaf_end,
+        |(((n.doc_id * 7919) % 14000 + q.x * 150) + 500) * 2 // 1875 AS ix,
+        |(((n.doc_id * 104729) % 14000 + q.y * 150) + 1000) * 2 // 1875 AS iy,
+        |(((n.doc_id * 1299709) % 14000 + q.z * 150) + 250) * 2 // 1875 AS iz
+        |FROM nd n JOIN pos q ON n.doc_id = q.doc_id AND n.i = q.i
+        |), lab AS (
+        |SELECT vx.doc_id, """.stripMargin + neuriteTypeCase +
+      """ AS neurite_type, vx.leaf_end,
+        |CASE WHEN ix BETWEEN 0 AND 15 AND iy BETWEEN 0 AND 15 AND iz BETWEEN 0 AND 15
+        |THEN coalesce(n.n_name, r.r_name, '(unclassified)')
+        |ELSE '(outside volume)' END AS region
+        |FROM vx
+        |LEFT JOIN nation n ON ((ix + 3*iy + 7*iz) % 32) = n.n_nationkey
+        |LEFT JOIN region r ON ((ix + 3*iy + 7*iz) % 32) - 25 = r.r_regionkey
+        |)
+        |SELECT doc_id AS morph_id, neurite_type, region,
+        |count(*) AS n_points, CAST(sum(leaf_end) AS BIGINT) AS n_leaves
+        |FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q98b's oracle: per-type structure straight off the node closed
+    * form — distinct sections, leaf sections (exactly one flagged end
+    * per terminal section), points, and world-µm cumulated length
+    * (integer segment lengths × the 150 µm registration scale). */
+  private def neuriteFeaturesSql: String =
+    morphNodeCtes +
+      """
+        |SELECT doc_id AS morph_id, """.stripMargin + neuriteTypeCase +
+      """ AS neurite_type,
+        |CAST(count(DISTINCT sec) AS BIGINT) AS n_sections,
+        |CAST(sum(leaf_end) AS BIGINT) AS n_leaf_sections,
+        |count(*) AS n_points,
+        |CAST(sum(1 + i % 3) * 150 AS BIGINT) AS cum_len_um
+        |FROM nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q80's oracle: the trace fixture's closed form
     * ([[graft.operators.Traces.synthTrace]]) — per-sweep waveform
     * aggregates in closed form (step/ramp/flat sums and peaks), the
@@ -1600,7 +1706,9 @@ object SparkEntry {
       ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
       ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql) +
       ("q80_trace_check" -> traceCheckSql) + ("q81_pq_residual" -> pqResidualSql) +
-      ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql)
+      ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql) +
+      ("q98_leaf_regions" -> leafRegionsSql) +
+      ("q98b_neurite_features" -> neuriteFeaturesSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

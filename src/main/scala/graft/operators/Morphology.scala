@@ -112,11 +112,30 @@ object Morphology {
 
   // ------------------------------------------------------------ tree walk
 
-  /** The REAL tree walk: validates the tree (one soma root, no dangling
-    * parents, everything reachable), decomposes it into sections, walks
-    * the section graph for branch orders, and runs the per-segment
-    * screens. Generic over any parsed SWC content. */
-  def treeMetrics(morphId: Long, nodes: Seq[SwcNode]): MorphMetrics = {
+  /** Validated section decomposition — the shared walk state q79's
+    * metrics and q98's region attribution both build on (one
+    * decomposition, two consumers: they cannot disagree on what a
+    * section is). `sectionOf` maps every non-soma node to its section
+    * start id; `sectionEnd` maps each section start to its LAST node
+    * (the chain end — the "leaf point" of a terminal section);
+    * `childSections` is the section graph. */
+  private[operators] final case class Decomp(
+      byId: Map[Long, SwcNode], soma: SwcNode,
+      children: Map[Long, Vector[SwcNode]],
+      starts: Seq[SwcNode],
+      sectionOf: scala.collection.Map[Long, Long],
+      sectionEnd: scala.collection.Map[Long, Long],
+      childSections: Map[Long, Seq[Long]]) {
+    def kids(id: Long): Vector[SwcNode] = children.getOrElse(id, Vector.empty)
+    /** sections with no child sections — the projection/leaf sections. */
+    def leafSections: Seq[SwcNode] =
+      starts.filter(st => childSections.getOrElse(st.id, Nil).isEmpty)
+  }
+
+  /** Validate the tree (one soma root, no dangling parents, everything
+    * reachable) and decompose it into sections: breaks at soma
+    * children, branch-point children, and type changes. */
+  private[operators] def decompose(nodes: Seq[SwcNode]): Decomp = {
     require(nodes.nonEmpty, "empty morphology")
     val byId = nodes.map(n => n.id -> n).toMap
     require(byId.size == nodes.size, "duplicate node ids")
@@ -142,6 +161,43 @@ object Morphology {
     require(reached == nodes.length,
       s"${nodes.length - reached} nodes unreachable from the soma")
 
+    // section decomposition: break at soma children, branch-point
+    // children, and type changes
+    def isStart(n: SwcNode): Boolean =
+      n.parent == soma.id || kids(n.parent).length != 1 ||
+        byId(n.parent).typ != n.typ
+    val starts = nodes.filter(n => n.parent != -1L && isStart(n))
+    val sectionOf = scala.collection.mutable.LongMap.empty[Long]
+    val sectionEnd = scala.collection.mutable.LongMap.empty[Long]
+    starts.foreach { st =>
+      var cur = st
+      sectionOf(cur.id) = st.id
+      var cont = true
+      while (cont) {
+        val ks = kids(cur.id)
+        if (ks.length == 1 && !isStart(ks.head)) {
+          cur = ks.head; sectionOf(cur.id) = st.id
+        } else cont = false
+      }
+      sectionEnd(st.id) = cur.id
+    }
+    // section graph: child sections hang off the node their start's
+    // parent lives in
+    val childSections: Map[Long, Seq[Long]] =
+      starts.filter(_.parent != soma.id).groupBy(st => sectionOf(st.parent))
+        .map { case (sec, sts) => sec -> sts.map(_.id) }
+    Decomp(byId, soma, children, starts, sectionOf, sectionEnd, childSections)
+  }
+
+  /** The REAL tree walk: validates + decomposes via [[decompose]],
+    * walks the section graph for branch orders, and runs the
+    * per-segment screens. Generic over any parsed SWC content. */
+  def treeMetrics(morphId: Long, nodes: Seq[SwcNode]): MorphMetrics = {
+    val dec = decompose(nodes)
+    val byId = dec.byId
+    val soma = dec.soma
+    def kids(id: Long): Vector[SwcNode] = dec.kids(id)
+
     val stems = kids(soma.id)
 
     // heterogeneous neurites: >1 distinct node type within a stem subtree
@@ -157,29 +213,9 @@ object Morphology {
       if (types.size > 1) nHetero += 1
     }
 
-    // section decomposition: break at soma children, branch-point
-    // children, and type changes
-    def isStart(n: SwcNode): Boolean =
-      n.parent == soma.id || kids(n.parent).length != 1 ||
-        byId(n.parent).typ != n.typ
-    val starts = nodes.filter(n => n.parent != -1L && isStart(n))
-    val sectionOf = scala.collection.mutable.LongMap.empty[Long]
-    starts.foreach { st =>
-      var cur = st
-      sectionOf(cur.id) = st.id
-      var cont = true
-      while (cont) {
-        val ks = kids(cur.id)
-        if (ks.length == 1 && !isStart(ks.head)) {
-          cur = ks.head; sectionOf(cur.id) = st.id
-        } else cont = false
-      }
-    }
-    // section graph: child sections hang off the node their start's
-    // parent lives in; branch order = BFS depth from the root sections
-    val childSections: Map[Long, Seq[Long]] =
-      starts.filter(_.parent != soma.id).groupBy(st => sectionOf(st.parent))
-        .map { case (sec, sts) => sec -> sts.map(_.id) }
+    val starts = dec.starts
+    val childSections = dec.childSections
+    // branch order = BFS depth from the root sections
     val depth = scala.collection.mutable.LongMap.empty[Long]
     var frontier = starts.filter(_.parent == soma.id).map(_.id).toList
     frontier.foreach(depth(_) = 0L)

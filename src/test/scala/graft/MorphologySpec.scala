@@ -159,4 +159,54 @@ class MorphologySpec extends AnyFunSuite {
     val want = (1L until 61L).map(id => treeMetrics(id, parseSwc(synthSwc(id))))
     assert(got == want)
   }
+
+  // ------------------------- q98/q98b: section-leaf-region attribution
+
+  test("attribution kernels are conservative over the q79 walk (shared decomposition)") {
+    import graft.operators.NeuriteAtlas
+    val rnd = new scala.util.Random(29)
+    val ids = Seq(0L, 5L, 7L, 11L, 35L, 77L) ++
+      Seq.fill(40)(math.abs(rnd.nextLong()) % 100000L)
+    ids.foreach { id =>
+      val nodes = parseSwc(synthSwc(id))
+      val m = treeMetrics(id, nodes)
+      val vox = NeuriteAtlas.typeVoxelRows(id, nodes)
+      val feat = NeuriteAtlas.typeFeatureRows(id, nodes)
+      // every non-soma node is attributed exactly once, in both kernels
+      assert(vox.map(_.n_points).sum == m.n_points - 1, s"id=$id")
+      assert(feat.map(_.n_points).sum == m.n_points - 1, s"id=$id")
+      // sections and length split across types without loss
+      assert(feat.map(_.n_sections).sum == m.n_sections, s"id=$id")
+      assert(feat.map(_.cum_len_um).sum == m.total_len_um * NeuriteAtlas.ScaleUm, s"id=$id")
+      // one leaf end per terminal section, consistently across kernels
+      assert(vox.map(_.n_leaves).sum == feat.map(_.n_leaf_sections).sum, s"id=$id")
+      assert(feat.map(_.n_leaf_sections).sum > 0, s"id=$id: a tree has terminal sections")
+      // types partition the counts: same type set in both kernels
+      assert(vox.map(_.neurite_type).toSet == feat.map(_.neurite_type).toSet, s"id=$id")
+    }
+  }
+
+  test("q98 attribution: regions resolve through the volume; outside/unclassified are first-class") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.NeuriteAtlas.leafRegionAttribution(
+      Tables.documents(spark, dir), Tables.nation(spark, dir), Tables.region(spark, dir))
+      .collect()
+    assert(out.nonEmpty)
+    val regions = out.map(_.getAs[String]("region")).toSet
+    // the fixture must exercise every lookup path: real regions,
+    // unclassified space, and out-of-volume points
+    assert(regions.contains("(outside volume)"), "deep branches must leave the volume")
+    assert(regions.contains("(unclassified)"), "some points must hit unclassified space")
+    assert((regions - "(outside volume)" - "(unclassified)").nonEmpty,
+      "most points must resolve to real regions")
+    // per-morph totals agree with the per-type features (independent path)
+    val byMorphVox = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_points")).sum).toMap
+    val feats = graft.operators.NeuriteAtlas.neuriteFeatures(Tables.documents(spark, dir))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_points")).sum).toMap
+    assert(byMorphVox == feats)
+  }
 }

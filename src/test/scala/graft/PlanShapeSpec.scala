@@ -331,6 +331,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q98: attribution joins only the broadcast volume; q98b is join-free") {
+    val docs = Tables.documents(spark, dir)
+    // q98: decode repartition + the final (morph, type, region)
+    // aggregate are the only hash exchanges; the volume is a broadcast
+    // join; the aggregate map-side combines (kernel pre-aggregation
+    // feeds partial_sum)
+    val p98 = graft.operators.NeuriteAtlas.leafRegionAttribution(docs,
+      Tables.nation(spark, dir), Tables.region(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(p98.contains("BroadcastHashJoin"), "volume lookup must broadcast")
+    assert(!p98.contains("SortMergeJoin"), "a dimension-sized volume must never shuffle-join")
+    assert(p98.contains("partial_sum"), "the region aggregate must map-side combine")
+    assert(!p98.contains("Window") && !p98.contains("CartesianProduct"))
+    // q98b: the q79 shape — one scan, one repartition, no join
+    val p98b = graft.operators.NeuriteAtlas.neuriteFeatures(docs)
+      .queryExecution.executedPlan.toString()
+    assert("hashpartitioning".r.findAllIn(p98b).length == 1,
+      s"q98b: exactly the one decode-stage repartition:\n${p98b.take(2000)}")
+    assert(!p98b.contains("Join"), "q98b: decode is row-local, no join")
+  }
+
   test("residual pq encode: residual + cell + codes ride ONE corpus scan") {
     // cell assignment, residual subtraction and code assignment are all
     // row-local against broadcast models — a join between a cell frame

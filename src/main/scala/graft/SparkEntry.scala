@@ -165,6 +165,7 @@ object SparkEntry {
     "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d))),
     "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
+    "q80b_rep_sweep" -> ((s, d) => Traces.representativeSweeps(Tables.documents(s, d))),
     "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
     "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d))),
     "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d))),
@@ -1565,6 +1566,47 @@ object SparkEntry {
       |CAST(peak_resp AS BIGINT) AS peak_resp
       |FROM c ORDER BY trace_id, sweep""".stripMargin
 
+  /** q80b's oracle: the thumbnail election chain replayed on the trace
+    * fixture's closed form — per-sweep declared labels (mislabel
+    * rotation included: the election walks METADATA), protocol rank
+    * minimum, the n=-3 row over the matching sweeps (clamped), and the
+    * elected sweep's response stats scaled by the closed-form integer
+    * conversion. The per-trace windows are bounded (≤ 4 sweeps). */
+  private def repSweepSql: String =
+    """WITH p AS (SELECT doc_id,
+      |2 + doc_id % 3 AS sweeps, 16 + (doc_id % 8) * 2 AS n,
+      |1000 + (doc_id % 4) * 500 AS rate, 10 + doc_id % 20 AS amp, doc_id % 5 AS off,
+      |250 * (1 + doc_id % 4) AS conv
+      |FROM documents),
+      |sw AS (SELECT *, unnest(generate_series(0, sweeps - 1)) AS s FROM p),
+      |c AS (SELECT doc_id, s, rate, n, amp, off, conv,
+      |(doc_id + s) % 3 AS typ,
+      |CASE WHEN (doc_id * 7 + s) % 13 = 0 THEN ((doc_id + s) % 3 + 1) % 3
+      |ELSE (doc_id + s) % 3 END AS dtyp
+      |FROM sw),
+      |d AS (SELECT *,
+      |CASE dtyp WHEN 0 THEN 'flat' WHEN 1 THEN 'step' ELSE 'ramp' END AS declared,
+      |CASE dtyp WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS prank
+      |FROM c),
+      |pro AS (SELECT doc_id, min(prank) AS prank FROM d GROUP BY 1),
+      |sel AS (SELECT d.*,
+      |row_number() OVER (PARTITION BY d.doc_id ORDER BY d.s) AS rn,
+      |count(*) OVER (PARTITION BY d.doc_id) AS cnt
+      |FROM d JOIN pro ON d.doc_id = pro.doc_id AND d.prank = pro.prank),
+      |rep AS (SELECT * FROM sel WHERE rn - 1 = greatest(cnt - 3, 0))
+      |SELECT doc_id AS trace_id, declared AS protocol,
+      |CAST(cnt AS BIGINT) AS n_sweeps_protocol,
+      |CAST(s AS BIGINT) AS rep_sweep,
+      |cnt < 3 AS clamped,
+      |CAST(rate AS BIGINT) AS rate_hz,
+      |CAST(conv AS BIGINT) AS conv_milli,
+      |CASE typ WHEN 0 THEN 'flat' WHEN 1 THEN 'step' ELSE 'ramp' END AS computed,
+      |CAST((2 * (CASE typ WHEN 0 THEN 0 WHEN 1 THEN amp * (n // 2)
+      |ELSE n * (n - 1) // 2 END) + n * off) * conv AS BIGINT) AS sum_resp_conv,
+      |CAST((CASE typ WHEN 0 THEN off WHEN 1 THEN 2 * amp + off
+      |ELSE 2 * (n - 1) + off END) * conv AS BIGINT) AS peak_resp_conv
+      |FROM rep ORDER BY trace_id""".stripMargin
+
   /** q94/q95 shared oracle scaffolding: the geo ancestor closure as a
     * recursive CTE (with depth-0 self rows — the with_ascendants
     * shape), the closed-form voxel volume replayed from `range()`, and
@@ -1708,7 +1750,8 @@ object SparkEntry {
       ("q80_trace_check" -> traceCheckSql) + ("q81_pq_residual" -> pqResidualSql) +
       ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql) +
       ("q98_leaf_regions" -> leafRegionsSql) +
-      ("q98b_neurite_features" -> neuriteFeaturesSql)
+      ("q98b_neurite_features" -> neuriteFeaturesSql) +
+      ("q80b_rep_sweep" -> repSweepSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -44,24 +44,43 @@ object Traces {
       declared: String, computed: String, is_match: Boolean,
       sum_stim: Long, sum_resp: Long, peak_resp: Long)
 
+  /** full decode result: the per-sweep reports plus the container's
+    * conversion factor (milli-units — the h5 `conversion` attribute of
+    * the reference's thumbnail chain, kept integer so converted stats
+    * stay exact). */
+  final case class TraceDecoded(conv_milli: Long, reports: Seq[SweepReport])
+
+  /** q80b output: the elected representative sweep + converted stats. */
+  final case class RepSweep(
+      trace_id: Long, protocol: String, n_sweeps_protocol: Long,
+      rep_sweep: Long, clamped: Boolean, rate_hz: Long, conv_milli: Long,
+      computed: String, sum_resp_conv: Long, peak_resp_conv: Long)
+
   /** stimulus classes the content-based classifier can emit. */
   val Names: Vector[String] = Vector("flat", "step", "ramp")
+
+  /** protocol preference for the representative election: a thumbnail
+    * wants the step response first; unknown protocols rank last and
+    * tie-break by name. */
+  val ProtocolPreference: Vector[String] = Vector("step", "ramp", "flat")
 
   // -------------------------------------------------------------- codec
 
   /** encode a trace container: ASCII header (declared per-sweep labels
-    * included — the "metadata" channel) + per sweep, n int16-LE
-    * stimulus samples then n int16-LE response samples. */
-  def encodeTrace(rateHz: Int, labels: Seq[String],
+    * + integer-milli conversion factor — the "metadata" channel) + per
+    * sweep, n int16-LE stimulus samples then n int16-LE response
+    * samples. */
+  def encodeTrace(rateHz: Int, convMilli: Int, labels: Seq[String],
                   sweeps: Seq[(Array[Short], Array[Short])]): Array[Byte] = {
     require(sweeps.nonEmpty, "a trace needs at least one sweep")
+    require(convMilli > 0, s"conversion must be positive, got $convMilli")
     require(labels.length == sweeps.length,
       s"${labels.length} labels for ${sweeps.length} sweeps")
     val n = sweeps.head._1.length
     sweeps.foreach { case (st, re) =>
       require(st.length == n && re.length == n, "ragged sweep channels")
     }
-    val header = s"TRC ${sweeps.length} $n $rateHz ${labels.mkString(",")}\n"
+    val header = s"TRC ${sweeps.length} $n $rateHz $convMilli ${labels.mkString(",")}\n"
       .getBytes(US_ASCII)
     val buf = java.nio.ByteBuffer.allocate(sweeps.length * n * 4)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -86,21 +105,27 @@ object Traces {
     * per-sweep classification and exact integer aggregates. Fails loud
     * with IllegalArgumentException on any malformed payload — the q41
     * decoder contract. */
-  def decodeTrace(row: TraceRow): Seq[SweepReport] = {
+  def decodeTrace(row: TraceRow): Seq[SweepReport] =
+    decodeTraceFull(row).reports
+
+  /** decode INCLUDING the header's conversion factor (q80b needs it;
+    * q80's per-sweep report does not carry it). */
+  def decodeTraceFull(row: TraceRow): TraceDecoded = {
     val bytes = row.trc
     val nl = bytes.indexOf('\n'.toByte)
     require(nl > 0, "trace payload has no header line")
     val header = new String(bytes, 0, nl, US_ASCII).split(" ")
-    require(header.length == 5 && header(0) == "TRC",
+    require(header.length == 6 && header(0) == "TRC",
       s"malformed TRC header: ${header.length} fields, magic '${header.headOption.getOrElse("?")}'")
-    val Array(sweeps, n, rate) =
-      try header.slice(1, 4).map(_.toLong)
+    val Array(sweeps, n, rate, conv) =
+      try header.slice(1, 5).map(_.toLong)
       catch {
         case _: NumberFormatException =>
           throw new IllegalArgumentException(s"non-numeric TRC header field")
       }
     require(sweeps > 0 && n > 1 && rate > 0, s"bad TRC geometry $sweeps x $n @ $rate")
-    val labels = header(4).split(",", -1)
+    require(conv > 0, s"non-positive TRC conversion $conv")
+    val labels = header(5).split(",", -1)
     require(labels.length == sweeps,
       s"${labels.length} declared labels for $sweeps sweeps")
     val payload = (bytes.length - nl - 1).toLong
@@ -114,7 +139,7 @@ object Traces {
     require(payload == expected, s"truncated trace: $payload != $expected")
     val buf = java.nio.ByteBuffer.wrap(bytes, nl + 1, payload.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
-    (0 until sweeps.toInt).map { s =>
+    val reports = (0 until sweeps.toInt).map { s =>
       val stim = Array.fill(n.toInt)(buf.getShort())
       val resp = Array.fill(n.toInt)(buf.getShort())
       val computed = classify(stim)
@@ -125,6 +150,39 @@ object Traces {
         sum_resp = resp.foldLeft(0L)(_ + _),
         peak_resp = resp.foldLeft(Long.MinValue)((m, v) => math.max(m, v.toLong)))
     }
+    TraceDecoded(conv, reports)
+  }
+
+  // ------------------------------------------- representative election
+
+  /** q80b election, pure over one decoded container — the reference's
+    * thumbnail selection chain (thumbnail.py:25-46: walk the h5 keys,
+    * select_protocol, repetition n=0, SWEEP n=-3, response channel,
+    * then scale by the `conversion` attribute). Engine semantics:
+    *
+    *   - the PROTOCOL is elected over the DECLARED labels (the
+    *     metadata channel — the reference walks h5 group keys, not
+    *     waveforms) by [[ProtocolPreference]]; unknown labels rank
+    *     last, ties break by name;
+    *   - the representative is the THIRD-FROM-LAST sweep (n=-3) of the
+    *     elected protocol in sweep order, CLAMPED to the first when
+    *     fewer than three exist (the reference would throw; an audit
+    *     pipeline flags it instead — `clamped`);
+    *   - response stats scale by the integer-milli conversion, exactly.
+    */
+  def electRepresentative(dec: TraceDecoded): RepSweep = {
+    val byLabel = dec.reports.groupBy(_.declared)
+    def rank(l: String): (Int, String) = {
+      val i = ProtocolPreference.indexOf(l)
+      (if (i >= 0) i else ProtocolPreference.length, l)
+    }
+    val protocol = byLabel.keys.minBy(rank)
+    val matching = byLabel(protocol).sortBy(_.sweep)
+    val idx = math.max(0, matching.length - 3)
+    val rep = matching(idx)
+    RepSweep(rep.trace_id, protocol, matching.length.toLong, rep.sweep,
+      clamped = matching.length < 3, rep.rate_hz, dec.conv_milli,
+      rep.computed, rep.sum_resp * dec.conv_milli, rep.peak_resp * dec.conv_milli)
   }
 
   // ------------------------------------------------------------- fixture
@@ -142,6 +200,7 @@ object Traces {
     val sweeps = (2 + id % 3).toInt
     val n = (16 + (id % 8) * 2).toInt
     val rate = (1000 + (id % 4) * 500).toInt
+    val convMilli = (250 * (1 + id % 4)).toInt
     val amp = (10 + id % 20).toShort
     val off = (id % 5).toShort
     val channels = (0 until sweeps).map { s =>
@@ -160,7 +219,7 @@ object Traces {
       val typ = ((id + s) % 3).toInt
       if ((id * 7 + s) % 13 == 0) Names((typ + 1) % 3) else Names(typ)
     }
-    encodeTrace(rate, labels, channels)
+    encodeTrace(rate, convMilli, labels, channels)
   }
 
   /** Trace frame over the documents table: one sweep container per
@@ -198,4 +257,22 @@ object Traces {
     * batch q80). */
   def sweepConsistencyRowLocal(documents: DataFrame): DataFrame =
     decodeStage(traceFrame(documents))
+
+  /** q80b: REPRESENTATIVE-SWEEP election + unit conversion — decode
+    * every container and elect its thumbnail sweep row-locally (the
+    * whole selection chain is per-entity, so it rides the decode scan:
+    * zero exchanges beyond the skew-evening repartition and the output
+    * sort — q79's plan shape). */
+  def representativeSweeps(documents: DataFrame, partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    traceFrame(documents)
+      .repartition(width, col("trace_id"))
+      .as[TraceRow]
+      .mapPartitions(_.map(r => electRepresentative(decodeTraceFull(r))))
+      .toDF()
+      .orderBy("trace_id")
+  }
 }

@@ -71,16 +71,18 @@ object KernelProperties extends Properties("graft.kernels") {
 
   property("trace encode->decode recovers sums, peaks and labels exactly") =
     Prop.forAll(Gen.chooseNum(1, 5).flatMap(s => Gen.listOfN(s, sweepGen)),
-      Gen.chooseNum(1, 100000)) { (sweeps0, rate) =>
+      Gen.chooseNum(1, 100000), Gen.chooseNum(1, 5000)) { (sweeps0, rate, conv) =>
       // ragged channels are rejected by encode; align lengths first
       val n = sweeps0.head._1.length
       val sweeps = sweeps0.map { case (st, re) =>
         (st.padTo(n, 0.toShort).take(n), re.padTo(n, 0.toShort).take(n))
       }
       val labels = sweeps.indices.map(i => graft.operators.Traces.Names(i % 3))
-      val bytes = graft.operators.Traces.encodeTrace(rate, labels, sweeps)
-      val got = graft.operators.Traces.decodeTrace(
+      val bytes = graft.operators.Traces.encodeTrace(rate, conv, labels, sweeps)
+      val dec = graft.operators.Traces.decodeTraceFull(
         graft.operators.Traces.TraceRow(9L, bytes))
+      val got = dec.reports
+      dec.conv_milli == conv &&
       got.length == sweeps.length && got.zipWithIndex.forall { case (r, i) =>
         r.rate_hz == rate && r.declared == labels(i) &&
           r.sum_stim == sweeps(i)._1.foldLeft(0L)(_ + _) &&

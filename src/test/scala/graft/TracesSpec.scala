@@ -16,7 +16,7 @@ class TracesSpec extends AnyFunSuite {
     // mislabeled as 'flat'
     val step = (Array[Short](0, 0, 7, 7), Array[Short](1, 1, 15, 15))
     val ramp = (Array[Short](0, 1, 2, 3), Array[Short](5, 7, 9, 11))
-    val bytes = encodeTrace(2000, Seq("step", "flat"), Seq(step, ramp))
+    val bytes = encodeTrace(2000, 500, Seq("step", "flat"), Seq(step, ramp))
     val got = decodeTrace(TraceRow(42L, bytes))
     assert(got.map(_.computed) == Seq("step", "ramp"),
       "the classifier works from the SAMPLES, not the declared labels")
@@ -42,24 +42,28 @@ class TracesSpec extends AnyFunSuite {
       decodeTrace(TraceRow(1L, good.dropRight(3)))
     }
     intercept[IllegalArgumentException] { // wrong magic
-      decodeTrace(TraceRow(1L, "XYZ 1 4 1000 flat\n".getBytes("US-ASCII") ++ new Array[Byte](16)))
+      decodeTrace(TraceRow(1L, "XYZ 1 4 1000 500 flat\n".getBytes("US-ASCII") ++ new Array[Byte](16)))
     }
     intercept[IllegalArgumentException] { // missing header fields
       decodeTrace(TraceRow(1L, "TRC 1 4\n".getBytes("US-ASCII")))
     }
     intercept[IllegalArgumentException] { // non-numeric geometry
-      decodeTrace(TraceRow(1L, "TRC one 4 1000 flat\n".getBytes("US-ASCII")))
+      decodeTrace(TraceRow(1L, "TRC one 4 1000 500 flat\n".getBytes("US-ASCII")))
     }
     intercept[IllegalArgumentException] { // label count != sweep count
-      decodeTrace(TraceRow(1L, "TRC 2 2 1000 flat\n".getBytes("US-ASCII") ++ new Array[Byte](16)))
+      decodeTrace(TraceRow(1L, "TRC 2 2 1000 500 flat\n".getBytes("US-ASCII") ++ new Array[Byte](16)))
     }
     intercept[IllegalArgumentException] { // no header line at all
       decodeTrace(TraceRow(1L, Array[Byte](1, 2, 3)))
     }
     intercept[IllegalArgumentException] { // sweeps*n*4 wraps Long to 4
       decodeTrace(TraceRow(1L,
-        "TRC 1 4611686018427387905 1000 flat\n".getBytes("US-ASCII")
+        "TRC 1 4611686018427387905 1000 500 flat\n".getBytes("US-ASCII")
           ++ new Array[Byte](4)))
+    }
+    intercept[IllegalArgumentException] { // non-positive conversion
+      decodeTrace(TraceRow(1L, "TRC 1 4 1000 0 flat\n".getBytes("US-ASCII")
+        ++ new Array[Byte](16)))
     }
   }
 
@@ -93,6 +97,35 @@ class TracesSpec extends AnyFunSuite {
         assert(r.peak_resp == peakResp, s"id=$id s=$s")
       }
     }
+  }
+
+  test("representative election: protocol preference, n=-3 clamping, exact conversion") {
+    def rep(convMilli: Int, labels: Seq[String]): RepSweep = {
+      // distinct flat stimuli so each sweep's stats are tellable apart
+      val chans = labels.indices.map { i =>
+        (Array.fill(4)(0.toShort), Array.fill[Short](4)((i + 1).toShort))
+      }
+      electRepresentative(decodeTraceFull(
+        TraceRow(7L, encodeTrace(1000, convMilli, labels, chans))))
+    }
+    // 'step' beats 'ramp' beats 'flat' regardless of order or counts
+    assert(rep(500, Seq("flat", "step", "flat")).protocol == "step")
+    assert(rep(500, Seq("ramp", "flat", "ramp")).protocol == "ramp")
+    // n=-3: with 3+ matching sweeps the third-from-last wins, unclamped
+    val r3 = rep(500, Seq("flat", "flat", "flat", "flat"))
+    assert(r3.rep_sweep == 1L && !r3.clamped && r3.n_sweeps_protocol == 4L)
+    // fewer than 3 matches clamps to the first and says so
+    val r1 = rep(500, Seq("step", "flat", "flat"))
+    assert(r1.rep_sweep == 0L && r1.clamped && r1.n_sweeps_protocol == 1L)
+    // conversion scales the elected sweep's response stats exactly
+    val rc = rep(250, Seq("flat", "flat"))
+    assert(rc.conv_milli == 250L && rc.sum_resp_conv == 4L * 1 * 250
+      && rc.peak_resp_conv == 1L * 250)
+    // unknown protocols rank below the known ones, tie-break by name
+    val chans2 = Seq.fill(2)((Array.fill(4)(0.toShort), Array.fill(4)(0.toShort)))
+    val ru = electRepresentative(decodeTraceFull(TraceRow(7L,
+      encodeTrace(1000, 500, Seq("zzz", "aaa"), chans2))))
+    assert(ru.protocol == "aaa")
   }
 
   test("spark end-to-end: distributed decode equals the driver-side decode") {

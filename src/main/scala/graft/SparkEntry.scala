@@ -218,8 +218,17 @@ object SparkEntry {
     "q98_leaf_regions" -> ((s, d) => NeuriteAtlas.leafRegionAttribution(
       Tables.documents(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q98b_neurite_features" -> ((s, d) =>
-      NeuriteAtlas.neuriteFeatures(Tables.documents(s, d)))
+      NeuriteAtlas.neuriteFeatures(Tables.documents(s, d))),
+    "q99_type_pivot" -> ((s, d) => Validation.typeSchemaPivot(
+      Tables.documents(s, d), "source", "lang", DocLangs, LangsWithSchema))
   )
+
+  /** q99's type domain + schema registry: the documents corpus's five
+    * language "types"; the registry carries schemas for three of them
+    * (es/zh are the observed-but-unschematized types the reference's
+    * get_missing_schemas surfaces). Shared with the oracle SQL. */
+  private val DocLangs = Seq("de", "en", "es", "fr", "zh")
+  private val LangsWithSchema = Seq("de", "en", "fr")
 
   /** the ONE per-order row-rule set — q21b's listing and q96's matrix
     * share it so the two reports cannot disagree on what a rule means. */
@@ -1566,6 +1575,24 @@ object SparkEntry {
       |CAST(peak_resp AS BIGINT) AS peak_resp
       |FROM c ORDER BY trace_id, sweep""".stripMargin
 
+  /** q99's oracle: the pivot as conditional aggregation; present-but-
+    * unschematized types via the same literal registry split. */
+  private def typePivotSql: String = {
+    val cnts = DocLangs.map(l =>
+      s"CAST(count(*) FILTER (WHERE lang = '$l') AS BIGINT) AS cnt_$l").mkString(",\n")
+    val nTypes = DocLangs.map(l => s"CAST(cnt_$l > 0 AS BIGINT)").mkString(" + ")
+    val unsch = DocLangs.filterNot(LangsWithSchema.contains)
+    val unschList = unsch.map(l => s"CASE WHEN cnt_$l > 0 THEN '$l' END").mkString(", ")
+    val nUnsch = unsch.map(l => s"CAST(cnt_$l > 0 AS BIGINT)").mkString(" + ")
+    s"""WITH g AS (SELECT source AS bucket, $cnts
+       |FROM documents GROUP BY 1)
+       |SELECT bucket, ${DocLangs.map(l => s"cnt_$l").mkString(", ")},
+       |$nTypes AS n_types,
+       |concat_ws(',', $unschList) AS unschematized_types,
+       |$nUnsch AS n_unschematized
+       |FROM g ORDER BY bucket""".stripMargin
+  }
+
   /** q80b's oracle: the thumbnail election chain replayed on the trace
     * fixture's closed form — per-sweep declared labels (mislabel
     * rotation included: the election walks METADATA), protocol rank
@@ -1751,7 +1778,8 @@ object SparkEntry {
       ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql) +
       ("q98_leaf_regions" -> leafRegionsSql) +
       ("q98b_neurite_features" -> neuriteFeaturesSql) +
-      ("q80b_rep_sweep" -> repSweepSql)
+      ("q80b_rep_sweep" -> repSweepSql) +
+      ("q99_type_pivot" -> typePivotSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

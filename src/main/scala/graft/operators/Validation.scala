@@ -160,6 +160,42 @@ object Validation {
       .orderBy(parentKey)
   }
 
+  /** q99: TYPE × BUCKET × SCHEMA-PRESENCE matrix — the reference's
+    * schemas-module exploration workbook (reference
+    * src/schemas/type_exploration.py:21-60: per bucket, which resource
+    * types are present, joined against the schema registry;
+    * getters.get_missing_schemas: observed types with no schema). One
+    * row per bucket: a fixed count column per type (the q10 pivot
+    * discipline — literal values, so the schema is static and
+    * oracle-comparable), the distinct-type count, and the present
+    * types the registry carries no schema for.
+    *
+    * Scale shape: ONE map-side-combined groupBy-pivot keyed by the
+    * bucket; registry membership is a compile-time literal partition
+    * of the type list, so everything after the aggregate is row-local
+    * arithmetic. Adding types widens columns, never adds exchanges. */
+  def typeSchemaPivot(df: DataFrame, bucketCol: String, typeCol: String,
+                      types: Seq[String], withSchema: Seq[String]): DataFrame = {
+    val ts = types.sorted
+    val unschematized = ts.filterNot(withSchema.contains)
+    val pivoted = df.groupBy(col(bucketCol).as("bucket"))
+      .pivot(typeCol, ts)
+      .agg(count(lit(1)))
+      .select(col("bucket") +:
+        ts.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"cnt_$t")): _*)
+    pivoted
+      .withColumn("n_types",
+        ts.map(t => when(col(s"cnt_$t") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("unschematized_types",
+        concat_ws(",", unschematized.map(t =>
+          when(col(s"cnt_$t") > 0, lit(t))): _*))
+      .withColumn("n_unschematized",
+        if (unschematized.isEmpty) lit(0L)
+        else unschematized.map(t => when(col(s"cnt_$t") > 0, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .orderBy("bucket")
+  }
+
   /** q21b: the same listing exploded to one (id, rule) row — the
     * flat shape that joins/sorts/compares cleanly downstream. Checks
     * stay row-local over a single scan; the only exchange is the

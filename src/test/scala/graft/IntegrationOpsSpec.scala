@@ -121,6 +121,33 @@ class IntegrationOpsSpec extends AnyFunSuite {
       && out(3L).getAs[Long]("n_missing") == 3L)
   }
 
+  test("type-schema pivot: fixed columns, presence counts, unschematized listing") {
+    val df = Seq(
+      ("b1", "en"), ("b1", "en"), ("b1", "es"),
+      ("b2", "de"),
+      ("b3", "zh"), ("b3", "es"), ("b3", "fr")
+    ).toDF("bucket_id", "typ")
+    val out = Validation.typeSchemaPivot(df, "bucket_id", "typ",
+      Seq("de", "en", "es", "fr", "zh"), Seq("de", "en", "fr")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // fixed pivot columns: absent types count 0, never drop
+    assert(out("b1").getAs[Long]("cnt_en") == 2L
+      && out("b1").getAs[Long]("cnt_de") == 0L
+      && out("b1").getAs[Long]("n_types") == 2L
+      && out("b1").getAs[String]("unschematized_types") == "es"
+      && out("b1").getAs[Long]("n_unschematized") == 1L)
+    // a fully-schematized bucket reports an empty listing
+    assert(out("b2").getAs[Long]("n_types") == 1L
+      && out("b2").getAs[String]("unschematized_types") == ""
+      && out("b2").getAs[Long]("n_unschematized") == 0L)
+    // multiple unschematized types list sorted
+    assert(out("b3").getAs[String]("unschematized_types") == "es,zh"
+      && out("b3").getAs[Long]("n_unschematized") == 2L
+      && out("b3").getAs[Long]("n_types") == 3L)
+    // a type observed in NO bucket still has its column (static schema)
+    assert(out("b1").schema.fieldNames.count(_.startsWith("cnt_")) == 5)
+  }
+
   test("curation upsert prefers new annotation over existing") {
     val orders = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)

@@ -77,6 +77,54 @@ object BenchStats {
   }
 }
 
+/** Segment-lifecycle cost split for q88b: the inventory bench prices
+  * the FULL lifecycle per rep (segment writes + compaction + catalog
+  * search) because it must create what it searches — a deployment pays
+  * segment writes per micro-batch, compaction amortized on a schedule,
+  * and the bucket-pruned search per query. This prints the three
+  * phases separately so the search-only number is the one a scale
+  * review grades (the BenchIdxSplit discipline applied to the Lucene
+  * segment model). Warm medians over SPARK_GRAFT_REPS. */
+object BenchSegSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Search
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_seg_split_").toString
+    def writeSegments(): Unit = Seq(0, 1).foreach { par =>
+      val b = docs.filter(pmod(col("doc_id"), lit(2)) === par)
+      Search.postingIndex(b).write.mode("overwrite").parquet(s"$base/index/seg=$par")
+      Search.docCount(b).write.mode("overwrite").parquet(s"$base/meta/seg=$par")
+    }
+    val tSegs = med(() => writeSegments())
+    var gen = 0
+    val tCompact = med { () =>
+      // fresh table name per rep: compaction overwrites a managed
+      // table, and re-creating is the operation being priced
+      gen += 1
+      graft.sources.IndexCatalog.compactSegments(
+        spark, s"$base/index", s"$base/meta", s"graft_segsplit_$gen")
+    }
+    val table = s"graft_segsplit_$gen"
+    val tSearch = med(() =>
+      graft.sources.IndexCatalog.searchPostings(spark, table).count())
+    import Bench.fmt3
+    println(s"""{"segment_writes_s":${fmt3(tSegs)},"compact_s":${fmt3(tCompact)},""" +
+      s""""search_s":${fmt3(tSearch)},"reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
 /** Index-maintenance cost split: BUILD (train models + full base
   * encode/write) vs MAINTAIN (delta encode + partition-scoped merge).
   * The q82 inventory bench necessarily prices a full build + a merge

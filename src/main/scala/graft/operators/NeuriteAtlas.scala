@@ -168,6 +168,20 @@ object NeuriteAtlas {
       .mapPartitions(_.flatMap(kernel))
   }
 
+  /** shared attribution step: voxel rows → region-labeled rows via the
+    * broadcast volume (stream-static safe — the grid is a bounded
+    * static dimension, the q94 frozen-volume contract). */
+  private def labeled(rows: DataFrame, nation: DataFrame,
+                      region: DataFrame): DataFrame = {
+    val grid = Atlas.voxelGrid(rows.sparkSession, nation, region)
+    rows
+      .join(broadcast(grid), Seq("ix", "iy", "iz"), "left")
+      .withColumn("region",
+        when(!col("in_volume"), lit("(outside volume)"))
+          .otherwise(coalesce(col("computed_region"), lit("(unclassified)"))))
+      .select("morph_id", "neurite_type", "region", "n_points", "n_leaves")
+  }
+
   /** q98: SECTION-LEAF-REGION attribution — one row per
     * (morphology, neurite type, region) with the traversed-point count
     * (every section point of that type whose voxel resolves there) and
@@ -181,15 +195,27 @@ object NeuriteAtlas {
     import spark.implicits._
     val rows = decoded(documents, partitions)(r =>
       typeVoxelRows(r.morph_id, Morphology.parseSwc(r.swc))).toDF()
-    val grid = Atlas.voxelGrid(spark, nation, region)
-    rows
-      .join(broadcast(grid), Seq("ix", "iy", "iz"), "left")
-      .withColumn("region",
-        when(!col("in_volume"), lit("(outside volume)"))
-          .otherwise(coalesce(col("computed_region"), lit("(unclassified)"))))
+    labeled(rows, nation, region)
       .groupBy("morph_id", "neurite_type", "region")
       .agg(sum("n_points").as("n_points"), sum("n_leaves").as("n_leaves"))
       .orderBy("morph_id", "neurite_type", "region")
+  }
+
+  /** stream-safe attribution (q98's stream twin, pre-rollup): the same
+    * kernel + broadcast volume label, stateless and row-local — no
+    * repartition, no aggregation, no sort. Each arriving morphology
+    * yields its (type, region) count rows the moment it lands; within
+    * one morphology the kernel has already combined duplicate voxels,
+    * so per-(morph, type, region) rows need only a trivial downstream
+    * sum if a consumer wants the batch q98 rollup (spec-proven equal). */
+  def leafRegionRowsLocal(documents: DataFrame, nation: DataFrame,
+                          region: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    labeled(Morphology.morphFrame(documents)
+      .mapPartitions(_.flatMap(r =>
+        typeVoxelRows(r.morph_id, Morphology.parseSwc(r.swc)))).toDF(),
+      nation, region)
   }
 
   /** q98b: per-type NEURITE FEATURES — the cumulatedLength/section

@@ -153,6 +153,17 @@ object DocStreams {
                         region: DataFrame): DataFrame =
     graft.operators.Atlas.regionVerdicts(entities, nation, region)
 
+  /** Ingest-time leaf-region attribution (q98's stream twin): every
+    * arriving morphology is decoded, walked and binned against the
+    * STATIC annotation volume the moment it lands — kernel + broadcast
+    * label only, stateless (the corpus-level rollup stays a batch/
+    * consumer concern; within one entity the kernel has already
+    * combined duplicate voxels). Spec-proven: per-entity sums equal
+    * the batch q98 rollup. */
+  def leafRegionStream(docs: DataFrame, nation: DataFrame,
+                       region: DataFrame): DataFrame =
+    graft.operators.NeuriteAtlas.leafRegionRowsLocal(docs, nation, region)
+
   /** Ingest-time BPE tokenization stats (q85b's stream twin): arriving
     * documents are tokenized against the FROZEN batch-trained merge
     * list — stateless row-local work, the same contract as

@@ -334,6 +334,30 @@ class StreamingSpec extends AnyFunSuite {
       "ingest-time verdicts must reproduce the batch report verbatim")
   }
 
+  test("streaming leaf-region attribution sums to the batch q98 rollup") {
+    val dir0 = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir0)
+    val (nat, reg) = (Tables.nation(spark, dir0), Tables.region(spark, dir0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_leafstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.DocStreams.readDocStream(spark, dir)
+    val q = graft.streaming.DocStreams.leafRegionStream(stream, nat, reg)
+      .writeStream.outputMode("append").format("memory").queryName("leaf_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // the stream emits pre-rollup (type, region) rows; summing them per
+    // (morph, type, region) must reproduce the batch q98 exactly
+    val got = spark.table("leaf_stream_out")
+      .groupBy("morph_id", "neurite_type", "region")
+      .agg(org.apache.spark.sql.functions.sum("n_points").as("n_points"),
+        org.apache.spark.sql.functions.sum("n_leaves").as("n_leaves"))
+      .collect().toSet
+    val want = graft.operators.NeuriteAtlas
+      .leafRegionAttribution(docs, nat, reg).collect().toSet
+    assert(got == want,
+      "ingest-time attribution rows must sum to the batch report verbatim")
+  }
+
   test("streaming residual encode equals the batch q81 under frozen models") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_rvecstream").toString

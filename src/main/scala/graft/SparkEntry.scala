@@ -219,6 +219,8 @@ object SparkEntry {
       Tables.documents(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q98b_neurite_features" -> ((s, d) =>
       NeuriteAtlas.neuriteFeatures(Tables.documents(s, d))),
+    "q98c_section_stats" -> ((s, d) =>
+      NeuriteAtlas.sectionStats(Tables.documents(s, d))),
     "q99_type_pivot" -> ((s, d) => Validation.typeSchemaPivot(
       Tables.documents(s, d), "source", "lang", DocLangs, LangsWithSchema))
   )
@@ -1471,17 +1473,19 @@ object SparkEntry {
       |CASE WHEN doc_id % 5 = 0 AND t = 0 AND s = secs - 1 THEN 3 ELSE 2 + t % 3 END AS typ,
       |t*secs + s AS sec,
       |CASE WHEN k = sp - 1 AND s >= secs // 2
-      | AND NOT (e7 = 1 AND t = 0 AND s = secs - 1) THEN 1 ELSE 0 END AS leaf_end
+      | AND NOT (e7 = 1 AND t = 0 AND s = secs - 1) THEN 1 ELSE 0 END AS leaf_end,
+      |CASE WHEN s + 1 >= 16 THEN 4 WHEN s + 1 >= 8 THEN 3
+      | WHEN s + 1 >= 4 THEN 2 WHEN s + 1 >= 2 THEN 1 ELSE 0 END AS ord
       |FROM n3
       |UNION ALL
       |SELECT doc_id, 2 + tc*secs*sp + k,
       |CASE WHEN k > 0 THEN 2 + tc*secs*sp + k - 1 ELSE 1 + secs*sp END,
-      |4, tc*secs, CASE WHEN k = sp - 1 THEN 1 ELSE 0 END
+      |4, tc*secs, CASE WHEN k = sp - 1 THEN 1 ELSE 0 END, d + 1
       |FROM (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM p2 WHERE e7 = 1)
       |UNION ALL
       |SELECT doc_id, 2 + (tc*secs + e7)*sp + k,
       |CASE WHEN k > 0 THEN 2 + (tc*secs + e7)*sp + k - 1 ELSE sp + 1 END,
-      |2, tc*secs + 1, CASE WHEN k = sp - 1 THEN 1 ELSE 0 END
+      |2, tc*secs + 1, CASE WHEN k = sp - 1 THEN 1 ELSE 0 END, 1
       |FROM (SELECT *, unnest(generate_series(0, sp - 1)) AS k FROM p2 WHERE e11 = 1)
       |)""".stripMargin
 
@@ -1592,6 +1596,33 @@ object SparkEntry {
        |$nUnsch AS n_unschematized
        |FROM g ORDER BY bucket""".stripMargin
   }
+
+  /** q98c's oracle: sections materialize from the node closed form
+    * (per-section world length + branch order), then the distribution
+    * summary per (morph, type): min/max, LOWER median via a bounded
+    * per-group row_number, truncating-division mean ×1000, and the
+    * integer variance form (n·Σx² − (Σx)²)·1000 DIV n². */
+  private def sectionStatsSql: String =
+    morphNodeCtes +
+      """, sct AS (
+        |SELECT doc_id, sec, min(typ) AS typ, min(ord) AS ord,
+        |CAST(SUM(1 + i % 3) * 150 AS BIGINT) AS slen
+        |FROM nd GROUP BY 1, 2
+        |), rk AS (
+        |SELECT *, row_number() OVER (PARTITION BY doc_id, typ ORDER BY slen) AS rn,
+        |count(*) OVER (PARTITION BY doc_id, typ) AS cnt
+        |FROM sct
+        |)
+        |SELECT doc_id AS morph_id, """.stripMargin + neuriteTypeCase +
+      """ AS neurite_type,
+        |count(*) AS n_sections,
+        |min(slen) AS len_min_um, max(slen) AS len_max_um,
+        |CAST(min(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN slen END) AS BIGINT) AS len_median_um,
+        |CAST(1000 * sum(slen) // count(*) AS BIGINT) AS len_mean_milli,
+        |CAST((count(*) * sum(slen * slen) - sum(slen) * sum(slen)) * 1000
+        | // (count(*) * count(*)) AS BIGINT) AS len_var_milli,
+        |CAST(max(ord) AS BIGINT) AS order_max
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q80b's oracle: the thumbnail election chain replayed on the trace
     * fixture's closed form — per-sweep declared labels (mislabel
@@ -1778,6 +1809,7 @@ object SparkEntry {
       ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql) +
       ("q98_leaf_regions" -> leafRegionsSql) +
       ("q98b_neurite_features" -> neuriteFeaturesSql) +
+      ("q98c_section_stats" -> sectionStatsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +
       ("q99_type_pivot" -> typePivotSql)
 

@@ -189,6 +189,18 @@ object Morphology {
     Decomp(byId, soma, children, starts, sectionOf, sectionEnd, childSections)
   }
 
+  /** branch order per section = BFS depth from the root sections —
+    * shared by q79's max and q98c's per-type distribution. */
+  private[operators] def sectionDepths(dec: Decomp): scala.collection.Map[Long, Long] = {
+    val depth = scala.collection.mutable.LongMap.empty[Long]
+    var frontier = dec.starts.filter(_.parent == dec.soma.id).map(_.id).toList
+    frontier.foreach(depth(_) = 0L)
+    while (frontier.nonEmpty)
+      frontier = frontier.flatMap(s =>
+        dec.childSections.getOrElse(s, Nil).map { c => depth(c) = depth(s) + 1; c })
+    depth
+  }
+
   /** The REAL tree walk: validates + decomposes via [[decompose]],
     * walks the section graph for branch orders, and runs the
     * per-segment screens. Generic over any parsed SWC content. */
@@ -215,13 +227,7 @@ object Morphology {
 
     val starts = dec.starts
     val childSections = dec.childSections
-    // branch order = BFS depth from the root sections
-    val depth = scala.collection.mutable.LongMap.empty[Long]
-    var frontier = starts.filter(_.parent == soma.id).map(_.id).toList
-    frontier.foreach(depth(_) = 0L)
-    while (frontier.nonEmpty)
-      frontier = frontier.flatMap(s =>
-        childSections.getOrElse(s, Nil).map { c => depth(c) = depth(s) + 1; c })
+    val depth = sectionDepths(dec)
     val maxOrder = if (depth.isEmpty) 0L else depth.values.max
     val nSingleChild =
       starts.count(st => childSections.getOrElse(st.id, Nil).length == 1).toLong

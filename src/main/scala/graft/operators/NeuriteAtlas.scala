@@ -156,6 +156,50 @@ object NeuriteAtlas {
     }
   }
 
+  /** kernel output: per-type SECTION DISTRIBUTION summary for one
+    * morphology (q98c). */
+  final case class SectionStatsRow(
+      morph_id: Long, neurite_type: String, n_sections: Long,
+      len_min_um: Long, len_max_um: Long, len_median_um: Long,
+      len_mean_milli: Long, len_var_milli: Long, order_max: Long)
+
+  /** row-local distribution kernel (q98c): per neurite type, summary
+    * statistics over the per-SECTION length distribution (world µm)
+    * and the branch-order maximum — the reference's METRIC_CONFIG
+    * shape (morph_metrics_neurom.py:33-64: distribution features like
+    * section_lengths/section_branch_orders extract
+    * min/max/median/mean/std per neurite). Engine-exact forms:
+    * lower median (element (n−1)/2 of the sorted lengths — no
+    * half-sum, so integer-exact), mean ×1000 under truncating
+    * division, and VARIANCE ×1000 in the n·Σx²−(Σx)² integer form in
+    * place of std (std is an irrational sqrt; variance is monotone in
+    * it and exact in both engines). */
+  def typeSectionStats(morphId: Long, nodes: Seq[SwcNode]): Seq[SectionStatsRow] = {
+    val dec = Morphology.decompose(nodes)
+    val depths = Morphology.sectionDepths(dec)
+    val segLen = scala.collection.mutable.LongMap.empty[Double]
+    nodes.foreach { n =>
+      if (n.id != dec.soma.id) {
+        val p = dec.byId(n.parent)
+        val dx = n.x - p.x; val dy = n.y - p.y; val dz = n.z - p.z
+        val sec = dec.sectionOf(n.id)
+        segLen(sec) = segLen.getOrElse(sec, 0.0) + math.sqrt(dx * dx + dy * dy + dz * dz)
+      }
+    }
+    dec.starts.groupBy(st => typeName(st.typ)).toSeq.sortBy(_._1).map {
+      case (tn, sts) =>
+        val lens = sts.map(st => math.round(segLen(st.id) * ScaleUm)).sorted
+        val n = lens.length
+        val sum = lens.sum
+        val sumSq = lens.map(l => l * l).sum
+        SectionStatsRow(morphId, tn, n.toLong,
+          lens.head, lens.last, lens((n - 1) / 2),
+          1000L * sum / n,
+          (n.toLong * sumSq - sum * sum) * 1000L / (n.toLong * n),
+          sts.map(st => depths(st.id)).max)
+    }
+  }
+
   private def decoded[A](documents: DataFrame, partitions: Int)(
       kernel: MorphRow => Seq[A])(implicit enc: org.apache.spark.sql.Encoder[A]): Dataset[A] = {
     val spark = documents.sparkSession
@@ -226,6 +270,17 @@ object NeuriteAtlas {
     import spark.implicits._
     decoded(documents, partitions)(r =>
       typeFeatureRows(r.morph_id, Morphology.parseSwc(r.swc))).toDF()
+      .orderBy("morph_id", "neurite_type")
+  }
+
+  /** q98c: per-type SECTION DISTRIBUTION statistics — join-free like
+    * q98b; the whole distribution summary is per-entity work riding
+    * the decode scan. */
+  def sectionStats(documents: DataFrame, partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    decoded(documents, partitions)(r =>
+      typeSectionStats(r.morph_id, Morphology.parseSwc(r.swc))).toDF()
       .orderBy("morph_id", "neurite_type")
   }
 }

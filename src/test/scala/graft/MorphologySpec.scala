@@ -183,6 +183,20 @@ class MorphologySpec extends AnyFunSuite {
       assert(feat.map(_.n_leaf_sections).sum > 0, s"id=$id: a tree has terminal sections")
       // types partition the counts: same type set in both kernels
       assert(vox.map(_.neurite_type).toSet == feat.map(_.neurite_type).toSet, s"id=$id")
+      // q98c distribution stats agree with the structural kernels
+      val stats = NeuriteAtlas.typeSectionStats(id, nodes)
+      assert(stats.map(s => s.neurite_type -> s.n_sections).toMap ==
+        feat.map(f => f.neurite_type -> f.n_sections).toMap, s"id=$id")
+      stats.foreach { s =>
+        val cum = feat.find(_.neurite_type == s.neurite_type).get.cum_len_um
+        // sections partition the type's length: mean*1000 = 1000·Σ DIV n
+        assert(s.len_mean_milli == 1000L * cum / s.n_sections, s"id=$id ${s.neurite_type}")
+        assert(s.len_min_um <= s.len_median_um && s.len_median_um <= s.len_max_um, s"id=$id")
+        assert(s.len_var_milli >= 0, s"id=$id")
+        assert(s.len_var_milli == 0 || s.len_min_um < s.len_max_um, s"id=$id")
+      }
+      // the per-type branch-order maxima roll up to q79's global max
+      assert(stats.map(_.order_max).max == m.max_branch_order, s"id=$id")
     }
   }
 

@@ -63,6 +63,21 @@ class EdgeCaseSpec extends AnyFunSuite {
       "short rows must encode to defined codes, not nulls")
   }
 
+  test("r9 family (attribution, election, pivot) yields empty results on empty inputs") {
+    val dir = "/root/testdata/sf0.001"
+    val (nat, reg) = (Tables.nation(spark, dir), Tables.region(spark, dir))
+    assert(graft.operators.NeuriteAtlas.leafRegionAttribution(noDocs, nat, reg).isEmpty)
+    assert(graft.operators.NeuriteAtlas.neuriteFeatures(noDocs).isEmpty)
+    assert(graft.operators.NeuriteAtlas.sectionStats(noDocs).isEmpty)
+    assert(Traces.representativeSweeps(noDocs).isEmpty)
+    // the pivot keeps its full static schema on an empty frame — a
+    // fresh bucket reports zero rows, never a narrower frame
+    val emptyPivot = graft.operators.Validation.typeSchemaPivot(
+      noDocs, "source", "lang", Seq("de", "en"), Seq("de"))
+    assert(emptyPivot.isEmpty && emptyPivot.schema.fieldNames.toSeq ==
+      Seq("bucket", "cnt_de", "cnt_en", "n_types", "unschematized_types", "n_unschematized"))
+  }
+
   test("corpus construction yields empty results on an empty corpus") {
     assert(Corpus.stratifiedSample(noDocs, Seq("en" -> 1000), 2500).isEmpty)
     assert(Corpus.tokenBudgetPack(noDocs, 1000L).isEmpty)

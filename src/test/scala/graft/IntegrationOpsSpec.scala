@@ -121,6 +121,18 @@ class IntegrationOpsSpec extends AnyFunSuite {
       && out(3L).getAs[Long]("n_missing") == 3L)
   }
 
+  test("bundle completeness counts on the array: comma-bearing class values don't miscount") {
+    val parents = Seq(1L, 2L).toDF("pid")
+    val members = Seq((1L, "X,Y")).toDF("mid", "cls") // one class whose VALUE contains a comma
+    val out = Validation.bundleCompleteness(parents, "pid", members, "mid",
+      col("cls"), Seq("X,Y", "Z")).collect().map(r => r.getLong(0) -> r).toMap
+    // parent 1 has the comma-bearing class, missing only Z — a split on
+    // the joined string would see two present classes and count wrong
+    assert(out(1L).getAs[Long]("n_missing") == 1L
+      && !out(1L).getAs[Boolean]("complete"))
+    assert(out(2L).getAs[Long]("n_missing") == 2L)
+  }
+
   test("type-schema pivot: fixed columns, presence counts, unschematized listing") {
     val df = Seq(
       ("b1", "en"), ("b1", "en"), ("b1", "es"),

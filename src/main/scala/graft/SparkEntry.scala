@@ -164,6 +164,7 @@ object SparkEntry {
     "q77_pq_search" -> ((s, d) => Similarity.pqSearchReranked(Tables.embeddings(s, d))),
     "q78_ivf_pq" -> ((s, d) => Similarity.knnIvfPq(Tables.embeddings(s, d))),
     "q79_morph_metrics" -> ((s, d) => Morphology.morphMetrics(Tables.documents(s, d))),
+    "q79b_morph_extents" -> ((s, d) => NeuriteAtlas.morphExtents(Tables.documents(s, d))),
     "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
     "q80b_rep_sweep" -> ((s, d) => Traces.representativeSweeps(Tables.documents(s, d))),
     "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
@@ -1502,19 +1503,39 @@ object SparkEntry {
     * looked up in the same closed-form volume; counts accumulate per
     * (morphology, neurite type, region) with leaf ends flagged from
     * the section closed form. */
+  /** the recursive node-position walk (soma anchored at local 0,
+    * offset 1+(i%3) on axis i%3) — shared by q98 and q79b. */
+  private def morphPosCte: String =
+    """, pos AS (
+      |SELECT doc_id, CAST(1 AS BIGINT) AS i,
+      |CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS z
+      |FROM p2
+      |UNION ALL
+      |SELECT n.doc_id, n.i,
+      |q.x + CASE WHEN n.i % 3 = 0 THEN 1 ELSE 0 END,
+      |q.y + CASE WHEN n.i % 3 = 1 THEN 2 ELSE 0 END,
+      |q.z + CASE WHEN n.i % 3 = 2 THEN 3 ELSE 0 END
+      |FROM nd n JOIN pos q ON n.doc_id = q.doc_id AND n.par = q.i
+      |)""".stripMargin
+
+  /** q79b's oracle: bounding-box extents and max squared radial
+    * distance straight off the position walk (soma row anchors the
+    * min and the zero radial). */
+  private def morphExtentsSql: String =
+    morphNodeCtes + morphPosCte +
+      """
+        |SELECT doc_id AS morph_id,
+        |CAST((max(x) - min(x)) * 150 AS BIGINT) AS width_um,
+        |CAST((max(y) - min(y)) * 150 AS BIGINT) AS height_um,
+        |CAST((max(z) - min(z)) * 150 AS BIGINT) AS depth_um,
+        |CAST(max((x*150)*(x*150) + (y*150)*(y*150) + (z*150)*(z*150)) AS BIGINT)
+        | AS max_radial_sq_um2,
+        |count(*) AS n_points
+        |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def leafRegionsSql: String =
-    morphNodeCtes +
-      """, pos AS (
-        |SELECT doc_id, CAST(1 AS BIGINT) AS i,
-        |CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS z
-        |FROM p2
-        |UNION ALL
-        |SELECT n.doc_id, n.i,
-        |q.x + CASE WHEN n.i % 3 = 0 THEN 1 ELSE 0 END,
-        |q.y + CASE WHEN n.i % 3 = 1 THEN 2 ELSE 0 END,
-        |q.z + CASE WHEN n.i % 3 = 2 THEN 3 ELSE 0 END
-        |FROM nd n JOIN pos q ON n.doc_id = q.doc_id AND n.par = q.i
-        |), vx AS (
+    morphNodeCtes + morphPosCte +
+      """, vx AS (
         |SELECT n.doc_id, n.typ, n.leaf_end,
         |(((n.doc_id * 7919) % 14000 + q.x * 150) + 500) * 2 // 1875 AS ix,
         |(((n.doc_id * 104729) % 14000 + q.y * 150) + 1000) * 2 // 1875 AS iy,
@@ -1810,6 +1831,7 @@ object SparkEntry {
       ("q98_leaf_regions" -> leafRegionsSql) +
       ("q98b_neurite_features" -> neuriteFeaturesSql) +
       ("q98c_section_stats" -> sectionStatsSql) +
+      ("q79b_morph_extents" -> morphExtentsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +
       ("q99_type_pivot" -> typePivotSql)
 

@@ -200,6 +200,37 @@ object NeuriteAtlas {
     }
   }
 
+  /** kernel output: whole-morphology spatial extents (q79b). */
+  final case class MorphExtentRow(
+      morph_id: Long, width_um: Long, height_um: Long, depth_um: Long,
+      max_radial_sq_um2: Long, n_points: Long)
+
+  /** row-local extents kernel (q79b): the reference's morphology-
+    * namespace spatial features (morph_metrics_neurom.py METRIC_CONFIG
+    * 'morphology': total_width/height/depth, max_radial_distance) —
+    * per-axis bounding-box extents in world µm over ALL nodes (soma
+    * included, as neurom's bounding box is), and the maximum SQUARED
+    * radial distance from the soma in µm² (the distance itself is an
+    * irrational sqrt; the squared form is monotone in it and
+    * integer-exact in both engines — the q79 radical-screen
+    * discipline). */
+  def morphExtentRow(morphId: Long, nodes: Seq[SwcNode]): MorphExtentRow = {
+    val dec = Morphology.decompose(nodes)
+    val soma = dec.soma
+    def ext(f: SwcNode => Double, somaLocal: Double): Long = {
+      val ds = nodes.map(n => math.round(f(n) - somaLocal))
+      (ds.max - ds.min) * ScaleUm
+    }
+    val maxRadSq = nodes.map { n =>
+      val dx = math.round(n.x - soma.x) * ScaleUm
+      val dy = math.round(n.y - soma.y) * ScaleUm
+      val dz = math.round(n.z - soma.z) * ScaleUm
+      dx * dx + dy * dy + dz * dz
+    }.max
+    MorphExtentRow(morphId, ext(_.x, soma.x), ext(_.y, soma.y), ext(_.z, soma.z),
+      maxRadSq, nodes.length.toLong)
+  }
+
   private def decoded[A](documents: DataFrame, partitions: Int)(
       kernel: MorphRow => Seq[A])(implicit enc: org.apache.spark.sql.Encoder[A]): Dataset[A] = {
     val spark = documents.sparkSession
@@ -282,5 +313,15 @@ object NeuriteAtlas {
     decoded(documents, partitions)(r =>
       typeSectionStats(r.morph_id, Morphology.parseSwc(r.swc))).toDF()
       .orderBy("morph_id", "neurite_type")
+  }
+
+  /** q79b: whole-morphology spatial extents — join-free, one row per
+    * entity off the decode scan. */
+  def morphExtents(documents: DataFrame, partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    decoded(documents, partitions)(r =>
+      Seq(morphExtentRow(r.morph_id, Morphology.parseSwc(r.swc)))).toDF()
+      .orderBy("morph_id")
   }
 }

@@ -197,6 +197,14 @@ class MorphologySpec extends AnyFunSuite {
       }
       // the per-type branch-order maxima roll up to q79's global max
       assert(stats.map(_.order_max).max == m.max_branch_order, s"id=$id")
+      // q79b extents: point count matches the walk; the radial maximum
+      // sits inside the bounding box's diagonal (and reaches at least
+      // its longest edge — the soma anchors the fixture's min corner)
+      val ext = NeuriteAtlas.morphExtentRow(id, nodes)
+      assert(ext.n_points == m.n_points, s"id=$id")
+      val edges = Seq(ext.width_um, ext.height_um, ext.depth_um)
+      assert(ext.max_radial_sq_um2 <= edges.map(e => e * e).sum, s"id=$id")
+      assert(ext.max_radial_sq_um2 >= edges.map(e => e * e).max, s"id=$id")
     }
   }
 

@@ -213,6 +213,35 @@ class StressSpec extends AnyFunSuite {
     assert(winner == 1L, s"hot-class ('?' variant) winner must be doc 1, got $winner")
   }
 
+  test("attribution family at sf0.1 conserves points, sections and length across views") {
+    // q98 (region rollup), q98b (type features), q98c (distributions)
+    // and q79 (global metrics) are four views of the SAME decomposition
+    // — at the full 5000-morphology corpus their totals must agree
+    // exactly, or one view lost/duplicated entities somewhere in the
+    // decode → broadcast → aggregate pipeline
+    import org.apache.spark.sql.functions.sum
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val dir = "/root/testdata/sf0.1"
+    val (nat, reg) = (Tables.nation(spark, dir), Tables.region(spark, dir))
+    val q79 = graft.operators.Morphology.morphMetrics(docs)
+      .agg(sum("n_points"), sum("n_sections"), sum("total_len_um")).head()
+    val q98 = graft.operators.NeuriteAtlas.leafRegionAttribution(docs, nat, reg)
+      .agg(sum("n_points")).head()
+    val q98b = graft.operators.NeuriteAtlas.neuriteFeatures(docs)
+      .agg(sum("n_points"), sum("n_sections"), sum("cum_len_um")).head()
+    val q98c = graft.operators.NeuriteAtlas.sectionStats(docs)
+      .agg(sum("n_sections")).head()
+    val nDocs = docs.count()
+    // every non-soma node attributed exactly once, in both paths
+    assert(q98.getLong(0) == q79.getLong(0) - nDocs)
+    assert(q98b.getLong(0) == q79.getLong(0) - nDocs)
+    // sections partition across types identically in both kernels
+    assert(q98b.getLong(1) == q79.getLong(1) && q98c.getLong(0) == q79.getLong(1))
+    // world length = local total × the registration scale
+    assert(q98b.getLong(2) ==
+      q79.getLong(2) * graft.operators.NeuriteAtlas.ScaleUm)
+  }
+
   test("mixture rebalance at sf0.1 satisfies the composition invariants") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val rows = graft.operators.Corpus

@@ -204,8 +204,11 @@ object Morphology {
   /** The REAL tree walk: validates + decomposes via [[decompose]],
     * walks the section graph for branch orders, and runs the
     * per-segment screens. Generic over any parsed SWC content. */
-  def treeMetrics(morphId: Long, nodes: Seq[SwcNode]): MorphMetrics = {
-    val dec = decompose(nodes)
+  def treeMetrics(morphId: Long, nodes: Seq[SwcNode]): MorphMetrics =
+    treeMetrics(morphId, nodes, decompose(nodes))
+
+  private[operators] def treeMetrics(morphId: Long, nodes: Seq[SwcNode],
+                                     dec: Decomp): MorphMetrics = {
     val byId = dec.byId
     val soma = dec.soma
     def kids(id: Long): Vector[SwcNode] = dec.kids(id)

@@ -101,8 +101,11 @@ object NeuriteAtlas {
     * bin every non-soma node through the affine, pre-aggregate per
     * (type, voxel); terminal sections contribute their END node to the
     * leaf count (the reference's projectionBrainRegion). */
-  def typeVoxelRows(morphId: Long, nodes: Seq[SwcNode]): Seq[TypeVoxelRow] = {
-    val dec = Morphology.decompose(nodes)
+  def typeVoxelRows(morphId: Long, nodes: Seq[SwcNode]): Seq[TypeVoxelRow] =
+    typeVoxelRows(morphId, nodes, Morphology.decompose(nodes))
+
+  private[operators] def typeVoxelRows(morphId: Long, nodes: Seq[SwcNode],
+                                       dec: Morphology.Decomp): Seq[TypeVoxelRow] = {
     val soma = dec.soma
     val sw = Array.tabulate(3)(somaWorld(morphId, _))
     def voxelOf(n: SwcNode): (Long, Long, Long) = (
@@ -128,8 +131,11 @@ object NeuriteAtlas {
 
   /** row-local per-type feature kernel: section/leaf-section/point
     * counts and cumulated world-µm length per neurite type. */
-  def typeFeatureRows(morphId: Long, nodes: Seq[SwcNode]): Seq[TypeFeatureRow] = {
-    val dec = Morphology.decompose(nodes)
+  def typeFeatureRows(morphId: Long, nodes: Seq[SwcNode]): Seq[TypeFeatureRow] =
+    typeFeatureRows(morphId, nodes, Morphology.decompose(nodes))
+
+  private[operators] def typeFeatureRows(morphId: Long, nodes: Seq[SwcNode],
+                                         dec: Morphology.Decomp): Seq[TypeFeatureRow] = {
     val soma = dec.soma
     val leafStarts = dec.leafSections.map(_.id).toSet
     val secs = scala.collection.mutable.Map.empty[String, (Long, Long)]
@@ -174,8 +180,11 @@ object NeuriteAtlas {
     * division, and VARIANCE ×1000 in the n·Σx²−(Σx)² integer form in
     * place of std (std is an irrational sqrt; variance is monotone in
     * it and exact in both engines). */
-  def typeSectionStats(morphId: Long, nodes: Seq[SwcNode]): Seq[SectionStatsRow] = {
-    val dec = Morphology.decompose(nodes)
+  def typeSectionStats(morphId: Long, nodes: Seq[SwcNode]): Seq[SectionStatsRow] =
+    typeSectionStats(morphId, nodes, Morphology.decompose(nodes))
+
+  private[operators] def typeSectionStats(morphId: Long, nodes: Seq[SwcNode],
+                                          dec: Morphology.Decomp): Seq[SectionStatsRow] = {
     val depths = Morphology.sectionDepths(dec)
     val segLen = scala.collection.mutable.LongMap.empty[Double]
     nodes.foreach { n =>
@@ -214,8 +223,11 @@ object NeuriteAtlas {
     * irrational sqrt; the squared form is monotone in it and
     * integer-exact in both engines — the q79 radical-screen
     * discipline). */
-  def morphExtentRow(morphId: Long, nodes: Seq[SwcNode]): MorphExtentRow = {
-    val dec = Morphology.decompose(nodes)
+  def morphExtentRow(morphId: Long, nodes: Seq[SwcNode]): MorphExtentRow =
+    morphExtentRow(morphId, nodes, Morphology.decompose(nodes))
+
+  private[operators] def morphExtentRow(morphId: Long, nodes: Seq[SwcNode],
+                                        dec: Morphology.Decomp): MorphExtentRow = {
     val soma = dec.soma
     def ext(f: SwcNode => Double, somaLocal: Double): Long = {
       val ds = nodes.map(n => math.round(f(n) - somaLocal))
@@ -245,7 +257,13 @@ object NeuriteAtlas {
 
   /** shared attribution step: voxel rows → region-labeled rows via the
     * broadcast volume (stream-static safe — the grid is a bounded
-    * static dimension, the q94 frozen-volume contract). */
+    * static dimension, the q94 frozen-volume contract). Public as
+    * [[labelVoxelRows]] so a persisted [[morphReport]]'s voxel rows
+    * re-attribute without touching payloads (e.g. after an atlas
+    * release swaps the volume). */
+  def labelVoxelRows(rows: DataFrame, nation: DataFrame,
+                     region: DataFrame): DataFrame = labeled(rows, nation, region)
+
   private def labeled(rows: DataFrame, nation: DataFrame,
                       region: DataFrame): DataFrame = {
     val grid = Atlas.voxelGrid(rows.sparkSession, nation, region)
@@ -323,5 +341,41 @@ object NeuriteAtlas {
     decoded(documents, partitions)(r =>
       Seq(morphExtentRow(r.morph_id, Morphology.parseSwc(r.swc)))).toDF()
       .orderBy("morph_id")
+  }
+
+  // ------------------------------------- decode-once combined report
+
+  /** the full per-entity record every family view derives from —
+    * ONE parse + ONE decomposition per payload. */
+  final case class MorphReport(
+      morph_id: Long,
+      metrics: Morphology.MorphMetrics,
+      extents: MorphExtentRow,
+      features: Seq[TypeFeatureRow],
+      section_stats: Seq[SectionStatsRow],
+      voxels: Seq[TypeVoxelRow])
+
+  /** DECODE-ONCE report frame — the 100 TB shape of this family: the
+    * standalone operators (q79/q79b/q98/q98b/q98c) each pay a full
+    * payload decode, which is the dominant cost at scale; a deployment
+    * decodes ONCE, persists this nested frame (narrow structs +
+    * bounded arrays, a tiny fraction of the payload bytes), and every
+    * view becomes a cheap column read / explode over the persisted
+    * parquet — no payload is ever re-read. The kernels are the SAME
+    * objects the standalone operators run (one shared decomposition
+    * per entity), so the views cannot drift — spec-proven equal. */
+  def morphReport(documents: DataFrame, partitions: Int = 0): Dataset[MorphReport] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    decoded(documents, partitions) { r =>
+      val nodes = Morphology.parseSwc(r.swc)
+      val dec = Morphology.decompose(nodes)
+      Seq(MorphReport(r.morph_id,
+        Morphology.treeMetrics(r.morph_id, nodes, dec),
+        morphExtentRow(r.morph_id, nodes, dec),
+        typeFeatureRows(r.morph_id, nodes, dec),
+        typeSectionStats(r.morph_id, nodes, dec),
+        typeVoxelRows(r.morph_id, nodes, dec)))
+    }
   }
 }

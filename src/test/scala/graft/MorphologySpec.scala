@@ -208,6 +208,37 @@ class MorphologySpec extends AnyFunSuite {
     }
   }
 
+  test("decode-once report: every persisted view equals its standalone operator") {
+    import graft.operators.NeuriteAtlas
+    import org.apache.spark.sql.functions.{col, explode, sum}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    // persist the one-decode report, then derive each family view from
+    // the PARQUET (no payload re-read) and compare to the operator
+    val out = java.nio.file.Files.createTempDirectory("graft_report").toString + "/r"
+    NeuriteAtlas.morphReport(docs).write.mode("overwrite").parquet(out)
+    val rep = spark.read.parquet(out)
+    assert(rep.select(col("metrics.*")).collect().toSet ==
+      graft.operators.Morphology.morphMetrics(docs).collect().toSet)
+    assert(rep.select(col("extents.*")).collect().toSet ==
+      NeuriteAtlas.morphExtents(docs).collect().toSet)
+    assert(rep.select(explode(col("features")).as("f")).select(col("f.*"))
+      .collect().toSet == NeuriteAtlas.neuriteFeatures(docs).collect().toSet)
+    assert(rep.select(explode(col("section_stats")).as("s")).select(col("s.*"))
+      .collect().toSet == NeuriteAtlas.sectionStats(docs).collect().toSet)
+    // the q98 rollup from persisted voxel rows (broadcast label + sum)
+    val (nat, reg) = (Tables.nation(spark, dir), Tables.region(spark, dir))
+    val vox = rep.select(explode(col("voxels")).as("v")).select(col("v.*"))
+    val viaReport = NeuriteAtlas.labelVoxelRows(vox, nat, reg)
+      .groupBy("morph_id", "neurite_type", "region")
+      .agg(sum("n_points").as("n_points"), sum("n_leaves").as("n_leaves"))
+      .collect().toSet
+    assert(viaReport ==
+      NeuriteAtlas.leafRegionAttribution(docs, nat, reg).collect().toSet)
+  }
+
   test("q98 attribution: regions resolve through the volume; outside/unclassified are first-class") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -223,7 +223,8 @@ object SparkEntry {
     "q98c_section_stats" -> ((s, d) =>
       NeuriteAtlas.sectionStats(Tables.documents(s, d))),
     "q99_type_pivot" -> ((s, d) => Validation.typeSchemaPivot(
-      Tables.documents(s, d), "source", "lang", DocLangs, LangsWithSchema))
+      Tables.documents(s, d), "source", "lang", DocLangs, LangsWithSchema)),
+    "q100_lm_perplexity" -> ((s, d) => LmScreen.lmScreen(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -1821,6 +1822,48 @@ object SparkEntry {
       | + CASE WHEN pass_ship_after_order THEN 0 ELSE 1 END) = 0 AS all_pass
       |FROM m ORDER BY o_orderkey""".stripMargin
 
+  /** q100's oracle: the bigram LM replayed end-to-end — train-slice
+    * token counts, the (count desc, token asc) top-K vocabulary cut,
+    * mapped bigram/context counts, then the fixed-point log2 cascades
+    * ([[graft.operators.LmScreen.log2mbSqlCtes]] — the SAME unrolled
+    * integer steps the Spark kernel runs, spliced as chained CTEs)
+    * over the union'd model domain, and the scoring joins. Every
+    * arithmetic step is int64 +, ×, floor-DIV and comparisons, so the
+    * surprisal digits agree engine-for-engine. */
+  private def lmScreenSql: String = {
+    import LmScreen.{TrainMod, VocabK, KeepMaxMb, UnkTok}
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
+       |big0 AS (SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2 FROM
+       |  (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+       |vocab AS (SELECT tok FROM (
+       |    SELECT unnest(tk) AS tok FROM toks WHERE doc_id % $TrainMod = 0) u
+       |  GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT $VocabK),
+       |big AS (SELECT doc_id,
+       |  CASE WHEN t1 IN (SELECT tok FROM vocab) THEN t1 ELSE '$UnkTok' END AS m1,
+       |  CASE WHEN t2 IN (SELECT tok FROM vocab) THEN t2 ELSE '$UnkTok' END AS m2 FROM big0),
+       |pc AS (SELECT m1, m2, count(*) AS c2 FROM big WHERE doc_id % $TrainMod = 0 GROUP BY m1, m2),
+       |cc AS (SELECT m1, CAST(sum(c2) AS BIGINT) AS c1 FROM pc GROUP BY m1),
+       |vd AS (SELECT CAST(count(*) + 1 AS BIGINT) AS vd FROM vocab),
+       |dom AS (
+       |  SELECT 'p' AS kind, pc.m1 AS m1, pc.m2 AS m2, pc.c2 + 1 AS a, cc.c1 + vd.vd AS b
+       |    FROM pc JOIN cc ON pc.m1 = cc.m1 CROSS JOIN vd
+       |  UNION ALL SELECT 'c', m1, NULL, CAST(1 AS BIGINT), c1 + vd FROM cc CROSS JOIN vd
+       |  UNION ALL SELECT 'u', NULL, NULL, CAST(1 AS BIGINT), vd FROM vd),
+       |${LmScreen.log2mbSqlCtes("dom", Seq("kind", "m1", "m2"))},
+       |sc AS (SELECT b.doc_id, coalesce(sp.mb, sx.mb, su.mb) AS s_mb FROM big b
+       |  LEFT JOIN (SELECT m1, m2, mb FROM surp WHERE kind = 'p') sp ON b.m1 = sp.m1 AND b.m2 = sp.m2
+       |  LEFT JOIN (SELECT m1, mb FROM surp WHERE kind = 'c') sx ON b.m1 = sx.m1
+       |  CROSS JOIN (SELECT mb FROM surp WHERE kind = 'u') su),
+       |pd AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s_mb) AS BIGINT) AS total_mb
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  pd.total_mb AS total_mb,
+       |  CASE WHEN pd.n_bigrams > 0 THEN pd.total_mb // pd.n_bigrams END AS avg_mb,
+       |  coalesce(pd.n_bigrams, 0) > 0 AND
+       |    (CASE WHEN pd.n_bigrams > 0 THEN pd.total_mb // pd.n_bigrams END) <= $KeepMaxMb AS keep
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -1833,7 +1876,8 @@ object SparkEntry {
       ("q98c_section_stats" -> sectionStatsSql) +
       ("q79b_morph_extents" -> morphExtentsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +
-      ("q99_type_pivot" -> typePivotSql)
+      ("q99_type_pivot" -> typePivotSql) +
+      ("q100_lm_perplexity" -> lmScreenSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

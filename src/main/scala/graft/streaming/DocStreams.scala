@@ -125,6 +125,39 @@ object DocStreams {
         (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
   }
 
+  /** Ingest-time LM perplexity screen (q100's stream twin): score each
+    * arriving document against the FROZEN collected bigram model
+    * ([[graft.operators.LmScreen.lmModel]]) — vocabulary fold, pair /
+    * context / unseen surprisal lookups and the per-doc mean, all as
+    * one row-local aggregate expression over the token array (no
+    * explode, no state, no shuffle). Retraining belongs batch-side
+    * (the rarity/BPE discipline: a silently drifting model would
+    * re-score the corpus); spec-equal to the batch q100. */
+  def lmLookup(docs: DataFrame, model: graft.operators.LmScreen.LmModel): DataFrame = {
+    import graft.operators.LmScreen.{KeepMaxMb, UnkTok}
+    docs
+      .withColumn("__pm", map_from_arrays(
+        typedlit(model.pairMb.keys.toSeq), typedlit(model.pairMb.values.toSeq)))
+      .withColumn("__cm", map_from_arrays(
+        typedlit(model.ctxMb.keys.toSeq), typedlit(model.ctxMb.values.toSeq)))
+      .withColumn("__vs", typedlit(model.vocab.toSeq))
+      .withColumn("__tk", expr("split(trim(lower(coalesce(text, ''))), ' +')"))
+      .withColumn("__m", expr(
+        s"transform(__tk, t -> CASE WHEN array_contains(__vs, t) THEN t ELSE '$UnkTok' END)"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(greatest(size(__tk) - 1, 0) AS BIGINT)").as("n_bigrams"),
+        expr(
+          s"""CASE WHEN size(__tk) >= 2 THEN
+             |  aggregate(sequence(0, size(__tk) - 2), CAST(0 AS BIGINT), (acc, i) ->
+             |    acc + coalesce(element_at(__pm, concat(__m[i], ' ', __m[i + 1])),
+             |                   element_at(__cm, __m[i]),
+             |                   CAST(${model.unkMb} AS BIGINT))) END""".stripMargin)
+          .as("total_mb"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("total_mb"),
+        when(col("n_bigrams") > 0, expr("total_mb DIV n_bigrams")).as("avg_mb"))
+      .withColumn("keep", col("n_bigrams") > 0 && col("avg_mb") <= KeepMaxMb)
+  }
+
   /** Ingest-time morphology validation (q79's stream twin): the same
     * SWC parser and tree walk, stateless and row-local — every arriving
     * entity's payload is screened at ingest, the shape the reference's

@@ -265,6 +265,27 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want
     }
 
+  // ---- fixed-point log2 (the q100 surprisal kernel)
+
+  property("log2mb floors the true log within 2/1024 bit on the full domain") =
+    Prop.forAll(Gen.chooseNum(1L, (1L << 62) - 1), Gen.chooseNum(1L, (1L << 62) - 1)) {
+      (x, y) =>
+        val (a, b) = (math.min(x, y), math.max(x, y))
+        val mb = graft.functions.LogExpressions.log2mbKernel(a, b)
+        val truth = StrictMath.log(b.toDouble / a) / StrictMath.log(2.0) * 1024.0
+        mb <= truth + 1e-6 && mb >= truth - 2.0
+    }
+
+  property("log2mb is additive across exact power-of-two scalings") =
+    Prop.forAll(Gen.chooseNum(1L, 1L << 30), Gen.chooseNum(1L, 1L << 30),
+      Gen.chooseNum(0, 30)) { (x, y, e) =>
+      // scaling b by 2^e adds exactly e·1024: the exponent and mantissa
+      // paths are independent, so the shift lands entirely in k
+      val (a, b) = (math.min(x, y), math.max(x, y))
+      graft.functions.LogExpressions.log2mbKernel(a, b << e) ==
+        graft.functions.LogExpressions.log2mbKernel(a, b) + e.toLong * 1024
+    }
+
   // ---- serialization round-trip
 
   property("MG buffer serializes and deserializes losslessly") =

@@ -278,6 +278,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "the vocabulary sketch must be map-side combined")
   }
 
+  test("LM screen: one scoring scan, broadcast model, no token shuffle-join") {
+    val df = graft.operators.LmScreen.lmScreen(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join on tokens/doc_id would be the 100 TB killer — the " +
+        "sentinel row exists precisely so no join-back is needed")
+    assert(!plan.contains("Window"), "no hot-key window anywhere")
+    assert(plan.contains("TakeOrderedAndProject(limit=16"),
+      "the vocabulary election must be the K-bounded distributed top-K")
+    assert(plan.contains("log2mb"),
+      "the surprisal kernel must ride as the single codegen expression")
+    // the sentinel row surfaces 0-bigram docs from the scoring
+    // aggregate itself — no join keyed on doc_id may exist anywhere
+    // (the join-back it replaces was a second corpus scan + a
+    // data-sized doc_id join)
+    assert(!plan.contains("Join [doc_id"),
+      "no doc_id join-back: the sentinel row carries 0-bigram docs")
+  }
+
   test("pq encode: scoring is one row-local scan against the broadcast model") {
     // codebook training runs bounded sample jobs up front (the q36b
     // discipline); the ENCODE plan itself must be scan + row-local

@@ -240,6 +240,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream scoring must reproduce the batch screen verbatim")
   }
 
+  test("streaming lm lookup equals the batch perplexity screen under the frozen model") {
+    // train the bigram model batch-side, stream the same corpus through
+    // the frozen-model scorer — every per-doc figure must match the
+    // batch q100 exactly (the surprisal values were computed ONCE by
+    // the fixed-point kernel and ride the collected model; the stream
+    // side only folds vocab and sums lookups)
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val model = graft.operators.LmScreen.lmModel(docs)
+    val k = graft.operators.LmScreen.VocabK
+    assert(model.vocab.nonEmpty && model.vocab.size <= k, "vocab bounded by K")
+    assert(model.pairMb.size <= (k + 1) * (k + 1), "pair table bounded by (K+1)^2")
+    val want = graft.operators.LmScreen.lmScreen(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_mb"),
+          r.getAs[Long]("avg_mb"), r.getAs[Boolean]("keep"))).toMap
+    val q = graft.streaming.DocStreams.lmLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lm_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lm_out").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_mb"),
+          r.getAs[Long]("avg_mb"), r.getAs[Boolean]("keep"))).toMap
+    assert(got == want, "stream scoring must reproduce the batch screen verbatim")
+  }
+
   test("streaming bpe tokenize equals the batch stats under the frozen merges") {
     // train merges batch-side, stream the same corpus through the
     // frozen-model tokenizer — every per-doc figure must match the

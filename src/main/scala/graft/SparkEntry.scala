@@ -224,7 +224,8 @@ object SparkEntry {
       NeuriteAtlas.sectionStats(Tables.documents(s, d))),
     "q99_type_pivot" -> ((s, d) => Validation.typeSchemaPivot(
       Tables.documents(s, d), "source", "lang", DocLangs, LangsWithSchema)),
-    "q100_lm_perplexity" -> ((s, d) => LmScreen.lmScreen(Tables.documents(s, d)))
+    "q100_lm_perplexity" -> ((s, d) => LmScreen.lmScreen(Tables.documents(s, d))),
+    "q100b_lm_perlang" -> ((s, d) => LmScreen.lmScreenPerLang(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -1864,6 +1865,56 @@ object SparkEntry {
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q100b's oracle: the per-language variant — per-lang vocabulary
+    * cut via a QUALIFY row_number under the same total order the
+    * TopKPerKey heap uses, per-lang counts/smoothing domain, the same
+    * kernel CTEs keyed by (kind, lang, m1, m2); a language absent
+    * from the train slice scores 0 per bigram. */
+  private def lmPerLangSql: String = {
+    import LmScreen.{TrainMod, VocabK, KeepMaxMb, UnkTok}
+    s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
+       |big0 AS (SELECT doc_id, lang, tk[i] AS t1, tk[i + 1] AS t2 FROM
+       |  (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+       |vocab AS (SELECT lang, tok FROM (
+       |    SELECT lang, tok, count(*) AS cnt FROM (
+       |      SELECT lang, unnest(tk) AS tok FROM toks WHERE doc_id % $TrainMod = 0) u
+       |    GROUP BY lang, tok) c
+       |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) <= $VocabK),
+       |big AS (SELECT doc_id, b.lang AS lang,
+       |  CASE WHEN v1.tok IS NOT NULL THEN t1 ELSE '$UnkTok' END AS m1,
+       |  CASE WHEN v2.tok IS NOT NULL THEN t2 ELSE '$UnkTok' END AS m2
+       |  FROM big0 b
+       |  LEFT JOIN vocab v1 ON b.lang = v1.lang AND b.t1 = v1.tok
+       |  LEFT JOIN vocab v2 ON b.lang = v2.lang AND b.t2 = v2.tok),
+       |pc AS (SELECT lang, m1, m2, count(*) AS c2 FROM big WHERE doc_id % $TrainMod = 0
+       |  GROUP BY lang, m1, m2),
+       |cc AS (SELECT lang, m1, CAST(sum(c2) AS BIGINT) AS c1 FROM pc GROUP BY lang, m1),
+       |vd AS (SELECT lang, CAST(count(*) + 1 AS BIGINT) AS vd FROM vocab GROUP BY lang),
+       |dom AS (
+       |  SELECT 'p' AS kind, pc.lang AS lang, pc.m1 AS m1, pc.m2 AS m2,
+       |    pc.c2 + 1 AS a, cc.c1 + vd.vd AS b
+       |    FROM pc JOIN cc ON pc.lang = cc.lang AND pc.m1 = cc.m1
+       |    JOIN vd ON pc.lang = vd.lang
+       |  UNION ALL SELECT 'c', cc.lang, m1, NULL, CAST(1 AS BIGINT), c1 + vd
+       |    FROM cc JOIN vd ON cc.lang = vd.lang
+       |  UNION ALL SELECT 'u', lang, NULL, NULL, CAST(1 AS BIGINT), vd FROM vd),
+       |${LmScreen.log2mbSqlCtes("dom", Seq("kind", "lang", "m1", "m2"))},
+       |sc AS (SELECT b.doc_id, coalesce(sp.mb, sx.mb, su.mb, 0) AS s_mb FROM big b
+       |  LEFT JOIN (SELECT lang, m1, m2, mb FROM surp WHERE kind = 'p') sp
+       |    ON b.lang = sp.lang AND b.m1 = sp.m1 AND b.m2 = sp.m2
+       |  LEFT JOIN (SELECT lang, m1, mb FROM surp WHERE kind = 'c') sx
+       |    ON b.lang = sx.lang AND b.m1 = sx.m1
+       |  LEFT JOIN (SELECT lang, mb FROM surp WHERE kind = 'u') su ON b.lang = su.lang),
+       |pd AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s_mb) AS BIGINT) AS total_mb
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  pd.total_mb AS total_mb,
+       |  CASE WHEN pd.n_bigrams > 0 THEN pd.total_mb // pd.n_bigrams END AS avg_mb,
+       |  coalesce(pd.n_bigrams, 0) > 0 AND
+       |    (CASE WHEN pd.n_bigrams > 0 THEN pd.total_mb // pd.n_bigrams END) <= $KeepMaxMb AS keep
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -1877,7 +1928,8 @@ object SparkEntry {
       ("q79b_morph_extents" -> morphExtentsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +
       ("q99_type_pivot" -> typePivotSql) +
-      ("q100_lm_perplexity" -> lmScreenSql)
+      ("q100_lm_perplexity" -> lmScreenSql) +
+      ("q100b_lm_perlang" -> lmPerLangSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -149,47 +149,66 @@ object LmScreen {
 
   /** (doc_id [, carry...], m1, m2, is_doc) mapped-bigram stream with
     * the per-doc sentinel row; the vocab joins are broadcast (one
-    * exchange, reused for both sides), the explode row-local. */
-  private def mappedBigrams(docs: DataFrame, vocab: DataFrame,
+    * exchange, reused for both sides), the explode row-local. `gk` =
+    * model grouping columns (empty: one global model; Seq("lang"):
+    * one model per language — vocab membership is then per-group). */
+  private def mappedBigrams(docs: DataFrame, vocab: DataFrame, gk: Seq[String],
                             carry: Seq[String] = Nil, sentinel: Boolean = false): DataFrame = {
     val pairs = if (sentinel) s"concat(array($SentinelExpr), $BigramsExpr)" else BigramsExpr
-    docs.select(col("doc_id") +: carry.map(col) :+ tokCol.as("tk"): _*)
-      .select(col("doc_id") +: carry.map(col) :+ explode(expr(pairs)).as("bg"): _*)
-      .select(col("doc_id") +: carry.map(col) :+ col("bg.t1").as("t1") :+
+    val keep = (gk ++ carry.filterNot(gk.contains)).distinct
+    docs.select(col("doc_id") +: keep.map(col) :+ tokCol.as("tk"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ explode(expr(pairs)).as("bg"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ col("bg.t1").as("t1") :+
         col("bg.t2").as("t2") :+ col("bg.is_doc").as("is_doc"): _*)
-      .join(broadcast(vocab.select(col("tok").as("t1"), lit(1).as("__v1"))), Seq("t1"), "left")
-      .join(broadcast(vocab.select(col("tok").as("t2"), lit(1).as("__v2"))), Seq("t2"), "left")
-      .select(col("doc_id") +: carry.map(col) :+
+      .join(broadcast(vocab.select(gk.map(col) :+ col("tok").as("t1") :+ lit(1).as("__v1"): _*)),
+        gk :+ "t1", "left")
+      .join(broadcast(vocab.select(gk.map(col) :+ col("tok").as("t2") :+ lit(1).as("__v2"): _*)),
+        gk :+ "t2", "left")
+      .select(col("doc_id") +: keep.map(col) :+
         when(col("__v1").isNotNull, col("t1")).otherwise(lit(UnkTok)).as("m1") :+
         when(col("__v2").isNotNull, col("t2")).otherwise(lit(UnkTok)).as("m2") :+
         col("is_doc"): _*)
   }
 
   /** the trained model: (vocab, pair surprisal, context surprisal for
-    * unseen pairs, 1-row unseen-context surprisal) — all model-sized;
-    * callers broadcast. */
-  private[operators] def model(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    * unseen pairs, unseen-context surprisal) — all model-sized (each
+    * frame gains the `gk` columns when grouped); callers broadcast.
+    * The grouped vocabulary election runs on the repo's bounded-heap
+    * TopKPerKey operator (per-partition heaps, ≤ K rows per group to
+    * the final stage) — the global one on TakeOrdered. */
+  private[operators] def model(docs: DataFrame, gk: Seq[String] = Nil)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val train = docs.filter(pmod(col("doc_id"), lit(TrainMod.toLong)) === 0)
-    val vocab = train.select(explode(tokCol).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok").asc)
-      .limit(VocabK)
-      .select("tok")
-    val pairCounts = mappedBigrams(train, vocab)
+    val counts = train
+      .select(gk.map(col) :+ explode(tokCol).as("tok"): _*)
+      .groupBy(gk :+ "tok" map col: _*).agg(count(lit(1)).as("cnt"))
+    val vocab =
+      (if (gk.isEmpty) counts.orderBy(col("cnt").desc, col("tok").asc).limit(VocabK)
+       else graft.plans.TopKPerKey(counts, gk.map(col),
+         Seq(col("cnt").desc, col("tok").asc), VocabK))
+        .select(gk :+ "tok" map col: _*)
+    val pairCounts = mappedBigrams(train, vocab, gk)
       .filter(!col("is_doc"))
-      .groupBy("m1", "m2").agg(count(lit(1)).as("c2"))
-    val ctxCounts = pairCounts.groupBy("m1").agg(sum("c2").as("c1"))
-    // V+1: vocab classes + unk — the Laplace smoothing domain
-    val vd = vocab.agg((count(lit(1)) + lit(1L)).as("vd"))
+      .groupBy(gk ++ Seq("m1", "m2") map col: _*).agg(count(lit(1)).as("c2"))
+    val ctxCounts = pairCounts
+      .groupBy(gk :+ "m1" map col: _*).agg(sum("c2").as("c1"))
+    // V+1: vocab classes + unk — the Laplace smoothing domain, per group
+    val vd =
+      if (gk.isEmpty) vocab.agg((count(lit(1)) + lit(1L)).as("vd"))
+      else vocab.groupBy(gk.map(col): _*).agg((count(lit(1)) + lit(1L)).as("vd"))
+    // every frame here is model-sized — hint broadcast so the builder
+    // never plans a shuffle join for a ≤ (K+1)²-row table
+    def withVd(df: DataFrame): DataFrame =
+      if (gk.isEmpty) df.crossJoin(vd) else df.join(broadcast(vd), gk)
     val pairModel = withLog2mb(
-      pairCounts.join(ctxCounts, Seq("m1")).crossJoin(vd),
+      withVd(pairCounts.join(broadcast(ctxCounts), gk :+ "m1")),
       col("c2") + 1L, col("c1") + col("vd"), "mb")
-      .select("m1", "m2", "mb")
-    val ctxModel = withLog2mb(ctxCounts.crossJoin(vd),
+      .select(gk ++ Seq("m1", "m2", "mb") map col: _*)
+    val ctxModel = withLog2mb(withVd(ctxCounts),
       lit(1L), col("c1") + col("vd"), "ctx_mb")
-      .select("m1", "ctx_mb")
+      .select(gk ++ Seq("m1", "ctx_mb") map col: _*)
     val unkModel = withLog2mb(vd, lit(1L), col("vd"), "unk_mb")
-      .select("unk_mb")
+      .select(gk :+ "unk_mb" map col: _*)
     (vocab, pairModel, ctxModel, unkModel)
   }
 
@@ -204,7 +223,7 @@ object LmScreen {
                      ctxMb: Map[String, Long], unkMb: Long)
 
   def lmModel(docs: DataFrame): LmModel = {
-    val (vocab, pairModel, ctxModel, unkModel) = model(docs)
+    val (vocab, pairModel, ctxModel, unkModel) = model(docs, Nil)
     LmModel(
       vocab.collect().map(_.getString(0)).toSet,
       pairModel.collect()
@@ -217,7 +236,23 @@ object LmScreen {
     * doc_id, lang, n_bigrams, total_mb, avg_mb (total_mb/avg_mb null
     * when the document has < 2 tokens), keep. */
   def lmScreen(docs: DataFrame): DataFrame =
-    lmScreenScored(docs)
+    lmScreenScored(docs, Nil)
+      .withColumn("keep",
+        col("n_bigrams") > 0 && col("avg_mb") <= KeepMaxMb)
+      .orderBy("doc_id")
+
+  /** q100b: the PER-LANGUAGE screen — the deployed CCNet shape: one
+    * bigram model per language (per-language vocabulary via the
+    * bounded-heap TopKPerKey election, per-language counts and
+    * smoothing domain), each document scored against ITS language's
+    * model. A multilingual corpus scored against one global model
+    * conflates "rare language" with "low quality"; per-language models
+    * make the fence comparable across languages. Documents of a
+    * language absent from the train slice score 0 (an empty model has
+    * nothing to be surprised by — they pass, flagged by n_bigrams as
+    * usual). Same columns as q100. */
+  def lmScreenPerLang(docs: DataFrame): DataFrame =
+    lmScreenScored(docs, Seq("lang"))
       .withColumn("keep",
         col("n_bigrams") > 0 && col("avg_mb") <= KeepMaxMb)
       .orderBy("doc_id")
@@ -225,16 +260,22 @@ object LmScreen {
   /** the unordered scoring core — ONE corpus scan: the per-doc
     * sentinel row rides the bigram explode, so 0-bigram documents
     * surface from the same map-side-combined aggregate (no join-back,
-    * no second scan). */
-  private def lmScreenScored(docs: DataFrame): DataFrame = {
-    val (vocab, pairModel, ctxModel, unkModel) = model(docs)
-    mappedBigrams(docs, vocab, carry = Seq("lang"), sentinel = true)
-      .join(broadcast(pairModel), Seq("m1", "m2"), "left")
-      .join(broadcast(ctxModel), Seq("m1"), "left")
-      .crossJoin(broadcast(unkModel))
+    * no second scan). `gk` keys the model (empty = global). */
+  private def lmScreenScored(docs: DataFrame, gk: Seq[String]): DataFrame = {
+    val (vocab, pairModel, ctxModel, unkModel) = model(docs, gk)
+    val joined = mappedBigrams(docs, vocab, gk, carry = Seq("lang"), sentinel = true)
+      .join(broadcast(pairModel), gk ++ Seq("m1", "m2"), "left")
+      .join(broadcast(ctxModel), gk :+ "m1", "left")
+    val withUnk =
+      if (gk.isEmpty) joined.crossJoin(broadcast(unkModel))
+      else joined.join(broadcast(unkModel), gk, "left")
+    withUnk
       .select(col("doc_id"), col("lang"),
         when(col("is_doc"), lit(null).cast("long"))
-          .otherwise(coalesce(col("mb"), col("ctx_mb"), col("unk_mb"))).as("s_mb"))
+          // the final 0: a group with no trained model at all (possible
+          // only in the grouped form) — surprisal 0 by definition
+          .otherwise(coalesce(col("mb"), col("ctx_mb"), col("unk_mb"), lit(0L)))
+          .as("s_mb"))
       .groupBy("doc_id", "lang")
       .agg(count(col("s_mb")).as("n_bigrams"), sum("s_mb").as("total_mb"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("total_mb"),

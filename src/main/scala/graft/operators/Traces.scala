@@ -275,4 +275,36 @@ object Traces {
       .toDF()
       .orderBy("trace_id")
   }
+
+  // ------------------------------------- decode-once combined report
+
+  /** the full per-entity record both family views derive from — ONE
+    * container decode per payload. */
+  final case class TraceReport(
+      trace_id: Long, conv_milli: Long,
+      sweeps: Seq[SweepReport], rep: RepSweep)
+
+  /** DECODE-ONCE report frame — the [[graft.operators.NeuriteAtlas
+    * .morphReport]] shape for the trace family: q80 and q80b each pay
+    * a full payload decode (the dominant cost at scale); a deployment
+    * decodes ONCE, persists this nested frame (a few longs per sweep,
+    * a tiny fraction of the payload bytes), and the consistency view
+    * (explode `sweeps`) and the thumbnail view (read `rep`) become
+    * column reads over the persisted parquet. The decode and election
+    * are the SAME functions the standalone operators run, so the views
+    * cannot drift — spec-proven equal. */
+  def traceReport(documents: DataFrame, partitions: Int = 0): Dataset[TraceReport] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    traceFrame(documents)
+      .repartition(width, col("trace_id"))
+      .as[TraceRow]
+      .mapPartitions(_.map { r =>
+        val dec = decodeTraceFull(r)
+        TraceReport(r.trace_id, dec.conv_milli, dec.reports,
+          electRepresentative(dec))
+      })
+  }
 }

@@ -116,10 +116,50 @@ class LmScreenSpec extends AnyFunSuite {
     assert(kept > 0 && kept < out.count(), s"fence partitions: kept=$kept")
   }
 
+  test("per-language models are independent: one language's train text cannot move another's scores") {
+    def corpus(deText: String) = (
+      (0L until 40L by 5L).map(id => (id, "a b a b a b", "en", "s0", 11L)) ++
+        Seq((10L, deText, "de", "s0", deText.length.toLong)) ++ // train doc, de
+        Seq((11L, "a b a b", "en", "s0", 7L), (12L, "p q p q", "de", "s0", 7L))
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def enScores(deText: String) =
+      LmScreen.lmScreenPerLang(corpus(deText)).filter(col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(enScores("p q p q p q") === enScores("x y z w v u"),
+      "en scores must not depend on the de train slice")
+  }
+
+  test("a language absent from the train slice scores zero surprisal and keeps") {
+    // no train doc (id % 5 == 0) has lang 'xx' — its model is empty, so
+    // by definition nothing is surprising; the doc passes with avg 0
+    val d = Seq(
+      (0L, "a b a b", "en", "s0", 7L),
+      (13L, "q r s t", "xx", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LmScreen.lmScreenPerLang(d)
+      .filter(col("lang") === "xx").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(3) === 0L, "total_mb = 0 for an untrained language")
+    assert(out.head.getBoolean(5), "keep = true at zero surprisal")
+  }
+
+  test("per-language screen covers every doc once and partitions within every language") {
+    val d = Tables.documents(spark, sf)
+    val out = LmScreen.lmScreenPerLang(d)
+    assert(out.count() === d.count())
+    val byLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    byLang.foreach { case (lang, (n, kept)) =>
+      assert(kept > 0 && kept < n, s"$lang: fence must partition, kept=$kept/$n")
+    }
+  }
+
   test("empty corpus yields an empty screen") {
     val empty = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(LmScreen.lmScreen(empty).isEmpty)
+    assert(LmScreen.lmScreenPerLang(empty).isEmpty)
   }
 
   test("screen is invariant under repartitioning") {

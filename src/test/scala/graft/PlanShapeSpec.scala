@@ -298,6 +298,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "no doc_id join-back: the sentinel row carries 0-bigram docs")
   }
 
+  test("per-language LM screen: vocabulary election is the bounded heap, still no shuffle join") {
+    val df = graft.operators.LmScreen.lmScreenPerLang(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"),
+      "per-language vocab must run on the two-phase bounded-heap operator, " +
+        "not a per-lang window (a dominant language would serialize it)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "broadcast model joins only; no hot-key window")
+    assert(!plan.contains("Join [doc_id"),
+      "sentinel row carries 0-bigram docs — no doc_id join-back")
+  }
+
   test("pq encode: scoring is one row-local scan against the broadcast model") {
     // codebook training runs bounded sample jobs up front (the q36b
     // discipline); the ENCODE plan itself must be scan + row-local

@@ -136,4 +136,21 @@ class TracesSpec extends AnyFunSuite {
     val want = (1L until 41L).flatMap(id => decodeTrace(TraceRow(id, synthTrace(id))))
     assert(got == want)
   }
+
+  test("decode-once trace report: both family views derive from the persisted frame") {
+    // the morphReport discipline for traces: persist the nested frame,
+    // then prove the consistency view (explode sweeps) and the
+    // thumbnail view (read rep) equal the standalone operators — the
+    // payload is decoded once, never re-read
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_tracereport").toString + "/rep"
+    Traces.traceReport(docs).write.mode("overwrite").parquet(out)
+    val rep = spark.read.parquet(out)
+    assert(rep.select(explode(col("sweeps")).as("s")).select(col("s.*"))
+      .collect().toSet == Traces.sweepConsistency(docs).collect().toSet)
+    assert(rep.select(col("rep.*")).collect().toSet ==
+      Traces.representativeSweeps(docs).collect().toSet)
+  }
 }

@@ -225,7 +225,9 @@ object SparkEntry {
     "q99_type_pivot" -> ((s, d) => Validation.typeSchemaPivot(
       Tables.documents(s, d), "source", "lang", DocLangs, LangsWithSchema)),
     "q100_lm_perplexity" -> ((s, d) => LmScreen.lmScreen(Tables.documents(s, d))),
-    "q100b_lm_perlang" -> ((s, d) => LmScreen.lmScreenPerLang(Tables.documents(s, d)))
+    "q100b_lm_perlang" -> ((s, d) => LmScreen.lmScreenPerLang(Tables.documents(s, d))),
+    "q101_dsir_weights" -> ((s, d) => Dsir.dsirWeights(Tables.documents(s, d))),
+    "q101b_dsir_resample" -> ((s, d) => Dsir.dsirResample(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -1915,6 +1917,76 @@ object SparkEntry {
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** shared CTE chain of the two DSIR oracles: tokens → hashed feature
+    * buckets (the cross-engine 60-bit md5 prefix mod B) → per-bucket
+    * raw/target counts over the full B-bucket domain → totals. */
+  private def dsirBaseCtes: String = {
+    import graft.operators.Dsir.{Buckets, TargetMod, FeatPrefix}
+    s"""toks AS (SELECT doc_id, lang,
+       |  unnest(string_split_regex(trim(lower(coalesce(text, ''))), ' +')) AS t FROM documents),
+       |feat AS (SELECT doc_id, lang,
+       |  ('0x' || substr(md5('$FeatPrefix' || t), 1, 15))::BIGINT % $Buckets AS f FROM toks),
+       |cnts AS (SELECT f, count(*) AS r_f,
+       |  CAST(coalesce(sum(CASE WHEN doc_id % $TargetMod = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_f
+       |  FROM feat GROUP BY f),
+       |cnt AS (SELECT d.f AS f, coalesce(c.r_f, 0) AS r_f, coalesce(c.t_f, 0) AS t_f
+       |  FROM (SELECT unnest(range(0, $Buckets)) AS f) d LEFT JOIN cnts c ON d.f = c.f),
+       |tot AS (SELECT CAST(sum(r_f) AS BIGINT) AS rtot, CAST(sum(t_f) AS BIGINT) AS ttot FROM cnt)""".stripMargin
+  }
+
+  /** q101's oracle: the DSIR delta model replayed end-to-end — hashed
+    * bucket counts for the target slice and the raw pool, Laplace
+    * smoothing, the SAME fixed-point log2 cascades as q100
+    * ([[graft.operators.LmScreen.log2mbSqlCtes]]) on both sides, then
+    * the per-document weight sum. Every step int64-exact. */
+  private def dsirWeightsSql: String = {
+    import graft.operators.Dsir.Buckets
+    s"""WITH $dsirBaseCtes,
+       |dom AS (
+       |  SELECT 'r' AS kind, f, r_f + 1 AS a, rtot + $Buckets AS b FROM cnt CROSS JOIN tot
+       |  UNION ALL SELECT 't', f, t_f + 1, ttot + $Buckets FROM cnt CROSS JOIN tot),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("kind", "f"))},
+       |model AS (SELECT r.f AS f, r.mb - t.mb AS delta FROM
+       |  (SELECT f, mb FROM surp WHERE kind = 'r') r JOIN
+       |  (SELECT f, mb FROM surp WHERE kind = 't') t ON r.f = t.f)
+       |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(m.delta) AS BIGINT) AS weight_mb,
+       |  CAST(sum(m.delta) AS BIGINT) > 0 AS keep
+       |FROM feat JOIN model m ON feat.f = m.f
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+  }
+
+  /** q101b's oracle: q101's weight chain plus the exponential-race
+    * draw — the race uniforms' −log2 rides the SAME kernel cascade as
+    * the model rows (one `dom` union keyed by (kind, f, doc_id), since
+    * the cascade CTE names are fixed), then the K smallest
+    * mbu·2²⁰ // weight keys among weight>0 docs. */
+  private def dsirResampleSql: String = {
+    import graft.operators.Dsir.{Buckets, SampleK, RaceScale, HashRange, RacePrefix}
+    s"""WITH $dsirBaseCtes,
+       |dom AS (
+       |  SELECT 'r' AS kind, f, CAST(NULL AS BIGINT) AS doc_id, r_f + 1 AS a, rtot + $Buckets AS b
+       |    FROM cnt CROSS JOIN tot
+       |  UNION ALL SELECT 't', f, NULL, t_f + 1, ttot + $Buckets FROM cnt CROSS JOIN tot
+       |  UNION ALL SELECT 'z', CAST(NULL AS BIGINT), doc_id,
+       |    ('0x' || substr(md5('$RacePrefix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1,
+       |    CAST($HashRange AS BIGINT)
+       |  FROM (SELECT DISTINCT doc_id FROM documents)),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("kind", "f", "doc_id"))},
+       |model AS (SELECT r.f AS f, r.mb - t.mb AS delta FROM
+       |  (SELECT f, mb FROM surp WHERE kind = 'r') r JOIN
+       |  (SELECT f, mb FROM surp WHERE kind = 't') t ON r.f = t.f),
+       |pd AS (SELECT doc_id, lang, CAST(sum(m.delta) AS BIGINT) AS weight_mb
+       |  FROM feat JOIN model m ON feat.f = m.f GROUP BY doc_id, lang),
+       |sel AS (SELECT p.doc_id, p.lang, p.weight_mb,
+       |    (z.mb * $RaceScale) // p.weight_mb AS race_mb
+       |  FROM pd p JOIN (SELECT doc_id, mb FROM surp WHERE kind = 'z') z
+       |    ON p.doc_id = z.doc_id
+       |  WHERE p.weight_mb > 0
+       |  ORDER BY race_mb ASC, p.doc_id ASC LIMIT $SampleK)
+       |SELECT doc_id, lang, weight_mb, race_mb FROM sel ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -1929,7 +2001,9 @@ object SparkEntry {
       ("q80b_rep_sweep" -> repSweepSql) +
       ("q99_type_pivot" -> typePivotSql) +
       ("q100_lm_perplexity" -> lmScreenSql) +
-      ("q100b_lm_perlang" -> lmPerLangSql)
+      ("q100b_lm_perlang" -> lmPerLangSql) +
+      ("q101_dsir_weights" -> dsirWeightsSql) +
+      ("q101b_dsir_resample" -> dsirResampleSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

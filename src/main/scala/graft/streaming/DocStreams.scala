@@ -158,6 +158,32 @@ object DocStreams {
       .withColumn("keep", col("n_bigrams") > 0 && col("avg_mb") <= KeepMaxMb)
   }
 
+  /** Ingest-time DSIR relevance screen (q101's stream twin): score
+    * each arriving document against the FROZEN collected delta model
+    * ([[graft.operators.Dsir.dsirModel]] — exactly
+    * [[graft.operators.Dsir.Buckets]] entries) as one row-local
+    * aggregate over the token array: hash each token into its bucket,
+    * look the bucket's delta up in the literal map, sum. No explode,
+    * no state, no shuffle; retraining is batch-side (the frozen-model
+    * contract — a drifting model would silently re-score the corpus).
+    * Spec-equal to the batch q101. */
+  def dsirLookup(docs: DataFrame, model: graft.operators.Dsir.DsirModel): DataFrame = {
+    import graft.operators.Dsir.{Buckets, FeatPrefix}
+    val entries = model.delta.toSeq.sortBy(_._1)
+    docs
+      .withColumn("__dm", map_from_arrays(
+        typedlit(entries.map(_._1)), typedlit(entries.map(_._2))))
+      .withColumn("__tk", expr("split(trim(lower(coalesce(text, ''))), ' +')"))
+      .select(col("doc_id"), col("lang"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        expr(
+          s"""aggregate(__tk, CAST(0 AS BIGINT), (acc, t) ->
+             |  acc + element_at(__dm, pmod(CAST(conv(substring(
+             |    md5(concat('$FeatPrefix', t)), 1, 15), 16, 10) AS BIGINT),
+             |    CAST($Buckets AS BIGINT))))""".stripMargin).as("weight_mb"))
+      .withColumn("keep", col("weight_mb") > 0L)
+  }
+
   /** Ingest-time morphology validation (q79's stream twin): the same
     * SWC parser and tree walk, stateless and row-local — every arriving
     * entity's payload is screened at ingest, the shape the reference's

@@ -311,6 +311,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "sentinel row carries 0-bigram docs — no doc_id join-back")
   }
 
+  test("DSIR weights: broadcast model join, map-side-combined agg, no window") {
+    val df = graft.operators.Dsir.dsirWeights(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "the B-row delta model must broadcast onto the token stream")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing data-sized may shuffle-join on a token/bucket key")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      "no hot-key window; the only cross join broadcasts a 1-row total")
+    assert(plan.contains("log2mb"),
+      "the surprisal kernel must ride as the codegen expression")
+  }
+
+  test("DSIR resample: the draw is a K-bounded TakeOrdered, never a global sort") {
+    val df = graft.operators.Dsir.dsirResample(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains(s"TakeOrderedAndProject(limit=${graft.operators.Dsir.SampleK}"),
+      "the race election must be the distributed top-K (per-partition heaps)")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"))
+  }
+
   test("pq encode: scoring is one row-local scan against the broadcast model") {
     // codebook training runs bounded sample jobs up front (the q36b
     // discipline); the ENCODE plan itself must be scan + row-local

@@ -271,6 +271,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream scoring must reproduce the batch screen verbatim")
   }
 
+  test("streaming dsir lookup equals the batch weights under the frozen model") {
+    // train the delta model batch-side, stream the same corpus through
+    // the frozen-model scorer — per-doc weight and keep must match the
+    // batch q101 exactly through a real file source (the model's 64
+    // deltas were computed ONCE by the fixed-point kernel; the stream
+    // side only hashes tokens and sums map lookups, stateless)
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsirstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val model = graft.operators.Dsir.dsirModel(docs)
+    val want = graft.operators.Dsir.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_mb"),
+          r.getAs[Boolean]("keep"))).toMap
+    val q = graft.streaming.DocStreams.dsirLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dsir_out").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_mb"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(got == want, "stream scoring must reproduce the batch weights verbatim")
+  }
+
   test("streaming bpe tokenize equals the batch stats under the frozen merges") {
     // train merges batch-side, stream the same corpus through the
     // frozen-model tokenizer — every per-doc figure must match the

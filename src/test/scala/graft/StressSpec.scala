@@ -242,6 +242,34 @@ class StressSpec extends AnyFunSuite {
       q79.getLong(2) * graft.operators.NeuriteAtlas.ScaleUm)
   }
 
+  test("DSIR survives a hot bucket: one token class holding most of the corpus") {
+    // the hashing-trick failure mode made concrete: a boilerplate token
+    // repeated across 90% of a 200k-doc corpus lands every occurrence
+    // in ONE of the 64 buckets. The model aggregate must collapse the
+    // hot bucket map-side (partial aggregation — ≤ 64 rows leave each
+    // task) rather than serialize the bucket through one task; weights
+    // must stay exact.
+    import spark.implicits._
+    val n = 200000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) =!= 0, lit("boilerplate boilerplate boilerplate"))
+        .otherwise(concat(lit("unique"), pmod(col("id"), lit(997)).cast("string"))).as("text"),
+      lit("en").as("lang"), lit("s0").as("source"), lit(35L).as("n_chars"))
+    val out = graft.operators.Dsir.dsirWeights(docs)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      "hot bucket must ride partial aggregation, never a window or shuffle join")
+    val agg = out.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) == n, "every doc gets a weight row")
+    // the hot class docs all share one exact weight (3 identical tokens
+    // → 3 × the boilerplate bucket's delta); spot-check group equality
+    val hot = out.join(docs.select("doc_id", "text"), "doc_id")
+      .filter(col("text").startsWith("boilerplate"))
+      .agg(countDistinct(col("weight_mb")), count(lit(1))).head()
+    assert(hot.getLong(0) == 1L && hot.getLong(1) == n - n / 10,
+      "identical docs must score identically")
+  }
+
   test("mixture rebalance at sf0.1 satisfies the composition invariants") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val rows = graft.operators.Corpus

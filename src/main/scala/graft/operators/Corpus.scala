@@ -101,10 +101,33 @@ object Corpus {
     * one.
     */
   def corpusPipeline(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
-                     defaultBp: Int, budgetPerLang: Long): DataFrame = {
-    val scored = withScreenColumns(
-      TextAnalysis.withPredictedLang(docs), rateBpByLang, defaultBp)
-      .withColumn("n_tokens", tokenCountCol)
+                     defaultBp: Int, budgetPerLang: Long): DataFrame =
+    pipelineTail(
+      withScreenColumns(TextAnalysis.withPredictedLang(docs), rateBpByLang, defaultBp)
+        .withColumn("n_tokens", tokenCountCol),
+      budgetPerLang)
+
+  /** q55 over a decode-once [[TextAnalysis.docReport]] frame: every
+    * screen verdict, the fingerprint and the token count persist in
+    * the frame, and the sampling decision is a pure (doc_id, lang)
+    * function — so the WHOLE pipeline (dedup election + budget cut
+    * included) runs off the narrow frame without re-reading text.
+    * Shares [[pipelineTail]] with the text-side q55, so the two
+    * cannot drift (spec-proven equal in DocReportSpec). */
+  def reportCorpusPipeline(report: DataFrame, rateBpByLang: Seq[(String, Int)],
+                           defaultBp: Int, budgetPerLang: Long): DataFrame =
+    pipelineTail(
+      report.select(col("doc_id"), col("lang"), col("predicted_lang"),
+          col("alpha_bp"), col("is_quality"), col("fingerprint"),
+          col("n_bpe_tokens").as("n_tokens"))
+        .withColumn("sampled", sampleHash < thresholdCol(rateBpByLang, defaultBp)),
+      budgetPerLang)
+
+  /** the shared pipeline tail: dedup election → conjunction →
+    * per-language budget cut. Requires columns doc_id, lang,
+    * predicted_lang, alpha_bp, is_quality, fingerprint, sampled,
+    * n_tokens. */
+  private def pipelineTail(scored: DataFrame, budgetPerLang: Long): DataFrame = {
     val preKept = withKeepDedup(scored)
       .withColumn("pre_keep", col("is_quality") && col("keep_dedup") && col("sampled"))
     // bucket key: quality score descending (coalesce puts null alpha_bp
@@ -132,11 +155,27 @@ object Corpus {
     * goes through SQL for the same Spark 4.1 reason as q08 (Dataset
     * .rollup re-tags grouping attributes under the Expand node). */
   def corpusCard(docs: DataFrame, rateBpByLang: Seq[(String, Int)],
-                 defaultBp: Int): DataFrame = {
-    val scored = withKeepDedup(
+                 defaultBp: Int): DataFrame =
+    cardRollup(withKeepDedup(
         withScreenColumns(docs, rateBpByLang, defaultBp)
           .withColumn("n_tokens", tokenCountCol))
-      .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled")
+      .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled"))
+
+  /** q60 over a decode-once [[TextAnalysis.docReport]] frame — the
+    * card's verdict columns and token counts persist in the frame;
+    * the sampling decision is a pure (doc_id, lang) function. Shares
+    * [[cardRollup]] with the text-side q60 (spec-proven equal). */
+  def reportCorpusCard(report: DataFrame, rateBpByLang: Seq[(String, Int)],
+                       defaultBp: Int): DataFrame =
+    cardRollup(withKeepDedup(
+        report.select(col("doc_id"), col("source"), col("lang"),
+          col("is_quality"), col("fingerprint"),
+          col("n_bpe_tokens").as("n_tokens"))
+        .withColumn("sampled", sampleHash < thresholdCol(rateBpByLang, defaultBp)))
+      .select("source", "lang", "n_tokens", "is_quality", "keep_dedup", "sampled"))
+
+  /** the shared ROLLUP aggregate of the corpus card. */
+  private def cardRollup(scored: DataFrame): DataFrame = {
     // per-call unique view name: concurrent corpusCard calls on one
     // session must not race on createOrReplaceTempView, and the view
     // must not leak into the session namespace. spark.sql analyzes

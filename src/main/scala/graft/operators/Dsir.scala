@@ -167,4 +167,27 @@ object Dsir {
 
   def dsirModel(docs: DataFrame): DsirModel =
     DsirModel(deltaModel(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+  /** Row-local scoring against a FROZEN collected model, appended as
+    * `dsir_n_tokens` / `dsir_weight_mb` / `dsir_keep` columns (all
+    * other columns ride through): hash each token into its bucket,
+    * look the bucket's delta up in the literal 64-entry map, sum — one
+    * aggregate expression, no explode, no state, no shuffle. Shared by
+    * the stream twin [[graft.streaming.DocStreams.dsirLookup]] and the
+    * decode-once [[TextAnalysis.docReport]] frame. */
+  def dsirScoreRowLocal(docs: DataFrame, model: DsirModel): DataFrame = {
+    val entries = model.delta.toSeq.sortBy(_._1)
+    docs
+      .withColumn("__ds_dm", map_from_arrays(
+        typedlit(entries.map(_._1)), typedlit(entries.map(_._2))))
+      .withColumn("__ds_tk", expr("split(trim(lower(coalesce(text, ''))), ' +')"))
+      .withColumn("dsir_n_tokens", size(col("__ds_tk")).cast("long"))
+      .withColumn("dsir_weight_mb", expr(
+        s"""aggregate(__ds_tk, CAST(0 AS BIGINT), (acc, t) ->
+           |  acc + element_at(__ds_dm, pmod(CAST(conv(substring(
+           |    md5(concat('$FeatPrefix', t)), 1, 15), 16, 10) AS BIGINT),
+           |    CAST($Buckets AS BIGINT))))""".stripMargin))
+      .withColumn("dsir_keep", col("dsir_weight_mb") > 0L)
+      .drop("__ds_dm", "__ds_tk")
+  }
 }

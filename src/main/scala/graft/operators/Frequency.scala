@@ -202,6 +202,40 @@ object Frequency {
     (m, n)
   }
 
+  /** Row-local scoring against the FROZEN collected q75 vocabulary,
+    * appended as `rar_n_tokens` / `rar_n_oov` / `rar_oov_bp` /
+    * `rar_mean_cost` / `rar_is_tail` columns (all other columns ride
+    * through; the rar_ fields are null for token-less documents —
+    * callers wanting the batch screen's contract filter on
+    * rar_n_tokens > 0). Same integer cost formulas as
+    * [[rarityScreen]], evaluated per row with higher-order functions —
+    * no explode, no state, no shuffle. Shared by the stream twin
+    * [[graft.streaming.DocStreams.rarityLookup]] and the decode-once
+    * [[TextAnalysis.docReport]] frame. */
+  def rarityScoreRowLocal(docs: DataFrame, model: Map[String, Long], nTotal: Long,
+                          phiBp: Int = 10, fenceOovBp: Int = 5000): DataFrame = {
+    val ceil = nTotal * 10000L / (nTotal * phiBp / 10000L + 1L)
+    docs
+      .withColumn("__rar_m", map_from_arrays(
+        typedlit(model.keys.toSeq), typedlit(model.values.toSeq)))
+      .withColumn("__rar_toks",
+        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+      .withColumn("rar_n_tokens", size(col("__rar_toks")).cast("long"))
+      .withColumn("rar_n_oov",
+        expr("CAST(size(filter(__rar_toks, t -> element_at(__rar_m, t) IS NULL)) AS BIGINT)"))
+      .withColumn("__rar_sum_cost",
+        expr(s"aggregate(__rar_toks, CAST(0 AS BIGINT), (acc, t) -> acc + " +
+          s"coalesce(CAST(${nTotal * 10000L} AS BIGINT) DIV element_at(__rar_m, t), " +
+          s"CAST($ceil AS BIGINT)))"))
+      .withColumn("rar_oov_bp",
+        when(col("rar_n_tokens") > 0, expr("(10000 * rar_n_oov) DIV rar_n_tokens")))
+      .withColumn("rar_mean_cost",
+        when(col("rar_n_tokens") > 0, expr("__rar_sum_cost DIV rar_n_tokens")))
+      .withColumn("rar_is_tail",
+        when(col("rar_n_tokens") > 0, col("rar_oov_bp") > fenceOovBp))
+      .drop("__rar_m", "__rar_toks", "__rar_sum_cost")
+  }
+
   /** q68 instance: the per-source TOP-TERMS report over the corpus
     * (tokens with share > 2% within their source) — the vocabulary-
     * dominance card a training-data release ships with. Tokens use the

@@ -222,6 +222,38 @@ object LmScreen {
   case class LmModel(vocab: Set[String], pairMb: Map[String, Long],
                      ctxMb: Map[String, Long], unkMb: Long)
 
+  /** Row-local scoring against a FROZEN collected model, appended as
+    * `lm_n_bigrams` / `lm_total_mb` / `lm_avg_mb` / `lm_keep` columns
+    * (all other columns ride through): vocabulary fold, pair / context
+    * / unseen surprisal lookups and the per-doc mean, one aggregate
+    * expression over the token array — no explode, no state, no
+    * shuffle. Shared by the q101-family stream twin
+    * [[graft.streaming.DocStreams.lmLookup]] and the decode-once
+    * [[TextAnalysis.docReport]] frame. */
+  def lmScoreRowLocal(docs: DataFrame, model: LmModel): DataFrame =
+    docs
+      .withColumn("__lm_pm", map_from_arrays(
+        typedlit(model.pairMb.keys.toSeq), typedlit(model.pairMb.values.toSeq)))
+      .withColumn("__lm_cm", map_from_arrays(
+        typedlit(model.ctxMb.keys.toSeq), typedlit(model.ctxMb.values.toSeq)))
+      .withColumn("__lm_vs", typedlit(model.vocab.toSeq))
+      .withColumn("__lm_tk", expr("split(trim(lower(coalesce(text, ''))), ' +')"))
+      .withColumn("__lm_m", expr(
+        s"transform(__lm_tk, t -> CASE WHEN array_contains(__lm_vs, t) THEN t ELSE '$UnkTok' END)"))
+      .withColumn("lm_n_bigrams",
+        expr("CAST(greatest(size(__lm_tk) - 1, 0) AS BIGINT)"))
+      .withColumn("lm_total_mb", expr(
+        s"""CASE WHEN size(__lm_tk) >= 2 THEN
+           |  aggregate(sequence(0, size(__lm_tk) - 2), CAST(0 AS BIGINT), (acc, i) ->
+           |    acc + coalesce(element_at(__lm_pm, concat(__lm_m[i], ' ', __lm_m[i + 1])),
+           |                   element_at(__lm_cm, __lm_m[i]),
+           |                   CAST(${model.unkMb} AS BIGINT))) END""".stripMargin))
+      .withColumn("lm_avg_mb",
+        when(col("lm_n_bigrams") > 0, expr("lm_total_mb DIV lm_n_bigrams")))
+      .withColumn("lm_keep",
+        col("lm_n_bigrams") > 0 && col("lm_avg_mb") <= KeepMaxMb)
+      .drop("__lm_pm", "__lm_cm", "__lm_vs", "__lm_tk", "__lm_m")
+
   def lmModel(docs: DataFrame): LmModel = {
     val (vocab, pairModel, ctxModel, unkModel) = model(docs, Nil)
     LmModel(

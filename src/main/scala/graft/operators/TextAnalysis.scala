@@ -68,31 +68,52 @@ object TextAnalysis {
       .filter(!col("lang_match") || !col("chars_match"))
       .orderBy("doc_id")
 
+  /** the q38 kernel in append form (all other columns ride through):
+    * `computed_chars` (named as q46's declared-vs-computed column — the
+    * declared `n_chars` metadata stays untouched), alpha/punct/stopword
+    * counts, alpha share in basis points, quality flag. Shared by the
+    * standalone q38 projection and the decode-once [[docReport]]. */
+  private[graft] def withQualityCols(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("computed_chars", length(col("text")).cast(LongType))
+      .withColumn("n_alpha",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType))
+      .withColumn("n_stopword_the",
+        expr("(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) DIV 5")
+          .cast(LongType))
+      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(computed_chars, 0)"))
+      .withColumn("is_quality",
+        col("computed_chars").between(50, 20000) && col("alpha_bp") > 6000)
+
   /** q38: quality scoring — length, alpha/punct ratios in integer basis
     * points, stopword presence, boolean keep-flag. */
   def qualityScore(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"),
-        length(col("text")).cast(LongType).as("n_chars"),
-        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("n_alpha"),
-        length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType).as("n_punct"),
-        expr("(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) DIV 5")
-          .cast(LongType).as("n_stopword_the"))
-      .withColumn("alpha_bp", expr("(10000 * n_alpha) DIV nullif(n_chars, 0)"))
-      .withColumn("is_quality",
-        col("n_chars").between(50, 20000) && col("alpha_bp") > 6000)
+    withQualityCols(documents)
+      .select(col("doc_id"), col("computed_chars").as("n_chars"),
+        col("n_alpha"), col("n_punct"), col("n_stopword_the"),
+        col("alpha_bp"), col("is_quality"))
       .orderBy("doc_id")
+
+  /** the q39 kernel in append form — whitespace / distinct / BPE-ish
+    * token counts ride alongside the input columns. */
+  private[graft] def withTokenCountCols(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_ws_tokens",
+        size(split(trim(col("text")), " +")).cast(LongType))
+      .withColumn("n_distinct_tokens",
+        size(array_distinct(split(trim(col("text")), " +"))).cast(LongType))
+      .withColumn("n_bpe_tokens",
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .cast(LongType))
 
   /** q39: token counting — whitespace tokens, distinct tokens, and a
     * BPE-ish regex segmentation (letter runs / digit runs / single
     * punctuation). */
   def tokenCounts(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"),
-        size(split(trim(col("text")), " +")).cast(LongType).as("n_ws_tokens"),
-        size(array_distinct(split(trim(col("text")), " +"))).cast(LongType).as("n_distinct_tokens"),
-        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
-          .cast(LongType).as("n_bpe_tokens"))
+    withTokenCountCols(documents)
+      .select("doc_id", "n_ws_tokens", "n_distinct_tokens", "n_bpe_tokens")
       .orderBy("doc_id")
 
   /** repetition flag thresholds (basis points) — shared with the q54
@@ -113,20 +134,29 @@ object TextAnalysis {
     * plus the output sort — the shape that survives 100 TB, where an
     * explode+groupBy over 3-grams would shuffle 3× the corpus token
     * count. */
-  def repetitionScreen(documents: DataFrame): DataFrame = {
+  def repetitionScreen(documents: DataFrame): DataFrame =
+    withRepetitionCols(documents)
+      .select("doc_id", "top_token_bp", "top_2gram_bp", "dup_3gram_bp",
+        "is_repetitive")
+      .orderBy("doc_id")
+
+  /** the q54 kernel in append form — per n-gram size one codegen
+    * frequency-stats pass, shares in basis points, repetition flag. */
+  private[graft] def withRepetitionCols(documents: DataFrame): DataFrame = {
     def stats(k: Int) = graft.functions.HashExpressions.array_freq_stats(
       Dedup.shingleHashes(col("text"), k))
     documents
-      .select(col("doc_id"), stats(1).as("s1"), stats(2).as("s2"), stats(3).as("s3"))
-      .select(col("doc_id"),
-        expr("(10000 * s1[2]) DIV nullif(s1[0], 0)").as("top_token_bp"),
-        expr("(10000 * s2[2]) DIV nullif(s2[0], 0)").as("top_2gram_bp"),
-        expr("(10000 * (s3[0] - s3[1])) DIV nullif(s3[0], 0)").as("dup_3gram_bp"))
+      .withColumn("__s1", stats(1)).withColumn("__s2", stats(2))
+      .withColumn("__s3", stats(3))
+      .withColumn("top_token_bp", expr("(10000 * __s1[2]) DIV nullif(__s1[0], 0)"))
+      .withColumn("top_2gram_bp", expr("(10000 * __s2[2]) DIV nullif(__s2[0], 0)"))
+      .withColumn("dup_3gram_bp",
+        expr("(10000 * (__s3[0] - __s3[1])) DIV nullif(__s3[0], 0)"))
       .withColumn("is_repetitive",
         col("top_token_bp") > TopTokenMaxBp ||
           col("top_2gram_bp") > Top2GramMaxBp ||
           col("dup_3gram_bp") > Dup3GramMaxBp)
-      .orderBy("doc_id")
+      .drop("__s1", "__s2", "__s3")
   }
 
   /** canonical form used for fingerprinting: lowercase, strip
@@ -177,4 +207,140 @@ object TextAnalysis {
       .drop("__winner")
       .orderBy("doc_id")
   }
+
+  // ------------------------------------- decode-once combined report
+
+  /** DECODE-ONCE text report frame — the 100 TB shape of the document
+    * family, the [[NeuriteAtlas.morphReport]] / [[Traces.traceReport]]
+    * discipline applied to text: the standalone screens each pay a
+    * full corpus scan (re-reading and re-tokenizing every payload —
+    * the dominant cost at scale); a deployment trains the three
+    * corpus-level models ONCE batch-side ([[Frequency.rarityModel]],
+    * [[LmScreen.lmModel]], [[Dsir.dsirModel]] — the frozen-model
+    * contract), then computes this frame in ONE pure row-local pass
+    * (ZERO exchanges, plan-pinned: every kernel is a column
+    * expression, the models are broadcast-free literal maps) and
+    * persists it WITHOUT the text column. Every per-doc screen
+    * becomes a column read over the narrow frame, and every
+    * corpus-level view (lang confusion, fingerprint dedup, split
+    * manifest, keep statistics) aggregates the frame — no payload is
+    * ever re-read. The kernels are the SAME expression objects the
+    * standalone operators project from (shared `with*Cols` /
+    * `*ScoreRowLocal` functions), so the views cannot drift —
+    * spec-proven equal per view.
+    *
+    * Columns: identity + declared metadata (doc_id, lang, source,
+    * n_chars), q37/q46 predicted_lang, q38 quality fields
+    * (computed_chars…is_quality), q39 token counts, q54 repetition
+    * fields, q40/q42/q70 fingerprint, q30 content_hash, q75 rar_*,
+    * q100 lm_*, q101 dsir_*. */
+  def docReport(documents: DataFrame,
+                rarityModel: (Map[String, Long], Long),
+                lmModel: LmScreen.LmModel,
+                dsirModel: Dsir.DsirModel): DataFrame =
+    documents
+      .transform(withPredictedLang)
+      .transform(withQualityCols)
+      .transform(withTokenCountCols)
+      .transform(withRepetitionCols)
+      .withColumn("fingerprint", fingerprintCol(col("text")))
+      .withColumn("content_hash", md5(col("text").cast(BinaryType)))
+      .transform(Frequency.rarityScoreRowLocal(_, rarityModel._1, rarityModel._2))
+      .transform(LmScreen.lmScoreRowLocal(_, lmModel))
+      .transform(Dsir.dsirScoreRowLocal(_, dsirModel))
+      .drop("text")
+
+  // Views over the (persisted) report frame — each must reproduce its
+  // standalone operator exactly (spec-proven in DocReportSpec).
+
+  /** q37 over the frame. */
+  def reportLangId(report: DataFrame): DataFrame =
+    report.groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+
+  /** q46 over the frame. */
+  def reportContentCheck(report: DataFrame): DataFrame =
+    report.select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("n_chars"), col("computed_chars"))
+      .withColumn("lang_match", col("lang") === col("predicted_lang"))
+      .withColumn("chars_match", col("n_chars") === col("computed_chars"))
+      .filter(!col("lang_match") || !col("chars_match"))
+      .orderBy("doc_id")
+
+  /** q38 over the frame. */
+  def reportQuality(report: DataFrame): DataFrame =
+    report.select(col("doc_id"), col("computed_chars").as("n_chars"),
+        col("n_alpha"), col("n_punct"), col("n_stopword_the"),
+        col("alpha_bp"), col("is_quality"))
+      .orderBy("doc_id")
+
+  /** q39 over the frame. */
+  def reportTokenCounts(report: DataFrame): DataFrame =
+    report.select("doc_id", "n_ws_tokens", "n_distinct_tokens", "n_bpe_tokens")
+      .orderBy("doc_id")
+
+  /** q54 over the frame. */
+  def reportRepetition(report: DataFrame): DataFrame =
+    report.select("doc_id", "top_token_bp", "top_2gram_bp", "dup_3gram_bp",
+        "is_repetitive")
+      .orderBy("doc_id")
+
+  /** q40 over the frame — the class-size election re-runs on the
+    * PERSISTED fingerprint (same keyAggJoin shape, no text). */
+  def reportFingerprint(report: DataFrame): DataFrame =
+    Scale.keyAggJoin(report.select("doc_id", "fingerprint"),
+        Seq("fingerprint"), Seq(count(lit(1)).as("n_same_fingerprint")))
+      .orderBy("doc_id")
+
+  /** q30 over the frame. */
+  def reportExactDedup(report: DataFrame): DataFrame =
+    report.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("content_hash")
+
+  /** q42 over the frame. */
+  def reportDedupApply(report: DataFrame): DataFrame =
+    Scale.keyAggJoin(report.select("doc_id", "fingerprint"),
+        Seq("fingerprint"), Seq(min(col("doc_id")).as("__winner")))
+      .withColumn("keep", col("doc_id") === col("__winner"))
+      .drop("__winner")
+      .orderBy("doc_id")
+
+  /** q70 over the frame — same "split:" salt on the persisted
+    * fingerprint; n_tokens is the frame's BPE-regex count (the ONE
+    * corpus segmentation). */
+  def reportDatasetSplit(report: DataFrame, valBp: Int, testBp: Int): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp < 10000,
+      s"val+test must leave room for train: val=$valBp test=$testBp bp")
+    val h = Dedup.md5_60(concat(lit("split:"), col("fingerprint")))
+    val split = when(h < lit(testBp.toLong * Corpus.RateQuantum), "test")
+      .when(h < lit((testBp.toLong + valBp) * Corpus.RateQuantum), "val")
+      .otherwise("train")
+    report.select(col("doc_id"), col("source"), split.as("split"),
+        col("n_bpe_tokens").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q75 over the frame (the batch screen's ≥1-token contract). */
+  def reportRarity(report: DataFrame): DataFrame =
+    report.filter(col("rar_n_tokens") > 0)
+      .select(col("doc_id"), col("rar_n_tokens").as("n_tokens"),
+        col("rar_n_oov").as("n_oov"), col("rar_oov_bp").as("oov_bp"),
+        col("rar_mean_cost").as("mean_cost"), col("rar_is_tail").as("is_tail"))
+      .orderBy("doc_id")
+
+  /** q100 over the frame. */
+  def reportLmScreen(report: DataFrame): DataFrame =
+    report.select(col("doc_id"), col("lang"),
+        col("lm_n_bigrams").as("n_bigrams"), col("lm_total_mb").as("total_mb"),
+        col("lm_avg_mb").as("avg_mb"), col("lm_keep").as("keep"))
+      .orderBy("doc_id")
+
+  /** q101 over the frame. */
+  def reportDsir(report: DataFrame): DataFrame =
+    report.select(col("doc_id"), col("lang"),
+        col("dsir_n_tokens").as("n_tokens"),
+        col("dsir_weight_mb").as("weight_mb"), col("dsir_keep").as("keep"))
+      .orderBy("doc_id")
 }

@@ -104,26 +104,12 @@ object DocStreams {
     * for full-corpus scans.) Docs with zero tokens are dropped, same
     * contract as the batch screen. */
   def rarityLookup(docs: DataFrame, model: Map[String, Long], nTotal: Long,
-                   phiBp: Int = 10, fenceOovBp: Int = 5000): DataFrame = {
-    val ceil = nTotal * 10000L / (nTotal * phiBp / 10000L + 1L)
-    docs
-      .withColumn("__m", map_from_arrays(
-        typedlit(model.keys.toSeq), typedlit(model.values.toSeq)))
-      .withColumn("__toks",
-        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
-      .filter(size(col("__toks")) > 0)
-      .select(col("doc_id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        expr("CAST(size(filter(__toks, t -> element_at(__m, t) IS NULL)) AS BIGINT)")
-          .as("n_oov"),
-        expr(s"aggregate(__toks, CAST(0 AS BIGINT), (acc, t) -> acc + " +
-          s"coalesce(CAST(${nTotal * 10000L} AS BIGINT) DIV element_at(__m, t), " +
-          s"CAST($ceil AS BIGINT)))").as("sum_cost"))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"),
-        expr("sum_cost DIV n_tokens").as("mean_cost"),
-        (expr("(10000 * n_oov) DIV n_tokens") > fenceOovBp).as("is_tail"))
-  }
+                   phiBp: Int = 10, fenceOovBp: Int = 5000): DataFrame =
+    graft.operators.Frequency.rarityScoreRowLocal(docs, model, nTotal, phiBp, fenceOovBp)
+      .filter(col("rar_n_tokens") > 0)
+      .select(col("doc_id"), col("rar_n_tokens").as("n_tokens"),
+        col("rar_n_oov").as("n_oov"), col("rar_oov_bp").as("oov_bp"),
+        col("rar_mean_cost").as("mean_cost"), col("rar_is_tail").as("is_tail"))
 
   /** Ingest-time LM perplexity screen (q100's stream twin): score each
     * arriving document against the FROZEN collected bigram model
@@ -133,30 +119,11 @@ object DocStreams {
     * explode, no state, no shuffle). Retraining belongs batch-side
     * (the rarity/BPE discipline: a silently drifting model would
     * re-score the corpus); spec-equal to the batch q100. */
-  def lmLookup(docs: DataFrame, model: graft.operators.LmScreen.LmModel): DataFrame = {
-    import graft.operators.LmScreen.{KeepMaxMb, UnkTok}
-    docs
-      .withColumn("__pm", map_from_arrays(
-        typedlit(model.pairMb.keys.toSeq), typedlit(model.pairMb.values.toSeq)))
-      .withColumn("__cm", map_from_arrays(
-        typedlit(model.ctxMb.keys.toSeq), typedlit(model.ctxMb.values.toSeq)))
-      .withColumn("__vs", typedlit(model.vocab.toSeq))
-      .withColumn("__tk", expr("split(trim(lower(coalesce(text, ''))), ' +')"))
-      .withColumn("__m", expr(
-        s"transform(__tk, t -> CASE WHEN array_contains(__vs, t) THEN t ELSE '$UnkTok' END)"))
+  def lmLookup(docs: DataFrame, model: graft.operators.LmScreen.LmModel): DataFrame =
+    graft.operators.LmScreen.lmScoreRowLocal(docs, model)
       .select(col("doc_id"), col("lang"),
-        expr("CAST(greatest(size(__tk) - 1, 0) AS BIGINT)").as("n_bigrams"),
-        expr(
-          s"""CASE WHEN size(__tk) >= 2 THEN
-             |  aggregate(sequence(0, size(__tk) - 2), CAST(0 AS BIGINT), (acc, i) ->
-             |    acc + coalesce(element_at(__pm, concat(__m[i], ' ', __m[i + 1])),
-             |                   element_at(__cm, __m[i]),
-             |                   CAST(${model.unkMb} AS BIGINT))) END""".stripMargin)
-          .as("total_mb"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("total_mb"),
-        when(col("n_bigrams") > 0, expr("total_mb DIV n_bigrams")).as("avg_mb"))
-      .withColumn("keep", col("n_bigrams") > 0 && col("avg_mb") <= KeepMaxMb)
-  }
+        col("lm_n_bigrams").as("n_bigrams"), col("lm_total_mb").as("total_mb"),
+        col("lm_avg_mb").as("avg_mb"), col("lm_keep").as("keep"))
 
   /** Ingest-time DSIR relevance screen (q101's stream twin): score
     * each arriving document against the FROZEN collected delta model
@@ -167,22 +134,11 @@ object DocStreams {
     * no state, no shuffle; retraining is batch-side (the frozen-model
     * contract — a drifting model would silently re-score the corpus).
     * Spec-equal to the batch q101. */
-  def dsirLookup(docs: DataFrame, model: graft.operators.Dsir.DsirModel): DataFrame = {
-    import graft.operators.Dsir.{Buckets, FeatPrefix}
-    val entries = model.delta.toSeq.sortBy(_._1)
-    docs
-      .withColumn("__dm", map_from_arrays(
-        typedlit(entries.map(_._1)), typedlit(entries.map(_._2))))
-      .withColumn("__tk", expr("split(trim(lower(coalesce(text, ''))), ' +')"))
+  def dsirLookup(docs: DataFrame, model: graft.operators.Dsir.DsirModel): DataFrame =
+    graft.operators.Dsir.dsirScoreRowLocal(docs, model)
       .select(col("doc_id"), col("lang"),
-        size(col("__tk")).cast("long").as("n_tokens"),
-        expr(
-          s"""aggregate(__tk, CAST(0 AS BIGINT), (acc, t) ->
-             |  acc + element_at(__dm, pmod(CAST(conv(substring(
-             |    md5(concat('$FeatPrefix', t)), 1, 15), 16, 10) AS BIGINT),
-             |    CAST($Buckets AS BIGINT))))""".stripMargin).as("weight_mb"))
-      .withColumn("keep", col("weight_mb") > 0L)
-  }
+        col("dsir_n_tokens").as("n_tokens"),
+        col("dsir_weight_mb").as("weight_mb"), col("dsir_keep").as("keep"))
 
   /** Ingest-time morphology validation (q79's stream twin): the same
     * SWC parser and tree walk, stateless and row-local — every arriving

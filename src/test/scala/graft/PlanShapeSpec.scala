@@ -334,6 +334,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"))
   }
 
+  test("doc report: the whole frame is ONE row-local pass — zero exchanges") {
+    // the decode-once claim made literal: every kernel is a column
+    // expression, the three frozen models are literal maps — nothing
+    // in the plan may shuffle or broadcast anything
+    val docs = Tables.documents(spark, dir)
+    val df = graft.operators.TextAnalysis.docReport(docs,
+      graft.operators.Frequency.rarityModel(docs),
+      graft.operators.LmScreen.lmModel(docs),
+      graft.operators.Dsir.dsirModel(docs))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      "the report frame must be a pure map-side scan")
+    assert(!plan.contains("Join"), "frozen models are literals, not joins")
+  }
+
   test("pq encode: scoring is one row-local scan against the broadcast model") {
     // codebook training runs bounded sample jobs up front (the q36b
     // discipline); the ENCODE plan itself must be scan + row-local

@@ -202,3 +202,81 @@ object BenchIdxSplit {
     spark.stop()
   }
 }
+
+/** Decode-once report-frame cost split: what the text family costs as
+  * 14 standalone corpus scans vs ONE frame build + 14 views over the
+  * persisted narrow parquet. Model training (rarity/LM/DSIR — paid
+  * once per release, the frozen-model contract) is timed separately.
+  * Warm medians over SPARK_GRAFT_REPS. */
+object BenchReportSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Corpus, Dsir, Frequency, LmScreen, TextAnalysis}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    val rates = Seq("en" -> 8000, "de" -> 6000)
+    // model training — once per release
+    var rar: (Map[String, Long], Long) = null
+    var lm: LmScreen.LmModel = null
+    var ds: Dsir.DsirModel = null
+    val tModels = med { () =>
+      rar = Frequency.rarityModel(docs); lm = LmScreen.lmModel(docs)
+      ds = Dsir.dsirModel(docs)
+    }
+    // the 14 standalone operators, each its own corpus scan
+    val standalone: Seq[() => Long] = Seq(
+      () => TextAnalysis.langId(docs).count(),
+      () => TextAnalysis.contentMetadataCheck(docs).count(),
+      () => TextAnalysis.qualityScore(docs).count(),
+      () => TextAnalysis.tokenCounts(docs).count(),
+      () => TextAnalysis.repetitionScreen(docs).count(),
+      () => TextAnalysis.fingerprint(docs).count(),
+      () => TextAnalysis.exactDedup(docs).count(),
+      () => TextAnalysis.dedupedCorpus(docs).count(),
+      () => Corpus.datasetSplit(docs, 1000, 1000).count(),
+      () => Frequency.rarityScreen(docs).count(),
+      () => LmScreen.lmScreen(docs).count(),
+      () => Dsir.dsirWeights(docs).count(),
+      () => Corpus.corpusPipeline(docs, rates, 5000, 4000L).count(),
+      () => Corpus.corpusCard(docs, rates, 5000).count())
+    val tStandalone = med(() => standalone.foreach(_.apply()))
+    // ONE frame build + persist
+    val dir = java.nio.file.Files.createTempDirectory("graft_report_").toString + "/frame"
+    val tBuild = med { () =>
+      TextAnalysis.docReport(docs, rar, lm, ds)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val frame = spark.read.parquet(dir)
+    // the same 14 results as views over the persisted frame
+    val views: Seq[() => Long] = Seq(
+      () => TextAnalysis.reportLangId(frame).count(),
+      () => TextAnalysis.reportContentCheck(frame).count(),
+      () => TextAnalysis.reportQuality(frame).count(),
+      () => TextAnalysis.reportTokenCounts(frame).count(),
+      () => TextAnalysis.reportRepetition(frame).count(),
+      () => TextAnalysis.reportFingerprint(frame).count(),
+      () => TextAnalysis.reportExactDedup(frame).count(),
+      () => TextAnalysis.reportDedupApply(frame).count(),
+      () => TextAnalysis.reportDatasetSplit(frame, 1000, 1000).count(),
+      () => TextAnalysis.reportRarity(frame).count(),
+      () => TextAnalysis.reportLmScreen(frame).count(),
+      () => TextAnalysis.reportDsir(frame).count(),
+      () => Corpus.reportCorpusPipeline(frame, rates, 5000, 4000L).count(),
+      () => Corpus.reportCorpusCard(frame, rates, 5000).count())
+    val tViews = med(() => views.foreach(_.apply()))
+    import Bench.fmt3
+    println(s"""{"model_train_s":${fmt3(tModels)},""" +
+      s""""standalone_14ops_s":${fmt3(tStandalone)},""" +
+      s""""frame_build_persist_s":${fmt3(tBuild)},""" +
+      s""""views_14ops_s":${fmt3(tViews)},"reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -140,6 +140,20 @@ object DocStreams {
         col("dsir_n_tokens").as("n_tokens"),
         col("dsir_weight_mb").as("weight_mb"), col("dsir_keep").as("keep"))
 
+  /** Ingest-time decode-once report frame
+    * ([[graft.operators.TextAnalysis.docReport]]'s stream twin): the
+    * frame is a pure row-local pass against three FROZEN models, so
+    * the SAME function runs unmodified on a streaming DataFrame —
+    * every arriving document lands in the persisted narrow frame with
+    * all fourteen screens' fields already computed, and no consumer
+    * ever re-reads the payload. Stateless; spec-equal to the batch
+    * frame through a real file source. */
+  def docReportStream(docs: DataFrame,
+                      rarityModel: (Map[String, Long], Long),
+                      lmModel: graft.operators.LmScreen.LmModel,
+                      dsirModel: graft.operators.Dsir.DsirModel): DataFrame =
+    graft.operators.TextAnalysis.docReport(docs, rarityModel, lmModel, dsirModel)
+
   /** Ingest-time morphology validation (q79's stream twin): the same
     * SWC parser and tree walk, stateless and row-local — every arriving
     * entity's payload is screened at ingest, the shape the reference's

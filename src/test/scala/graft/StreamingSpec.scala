@@ -299,6 +299,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream scoring must reproduce the batch weights verbatim")
   }
 
+  test("streaming doc report equals the batch frame under the frozen models") {
+    // the decode-once frame is pure row-local work, so the SAME
+    // function must produce identical rows at ingest — every screen
+    // field computed the moment a document lands
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_reportstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val rar = graft.operators.Frequency.rarityModel(docs)
+    val lm = graft.operators.LmScreen.lmModel(docs)
+    val ds = graft.operators.Dsir.dsirModel(docs)
+    val want = graft.operators.TextAnalysis.docReport(docs, rar, lm, ds)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.mkString("|")).toMap
+    val q = graft.streaming.DocStreams.docReportStream(
+        graft.streaming.DocStreams.readDocStream(spark, dir), rar, lm, ds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("report_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("report_stream_out")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.mkString("|")).toMap
+    assert(got == want, "ingest-time frame must reproduce the batch frame verbatim")
+  }
+
   test("streaming bpe tokenize equals the batch stats under the frozen merges") {
     // train merges batch-side, stream the same corpus through the
     // frozen-model tokenizer — every per-doc figure must match the

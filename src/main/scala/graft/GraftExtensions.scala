@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm_sq"),
       new ExpressionInfo("graft", "vec_norm_sq"),
       exprs => VectorExpressions.ArrayNormSq(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("log2mb"),
+      new ExpressionInfo("graft", "log2mb"),
+      exprs => graft.functions.LogExpressions.Log2FixedMb(exprs(0), exprs(1))))
     HashExpressions.sqlBuilders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),

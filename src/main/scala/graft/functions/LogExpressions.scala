@@ -114,4 +114,11 @@ object LogExpressions {
   def log2mb(a: Column, b: Column): Column =
     ColumnBridge.column(Log2FixedMb(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** SQL registration (session-local twin of the GraftExtensions
+    * entry): log2mb(a, b) = ⌊log2(b/a)·1024⌋, the exact fixed-point
+    * surprisal kernel. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "log2mb",
+      exprs => Log2FixedMb(exprs(0), exprs(1)))
 }

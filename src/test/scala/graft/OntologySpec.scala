@@ -36,6 +36,17 @@ class OntologySpec extends AnyFunSuite {
     assert(n.head.getDouble(0) == 25.0)
   }
 
+  test("log2mb is available via SQL registration") {
+    graft.functions.LogExpressions.registerSql(spark)
+    val r = spark.sql(
+      "SELECT log2mb(1L, 1024L) AS a, log2mb(7L, 7L) AS b, log2mb(3L, 7L) AS c")
+      .collect().head
+    assert(r.getLong(0) == 10L * 1024 && r.getLong(1) == 0L)
+    // floor semantics: log2(7/3) ≈ 1.2224 bits → 1251.xx mb, floored
+    val truth = math.log(7.0 / 3) / math.log(2.0) * 1024.0
+    assert(r.getLong(2) <= truth && r.getLong(2) >= truth - 2.0)
+  }
+
   test("hash-sketch expressions are available via SQL registration") {
     graft.functions.HashExpressions.registerSql(spark)
     // simhash of one token hash = that hash's set bits

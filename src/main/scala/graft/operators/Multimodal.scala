@@ -325,4 +325,54 @@ object Multimodal {
     import spark.implicits._
     mediaFrame(documents).as[MediaRow].mapPartitions(_.flatMap(sampleFrameStats(_, stride)))
   }
+
+  // ------------------------------------- decode-once combined report
+
+  /** the full per-media record both standalone views derive from —
+    * the payload is read ONCE per entity. */
+  final case class MediaReport(features: MediaFeatures,
+                               frame_samples: Seq[FrameSample])
+
+  /** DECODE-ONCE media report frame — the morphReport/traceReport/
+    * docReport discipline on the binary-media family: at 100 TB the
+    * payload bytes dominate I/O, and q41 (feature extraction) and the
+    * frame-sample stage each re-read every payload; this reads each
+    * payload once, runs BOTH kernels on the in-memory row (the SAME
+    * [[decodeMedia]] / [[sampleFrameStats]] objects the standalone
+    * operators run — no drift possible) and emits the narrow nested
+    * record WITHOUT the content bytes. Persist it and both views
+    * become column reads / explodes ([[reportFeatures]],
+    * [[reportFrameSamples]] — spec-proven equal). */
+  def mediaReport(documents: DataFrame, partitions: Int = 0,
+                  stride: Int = 2): Dataset[MediaReport] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    mediaFrame(documents)
+      .repartition(width, col("doc_id"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r =>
+        MediaReport(decodeMedia(r), sampleFrameStats(r, stride).toSeq)))
+  }
+
+  /** q41 over the (persisted) report frame. */
+  def reportFeatures(report: DataFrame): DataFrame =
+    report.select(col("features.*"))
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("sum_pix")).as("sum_pix"),
+        sum(col("sum_amp")).as("sum_amp"))
+      .orderBy("mime")
+
+  /** the frame-sample stage over the (persisted) report frame. */
+  def reportFrameSamples(report: DataFrame): DataFrame =
+    report.select(explode(col("frame_samples")).as("fs"))
+      .select(col("fs.*"))
 }

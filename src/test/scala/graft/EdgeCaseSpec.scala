@@ -146,6 +146,18 @@ class EdgeCaseSpec extends AnyFunSuite {
       || String.valueOf(e.getCause).contains("refusing"))
   }
 
+  test("decode-once report frames behave on an empty corpus") {
+    // models trained on nothing are legal frozen objects (uniform /
+    // empty), and the frames must be empty, not throw
+    val rar = Frequency.rarityModel(noDocs)
+    val lm = LmScreen.lmModel(noDocs)
+    val ds = Dsir.dsirModel(noDocs)
+    assert(rar._1.isEmpty && rar._2 == 0L)
+    assert(lm.vocab.isEmpty && ds.delta.size == Dsir.Buckets)
+    assert(TextAnalysis.docReport(noDocs, rar, lm, ds).isEmpty)
+    assert(Multimodal.mediaReport(noDocs).isEmpty)
+  }
+
   test("frequency and validation report sanely over empty inputs") {
     assert(Frequency.exactHeavyHitters(Seq.empty[Long].toDF("k"), col("k"), 100).isEmpty)
     assert(Scale.hotKeys(Seq.empty[Long].toDF("k"), "k").isEmpty)

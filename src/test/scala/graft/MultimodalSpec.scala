@@ -162,4 +162,22 @@ class MultimodalSpec extends AnyFunSuite {
       assert(vd.n_frames == 2 + id % 4)
     }
   }
+
+  test("decode-once media report: both views derive exactly from the persisted frame") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediareport").toString
+    Multimodal.mediaReport(docs).write.mode("overwrite").parquet(dir)
+    val frame = spark.read.parquet(dir)
+    assert(!frame.schema.fieldNames.contains("content"),
+      "the frame must not persist payload bytes")
+    val wantF = Multimodal.extractFeatures(docs).collect().map(_.toSeq).toSet
+    val gotF = Multimodal.reportFeatures(frame).collect().map(_.toSeq).toSet
+    assert(gotF == wantF, "q41 features must derive from the frame")
+    val wantS = Multimodal.sampleFrames(docs).collect()
+      .map(s => (s.doc_id, s.frame_idx, s.frame_sum)).toSet
+    val gotS = Multimodal.reportFrameSamples(frame).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotS == wantS, "frame samples must derive from the frame")
+  }
 }

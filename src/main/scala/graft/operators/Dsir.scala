@@ -146,13 +146,23 @@ object Dsir {
     * (weighted sampling without replacement; see object doc). Columns:
     * doc_id, lang, weight_mb, race_mb. */
   def dsirResample(docs: DataFrame): DataFrame =
-    weightsUnordered(docs)
+    resampleFromWeights(weightsUnordered(docs))
+
+  /** The race election over an ALREADY-COMPUTED weights frame (the
+    * q101 output, or its persisted parquet / docReport-derived view):
+    * a deployment computes weights once and resamples at many budgets
+    * — each draw is then a pure row-local key computation + the
+    * K-bounded TakeOrdered, never a re-scan of the corpus. Requires
+    * doc_id, lang, weight_mb columns; spec-proven equal to
+    * [[dsirResample]] composed end-to-end. */
+  def resampleFromWeights(weights: DataFrame, k: Int = SampleK): DataFrame =
+    weights
       .filter(col("weight_mb") > 0L)
       .withColumn("__mbu", graft.functions.LogExpressions.log2mb(
         Dedup.md5_60(concat(lit(RacePrefix), col("doc_id").cast("string"))) + 1L,
         lit(HashRange)))
       .withColumn("race_mb", expr(s"__mbu * $RaceScale DIV weight_mb"))
-      .orderBy(col("race_mb").asc, col("doc_id").asc).limit(SampleK)
+      .orderBy(col("race_mb").asc, col("doc_id").asc).limit(k)
       .select("doc_id", "lang", "weight_mb", "race_mb")
       .orderBy("doc_id")
 

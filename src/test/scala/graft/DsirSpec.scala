@@ -122,6 +122,17 @@ class DsirSpec extends AnyFunSuite {
       "budget: K winners, or every keeper when fewer race")
   }
 
+  test("resample from a persisted weights frame equals the end-to-end draw") {
+    val corpus = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsirw").toString
+    Dsir.dsirWeights(corpus).write.mode("overwrite").parquet(dir)
+    val fromFrame = Dsir.resampleFromWeights(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+    val endToEnd = Dsir.dsirResample(corpus).collect().map(_.toSeq).toSet
+    assert(fromFrame == endToEnd,
+      "a persisted q101 output must support the identical draw")
+  }
+
   test("keep fence genuinely partitions the real corpus") {
     val out = Dsir.dsirWeights(Tables.documents(spark, sf))
       .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap

@@ -270,6 +270,24 @@ class StressSpec extends AnyFunSuite {
       "identical docs must score identically")
   }
 
+  test("doc report frame at sf0.1: the full pipeline view equals standalone q55") {
+    // the most composite view (dedup election + per-language budget
+    // cut) checked at the 5000-doc corpus — frame and text paths must
+    // agree row-for-row at a scale where bucket boundaries, hot
+    // fingerprints and per-language budgets all genuinely bind
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val frame = graft.operators.TextAnalysis.docReport(docs,
+      graft.operators.Frequency.rarityModel(docs),
+      graft.operators.LmScreen.lmModel(docs),
+      graft.operators.Dsir.dsirModel(docs))
+    val rates = Seq("en" -> 8000, "de" -> 6000)
+    val want = graft.operators.Corpus.corpusPipeline(docs, rates, 5000, 40000L)
+      .collect().map(_.toSeq).toSet
+    val got = graft.operators.Corpus.reportCorpusPipeline(frame, rates, 5000, 40000L)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "frame-side q55 must equal the text-side q55 at sf0.1")
+  }
+
   test("mixture rebalance at sf0.1 satisfies the composition invariants") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     val rows = graft.operators.Corpus

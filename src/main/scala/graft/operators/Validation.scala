@@ -38,6 +38,23 @@ object Validation {
     val name = s"unique_$colName"
     def violation: Column = lit(false) // aggregated specially
   }
+  /** completeness-conditional requiredness — the inner rule applies
+    * only where `gate` holds; every other row satisfies it vacuously.
+    * The reference's e-model field audit has exactly this split:
+    * fields mandatory everywhere vs mandatory only for entities
+    * flagged complete (reference src/e_model/expected_fields.py
+    * `mandatory_fields` / `mandatory_if_complete_fields`,
+    * :220-231 `_check_fields_arr` under `completeness_flag`). A gated
+    * rule composes with [[report]], [[violations]] and the q96 matrix
+    * unchanged — the gate is part of the violation expression, so the
+    * plan stays one row-local scan. */
+  final case class OnlyWhen(gate: Column, gateLabel: String, inner: Rule)
+      extends Rule {
+    require(!inner.isInstanceOf[Unique],
+      "Unique aggregates globally and cannot be row-gated")
+    val name = s"if_${gateLabel}_${inner.name}"
+    def violation: Column = gate && inner.violation
+  }
 
   /** One row per rule: (rule, n_violations), deterministic order. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {

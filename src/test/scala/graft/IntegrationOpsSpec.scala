@@ -45,6 +45,28 @@ class IntegrationOpsSpec extends AnyFunSuite {
     assert(m("unique_id") == 1)
   }
 
+  test("gated rules apply only where the completeness flag holds") {
+    // the reference's mandatory vs mandatory-if-complete split: ljp is
+    // required only for complete entities — an incomplete entity with a
+    // missing ljp passes vacuously
+    val df = Seq(
+      (1L, true, "x"), // complete, field present → ok
+      (2L, true, null.asInstanceOf[String]), // complete, missing → violation
+      (3L, false, null.asInstanceOf[String]), // incomplete, missing → vacuous pass
+      (4L, false, "y")
+    ).toDF("id", "is_complete", "ljp")
+    val rules = Seq(
+      Validation.OnlyWhen(col("is_complete"), "complete", Validation.NotNull("ljp")))
+    val m = Validation.report(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("if_complete_not_null_ljp") == 1)
+    val v = Validation.violations(df, "id", rules).collect()
+    assert(v.length == 1 && v.head.getLong(0) == 2L)
+    // Unique cannot be row-gated — it aggregates globally
+    intercept[IllegalArgumentException](
+      Validation.OnlyWhen(col("is_complete"), "c", Validation.Unique("id")))
+  }
+
   test("row-level violations list failing rules per row") {
     val df = Seq((1L, "A"), (2L, "X")).toDF("id", "code")
     val v = Validation.violations(df, "id", Seq(Validation.InSet("code", Seq("A"))))

@@ -154,6 +154,14 @@ object DocStreams {
                       dsirModel: graft.operators.Dsir.DsirModel): DataFrame =
     graft.operators.TextAnalysis.docReport(docs, rarityModel, lmModel, dsirModel)
 
+  /** Ingest-time media report ([[graft.operators.Multimodal.mediaReport]]'s
+    * stream twin): each arriving payload is decoded once and lands as
+    * the narrow nested record (features + frame samples, no content
+    * bytes) — stateless per-partition map, same kernels as batch.
+    * Spec-equal to the batch frame through a real file source. */
+  def mediaReportStream(docs: DataFrame, stride: Int = 2): DataFrame =
+    graft.operators.Multimodal.mediaReport(docs, stride = stride).toDF()
+
   /** Ingest-time morphology validation (q79's stream twin): the same
     * SWC parser and tree walk, stateless and row-local — every arriving
     * entity's payload is screened at ingest, the shape the reference's

@@ -323,6 +323,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "ingest-time frame must reproduce the batch frame verbatim")
   }
 
+  test("streaming media report equals the batch frame") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediastream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val want = graft.operators.Multimodal.mediaReport(docs)
+      .toDF().collect().map(r => r.getAs[org.apache.spark.sql.Row]("features")
+        .getAs[Long]("doc_id") -> r.toSeq.mkString("|")).toMap
+    val q = graft.streaming.DocStreams.mediaReportStream(
+        graft.streaming.DocStreams.readDocStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("media_report_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("media_report_out")
+      .collect().map(r => r.getAs[org.apache.spark.sql.Row]("features")
+        .getAs[Long]("doc_id") -> r.toSeq.mkString("|")).toMap
+    assert(got == want, "ingest-time media frame must reproduce the batch frame")
+  }
+
   test("streaming bpe tokenize equals the batch stats under the frozen merges") {
     // train merges batch-side, stream the same corpus through the
     // frozen-model tokenizer — every per-doc figure must match the

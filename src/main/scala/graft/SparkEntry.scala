@@ -227,7 +227,8 @@ object SparkEntry {
     "q100_lm_perplexity" -> ((s, d) => LmScreen.lmScreen(Tables.documents(s, d))),
     "q100b_lm_perlang" -> ((s, d) => LmScreen.lmScreenPerLang(Tables.documents(s, d))),
     "q101_dsir_weights" -> ((s, d) => Dsir.dsirWeights(Tables.documents(s, d))),
-    "q101b_dsir_resample" -> ((s, d) => Dsir.dsirResample(Tables.documents(s, d)))
+    "q101b_dsir_resample" -> ((s, d) => Dsir.dsirResample(Tables.documents(s, d))),
+    "q102_chunk_spans" -> ((s, d) => Corpus.chunkSpans(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -1987,6 +1988,27 @@ object SparkEntry {
        |SELECT doc_id, lang, weight_mb, race_mb FROM sel ORDER BY doc_id""".stripMargin
   }
 
+  /** q102's oracle: the identical chunk geometry via DuckDB's
+    * exclusive-stop range (Spark's inclusive-stop sequence uses
+    * stop − 1) plus 1-based inclusive list slicing; the chunk hash is
+    * the cross-engine md5-60 of the space-joined chunk tokens. */
+  private def chunkSpansSql: String = {
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride}
+    s"""WITH toks AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |  unnest(range(0, greatest(len(tk) - $ChunkO, 1), $chunkStride)) AS start
+       |  FROM toks WHERE len(tk) > 0),
+       |ch AS (SELECT doc_id, CAST(start // $chunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(least(start + $ChunkW, len(tk)) AS BIGINT) AS end_tok,
+       |  tk[start + 1 : least(start + $ChunkW, len(tk))] AS ctk FROM st)
+       |SELECT doc_id, chunk_idx, start_tok, end_tok,
+       |  end_tok - start_tok AS n_chunk_tokens,
+       |  ('0x' || substr(md5(array_to_string(ctk, ' ')), 1, 15))::BIGINT AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2003,7 +2025,8 @@ object SparkEntry {
       ("q100_lm_perplexity" -> lmScreenSql) +
       ("q100b_lm_perlang" -> lmPerLangSql) +
       ("q101_dsir_weights" -> dsirWeightsSql) +
-      ("q101b_dsir_resample" -> dsirResampleSql)
+      ("q101b_dsir_resample" -> dsirResampleSql) +
+      ("q102_chunk_spans" -> chunkSpansSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -407,4 +407,55 @@ object Corpus {
         tokenCountCol.as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** chunk geometry: window of [[ChunkW]] tokens advancing by
+    * [[ChunkW]] − [[ChunkO]] (so consecutive chunks share ChunkO
+    * tokens); the final partial chunk is kept, and a start is emitted
+    * only while the tail isn't already fully covered by the previous
+    * window. Shared with the oracle SQL. */
+  val ChunkW = 64
+  val ChunkO = 16
+  def chunkStride: Int = ChunkW - ChunkO
+
+  /** q102: DOCUMENT CHUNKING — the context-window segmentation every
+    * RAG / pretraining pipeline runs before packing or embedding:
+    * each document's token stream (the ONE [[tokenCountCol]]
+    * segmentation, so chunk counts agree with the budget/packer ops)
+    * is cut into overlapping windows of [[ChunkW]] tokens with
+    * [[ChunkO]]-token overlap; per chunk the span (start/end token
+    * index), its token count and a 60-bit content hash of the joined
+    * chunk tokens — the hash makes chunks first-class dedupable /
+    * joinable units downstream (chunk-level exact dedup is a plain
+    * groupBy on it; the q63 packer and q34-family embedders consume
+    * the spans). Zero-token documents produce no chunks.
+    *
+    * Scale shape: pure row-local work — tokenize, generate the
+    * bounded start sequence (≤ n/stride per doc), slice, hash; ONE
+    * scan with no exchange but the output sort (plan-pinned). The
+    * explode multiplies rows by ~n/stride, but each output row is a
+    * narrow span record, not a copy of the text. Start sequence is
+    * `sequence(0, greatest(n − overlap, 1) − 1, stride)`: the last
+    * start is the largest multiple of stride whose chunk still adds
+    * uncovered tokens; spec pins tiling (starts advance by exactly
+    * stride, first chunk at 0, last chunk ends at n, every token
+    * covered, consecutive chunks share exactly min(overlap, len)
+    * tokens). */
+  def chunkSpans(docs: DataFrame): DataFrame = {
+    val S = chunkStride
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, greatest(size(tk) - $ChunkO, 1) - 1, $S)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start DIV $S AS BIGINT)").as("chunk_idx"),
+        col("start").cast(LongType).as("start_tok"),
+        expr(s"CAST(least(start + $ChunkW, size(tk)) AS BIGINT)").as("end_tok"),
+        expr(s"slice(tk, start + 1, least(start + $ChunkW, size(tk)) - start)").as("__ctk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_chunk_tokens"),
+        Dedup.md5_60(array_join(col("__ctk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

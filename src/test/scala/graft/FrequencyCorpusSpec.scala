@@ -280,4 +280,62 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(m(11L).getAs[Long]("seq_id") == 0L && m(11L).getAs[Long]("seq_offset") == 0L)
     assert(m(11L).getAs[Boolean]("straddles"), "12 tokens cannot fit one 10-token sequence")
   }
+
+  test("chunk spans tile every document with the declared geometry") {
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride}
+    // lengths around every boundary: empty, tiny, exactly W, W+1,
+    // exactly covered tail (n = W + stride), one past it, and long
+    val lens = Seq(0, 1, 5, ChunkW - 1, ChunkW, ChunkW + 1,
+      ChunkW + chunkStride, ChunkW + chunkStride + 1, 1000)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => "w" * (j % 3 + 1)).mkString(" "), "en", "s0", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = graft.operators.Corpus.chunkSpans(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))).toMap
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val id = i.toLong
+      if (n == 0) assert(!chunks.contains(id), "zero tokens → no chunks")
+      else {
+        val cs = chunks(id)
+        assert(cs.head.getAs[Long]("start_tok") == 0L, s"doc $id starts at 0")
+        assert(cs.last.getAs[Long]("end_tok") == n.toLong, s"doc $id ends at n")
+        cs.zipWithIndex.foreach { case (c, k) =>
+          assert(c.getAs[Long]("chunk_idx") == k.toLong)
+          assert(c.getAs[Long]("start_tok") == k.toLong * chunkStride,
+            "starts advance by exactly the stride")
+          val w = c.getAs[Long]("end_tok") - c.getAs[Long]("start_tok")
+          assert(w == c.getAs[Long]("n_chunk_tokens") && w <= ChunkW && w > 0)
+        }
+        // consecutive chunks overlap: next start < previous end
+        cs.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getAs[Long]("start_tok") < a.getAs[Long]("end_tok"),
+              "no token gap between consecutive chunks")
+          case _ =>
+        }
+        // a start is only emitted if it adds uncovered tokens
+        if (cs.length > 1)
+          assert(cs(cs.length - 2).getAs[Long]("end_tok") < n.toLong,
+            "the final chunk must add tokens beyond the previous cover")
+      }
+    }
+    // identical token windows hash identically across documents —
+    // chunk_hash is a cross-doc dedup key
+    val twin = Seq(
+      (100L, (0 until ChunkW).map(j => "w" * (j % 3 + 1)).mkString(" "), "en", "s0", 1L),
+      (101L, (0 until ChunkW).map(j => "w" * (j % 3 + 1)).mkString(" "), "fr", "s1", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hs = graft.operators.Corpus.chunkSpans(twin).collect()
+      .map(_.getAs[Long]("chunk_hash")).distinct
+    assert(hs.length == 1, "same chunk content → same hash")
+  }
+
+  test("chunk spans plan is one row-local scan: no window, no join") {
+    val df = graft.operators.Corpus.chunkSpans(
+      Tables.documents(spark, TestSpark.sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "chunking must stay row-local — generate + project only")
+  }
 }

@@ -440,22 +440,37 @@ object Corpus {
     * stride, first chunk at 0, last chunk ends at n, every token
     * covered, consecutive chunks share exactly min(overlap, len)
     * tokens). */
-  def chunkSpans(docs: DataFrame): DataFrame = {
-    val S = chunkStride
+  def chunkSpans(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)").as("tk"))
-      .filter(size(col("tk")) > 0)
-      .select(col("doc_id"), col("tk"),
-        explode(expr(s"sequence(0, greatest(size(tk) - $ChunkO, 1) - 1, $S)")).as("start"))
-      .select(col("doc_id"),
-        expr(s"CAST(start DIV $S AS BIGINT)").as("chunk_idx"),
-        col("start").cast(LongType).as("start_tok"),
-        expr(s"CAST(least(start + $ChunkW, size(tk)) AS BIGINT)").as("end_tok"),
-        expr(s"slice(tk, start + 1, least(start + $ChunkW, size(tk)) - start)").as("__ctk"))
-      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok")).as("n_chunk_tokens"),
-        Dedup.md5_60(array_join(col("__ctk"), " ")).as("chunk_hash"))
+      .select(col("doc_id"), chunkArrayOfText("text").as("__chunks"))
+      .select(col("doc_id"), explode(col("__chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.end_tok"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** the ONE chunk-geometry expression — an array of chunk structs
+    * (chunk_idx, start_tok, end_tok, n_chunk_tokens, chunk_hash) over
+    * the named text column; empty for token-less/null text. The token
+    * array is let-bound by a transform over a single-element array
+    * (SQL has no `let`), so tokenization runs once per row. Shared by
+    * the standalone q102 explode and the
+    * [[TextAnalysis.docReport]] frame's nested `chunks` column, so
+    * the two cannot drift. */
+  def chunkArrayOfText(textCol: String): org.apache.spark.sql.Column = {
+    val S = chunkStride
+    val toks =
+      s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+    expr(
+      s"""transform(array($toks), tk -> transform(
+         |  CASE WHEN size(tk) > 0 THEN sequence(0, greatest(size(tk) - $ChunkO, 1) - 1, $S)
+         |       ELSE slice(sequence(0, 0), 1, 0) END,
+         |  s -> struct(
+         |    CAST(s DIV $S AS BIGINT) AS chunk_idx,
+         |    CAST(s AS BIGINT) AS start_tok,
+         |    CAST(least(s + $ChunkW, size(tk)) AS BIGINT) AS end_tok,
+         |    CAST(least(s + $ChunkW, size(tk)) - s AS BIGINT) AS n_chunk_tokens,
+         |    CAST(conv(substring(md5(CAST(array_join(
+         |      slice(tk, s + 1, least(s + $ChunkW, size(tk)) - s), ' ')
+         |      AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS chunk_hash)))[0]""".stripMargin)
   }
 }

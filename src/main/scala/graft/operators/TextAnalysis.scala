@@ -245,6 +245,7 @@ object TextAnalysis {
       .transform(withRepetitionCols)
       .withColumn("fingerprint", fingerprintCol(col("text")))
       .withColumn("content_hash", md5(col("text").cast(BinaryType)))
+      .withColumn("chunks", Corpus.chunkArrayOfText("text"))
       .transform(Frequency.rarityScoreRowLocal(_, rarityModel._1, rarityModel._2))
       .transform(LmScreen.lmScoreRowLocal(_, lmModel))
       .transform(Dsir.dsirScoreRowLocal(_, dsirModel))
@@ -336,6 +337,14 @@ object TextAnalysis {
         col("lm_n_bigrams").as("n_bigrams"), col("lm_total_mb").as("total_mb"),
         col("lm_avg_mb").as("avg_mb"), col("lm_keep").as("keep"))
       .orderBy("doc_id")
+
+  /** q102 over the frame — the nested chunk array explodes back to
+    * the span rows. */
+  def reportChunkSpans(report: DataFrame): DataFrame =
+    report.select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.end_tok"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
 
   /** q101 over the frame. */
   def reportDsir(report: DataFrame): DataFrame =

@@ -91,6 +91,11 @@ class DocReportSpec extends AnyFunSuite {
     same(TextAnalysis.reportDsir(report), Dsir.dsirWeights(docs), "q101")
   }
 
+  test("q102 chunk spans derive exactly from the nested chunk array") {
+    same(TextAnalysis.reportChunkSpans(report),
+      graft.operators.Corpus.chunkSpans(docs), "q102")
+  }
+
   test("q55 end-to-end pipeline derives exactly (dedup election + budget cut included)") {
     val rates = Seq("en" -> 8000, "de" -> 6000)
     same(graft.operators.Corpus.reportCorpusPipeline(report, rates, 5000, 4000L),

@@ -228,7 +228,8 @@ object SparkEntry {
     "q100b_lm_perlang" -> ((s, d) => LmScreen.lmScreenPerLang(Tables.documents(s, d))),
     "q101_dsir_weights" -> ((s, d) => Dsir.dsirWeights(Tables.documents(s, d))),
     "q101b_dsir_resample" -> ((s, d) => Dsir.dsirResample(Tables.documents(s, d))),
-    "q102_chunk_spans" -> ((s, d) => Corpus.chunkSpans(Tables.documents(s, d)))
+    "q102_chunk_spans" -> ((s, d) => Corpus.chunkSpans(Tables.documents(s, d))),
+    "q102b_chunk_dedup" -> ((s, d) => Corpus.chunkDedup(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2009,6 +2010,32 @@ object SparkEntry {
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** q102b's oracle: the q102 chunk CTEs plus the first-occurrence
+    * election — winner per hash via a QUALIFY row_number under the
+    * (doc_id, chunk_idx) total order, copy counts via a plain group. */
+  private def chunkDedupSql: String = {
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride}
+    s"""WITH toks AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |  unnest(range(0, greatest(len(tk) - $ChunkO, 1), $chunkStride)) AS start
+       |  FROM toks WHERE len(tk) > 0),
+       |sel AS (SELECT doc_id, CAST(start // $chunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(least(start + $ChunkW, len(tk)) AS BIGINT) AS end_tok,
+       |  ('0x' || substr(md5(array_to_string(
+       |    tk[start + 1 : least(start + $ChunkW, len(tk))], ' ')), 1, 15))::BIGINT AS chunk_hash
+       |  FROM st),
+       |w AS (SELECT chunk_hash, doc_id AS wd, chunk_idx AS wi FROM sel
+       |  QUALIFY row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) = 1),
+       |n AS (SELECT chunk_hash, count(*) AS n_copies FROM sel GROUP BY chunk_hash)
+       |SELECT s.doc_id, s.chunk_idx, s.start_tok, s.end_tok, s.chunk_hash,
+       |  n.n_copies AS n_copies,
+       |  (s.doc_id = w.wd AND s.chunk_idx = w.wi) AS keep
+       |FROM sel s JOIN w USING (chunk_hash) JOIN n USING (chunk_hash)
+       |ORDER BY s.doc_id, s.chunk_idx""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2026,7 +2053,8 @@ object SparkEntry {
       ("q100b_lm_perlang" -> lmPerLangSql) +
       ("q101_dsir_weights" -> dsirWeightsSql) +
       ("q101b_dsir_resample" -> dsirResampleSql) +
-      ("q102_chunk_spans" -> chunkSpansSql)
+      ("q102_chunk_spans" -> chunkSpansSql) +
+      ("q102b_chunk_dedup" -> chunkDedupSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

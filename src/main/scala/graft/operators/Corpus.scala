@@ -448,6 +448,36 @@ object Corpus {
         col("c.end_tok"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** q102b: CHUNK-LEVEL DEDUP — the apply step over the q102 hashes:
+    * a chunk whose exact token content already appeared (in another
+    * document, or earlier in the same one — boilerplate headers,
+    * license blocks, repeated passages) is marked dropped; the first
+    * occurrence under the (doc_id, chunk_idx) total order survives.
+    * This is the published observation that span-level duplication
+    * harms models even when whole documents are unique, applied at
+    * the chunk granularity the packer consumes — dedup THEN pack
+    * wastes no context-window tokens on repeats. Election is the q83
+    * groupBy+winner-join shape ([[Scale.keyAggJoin]] — map-side
+    * partial min over the hash, AQE-splittable join-back; a
+    * boilerplate chunk duplicated 10⁶× combines map-side, never a
+    * window task); plan-pinned no-Window. */
+  def chunkDedup(docs: DataFrame): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), chunkArrayOfText("text").as("__chunks"))
+      .select(col("doc_id"), explode(col("__chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.end_tok"), col("c.chunk_hash"))
+    Scale.keyAggJoin(ch, Seq("chunk_hash"), Seq(
+        count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("__w")))
+      .withColumn("keep",
+        col("doc_id") === col("__w.doc_id") && col("chunk_idx") === col("__w.chunk_idx"))
+      .drop("__w")
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "chunk_hash",
+        "n_copies", "keep")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** the ONE chunk-geometry expression — an array of chunk structs
     * (chunk_idx, start_tok, end_tok, n_chunk_tokens, chunk_hash) over
     * the named text column; empty for token-less/null text. The token

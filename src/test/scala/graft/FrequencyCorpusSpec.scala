@@ -330,6 +330,33 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(hs.length == 1, "same chunk content → same hash")
   }
 
+  test("chunk dedup: first occurrence survives, within and across documents") {
+    import graft.operators.Corpus.{ChunkW, chunkStride}
+    // doc 0: 200 identical tokens — full windows at 0/48/96 share one
+    // hash (only chunk 0 keeps); the final partial window (56 tokens)
+    // has different content and survives. doc 1 repeats doc 0's text:
+    // every full window is a cross-doc duplicate of doc 0's chunk 0,
+    // and its partial duplicates doc 0's partial.
+    val text = Seq.fill(200)("w").mkString(" ")
+    val docs = Seq((0L, text, "en", "s0", 1L), (1L, text, "fr", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Corpus.chunkDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("n_copies"), r.getAs[Boolean]("keep"))).toMap
+    // 4 chunks per doc: starts 0,48,96,144 (windows 64,64,64,56)
+    assert(out.size == 8)
+    assert(out((0L, 0L)) == ((6L, true)), "the first full window keeps; 6 copies exist")
+    Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)).foreach { k =>
+      assert(out(k) == ((6L, false)), s"$k is a duplicate full window")
+    }
+    assert(out((0L, 3L)) == ((2L, true)), "doc 0's partial window is the first of 2")
+    assert(out((1L, 3L)) == ((2L, false)), "doc 1's partial duplicates it")
+    // the election must never be a window over the hash
+    val plan = graft.operators.Corpus.chunkDedup(docs)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), "hash election = groupBy+join, not a window")
+  }
+
   test("chunk spans plan is one row-local scan: no window, no join") {
     val df = graft.operators.Corpus.chunkSpans(
       Tables.documents(spark, TestSpark.sf))

@@ -461,12 +461,24 @@ object Corpus {
     * partial min over the hash, AQE-splittable join-back; a
     * boilerplate chunk duplicated 10⁶× combines map-side, never a
     * window task); plan-pinned no-Window. */
-  def chunkDedup(docs: DataFrame): DataFrame = {
-    val ch = docs
+  def chunkDedup(docs: DataFrame): DataFrame =
+    chunkElection(docs
       .select(col("doc_id"), chunkArrayOfText("text").as("__chunks"))
       .select(col("doc_id"), explode(col("__chunks")).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
-        col("c.end_tok"), col("c.chunk_hash"))
+        col("c.end_tok"), col("c.chunk_hash")))
+
+  /** q102b over a persisted chunk-span frame (the q102 output, or the
+    * [[TextAnalysis.docReport]] frame's exploded chunks view): the
+    * SAME election over already-computed spans — no re-tokenization,
+    * no payload read. Requires doc_id, chunk_idx, start_tok, end_tok,
+    * chunk_hash columns. */
+  def chunkDedupFromSpans(spans: DataFrame): DataFrame =
+    chunkElection(spans.select("doc_id", "chunk_idx", "start_tok",
+      "end_tok", "chunk_hash"))
+
+  /** the shared first-occurrence election tail of q102b. */
+  private def chunkElection(ch: DataFrame): DataFrame =
     Scale.keyAggJoin(ch, Seq("chunk_hash"), Seq(
         count(lit(1)).as("n_copies"),
         min(struct(col("doc_id"), col("chunk_idx"))).as("__w")))
@@ -476,7 +488,6 @@ object Corpus {
       .select("doc_id", "chunk_idx", "start_tok", "end_tok", "chunk_hash",
         "n_copies", "keep")
       .orderBy("doc_id", "chunk_idx")
-  }
 
   /** the ONE chunk-geometry expression — an array of chunk structs
     * (chunk_idx, start_tok, end_tok, n_chunk_tokens, chunk_hash) over

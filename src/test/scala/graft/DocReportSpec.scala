@@ -96,6 +96,12 @@ class DocReportSpec extends AnyFunSuite {
       graft.operators.Corpus.chunkSpans(docs), "q102")
   }
 
+  test("q102b chunk dedup derives exactly from the frame's spans") {
+    same(graft.operators.Corpus.chunkDedupFromSpans(
+        TextAnalysis.reportChunkSpans(report)),
+      graft.operators.Corpus.chunkDedup(docs), "q102b")
+  }
+
   test("q55 end-to-end pipeline derives exactly (dedup election + budget cut included)") {
     val rates = Seq("en" -> 8000, "de" -> 6000)
     same(graft.operators.Corpus.reportCorpusPipeline(report, rates, 5000, 4000L),

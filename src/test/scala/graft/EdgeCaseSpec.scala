@@ -108,6 +108,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(docs).filter($"doc_id" === 1L).count() == 1)
     assert(Corpus.mixtureBalance(docs, Seq("src0" -> 2000), 500).collect().nonEmpty)
     assert(Corpus.packManifest(docs, 512L).filter($"doc_id" === 1L).count() == 1)
+    // chunking: the null-text doc yields no chunks, doc 1 chunks normally
+    assert(Corpus.chunkSpans(docs).filter($"doc_id" === 2L).count() == 0)
+    assert(Corpus.chunkSpans(docs).filter($"doc_id" === 1L).count() == 1)
+    assert(Corpus.chunkDedup(docs).filter($"doc_id" === 1L)
+      .collect().forall(_.getAs[Boolean]("keep")))
   }
 
   test("hygiene family (q66-q70) yields empty results on empty inputs") {

@@ -229,7 +229,8 @@ object SparkEntry {
     "q101_dsir_weights" -> ((s, d) => Dsir.dsirWeights(Tables.documents(s, d))),
     "q101b_dsir_resample" -> ((s, d) => Dsir.dsirResample(Tables.documents(s, d))),
     "q102_chunk_spans" -> ((s, d) => Corpus.chunkSpans(Tables.documents(s, d))),
-    "q102b_chunk_dedup" -> ((s, d) => Corpus.chunkDedup(Tables.documents(s, d)))
+    "q102b_chunk_dedup" -> ((s, d) => Corpus.chunkDedup(Tables.documents(s, d))),
+    "q103_chunk_retrieval" -> ((s, d) => Corpus.chunkRetrieval(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2036,6 +2037,55 @@ object SparkEntry {
        |ORDER BY s.doc_id, s.chunk_idx""".stripMargin
   }
 
+  /** q103's oracle: the q102 chunk CTEs restricted to the non-query
+    * corpus, hashed-count feature vectors as (key, bucket, count)
+    * rows (a bucket join over present buckets ≡ the engine's
+    * zip_with dot — absent buckets contribute 0 to both dot and
+    * norms), the SAME saturated counts and int64 score form, and a
+    * QUALIFY row_number ranking under the identical total order. */
+  private def chunkRetrievalSql: String = {
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride, RetBuckets, RetClamp, RetMod, RetK}
+    s"""WITH toks AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
+       |qt AS (SELECT doc_id AS query_id, tk FROM toks
+       |  WHERE doc_id % $RetMod = 0 AND len(tk) > 0),
+       |qb AS (SELECT query_id,
+       |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
+       |  FROM qt, unnest(tk) AS u(t)),
+       |qv AS (SELECT query_id, b, least(count(*), $RetClamp)::BIGINT AS c
+       |  FROM qb GROUP BY 1, 2),
+       |qn AS (SELECT query_id, sum(c * c)::BIGINT AS qn2 FROM qv GROUP BY 1),
+       |st AS (SELECT doc_id, tk,
+       |  unnest(range(0, greatest(len(tk) - $ChunkO, 1), $chunkStride)) AS start
+       |  FROM toks WHERE len(tk) > 0 AND doc_id % $RetMod <> 0),
+       |ch AS (SELECT doc_id, CAST(start // $chunkStride AS BIGINT) AS chunk_idx,
+       |  tk[start + 1 : least(start + $ChunkW, len(tk))] AS ctk,
+       |  ('0x' || substr(md5(array_to_string(
+       |    tk[start + 1 : least(start + $ChunkW, len(tk))], ' ')), 1, 15))::BIGINT AS chunk_hash
+       |  FROM st),
+       |cb AS (SELECT doc_id, chunk_idx,
+       |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
+       |  FROM ch, unnest(ctk) AS u(t)),
+       |cv AS (SELECT doc_id, chunk_idx, b, least(count(*), $RetClamp)::BIGINT AS c
+       |  FROM cb GROUP BY 1, 2, 3),
+       |cn AS (SELECT doc_id, chunk_idx, sum(c * c)::BIGINT AS cn2
+       |  FROM cv GROUP BY 1, 2),
+       |dots AS (SELECT q.query_id, c.doc_id, c.chunk_idx,
+       |  sum(q.c * c.c)::BIGINT AS dot
+       |  FROM qv q JOIN cv c ON q.b = c.b GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.query_id, d.doc_id, d.chunk_idx,
+       |  (d.dot * d.dot * 1048576) // (qn.qn2 * cn.cn2) AS sim_q20
+       |  FROM dots d JOIN qn USING (query_id) JOIN cn USING (doc_id, chunk_idx)
+       |  WHERE d.dot > 0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_q20 DESC, doc_id, chunk_idx) AS rank FROM sc
+       |  QUALIFY rank <= $RetK)
+       |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.chunk_idx,
+       |  ch.chunk_hash, CAST(r.sim_q20 AS BIGINT) AS sim_q20
+       |FROM rk r JOIN ch USING (doc_id, chunk_idx)
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2054,7 +2104,8 @@ object SparkEntry {
       ("q101_dsir_weights" -> dsirWeightsSql) +
       ("q101b_dsir_resample" -> dsirResampleSql) +
       ("q102_chunk_spans" -> chunkSpansSql) +
-      ("q102b_chunk_dedup" -> chunkDedupSql)
+      ("q102b_chunk_dedup" -> chunkDedupSql) +
+      ("q103_chunk_retrieval" -> chunkRetrievalSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -497,10 +497,21 @@ object Corpus {
     * the standalone q102 explode and the
     * [[TextAnalysis.docReport]] frame's nested `chunks` column, so
     * the two cannot drift. */
-  def chunkArrayOfText(textCol: String): org.apache.spark.sql.Column = {
+  def chunkArrayOfText(textCol: String): org.apache.spark.sql.Column =
+    chunkArrayOfToks(chunkToksSql(textCol))
+
+  /** the ONE chunk-family tokenizer as a SQL fragment (the q39/q102
+    * BPE-ish segmentation) — shared by the chunk geometry, the q103
+    * retrieval feature hashing and the oracle SQL. */
+  def chunkToksSql(textCol: String): String =
+    s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+
+  /** [[chunkArrayOfText]] over an already-materialized token array
+    * (a SQL fragment naming it) — lets a caller that also needs the
+    * token stream for other work (q103's feature vectors) tokenize
+    * ONCE and still run the ONE shared geometry. */
+  def chunkArrayOfToks(toks: String): org.apache.spark.sql.Column = {
     val S = chunkStride
-    val toks =
-      s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
     expr(
       s"""transform(array($toks), tk -> transform(
          |  CASE WHEN size(tk) > 0 THEN sequence(0, greatest(size(tk) - $ChunkO, 1) - 1, $S)
@@ -514,4 +525,130 @@ object Corpus {
          |      slice(tk, s + 1, least(s + $ChunkW, size(tk)) - s), ' ')
          |      AS BINARY)), 1, 15), 16, 10) AS BIGINT) AS chunk_hash)))[0]""".stripMargin)
   }
+
+  /** q103 retrieval geometry: feature buckets, score scale and the
+    * benchmark query-set rule — shared with the oracle SQL. */
+  val RetBuckets = 64
+  val RetClamp = 255
+  val RetMod = 97
+  val RetK = 3
+
+  /** hashed bag-of-tokens feature vector (the q101 hashing trick, its
+    * own "ret:" salt): a length-[[RetBuckets]] count array over the
+    * named token-array column, each count SATURATED at [[RetClamp]].
+    * The clamp is the standard tf-saturation bound AND the overflow
+    * proof: with counts ≤ 255 and chunks ≤ [[ChunkW]] tokens, every
+    * int64 product in the score (dot²·2²⁰, qn2·cn2) is bounded by
+    * 2⁴⁸ — exact at ANY document length, no decimal widening in
+    * either engine. Token array let-bound once per row. */
+  private def retVecSql(tkCol: String): String =
+    s"""transform(array(transform($tkCol, t ->
+       |    pmod(CAST(conv(substring(md5(concat('ret:', t)), 1, 15), 16, 10) AS BIGINT),
+       |         CAST($RetBuckets AS BIGINT)))),
+       |  bk -> transform(sequence(0, ${RetBuckets - 1}), b ->
+       |    least(CAST(size(filter(bk, x -> x = CAST(b AS BIGINT))) AS BIGINT),
+       |          CAST($RetClamp AS BIGINT))))[0]""".stripMargin
+
+  private def sumSqSql(vCol: String): String =
+    s"aggregate($vCol, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+
+  /** q103: CHUNK RETRIEVAL — the RAG serving shape over the q102
+    * segmentation: for each benchmark query document (doc_id ≡ 0 mod
+    * [[RetMod]], ≥1 token; queries are excluded from the chunk
+    * corpus), the top-[[RetK]] corpus CHUNKS by hashed bag-of-tokens
+    * cosine. Similarity is integer-exact in both engines: with count
+    * vectors q, c the emitted score is
+    * `sim_q20 = (q·c)²·2²⁰ DIV (|q|²·|c|²)` — cos² is monotone in
+    * cosine for the non-negative count vectors, so the ranking is the
+    * cosine ranking, computed without a sqrt or a float; ties break
+    * by (doc_id, chunk_idx). Zero-overlap chunks (dot = 0) are not
+    * retrieved.
+    *
+    * Scale shape: the query side collapses to a benchmark-set-sized
+    * feature frame (one row per query) and BROADCASTS; the chunk side
+    * is ONE scan — tokenize once, the shared geometry explode, a
+    * row-local 64-bucket vector per chunk — then row-local dot/score
+    * against the broadcast queries and a bounded-heap
+    * [[graft.plans.TopKPerKey]] election (map-side partial, never a
+    * per-query window over the corpus; the residual rank window sees
+    * ≤k rows per query). At 100 TB the corpus is scanned once per
+    * query batch; nothing shuffles on a data-sized key. */
+  /** the benchmark-query feature frame: one (query_id, qv, qn2) row
+    * per token-bearing query document — benchmark-set-sized by the
+    * [[RetMod]] contract, so it broadcasts (batch) or collects into a
+    * frozen model (stream). */
+  def queryFeatures(docs: DataFrame): DataFrame = docs
+    .filter(pmod(col("doc_id"), lit(RetMod.toLong)) === 0L)
+    .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
+    .filter(size(col("__qtk")) > 0)
+    .withColumn("qv", expr(retVecSql("__qtk")))
+    .select(col("query_id"), col("qv"), expr(sumSqSql("qv")).as("qn2"))
+
+  /** per-chunk feature rows (doc_id, chunk_idx, chunk_hash, cv, cn2):
+    * tokenize ONCE, the ONE shared geometry, a row-local saturated
+    * bucket vector per chunk. Pure generate + project. */
+  def chunkFeatures(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), expr(chunkToksSql("text")).as("__tk"))
+    .select(col("doc_id"), col("__tk"), explode(chunkArrayOfToks("__tk")).as("c"))
+    .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+      col("c.chunk_hash").as("chunk_hash"),
+      expr("slice(__tk, CAST(c.start_tok AS INT) + 1, CAST(c.end_tok - c.start_tok AS INT))")
+        .as("__ct"))
+    .withColumn("cv", expr(retVecSql("__ct")))
+    .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cv"),
+      expr(sumSqSql("cv")).as("cn2"))
+
+  private val dotSql =
+    "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  private val simSql = "(dot * dot * 1048576) DIV (qn2 * cn2)"
+
+  def chunkRetrieval(docs: DataFrame, k: Int = RetK): DataFrame = {
+    val qf = queryFeatures(docs)
+    val chunks = chunkFeatures(
+      docs.filter(pmod(col("doc_id"), lit(RetMod.toLong)) =!= 0L))
+    val scored = chunks.crossJoin(broadcast(qf))
+      .withColumn("dot", expr(dotSql))
+      .filter(col("dot") > 0L)
+      .withColumn("sim_q20", expr(simSql))
+    val top = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("sim_q20").desc, col("doc_id"), col("chunk_idx")), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_q20").desc, col("doc_id"), col("chunk_idx"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
+      .orderBy("query_id", "rank")
+  }
+
+  /** the q103 query side FROZEN (the rarity/LM/DSIR freeze
+    * discipline): collect the benchmark-set-sized feature frame into
+    * a driver-side model so ingest-time scoring is a pure row-local
+    * function. Bounded by the [[RetMod]] benchmark contract. */
+  def retrievalModel(docs: DataFrame): Seq[(Long, Seq[Long], Long)] =
+    queryFeatures(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+
+  /** ingest-time chunk scoring against a frozen query model — the
+    * percolator shape of q103 (which arriving chunks match a
+    * benchmark query above `minSimQ20`? — contamination alerting at
+    * the door, before a duplicate ever reaches the corpus). The model
+    * inlines as a literal array of (query_id, qv, qn2) structs, so
+    * the whole pass is row-local: chunk the document, build its
+    * saturated vector, score it against each frozen query — no join,
+    * no state, stream-safe. Emits (doc_id, chunk_idx, chunk_hash,
+    * query_id, sim_q20) for every pair at or above the threshold;
+    * scores are bit-identical to the batch [[chunkRetrieval]]
+    * scoring (shared dot/sim expressions). */
+  def retrievalLookup(docs: DataFrame, model: Seq[(Long, Seq[Long], Long)],
+                      minSimQ20: Long): DataFrame =
+    chunkFeatures(docs)
+      .withColumn("__q", explode(typedlit(model)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+        col("cv"), col("cn2"), col("__q._1").as("query_id"),
+        col("__q._2").as("qv"), col("__q._3").as("qn2"))
+      .withColumn("dot", expr(dotSql))
+      .filter(col("dot") > 0L)
+      .withColumn("sim_q20", expr(simSql))
+      .filter(col("sim_q20") >= minSimQ20)
+      .select("doc_id", "chunk_idx", "chunk_hash", "query_id", "sim_q20")
 }

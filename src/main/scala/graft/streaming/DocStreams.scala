@@ -140,6 +140,19 @@ object DocStreams {
         col("dsir_n_tokens").as("n_tokens"),
         col("dsir_weight_mb").as("weight_mb"), col("dsir_keep").as("keep"))
 
+  /** Ingest-time retrieval percolation (q103's stream twin): every
+    * arriving document is chunked by the ONE shared geometry and each
+    * chunk scored row-locally against the FROZEN benchmark-query
+    * feature model ([[graft.operators.Corpus.retrievalModel]] — a
+    * literal benchmark-set-sized array, the freeze discipline); pairs
+    * at or above `minSimQ20` are emitted — contamination/duplication
+    * alerting at the door, before a chunk ever reaches the corpus.
+    * No join, no state, no shuffle; scores bit-identical to the
+    * batch q103 scoring (shared dot/sim expressions). */
+  def retrievalLookup(docs: DataFrame, model: Seq[(Long, Seq[Long], Long)],
+                      minSimQ20: Long): DataFrame =
+    graft.operators.Corpus.retrievalLookup(docs, model, minSimQ20)
+
   /** Ingest-time decode-once report frame
     * ([[graft.operators.TextAnalysis.docReport]]'s stream twin): the
     * frame is a pure row-local pass against three FROZEN models, so

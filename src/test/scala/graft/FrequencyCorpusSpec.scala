@@ -365,4 +365,73 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("Join"),
       "chunking must stay row-local — generate + project only")
   }
+
+  test("chunk retrieval: exact-match chunk ranks first at sim 2^20; ranking is cosine") {
+    import graft.operators.Corpus.RetMod
+    // doc 0 (≡0 mod RetMod) is the query; doc 1 repeats its text
+    // verbatim (identical token multiset → identical feature vector →
+    // cos = 1 exactly); doc 2 shares half the tokens; doc 3 none.
+    val qText = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, qText, "en", "s0", qText.length.toLong),
+      (1L, qText, "en", "s0", qText.length.toLong),
+      (2L, "alpha beta gamma qqq rrr sss", "en", "s0", 28L),
+      (3L, "uno dos tres cuatro cinco seis", "en", "s0", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.chunkRetrieval(docs).collect()
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+    // the verbatim copy is rank 1 with EXACTLY cos²·2²⁰ = 1048576
+    val r1 = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(r1.getAs[Long]("doc_id") == 1L && r1.getAs[Long]("sim_q20") == 1048576L)
+    // Cauchy-Schwarz: every score ≤ 2^20; positive by the dot>0 gate
+    out.foreach { r =>
+      val s = r.getAs[Long]("sim_q20")
+      assert(s > 0L && s <= 1048576L, s"score out of range: $s")
+    }
+    // the partial-overlap chunk outranks nothing above it and the
+    // disjoint doc 3 is retrievable only via a hash collision — if it
+    // appears at all it must rank BELOW the half-overlap chunk
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(byDoc(2L) == 2L, "half-overlap chunk must rank 2")
+    byDoc.get(3L).foreach(r3 => assert(r3 > byDoc(2L)))
+    // query docs never appear as retrieved chunks
+    assert(!byDoc.contains(0L))
+    // k bound
+    assert(out.length <= graft.operators.Corpus.RetK)
+    assert(RetMod == 97)
+  }
+
+  test("chunk retrieval: tf saturation — counts past the clamp cannot move scores") {
+    import graft.operators.Corpus.{RetClamp, RetMod}
+    // two query docs whose only difference is a token repeated at vs
+    // far past the clamp: identical saturated vectors → identical
+    // per-chunk scores (score columns equal row-for-row).
+    def rep(n: Int) = Seq.fill(n)("zzz").mkString(" ")
+    val docs = Seq(
+      (0L, rep(RetClamp), "en", "s0", 1L),
+      (RetMod.toLong, rep(RetClamp + 500), "en", "s0", 1L),
+      (1L, "zzz yyy xxx", "en", "s0", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.chunkRetrieval(docs).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx"), r.getAs[Long]("sim_q20"))).sorted.toSeq).toMap
+    assert(out.keySet == Set(0L, RetMod.toLong))
+    assert(out(0L) == out(RetMod.toLong),
+      "saturated vectors must be identical → identical retrieval lists")
+    assert(out(0L).nonEmpty)
+  }
+
+  test("chunk retrieval plan: broadcast query side, TopK election, no corpus-sized window") {
+    val df = Corpus.chunkRetrieval(Tables.documents(spark, TestSpark.sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), "election must be the bounded-heap operator")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the benchmark query side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "nothing may shuffle on a data-sized key")
+    // the only Window is the rank over ≤k TopK survivors (AQE prints
+    // the final AND the initial plan, so the one node appears twice)
+    assert(plan.split("Window \\[").length - 1 <= 2)
+  }
 }

@@ -299,6 +299,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream scoring must reproduce the batch weights verbatim")
   }
 
+  test("streaming retrieval percolation scores exactly as the batch q103") {
+    // freeze the benchmark-query model batch-side, stream the corpus
+    // side through the percolator at threshold 1: every batch top-k
+    // row must surface with the IDENTICAL integer score (the batch
+    // path goes broadcast-join + TopK; the stream path is a literal
+    // model explode — same dot/sim expressions, so bit-equal)
+    val docs = Tables.documents(spark, sf)
+    val corpusSide = docs.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(
+          graft.operators.Corpus.RetMod.toLong)) =!= 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_retstream").toString
+    corpusSide.write.mode("overwrite").parquet(dir)
+    val model = graft.operators.Corpus.retrievalModel(docs)
+    assert(model.nonEmpty && model.size < 20, "benchmark-set-sized model")
+    val want = graft.operators.Corpus.chunkRetrieval(docs).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx")) -> r.getAs[Long]("sim_q20")).toMap
+    val q = graft.streaming.DocStreams.retrievalLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), model, 0L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ret_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ret_out").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx")) -> r.getAs[Long]("sim_q20")).toMap
+    want.foreach { case (k, s) =>
+      assert(got.get(k).contains(s),
+        s"batch top-k pair $k (sim $s) must percolate with the same score, got ${got.get(k)}")
+    }
+    assert(got.values.forall(_ >= 0L), "threshold respected")
+  }
+
   test("streaming doc report equals the batch frame under the frozen models") {
     // the decode-once frame is pure row-local work, so the SAME
     // function must produce identical rows at ingest — every screen

@@ -230,7 +230,8 @@ object SparkEntry {
     "q101b_dsir_resample" -> ((s, d) => Dsir.dsirResample(Tables.documents(s, d))),
     "q102_chunk_spans" -> ((s, d) => Corpus.chunkSpans(Tables.documents(s, d))),
     "q102b_chunk_dedup" -> ((s, d) => Corpus.chunkDedup(Tables.documents(s, d))),
-    "q103_chunk_retrieval" -> ((s, d) => Corpus.chunkRetrieval(Tables.documents(s, d)))
+    "q103_chunk_retrieval" -> ((s, d) => Corpus.chunkRetrieval(Tables.documents(s, d))),
+    "q103b_retrieval_pruned" -> ((s, d) => Corpus.chunkRetrievalPruned(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2086,6 +2087,78 @@ object SparkEntry {
        |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
+  /** q103b's oracle: champion-list pruning replayed end-to-end —
+    * candidate-space distinct buckets per side, chunk-side df, each
+    * query's RetbChamps rarest buckets under the (df, b) total order
+    * via QUALIFY row_number, candidate pairs from the champion join,
+    * then the EXACT q103 scoring-space rescore (the same "ret:"
+    * 64-bucket rows, saturated counts, int64 cos² and ties). A
+    * candidate pair sharing no scoring bucket simply drops out of the
+    * dot join — the engine's dot > 0 gate. */
+  private def chunkRetrievalPrunedSql: String = {
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride, RetBuckets, RetbShingleK, RetClamp, RetbMod, RetbChamps, RetK}
+    val ke = RetbShingleK - 1 // inclusive-slice end offset for k-shingles
+    s"""WITH toks AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |  unnest(range(0, greatest(len(tk) - $ChunkO, 1), $chunkStride)) AS start
+       |  FROM toks WHERE len(tk) > 0 AND doc_id % $RetbMod <> 0),
+       |ch AS (SELECT doc_id, CAST(start // $chunkStride AS BIGINT) AS chunk_idx,
+       |  tk[start + 1 : least(start + $ChunkW, len(tk))] AS ctk,
+       |  ('0x' || substr(md5(array_to_string(
+       |    tk[start + 1 : least(start + $ChunkW, len(tk))], ' ')), 1, 15))::BIGINT AS chunk_hash
+       |  FROM st),
+       |csh AS (SELECT doc_id, chunk_idx,
+       |  unnest(CASE WHEN len(ctk) < $RetbShingleK THEN [array_to_string(ctk, ' ')]
+       |    ELSE [array_to_string(ctk[i:i+$ke], ' ') FOR i IN range(1, len(ctk) - $ke + 1)] END) AS s
+       |  FROM ch),
+       |crows AS (SELECT DISTINCT doc_id, chunk_idx,
+       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM csh),
+       |dfb AS (SELECT h, count(*)::BIGINT AS df FROM crows GROUP BY 1),
+       |qt AS (SELECT doc_id AS query_id, tk FROM toks
+       |  WHERE doc_id % $RetbMod = 0 AND len(tk) > 0),
+       |qsh AS (SELECT query_id,
+       |  unnest(CASE WHEN len(tk) < $RetbShingleK THEN [array_to_string(tk, ' ')]
+       |    ELSE [array_to_string(tk[i:i+$ke], ' ') FOR i IN range(1, len(tk) - $ke + 1)] END) AS s
+       |  FROM qt),
+       |qrows AS (SELECT DISTINCT query_id,
+       |  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM qsh),
+       |champs AS (SELECT query_id, h FROM qrows JOIN dfb USING (h)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY df, h) <= $RetbChamps),
+       |cands AS (SELECT DISTINCT c.query_id, r.doc_id, r.chunk_idx
+       |  FROM champs c JOIN crows r USING (h)),
+       |qb64 AS (SELECT query_id,
+       |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
+       |  FROM qt, unnest(tk) AS u(t)),
+       |qv64 AS (SELECT query_id, b, least(count(*), $RetClamp)::BIGINT AS qc
+       |  FROM qb64 GROUP BY 1, 2),
+       |qn AS (SELECT query_id, sum(qc * qc)::BIGINT AS qn2 FROM qv64 GROUP BY 1),
+       |cb64 AS (SELECT doc_id, chunk_idx,
+       |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
+       |  FROM ch, unnest(ctk) AS u(t)),
+       |cv64 AS (SELECT doc_id, chunk_idx, b, least(count(*), $RetClamp)::BIGINT AS cc
+       |  FROM cb64 GROUP BY 1, 2, 3),
+       |cn AS (SELECT doc_id, chunk_idx, sum(cc * cc)::BIGINT AS cn2
+       |  FROM cv64 GROUP BY 1, 2),
+       |dots AS (SELECT ca.query_id, ca.doc_id, ca.chunk_idx,
+       |  sum(q.qc * c.cc)::BIGINT AS dot
+       |  FROM cands ca
+       |  JOIN qv64 q ON q.query_id = ca.query_id
+       |  JOIN cv64 c ON c.doc_id = ca.doc_id AND c.chunk_idx = ca.chunk_idx AND c.b = q.b
+       |  GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.query_id, d.doc_id, d.chunk_idx,
+       |  (d.dot * d.dot * 1048576) // (qn.qn2 * cn.cn2) AS sim_q20
+       |  FROM dots d JOIN qn USING (query_id) JOIN cn USING (doc_id, chunk_idx)
+       |  WHERE d.dot > 0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_q20 DESC, doc_id, chunk_idx) AS rank FROM sc
+       |  QUALIFY rank <= $RetK)
+       |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.chunk_idx,
+       |  ch.chunk_hash, CAST(r.sim_q20 AS BIGINT) AS sim_q20
+       |FROM rk r JOIN ch USING (doc_id, chunk_idx)
+       |ORDER BY r.query_id, r.rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2105,7 +2178,8 @@ object SparkEntry {
       ("q101b_dsir_resample" -> dsirResampleSql) +
       ("q102_chunk_spans" -> chunkSpansSql) +
       ("q102b_chunk_dedup" -> chunkDedupSql) +
-      ("q103_chunk_retrieval" -> chunkRetrievalSql)
+      ("q103_chunk_retrieval" -> chunkRetrievalSql) +
+      ("q103b_retrieval_pruned" -> chunkRetrievalPrunedSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

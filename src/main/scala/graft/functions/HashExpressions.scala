@@ -299,6 +299,58 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Saturated hashed bag-of-tokens counts (the q103 retrieval
+    * feature): one length-`buckets` long array per row, token t
+    * incrementing bucket md5_60(salt ‖ t) mod buckets, each count
+    * capped at `clamp`. The HOF formulation
+    * (`transform(sequence(0,B−1), b -> size(filter(...)))`) is
+    * O(B·n) with an interpreted lambda per element; this is one
+    * O(n) codegen'd pass with an incremental digest. Null tokens are
+    * skipped (the SQL version maps them to a null bucket that
+    * matches nothing — same absence). */
+  case class BucketCountVec(child: Expression, salt: String, buckets: Int, clamp: Int)
+      extends UnaryExpression {
+    require(buckets > 0 && clamp > 0, s"bucket_count_vec($buckets, $clamp)")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"bucket_count_vec expects array<string>, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bucket_count_vec"
+
+    private val saltBytes = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    def kernel(a: ArrayData): ArrayData = {
+      val out = new Array[Long](buckets)
+      val md = Md5Kernels.digest()
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          md.reset()
+          md.update(saltBytes)
+          md.update(a.getUTF8String(i).getBytes)
+          val b = (Md5Kernels.first60(md.digest()) % buckets).toInt
+          if (out(b) < clamp) out(b) += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("bucketCounts", this, classOf[BucketCountVec].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def literalInt(e: Expression, fn: String): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(
@@ -335,4 +387,7 @@ object HashExpressions {
   def affine_minhash(hashes: Column, params: Seq[(Long, Long)]): Column =
     ColumnBridge.column(AffineMinHash(ColumnBridge.expression(hashes),
       params.map(_._1), params.map(_._2)))
+
+  def bucket_count_vec(tokens: Column, salt: String, buckets: Int, clamp: Int): Column =
+    ColumnBridge.column(BucketCountVec(ColumnBridge.expression(tokens), salt, buckets, clamp))
 }

@@ -118,6 +118,92 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Σ aᵢ·bᵢ over two long arrays, exact int64 — the integer-count
+    * sibling of [[ArrayDotProduct]] for the q103 retrieval scoring,
+    * whose HOF form (`aggregate(zip_with(...))`) evaluates an
+    * interpreted lambda per element per candidate pair. Callers
+    * guarantee no-overflow via saturation bounds. */
+  case class LongArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lvec_dot expects array<bigint>, got $a, $b")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "lvec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long ${ev.value}_s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_s += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = ${ev.value}_s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Σ aᵢ² over a long array, exact int64. */
+  case class LongArrayNormSq(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lvec_norm_sq expects array<bigint>, got $t")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "lvec_norm_sq"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0L
+      var i = 0
+      while (i < x.numElements()) { val v = x.getLong(i); s += v * v; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        s"""
+           |long ${ev.value}_s = 0L;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  long v = $a.getLong($i);
+           |  ${ev.value}_s += v * v;
+           |}
+           |${ev.value} = ${ev.value}_s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** All LSH sign-buckets for a vector in ONE expression: for table t,
     * bucket(t) = Σ_j [dot(v, planes(t)(j)) > 0]·2^j. The plane matrix
     * rides along as a codegen reference object — one tree node where
@@ -264,6 +350,12 @@ object VectorExpressions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lvec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lvec_norm_sq(a: Column): Column =
+    ColumnBridge.column(LongArrayNormSq(ColumnBridge.expression(a)))
 
   def vec_norm_sq(a: Column): Column =
     ColumnBridge.column(ArrayNormSq(ColumnBridge.expression(a)))

@@ -535,22 +535,18 @@ object Corpus {
 
   /** hashed bag-of-tokens feature vector (the q101 hashing trick, its
     * own "ret:" salt): a length-[[RetBuckets]] count array over the
-    * named token-array column, each count SATURATED at [[RetClamp]].
+    * token-array column, each count SATURATED at [[RetClamp]].
     * The clamp is the standard tf-saturation bound AND the overflow
     * proof: with counts ≤ 255 and chunks ≤ [[ChunkW]] tokens, every
     * int64 product in the score (dot²·2²⁰, qn2·cn2) is bounded by
     * 2⁴⁸ — exact at ANY document length, no decimal widening in
-    * either engine. Token array let-bound once per row. */
-  private def retVecSql(tkCol: String): String =
-    s"""transform(array(transform($tkCol, t ->
-       |    pmod(CAST(conv(substring(md5(concat('ret:', t)), 1, 15), 16, 10) AS BIGINT),
-       |         CAST($RetBuckets AS BIGINT)))),
-       |  bk -> transform(sequence(0, ${RetBuckets - 1}), b ->
-       |    least(CAST(size(filter(bk, x -> x = CAST(b AS BIGINT))) AS BIGINT),
-       |          CAST($RetClamp AS BIGINT))))[0]""".stripMargin
-
-  private def sumSqSql(vCol: String): String =
-    s"aggregate($vCol, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    * either engine. One O(n) codegen pass
+    * ([[graft.functions.HashExpressions.BucketCountVec]]) — the HOF
+    * formulation evaluated an interpreted lambda per (bucket, token)
+    * pair and made q103 the slowest query in the suite (5.3s warm at
+    * sf0.1; the r1 MinHash lesson re-learned). */
+  private def retVec(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HashExpressions.bucket_count_vec(toks, "ret:", RetBuckets, RetClamp)
 
   /** q103: CHUNK RETRIEVAL — the RAG serving shape over the q102
     * segmentation: for each benchmark query document (doc_id ≡ 0 mod
@@ -581,8 +577,9 @@ object Corpus {
     .filter(pmod(col("doc_id"), lit(RetMod.toLong)) === 0L)
     .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
     .filter(size(col("__qtk")) > 0)
-    .withColumn("qv", expr(retVecSql("__qtk")))
-    .select(col("query_id"), col("qv"), expr(sumSqSql("qv")).as("qn2"))
+    .withColumn("qv", retVec(col("__qtk")))
+    .select(col("query_id"), col("qv"),
+      graft.functions.VectorExpressions.lvec_norm_sq(col("qv")).as("qn2"))
 
   /** per-chunk feature rows (doc_id, chunk_idx, chunk_hash, cv, cn2):
     * tokenize ONCE, the ONE shared geometry, a row-local saturated
@@ -594,12 +591,12 @@ object Corpus {
       col("c.chunk_hash").as("chunk_hash"),
       expr("slice(__tk, CAST(c.start_tok AS INT) + 1, CAST(c.end_tok - c.start_tok AS INT))")
         .as("__ct"))
-    .withColumn("cv", expr(retVecSql("__ct")))
+    .withColumn("cv", retVec(col("__ct")))
     .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cv"),
-      expr(sumSqSql("cv")).as("cn2"))
+      graft.functions.VectorExpressions.lvec_norm_sq(col("cv")).as("cn2"))
 
-  private val dotSql =
-    "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  private def dotCol: org.apache.spark.sql.Column =
+    graft.functions.VectorExpressions.lvec_dot(col("qv"), col("cv"))
   private val simSql = "(dot * dot * 1048576) DIV (qn2 * cn2)"
 
   def chunkRetrieval(docs: DataFrame, k: Int = RetK): DataFrame = {
@@ -607,7 +604,7 @@ object Corpus {
     val chunks = chunkFeatures(
       docs.filter(pmod(col("doc_id"), lit(RetMod.toLong)) =!= 0L))
     val scored = chunks.crossJoin(broadcast(qf))
-      .withColumn("dot", expr(dotSql))
+      .withColumn("dot", dotCol)
       .filter(col("dot") > 0L)
       .withColumn("sim_q20", expr(simSql))
     val top = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
@@ -618,6 +615,111 @@ object Corpus {
       .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
       .orderBy("query_id", "rank")
   }
+
+  /** q103b geometry: the LARGE-query-set path takes every 7th
+    * document as a query (a corpus-sized batch, not a benchmark set);
+    * candidates come from shared [[RetbShingleK]]-token shingle
+    * hashes (the q31/q58 blocking discipline — a hashed-unigram
+    * candidate space degenerates on a small vocabulary, where every
+    * bucket is hot); [[RetbChamps]] is the per-query champion
+    * budget. */
+  val RetbShingleK = 3
+  val RetbMod = 7
+  val RetbChamps = 8
+
+  /** q103b: CHUNK RETRIEVAL AT LARGE QUERY-SET SCALE — champion-list
+    * pruned retrieval. Exhaustively scoring a corpus-sized query
+    * batch is Ω(Q·C) in ANY plan (the first cut here — one equi-join
+    * on the bucket — was formally shuffle-minimal and still 21s at
+    * sf0.1, because every stopword bucket joins Q×C rows). The
+    * published IR answer is candidate PRUNING: score only pairs that
+    * share a DISCRIMINATIVE feature. The candidate space is the
+    * [[RetbShingleK]]-token shingle hash (the q31/q58 blocking
+    * discipline — a phrase, not a word, so it discriminates even on
+    * a small vocabulary); per query, its [[RetbChamps]] RAREST
+    * shingles (rarity = chunk-side document frequency, ties by hash
+    * — a total order both engines replay) become its champion list,
+    * and a chunk is a candidate iff it shares one. Candidates are
+    * then rescored EXACTLY in the q103 scoring space (same "ret:"
+    * features, same integer cos², same ties), so q103b's scores are
+    * comparable with q103's — the ANN trade is recall (a pair
+    * sharing no rare phrase is never scored), stated rather than
+    * hidden, exactly like q36-LSH vs q35-brute-force.
+    *
+    * Scale shape: both sides' shingle rows are one codegen pass +
+    * distinct; the df aggregation combines map-side; champion lists
+    * are Q×[[RetbChamps]] rows elected by the bounded-heap
+    * TopKPerKey (never a per-query window); the candidate join
+    * broadcasts the champion side against the chunk posting rows;
+    * rescoring joins candidates to the two feature frames on their
+    * own keys (AQE-splittable equi-joins); the final election is
+    * TopKPerKey again. No data-sized broadcast, no hot-key Q×C
+    * blowup — a champion join's fan-in is capped by the champion
+    * shingle's df, minimal by construction. */
+  def chunkRetrievalPruned(docs: DataFrame, k: Int = RetK): DataFrame = {
+    val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
+    def shingles(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.HashExpressions.md5_shingle_hashes(toks, RetbShingleK)
+    // chunk side: one row-local frame with BOTH spaces' features
+    val cf = chunkFeaturesSparseInput(docs.filter(!isQuery))
+      .withColumn("cv", retVec(col("__ct")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("__ct"),
+        col("cv"), graft.functions.VectorExpressions.lvec_norm_sq(col("cv")).as("cn2"))
+    // candidate-space posting rows (distinct shingle hashes per chunk)
+    val crows = cf.select(col("doc_id"), col("chunk_idx"), explode(shingles(col("__ct"))).as("h"))
+      .distinct()
+    val df = crows.groupBy("h").agg(count(lit(1)).cast(LongType).as("df"))
+    // query side: distinct candidate-space shingles + the scoring vector
+    val qtoks = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
+      .filter(size(col("__qtk")) > 0)
+    val qscore = qtoks
+      .withColumn("qv", retVec(col("__qtk")))
+      .select(col("query_id"), col("qv"),
+        graft.functions.VectorExpressions.lvec_norm_sq(col("qv")).as("qn2"))
+    val qrows = qtoks.select(col("query_id"), explode(shingles(col("__qtk"))).as("h"))
+      .distinct()
+    // champion lists: each query's RetbChamps rarest shingles under the
+    // (df, h) total order — a bounded-heap election, never a window.
+    // The df side is shingle-domain-sized: a plain equi-join, NOT a
+    // broadcast (AQE splits any skew; a query shingle absent from the
+    // corpus simply finds no df row and prunes itself here)
+    val champs = graft.plans.TopKPerKey(
+      qrows.join(df, Seq("h")),
+      Seq(col("query_id")), Seq(col("df"), col("h")), RetbChamps)
+    // candidates: chunks sharing a champion shingle (champion side is
+    // Q×RetbChamps rows — broadcast it against the posting rows)
+    val cands = crows
+      .join(broadcast(champs.select("query_id", "h")), Seq("h"))
+      .select("query_id", "doc_id", "chunk_idx")
+      .distinct()
+    // exact rescore in the q103 scoring space
+    val scored = cands
+      .join(qscore, Seq("query_id"))
+      .join(cf.select("doc_id", "chunk_idx", "chunk_hash", "cv", "cn2"),
+        Seq("doc_id", "chunk_idx"))
+      .withColumn("dot", dotCol)
+      .filter(col("dot") > 0L)
+      .withColumn("sim_q20", expr(simSql))
+    val top = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("sim_q20").desc, col("doc_id"), col("chunk_idx")), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_q20").desc, col("doc_id"), col("chunk_idx"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
+      .orderBy("query_id", "rank")
+  }
+
+  /** chunk rows carrying the sliced token array (shared geometry;
+    * the sparse path explodes tokens instead of building the dense
+    * vector). */
+  private def chunkFeaturesSparseInput(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), expr(chunkToksSql("text")).as("__tk"))
+    .select(col("doc_id"), col("__tk"), explode(chunkArrayOfToks("__tk")).as("c"))
+    .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+      col("c.chunk_hash").as("chunk_hash"),
+      expr("slice(__tk, CAST(c.start_tok AS INT) + 1, CAST(c.end_tok - c.start_tok AS INT))")
+        .as("__ct"))
 
   /** the q103 query side FROZEN (the rarity/LM/DSIR freeze
     * discipline): collect the benchmark-set-sized feature frame into
@@ -646,7 +748,7 @@ object Corpus {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
         col("cv"), col("cn2"), col("__q._1").as("query_id"),
         col("__q._2").as("qv"), col("__q._3").as("qn2"))
-      .withColumn("dot", expr(dotSql))
+      .withColumn("dot", dotCol)
       .filter(col("dot") > 0L)
       .withColumn("sim_q20", expr(simSql))
       .filter(col("sim_q20") >= minSimQ20)

@@ -422,6 +422,46 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(out(0L).nonEmpty)
   }
 
+  test("pruned retrieval: verbatim copy still rank 1; no shared phrase → never a candidate") {
+    import graft.operators.Corpus.RetbMod
+    // doc 0 (≡0 mod RetbMod) queries; doc 1 repeats it verbatim (all
+    // its shingles shared, champions included → candidate, and the
+    // identical scoring vector gives EXACTLY 2^20); doc 2 shares a
+    // 3-token phrase (candidate via that shingle); doc 3 shares NO
+    // 3-shingle — champion pruning must never score it, even though
+    // a 64-bucket collision could give it dot > 0 in the scoring
+    // space (the stated recall trade, deterministic here)
+    val qText = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, qText, "en", "s0", qText.length.toLong),
+      (1L, qText, "en", "s0", qText.length.toLong),
+      (2L, "alpha beta gamma qqq rrr sss", "en", "s0", 28L),
+      (3L, "uno dos tres cuatro cinco seis", "en", "s0", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Corpus.chunkRetrievalPruned(docs).collect()
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc(1L).getAs[Long]("rank") == 1L &&
+      byDoc(1L).getAs[Long]("sim_q20") == 1048576L)
+    assert(byDoc(2L).getAs[Long]("rank") == 2L)
+    assert(!byDoc.contains(3L), "no shared shingle → pruned before scoring")
+    assert(!byDoc.contains(0L), "queries never retrieved")
+    assert(RetbMod == 7)
+  }
+
+  test("pruned retrieval plan: champion + final TopK elections, no data-sized window or cartesian") {
+    val df = graft.operators.Corpus.chunkRetrievalPruned(
+      Tables.documents(spark, TestSpark.sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.split("TopKPerKey").length - 1 >= 2,
+      "both the champion and the final election must be bounded-heap operators")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "pruned retrieval must never form the Q×C cross product")
+    // only the ≤k rank Window survives (AQE prints final + initial)
+    assert(plan.split("Window \\[").length - 1 <= 2)
+  }
+
   test("chunk retrieval plan: broadcast query side, TopK election, no corpus-sized window") {
     val df = Corpus.chunkRetrieval(Tables.documents(spark, TestSpark.sf))
     df.collect()

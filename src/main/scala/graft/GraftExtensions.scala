@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", "vec_norm_sq"),
       exprs => VectorExpressions.ArrayNormSq(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("lvec_dot"),
+      new ExpressionInfo("graft", "lvec_dot"),
+      exprs => VectorExpressions.LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("lvec_norm_sq"),
+      new ExpressionInfo("graft", "lvec_norm_sq"),
+      exprs => VectorExpressions.LongArrayNormSq(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("log2mb"),
       new ExpressionInfo("graft", "log2mb"),
       exprs => graft.functions.LogExpressions.Log2FixedMb(exprs(0), exprs(1))))

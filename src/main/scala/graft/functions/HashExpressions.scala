@@ -356,6 +356,11 @@ object HashExpressions {
     else throw new IllegalArgumentException(
       s"$fn: second argument must be a literal integer")
 
+  private def literalString(e: Expression, fn: String): String =
+    if (e.foldable) e.eval().toString
+    else throw new IllegalArgumentException(
+      s"$fn: argument must be a literal string")
+
   /** The ONE definition of each SQL function builder — referenced by
     * both GraftExtensions (spark.sql.extensions) and the session-local
     * [[registerSql]], so the two registration paths can't drift. */
@@ -368,7 +373,11 @@ object HashExpressions {
       val params = graft.operators.Dedup.affineParams(
         literalInt(exprs(1), "affine_minhash"))
       AffineMinHash(exprs(0), params.map(_._1), params.map(_._2))
-    }))
+    }),
+    "bucket_count_vec" -> ((exprs: Seq[Expression]) =>
+      BucketCountVec(exprs(0), literalString(exprs(1), "bucket_count_vec"),
+        literalInt(exprs(2), "bucket_count_vec"),
+        literalInt(exprs(3), "bucket_count_vec"))))
 
   /** SQL registration (session-local twin of the GraftExtensions
     * entries): simhash64(arr), md5_shingle_hashes(tokens, k),

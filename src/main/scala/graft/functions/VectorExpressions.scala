@@ -360,11 +360,16 @@ object VectorExpressions {
   def vec_norm_sq(a: Column): Column =
     ColumnBridge.column(ArrayNormSq(ColumnBridge.expression(a)))
 
-  /** make vec_dot / vec_norm_sq available to spark.sql(...) texts. */
+  /** make vec_dot / vec_norm_sq / lvec_dot / lvec_norm_sq available
+    * to spark.sql(...) texts. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     ColumnBridge.registerFunction(spark, "vec_dot",
       exprs => ArrayDotProduct(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "vec_norm_sq",
       exprs => ArrayNormSq(exprs.head))
+    ColumnBridge.registerFunction(spark, "lvec_dot",
+      exprs => LongArrayDot(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "lvec_norm_sq",
+      exprs => LongArrayNormSq(exprs.head))
   }
 }

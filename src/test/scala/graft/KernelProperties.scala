@@ -134,6 +134,39 @@ object KernelProperties extends Properties("graft.kernels") {
       sig(hs) == sig(hs.reverse) && sig(hs) == sig(hs ++ hs)
     }
 
+  // ---- BucketCountVec: matches a naive count-then-clamp model
+
+  property("bucket_count_vec equals naive salted-md5 counts clamped") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.chooseNum(1, 64),
+        Gen.chooseNum(1, 5)) { (tokens, buckets, clamp) =>
+      val expr = graft.functions.HashExpressions.BucketCountVec(
+        Literal.create(null, ArrayType(StringType)), "ret:", buckets, clamp)
+      val arr = ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+      val got = expr.kernel(arr).toLongArray.toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = new Array[Long](buckets)
+      tokens.foreach { t =>
+        val hex = md.digest(("ret:" + t).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val b = (java.lang.Long.parseLong(hex.take(15), 16) % buckets).toInt
+        if (want(b) < clamp) want(b) += 1
+      }
+      got == want.toSeq && got.length == buckets
+    }
+
+  property("lvec dot and norm_sq equal the naive fold, exact in int64") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-1000L, 1000L)),
+        Gen.listOf(Gen.chooseNum(-1000L, 1000L))) { (a, b) =>
+      import graft.functions.VectorExpressions.{LongArrayDot, LongArrayNormSq}
+      val nullLit = Literal.create(null, ArrayType(LongType))
+      val dot = LongArrayDot(nullLit, nullLit)
+        .nullSafeEval(longArray(a), longArray(b)).asInstanceOf[Long]
+      val n = math.min(a.length, b.length)
+      val nsq = LongArrayNormSq(nullLit)
+        .nullSafeEval(longArray(a)).asInstanceOf[Long]
+      dot == (0 until n).map(i => a(i) * b(i)).sum &&
+        nsq == a.map(v => v * v).sum
+    }
+
   // ---- Md5ShingleHashes: matches a straight re-derivation
 
   private val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))

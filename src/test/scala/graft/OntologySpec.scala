@@ -34,6 +34,11 @@ class OntologySpec extends AnyFunSuite {
     assert(r.head.getDouble(0) == 11.0)
     val n = spark.sql("SELECT vec_norm_sq(array(3.0d, 4.0d)) AS n").collect()
     assert(n.head.getDouble(0) == 25.0)
+    // the integer siblings: exact int64 dot/norm over array<bigint>
+    val ld = spark.sql("SELECT lvec_dot(array(1L, 2L), array(3L, 4L)) AS d").collect()
+    assert(ld.head.getLong(0) == 11L)
+    val ln = spark.sql("SELECT lvec_norm_sq(array(3L, 4L)) AS n").collect()
+    assert(ln.head.getLong(0) == 25L)
   }
 
   test("log2mb is available via SQL registration") {
@@ -62,5 +67,14 @@ class OntologySpec extends AnyFunSuite {
       "SELECT affine_minhash(md5_shingle_hashes(array('a','b','c'), 2), 4) AS mh").collect()
       .head.getSeq[Long](0)
     assert(mh.length == 4 && mh.forall(v => v >= 0 && v < graft.operators.Dedup.Mersenne61))
+    // saturated hashed counts: 3 copies of one token land in one
+    // bucket; the clamp caps the count; non-literal params rejected
+    val bc = spark.sql(
+      "SELECT bucket_count_vec(array('x','x','x','y'), 'ret:', 8, 2) AS v").collect()
+      .head.getSeq[Long](0)
+    // 3 x's clamp to 2; y adds 1 (to its own bucket, or to x's if the
+    // two hashes collide mod 8 — then the shared bucket stays clamped)
+    assert(bc.length == 8 && bc.max == 2L && (bc.sum == 3L || bc.sum == 2L),
+      s"clamped counts expected, got $bc")
   }
 }

@@ -231,7 +231,10 @@ object SparkEntry {
     "q102_chunk_spans" -> ((s, d) => Corpus.chunkSpans(Tables.documents(s, d))),
     "q102b_chunk_dedup" -> ((s, d) => Corpus.chunkDedup(Tables.documents(s, d))),
     "q103_chunk_retrieval" -> ((s, d) => Corpus.chunkRetrieval(Tables.documents(s, d))),
-    "q103b_retrieval_pruned" -> ((s, d) => Corpus.chunkRetrievalPruned(Tables.documents(s, d)))
+    "q103b_retrieval_pruned" -> ((s, d) => Corpus.chunkRetrievalPruned(Tables.documents(s, d))),
+    "q104_cluster_cards" -> ((s, d) => Similarity.clusterCards(
+      Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q104b_cluster_sample" -> ((s, d) => Similarity.clusterSample(Tables.embeddings(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2159,6 +2162,49 @@ object SparkEntry {
        |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
+  /** q104/q104b's shared assignment CTE over the IVF model chain: the
+    * `corpus` election (argmax cosine, score tie → larger cell) with
+    * the SCORE kept, quantized to basis points by the cosBp rounding
+    * both engines share. Expects `sc` from [[ivfModelCtes]] in scope. */
+  private def clusterAssignCte: String =
+    """assign AS MATERIALIZED (SELECT vec_id, cell, CAST(round(s * 10000) AS BIGINT) AS cos_bp FROM (
+      |SELECT vec_id, cell, s, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+      |FROM sc) t WHERE rn = 1)""".stripMargin
+
+  /** q104's oracle: the shared IVF model chain (seed → Lloyd →
+    * assignment — identical CTEs to q36b) joined to document metadata,
+    * then the two-level rollup: per-(cell, lang) counts feed the
+    * cell-level card; the modal language is elected count-desc,
+    * lang-asc; coherence is the truncating integer mean of the
+    * per-row basis-point cosines (matches Spark's `div`). */
+  private def clusterCardsSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |${ivfModelCtes()},
+       |$clusterAssignCte,
+       |l1 AS (SELECT a.cell, d.lang, COUNT(*) AS cnt, SUM(d.n_chars) AS chars,
+       |SUM(a.cos_bp) AS cos_sum
+       |FROM assign a JOIN documents d ON d.doc_id = a.vec_id GROUP BY a.cell, d.lang),
+       |tl AS (SELECT cell, lang FROM (SELECT cell, lang,
+       |row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, lang) AS rn FROM l1) t WHERE rn = 1)
+       |SELECT l.cell, CAST(SUM(l.cnt) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+       |MIN(tl.lang) AS top_lang, CAST(SUM(l.chars) AS BIGINT) AS total_chars,
+       |CAST(SUM(l.cos_sum) // SUM(l.cnt) AS BIGINT) AS coherence_bp
+       |FROM l1 l JOIN tl ON l.cell = tl.cell GROUP BY l.cell ORDER BY l.cell""".stripMargin
+
+  /** q104b's oracle: the same assignment, a deterministic md5-60 draw
+    * per vector, and the per-cell rank under (draw, vec_id) capped at
+    * the sample size. */
+  private def clusterSampleSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |${ivfModelCtes()},
+       |$clusterAssignCte,
+       |drawn AS (SELECT cell, vec_id, cos_bp,
+       |('0x' || substr(md5('csample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS draw FROM assign),
+       |ranked AS (SELECT cell, vec_id, cos_bp,
+       |row_number() OVER (PARTITION BY cell ORDER BY draw, vec_id) AS rank FROM drawn)
+       |SELECT cell, CAST(rank AS BIGINT) AS rank, vec_id, cos_bp
+       |FROM ranked WHERE rank <= 20 ORDER BY cell, rank""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2179,7 +2225,9 @@ object SparkEntry {
       ("q102_chunk_spans" -> chunkSpansSql) +
       ("q102b_chunk_dedup" -> chunkDedupSql) +
       ("q103_chunk_retrieval" -> chunkRetrievalSql) +
-      ("q103b_retrieval_pruned" -> chunkRetrievalPrunedSql)
+      ("q103b_retrieval_pruned" -> chunkRetrievalPrunedSql) +
+      ("q104_cluster_cards" -> clusterCardsSql) +
+      ("q104b_cluster_sample" -> clusterSampleSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

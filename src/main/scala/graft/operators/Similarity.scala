@@ -965,4 +965,78 @@ object Similarity {
       .distinct()
     rankTopK(scored, k)
   }
+
+  /** cluster assignment under the frozen bit-reproducible k-means
+    * model ([[ivfCentroids]]: md5-ordered bounded sample, driver-side
+    * Lloyd) — the q36b nearest-cell argmax with the SCORE kept: every
+    * vector gets its cell plus the exact basis-point cosine to that
+    * centroid. One row-local scan against the broadcast centroid
+    * matrix; ties follow `greatest`-struct semantics (score tie → the
+    * larger cell index), identical to the corpus assignment every
+    * IVF oracle replays. */
+  def clusterAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCells)
+    val e = withNorm(embeddings)
+    if (cents.isEmpty) // empty corpus: keep the schema, zero rows
+      return e.select(col("vec_id"), lit(0L).as("cell"), lit(0L).as("cos_bp"))
+    val (withDots, scores) = withCellScores(e, cents)
+    val best = greatestOf(scores)
+    withDots.select(col("vec_id"),
+      best.getField("cell").cast("long").as("cell"),
+      cosBp(best.getField("score")))
+  }
+
+  /** q104: CLUSTER CARDS — the corpus-composition audit of
+    * cluster-based curation (the SemDeDup / DCLM shape: bucket the
+    * corpus by embedding k-means, then prune, balance or reweight per
+    * cluster; the reference's dashboards slice corpora the same way
+    * by curated metadata). Per cluster: doc count, language spread
+    * and modal language (deterministic election — count desc, lang
+    * asc), total chars, and mean centroid-cosine coherence in basis
+    * points (integer sum of per-row cos_bp, truncating division — no
+    * float-order dependence, the q69 centroid discipline).
+    *
+    * Scale shape: the model is driver-trained on the bounded sample
+    * and rides broadcast; assignment is ONE row-local corpus scan;
+    * the metadata join is a doc-keyed equi-join (AQE-splittable);
+    * both rollups combine map-side and the output is nCells-sized. */
+  def clusterCards(docs: DataFrame, embeddings: DataFrame,
+                   nCells: Int = 16): DataFrame = {
+    val a = clusterAssign(embeddings, nCells)
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val perLang = a.join(d, a("vec_id") === d("doc_id"))
+      .groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"),
+        sum(col("cos_bp")).as("cos_sum"))
+    perLang.groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("cnt")).as("nc"), col("lang").as("lang")))
+          .getField("lang").as("top_lang"),
+        sum(col("chars")).as("total_chars"),
+        expr("sum(cos_sum) div sum(cnt)").as("coherence_bp"))
+      .orderBy("cell")
+  }
+
+  /** q104b: CLUSTER-BALANCED SAMPLE — the per-cluster cap that turns
+    * the q104 composition into a balanced subset (the pruning step of
+    * cluster-based curation: a mega-cluster of boilerplate must not
+    * dominate the training mix): per cell the `perCell` vectors
+    * smallest under the cross-engine md5-60 draw order — a
+    * deterministic uniform draw both engines replay. Election is the
+    * bounded-heap TopKPerKey (map-side partial — the mega-cluster
+    * never serializes through one task); the residual rank window
+    * sees ≤ perCell rows per cell. */
+  def clusterSample(embeddings: DataFrame, nCells: Int = 16,
+                    perCell: Int = 20): DataFrame = {
+    val a = clusterAssign(embeddings, nCells)
+      .withColumn("draw",
+        Dedup.md5_60(concat(lit("csample:"), col("vec_id").cast("string"))))
+    val top = graft.plans.TopKPerKey(a, Seq(col("cell")),
+      Seq(col("draw").asc, col("vec_id").asc), perCell)
+    val w = Window.partitionBy("cell").orderBy(col("draw"), col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("cell"), col("rank"), col("vec_id"), col("cos_bp"))
+      .orderBy("cell", "rank")
+  }
 }

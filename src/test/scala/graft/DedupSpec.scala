@@ -373,4 +373,77 @@ class DedupSpec extends AnyFunSuite {
       s"the flag join must re-read the h-partitioned window stream, not re-shuffle it:\n${plan.take(2500)}")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // ---- q104/q104b cluster curation
+
+  test("cluster cards partition the embedded corpus and elect the modal language") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cards = Similarity.clusterCards(docs, emb).collect()
+    assert(cards.nonEmpty && cards.length <= 16)
+    val nEmbedded = docs.join(emb, docs("doc_id") === emb("vec_id")).count()
+    assert(cards.map(_.getAs[Long]("n_docs")).sum == nEmbedded,
+      "every embedded doc lands in exactly one cluster")
+    cards.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 1)
+      val c = r.getAs[Long]("coherence_bp")
+      assert(c >= -10000 && c <= 10000, s"coherence is a mean cosine in bp: $c")
+      assert(r.getAs[String]("top_lang").nonEmpty)
+    }
+    // cards are a pure function of the frozen model: repartition-invariant
+    val again = Similarity.clusterCards(docs.repartition(7), emb.repartition(5)).collect()
+    assert(cards.sameElements(again))
+  }
+
+  test("modal-language election is deterministic on count ties (smallest lang wins)") {
+    // one cluster (identical vectors), two langs with equal counts
+    val docs = Seq((0L, "a", "de", "s", 5L), (1L, "b", "ar", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val cards = Similarity.clusterCards(docs, emb, nCells = 1).collect()
+    assert(cards.length == 1)
+    assert(cards.head.getAs[String]("top_lang") == "ar",
+      "count tie must break to the lexicographically smallest lang")
+    assert(cards.head.getAs[Long]("n_langs") == 2L)
+    assert(cards.head.getAs[Long]("coherence_bp") == 10000L,
+      "identical vectors sit exactly on their centroid")
+  }
+
+  test("cluster sample caps every cell and ranks by the deterministic draw") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.clusterSample(emb, perCell = 7).collect()
+    val perCell = out.groupBy(_.getAs[Long]("cell"))
+    perCell.foreach { case (cell, rows) =>
+      assert(rows.length <= 7, s"cell $cell holds ${rows.length} > cap")
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq,
+        "ranks are dense from 1 within each cell")
+    }
+    // the draw is a pure hash of vec_id: input partitioning can't move it
+    val again = Similarity.clusterSample(emb.repartition(9), perCell = 7).collect()
+    assert(out.sameElements(again))
+    // assignment agrees with the q36b model: same cells for sampled ids
+    val cells = Similarity.clusterAssign(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    out.foreach(r => assert(cells(r.getAs[Long]("vec_id")) == r.getAs[Long]("cell")))
+  }
+
+  test("cluster sample plan: bounded-heap election, no data-sized window or cartesian") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = Similarity.clusterSample(emb)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerKey"), "the per-cell cap must be the bounded heap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // AQE prints final + initial: the one ≤perCell rank window appears ≤2×
+    assert(plan.split("Window \\[").length - 1 <= 2)
+  }
+
+  test("cluster operators behave on an empty corpus") {
+    val docs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.clusterCards(docs, emb).isEmpty)
+    assert(Similarity.clusterSample(emb).isEmpty)
+  }
 }

@@ -234,7 +234,8 @@ object SparkEntry {
     "q103b_retrieval_pruned" -> ((s, d) => Corpus.chunkRetrievalPruned(Tables.documents(s, d))),
     "q104_cluster_cards" -> ((s, d) => Similarity.clusterCards(
       Tables.documents(s, d), Tables.embeddings(s, d))),
-    "q104b_cluster_sample" -> ((s, d) => Similarity.clusterSample(Tables.embeddings(s, d)))
+    "q104b_cluster_sample" -> ((s, d) => Similarity.clusterSample(Tables.embeddings(s, d))),
+    "q104c_semdedup" -> ((s, d) => Similarity.semanticDedupCells(Tables.embeddings(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2205,6 +2206,24 @@ object SparkEntry {
        |SELECT cell, CAST(rank AS BIGINT) AS rank, vec_id, cos_bp
        |FROM ranked WHERE rank <= 20 ORDER BY cell, rank""".stripMargin
 
+  /** q104c's oracle: assignment + embeddings rejoined, every
+    * smaller-id in-cell pair scored with the shared sequential-fold
+    * cosine, the τ-qualifying pairs collapsed to (min dup_of, max
+    * cos_bp) per doc, and the verdict left-joined over the corpus. */
+  private def semDedupCellsSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |${ivfModelCtes()},
+       |$clusterAssignCte,
+       |av AS MATERIALIZED (SELECT a.vec_id, a.cell, e.emb, e.nrm
+       |FROM assign a JOIN e ON e.vec_id = a.vec_id),
+       |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |CAST(round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS cos_bp
+       |FROM av x JOIN av y ON x.cell = y.cell AND y.vec_id < x.vec_id),
+       |d AS (SELECT id_a AS vec_id, MIN(id_b) AS dup_of, MAX(cos_bp) AS max_cos_bp
+       |FROM pairs WHERE cos_bp >= 4500 GROUP BY id_a)
+       |SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of, d.max_cos_bp
+       |FROM assign a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2227,7 +2246,8 @@ object SparkEntry {
       ("q103_chunk_retrieval" -> chunkRetrievalSql) +
       ("q103b_retrieval_pruned" -> chunkRetrievalPrunedSql) +
       ("q104_cluster_cards" -> clusterCardsSql) +
-      ("q104b_cluster_sample" -> clusterSampleSql)
+      ("q104b_cluster_sample" -> clusterSampleSql) +
+      ("q104c_semdedup" -> semDedupCellsSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -974,8 +974,15 @@ object Similarity {
     * matrix; ties follow `greatest`-struct semantics (score tie → the
     * larger cell index), identical to the corpus assignment every
     * IVF oracle replays. */
-  def clusterAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
-    val cents = ivfCentroids(embeddings, nCells)
+  def clusterAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame =
+    clusterAssignWithModel(embeddings, ivfCentroids(embeddings, nCells))
+
+  /** the assignment half under an externally-frozen model — row-local
+    * expressions only, so the SAME function serves the batch operators
+    * and the ingest-time stream twin (VecStreams.clusterAssignStream)
+    * and the two cannot drift. */
+  def clusterAssignWithModel(embeddings: DataFrame,
+                             cents: Seq[Seq[Double]]): DataFrame = {
     val e = withNorm(embeddings)
     if (cents.isEmpty) // empty corpus: keep the schema, zero rows
       return e.select(col("vec_id"), lit(0L).as("cell"), lit(0L).as("cos_bp"))
@@ -1016,6 +1023,63 @@ object Similarity {
         sum(col("chars")).as("total_chars"),
         expr("sum(cos_sum) div sum(cnt)").as("coherence_bp"))
       .orderBy("cell")
+  }
+
+  /** q104c: SEMANTIC DEDUP WITHIN CELLS — the SemDeDup shape (Abbas
+    * et al. 2023: k-means the embedding space, then compare pairs ONLY
+    * within a cluster and drop all but one of each near-identical
+    * group): doc i is dropped iff a smaller-id doc j in the SAME cell
+    * has cosine ≥ τ; the report carries every doc's verdict with the
+    * smallest such j (`dup_of`) and the strongest in-cell match.
+    * The min-id rule makes the kept set deterministic and
+    * prefix-stable (the smallest id of every duplicate chain is always
+    * kept); like q36-vs-q35, the cell restriction is the stated recall
+    * trade — a near-dup pair split across cells is not dropped (q61's
+    * banded LSH is the cross-cell screen).
+    *
+    * Scale shape: the in-cell pair join is quadratic per cell, so a
+    * broadcast-back cell-size guard (the q67 block discipline) fails
+    * fast when a cell exceeds `maxCell` — raise nCells (finer
+    * partition of the space), don't remove the guard. The pair join is
+    * a cell-keyed equi-join (never a cartesian); the verdict join-back
+    * is id-keyed and AQE-splittable. */
+  def semanticDedupCells(embeddings: DataFrame, nCells: Int = 16,
+                         tauBp: Long = 4500L, maxCell: Int = 10000): DataFrame = {
+    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
+    val cents = ivfCentroids(embeddings, nCells)
+    val e0 = withNorm(embeddings)
+    if (cents.isEmpty) // empty corpus: keep the schema, zero rows
+      return e0.select(col("vec_id"), lit(0L).as("cell"), lit(true).as("keep"),
+        lit(null).cast("long").as("dup_of"), lit(null).cast("long").as("max_cos_bp"))
+    val (withDots, scores) = withCellScores(e0, cents)
+    val e = withDots.select(col("vec_id"), col("embedding"), col("norm"),
+      greatestOf(scores).getField("cell").cast("long").as("cell"))
+    // dimension-sized (one row per cell); assert_true throws on the
+    // first oversized cell — in-cell cost is quadratic by design
+    val sizes = e.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val guarded = e.join(broadcast(sizes), Seq("cell"))
+      .filter(assert_true(col("__cn") <= maxCell,
+        concat(lit(s"semanticDedupCells: a cell exceeds maxCell=$maxCell ("),
+          col("__cn"),
+          lit(" vectors share one cell); in-cell cost is quadratic — " +
+            "raise nCells for a finer partition, or raise maxCell"))).isNull)
+    val a = guarded.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("norm").as("n_a"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("norm").as("n_b"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .select(col("id_a"),
+        col("id_b"), cosBp(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
+      .filter(col("cos_bp") >= tauBp)
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("dup_of"), max(col("cos_bp")).as("max_cos_bp"))
+      .withColumnRenamed("id_a", "vec_id")
+    e.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("max_cos_bp"))
+      .orderBy("vec_id")
   }
 
   /** q104b: CLUSTER-BALANCED SAMPLE — the per-cluster cap that turns

@@ -39,6 +39,18 @@ object VecStreams {
                       m: Int = 8, dim: Int = 64): DataFrame =
     Similarity.pqResidualEncodeWithModel(vecs, cents, books, m, dim)
 
+  /** ingest-time CLUSTER ASSIGNMENT (q104's stream twin): every
+    * arriving vector is labeled with its cell and basis-point centroid
+    * cosine against the frozen k-means — the door where
+    * cluster-balanced routing and pruning decisions happen at ingest
+    * (a vector landing in an over-budget cell can be deferred or
+    * downsampled before it ever reaches the corpus). Stateless; the
+    * streaming plan is the batch assignment expressions verbatim
+    * ([[Similarity.clusterAssignWithModel]] — one shared function, so
+    * batch and stream cannot drift). */
+  def clusterAssignStream(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    Similarity.clusterAssignWithModel(vecs, cents)
+
   /** CONTINUOUS index maintenance — q82's stream form, closing the
     * loop: every arriving micro-batch is residual-encoded against the
     * frozen model pair ([[rpqEncodeStream]]'s expressions) and MERGEd

@@ -439,11 +439,58 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.split("Window \\[").length - 1 <= 2)
   }
 
+  test("semdedup within cells: min-id survivor, chain semantics, exact cosine") {
+    // three identical vectors + one orthogonal: ids 5,9,12 collapse to
+    // the min id 5; the orthogonal vector is untouched
+    val dup = Array.fill(8)(0.5f)
+    val other = { val a = Array.fill(8)(0.0f); a(0) = 1.0f; a }
+    val emb = Seq((5L, dup), (9L, dup), (12L, dup), (7L, other))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupCells(emb, nCells = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(5L).getAs[Boolean]("keep"), "the smallest id of a chain is always kept")
+    Seq(9L, 12L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("keep"))
+      assert(out(id).getAs[Long]("dup_of") == 5L, "dup_of is the smallest qualifying id")
+      assert(out(id).getAs[Long]("max_cos_bp") == 10000L)
+    }
+    // every dropped doc points at a smaller id; kept docs carry nulls
+    out.values.foreach { r =>
+      if (r.getAs[Boolean]("keep")) assert(r.isNullAt(r.fieldIndex("dup_of")))
+      else assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+    }
+  }
+
+  test("semdedup cell-size guard fails fast on an oversized cell") {
+    val dup = Array.fill(8)(0.5f)
+    val emb = Seq((1L, dup), (2L, dup), (3L, dup)).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.semanticDedupCells(emb, nCells = 1, maxCell = 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("semdedup plan: cell-keyed pair join, never a cartesian") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val df = Similarity.semanticDedupCells(emb)
+    val rows = df.collect()
+    assert(rows.length == emb.count(), "every vector gets exactly one verdict")
+    // the smallest id in every cell is always kept
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (_, rs) =>
+      val minId = rs.map(_.getAs[Long]("vec_id")).min
+      assert(rs.find(_.getAs[Long]("vec_id") == minId).get.getAs[Boolean]("keep"))
+    }
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "in-cell pairs must come from the cell equi-join")
+  }
+
   test("cluster operators behave on an empty corpus") {
     val docs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.clusterCards(docs, emb).isEmpty)
     assert(Similarity.clusterSample(emb).isEmpty)
+    assert(Similarity.semanticDedupCells(emb).isEmpty)
   }
 }

@@ -432,6 +432,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream encode must reproduce the batch codes verbatim")
   }
 
+  test("streaming cluster assignment equals the batch q104 assignment under the frozen model") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_clstream").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val cents = graft.operators.Similarity.ivfCentroids(emb, 16)
+    val want = graft.operators.Similarity.clusterAssign(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q = graft.streaming.VecStreams.clusterAssignStream(
+        graft.streaming.VecStreams.readVecStream(spark, dir), cents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cluster_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cluster_stream_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "stream assignment must reproduce the batch cells and cosines verbatim")
+  }
+
   test("streaming binary kernels (morphology, traces) equal their batch twins") {
     // the q79/q80 decode is stateless row-local work, so the stream
     // plan is the batch parser verbatim — per-entity metrics must match

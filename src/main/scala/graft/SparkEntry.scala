@@ -235,7 +235,9 @@ object SparkEntry {
     "q104_cluster_cards" -> ((s, d) => Similarity.clusterCards(
       Tables.documents(s, d), Tables.embeddings(s, d))),
     "q104b_cluster_sample" -> ((s, d) => Similarity.clusterSample(Tables.embeddings(s, d))),
-    "q104c_semdedup" -> ((s, d) => Similarity.semanticDedupCells(Tables.embeddings(s, d)))
+    "q104c_semdedup" -> ((s, d) => Similarity.semanticDedupCells(Tables.embeddings(s, d))),
+    "q105_tokenizer_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2522,6 +2524,18 @@ object SparkEntry {
         |CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_distinct_tokens,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q105_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+        |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |CAST(SUM(n_bpe_tokens) * 1048576 // NULLIF(SUM(n_ws_tokens), 0) AS BIGINT) AS fertility_q20,
+        |CAST(SUM(n_chars) * 1048576 // NULLIF(SUM(n_bpe_tokens), 0) AS BIGINT) AS chars_per_token_q20
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q40_text_fingerprint" ->
       s"""SELECT doc_id, fingerprint, COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fingerprint
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint

@@ -116,6 +116,44 @@ object TextAnalysis {
       .select("doc_id", "n_ws_tokens", "n_distinct_tokens", "n_bpe_tokens")
       .orderBy("doc_id")
 
+  /** the q105 rollup over any frame carrying (lang, n_chars,
+    * n_ws_tokens, n_bpe_tokens) — ONE definition serves the standalone
+    * operator and the docReport view, so the two cannot drift. The
+    * fixed-point ratios widen through DECIMAL(38,0) before the
+    * truncating division: a per-language token total of ~10¹² at
+    * corpus scale times 2²⁰ would overflow int64 (the q62 widening
+    * discipline); the quotient itself is small and lands back in a
+    * BIGINT. A language with zero words (or zero tokens) yields NULL
+    * ratios via NULLIF, never a division error. */
+  private def fertilityRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("total_ws_tokens"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("CAST(CAST(sum(n_bpe_tokens) AS DECIMAL(38,0)) * 1048576 div " +
+          "nullif(CAST(sum(n_ws_tokens) AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("fertility_q20"),
+        expr("CAST(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1048576 div " +
+          "nullif(CAST(sum(n_bpe_tokens) AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("chars_per_token_q20"))
+      .orderBy("lang")
+
+  /** q105: TOKENIZER FERTILITY per language — the cross-language
+    * tokenizer-cost audit every multilingual pretraining mix needs
+    * (fertility = subword tokens per whitespace word; chars per token
+    * is its compression twin): a language whose fertility runs high
+    * pays proportionally more context-window budget per sentence, so
+    * mixture weights (q62) and token budgets (q49) read directly off
+    * this card. Ratios in Q20 fixed point — integer-exact in both
+    * engines. One map-side-combined scan; output is language-count
+    * sized. */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    fertilityRollup(withTokenCountCols(documents))
+
+  /** q105 over the persisted docReport frame. */
+  def reportFertility(report: DataFrame): DataFrame = fertilityRollup(report)
+
   /** repetition flag thresholds (basis points) — shared with the q54
     * oracle SQL so both engines cut at the same literals. The shape
     * follows the published MassiveText/Gopher repetition filters

@@ -57,6 +57,11 @@ class DocReportSpec extends AnyFunSuite {
     same(TextAnalysis.reportTokenCounts(report), TextAnalysis.tokenCounts(docs), "q39")
   }
 
+  test("q105 tokenizer fertility derives exactly") {
+    same(TextAnalysis.reportFertility(report),
+      TextAnalysis.tokenizerFertility(docs), "q105")
+  }
+
   test("q54 repetition screen derives exactly") {
     same(TextAnalysis.reportRepetition(report),
       TextAnalysis.repetitionScreen(docs), "q54")

@@ -93,4 +93,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("top_token_bp") == 3333L)
     assert(out(3L).getAs[Boolean]("is_repetitive"))
   }
+
+  test("tokenizer fertility: exact Q20 ratios per language, NULL on empty denominators") {
+    // en: "ab cd" → 2 words, 2 bpe tokens, fertility = 1.0 in Q20;
+    //     "e-f"   → 1 word, 3 bpe tokens (letter run, punct, letter run)
+    // zz: "..."   → 1 ws "word", 3 single-punct tokens
+    val docs = Seq(
+      (1L, "ab cd", "en", "s", 5L),
+      (2L, "e-f", "en", "s", 3L),
+      (3L, "...", "zz", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.tokenizerFertility(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("total_ws_tokens") == 3L)
+    assert(en.getAs[Long]("total_bpe_tokens") == 5L)
+    assert(en.getAs[Long]("fertility_q20") == 5L * 1048576L / 3L,
+      "fertility is the truncating Q20 ratio of bpe tokens to words")
+    assert(en.getAs[Long]("chars_per_token_q20") == 8L * 1048576L / 5L)
+    val zz = out("zz")
+    assert(zz.getAs[Long]("fertility_q20") == 3L * 1048576L)
+    // a language of empty texts: 0 bpe tokens → NULL ratio, no div error
+    val empty = Seq((4L, "", "qq", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.tokenizerFertility(empty).collect().head
+    assert(r.isNullAt(r.fieldIndex("chars_per_token_q20")),
+      "zero tokens must yield NULL, never a division error")
+  }
 }

@@ -1092,15 +1092,73 @@ object Similarity {
     * never serializes through one task); the residual rank window
     * sees ≤ perCell rows per cell. */
   def clusterSample(embeddings: DataFrame, nCells: Int = 16,
-                    perCell: Int = 20): DataFrame = {
-    val a = clusterAssign(embeddings, nCells)
+                    perCell: Int = 20): DataFrame =
+    sampleFromAssign(clusterAssign(embeddings, nCells), perCell)
+
+  /** the q104b election over any frame carrying (vec_id, cell,
+    * cos_bp) — ONE definition serves the standalone operator and the
+    * vecReport view, so the two cannot drift. */
+  private def sampleFromAssign(a: DataFrame, perCell: Int): DataFrame = {
+    val drawn = a.select(col("vec_id"), col("cell"), col("cos_bp"))
       .withColumn("draw",
         Dedup.md5_60(concat(lit("csample:"), col("vec_id").cast("string"))))
-    val top = graft.plans.TopKPerKey(a, Seq(col("cell")),
+    val top = graft.plans.TopKPerKey(drawn, Seq(col("cell")),
       Seq(col("draw").asc, col("vec_id").asc), perCell)
     val w = Window.partitionBy("cell").orderBy(col("draw"), col("vec_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("cell"), col("rank"), col("vec_id"), col("cos_bp"))
       .orderBy("cell", "rank")
   }
+
+  /** vecReport: the decode-once 100 TB shape of the VECTOR family
+    * (the morphReport/traceReport/docReport/mediaReport discipline
+    * applied to embeddings): ONE scan of the raw float store computes
+    * every frozen-model row-local field — cell assignment + centroid
+    * cosine ([[clusterAssignWithModel]]'s expressions) and the packed
+    * PQ code + reconstruction error ([[pqEncodeWithModel]]'s) — and
+    * the persisted narrow frame (6 columns, no embedding) serves the
+    * cluster cards/sample and the compressed-index views without ever
+    * re-reading the 256 B/vector payload. Views are spec-proven equal
+    * to the standalone operators. All-row-local ⇒ the same function
+    * runs unchanged on a readStream frame
+    * (VecStreams.vecReportStream). */
+  def vecReportWithModels(embeddings: DataFrame, cents: Seq[Seq[Double]],
+                          books: Seq[Seq[Seq[Double]]],
+                          m: Int = 8, dim: Int = 64): DataFrame = {
+    val e = withNorm(embeddings)
+    if (cents.isEmpty || books.headOption.forall(_.isEmpty))
+      return e.select(col("vec_id"), col("label"), lit(0L).as("cell"),
+        lit(0L).as("cos_bp"), lit(0L).as("pq_code"), lit(0L).as("err_bp"))
+    requirePackable(m, books.map(_.size).max.max(2))
+    val (withDots, scores) = withCellScores(e, cents)
+    val best = greatestOf(scores)
+    val base = withDots
+      .withColumn("cell", best.getField("cell").cast("long"))
+      .withColumn("cos_bp", cosBp(best.getField("score")))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("cell"), col("cos_bp"))
+    encodeWithBooks(base, books, m, dim / m,
+      keep = Seq(col("vec_id"), col("label"), col("cell"), col("cos_bp")))
+  }
+
+  /** vecReport with models trained in place (the batch entry point —
+    * a deployment trains once per release and freezes). */
+  def vecReport(embeddings: DataFrame, m: Int = 8, dim: Int = 64): DataFrame =
+    vecReportWithModels(embeddings, ivfCentroids(embeddings, 16),
+      pqCodebooks(embeddings, m, dim), m, dim)
+
+  // Views over the (persisted) vecReport frame — each must reproduce
+  // its standalone operator exactly (spec-proven).
+
+  /** the q104 assignment over the frame. */
+  def reportClusterAssign(report: DataFrame): DataFrame =
+    report.select("vec_id", "cell", "cos_bp")
+
+  /** q104b over the frame. */
+  def reportClusterSample(report: DataFrame, perCell: Int = 20): DataFrame =
+    sampleFromAssign(report, perCell)
+
+  /** q76 over the frame. */
+  def reportPqCodes(report: DataFrame): DataFrame =
+    report.select("vec_id", "pq_code", "err_bp").orderBy("vec_id")
 }

@@ -51,6 +51,16 @@ object VecStreams {
   def clusterAssignStream(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
     Similarity.clusterAssignWithModel(vecs, cents)
 
+  /** ingest-time VECTOR REPORT (the vecReport frame's stream twin):
+    * one pass per arriving vector computes cell + centroid cosine +
+    * packed PQ code + reconstruction error against the frozen model
+    * pair — the SAME function as the batch frame, so the continuously
+    * maintained report is provably identical to a batch rebuild. */
+  def vecReportStream(vecs: DataFrame, cents: Seq[Seq[Double]],
+                      books: Seq[Seq[Seq[Double]]],
+                      m: Int = 8, dim: Int = 64): DataFrame =
+    Similarity.vecReportWithModels(vecs, cents, books, m, dim)
+
   /** CONTINUOUS index maintenance — q82's stream form, closing the
     * loop: every arriving micro-batch is residual-encoded against the
     * frozen model pair ([[rpqEncodeStream]]'s expressions) and MERGEd

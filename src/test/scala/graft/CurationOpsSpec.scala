@@ -413,4 +413,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(frac("test") > 120 && frac("test") < 280, s"~10% test, got $frac")
     intercept[IllegalArgumentException] { Corpus.datasetSplit(docs, 6000, 4000) }
   }
+
+  test("vec report frame: views derive exactly from the persisted frame") {
+    val emb = Tables.embeddings(spark, sf)
+    val frame0 = Similarity.vecReport(emb)
+    assert(!frame0.columns.contains("embedding"),
+      "persisting the payload would defeat the narrow-frame design")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecreport").toString
+    frame0.write.mode("overwrite").parquet(dir)
+    val frame = spark.read.parquet(dir)
+    assert(frame.count() == emb.count(), "one row per vector")
+    // q104 assignment: same (vec_id, cell, cos_bp) triples
+    val wantAssign = Similarity.clusterAssign(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotAssign = Similarity.reportClusterAssign(frame).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotAssign == wantAssign, "frame assignment must equal the standalone q104 assignment")
+    // q104b sample: identical ordered rows
+    assert(Similarity.reportClusterSample(frame).collect()
+      .sameElements(Similarity.clusterSample(emb).collect()),
+      "frame sample must equal the standalone q104b election")
+    // q76 codes: identical ordered rows
+    assert(Similarity.reportPqCodes(frame).collect()
+      .sameElements(Similarity.pqEncode(emb).collect()),
+      "frame codes must equal the standalone q76 encode")
+  }
 }

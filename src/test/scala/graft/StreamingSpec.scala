@@ -451,6 +451,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "stream assignment must reproduce the batch cells and cosines verbatim")
   }
 
+  test("streaming vec report equals the batch frame under the frozen model pair") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vrstream").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val cents = graft.operators.Similarity.ivfCentroids(emb, 16)
+    val books = graft.operators.Similarity.pqCodebooks(emb)
+    val want = graft.operators.Similarity
+      .vecReportWithModels(emb, cents, books).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val q = graft.streaming.VecStreams.vecReportStream(
+        graft.streaming.VecStreams.readVecStream(spark, dir), cents, books)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vecreport_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("vecreport_stream_out").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got == want, "stream report must reproduce every batch field verbatim")
+  }
+
   test("streaming binary kernels (morphology, traces) equal their batch twins") {
     // the q79/q80 decode is stateless row-local work, so the stream
     // plan is the batch parser verbatim — per-entity metrics must match

@@ -444,4 +444,39 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("FullOuter"), "merge must be a single full-outer join")
   }
+
+  test("cluster cards: broadcast model, map-side rollups, no window or cartesian") {
+    val df = Similarity.clusterCards(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the model rides as expressions (driver-trained), so the only
+    // joins are the doc-keyed metadata equi-join and nothing quadratic
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window ["), "both rollups are aggregates, never windows")
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("tokenizer fertility: one map-side-combined scan, zero joins") {
+    val df = graft.operators.TextAnalysis.tokenizerFertility(
+      Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), "the rollup reads one table")
+    assert(!plan.contains("Window ["))
+    // partial + final aggregate pair = map-side combine before the
+    // language-keyed exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("vec report: the whole frame is ONE row-local pass — zero exchanges") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val books = Similarity.pqCodebooks(emb)
+    val plan = Similarity.vecReportWithModels(emb, cents, books)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"frozen-model report must not shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"))
+  }
 }

@@ -280,3 +280,44 @@ object BenchReportSplit {
     spark.stop()
   }
 }
+
+/** Cluster-curation cost split: the k-means TRAINING constant vs each
+  * q104-family operator under the frozen model, plus the vecReport
+  * frame build. The inventory entries re-train per query by contract
+  * (self-contained oracles); a deployment trains once per release and
+  * pays only the frozen-model half per refresh — this prints the
+  * split so the per-operation number is the one a scale review
+  * grades. Warm medians over SPARK_GRAFT_REPS. */
+object BenchClusterSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val books = Similarity.pqCodebooks(emb)
+    val tTrain = med(() => { Similarity.ivfCentroids(emb, 16); () })
+    val tCards = med(() =>
+      { Similarity.clusterCardsWithModel(docs, emb, cents).count(); () })
+    val tSample = med(() =>
+      { Similarity.clusterSampleWithModel(emb, cents).count(); () })
+    val tSemDedup = med(() =>
+      { Similarity.semanticDedupCellsWithModel(emb, cents).count(); () })
+    val tReport = med(() =>
+      { Similarity.vecReportWithModels(emb, cents, books).count(); () })
+    import Bench.fmt3
+    println(s"""{"ivf_train_s":${fmt3(tTrain)},"cards_frozen_s":${fmt3(tCards)},""" +
+      s""""sample_frozen_s":${fmt3(tSample)},"semdedup_frozen_s":${fmt3(tSemDedup)},""" +
+      s""""vecreport_frozen_s":${fmt3(tReport)},"reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -1008,8 +1008,14 @@ object Similarity {
     * the metadata join is a doc-keyed equi-join (AQE-splittable);
     * both rollups combine map-side and the output is nCells-sized. */
   def clusterCards(docs: DataFrame, embeddings: DataFrame,
-                   nCells: Int = 16): DataFrame = {
-    val a = clusterAssign(embeddings, nCells)
+                   nCells: Int = 16): DataFrame =
+    clusterCardsWithModel(docs, embeddings, ivfCentroids(embeddings, nCells))
+
+  /** q104 under an externally-frozen model (the deployment shape: one
+    * training per release, many card refreshes). */
+  def clusterCardsWithModel(docs: DataFrame, embeddings: DataFrame,
+                            cents: Seq[Seq[Double]]): DataFrame = {
+    val a = clusterAssignWithModel(embeddings, cents)
     val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     val perLang = a.join(d, a("vec_id") === d("doc_id"))
       .groupBy(col("cell"), col("lang"))
@@ -1044,9 +1050,16 @@ object Similarity {
     * a cell-keyed equi-join (never a cartesian); the verdict join-back
     * is id-keyed and AQE-splittable. */
   def semanticDedupCells(embeddings: DataFrame, nCells: Int = 16,
-                         tauBp: Long = 4500L, maxCell: Int = 10000): DataFrame = {
+                         tauBp: Long = 4500L, maxCell: Int = 10000): DataFrame =
+    semanticDedupCellsWithModel(embeddings,
+      ivfCentroids(embeddings, nCells), tauBp, maxCell)
+
+  /** q104c under an externally-frozen model. */
+  def semanticDedupCellsWithModel(embeddings: DataFrame,
+                                  cents: Seq[Seq[Double]],
+                                  tauBp: Long = 4500L,
+                                  maxCell: Int = 10000): DataFrame = {
     require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
-    val cents = ivfCentroids(embeddings, nCells)
     val e0 = withNorm(embeddings)
     if (cents.isEmpty) // empty corpus: keep the schema, zero rows
       return e0.select(col("vec_id"), lit(0L).as("cell"), lit(true).as("keep"),
@@ -1094,6 +1107,11 @@ object Similarity {
   def clusterSample(embeddings: DataFrame, nCells: Int = 16,
                     perCell: Int = 20): DataFrame =
     sampleFromAssign(clusterAssign(embeddings, nCells), perCell)
+
+  /** q104b under an externally-frozen model. */
+  def clusterSampleWithModel(embeddings: DataFrame, cents: Seq[Seq[Double]],
+                             perCell: Int = 20): DataFrame =
+    sampleFromAssign(clusterAssignWithModel(embeddings, cents), perCell)
 
   /** the q104b election over any frame carrying (vec_id, cell,
     * cos_bp) — ONE definition serves the standalone operator and the

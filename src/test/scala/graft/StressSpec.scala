@@ -305,4 +305,35 @@ class StressSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("rate_bp") == 10000L), "a binding source must exist")
     assert(rows.exists(_.getAs[Long]("rate_bp") < 10000L), "non-binding sources are cut")
   }
+
+  test("cluster-curation family at sf0.1 satisfies its conservation laws") {
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    // cards partition the embedded corpus exactly
+    val cards = Similarity.clusterCards(docs, emb).collect()
+    val nEmbedded = docs.join(emb, docs("doc_id") === emb("vec_id")).count()
+    assert(cards.map(_.getAs[Long]("n_docs")).sum == nEmbedded)
+    // the sample respects the assignment and the per-cell cap
+    val assign = Similarity.clusterAssign(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sample = Similarity.clusterSample(emb).collect()
+    assert(sample.groupBy(_.getAs[Long]("cell")).values.forall(_.length <= 20))
+    sample.foreach { r =>
+      val (cell, cos) = assign(r.getAs[Long]("vec_id"))
+      assert(cell == r.getAs[Long]("cell") && cos == r.getAs[Long]("cos_bp"),
+        "sample rows must carry the q104 assignment verbatim")
+    }
+    // semdedup verdicts: one per vector, kept set closed under min-id
+    val sd = Similarity.semanticDedupCells(emb).collect()
+    assert(sd.length == emb.count() && sd.length == assign.size)
+    sd.foreach { r =>
+      if (!r.getAs[Boolean]("keep")) {
+        assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+        assert(r.getAs[Long]("max_cos_bp") >= 4500L, "dropped ⇒ an in-cell match above τ")
+        assert(assign(r.getAs[Long]("dup_of"))._1 == r.getAs[Long]("cell"),
+          "dup_of must live in the same cell")
+      }
+    }
+  }
 }

@@ -237,7 +237,12 @@ object SparkEntry {
     "q104b_cluster_sample" -> ((s, d) => Similarity.clusterSample(Tables.embeddings(s, d))),
     "q104c_semdedup" -> ((s, d) => Similarity.semanticDedupCells(Tables.embeddings(s, d))),
     "q105_tokenizer_fertility" -> ((s, d) =>
-      TextAnalysis.tokenizerFertility(Tables.documents(s, d)))
+      TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+    "q106_cluster_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.clusterDrift(emb, Similarity.vecReleaseView(emb),
+        Similarity.ivfCentroids(emb, 16))
+    })
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -2226,6 +2231,40 @@ object SparkEntry {
        |SELECT a.vec_id, a.cell, d.dup_of IS NULL AS keep, d.dup_of, d.max_cos_bp
        |FROM assign a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id""".stripMargin
 
+  /** q106's oracle: the frozen model TRAINS on release A (`raw` — the
+    * ivfModelCtes contract) while the assignment universe is the A∪B
+    * union under collision-free doubled ids (id·2+rel keeps the
+    * per-vector assignment window exact); the release-B view removes
+    * every 13th vector and reverses every 7th survivor exactly as the
+    * engine does, and the per-cell drift rollup replays departed/
+    * arrived and the truncating coherence means. */
+  private def clusterDriftSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |relb AS (SELECT vec_id, CASE WHEN vec_id % 7 = 0 THEN list_reverse(emb) ELSE emb END AS emb
+       |FROM raw WHERE vec_id % 13 <> 0),
+       |uni AS (SELECT vec_id * 2 AS vec_id, emb FROM raw
+       |UNION ALL SELECT vec_id * 2 + 1 AS vec_id, emb FROM relb),
+       |${ivfModelCtes("uni")},
+       |$clusterAssignCte,
+       |asg AS (SELECT vec_id // 2 AS id, vec_id % 2 AS rel, cell, cos_bp FROM assign),
+       |j AS (SELECT COALESCE(a.id, b.id) AS id, a.cell AS cell_a, a.cos_bp AS cos_a,
+       |b.cell AS cell_b, b.cos_bp AS cos_b
+       |FROM (SELECT id, cell, cos_bp FROM asg WHERE rel = 0) a
+       |FULL OUTER JOIN (SELECT id, cell, cos_bp FROM asg WHERE rel = 1) b ON a.id = b.id),
+       |ga AS (SELECT cell_a AS cell, COUNT(*) AS n_a, SUM(cos_a) AS sa,
+       |SUM(CASE WHEN cell_b IS NULL OR cell_b <> cell_a THEN 1 ELSE 0 END) AS n_departed
+       |FROM j WHERE cell_a IS NOT NULL GROUP BY cell_a),
+       |gb AS (SELECT cell_b AS cell, COUNT(*) AS n_b, SUM(cos_b) AS sb,
+       |SUM(CASE WHEN cell_a IS NULL OR cell_a <> cell_b THEN 1 ELSE 0 END) AS n_arrived
+       |FROM j WHERE cell_b IS NOT NULL GROUP BY cell_b)
+       |SELECT COALESCE(ga.cell, gb.cell) AS cell,
+       |CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a, CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       |CAST(COALESCE(n_departed, 0) AS BIGINT) AS n_departed,
+       |CAST(COALESCE(n_arrived, 0) AS BIGINT) AS n_arrived,
+       |CAST(sa // n_a AS BIGINT) AS coherence_a_bp,
+       |CAST(sb // n_b AS BIGINT) AS coherence_b_bp
+       |FROM ga FULL OUTER JOIN gb ON ga.cell = gb.cell ORDER BY cell""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
@@ -2249,7 +2288,8 @@ object SparkEntry {
       ("q103b_retrieval_pruned" -> chunkRetrievalPrunedSql) +
       ("q104_cluster_cards" -> clusterCardsSql) +
       ("q104b_cluster_sample" -> clusterSampleSql) +
-      ("q104c_semdedup" -> semDedupCellsSql)
+      ("q104c_semdedup" -> semDedupCellsSql) +
+      ("q106_cluster_drift" -> clusterDriftSql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -1128,6 +1128,59 @@ object Similarity {
       .orderBy("cell", "rank")
   }
 
+  /** the synthetic "next release" of the embedding store (the vector
+    * twin of Curation.releaseView, shared with the q106 oracle):
+    * every 13th vector is removed, every 7th surviving vector's
+    * embedding is reversed (norm-preserving, so coherence drift is
+    * purely directional). Deterministic and exactly replayable. */
+  def vecReleaseView(embeddings: DataFrame): DataFrame =
+    embeddings.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+      .withColumn("embedding",
+        when(pmod(col("vec_id"), lit(7)) === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+
+  /** q106: CLUSTER DRIFT between corpus releases — the release-audit
+    * the q64 doc diff cannot see (a re-embedded doc with unchanged
+    * text moves in vector space): per cell of ONE frozen model (drift
+    * is only well-defined when both releases are assigned under the
+    * SAME centroids — the frozen-model discipline), the A/B member
+    * counts, how many A members departed (removed or moved cells),
+    * how many B members arrived (new or moved in), and both releases'
+    * integer mean coherence. A cell whose count collapses or whose
+    * coherence drops is where the new release's embedding or corpus
+    * change concentrated.
+    *
+    * Scale shape: two frozen-model row-local assignment scans, one
+    * vec_id-keyed full-outer join (AQE-splittable), two map-side
+    * rollups, one nCells-sized join. */
+  def clusterDrift(embA: DataFrame, embB: DataFrame,
+                   cents: Seq[Seq[Double]]): DataFrame = {
+    val a = clusterAssignWithModel(embA, cents)
+      .select(col("vec_id"), col("cell").as("cell_a"), col("cos_bp").as("cos_a"))
+    val b = clusterAssignWithModel(embB, cents)
+      .select(col("vec_id"), col("cell").as("cell_b"), col("cos_bp").as("cos_b"))
+    val j = a.join(b, Seq("vec_id"), "full_outer")
+    val ga = j.filter(col("cell_a").isNotNull).groupBy(col("cell_a"))
+      .agg(count(lit(1)).as("n_a"), sum(col("cos_a")).as("sa"),
+        sum(when(col("cell_b").isNull || col("cell_b") =!= col("cell_a"), 1L)
+          .otherwise(0L)).as("n_departed"))
+      .withColumnRenamed("cell_a", "cell")
+    val gb = j.filter(col("cell_b").isNotNull).groupBy(col("cell_b"))
+      .agg(count(lit(1)).as("n_b"), sum(col("cos_b")).as("sb"),
+        sum(when(col("cell_a").isNull || col("cell_a") =!= col("cell_b"), 1L)
+          .otherwise(0L)).as("n_arrived"))
+      .withColumnRenamed("cell_b", "cell")
+    ga.join(gb, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_departed"), lit(0L)).as("n_departed"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+        expr("sa div n_a").as("coherence_a_bp"),
+        expr("sb div n_b").as("coherence_b_bp"))
+      .orderBy("cell")
+  }
+
   /** vecReport: the decode-once 100 TB shape of the VECTOR family
     * (the morphReport/traceReport/docReport/mediaReport discipline
     * applied to embeddings): ONE scan of the raw float store computes

@@ -485,6 +485,35 @@ class DedupSpec extends AnyFunSuite {
       "in-cell pairs must come from the cell equi-join")
   }
 
+  test("cluster drift satisfies release-conservation laws under the frozen model") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.ivfCentroids(emb, 16)
+    val relB = Similarity.vecReleaseView(emb)
+    val out = Similarity.clusterDrift(emb, relB, cents).collect()
+    val nA = emb.count(); val nB = relB.count(); val nRemoved = nA - nB
+    assert(nRemoved > 0, "the release view must remove the %13 slice")
+    assert(out.map(_.getAs[Long]("n_a")).sum == nA)
+    assert(out.map(_.getAs[Long]("n_b")).sum == nB)
+    // no new ids in release B ⇒ every arrival is a cell move, and
+    // departures are exactly moves + removals
+    val moved = out.map(_.getAs[Long]("n_arrived")).sum
+    assert(out.map(_.getAs[Long]("n_departed")).sum == moved + nRemoved,
+      "departed = moved + removed when the id space only shrinks")
+    // reversal preserves the norm, so every coherence is a valid mean
+    out.foreach { r =>
+      Seq("coherence_a_bp", "coherence_b_bp").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c)))
+          assert(math.abs(r.getAs[Long](c)) <= 10000L)
+      }
+    }
+    // an unchanged vector (neither %7 nor %13) never moves cells
+    val aMap = Similarity.clusterAssignWithModel(emb, cents).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.clusterAssignWithModel(relB, cents).collect()
+      .filter(r => r.getLong(0) % 7 != 0)
+      .foreach(r => assert(aMap(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("cluster operators behave on an empty corpus") {
     val docs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -492,5 +521,7 @@ class DedupSpec extends AnyFunSuite {
     assert(Similarity.clusterCards(docs, emb).isEmpty)
     assert(Similarity.clusterSample(emb).isEmpty)
     assert(Similarity.semanticDedupCells(emb).isEmpty)
+    assert(Similarity.clusterDrift(emb, Similarity.vecReleaseView(emb),
+      Seq.empty).isEmpty)
   }
 }

@@ -55,6 +55,19 @@ object IndexCatalog {
   def probeCells(spark: SparkSession, table: String, cells: Seq[Int]): DataFrame =
     spark.table(table).filter(col("cell").isin(cells: _*))
 
+  /** Build + register the vecReport frame (cell, cosine, PQ code,
+    * reconstruction error per vector — the vector family's decode-once
+    * narrow frame) as a catalog table partitioned by cell, so
+    * cluster-scoped readers (per-cell sampling, drift slices, SemDeDup
+    * shards) prune to their cells' files at the scan. */
+  def registerVecReport(embeddings: DataFrame, table: String,
+                        nCells: Int = 16, m: Int = 8, dim: Int = 64): Unit =
+    Similarity.vecReport(embeddings, m, dim)
+      .hint("rebalance", "cell") // ≈1 file per cell, not tasks × cells
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("cell")
+      .saveAsTable(table)
+
   /** Build + register the inverted posting index BUCKETED by term
     * (q88's persisted layout: a search's term-equality filter prunes
     * the scan to its terms' buckets) plus the 1-row corpus-size

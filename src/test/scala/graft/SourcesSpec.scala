@@ -121,6 +121,31 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog-registered vec report: named round trip, views intact, cell pruning at the scan") {
+    val emb = Tables.embeddings(spark, sf)
+    graft.sources.IndexCatalog.registerVecReport(emb, "graft_vecreport_t")
+    try {
+      val byName = spark.table("graft_vecreport_t")
+      // views over the CATALOG table equal the standalone operators
+      assert(graft.operators.Similarity.reportPqCodes(byName).collect()
+        .sameElements(graft.operators.Similarity.pqEncode(emb).collect()),
+        "catalog round trip must preserve the codes exactly")
+      assert(graft.operators.Similarity.reportClusterSample(byName).collect()
+        .sameElements(graft.operators.Similarity.clusterSample(emb).collect()),
+        "the sample view must run off the catalog table")
+      // a cell-scoped read prunes partitions at the scan
+      val probe = graft.sources.IndexCatalog.probeCells(spark, "graft_vecreport_t", Seq(1, 3))
+      val plan = probe.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Filter (cell"),
+        "cell slices must prune partitions at the scan, not filter after it")
+      assert(probe.count() ==
+        graft.operators.Similarity.clusterAssign(emb)
+          .filter(col("cell").isin(1, 3)).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_vecreport_t")
+    }
+  }
+
   test("operators are source-format agnostic: CSV and JSON inputs give parquet-identical results") {
     // the oracle gate runs on parquet; this pins that the same operator
     // over the same rows staged as CSV or JSON computes the same frame —

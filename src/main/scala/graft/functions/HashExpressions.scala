@@ -356,10 +356,12 @@ object HashExpressions {
     else throw new IllegalArgumentException(
       s"$fn: second argument must be a literal integer")
 
-  private def literalString(e: Expression, fn: String): String =
-    if (e.foldable) e.eval().toString
-    else throw new IllegalArgumentException(
-      s"$fn: argument must be a literal string")
+  private def literalString(e: Expression, fn: String): String = {
+    val v = if (e.foldable && e.dataType == StringType) e.eval() else null
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: argument must be a non-null literal string")
+    v.toString
+  }
 
   /** The ONE definition of each SQL function builder — referenced by
     * both GraftExtensions (spark.sql.extensions) and the session-local

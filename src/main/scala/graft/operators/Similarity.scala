@@ -977,6 +977,18 @@ object Similarity {
   def clusterAssign(embeddings: DataFrame, nCells: Int = 16): DataFrame =
     clusterAssignWithModel(embeddings, ivfCentroids(embeddings, nCells))
 
+  /** the WithModel empty-model contract: an empty frozen model is
+    * legal ONLY for an empty corpus (the train-in-place compositions
+    * hit this when there was nothing to train on); for a non-empty
+    * corpus it means a missing/corrupt model artifact — fail with the
+    * cause instead of silently fabricating cell-0 labels. */
+  private def emptyModelFrame(embeddings: DataFrame, fn: String,
+                              empty: => DataFrame): DataFrame = {
+    require(embeddings.isEmpty, s"$fn: empty model for a non-empty " +
+      "corpus — train with ivfCentroids/pqCodebooks on release data")
+    empty
+  }
+
   /** the assignment half under an externally-frozen model — row-local
     * expressions only, so the SAME function serves the batch operators
     * and the ingest-time stream twin (VecStreams.clusterAssignStream)
@@ -984,8 +996,9 @@ object Similarity {
   def clusterAssignWithModel(embeddings: DataFrame,
                              cents: Seq[Seq[Double]]): DataFrame = {
     val e = withNorm(embeddings)
-    if (cents.isEmpty) // empty corpus: keep the schema, zero rows
-      return e.select(col("vec_id"), lit(0L).as("cell"), lit(0L).as("cos_bp"))
+    if (cents.isEmpty)
+      return emptyModelFrame(embeddings, "clusterAssignWithModel",
+        e.select(col("vec_id"), lit(0L).as("cell"), lit(0L).as("cos_bp")))
     val (withDots, scores) = withCellScores(e, cents)
     val best = greatestOf(scores)
     withDots.select(col("vec_id"),
@@ -1061,9 +1074,10 @@ object Similarity {
                                   maxCell: Int = 10000): DataFrame = {
     require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     val e0 = withNorm(embeddings)
-    if (cents.isEmpty) // empty corpus: keep the schema, zero rows
-      return e0.select(col("vec_id"), lit(0L).as("cell"), lit(true).as("keep"),
-        lit(null).cast("long").as("dup_of"), lit(null).cast("long").as("max_cos_bp"))
+    if (cents.isEmpty)
+      return emptyModelFrame(embeddings, "semanticDedupCellsWithModel",
+        e0.select(col("vec_id"), lit(0L).as("cell"), lit(true).as("keep"),
+          lit(null).cast("long").as("dup_of"), lit(null).cast("long").as("max_cos_bp")))
     val (withDots, scores) = withCellScores(e0, cents)
     val e = withDots.select(col("vec_id"), col("embedding"), col("norm"),
       greatestOf(scores).getField("cell").cast("long").as("cell"))
@@ -1078,20 +1092,20 @@ object Similarity {
             "raise nCells for a finer partition, or raise maxCell"))).isNull)
     val a = guarded.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("e_a"), col("norm").as("n_a"))
-    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+    val b = e.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("norm").as("n_b"))
-    val dups = a.join(b, Seq("cell"))
-      .filter(col("id_b") < col("id_a"))
-      .select(col("id_a"),
-        col("id_b"), cosBp(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
-      .filter(col("cos_bp") >= tauBp)
-      .groupBy(col("id_a"))
-      .agg(min(col("id_b")).as("dup_of"), max(col("cos_bp")).as("max_cos_bp"))
-      .withColumnRenamed("id_a", "vec_id")
-    e.select(col("vec_id"), col("cell"))
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
-        col("dup_of"), col("max_cos_bp"))
+    // LEFT join keeps every corpus row (a cell-minimum vector has no
+    // smaller in-cell partner), so the verdict falls out of the SAME
+    // pair aggregation via null-skipping conditional min/max — no
+    // corpus-sized verdict join-back, no extra assignment scan
+    a.join(b, a("cell") === b("cell_b") && col("id_b") < col("id_a"), "left")
+      .withColumn("__cos",
+        cosBp(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
+      .groupBy(col("id_a"), col("cell"))
+      .agg(min(when(col("__cos") >= tauBp, col("id_b"))).as("dup_of"),
+        max(when(col("__cos") >= tauBp, col("__cos"))).as("max_cos_bp"))
+      .select(col("id_a").as("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"), col("max_cos_bp"))
       .orderBy("vec_id")
   }
 
@@ -1197,9 +1211,14 @@ object Similarity {
                           books: Seq[Seq[Seq[Double]]],
                           m: Int = 8, dim: Int = 64): DataFrame = {
     val e = withNorm(embeddings)
-    if (cents.isEmpty || books.headOption.forall(_.isEmpty))
-      return e.select(col("vec_id"), col("label"), lit(0L).as("cell"),
-        lit(0L).as("cos_bp"), lit(0L).as("pq_code"), lit(0L).as("err_bp"))
+    if (cents.isEmpty || books.isEmpty)
+      return emptyModelFrame(embeddings, "vecReportWithModels",
+        e.select(col("vec_id"), col("label"), lit(0L).as("cell"),
+          lit(0L).as("cos_bp"), lit(0L).as("pq_code"), lit(0L).as("err_bp")))
+    // the pqEncodeWithModel shape contract — a mismatched frozen model
+    // must fail with the cause, not an IndexOutOfBounds mid-plan
+    require(books.size == m && dim % m == 0, s"need $m codebooks for dim $dim")
+    require(books.forall(_.nonEmpty), "empty codebook: train on a non-empty corpus")
     requirePackable(m, books.map(_.size).max.max(2))
     val (withDots, scores) = withCellScores(e, cents)
     val best = greatestOf(scores)
@@ -1214,8 +1233,9 @@ object Similarity {
 
   /** vecReport with models trained in place (the batch entry point —
     * a deployment trains once per release and freezes). */
-  def vecReport(embeddings: DataFrame, m: Int = 8, dim: Int = 64): DataFrame =
-    vecReportWithModels(embeddings, ivfCentroids(embeddings, 16),
+  def vecReport(embeddings: DataFrame, nCells: Int = 16,
+                m: Int = 8, dim: Int = 64): DataFrame =
+    vecReportWithModels(embeddings, ivfCentroids(embeddings, nCells),
       pqCodebooks(embeddings, m, dim), m, dim)
 
   // Views over the (persisted) vecReport frame — each must reproduce

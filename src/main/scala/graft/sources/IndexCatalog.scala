@@ -62,7 +62,7 @@ object IndexCatalog {
     * shards) prune to their cells' files at the scan. */
   def registerVecReport(embeddings: DataFrame, table: String,
                         nCells: Int = 16, m: Int = 8, dim: Int = 64): Unit =
-    Similarity.vecReport(embeddings, m, dim)
+    Similarity.vecReport(embeddings, nCells, m, dim)
       .hint("rebalance", "cell") // ≈1 file per cell, not tasks × cells
       .write.mode("overwrite").format("parquet")
       .partitionBy("cell")

@@ -514,6 +514,20 @@ class DedupSpec extends AnyFunSuite {
       .foreach(r => assert(aMap(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("an empty frozen model on a non-empty corpus fails loud, never fabricates labels") {
+    val emb = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.clusterAssignWithModel(emb, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedupCellsWithModel(emb, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.vecReportWithModels(
+        emb.withColumn("label", lit(0)), Seq.empty, Seq.empty)
+    }
+  }
+
   test("cluster operators behave on an empty corpus") {
     val docs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")

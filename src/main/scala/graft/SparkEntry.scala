@@ -242,7 +242,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.clusterDrift(emb, Similarity.vecReleaseView(emb),
         Similarity.ivfCentroids(emb, 16))
-    })
+    }),
+    "q105b_bpe_fertility" -> ((s, d) => Bpe.bpeFertility(Tables.documents(s, d)))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -763,6 +764,31 @@ object SparkEntry {
        |(10000 * CAST(SUM(p.nb) AS BIGINT)) // nullif(CAST(SUM(p.ns) AS BIGINT), 0) AS comp_bp
        |FROM docw JOIN perword p USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q105b's oracle: the q85b chain (induction + per-word apply)
+    * rolled up per language — the per-doc aggregate keyed back to
+    * documents for lang, then the Q20/bp ratios in HUGEINT with the
+    * truncating division. The docw JOIN drops wordless docs in both
+    * engines (the engine filters n_words > 0 explicitly). */
+  private def bpeFertilitySql: String = {
+    val k = graft.operators.Bpe.MaxMerges
+    s"""WITH ${bpeChainSql},
+       |fin AS (SELECT w, CAST(len(syms) AS BIGINT) AS nb FROM d$k),
+       |perword AS (SELECT wc.w,
+       |CAST(len(regexp_extract_all(wc.w, '(?s).')) AS BIGINT) AS ns,
+       |coalesce(f.nb, 0) AS nb FROM wc LEFT JOIN fin f USING (w)),
+       |docw AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS n_words, SUM(p.ns) AS n_syms,
+       |SUM(p.nb) AS n_bpe FROM docw JOIN perword p USING (w) GROUP BY doc_id)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |CAST(SUM(n_words) AS BIGINT) AS total_words,
+       |CAST(SUM(n_syms) AS BIGINT) AS total_syms,
+       |CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+       |CAST(SUM(n_bpe) * 1048576 // NULLIF(SUM(n_words), 0) AS BIGINT) AS fertility_q20,
+       |CAST((10000 * SUM(n_bpe)) // NULLIF(SUM(n_syms), 0) AS BIGINT) AS compression_bp
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
   /** q86's oracle: per-doc top-m terms by exact scaled tf-idf. The
@@ -2289,7 +2315,8 @@ object SparkEntry {
       ("q104_cluster_cards" -> clusterCardsSql) +
       ("q104b_cluster_sample" -> clusterSampleSql) +
       ("q104c_semdedup" -> semDedupCellsSql) +
-      ("q106_cluster_drift" -> clusterDriftSql)
+      ("q106_cluster_drift" -> clusterDriftSql) +
+      ("q105b_bpe_fertility" -> bpeFertilitySql)
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

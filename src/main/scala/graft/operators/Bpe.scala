@@ -136,4 +136,32 @@ object Bpe {
     tokenizeStatsRowLocal(docs,
       trainMerges(vocabulary(docs)).map(m => (m.left, m.right)))
       .orderBy("doc_id")
+
+  /** q105b: TOKENIZER FERTILITY under the TRAINED tokenizer — q105's
+    * regex segmentation priced the fixed pre-tokenizer; this is the
+    * number that actually moves when the q85 BPE vocabulary is
+    * retrained: per language, BPE tokens per word (Q20) and the
+    * corpus-level compression of the initial codepoint stream (bp).
+    * The domain is docs with ≥1 word (both engines drop wordless
+    * docs — the q85b oracle's join semantics, here made explicit).
+    * Shape: the ONE q85b scoring scan against the frozen merges, a
+    * doc-keyed metadata join, one map-side-combined rollup; ratios
+    * widen through DECIMAL(38,0) (the q62/q105 discipline). */
+  def bpeFertility(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(tokenizeStatsRowLocal(docs,
+        trainMerges(vocabulary(docs)).map(m => (m.left, m.right)))
+        .filter(col("n_words") > 0), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_syms")).as("total_syms"),
+        sum(col("n_bpe")).as("total_bpe"),
+        expr("CAST(CAST(sum(n_bpe) AS DECIMAL(38,0)) * 1048576 div " +
+          "nullif(CAST(sum(n_words) AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("fertility_q20"),
+        expr("CAST((10000 * CAST(sum(n_bpe) AS DECIMAL(38,0))) div " +
+          "nullif(CAST(sum(n_syms) AS DECIMAL(38,0)), 0) AS BIGINT)")
+          .as("compression_bp"))
+      .orderBy("lang")
 }

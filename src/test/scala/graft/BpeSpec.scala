@@ -156,4 +156,30 @@ class BpeSpec extends AnyFunSuite {
       assert(m.getAs[Long]("pair_n") >= Bpe.MinPairCount)
     }
   }
+
+  test("bpe fertility per language rolls up the per-doc stats exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Bpe.bpeFertility(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // independent rollup from the per-doc frame (same frozen model)
+    val stats = Bpe.tokenizeStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_syms"), r.getAs[Long]("n_bpe"))).toMap
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = stats.toSeq.filter(_._2._1 > 0)
+      .groupBy { case (id, _) => langOf(id) }
+    assert(out.keySet == byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val (w, s, b) = (rows.map(_._2._1).sum, rows.map(_._2._2).sum, rows.map(_._2._3).sum)
+      val r = out(lang)
+      assert(r.getAs[Long]("n_docs") == rows.size)
+      assert(r.getAs[Long]("total_words") == w)
+      assert(r.getAs[Long]("total_bpe") == b)
+      assert(r.getAs[Long]("fertility_q20") == b * 1048576L / w)
+      assert(r.getAs[Long]("compression_bp") == 10000L * b / s)
+      // a trained tokenizer merges at least some pairs: bpe < codepoints
+      assert(b < s, s"$lang: the trained model must compress the symbol stream")
+    }
+  }
 }

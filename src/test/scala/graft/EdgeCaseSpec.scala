@@ -78,6 +78,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq("bucket", "cnt_de", "cnt_en", "n_types", "unschematized_types", "n_unschematized"))
   }
 
+  test("late-r9 family (fertility, drift, bpe fertility) behaves on empty inputs") {
+    assert(TextAnalysis.tokenizerFertility(noDocs).isEmpty)
+    assert(graft.operators.Bpe.bpeFertility(noDocs).isEmpty,
+      "an untrainable (empty) BPE model must not crash the rollup")
+    assert(Similarity.vecReport(noVecs.withColumn("label", lit(0))).isEmpty)
+    assert(Similarity.clusterDrift(noVecs, Similarity.vecReleaseView(noVecs),
+      Seq.empty).isEmpty)
+    // a null-text doc neither crashes nor hides the language rollup
+    val mixed = Seq(
+      (1L, "some clean text", "en", "s", 15L),
+      (2L, null.asInstanceOf[String], "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = TextAnalysis.tokenizerFertility(mixed).collect()
+    assert(f.length == 1 && f.head.getAs[Long]("n_docs") == 2L,
+      "null text stays in its language group with null-skipped token sums")
+  }
+
   test("corpus construction yields empty results on an empty corpus") {
     assert(Corpus.stratifiedSample(noDocs, Seq("en" -> 1000), 2500).isEmpty)
     assert(Corpus.tokenBudgetPack(noDocs, 1000L).isEmpty)

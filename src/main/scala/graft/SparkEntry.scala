@@ -201,6 +201,8 @@ object SparkEntry {
       Search.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q90_phrase_search" -> ((s, d) => Search.phraseSearch(Tables.documents(s, d))),
     "q91_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
+    "q107_span_cut" -> ((s, d) => Dedup.spanCut(Tables.documents(s, d))),
+    "q107b_cut_spans" -> ((s, d) => Dedup.spanCutSpans(Tables.documents(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -930,6 +932,51 @@ object SparkEntry {
        |CASE WHEN max_dup_run > 0 THEN max_dup_run + ${w - 1} ELSE CAST(0 AS BIGINT) END AS max_span_tokens
        |FROM base ORDER BY doc_id""".stripMargin
   }
+
+  /** q107/q107b shared CTE chain: the q91 window machinery with
+    * 0-based positions (the span STARTS matter here, so both engines
+    * must agree on the index space), the min-doc-id owner election,
+    * and the gaps-and-islands interval merge (break when a cut
+    * position starts past the previous window's end). Final CTE `sp`
+    * has (doc_id, s, e) half-open token ranges. */
+  private def spanCutCtes: String = {
+    val w = 8
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |winpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${w - 2})) AS i FROM toks),
+       |wins AS (SELECT doc_id, i - 1 AS pos,
+       |('0x' || substr(md5(array_to_string(tk[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h FROM winpos),
+       |own AS (SELECT h, MIN(doc_id) AS owner FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN own o USING (h) WHERE w.doc_id <> o.owner),
+       |lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cut),
+       |grp AS (SELECT doc_id, pos,
+       |SUM(CASE WHEN prev IS NULL OR pos > prev + $w THEN 1 ELSE 0 END)
+       |  OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM lagd),
+       |sp AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + $w AS e FROM grp GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q107's oracle: per-doc cut summary over the shared span CTEs. */
+  private def spanCutSql: String =
+    s"""$spanCutCtes,
+       |sm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+       |CAST(SUM(e - s) AS BIGINT) AS tokens_cut FROM sp GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |CAST(coalesce(sm.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       |CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+       |CASE WHEN len(tk) > 0
+       |THEN (10000 * CAST(coalesce(sm.tokens_cut, 0) AS BIGINT)) // CAST(len(tk) AS BIGINT)
+       |ELSE CAST(0 AS BIGINT) END AS cut_bp,
+       |CAST(len(tk) AS BIGINT) - CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS tokens_left
+       |FROM toks t LEFT JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q107b's oracle: the interval list itself, span_idx dense by
+    * start within each doc. */
+  private def spanCutSpansSql: String =
+    s"""$spanCutCtes
+       |SELECT doc_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS span_idx,
+       |CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
+       |CAST(e - s AS BIGINT) AS span_tokens
+       |FROM sp ORDER BY doc_id, start_pos""".stripMargin
 
   /** q59's oracle: same candidate universe as q33 (shared
     * [[candidatePairsSql]] CTEs), asymmetric containment instead of
@@ -2517,6 +2564,8 @@ object SparkEntry {
     "q89_hybrid_rrf" -> hybridRrfSql,
     "q90_phrase_search" -> phraseSearchSql,
     "q91_span_dedup" -> spanDedupSql,
+    "q107_span_cut" -> spanCutSql,
+    "q107b_cut_spans" -> spanCutSpansSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

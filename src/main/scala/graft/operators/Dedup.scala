@@ -508,6 +508,109 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** per-doc merged CUT INTERVALS for the span-cut pair (q107/q107b):
+    * (doc_id, spans) where spans is the sorted array of maximal
+    * half-open token ranges [s, e) covering every duplicated window
+    * this doc must remove. The removal rule is the Lee et al. 2022
+    * APPLY step made deterministic: a w-token window whose content
+    * occurs in ≥2 distinct docs is OWNED by the smallest doc_id
+    * containing it; every other doc cuts every occurrence (within-doc
+    * repetition inside the owner stays q54's screen, the q91 scoping).
+    *
+    * Scale shape: identical to [[spanDedup]] — the window stream is
+    * hash-partitioned on the window hash ONCE and that exchange feeds
+    * BOTH the owner election and the cut join (plan-pinned
+    * ReusedExchange; the election keeps the same column set via the
+    * max(pos) prune guard so the two subtrees canonicalize equal).
+    * The interval merge folds row-locally over the collected cut
+    * positions (bounded by doc length) inside the one doc-keyed
+    * aggregate — gaps-and-islands without a per-doc window pass. */
+  private def spanCutPerDoc(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"windowTokens must be >= 1, got $w")
+    val wins = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(tk) >= $w THEN transform(sequence(1, size(tk) - ${w - 1})," +
+          s" i -> array_join(slice(tk, i, $w), ' ')) ELSE array() END")))
+      .select(col("doc_id"), col("pos"), md5_60(col("col")).as("h"))
+      // same canonical-equality discipline as spanDedup: state the
+      // no-op null guards here so both exchange subtrees stay equal
+      .filter(col("doc_id").isNotNull && col("h").isNotNull)
+    val byH = wins.repartition(col("h"))
+    // owner election per window CONTENT: min doc_id over ≥2 distinct
+    // docs. The vacuous max(pos) guard keeps pos alive in this branch
+    // (see spanDedup's __prune_guard note) so the shuffle is planned
+    // once and reused by the cut join below.
+    val owners = byH.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"),
+        max("pos").as("__prune_guard"))
+      .filter(col("nd") >= 2 && col("__prune_guard") >= 0)
+      .select(col("h"), col("owner"))
+    val cutPos = byH.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "pos")
+    // merged maximal intervals: positions are distinct per doc (one
+    // window per offset), sorted, then folded — a position p merges
+    // into the open interval while p ≤ its end (overlap or exact
+    // adjacency), else the interval closes and a new one opens.
+    cutPos.groupBy("doc_id").agg(expr(
+      s"""aggregate(
+         |  array_sort(collect_list(pos)),
+         |  named_struct(
+         |    'sp', cast(array() as array<struct<s:int,e:int>>),
+         |    'cs', -1, 'ce', -1),
+         |  (a, p) -> CASE
+         |    WHEN a.ce < 0 THEN named_struct('sp', a.sp, 'cs', p, 'ce', p + $w)
+         |    WHEN p <= a.ce THEN named_struct('sp', a.sp, 'cs', a.cs, 'ce', p + $w)
+         |    ELSE named_struct(
+         |      'sp', concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))),
+         |      'cs', p, 'ce', p + $w) END,
+         |  a -> CASE WHEN a.ce < 0 THEN a.sp
+         |    ELSE concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))) END)""".stripMargin)
+      .as("spans"))
+  }
+
+  /** q107: SPAN-CUT summary — the APPLY step of exact substring dedup
+    * (Lee et al. 2022: remove every repeated-substring occurrence but
+    * one) as a per-doc audit card: how many merged cut intervals, how
+    * many tokens they remove, the duplicated share in basis points and
+    * what remains. q91 DIAGNOSES span duplication; this prices the
+    * actual cut under the deterministic min-doc-id ownership rule, the
+    * number a curation team signs off before rewriting a corpus.
+    * Every doc re-enters with zeros via the doc-side left join. */
+  def spanCut(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val perDoc = spanCutPerDoc(docs, windowTokens)
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_cut_spans"),
+        expr("aggregate(spans, CAST(0 AS BIGINT), (acc, s) -> acc + (s.e - s.s))")
+          .as("tokens_cut"))
+    docs.select(col("doc_id"),
+        size(tokens(coalesce(col("text"), lit("")))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("tokens_cut"), lit(0L)).as("tokens_cut"))
+      .withColumn("cut_bp", expr(
+        "CASE WHEN n_tokens > 0 THEN (10000 * tokens_cut) DIV n_tokens ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("tokens_left", col("n_tokens") - col("tokens_cut"))
+      .select("doc_id", "n_tokens", "n_cut_spans", "tokens_cut", "cut_bp", "tokens_left")
+      .orderBy("doc_id")
+  }
+
+  /** q107b: the cut-span LIST — one row per merged interval, the
+    * machine-readable rewrite plan ([s, e) token ranges per doc,
+    * 0-based, span_idx dense by start). Docs with nothing to cut
+    * contribute no rows, exactly like the oracle. */
+  def spanCutSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame =
+    spanCutPerDoc(docs, windowTokens)
+      .select(col("doc_id"), posexplode(col("spans")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("span_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "start_pos")
+
   /** q32: per-doc SimHash profile with 15-bit chunk banding — docs
     * sharing any of the 4 chunks are hamming-near candidates. Bucket
     * sizes via the q83 groupBy+join shape ([[Scale.keyAggJoin]]), same

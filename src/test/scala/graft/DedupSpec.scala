@@ -374,6 +374,76 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("span cut: owner keeps, non-owners cut, adjacent cuts merge into one interval") {
+    val docs = Seq(
+      (1L, "a b c x a b"),  // owns ab and bc (smallest doc_id) → cuts nothing
+      (2L, "a b q b c"),    // cut ab@0 → [0,2) and bc@3 → [3,5): gap at 2, TWO spans
+      (3L, "m m m"),        // within-doc repetition only → never cut
+      (4L, "z"),            // shorter than the window → zero windows
+      (5L, "a b c y y")     // cut ab@0, bc@1 → overlap merges to ONE [0,3) span
+    ).toDF("doc_id", "text")
+    val sm = Dedup.spanCut(docs, windowTokens = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sm(1L).getAs[Long]("tokens_cut") == 0L,
+      "the min-doc_id owner keeps every occurrence")
+    assert(sm(2L).getAs[Long]("n_cut_spans") == 2L
+      && sm(2L).getAs[Long]("tokens_cut") == 4L
+      && sm(2L).getAs[Long]("tokens_left") == 1L
+      && sm(2L).getAs[Long]("cut_bp") == 8000L)
+    assert(sm(3L).getAs[Long]("tokens_cut") == 0L,
+      "within-doc repetition is q54's screen, not a cross-doc cut")
+    assert(sm(4L).getAs[Long]("n_tokens") == 1L && sm(4L).getAs[Long]("n_cut_spans") == 0L)
+    assert(sm(5L).getAs[Long]("n_cut_spans") == 1L && sm(5L).getAs[Long]("tokens_cut") == 3L,
+      "overlapping window cuts merge into one maximal interval")
+    val spans = Dedup.spanCutSpans(docs, windowTokens = 2).collect()
+    val d2 = spans.filter(_.getLong(0) == 2L)
+      .map(r => (r.getAs[Long]("span_idx"), r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+    assert(d2.toSeq == Seq((0L, 0L, 2L), (1L, 3L, 5L)))
+    val d5 = spans.filter(_.getLong(0) == 5L)
+      .map(r => (r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+    assert(d5.toSeq == Seq((0L, 3L)))
+  }
+
+  test("span cut invariants on real data; summary and span list agree") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val spans = Dedup.spanCutSpans(docs).collect()
+    assert(spans.nonEmpty, "sf0.001 carries real cross-doc spans")
+    spans.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_pos"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("span_idx") == i.toLong)
+        assert(r.getAs[Long]("span_tokens") ==
+          r.getAs[Long]("end_pos") - r.getAs[Long]("start_pos"))
+        assert(r.getAs[Long]("span_tokens") >= 8L,
+          "every merged interval covers at least one full window")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_pos") > a.getAs[Long]("end_pos"),
+            "maximal intervals are disjoint and non-adjacent")
+        case _ => ()
+      }
+    }
+    val fromList = spans.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Long]("span_tokens")).sum).toMap
+    Dedup.spanCut(docs).collect().foreach { r =>
+      assert(r.getAs[Long]("tokens_cut") == fromList.getOrElse(r.getLong(0), 0L))
+      assert(r.getAs[Long]("tokens_left") ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("tokens_cut"))
+    }
+  }
+
+  test("span cut shares ONE window-keyed exchange and runs window-free") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = Dedup.spanCut(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"),
+      s"the cut join must re-read the h-partitioned window stream, not re-shuffle it:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "per-doc interval merge folds row-locally, never a window")
+  }
+
   // ---- q104/q104b cluster curation
 
   test("cluster cards partition the embedded corpus and elect the modal language") {

@@ -203,6 +203,10 @@ object SparkEntry {
     "q91_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
     "q107_span_cut" -> ((s, d) => Dedup.spanCut(Tables.documents(s, d))),
     "q107b_cut_spans" -> ((s, d) => Dedup.spanCutSpans(Tables.documents(s, d))),
+    "q108_release_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.releaseDedup(docs, Dedup.ingestView(docs))
+    }),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -967,6 +971,52 @@ object SparkEntry {
        |ELSE CAST(0 AS BIGINT) END AS cut_bp,
        |CAST(len(tk) AS BIGINT) - CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS tokens_left
        |FROM toks t LEFT JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q108's oracle: the deterministic ingest batch (mirrors
+    * Dedup.ingestView), the store collapsed to per-fingerprint and
+    * per-band-bucket min ids, and the two-probe verdict. The band
+    * machinery replays the q31 signature pipeline over BOTH sides —
+    * Spark joins on the xxhash64 of the band slice, the oracle on the
+    * band VALUE list; equal values give equal hashes, so the verdicts
+    * agree (the q31 collision discipline). */
+  private def releaseDedupSql: String = {
+    val params = graft.operators.Dedup.affineParams(32).zipWithIndex
+      .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+    def bands(pfx: String, src: String): String =
+      s"""${pfx}toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM $src),
+         |${pfx}sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)] END) AS s FROM ${pfx}toks),
+         |${pfx}hsh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ${pfx}sh),
+         |${pfx}sig AS (SELECT doc_id, p.p AS p,
+         |MIN(CAST((CAST(h AS HUGEINT) * p.a + p.b) % 2305843009213693951 AS BIGINT)) AS mh
+         |FROM ${pfx}hsh CROSS JOIN params p GROUP BY doc_id, p.p),
+         |${pfx}bands AS (SELECT doc_id, p // 4 AS band_idx, list(mh ORDER BY p) AS bkey
+         |FROM ${pfx}sig GROUP BY doc_id, p // 4)""".stripMargin
+    s"""WITH params(p, a, b) AS (VALUES $params),
+       |inc AS (SELECT doc_id + 2000000000000 AS doc_id,
+       |CASE WHEN doc_id % 5 = 0 THEN text
+       |WHEN doc_id % 5 = 1 THEN text || ' trailing audit note'
+       |WHEN doc_id % 5 = 2 THEN 'prefix note ' || text
+       |WHEN doc_id % 5 = 3 THEN md5('new:' || CAST(doc_id AS VARCHAR))
+       |ELSE upper(text) END AS text, lang FROM documents),
+       |${bands("a", "documents")},
+       |${bands("i", "inc")},
+       |fpa AS (SELECT $fingerprintSql AS fp, MIN(doc_id) AS fp_min
+       |FROM documents WHERE text IS NOT NULL GROUP BY 1),
+       |bstore AS (SELECT band_idx, bkey, MIN(doc_id) AS band_min FROM abands GROUP BY 1, 2),
+       |ifp AS (SELECT i.doc_id, i.lang, f.fp_min FROM
+       |(SELECT doc_id, lang, $fingerprintSql AS fp FROM inc) i LEFT JOIN fpa f USING (fp)),
+       |inear AS (SELECT b.doc_id, MIN(s.band_min) AS near_min,
+       |CAST(COUNT(s.band_min) AS BIGINT) AS n_bands_matched
+       |FROM ibands b LEFT JOIN bstore s ON b.band_idx = s.band_idx AND b.bkey = s.bkey
+       |GROUP BY 1)
+       |SELECT f.doc_id, f.lang,
+       |CASE WHEN f.fp_min IS NOT NULL THEN 'exact'
+       |WHEN n.near_min IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+       |CASE WHEN f.fp_min IS NOT NULL THEN f.fp_min ELSE n.near_min END AS dup_of,
+       |CAST(coalesce(n.n_bands_matched, 0) AS BIGINT) AS n_bands_matched
+       |FROM ifp f LEFT JOIN inear n USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   /** q107b's oracle: the interval list itself, span_idx dense by
     * start within each doc. */
@@ -2566,6 +2616,7 @@ object SparkEntry {
     "q91_span_dedup" -> spanDedupSql,
     "q107_span_cut" -> spanCutSql,
     "q107b_cut_spans" -> spanCutSpansSql,
+    "q108_release_dedup" -> releaseDedupSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

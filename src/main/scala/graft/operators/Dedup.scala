@@ -611,6 +611,70 @@ object Dedup {
         (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
       .orderBy("doc_id", "start_pos")
 
+  /** deterministic stand-in INGEST BATCH for q108 — a mix every
+    * dedup-at-the-door deployment sees, by pure id rules mirrored
+    * literally in the oracle SQL: verbatim re-uploads (%5=0),
+    * re-uploads under trivial reformatting that the q40 normalization
+    * must see through (%5=4, uppercased), lightly-edited near-dups
+    * (%5=1 suffix, %5=2 prefix), and genuinely new content (%5=3, an
+    * md5 hex string that shares nothing). Ids offset far above the
+    * store's id range (and q64's clone offset) so they never collide. */
+  def ingestView(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") + lit(2000000000000L)).as("doc_id"),
+      expr("""CASE WHEN doc_id % 5 = 0 THEN text
+        WHEN doc_id % 5 = 1 THEN text || ' trailing audit note'
+        WHEN doc_id % 5 = 2 THEN 'prefix note ' || text
+        WHEN doc_id % 5 = 3 THEN md5('new:' || CAST(doc_id AS STRING))
+        ELSE upper(text) END""").as("text"),
+      col("lang"), col("source"))
+
+  /** q108: RELEASE DEDUP AT THE DOOR — the production incremental form
+    * of q30+q31: a batch of INCOMING documents is deduplicated against
+    * a FROZEN corpus store without ever re-scanning pairs. Per incoming
+    * doc the verdict: `exact` (q40-normalized content fingerprint
+    * already in the store; dup_of = smallest holder), `near` (shares a
+    * MinHash band bucket with the store — the q31 banding; dup_of =
+    * smallest bucket holder), else `new`; n_bands_matched counts the
+    * doc's bands (of 8) that landed in an occupied store bucket.
+    *
+    * Scale shape — the reason this beats re-running corpus dedup on
+    * store ∪ batch: the store collapses ONCE to one row per
+    * fingerprint and one row per band bucket (map-side-combined
+    * min-id aggregates — build once per release, reusable across
+    * batches), so the probe is two linear LEFT equi-joins keyed by
+    * fingerprint / (band_idx, band_hash) with exactly one store row
+    * per key — no bucket can go quadratic, no window, no pair join.
+    * At 100 TB the store frames are corpus-fingerprint-sized but the
+    * per-batch cost is batch-sized. */
+  def releaseDedup(store: DataFrame, incoming: DataFrame): DataFrame = {
+    val fpStore = store
+      .select(TextAnalysis.fingerprintCol(col("text")).as("fp"), col("doc_id"))
+      .filter(col("fp").isNotNull)
+      .groupBy("fp").agg(min("doc_id").as("fp_min"))
+    val bandStore = minhashBands(store)
+      .groupBy("band_idx", "band_hash").agg(min("doc_id").as("band_min"))
+    val incFp = incoming
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .join(fpStore, Seq("fp"), "left")
+      .select(col("doc_id"), col("lang"), col("fp_min"))
+    val incNear = minhashBands(incoming)
+      .join(bandStore, Seq("band_idx", "band_hash"), "left")
+      .groupBy("doc_id")
+      .agg(min("band_min").as("near_min"),
+        count(col("band_min")).as("n_bands_matched"))
+    incFp.join(incNear, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("fp_min").isNotNull, lit("exact"))
+          .when(col("near_min").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("fp_min").isNotNull, col("fp_min"))
+          .otherwise(col("near_min")).as("dup_of"),
+        coalesce(col("n_bands_matched"), lit(0L)).as("n_bands_matched"))
+      .orderBy("doc_id")
+  }
+
   /** q32: per-doc SimHash profile with 15-bit chunk banding — docs
     * sharing any of the 4 chunks are hamming-near candidates. Bucket
     * sizes via the q83 groupBy+join shape ([[Scale.keyAggJoin]]), same

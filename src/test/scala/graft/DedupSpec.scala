@@ -444,6 +444,53 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "per-doc interval merge folds row-locally, never a window")
   }
 
+  test("release dedup: exact beats near, normalization-aware, store min-id wins") {
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"), // same content, larger id
+      (3L, "first second third fourth fifth sixth seventh eighth ninth tenth", "en")
+    ).toDF("doc_id", "text", "lang")
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"), // verbatim
+      (101L, "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA KAPPA", "en"), // reformatting
+      (102L, "first second third fourth fifth sixth seventh eighth ninth tenth extra", "en"), // light edit
+      (103L, "entirely unrelated words about nothing in the corpus whatsoever", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.releaseDedup(store, incoming).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getAs[String]("verdict") == "exact"
+      && out(100L).getAs[Long]("dup_of") == 1L,
+      "verbatim re-upload is exact, dup_of is the SMALLEST store holder")
+    assert(out(101L).getAs[String]("verdict") == "exact"
+      && out(101L).getAs[Long]("dup_of") == 1L,
+      "the q40 normalization sees through case changes")
+    assert(out(102L).getAs[String]("verdict") == "near"
+      && out(102L).getAs[Long]("dup_of") == 3L
+      && out(102L).getAs[Long]("n_bands_matched") >= 1L,
+      "a lightly-edited doc shares a MinHash band with its source")
+    assert(out(103L).getAs[String]("verdict") == "new"
+      && out(103L).isNullAt(out(103L).fieldIndex("dup_of"))
+      && out(103L).getAs[Long]("n_bands_matched") == 0L)
+    // exact ALSO band-matches — the verdict must still say exact
+    assert(out(100L).getAs[Long]("n_bands_matched") == 8L)
+  }
+
+  test("release dedup is partitioning-invariant and window-free") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = Dedup.releaseDedup(docs, Dedup.ingestView(docs))
+    val once = df.collect()
+    assert(once.nonEmpty)
+    val verdicts = once.groupBy(_.getAs[String]("verdict")).view.mapValues(_.length).toMap
+    assert(verdicts.contains("exact") && verdicts.contains("near") && verdicts.contains("new"),
+      s"the ingest fixture must exercise all three verdicts: $verdicts")
+    val again = Dedup.releaseDedup(docs.repartition(7), Dedup.ingestView(docs).repartition(5))
+      .collect()
+    assert(once.sameElements(again))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      "the probe is two linear equi-joins against collapsed stores")
+  }
+
   // ---- q104/q104b cluster curation
 
   test("cluster cards partition the embedded corpus and elect the modal language") {

@@ -207,6 +207,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.releaseDedup(docs, Dedup.ingestView(docs))
     }),
+    "q109_pmi_collocations" -> ((s, d) =>
+      Frequency.pmiCollocations(Tables.documents(s, d))),
+    "q110_ann_recall" -> ((s, d) =>
+      Similarity.annRecallAudit(Tables.embeddings(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -1018,6 +1022,45 @@ object SparkEntry {
        |FROM ifp f LEFT JOIN inear n USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** q109's oracle: per-lang QUALIFY vocabulary under the same total
+    * order as the TopKPerKey election, vocab-restricted adjacent-pair
+    * counts + marginals, the four floor-log cascades via one dom union
+    * on the shared kernel CTEs, and the per-lang rank cut. */
+  private def pmiCollocationsSql: String = {
+    import graft.operators.Frequency.{PmiVocabK, PmiTopK, PmiMinPair}
+    s"""WITH toks AS (SELECT lang, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |tokl AS (SELECT lang, unnest(tk) AS tok FROM toks),
+       |cnt AS (SELECT lang, tok, COUNT(*) AS cnt FROM tokl GROUP BY 1, 2),
+       |voc AS (SELECT lang, tok FROM cnt
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok ASC) <= $PmiVocabK),
+       |pr AS (SELECT lang, tk[i] AS w1, tk[i + 1] AS w2
+       |FROM (SELECT lang, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+       |prv AS (SELECT p.lang, p.w1, p.w2 FROM pr p
+       |JOIN voc v1 ON p.lang = v1.lang AND p.w1 = v1.tok
+       |JOIN voc v2 ON p.lang = v2.lang AND p.w2 = v2.tok),
+       |pc AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair FROM prv GROUP BY 1, 2, 3),
+       |mm1 AS (SELECT lang, w1, CAST(SUM(c_pair) AS BIGINT) AS c1 FROM pc GROUP BY 1, 2),
+       |mm2 AS (SELECT lang, w2, CAST(SUM(c_pair) AS BIGINT) AS c2 FROM pc GROUP BY 1, 2),
+       |nn AS (SELECT lang, CAST(SUM(c_pair) AS BIGINT) AS n_pairs FROM pc GROUP BY 1),
+       |sc AS (SELECT pc.lang, pc.w1, pc.w2, pc.c_pair, mm1.c1, mm2.c2, nn.n_pairs
+       |FROM pc JOIN mm1 USING (lang, w1) JOIN mm2 USING (lang, w2) JOIN nn USING (lang)
+       |WHERE pc.c_pair >= $PmiMinPair),
+       |dom AS (
+       |  SELECT lang, w1, w2, 'p' AS kind, CAST(1 AS BIGINT) AS a, c_pair AS b FROM sc
+       |  UNION ALL SELECT lang, w1, w2, 'n', 1, n_pairs FROM sc
+       |  UNION ALL SELECT lang, w1, w2, '1', 1, c1 FROM sc
+       |  UNION ALL SELECT lang, w1, w2, '2', 1, c2 FROM sc),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("lang", "w1", "w2", "kind"))},
+       |pm AS (SELECT lang, w1, w2,
+       |CAST(SUM(CASE WHEN kind IN ('p', 'n') THEN mb ELSE -mb END) AS BIGINT) AS pmi_mb
+       |FROM surp GROUP BY 1, 2, 3),
+       |wc AS (SELECT pm.lang, pm.w1, pm.w2, sc.c_pair AS pair_n, pm.pmi_mb
+       |FROM pm JOIN sc ON pm.lang = sc.lang AND pm.w1 = sc.w1 AND pm.w2 = sc.w2),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pmi_mb DESC, w1, w2) AS rank FROM wc)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, w1, w2, pair_n, pmi_mb
+       |FROM rk WHERE rank <= $PmiTopK ORDER BY lang, rank""".stripMargin
+  }
+
   /** q107b's oracle: the interval list itself, span_idx dense by
     * start within each doc. */
   private def spanCutSpansSql: String =
@@ -1172,6 +1215,33 @@ object SparkEntry {
        |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 20) t
        |WHERE rn <= 6)""".stripMargin
   }
+
+  /** q35's oracle (also the exact side of q110's recall audit). */
+  private def knnBruteSql: String =
+    """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw)
+      |SELECT query_id, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp, rank FROM (
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine,
+      |row_number() OVER (PARTITION BY q.vec_id
+      |ORDER BY list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+      |FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20) t
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q110's oracle: both published result sets as nested subqueries
+    * (each with its own WITH — the q61 nesting pattern), per-query
+    * intersection and the recall ratio in basis points. */
+  private def annRecallSql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnBruteSql) b),
+       |ap AS (SELECT query_id, neighbor_id FROM ($knnIvfSql) a),
+       |h AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM ex e JOIN ap p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |GROUP BY 1),
+       |x AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1)
+       |SELECT x.query_id, x.n_exact,
+       |CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |(10000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // x.n_exact AS recall_bp
+       |FROM x LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
 
   private def knnIvfSql: String =
     s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2617,6 +2687,8 @@ object SparkEntry {
     "q107_span_cut" -> spanCutSql,
     "q107b_cut_spans" -> spanCutSpansSql,
     "q108_release_dedup" -> releaseDedupSql,
+    "q109_pmi_collocations" -> pmiCollocationsSql,
+    "q110_ann_recall" -> annRecallSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,
@@ -2651,16 +2723,7 @@ object SparkEntry {
     "q34_dedup_embedding" -> nearDupBandedSql,
     "q36_knn_lsh" -> knnLshSql,
     "q36b_knn_ivf" -> knnIvfSql,
-    "q35_knn_bruteforce" ->
-      """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |e AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM raw)
-        |SELECT query_id, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp, rank FROM (
-        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine,
-        |row_number() OVER (PARTITION BY q.vec_id
-        |ORDER BY list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
-        |FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20) t
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q35_knn_bruteforce" -> knnBruteSql,
     "q37_text_langid" ->
       """SELECT lang, CASE
         |WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'

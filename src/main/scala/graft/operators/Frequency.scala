@@ -250,4 +250,81 @@ object Frequency {
       phiBp = 200, capacity = 256)
       .withColumnRenamed("grp", "source").withColumnRenamed("k", "token")
   }
+
+  // ------------------------------------------------------------------
+  // q109: PMI collocations
+  // ------------------------------------------------------------------
+
+  /** per-language vocabulary size for the PMI pair domain. */
+  val PmiVocabK = 16
+
+  /** collocations reported per language. */
+  val PmiTopK = 8
+
+  /** minimum pair support — a pair seen twice is noise, not a
+    * collocation. */
+  val PmiMinPair = 3L
+
+  /** q109: PMI COLLOCATIONS per language — the corpus-analysis card
+    * behind tokenizer-vocabulary and stopword decisions (which
+    * adjacent word pairs cohere far beyond chance): for each language,
+    * the top-[[PmiTopK]] adjacent pairs over the top-[[PmiVocabK]]
+    * vocabulary by pointwise mutual information,
+    * PMI = log2( c(a,b)·N / (c₁(a)·c₂(b)) ) with marginals taken over
+    * the restricted pair domain (so Σ_b c(a,b) = c₁(a) exactly).
+    *
+    * EXACTNESS: PMI is irrational; it is DEFINED here in 1/1024-bit
+    * units as the SIGNED sum of four fixed-point floor-logs on the
+    * q100 kernel — l(c_pair) + l(N) − l(c₁) − l(c₂) with
+    * l(x) = log2mb(1, x) — each argument a plain count < 2⁶², so the
+    * form never multiplies counts and cannot overflow at ANY corpus
+    * size (c·N products would pass 2⁶³ at ~10¹³ pairs). The oracle
+    * replays the four cascades digit-for-digit via one dom union.
+    *
+    * Scale shape: the vocabulary is the bounded-heap TopKPerKey
+    * election (a per-lang count window would serialize the dominant
+    * language); the pair stream is restricted row-locally by two
+    * BROADCAST left-semi joins against the ≤ V·langs vocab before the
+    * ONE map-side-combined (lang, w1, w2) count — ≤ V² rows per lang
+    * survive, so marginals, N, the kernel and the election all run on
+    * model-sized frames. */
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    import graft.functions.LogExpressions.log2mb
+    val toks = docs.select(col("lang"),
+      expr("split(trim(lower(coalesce(text, ''))), ' +')").as("tk"))
+    val counts = toks.select(col("lang"), explode(col("tk")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val vocab = graft.plans.TopKPerKey(counts, Seq(col("lang")),
+        Seq(col("cnt").desc, col("tok").asc), PmiVocabK)
+      .select("lang", "tok")
+    val pairs = toks.select(col("lang"), explode(expr(
+        """CASE WHEN size(tk) >= 2
+          |THEN transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .select(col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(vocab.select(col("lang"), col("tok").as("w1"))),
+        Seq("lang", "w1"), "left_semi")
+      .join(broadcast(vocab.select(col("lang"), col("tok").as("w2"))),
+        Seq("lang", "w2"), "left_semi")
+    val pairCounts = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_pair"))
+    val m1 = pairCounts.groupBy("lang", "w1").agg(sum("c_pair").as("c1"))
+    val m2 = pairCounts.groupBy("lang", "w2").agg(sum("c_pair").as("c2"))
+    val nl = pairCounts.groupBy("lang").agg(sum("c_pair").as("n_pairs"))
+    val scored = pairCounts
+      .join(broadcast(m1), Seq("lang", "w1"))
+      .join(broadcast(m2), Seq("lang", "w2"))
+      .join(broadcast(nl), Seq("lang"))
+      .filter(col("c_pair") >= PmiMinPair)
+      .withColumn("pmi_mb",
+        log2mb(lit(1L), col("c_pair")) + log2mb(lit(1L), col("n_pairs"))
+          - log2mb(lit(1L), col("c1")) - log2mb(lit(1L), col("c2")))
+    graft.plans.TopKPerKey(scored, Seq(col("lang")),
+        Seq(col("pmi_mb").desc, col("w1").asc, col("w2").asc), PmiTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("pmi_mb").desc, col("w1").asc, col("w2").asc)).cast("long"))
+      .select(col("lang"), col("rank"), col("w1"), col("w2"),
+        col("c_pair").as("pair_n"), col("pmi_mb"))
+      .orderBy("lang", "rank")
+  }
 }

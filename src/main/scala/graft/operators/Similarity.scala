@@ -144,6 +144,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** q110: ANN RECALL AUDIT — the index-quality report every vector
+    * deployment runs before trusting an approximate index (the
+    * recall@k card an IVF/nProbe or LSH parameter sweep reads): per
+    * query, how many of the exact top-k ([[knnBruteForce]]) the IVF
+    * index ([[knnIvf]]) returned, and the recall in basis points.
+    * Both sides are the PUBLISHED inventory operators — the audit
+    * composes their result sets, so the number it reports is exactly
+    * the production index's, not a re-derivation that could drift.
+    *
+    * Scale shape: the exact side is the documented recall-oracle
+    * crossJoin (benchmark-query-sized, q35's contract); the audit
+    * itself adds one benchmark-sized left-semi join and two
+    * map-side-combined per-query counts — nothing corpus-sized moves
+    * beyond what the two published operators already do. */
+  def annRecallAudit(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val exact = knnBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(embeddings, nQueries = nQueries, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr("(10000 * n_hits) DIV n_exact"))
+      .orderBy("query_id")
+  }
+
   /** appends `__dots` (all centroid dot products, ONE codegen
     * expression over the reference-object matrix — evaluated once per
     * row, no per-cell literal subtrees) and returns the (score, cell)

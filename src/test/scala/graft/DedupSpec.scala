@@ -444,6 +444,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "per-doc interval merge folds row-locally, never a window")
   }
 
+  test("ann recall audit equals the independent intersection of the two published operators") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.knnBruteForce(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val approx = Similarity.knnIvf(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val expected = exact.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.count(approx).toLong)
+    }.toMap
+    val audit = Similarity.annRecallAudit(e).collect()
+    assert(audit.length == expected.size)
+    audit.foreach { r =>
+      val (nExact, nHits) = expected(r.getAs[Long]("query_id"))
+      assert(r.getAs[Long]("n_exact") == nExact)
+      assert(r.getAs[Long]("n_hits") == nHits)
+      assert(r.getAs[Long]("recall_bp") == 10000L * nHits / nExact)
+    }
+    assert(audit.map(_.getAs[Long]("recall_bp")).max <= 10000L)
+  }
+
   test("release dedup: exact beats near, normalization-aware, store min-id wins") {
     val store = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),

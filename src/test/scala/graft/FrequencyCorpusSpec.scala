@@ -474,4 +474,65 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     // the final AND the initial plan, so the one node appears twice)
     assert(plan.split("Window \\[").length - 1 <= 2)
   }
+
+  test("PMI collocations replay independently (kernel as primitive)") {
+    // one language, engineered so 'x y' is a tight collocation while
+    // high-count pairs with independent parts score low
+    val texts = Seq.fill(6)("x y u") ++ Seq.fill(6)("v x y") ++
+      Seq.fill(4)("u v u v u") ++ Seq.fill(3)("y x")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }.toDF("doc_id", "text", "lang")
+    // independent replay: counts in plain Scala, log2mb as primitive
+    val tokss = texts.map(_.trim.toLowerCase.split(" +").toSeq)
+    val vocab = tokss.flatten.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(Frequency.PmiVocabK).map(_._1).toSet
+    val pairs = tokss.flatMap(tk => tk.zip(tk.drop(1)))
+      .filter { case (a, b) => vocab(a) && vocab(b) }
+    val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2 = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = pairs.size.toLong
+    val support = pc.filter(_._2 >= Frequency.PmiMinPair)
+    // kernel evaluations for every needed count, via one literal frame
+    val args = (support.values ++ support.keys.map(k => c1(k._1)) ++
+      support.keys.map(k => c2(k._2)) ++ Seq(n)).toSeq.distinct
+    val mb = args.toDF("b")
+      .select(col("b"), graft.functions.LogExpressions.log2mb(lit(1L), col("b")).as("mb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = support.toSeq.map { case ((a, b), c) =>
+      ((a, b), c, mb(c) + mb(n) - mb(c1(a)) - mb(c2(b)))
+    }.sortBy { case ((a, b), _, p) => (-p, a, b) }.take(Frequency.PmiTopK)
+    val got = Frequency.pmiCollocations(docs).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        r.getAs[Long]("pair_n"), r.getAs[Long]("pmi_mb")))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+    // both engineered collocations surface with positive coherence
+    assert(got.head._3 > 0)
+    assert(got.map(_._1).contains(("x", "y")))
+  }
+
+  test("PMI collocations on real data: dense ranks, in-vocab pairs, supported counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Frequency.pmiCollocations(docs).collect()
+    assert(out.nonEmpty)
+    val vocab = docs
+      .select(col("lang"), explode(expr("split(trim(lower(coalesce(text, ''))), ' +')")).as("tok"))
+      .groupBy("lang", "tok").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(
+        _.sortBy(r => (-r.getAs[Long]("count"), r.getString(1)))
+          .take(Frequency.PmiVocabK).map(_.getString(1)).toSet).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to rows.length).toSeq, s"$lang ranks dense")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("pair_n") >= Frequency.PmiMinPair)
+        assert(vocab(lang)(r.getAs[String]("w1")) && vocab(lang)(r.getAs[String]("w2")),
+          s"$lang pair outside the top-${Frequency.PmiVocabK} vocabulary")
+      }
+    }
+    val plan = Frequency.pmiCollocations(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("LeftSemi"), "vocab restriction is broadcast semi-joins")
+  }
 }

@@ -648,12 +648,29 @@ object Dedup {
     * At 100 TB the store frames are corpus-fingerprint-sized but the
     * per-batch cost is batch-sized. */
   def releaseDedup(store: DataFrame, incoming: DataFrame): DataFrame = {
+    val (fpStore, bandStore) = releaseStores(store)
+    releaseDedupWithStores(fpStore, bandStore, incoming)
+  }
+
+  /** the two COLLAPSED store frames the door probes — (fingerprint →
+    * smallest holder, band bucket → smallest holder). Build once per
+    * release (map-side-combined min aggregates), persist, reuse across
+    * every ingest batch; [[releaseDedupWithStores]] /
+    * [[graft.streaming.DocStreams.releaseDedupSink]] take them frozen. */
+  def releaseStores(store: DataFrame): (DataFrame, DataFrame) = {
     val fpStore = store
       .select(TextAnalysis.fingerprintCol(col("text")).as("fp"), col("doc_id"))
       .filter(col("fp").isNotNull)
       .groupBy("fp").agg(min("doc_id").as("fp_min"))
     val bandStore = minhashBands(store)
       .groupBy("band_idx", "band_hash").agg(min("doc_id").as("band_min"))
+    (fpStore, bandStore)
+  }
+
+  /** the probe half of [[releaseDedup]] against pre-collapsed frozen
+    * stores — what a deployment actually pays per batch. */
+  def releaseDedupWithStores(fpStore: DataFrame, bandStore: DataFrame,
+                             incoming: DataFrame): DataFrame = {
     val incFp = incoming
       .select(col("doc_id"), col("lang"),
         TextAnalysis.fingerprintCol(col("text")).as("fp"))

@@ -267,6 +267,29 @@ object DocStreams {
       }
       .start()
 
+  /** q108's stream form — the INGEST DOOR: each micro-batch of
+    * arriving documents runs the batch release-dedup probe against the
+    * FROZEN collapsed store frames ([[graft.operators.Dedup.releaseStores]],
+    * built once per release) and writes the verdicts under
+    * `batch=<id>`. foreachBatch is the deployment shape here on
+    * purpose: the verdict needs a per-doc aggregate over band matches,
+    * which a pure append stream cannot express without watermark
+    * state — the micro-batch IS the batch, and the probe inside it is
+    * the same two linear equi-joins (batch-sized cost at any store
+    * size). Overwrite into the batch-id-keyed directory + checkpoint
+    * makes replay idempotent, the postingMaintenance discipline. */
+  def releaseDedupSink(docs: DataFrame, fpStore: DataFrame, bandStore: DataFrame,
+                       outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.releaseDedupWithStores(fpStore, bandStore, batch.toDF())
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .start()
+
   /** q87's exact ranking over the live segmented index: postings =
     * the segment union (the seg partition column is bookkeeping, not
     * data), N = the summed per-segment counts — never derived from

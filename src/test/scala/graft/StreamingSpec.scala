@@ -938,4 +938,29 @@ class StreamingSpec extends AnyFunSuite {
       "checkpoint resume must not re-index already-ingested docs")
     assert(spark.read.parquet(metaDir).agg(sum("n_docs")).head.getLong(0) == 3L)
   }
+
+  test("release-dedup ingest door: micro-batch verdicts equal the batch probe") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_reldedup")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val store = Tables.documents(spark, "/root/testdata/sf0.001")
+    // frozen collapsed stores, built once — the per-release contract
+    val (fpStore, bandStore) = graft.operators.Dedup.releaseStores(store)
+    val incoming = graft.operators.Dedup.ingestView(store)
+    incoming.withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.DocStreams.releaseDedupSink(
+      graft.streaming.DocStreams.readDocStream(spark, srcDir),
+      fpStore, bandStore, outDir, ckpt)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "lang", "verdict", "dup_of", "n_bands_matched")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.Dedup.releaseDedup(store, incoming)
+      .collect().toSeq
+    assert(streamed == batch,
+      "the door's verdicts must reproduce the batch q108 verbatim")
+  }
 }

@@ -189,4 +189,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rep.collect().forall(_.getAs[Long]("n_violations") == 0L),
       "rules over an empty frame report zero violations, not nothing")
   }
+
+  test("r10 family (span cut, release dedup, pmi, recall audit) behaves on empty inputs") {
+    assert(Dedup.spanCut(noDocs).isEmpty)
+    assert(Dedup.spanCutSpans(noDocs).isEmpty)
+    // empty STORE and empty BATCH: neither side may throw
+    assert(Dedup.releaseDedup(noDocs, noDocs).isEmpty)
+    assert(Frequency.pmiCollocations(noDocs).isEmpty)
+    assert(Similarity.annRecallAudit(noVecs).isEmpty,
+      "auditing an empty index against an empty baseline is a no-op, not a crash")
+  }
+
+  test("r10 family survives a null-text row without hiding other docs") {
+    val docs = Seq(
+      (1L, "clean alpha text here and more words to window over", "en", "src0", 51L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // span cut: the null-text doc re-enters with zeros
+    val sc = Dedup.spanCut(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(sc(2L).getAs[Long]("n_cut_spans") == 0L && sc.contains(1L))
+    // release dedup: every incoming doc gets a verdict, null text included
+    val out = Dedup.releaseDedup(docs, Dedup.ingestView(docs)).collect()
+    assert(out.length == 2, "every incoming doc gets a verdict")
+    assert(out.forall(r => Set("exact", "near", "new")(r.getAs[String]("verdict"))))
+    assert(Frequency.pmiCollocations(docs).collect()
+      .forall(_.getAs[String]("lang") == "en"))
+  }
 }

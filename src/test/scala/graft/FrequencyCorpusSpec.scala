@@ -534,5 +534,10 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     val plan = Frequency.pmiCollocations(docs).queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("LeftSemi"), "vocab restriction is broadcast semi-joins")
+    assert(!plan.contains("SortMergeJoin"), "model-sized frames must broadcast")
+    // the only Window is the rank over ≤PmiTopK TopKPerKey survivors
+    // (AQE prints final + initial plans: the one node appears twice)
+    assert(plan.split("Window \\[").length - 1 <= 2,
+      "no data-sized window — vocab and winners elect on the bounded heap")
   }
 }

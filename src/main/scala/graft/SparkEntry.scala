@@ -211,6 +211,12 @@ object SparkEntry {
       Frequency.pmiCollocations(Tables.documents(s, d))),
     "q110_ann_recall" -> ((s, d) =>
       Similarity.annRecallAudit(Tables.embeddings(s, d))),
+    "q111_vocab_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Frequency.vocabDrift(docs, Curation.releaseView(docs))
+    }),
+    "q112_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateTopK(Tables.documents(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -1059,6 +1065,61 @@ object SparkEntry {
        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pmi_mb DESC, w1, w2) AS rank FROM wc)
        |SELECT lang, CAST(rank AS BIGINT) AS rank, w1, w2, pair_n, pmi_mb
        |FROM rk WHERE rank <= $PmiTopK ORDER BY lang, rank""".stripMargin
+  }
+
+  /** q111's oracle: the q64 release stand-in (text-relevant rules),
+    * top-K release-A vocabulary under the same total order, both
+    * releases' counts + totals, and the four floor-log cascades per
+    * token via one dom union on the shared kernel CTEs. */
+  private def vocabDriftSql: String = {
+    val k = graft.operators.Frequency.DriftVocabK
+    s"""WITH rb AS (
+       |SELECT CASE WHEN doc_id % 17 = 0 THEN text || ' revised' ELSE text END AS text
+       |FROM documents WHERE doc_id % 31 <> 0
+       |UNION ALL SELECT text FROM documents WHERE doc_id % 41 = 0),
+       |ta AS (SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), ' +')) AS tok FROM documents),
+       |tb AS (SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), ' +')) AS tok FROM rb),
+       |voc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_a FROM ta GROUP BY 1
+       |ORDER BY c_a DESC, tok ASC LIMIT $k),
+       |cbc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_b FROM tb
+       |WHERE tok IN (SELECT tok FROM voc) GROUP BY 1),
+       |nta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ta),
+       |ntb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM tb),
+       |base AS (SELECT v.tok, v.c_a, CAST(coalesce(c.c_b, 0) AS BIGINT) AS c_b, nta.n_a, ntb.n_b
+       |FROM voc v LEFT JOIN cbc c USING (tok) CROSS JOIN nta CROSS JOIN ntb),
+       |dom AS (
+       |  SELECT tok, 'ca' AS kind, CAST(1 AS BIGINT) AS a, c_a + 1 AS b FROM base
+       |  UNION ALL SELECT tok, 'cb', 1, c_b + 1 FROM base
+       |  UNION ALL SELECT tok, 'na', 1, n_a + $k FROM base
+       |  UNION ALL SELECT tok, 'nb', 1, n_b + $k FROM base),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("tok", "kind"))},
+       |dr AS (SELECT tok,
+       |CAST(SUM(CASE WHEN kind IN ('ca', 'nb') THEN mb ELSE -mb END) AS BIGINT) AS drift_mb
+       |FROM surp GROUP BY 1),
+       |f AS (SELECT b.tok, b.c_a, b.c_b,
+       |CAST((10000 * b.c_a) // b.n_a AS BIGINT) AS share_bp, d.drift_mb
+       |FROM base b JOIN dr d USING (tok)),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY abs(drift_mb) DESC, tok ASC) AS rank FROM f)
+       |SELECT CAST(rank AS BIGINT) AS rank, tok, c_a, c_b, share_bp, drift_mb
+       |FROM rk ORDER BY rank""".stripMargin
+  }
+
+  /** q112's oracle: the q91 window CTEs grouped by content, ranked by
+    * (distinct docs, occurrences, text). */
+  private def boilerplateSql: String = {
+    val w = 8
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |winpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${w - 2})) AS i FROM toks),
+       |wins AS (SELECT doc_id, array_to_string(tk[i:i+${w - 1}], ' ') AS win FROM winpos),
+       |agg AS (SELECT ('0x' || substr(md5(win), 1, 15))::BIGINT AS h,
+       |CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(win) AS span_text
+       |FROM wins GROUP BY 1),
+       |top AS (SELECT * FROM agg WHERE n_docs >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, span_text ASC LIMIT 32),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, span_text ASC) AS rank FROM top)
+       |SELECT CAST(rank AS BIGINT) AS rank, span_text, n_docs, n_occ
+       |FROM rk ORDER BY rank""".stripMargin
   }
 
   /** q107b's oracle: the interval list itself, span_idx dense by
@@ -2689,6 +2750,8 @@ object SparkEntry {
     "q108_release_dedup" -> releaseDedupSql,
     "q109_pmi_collocations" -> pmiCollocationsSql,
     "q110_ann_recall" -> annRecallSql,
+    "q111_vocab_drift" -> vocabDriftSql,
+    "q112_boilerplate" -> boilerplateSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

@@ -611,6 +611,41 @@ object Dedup {
         (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
       .orderBy("doc_id", "start_pos")
 
+  /** q112: BOILERPLATE LEADERBOARD — the most-duplicated w-token spans
+    * across the corpus, the report a curation team reads BEFORE
+    * writing cut rules (license blocks, headers, navigation chrome —
+    * the q107 cut is the generic remedy; this names the offenders):
+    * per duplicated window content (≥2 distinct docs), the distinct-doc
+    * count, total occurrences, and the span text itself, top-K by
+    * (n_docs desc, n_occ desc, window asc).
+    *
+    * Scale shape: ONE window scan; the (hash → stats+text) aggregate
+    * combines map-side (min(text) carries the span's one spelling —
+    * all rows in a hash group share it), so the exchange moves ≤1 row
+    * per distinct window content; the election is a K-bounded
+    * TakeOrdered, never a global sort of the span domain. */
+  def boilerplateTopK(docs: DataFrame, windowTokens: Int = 8, k: Int = 32): DataFrame = {
+    val w = windowTokens
+    require(w >= 1 && k >= 1)
+    val wins = docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(tk) >= $w THEN transform(sequence(1, size(tk) - ${w - 1})," +
+          s" i -> array_join(slice(tk, i, $w), ' ')) ELSE array() END")).as("win"))
+    val top = wins
+      .groupBy(md5_60(col("win")).as("h"))
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("win").as("span_text"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_text").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("span_text").asc)).cast("long"))
+      .select("rank", "span_text", "n_docs", "n_occ")
+      .orderBy("rank")
+  }
+
   /** deterministic stand-in INGEST BATCH for q108 — a mix every
     * dedup-at-the-door deployment sees, by pure id rules mirrored
     * literally in the oracle SQL: verbatim re-uploads (%5=0),

@@ -327,4 +327,58 @@ object Frequency {
         col("c_pair").as("pair_n"), col("pmi_mb"))
       .orderBy("lang", "rank")
   }
+
+  // ------------------------------------------------------------------
+  // q111: vocabulary drift between releases
+  // ------------------------------------------------------------------
+
+  /** tracked vocabulary size for the drift card. */
+  val DriftVocabK = 32
+
+  /** q111: VOCABULARY DRIFT between corpus releases — the token-level
+    * release monitor beside q64 (doc membership) and q106 (embedding
+    * space): a re-release that silently shifts topical composition
+    * moves token SHARES long before doc counts look wrong. For each of
+    * release A's top-[[DriftVocabK]] tokens: both releases' counts,
+    * A-side share in bp, and the smoothed log-probability-ratio drift
+    * drift_mb = log2( p̂_A(t) / p̂_B(t) ) in 1/1024-bit units, with
+    * p̂(t) = (c+1)/(N+V) — defined as the SIGNED sum of four
+    * floor-logs on the q100 kernel ([l(c_A+1) − l(c_B+1)] +
+    * [l(N_B+V) − l(N_A+V)], every argument a plain count — the q109
+    * no-multiply discipline, overflow-free at any corpus size).
+    * Biggest movers first (abs drift desc, token asc).
+    *
+    * Scale shape: the vocabulary elects on a K-bounded TakeOrdered;
+    * each release pays ONE token scan — a broadcast semi-join
+    * restricts the stream to the 32 tracked tokens BEFORE its
+    * map-side-combined count, and the totals are 1-row aggregates
+    * broadcast back; the kernel and ranking run on ≤K rows. */
+  def vocabDrift(relA: DataFrame, relB: DataFrame): DataFrame = {
+    import graft.functions.LogExpressions.log2mb
+    val v = lit(DriftVocabK.toLong)
+    def toks(rel: DataFrame) = rel.select(
+      explode(expr("split(trim(lower(coalesce(text, ''))), ' +')")).as("tok"))
+    val ta = toks(relA)
+    val vocab = ta.groupBy("tok").agg(count(lit(1)).as("c_a"))
+      .orderBy(col("c_a").desc, col("tok").asc).limit(DriftVocabK)
+    val cb = toks(relB).join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("c_b"))
+    val na = ta.agg(count(lit(1)).as("n_a"))
+    val nb = toks(relB).agg(count(lit(1)).as("n_b"))
+    val scored = vocab
+      .join(cb, Seq("tok"), "left")
+      .na.fill(0L, Seq("c_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("share_bp", expr("(10000 * c_a) DIV n_a"))
+      .withColumn("drift_mb",
+        log2mb(lit(1L), col("c_a") + 1L) - log2mb(lit(1L), col("c_b") + 1L)
+          + log2mb(lit(1L), col("n_b") + v) - log2mb(lit(1L), col("n_a") + v))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("drift_mb")).desc, col("tok").asc)).cast("long"))
+      .select(col("rank"), col("tok"), col("c_a"), col("c_b"),
+        col("share_bp"), col("drift_mb"))
+      .orderBy("rank")
+  }
 }

@@ -444,6 +444,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "per-doc interval merge folds row-locally, never a window")
   }
 
+  test("boilerplate leaderboard names the offender and orders by reach") {
+    val docs = Seq(
+      (1L, "legal header one two a b c d e unique tail x"),
+      (2L, "legal header one two a b c d e another thing"),
+      (3L, "legal header one two a b c d e third doc"),
+      (4L, "some pair shared q w e r t y u i"),
+      (5L, "other pair shared q w e r t y u i")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateTopK(docs, windowTokens = 8, k = 32).collect()
+    assert(out.nonEmpty)
+    // the 3-doc header's windows outrank every 2-doc span; ties on
+    // (n_docs, n_occ) break alphabetically
+    assert(out.head.getAs[String]("span_text") == "header one two a b c d e")
+    assert(out.head.getAs[Long]("n_docs") == 3L && out.head.getAs[Long]("n_occ") == 3L)
+    assert(out.map(_.getAs[String]("span_text")).contains("legal header one two a b c d"))
+    out.foreach { r =>
+      assert(r.getAs[String]("span_text").split(" ").length == 8)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") >= 2L)
+    }
+    assert(out.sliding(2).forall {
+      case Array(p, q) => p.getAs[Long]("n_docs") >= q.getAs[Long]("n_docs")
+      case _ => true
+    }, "reach-ordered: widest-spread boilerplate first")
+    val ranks = out.map(_.getAs[Long]("rank"))
+    assert(ranks.toSeq == (1L to out.length).toSeq)
+  }
+
   test("ann recall audit equals the independent intersection of the two published operators") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.knnBruteForce(e).collect()

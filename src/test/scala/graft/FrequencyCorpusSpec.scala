@@ -540,4 +540,34 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(plan.split("Window \\[").length - 1 <= 2,
       "no data-sized window — vocab and winners elect on the bounded heap")
   }
+
+  test("vocab drift: identical releases drift zero; a composition shift surfaces signed") {
+    val a = Seq(
+      (1L, "x x x x y y z"), (2L, "x x y z w"), (3L, "x y w w")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val zero = Frequency.vocabDrift(a, a).collect()
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      assert(r.getAs[Long]("c_a") == r.getAs[Long]("c_b"))
+      assert(r.getAs[Long]("drift_mb") == 0L,
+        "all four floor-logs cancel when nothing moved")
+    }
+    // release B drops doc 1 (x-heavy) and adds a w-heavy doc: x's share
+    // falls (positive drift: A-side heavier), w's rises (negative)
+    val b = Seq(
+      (2L, "x x y z w"), (3L, "x y w w"), (4L, "w w w w w")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val drift = Frequency.vocabDrift(a, b).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("drift_mb")).toMap
+    assert(drift("x") > 0, s"x lost share in B: ${drift("x")}")
+    assert(drift("w") < 0, s"w gained share in B: ${drift("w")}")
+    // ranks are dense over the tracked vocabulary, biggest mover first
+    val out = Frequency.vocabDrift(a, b).collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+    assert(out.sliding(2).forall {
+      case Array(p, q) =>
+        math.abs(p.getAs[Long]("drift_mb")) >= math.abs(q.getAs[Long]("drift_mb"))
+      case _ => true
+    })
+  }
 }

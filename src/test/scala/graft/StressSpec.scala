@@ -336,4 +336,45 @@ class StressSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("r10 span/ingest family at sf0.1 satisfies its cross-operator laws") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // q107 ⊆ q91: a doc only cuts where the diagnostic sees duplication,
+    // and the cut can never exceed the duplicated-window evidence
+    val diag = Dedup.spanDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_windows")).toMap
+    val cut = Dedup.spanCut(docs).collect()
+    assert(cut.exists(_.getAs[Long]("tokens_cut") > 0), "real cuts at sf0.1")
+    cut.foreach { r =>
+      val dup = diag(r.getLong(0))
+      if (r.getAs[Long]("tokens_cut") > 0)
+        assert(dup > 0, s"doc ${r.getLong(0)} cuts without diagnosed duplication")
+      assert(r.getAs[Long]("tokens_cut") <= r.getAs[Long]("n_tokens"))
+    }
+    // q108 verdicts are prefix-stable: the verdict of a doc is a pure
+    // function of (doc, store) — probing a SUBSET of the batch cannot
+    // change any verdict (the door can micro-batch arbitrarily)
+    val incoming = Dedup.ingestView(docs)
+    val full = Dedup.releaseDedup(docs, incoming).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("verdict"), r.get(3))).toMap
+    val subset = Dedup.releaseDedup(docs, incoming.filter(col("doc_id") % 7 === 0))
+      .collect()
+    assert(subset.nonEmpty)
+    subset.foreach { r =>
+      assert(full(r.getLong(0)) == ((r.getAs[String]("verdict"), r.get(3))),
+        "micro-batching must not move verdicts")
+    }
+    // exact verdicts really are exact: the store holds the fingerprint
+    val fps = docs.select(
+        graft.operators.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val incFp = incoming.select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    full.foreach { case (id, (verdict, _)) =>
+      assert((verdict == "exact") == fps.contains(incFp(id)),
+        s"doc $id verdict $verdict disagrees with store fingerprint membership")
+    }
+  }
 }

@@ -217,6 +217,8 @@ object SparkEntry {
     }),
     "q112_boilerplate" -> ((s, d) =>
       Dedup.boilerplateTopK(Tables.documents(s, d))),
+    "q113_contamination_spans" -> ((s, d) =>
+      Dedup.contaminationSpans(Tables.documents(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -953,19 +955,52 @@ object SparkEntry {
     * and the gaps-and-islands interval merge (break when a cut
     * position starts past the previous window's end). Final CTE `sp`
     * has (doc_id, s, e) half-open token ranges. */
-  private def spanCutCtes: String = {
-    val w = 8
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+  /** the window-stream prefix (CTEs toks/winpos/wins over `documents`,
+    * 0-based positions) and the gaps-and-islands merge suffix (CTE
+    * `cut(doc_id, pos)` → `sp(doc_id, s, e)`) shared by the span-cut
+    * pair and the contamination-span screen. */
+  private def spanWindowFrag(w: Int): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
        |winpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${w - 2})) AS i FROM toks),
        |wins AS (SELECT doc_id, i - 1 AS pos,
-       |('0x' || substr(md5(array_to_string(tk[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h FROM winpos),
-       |own AS (SELECT h, MIN(doc_id) AS owner FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN own o USING (h) WHERE w.doc_id <> o.owner),
-       |lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cut),
+       |('0x' || substr(md5(array_to_string(tk[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h FROM winpos)""".stripMargin
+
+  private def spanMergeFrag(w: Int): String =
+    s"""lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cut),
        |grp AS (SELECT doc_id, pos,
        |SUM(CASE WHEN prev IS NULL OR pos > prev + $w THEN 1 ELSE 0 END)
        |  OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM lagd),
        |sp AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + $w AS e FROM grp GROUP BY 1, 2)""".stripMargin
+
+  /** the ordered interval-list projection over CTE `sp`. */
+  private def spanListSelect: String =
+    """SELECT doc_id,
+      |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS span_idx,
+      |CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
+      |CAST(e - s AS BIGINT) AS span_tokens
+      |FROM sp ORDER BY doc_id, start_pos""".stripMargin
+
+  private def spanCutCtes: String = {
+    val w = 8
+    s"""WITH ${spanWindowFrag(w)},
+       |own AS (SELECT h, MIN(doc_id) AS owner FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN own o USING (h) WHERE w.doc_id <> o.owner),
+       |${spanMergeFrag(w)}""".stripMargin
+  }
+
+  /** q113's oracle: the shared window/merge fragments with the q58
+    * benchmark membership as the hit rule. */
+  private def contaminationSpansSql: String = {
+    val w = 8
+    def isBench(ref: String) =
+      s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
+        s" AND $ref < ${graft.operators.Dedup.BenchmarkMaxId}"
+    s"""WITH ${spanWindowFrag(w)},
+       |bw AS (SELECT DISTINCT h FROM wins WHERE ${isBench("doc_id")}),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN bw USING (h)
+       |WHERE NOT (${isBench("w.doc_id")})),
+       |${spanMergeFrag(w)}
+       |$spanListSelect""".stripMargin
   }
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
@@ -1126,11 +1161,7 @@ object SparkEntry {
     * start within each doc. */
   private def spanCutSpansSql: String =
     s"""$spanCutCtes
-       |SELECT doc_id,
-       |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS span_idx,
-       |CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
-       |CAST(e - s AS BIGINT) AS span_tokens
-       |FROM sp ORDER BY doc_id, start_pos""".stripMargin
+       |$spanListSelect""".stripMargin
 
   /** q59's oracle: same candidate universe as q33 (shared
     * [[candidatePairsSql]] CTEs), asymmetric containment instead of
@@ -2752,6 +2783,7 @@ object SparkEntry {
     "q110_ann_recall" -> annRecallSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
+    "q113_contamination_spans" -> contaminationSpansSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

@@ -525,16 +525,53 @@ object Dedup {
     * The interval merge folds row-locally over the collected cut
     * positions (bounded by doc length) inside the one doc-keyed
     * aggregate — gaps-and-islands without a per-doc window pass. */
-  private def spanCutPerDoc(docs: DataFrame, w: Int): DataFrame = {
-    require(w >= 1, s"windowTokens must be >= 1, got $w")
-    val wins = docs
+  /** (doc_id, pos, h): the w-token window stream — one row per offset,
+    * 0-based, 60-bit content hash. Shared by the span-cut pair and the
+    * contamination-span screen. */
+  private def windowHashes(docs: DataFrame, w: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("tk"))
       .select(col("doc_id"), posexplode(expr(
         s"CASE WHEN size(tk) >= $w THEN transform(sequence(1, size(tk) - ${w - 1})," +
           s" i -> array_join(slice(tk, i, $w), ' ')) ELSE array() END")))
       .select(col("doc_id"), col("pos"), md5_60(col("col")).as("h"))
-      // same canonical-equality discipline as spanDedup: state the
-      // no-op null guards here so both exchange subtrees stay equal
+
+  /** aggregate expression merging collected 0-based window positions
+    * into maximal half-open [s, e) intervals — positions are distinct
+    * per doc (one window per offset), sorted, folded row-locally: a
+    * position p merges into the open interval while p ≤ its end
+    * (overlap or exact adjacency), else the interval closes. */
+  private def mergedSpansAgg(w: Int): Column = expr(
+    s"""aggregate(
+       |  array_sort(collect_list(pos)),
+       |  named_struct(
+       |    'sp', cast(array() as array<struct<s:int,e:int>>),
+       |    'cs', -1, 'ce', -1),
+       |  (a, p) -> CASE
+       |    WHEN a.ce < 0 THEN named_struct('sp', a.sp, 'cs', p, 'ce', p + $w)
+       |    WHEN p <= a.ce THEN named_struct('sp', a.sp, 'cs', a.cs, 'ce', p + $w)
+       |    ELSE named_struct(
+       |      'sp', concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))),
+       |      'cs', p, 'ce', p + $w) END,
+       |  a -> CASE WHEN a.ce < 0 THEN a.sp
+       |    ELSE concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))) END)""".stripMargin)
+
+  /** explode a (doc_id, spans) frame into the ordered interval list. */
+  private def spanList(perDoc: DataFrame): DataFrame =
+    perDoc
+      .select(col("doc_id"), posexplode(col("spans")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("span_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "start_pos")
+
+  private def spanCutPerDoc(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"windowTokens must be >= 1, got $w")
+    val wins = windowHashes(docs, w)
+      // canonical-equality discipline (see spanDedup): state the no-op
+      // null guards so both exchange subtrees stay equal
       .filter(col("doc_id").isNotNull && col("h").isNotNull)
     val byH = wins.repartition(col("h"))
     // owner election per window CONTENT: min doc_id over ≥2 distinct
@@ -549,25 +586,7 @@ object Dedup {
     val cutPos = byH.join(owners, Seq("h"))
       .filter(col("doc_id") =!= col("owner"))
       .select("doc_id", "pos")
-    // merged maximal intervals: positions are distinct per doc (one
-    // window per offset), sorted, then folded — a position p merges
-    // into the open interval while p ≤ its end (overlap or exact
-    // adjacency), else the interval closes and a new one opens.
-    cutPos.groupBy("doc_id").agg(expr(
-      s"""aggregate(
-         |  array_sort(collect_list(pos)),
-         |  named_struct(
-         |    'sp', cast(array() as array<struct<s:int,e:int>>),
-         |    'cs', -1, 'ce', -1),
-         |  (a, p) -> CASE
-         |    WHEN a.ce < 0 THEN named_struct('sp', a.sp, 'cs', p, 'ce', p + $w)
-         |    WHEN p <= a.ce THEN named_struct('sp', a.sp, 'cs', a.cs, 'ce', p + $w)
-         |    ELSE named_struct(
-         |      'sp', concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))),
-         |      'cs', p, 'ce', p + $w) END,
-         |  a -> CASE WHEN a.ce < 0 THEN a.sp
-         |    ELSE concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))) END)""".stripMargin)
-      .as("spans"))
+    cutPos.groupBy("doc_id").agg(mergedSpansAgg(w).as("spans"))
   }
 
   /** q107: SPAN-CUT summary — the APPLY step of exact substring dedup
@@ -602,14 +621,31 @@ object Dedup {
     * 0-based, span_idx dense by start). Docs with nothing to cut
     * contribute no rows, exactly like the oracle. */
   def spanCutSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame =
-    spanCutPerDoc(docs, windowTokens)
-      .select(col("doc_id"), posexplode(col("spans")))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("span_idx"),
-        col("col.s").cast("long").as("start_pos"),
-        col("col.e").cast("long").as("end_pos"),
-        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
-      .orderBy("doc_id", "start_pos")
+    spanList(spanCutPerDoc(docs, windowTokens))
+
+  /** q113: CONTAMINATION SPANS — span-level decontamination, the
+    * modern cut-don't-drop refinement of q58 (whole-doc dropping
+    * throws away a long document over one quoted benchmark line; the
+    * published exact-substring decontamination removes just the
+    * leaked spans): every corpus position whose w-token window occurs
+    * verbatim in the benchmark/eval split is contaminated; merged
+    * maximal [s, e) intervals per doc are the rewrite plan (same
+    * columns as q107b — the two cut lists compose downstream).
+    *
+    * Scale shape: STRONGER than q107 — the benchmark window set is
+    * eval-suite-sized and BROADCASTS (the q58 discipline), so the
+    * corpus pays ONE row-local window scan + broadcast semi probe +
+    * one map-side doc-keyed aggregate; the corpus never exchanges on
+    * the window key at all. */
+  def contaminationSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val w = windowTokens
+    require(w >= 1, s"windowTokens must be >= 1, got $w")
+    val benchWins = windowHashes(docs.filter(isBenchmark(col("doc_id"))), w)
+      .select("h").distinct()
+    val hits = windowHashes(docs.filter(!isBenchmark(col("doc_id"))), w)
+      .join(broadcast(benchWins), Seq("h"), "left_semi")
+    spanList(hits.groupBy("doc_id").agg(mergedSpansAgg(w).as("spans")))
+  }
 
   /** q112: BOILERPLATE LEADERBOARD — the most-duplicated w-token spans
     * across the corpus, the report a curation team reads BEFORE

@@ -444,6 +444,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "per-doc interval merge folds row-locally, never a window")
   }
 
+  test("contamination spans: quoted benchmark text is cut, not the whole doc") {
+    // doc 0 is benchmark (id%20==0, <1000); docs 1001+ are corpus
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1001L, "intro words here the quick brown fox jumps over the lazy dog tonight and a long original tail continues"),
+      (1002L, "completely original content with no overlap at all whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(docs).collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(1001L),
+      "only the quoting doc is contaminated; the benchmark itself is not scanned")
+    val s = spans.head
+    // tokens 3..13 of doc 1001 are the quoted 10-token benchmark text:
+    // windows at offsets 3,4,5 hit → merged interval [3, 13)
+    assert(s.getAs[Long]("start_pos") == 3L && s.getAs[Long]("end_pos") == 13L
+      && s.getAs[Long]("span_tokens") == 10L,
+      s"expected the quoted span [3,13), got $s")
+    val plan = Dedup.contaminationSpans(docs).queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftSemi") && !plan.contains("CartesianProduct")
+      && !plan.contains("Window"),
+      "benchmark windows broadcast; the corpus never exchanges on the window key")
+  }
+
+  test("contamination spans imply q58 contamination on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val flagged = Dedup.decontaminate(docs).collect()
+      .filter(_.getAs[Boolean]("is_contaminated")).map(_.getLong(0)).toSet
+    val spanned = Dedup.contaminationSpans(docs).collect().map(_.getLong(0)).toSet
+    assert(spanned.subsetOf(flagged),
+      s"an 8-token verbatim run implies shared 3-shingles: ${spanned -- flagged}")
+  }
+
   test("boilerplate leaderboard names the offender and orders by reach") {
     val docs = Seq(
       (1L, "legal header one two a b c d e unique tail x"),

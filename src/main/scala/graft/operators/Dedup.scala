@@ -536,14 +536,14 @@ object Dedup {
           s" i -> array_join(slice(tk, i, $w), ' ')) ELSE array() END")))
       .select(col("doc_id"), col("pos"), md5_60(col("col")).as("h"))
 
-  /** aggregate expression merging collected 0-based window positions
-    * into maximal half-open [s, e) intervals — positions are distinct
-    * per doc (one window per offset), sorted, folded row-locally: a
-    * position p merges into the open interval while p ≤ its end
-    * (overlap or exact adjacency), else the interval closes. */
-  private def mergedSpansAgg(w: Int): Column = expr(
+  /** the ONE interval-merge fold over a sorted int-array expression —
+    * shared by the batch aggregates and the row-local stream lookup so
+    * the merge rule cannot drift: a position p merges into the open
+    * interval while p ≤ its end (overlap or exact adjacency), else the
+    * interval closes and a new one opens. */
+  private def mergeSpansFoldSql(posArr: String, w: Int): String =
     s"""aggregate(
-       |  array_sort(collect_list(pos)),
+       |  $posArr,
        |  named_struct(
        |    'sp', cast(array() as array<struct<s:int,e:int>>),
        |    'cs', -1, 'ce', -1),
@@ -554,7 +554,13 @@ object Dedup {
        |      'sp', concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))),
        |      'cs', p, 'ce', p + $w) END,
        |  a -> CASE WHEN a.ce < 0 THEN a.sp
-       |    ELSE concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))) END)""".stripMargin)
+       |    ELSE concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))) END)""".stripMargin
+
+  /** aggregate expression merging collected 0-based window positions
+    * into maximal half-open [s, e) intervals — positions are distinct
+    * per doc (one window per offset). */
+  private def mergedSpansAgg(w: Int): Column =
+    expr(mergeSpansFoldSql("array_sort(collect_list(pos))", w))
 
   /** explode a (doc_id, spans) frame into the ordered interval list. */
   private def spanList(perDoc: DataFrame): DataFrame =
@@ -645,6 +651,43 @@ object Dedup {
     val hits = windowHashes(docs.filter(!isBenchmark(col("doc_id"))), w)
       .join(broadcast(benchWins), Seq("h"), "left_semi")
     spanList(hits.groupBy("doc_id").agg(mergedSpansAgg(w).as("spans")))
+  }
+
+  /** the benchmark window-hash set COLLECTED — eval-suite-sized by
+    * construction (the bounded-model discipline: q75 vocabulary, bloom
+    * bytes, PQ codebooks). Train batch-side on the released benchmark,
+    * freeze, probe at ingest with [[contaminationSpansRowLocal]]. */
+  def benchmarkWindowHashes(docs: DataFrame, windowTokens: Int = 8): Seq[Long] =
+    windowHashes(docs.filter(isBenchmark(col("doc_id"))), windowTokens)
+      .select("h").distinct().collect().map(_.getLong(0)).toSeq
+
+  /** row-local q113 against a FROZEN collected benchmark set — the
+    * ingest-door form ([[graft.streaming.DocStreams.contaminationLookup]]):
+    * window hashes, set probe and the interval merge all evaluate
+    * inside one projection over the token array (the SAME fold SQL as
+    * the batch aggregate, so the merge rule cannot drift) — no join,
+    * no state, no shuffle. Emits the q113 columns, unordered (streams
+    * don't sort); docs with nothing contaminated emit no rows. */
+  def contaminationSpansRowLocal(docs: DataFrame, benchHashes: Seq[Long],
+                                 windowTokens: Int = 8): DataFrame = {
+    val w = windowTokens
+    require(w >= 1, s"windowTokens must be >= 1, got $w")
+    docs
+      .withColumn("__tk", tokens(coalesce(col("text"), lit(""))))
+      .withColumn("__bh", typedlit(benchHashes.sorted))
+      .withColumn("__pos", expr(
+        s"""CASE WHEN size(__tk) >= $w THEN
+           |  filter(sequence(0, size(__tk) - $w), i ->
+           |    array_contains(__bh, CAST(conv(substring(md5(
+           |      array_join(slice(__tk, i + 1, $w), ' ')), 1, 15), 16, 10) AS BIGINT)))
+           |ELSE array() END""".stripMargin))
+      .withColumn("__spans", expr(mergeSpansFoldSql("__pos", w)))
+      .select(col("doc_id"), posexplode(col("__spans")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("span_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
   }
 
   /** q112: BOILERPLATE LEADERBOARD — the most-duplicated w-token spans

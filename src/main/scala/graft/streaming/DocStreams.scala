@@ -290,6 +290,18 @@ object DocStreams {
       }
       .start()
 
+  /** q113's stream twin — span-level decontamination at the door:
+    * arriving documents probe the FROZEN collected benchmark window
+    * set ([[graft.operators.Dedup.benchmarkWindowHashes]],
+    * eval-suite-sized — the freeze discipline) entirely row-locally:
+    * window hashes, set probe and the interval merge run inside one
+    * projection sharing the batch fold SQL, so the emitted spans are
+    * bit-equal to batch q113 (spec-proven). Stateless, no join — runs
+    * at any ingest rate. */
+  def contaminationLookup(docs: DataFrame, benchHashes: Seq[Long],
+                          windowTokens: Int = 8): DataFrame =
+    graft.operators.Dedup.contaminationSpansRowLocal(docs, benchHashes, windowTokens)
+
   /** q87's exact ranking over the live segmented index: postings =
     * the segment union (the seg partition column is bookkeeping, not
     * data), N = the summed per-segment counts — never derived from

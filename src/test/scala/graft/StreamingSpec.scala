@@ -939,6 +939,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(metaDir).agg(sum("n_docs")).head.getLong(0) == 3L)
   }
 
+  test("streaming contamination lookup emits the batch q113 spans verbatim") {
+    // freeze the benchmark window set batch-side, stream the corpus
+    // side through the row-local probe — the shared fold SQL makes the
+    // merged intervals bit-equal to the batch q113
+    val docs = Tables.documents(spark, sf)
+    val corpusSide = docs.filter(
+      !(col("doc_id") % graft.operators.Dedup.BenchmarkMod === 0
+        && col("doc_id") < graft.operators.Dedup.BenchmarkMaxId))
+    val dir = java.nio.file.Files.createTempDirectory("graft_contamstream").toString
+    corpusSide.write.mode("overwrite").parquet(dir)
+    val bench = graft.operators.Dedup.benchmarkWindowHashes(docs)
+    assert(bench.nonEmpty)
+    val want = graft.operators.Dedup.contaminationSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_idx"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("span_tokens"))).toSet
+    assert(want.nonEmpty, "sf0.001 carries real contaminated spans")
+    val q = graft.streaming.DocStreams.contaminationLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("contam_out").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_idx"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("span_tokens"))).toSet
+    assert(got == want, "the door must emit the batch cut list verbatim")
+  }
+
   test("release-dedup ingest door: micro-batch verdicts equal the batch probe") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_reldedup")

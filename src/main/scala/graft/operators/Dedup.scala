@@ -180,7 +180,7 @@ object Dedup {
 
   /** the benchmark membership predicate (one definition for operator,
     * oracle and specs). */
-  private def isBenchmark(id: Column): Column =
+  private[operators] def isBenchmark(id: Column): Column =
     id % BenchmarkMod === 0 && id < BenchmarkMaxId
 
   /** q58: benchmark DECONTAMINATION — flag corpus documents sharing
@@ -669,7 +669,21 @@ object Dedup {
     * no state, no shuffle. Emits the q113 columns, unordered (streams
     * don't sort); docs with nothing contaminated emit no rows. */
   def contaminationSpansRowLocal(docs: DataFrame, benchHashes: Seq[Long],
-                                 windowTokens: Int = 8): DataFrame = {
+                                 windowTokens: Int = 8): DataFrame =
+    withContamSpans(docs, benchHashes, windowTokens)
+      .select(col("doc_id"), posexplode(col("contam_spans")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("span_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+
+  /** appends the nested `contam_spans` array<struct<s,e>> column — the
+    * docReport-frame form of q113: one pure row-local projection
+    * (window hashes, literal-set probe, the shared interval-merge
+    * fold), no join, no exchange. All other columns ride through. */
+  def withContamSpans(docs: DataFrame, benchHashes: Seq[Long],
+                      windowTokens: Int = 8): DataFrame = {
     val w = windowTokens
     require(w >= 1, s"windowTokens must be >= 1, got $w")
     docs
@@ -681,13 +695,8 @@ object Dedup {
            |    array_contains(__bh, CAST(conv(substring(md5(
            |      array_join(slice(__tk, i + 1, $w), ' ')), 1, 15), 16, 10) AS BIGINT)))
            |ELSE array() END""".stripMargin))
-      .withColumn("__spans", expr(mergeSpansFoldSql("__pos", w)))
-      .select(col("doc_id"), posexplode(col("__spans")))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("span_idx"),
-        col("col.s").cast("long").as("start_pos"),
-        col("col.e").cast("long").as("end_pos"),
-        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+      .withColumn("contam_spans", expr(mergeSpansFoldSql("__pos", w)))
+      .drop("__tk", "__bh", "__pos")
   }
 
   /** q112: BOILERPLATE LEADERBOARD — the most-duplicated w-token spans

@@ -275,7 +275,8 @@ object TextAnalysis {
   def docReport(documents: DataFrame,
                 rarityModel: (Map[String, Long], Long),
                 lmModel: LmScreen.LmModel,
-                dsirModel: Dsir.DsirModel): DataFrame =
+                dsirModel: Dsir.DsirModel,
+                benchWindowHashes: Seq[Long] = Nil): DataFrame =
     documents
       .transform(withPredictedLang)
       .transform(withQualityCols)
@@ -287,6 +288,10 @@ object TextAnalysis {
       .transform(Frequency.rarityScoreRowLocal(_, rarityModel._1, rarityModel._2))
       .transform(LmScreen.lmScoreRowLocal(_, lmModel))
       .transform(Dsir.dsirScoreRowLocal(_, dsirModel))
+      // q113's frozen-set probe — still a pure row-local projection
+      // (the benchmark window set is the fourth frozen model; Nil is
+      // legal and yields empty span arrays)
+      .transform(Dedup.withContamSpans(_, benchWindowHashes))
       .drop("text")
 
   // Views over the (persisted) report frame — each must reproduce its
@@ -390,4 +395,18 @@ object TextAnalysis {
         col("dsir_n_tokens").as("n_tokens"),
         col("dsir_weight_mb").as("weight_mb"), col("dsir_keep").as("keep"))
       .orderBy("doc_id")
+
+  /** q113 over the frame (frame built with the frozen benchmark window
+    * set): explode the nested spans of CORPUS docs — the frame holds
+    * every doc, including the benchmark split, whose self-matching
+    * spans q113 by definition excludes. */
+  def reportContamSpans(report: DataFrame): DataFrame =
+    report.filter(!Dedup.isBenchmark(col("doc_id")))
+      .select(col("doc_id"), posexplode(col("contam_spans")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("span_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "start_pos")
 }

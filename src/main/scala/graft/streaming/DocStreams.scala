@@ -164,8 +164,10 @@ object DocStreams {
   def docReportStream(docs: DataFrame,
                       rarityModel: (Map[String, Long], Long),
                       lmModel: graft.operators.LmScreen.LmModel,
-                      dsirModel: graft.operators.Dsir.DsirModel): DataFrame =
-    graft.operators.TextAnalysis.docReport(docs, rarityModel, lmModel, dsirModel)
+                      dsirModel: graft.operators.Dsir.DsirModel,
+                      benchWindowHashes: Seq[Long] = Nil): DataFrame =
+    graft.operators.TextAnalysis.docReport(docs, rarityModel, lmModel, dsirModel,
+      benchWindowHashes)
 
   /** Ingest-time media report ([[graft.operators.Multimodal.mediaReport]]'s
     * stream twin): each arriving payload is decoded once and lands as

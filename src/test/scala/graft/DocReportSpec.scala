@@ -19,7 +19,8 @@ class DocReportSpec extends AnyFunSuite {
   private lazy val docs = Tables.documents(spark, sf)
   private lazy val report: DataFrame = {
     val frame = TextAnalysis.docReport(docs,
-      Frequency.rarityModel(docs), LmScreen.lmModel(docs), Dsir.dsirModel(docs))
+      Frequency.rarityModel(docs), LmScreen.lmModel(docs), Dsir.dsirModel(docs),
+      graft.operators.Dedup.benchmarkWindowHashes(docs))
     val dir = java.nio.file.Files.createTempDirectory("graft_docreport").toString
     frame.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
@@ -117,5 +118,10 @@ class DocReportSpec extends AnyFunSuite {
     val rates = Seq("en" -> 8000, "de" -> 6000)
     same(graft.operators.Corpus.reportCorpusCard(report, rates, 5000),
       graft.operators.Corpus.corpusCard(docs, rates, 5000), "q60")
+  }
+
+  test("q113 contamination spans derive exactly from the frame's nested column") {
+    same(TextAnalysis.reportContamSpans(report),
+      graft.operators.Dedup.contaminationSpans(docs), "q113")
   }
 }

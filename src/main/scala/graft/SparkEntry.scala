@@ -219,6 +219,10 @@ object SparkEntry {
       Dedup.boilerplateTopK(Tables.documents(s, d))),
     "q113_contamination_spans" -> ((s, d) =>
       Dedup.contaminationSpans(Tables.documents(s, d))),
+    "q114_decontam_apply" -> ((s, d) =>
+      Dedup.decontamApply(Tables.documents(s, d))),
+    "q115_leak_attribution" -> ((s, d) =>
+      Dedup.leakAttribution(Tables.documents(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -1001,6 +1005,73 @@ object SparkEntry {
        |WHERE NOT (${isBench("w.doc_id")})),
        |${spanMergeFrag(w)}
        |$spanListSelect""".stripMargin
+  }
+
+  /** q114's oracle: the q113 span chain, then the cut replayed
+    * token-by-token — a position survives iff no merged interval
+    * covers it; the cleaned stream re-joins in position order and
+    * re-hashes under the shared md5-60. An all-cut doc cleans to the
+    * hash of "" via the coalesce, exactly like the engine's empty
+    * array_join. */
+  private def decontamApplySql: String = {
+    val w = 8
+    def isBench(ref: String) =
+      s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
+        s" AND $ref < ${graft.operators.Dedup.BenchmarkMaxId}"
+    s"""WITH ${spanWindowFrag(w)},
+       |bw AS (SELECT DISTINCT h FROM wins WHERE ${isBench("doc_id")}),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN bw USING (h)
+       |WHERE NOT (${isBench("w.doc_id")})),
+       |${spanMergeFrag(w)},
+       |corpus AS (SELECT doc_id, tk FROM toks WHERE NOT (${isBench("doc_id")})),
+       |tokpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM corpus),
+       |keep AS (SELECT t.doc_id, t.i, t.tk[t.i] AS tok FROM tokpos t
+       |WHERE NOT EXISTS (SELECT 1 FROM sp
+       |WHERE sp.doc_id = t.doc_id AND t.i - 1 >= sp.s AND t.i - 1 < sp.e)),
+       |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS clean_n_tokens,
+       |('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT AS clean_hash
+       |FROM keep GROUP BY 1),
+       |sm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+       |CAST(SUM(e - s) AS BIGINT) AS tokens_cut FROM sp GROUP BY 1)
+       |SELECT c.doc_id, CAST(len(c.tk) AS BIGINT) AS n_tokens,
+       |CAST(coalesce(sm.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       |CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+       |CAST(coalesce(cl.clean_n_tokens, 0) AS BIGINT) AS clean_n_tokens,
+       |coalesce(cl.clean_hash, ('0x' || substr(md5(''), 1, 15))::BIGINT) AS clean_hash
+       |FROM corpus c LEFT JOIN sm USING (doc_id) LEFT JOIN cl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q115's oracle: the benchmark window set attributed back to its
+    * owning benchmark doc, corpus hits joined through the shared
+    * window hash; zero-leak and window-less benchmark docs surface
+    * with zeros via the left joins. */
+  private def leakAttributionSql: String = {
+    val w = 8
+    def isBench(ref: String) =
+      s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
+        s" AND $ref < ${graft.operators.Dedup.BenchmarkMaxId}"
+    s"""WITH ${spanWindowFrag(w)},
+       |bw AS (SELECT DISTINCT doc_id AS bench_doc_id, h FROM wins WHERE ${isBench("doc_id")}),
+       |hits AS (SELECT w.doc_id, w.h FROM wins w
+       |WHERE NOT (${isBench("w.doc_id")}) AND w.h IN (SELECT h FROM bw)),
+       |pairs AS (SELECT b.bench_doc_id, t.doc_id, t.h FROM hits t JOIN bw b USING (h)),
+       |att AS (SELECT bench_doc_id,
+       |CAST(COUNT(DISTINCT h) AS BIGINT) AS n_leaked_windows,
+       |CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+       |CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM pairs GROUP BY 1),
+       |tot AS (SELECT bench_doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM bw GROUP BY 1),
+       |base AS (SELECT doc_id AS bench_doc_id FROM documents WHERE ${isBench("doc_id")})
+       |SELECT b.bench_doc_id,
+       |CAST(coalesce(tot.n_windows, 0) AS BIGINT) AS n_windows,
+       |CAST(coalesce(att.n_leaked_windows, 0) AS BIGINT) AS n_leaked_windows,
+       |CASE WHEN coalesce(tot.n_windows, 0) > 0
+       |THEN (10000 * CAST(coalesce(att.n_leaked_windows, 0) AS BIGINT)) // CAST(tot.n_windows AS BIGINT)
+       |ELSE CAST(0 AS BIGINT) END AS leak_bp,
+       |CAST(coalesce(att.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+       |CAST(coalesce(att.n_occurrences, 0) AS BIGINT) AS n_occurrences
+       |FROM base b LEFT JOIN tot USING (bench_doc_id) LEFT JOIN att USING (bench_doc_id)
+       |ORDER BY bench_doc_id""".stripMargin
   }
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
@@ -2784,6 +2855,8 @@ object SparkEntry {
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,
+    "q114_decontam_apply" -> decontamApplySql,
+    "q115_leak_attribution" -> leakAttributionSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

@@ -683,7 +683,15 @@ object Dedup {
     * (window hashes, literal-set probe, the shared interval-merge
     * fold), no join, no exchange. All other columns ride through. */
   def withContamSpans(docs: DataFrame, benchHashes: Seq[Long],
-                      windowTokens: Int = 8): DataFrame = {
+                      windowTokens: Int = 8): DataFrame =
+    withContamCols(docs, benchHashes, windowTokens).drop("__tk")
+
+  /** the shared row-local core: tokenize once, probe the frozen set,
+    * fold the merged intervals — `__tk` stays so the APPLY step
+    * ([[decontamApplyRowLocal]]) cuts the SAME token array the spans
+    * index into (one tokenization per doc, the decode-once rule). */
+  private def withContamCols(docs: DataFrame, benchHashes: Seq[Long],
+                             windowTokens: Int): DataFrame = {
     val w = windowTokens
     require(w >= 1, s"windowTokens must be >= 1, got $w")
     docs
@@ -696,7 +704,92 @@ object Dedup {
            |      array_join(slice(__tk, i + 1, $w), ' ')), 1, 15), 16, 10) AS BIGINT)))
            |ELSE array() END""".stripMargin))
       .withColumn("contam_spans", expr(mergeSpansFoldSql("__pos", w)))
-      .drop("__tk", "__bh", "__pos")
+      .drop("__bh", "__pos")
+  }
+
+  /** q114: DECONTAMINATION APPLY — the rewrite q113 plans: every
+    * contaminated [s, e) token range is cut from the corpus document
+    * and the CLEANED content is re-fingerprinted. The emitted manifest
+    * (per corpus doc: token counts before/after, spans cut, the 60-bit
+    * hash of the cleaned token stream) is what the release actually
+    * ships — downstream exact dedup (q30), chunking (q102) and packing
+    * (q63) consume the clean hash/counts, so decontamination composes
+    * with the rest of the pipeline instead of dangling as a report.
+    *
+    * Scale shape: the benchmark window set is eval-suite-sized and
+    * collects into a FROZEN literal (the q84 bloom / q75 vocabulary
+    * bounded-model discipline) — the corpus then pays ONE row-local
+    * scan (tokenize once; probe, interval-fold and cut all index the
+    * same token array) with zero joins and zero exchanges beyond the
+    * output sort. A fully-contaminated doc legally cleans to the empty
+    * token stream (hash of ""). */
+  def decontamApply(docs: DataFrame, windowTokens: Int = 8): DataFrame =
+    decontamApplyRowLocal(docs, benchmarkWindowHashes(docs, windowTokens),
+        windowTokens)
+      .orderBy("doc_id")
+
+  /** the frozen-set form of q114 (unordered — the ingest-door twin
+    * [[graft.streaming.DocStreams.decontamLookup]] runs THIS function
+    * on a stream): benchmark rows are excluded (cutting the benchmark
+    * against itself is vacuous by definition, exactly as in q113). */
+  def decontamApplyRowLocal(docs: DataFrame, benchHashes: Seq[Long],
+                            windowTokens: Int = 8): DataFrame =
+    withContamCols(docs.filter(!isBenchmark(col("doc_id"))), benchHashes,
+        windowTokens)
+      .withColumn("__cl", expr(
+        "filter(__tk, (t, i) -> NOT exists(contam_spans, sp -> i >= sp.s AND i < sp.e))"))
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("contam_spans")).cast("long").as("n_cut_spans"),
+        expr("aggregate(contam_spans, CAST(0 AS BIGINT), (acc, sp) -> acc + (sp.e - sp.s))")
+          .as("tokens_cut"),
+        size(col("__cl")).cast("long").as("clean_n_tokens"),
+        md5_60(array_join(col("__cl"), " ")).as("clean_hash"))
+
+  /** q115: BENCHMARK LEAK ATTRIBUTION — q113 read from the OTHER side:
+    * per benchmark document, how much of it leaked into the corpus and
+    * how widely (the report an eval owner reads to decide which split
+    * is burned: a benchmark doc quoted by one scraped page is noise; a
+    * doc whose windows sit in thousands of corpus docs is compromised).
+    * Per benchmark doc: its distinct w-token windows, how many occur
+    * verbatim in the corpus, that share in basis points, the distinct
+    * corpus docs touched and total corpus occurrences. Every benchmark
+    * doc emits a row — zero-leak (and window-less short) docs report 0.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized, so its
+    * window set BROADCASTS twice (semi-restriction, then attribution
+    * join) and every aggregate past the restriction runs on
+    * leak-sized rows; the corpus pays ONE row-local window scan and
+    * never exchanges on the window key (the q113 discipline — the
+    * restriction happens BEFORE anything corpus-sized moves). */
+  def leakAttribution(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val w = windowTokens
+    require(w >= 1, s"windowTokens must be >= 1, got $w")
+    val benchWins = windowHashes(docs.filter(isBenchmark(col("doc_id"))), w)
+      .select(col("doc_id").as("bench_doc_id"), col("h")).distinct()
+    val hits = windowHashes(docs.filter(!isBenchmark(col("doc_id"))), w)
+      .join(broadcast(benchWins.select("h").distinct()), Seq("h"), "left_semi")
+    val att = hits.join(broadcast(benchWins), Seq("h"))
+      .groupBy("bench_doc_id")
+      .agg(countDistinct("h").as("n_leaked_windows"),
+        countDistinct("doc_id").as("n_corpus_docs"),
+        count(lit(1)).as("n_occurrences"))
+    val totals = benchWins.groupBy("bench_doc_id")
+      .agg(count(lit(1)).as("n_windows"))
+    docs.filter(isBenchmark(col("doc_id")))
+      .select(col("doc_id").as("bench_doc_id"))
+      .join(totals, Seq("bench_doc_id"), "left")
+      .join(att, Seq("bench_doc_id"), "left")
+      .select(col("bench_doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_leaked_windows"), lit(0L)).as("n_leaked_windows"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"))
+      .withColumn("leak_bp", expr(
+        "CASE WHEN n_windows > 0 THEN (10000 * n_leaked_windows) DIV n_windows ELSE CAST(0 AS BIGINT) END"))
+      .select("bench_doc_id", "n_windows", "n_leaked_windows", "leak_bp",
+        "n_corpus_docs", "n_occurrences")
+      .orderBy("bench_doc_id")
   }
 
   /** q112: BOILERPLATE LEADERBOARD — the most-duplicated w-token spans

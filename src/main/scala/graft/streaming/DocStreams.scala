@@ -304,6 +304,16 @@ object DocStreams {
                           windowTokens: Int = 8): DataFrame =
     graft.operators.Dedup.contaminationSpansRowLocal(docs, benchHashes, windowTokens)
 
+  /** q114's stream twin — decontamination APPLIED at the door: each
+    * arriving document is cut against the same frozen benchmark window
+    * set and lands already clean (counts + clean hash), so nothing
+    * downstream ever sees the leaked spans. One projection, stateless,
+    * no join — the probe, interval fold and cut share the batch
+    * kernels verbatim (spec-proven bit-equal to batch q114). */
+  def decontamLookup(docs: DataFrame, benchHashes: Seq[Long],
+                     windowTokens: Int = 8): DataFrame =
+    graft.operators.Dedup.decontamApplyRowLocal(docs, benchHashes, windowTokens)
+
   /** q87's exact ranking over the live segmented index: postings =
     * the segment union (the seg partition column is bookkeeping, not
     * data), N = the summed per-segment counts — never derived from

@@ -475,6 +475,89 @@ class DedupSpec extends AnyFunSuite {
       s"an 8-token verbatim run implies shared 3-shingles: ${spanned -- flagged}")
   }
 
+  test("decontam apply cuts exactly the planned spans and rehashes the remainder") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1001L, "intro words here the quick brown fox jumps over the lazy dog tonight and a long original tail continues"),
+      (1002L, "completely original content with no overlap at all whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontamApply(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1001L, 1002L),
+      "benchmark rows never emit; corpus rows all do")
+    def h(s: String): Long = spark.range(1)
+      .select(Dedup.md5_60(lit(s)).as("h")).head.getLong(0)
+    val cut = out.find(_.getLong(0) == 1001L).get
+    // the quoted 10-token benchmark span [3, 13) is cut; the intro and
+    // the tail survive and re-join around it
+    assert(cut.getAs[Long]("n_tokens") == 19L)
+    assert(cut.getAs[Long]("n_cut_spans") == 1L && cut.getAs[Long]("tokens_cut") == 10L)
+    assert(cut.getAs[Long]("clean_n_tokens") == 9L)
+    assert(cut.getAs[Long]("clean_hash") ==
+      h("intro words here and a long original tail continues"))
+    val clean = out.find(_.getLong(0) == 1002L).get
+    assert(clean.getAs[Long]("tokens_cut") == 0L
+      && clean.getAs[Long]("clean_n_tokens") == clean.getAs[Long]("n_tokens"))
+    assert(clean.getAs[Long]("clean_hash") ==
+      h("completely original content with no overlap at all whatsoever in any window"),
+      "an untouched doc's clean hash is its normalized content hash")
+  }
+
+  test("decontam apply conserves tokens against q113's plan on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.decontamApply(docs).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("clean_n_tokens")
+        == r.getAs[Long]("n_tokens") - r.getAs[Long]("tokens_cut"),
+        s"cut conservation violated: $r")
+    }
+    val byDoc = out.map(r => r.getLong(0) -> r).toMap
+    val planned = Dedup.contaminationSpans(docs).collect().groupBy(_.getLong(0))
+    assert(planned.nonEmpty, "sf0.001 carries real contamination")
+    planned.foreach { case (d, spans) =>
+      val r = byDoc(d)
+      assert(r.getAs[Long]("n_cut_spans") == spans.length.toLong
+        && r.getAs[Long]("tokens_cut") == spans.map(_.getAs[Long]("span_tokens")).sum,
+        s"q114 must cut exactly what q113 plans for doc $d")
+    }
+    // one row-local scan over the frozen set: no join, no window — the
+    // only exchange is the output sort
+    val plan = Dedup.decontamApply(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join") && !plan.contains("Window")
+      && !plan.contains("CartesianProduct"),
+      s"q114 is one row-local projection:\n${plan.take(2000)}")
+  }
+
+  test("leak attribution reports per-benchmark-doc reach, zero-leak docs included") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "six short words only here now"),
+      (40L, "an unquoted benchmark document that nobody in the wider corpus ever copies"),
+      (1001L, "intro words here the quick brown fox jumps over the lazy dog tonight and a long original tail continues"),
+      (1002L, "second quoting doc the quick brown fox jumps over the lazy dog tonight end")
+    ).toDF("doc_id", "text")
+    val out = Dedup.leakAttribution(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 20L, 40L),
+      "every benchmark doc emits exactly one row, in id order")
+    val d0 = out(0)
+    // all 3 of doc 0's windows occur in both quoting docs
+    assert(d0.getAs[Long]("n_windows") == 3L
+      && d0.getAs[Long]("n_leaked_windows") == 3L
+      && d0.getAs[Long]("leak_bp") == 10000L
+      && d0.getAs[Long]("n_corpus_docs") == 2L
+      && d0.getAs[Long]("n_occurrences") == 6L, s"doc 0: $d0")
+    val d20 = out(1) // 6 tokens → no windows at all
+    assert(d20.getAs[Long]("n_windows") == 0L && d20.getAs[Long]("leak_bp") == 0L
+      && d20.getAs[Long]("n_corpus_docs") == 0L)
+    val d40 = out(2) // windowed but never quoted
+    assert(d40.getAs[Long]("n_windows") == 5L
+      && d40.getAs[Long]("n_leaked_windows") == 0L
+      && d40.getAs[Long]("n_occurrences") == 0L)
+    val plan = Dedup.leakAttribution(docs).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct")
+      && !plan.contains("Window"),
+      "the benchmark window set broadcasts; the corpus never exchanges on the window key")
+  }
+
   test("boilerplate leaderboard names the offender and orders by reach") {
     val docs = Seq(
       (1L, "legal header one two a b c d e unique tail x"),

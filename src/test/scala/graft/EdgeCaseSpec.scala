@@ -198,6 +198,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Frequency.pmiCollocations(noDocs).isEmpty)
     assert(Similarity.annRecallAudit(noVecs).isEmpty,
       "auditing an empty index against an empty baseline is a no-op, not a crash")
+    assert(Dedup.decontamApply(noDocs).isEmpty)
+    assert(Dedup.leakAttribution(noDocs).isEmpty,
+      "no benchmark docs → no attribution rows, not a crash")
   }
 
   test("r10 family survives a null-text row without hiding other docs") {
@@ -214,5 +217,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.forall(r => Set("exact", "near", "new")(r.getAs[String]("verdict"))))
     assert(Frequency.pmiCollocations(docs).collect()
       .forall(_.getAs[String]("lang") == "en"))
+    // decontam apply: the null-text doc cleans to the empty-content
+    // hash with zero cuts instead of crashing the tokenizer
+    val da = Dedup.decontamApply(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(da(2L).getAs[Long]("tokens_cut") == 0L
+      && da(2L).getAs[Long]("clean_n_tokens") == da(2L).getAs[Long]("n_tokens"))
   }
 }

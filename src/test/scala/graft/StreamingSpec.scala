@@ -968,6 +968,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "the door must emit the batch cut list verbatim")
   }
 
+  test("streaming decontam lookup lands each doc already cut, bit-equal to batch q114") {
+    val docs = Tables.documents(spark, sf)
+    val corpusSide = docs.filter(
+      !(col("doc_id") % graft.operators.Dedup.BenchmarkMod === 0
+        && col("doc_id") < graft.operators.Dedup.BenchmarkMaxId))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontamstream").toString
+    corpusSide.write.mode("overwrite").parquet(dir)
+    val bench = graft.operators.Dedup.benchmarkWindowHashes(docs)
+    val want = graft.operators.Dedup.decontamApply(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut_spans"),
+        r.getAs[Long]("tokens_cut"), r.getAs[Long]("clean_n_tokens"),
+        r.getAs[Long]("clean_hash"))).toSet
+    assert(want.exists(_._4 > 0), "sf0.001 carries real cuts")
+    val q = graft.streaming.DocStreams.decontamLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), bench)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("decontam_out").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut_spans"),
+        r.getAs[Long]("tokens_cut"), r.getAs[Long]("clean_n_tokens"),
+        r.getAs[Long]("clean_hash"))).toSet
+    assert(got == want, "the door must land the batch-identical cleaned manifest")
+  }
+
   test("release-dedup ingest door: micro-batch verdicts equal the batch probe") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_reldedup")

@@ -223,6 +223,10 @@ object SparkEntry {
       Dedup.decontamApply(Tables.documents(s, d))),
     "q115_leak_attribution" -> ((s, d) =>
       Dedup.leakAttribution(Tables.documents(s, d))),
+    "q116_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "q117_temperature_mix" -> ((s, d) =>
+      Corpus.temperatureMix(Tables.documents(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -1073,6 +1077,61 @@ object SparkEntry {
        |FROM base b LEFT JOIN tot USING (bench_doc_id) LEFT JOIN att USING (bench_doc_id)
        |ORDER BY bench_doc_id""".stripMargin
   }
+
+  /** q116's oracle: the same six integer rule comparisons over the
+    * same normalized token list; regexp_replace carries the 'g' flag
+    * (DuckDB replaces first-only by default, Spark globally). */
+  private def gopherRulesSql: String =
+    """WITH b AS (SELECT doc_id,
+      |string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk,
+      |coalesce(text, '') AS t FROM documents),
+      |m AS (SELECT doc_id,
+      |CASE WHEN length(trim(t)) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(len(tk) AS BIGINT) END AS n_words,
+      |CAST(length(array_to_string(tk, '')) AS BIGINT) AS wl,
+      |CAST(len(list_filter(tk, x -> x IN ('the','and','of','to','a'))) AS BIGINT) AS nstop,
+      |CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalphaw,
+      |CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS BIGINT) AS npunct,
+      |CAST(len(list_distinct(tk)) AS BIGINT) AS ndist FROM b),
+      |r AS (SELECT doc_id, n_words,
+      |n_words BETWEEN 50 AND 100000 AS word_count_ok,
+      |(n_words > 0 AND wl >= 3 * n_words AND wl <= 10 * n_words) AS mean_word_len_ok,
+      |nstop >= 2 AS stopword_ok,
+      |(n_words > 0 AND 5 * nalphaw >= 4 * n_words) AS alpha_words_ok,
+      |2 * npunct <= n_words AS punct_ratio_ok,
+      |(n_words > 0 AND 5 * ndist >= n_words) AS distinct_ratio_ok FROM m)
+      |SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, stopword_ok,
+      |alpha_words_ok, punct_ratio_ok, distinct_ratio_ok,
+      |CAST((CASE WHEN word_count_ok THEN 0 ELSE 1 END)
+      | + (CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END)
+      | + (CASE WHEN stopword_ok THEN 0 ELSE 1 END)
+      | + (CASE WHEN alpha_words_ok THEN 0 ELSE 1 END)
+      | + (CASE WHEN punct_ratio_ok THEN 0 ELSE 1 END)
+      | + (CASE WHEN distinct_ratio_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+      |(word_count_ok AND mean_word_len_ok AND stopword_ok AND alpha_words_ok
+      | AND punct_ratio_ok AND distinct_ratio_ok) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q117's oracle: the same corrected integer sqrt and the HUGEINT
+    * target product (the engine's DECIMAL(38,0) twin). */
+  private def temperatureMixSql: String =
+    """WITH toks AS (SELECT lang,
+      |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n FROM documents),
+      |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+      |w0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM s),
+      |ww AS (SELECT lang, n_docs, n_tokens,
+      |CASE WHEN n_tokens <= 0 THEN CAST(0 AS BIGINT)
+      |WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+      |WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS w FROM w0),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |CAST(SUM(w) AS BIGINT) AS tot_w FROM ww)
+      |SELECT lang, n_docs, n_tokens,
+      |CAST(coalesce((10000 * n_tokens) // nullif(tot_tokens, 0), 0) AS BIGINT) AS raw_share_bp,
+      |CAST(coalesce((10000 * w) // nullif(tot_w, 0), 0) AS BIGINT) AS temp_share_bp,
+      |CAST(coalesce(CAST(tot_tokens // 2 AS HUGEINT) * w // nullif(tot_w, 0), 0) AS BIGINT) AS target_tokens,
+      |CAST(coalesce((10000 * w) // nullif(tot_w, 0), 0) AS BIGINT)
+      | > CAST(coalesce((10000 * n_tokens) // nullif(tot_tokens, 0), 0) AS BIGINT) AS boosted
+      |FROM ww CROSS JOIN t ORDER BY lang""".stripMargin
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
   private def spanCutSql: String =
@@ -2857,6 +2916,8 @@ object SparkEntry {
     "q113_contamination_spans" -> contaminationSpansSql,
     "q114_decontam_apply" -> decontamApplySql,
     "q115_leak_attribution" -> leakAttributionSql,
+    "q116_gopher_rules" -> gopherRulesSql,
+    "q117_temperature_mix" -> temperatureMixSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

@@ -300,6 +300,53 @@ object Corpus {
     * `bucketSpan` follows bucketedRunningSum's sizing rule — the
     * default suits dense production id ranges; tests pass a small span
     * so the multi-bucket merge is exercised on tiny data. */
+  /** q117: TEMPERATURE MIXTURE ALLOCATION — the multilingual sampling
+    * plan of mT5/XLM-R (sample language l with probability ∝ c_l^α,
+    * α = 1/2): upweight low-resource languages relative to their raw
+    * token share without letting the head language drown the mix. q62
+    * balances toward EXPLICIT weights; this DERIVES the weights from
+    * the corpus itself under the published temperature rule.
+    *
+    * α = 1/2 keeps the whole computation integer-exact: the weight is
+    * the INTEGER square root of the language's token count —
+    * floor(sqrt(double)) is within ±1 of the true isqrt for counts
+    * < 2⁵², and the one-step correction against the exact squares
+    * lands both engines on the identical int64 (the q65 boundary
+    * discipline: never trust a float at a grid edge). The target
+    * allocation under the half-budget plan (B = Σc ÷ 2) multiplies
+    * B·w_l in DECIMAL(38,0)/HUGEINT before the floor divide — exact
+    * at any corpus size (the q62 overflow rule).
+    *
+    * Scale shape: ONE map-side-combined groupBy(lang) over the corpus
+    * scan; isqrt, shares and targets run on language-dimension rows
+    * against a broadcast 1-row total. `boosted` marks the languages
+    * temperature sampling favours (temp share > raw share). */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val stats = docs.select(col("lang"), tokenCountCol.as("n_tokens"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"))
+    val w = stats
+      .withColumn("__s0", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        """CASE WHEN n_tokens <= 0 THEN CAST(0 AS BIGINT)
+          |WHEN (__s0 + 1) * (__s0 + 1) <= n_tokens THEN __s0 + 1
+          |WHEN __s0 * __s0 > n_tokens THEN __s0 - 1
+          |ELSE __s0 END""".stripMargin))
+    val tot = w.agg(sum("n_tokens").cast(LongType).as("tot_tokens"),
+      sum("w").cast(LongType).as("tot_w"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("raw_share_bp",
+        expr("coalesce((10000 * n_tokens) DIV nullif(tot_tokens, 0), CAST(0 AS BIGINT))"))
+      .withColumn("temp_share_bp",
+        expr("coalesce((10000 * w) DIV nullif(tot_w, 0), CAST(0 AS BIGINT))"))
+      .withColumn("target_tokens", expr(
+        "coalesce(CAST(CAST(tot_tokens DIV 2 AS DECIMAL(38,0)) * w DIV nullif(tot_w, 0) AS BIGINT), CAST(0 AS BIGINT))"))
+      .withColumn("boosted", col("temp_share_bp") > col("raw_share_bp"))
+      .select("lang", "n_docs", "n_tokens", "raw_share_bp", "temp_share_bp",
+        "target_tokens", "boosted")
+      .orderBy("lang")
+  }
+
   def packManifest(docs: DataFrame, ctxTokens: Long,
                    bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")

@@ -87,6 +87,54 @@ object TextAnalysis {
       .withColumn("is_quality",
         col("computed_chars").between(50, 20000) && col("alpha_bp") > 6000)
 
+  /** q116: GOPHER-STYLE RULE MATRIX — the published composite quality
+    * filter (Gopher §A1.1 / Dolma / RedPajama-v2 quality signals) as a
+    * named pass/fail column per rule (the q96 check-matrix shape over
+    * documents, so curation can see WHICH rule cut a doc, not just
+    * that one did): word count in range, mean word length in [3, 10],
+    * ≥2 stopwords, ≥80% alphabetic words, punctuation-to-word ratio,
+    * distinct-token ratio. Every comparison is integer — the ratio
+    * rules multiply through by the denominator (5·n_alpha_words ≥
+    * 4·n_words, never a division), so both engines compare identical
+    * int64s at any document length.
+    *
+    * Scale shape: pure row-local — one scan, one projection over the
+    * shared tokenizer, no join/window/exchange beyond the output sort
+    * (plan-pinned). A null/empty text counts zero words and fails the
+    * word-count rule, nothing else crashes. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val stop = "('the','and','of','to','a')"
+    documents
+      .withColumn("__tk", Dedup.tokens(coalesce(col("text"), lit(""))))
+      .withColumn("n_words", expr(
+        "CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(size(__tk) AS BIGINT) END"))
+      .withColumn("__wl", expr("CAST(length(array_join(__tk, '')) AS BIGINT)"))
+      .withColumn("__nstop", expr(s"CAST(size(filter(__tk, t -> t IN $stop)) AS BIGINT)"))
+      .withColumn("__nalphaw", expr("CAST(size(filter(__tk, t -> t rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("__npunct", expr(
+        "CAST(length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '')) AS BIGINT)"))
+      .withColumn("__ndist", expr("CAST(size(array_distinct(__tk)) AS BIGINT)"))
+      .withColumn("word_count_ok", expr("n_words BETWEEN 50 AND 100000"))
+      .withColumn("mean_word_len_ok",
+        expr("n_words > 0 AND __wl >= 3 * n_words AND __wl <= 10 * n_words"))
+      .withColumn("stopword_ok", expr("__nstop >= 2"))
+      .withColumn("alpha_words_ok", expr("n_words > 0 AND 5 * __nalphaw >= 4 * n_words"))
+      .withColumn("punct_ratio_ok", expr("2 * __npunct <= n_words"))
+      .withColumn("distinct_ratio_ok", expr("n_words > 0 AND 5 * __ndist >= n_words"))
+      .withColumn("n_failed", expr(
+        """CAST((CASE WHEN word_count_ok THEN 0 ELSE 1 END)
+          | + (CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END)
+          | + (CASE WHEN stopword_ok THEN 0 ELSE 1 END)
+          | + (CASE WHEN alpha_words_ok THEN 0 ELSE 1 END)
+          | + (CASE WHEN punct_ratio_ok THEN 0 ELSE 1 END)
+          | + (CASE WHEN distinct_ratio_ok THEN 0 ELSE 1 END) AS BIGINT)""".stripMargin))
+      .withColumn("keep", col("n_failed") === 0)
+      .select("doc_id", "n_words", "word_count_ok", "mean_word_len_ok",
+        "stopword_ok", "alpha_words_ok", "punct_ratio_ok", "distinct_ratio_ok",
+        "n_failed", "keep")
+      .orderBy("doc_id")
+  }
+
   /** q38: quality scoring — length, alpha/punct ratios in integer basis
     * points, stopword presence, boolean keep-flag. */
   def qualityScore(documents: DataFrame): DataFrame =

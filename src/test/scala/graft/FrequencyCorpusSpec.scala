@@ -263,6 +263,45 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(defaultRates.forall(_ < 10000L), "default-weight sources are down-sampled")
   }
 
+  test("temperature mix: α=1/2 shares are integer-exact, isqrt corrected at boundaries") {
+    val docs = Seq(
+      (1L, ("x " * 100).trim, "a"),
+      (2L, ("x " * 400).trim, "b")
+    ).toDF("doc_id", "text", "lang")
+    val r = Corpus.temperatureMix(docs).collect().map(x => x.getString(0) -> x).toMap
+    // c = (100, 400) → w = (10, 20); raw (2000, 8000) bp, temp
+    // (3333, 6666) bp; half budget 250 → targets (83, 166)
+    assert(r("a").getAs[Long]("raw_share_bp") == 2000L
+      && r("a").getAs[Long]("temp_share_bp") == 3333L
+      && r("a").getAs[Long]("target_tokens") == 83L
+      && r("a").getAs[Boolean]("boosted"), s"${r("a")}")
+    assert(r("b").getAs[Long]("temp_share_bp") == 6666L
+      && r("b").getAs[Long]("target_tokens") == 166L
+      && !r("b").getAs[Boolean]("boosted"))
+    // isqrt lands exactly across a square boundary: 99 → 9, 101 → 10
+    val edge = Seq((1L, ("y " * 99).trim, "p"), (2L, ("y " * 101).trim, "q"))
+      .toDF("doc_id", "text", "lang")
+    val re = Corpus.temperatureMix(edge).collect().map(x => x.getString(0) -> x).toMap
+    assert(re("p").getAs[Long]("temp_share_bp") == 10000L * 9 / 19
+      && re("q").getAs[Long]("temp_share_bp") == 10000L * 10 / 19, s"$re")
+  }
+
+  test("temperature mix on real data: targets fit the half budget, the head de-boosts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.temperatureMix(docs).collect()
+    val totTok = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(out.map(_.getAs[Long]("target_tokens")).sum <= totTok / 2,
+      "floor division must never over-allocate the budget")
+    val en = out.find(_.getString(0) == "en").get
+    assert(!en.getAs[Boolean]("boosted"),
+      "the dominant language's share must shrink under temperature")
+    assert(out.filter(_.getString(0) != "en").forall(_.getAs[Boolean]("boosted")),
+      "every tail language gains share at α=1/2 on this corpus")
+    val plan = Corpus.temperatureMix(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      "one map-side language rollup + dimension-sized arithmetic only")
+  }
+
   test("pack manifest: sequence ids, offsets and straddle flags are exact") {
     def doc(id: Long, lang: String, n: Int) =
       (id, List.fill(n)("word").mkString(" "), lang, "s", 0L)

@@ -31,6 +31,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("is_quality"))
   }
 
+  test("gopher rule matrix: named rules cut independently at integer boundaries") {
+    val docs = Seq(
+      (1L, "the and " + (1 to 58).map(i => s"word$i").mkString(" ")), // passes all six
+      (2L, "the and tiny doc here"),                                  // only word count fails
+      (3L, (1 to 60).map(i => s"word$i").mkString(" ")),              // only stopwords fail
+      (4L, ("the and " + "9 " * 58).trim)                             // digit flood
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep") && r(1L).getAs[Long]("n_failed") == 0L, s"${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("word_count_ok") && r(2L).getAs[Long]("n_failed") == 1L,
+      s"a short doc fails ONLY the word-count rule: ${r(2L)}")
+    assert(!r(3L).getAs[Boolean]("stopword_ok") && r(3L).getAs[Long]("n_failed") == 1L)
+    // 58 digit words: alpha share 2/60, mean word length 64/60 < 3,
+    // 3 distinct tokens — three independent rules all see it
+    assert(!r(4L).getAs[Boolean]("alpha_words_ok")
+      && !r(4L).getAs[Boolean]("mean_word_len_ok")
+      && !r(4L).getAs[Boolean]("distinct_ratio_ok")
+      && r(4L).getAs[Boolean]("stopword_ok")
+      && r(4L).getAs[Long]("n_failed") == 3L, s"${r(4L)}")
+    // the 50-word boundary is inclusive
+    val b = Seq((10L, "the and " + (1 to 48).map(i => s"w$i").mkString(" ")),
+        (11L, "the and " + (1 to 47).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rb = TextAnalysis.gopherRules(b).collect().map(x => x.getLong(0) -> x).toMap
+    assert(rb(10L).getAs[Boolean]("word_count_ok") && !rb(11L).getAs[Boolean]("word_count_ok"))
+    val plan = TextAnalysis.gopherRules(docs).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the rule matrix is one row-local scan:\n${plan.take(1500)}")
+  }
+
   test("token counts: whitespace, distinct, bpe-ish") {
     val docs = Seq((1L, "hello world hello 42 foo-bar")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(docs).collect().head

@@ -227,6 +227,8 @@ object SparkEntry {
       TextAnalysis.gopherRules(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
+    "q117b_temperature_sample" -> ((s, d) =>
+      Corpus.temperatureSample(Tables.documents(s, d))),
     "q92_orc_documents" -> ((s, d) =>
       TextAnalysis.repetitionScreen(viaFormat(Tables.documents(s, d), "orc", "documents"))),
     "q93_orc_lineitem" -> ((s, d) =>
@@ -1111,20 +1113,26 @@ object SparkEntry {
       | AND punct_ratio_ok AND distinct_ratio_ok) AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
-  /** q117's oracle: the same corrected integer sqrt and the HUGEINT
-    * target product (the engine's DECIMAL(38,0) twin). */
-  private def temperatureMixSql: String =
-    """WITH toks AS (SELECT lang,
+  /** the q117 model CTE chain (per-language counts → corrected isqrt
+    * weight → 1-row totals) — shared verbatim by the plan and apply
+    * oracles so the two cannot disagree about a target. */
+  private def tempMixCtes: String =
+    """tmtoks AS (SELECT doc_id, lang,
       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n FROM documents),
       |s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_tokens FROM toks GROUP BY 1),
+      |CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_tokens FROM tmtoks GROUP BY 1),
       |w0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM s),
       |ww AS (SELECT lang, n_docs, n_tokens,
       |CASE WHEN n_tokens <= 0 THEN CAST(0 AS BIGINT)
       |WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
       |WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS w FROM w0),
       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
-      |CAST(SUM(w) AS BIGINT) AS tot_w FROM ww)
+      |CAST(SUM(w) AS BIGINT) AS tot_w FROM ww)""".stripMargin
+
+  /** q117's oracle: the same corrected integer sqrt and the HUGEINT
+    * target product (the engine's DECIMAL(38,0) twin). */
+  private def temperatureMixSql: String =
+    s"""WITH $tempMixCtes
       |SELECT lang, n_docs, n_tokens,
       |CAST(coalesce((10000 * n_tokens) // nullif(tot_tokens, 0), 0) AS BIGINT) AS raw_share_bp,
       |CAST(coalesce((10000 * w) // nullif(tot_w, 0), 0) AS BIGINT) AS temp_share_bp,
@@ -1132,6 +1140,22 @@ object SparkEntry {
       |CAST(coalesce((10000 * w) // nullif(tot_w, 0), 0) AS BIGINT)
       | > CAST(coalesce((10000 * n_tokens) // nullif(tot_tokens, 0), 0) AS BIGINT) AS boosted
       |FROM ww CROSS JOIN t ORDER BY lang""".stripMargin
+
+  /** q117b's oracle: the shared q117 model chain, the "temp:" draw,
+    * and a per-language draw-ordered running sum (bounded per-group
+    * window — oracle-side only; the engine runs the bucketed form). */
+  private def temperatureSampleSql: String =
+    s"""WITH $tempMixCtes,
+      |tgt AS (SELECT lang,
+      |CAST(coalesce(CAST(tot_tokens // 2 AS HUGEINT) * w // nullif(tot_w, 0), 0) AS BIGINT) AS target_tokens
+      |FROM ww CROSS JOIN t),
+      |drw AS (SELECT doc_id, lang, n AS n_tokens,
+      |('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS draw FROM tmtoks),
+      |cum AS (SELECT *, SUM(coalesce(n_tokens, 0)) OVER (PARTITION BY lang
+      |ORDER BY draw, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM drw)
+      |SELECT c.lang, c.doc_id, c.n_tokens, CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+      |c.cum_tokens <= coalesce(g.target_tokens, 0) AS keep
+      |FROM cum c LEFT JOIN tgt g USING (lang) ORDER BY lang, doc_id""".stripMargin
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
   private def spanCutSql: String =
@@ -2918,6 +2942,7 @@ object SparkEntry {
     "q115_leak_attribution" -> leakAttributionSql,
     "q116_gopher_rules" -> gopherRulesSql,
     "q117_temperature_mix" -> temperatureMixSql,
+    "q117b_temperature_sample" -> temperatureSampleSql,
     "q94_region_atlas" -> regionAtlasSql,
     "q94b_region_neighbours" -> regionNeighboursSql,
     "q95_region_lca" -> regionLcaSql,

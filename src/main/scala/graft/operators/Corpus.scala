@@ -347,6 +347,38 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** q117b: TEMPERATURE SAMPLE — the APPLY step of q117: a
+    * deterministic per-document draw fills each language's target
+    * allocation in draw order (the engine's hash idiom, salt "temp:" —
+    * independent of every other md5-keyed decision, reproducible
+    * across runs/engines/repartitioning). A doc keeps while the
+    * language's running token sum has not passed its q117 target, so
+    * the kept corpus realises the temperature plan to within one
+    * document per language.
+    *
+    * Scale shape: the plan side is language-dimension rows (broadcast
+    * join); the running sum is [[Scale.bucketedRunningSum]] bucketed
+    * on the draw's high bits (1024 ordered buckets per language — the
+    * q55 rule: the dominant language must NOT serialize through one
+    * window task; offsets stay broadcast-sized). Output keeps EVERY
+    * doc with its verdict — the manifest, not just the survivors. */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val plan = temperatureMix(docs)
+      .select(col("lang").as("__pl"), col("target_tokens"))
+    val d = docs.select(col("doc_id"), col("lang"), tokenCountCol.as("n_tokens"))
+      .withColumn("draw",
+        Dedup.md5_60(concat(lit("temp:"), col("doc_id").cast("string"))))
+    val cum = Scale.bucketedRunningSum(d, "lang",
+      expr(s"draw DIV ${1L << 50}"),
+      Seq(col("draw"), col("doc_id")), coalesce(col("n_tokens"), lit(0L)),
+      "cum_tokens")
+    cum.join(broadcast(plan), col("lang") <=> col("__pl"), "left")
+      .withColumn("keep",
+        col("cum_tokens") <= coalesce(col("target_tokens"), lit(0L)))
+      .select("lang", "doc_id", "n_tokens", "cum_tokens", "keep")
+      .orderBy("lang", "doc_id")
+  }
+
   def packManifest(docs: DataFrame, ctxTokens: Long,
                    bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")

@@ -302,6 +302,27 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       "one map-side language rollup + dimension-sized arithmetic only")
   }
 
+  test("temperature sample realises the plan: never overfills, conserves, reproducible") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Corpus.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("target_tokens")).toMap
+    val out = Corpus.temperatureSample(docs).collect()
+    out.groupBy(_.getString(0)).foreach { case (l, rows) =>
+      val keptTok = rows.filter(_.getAs[Boolean]("keep"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(keptTok <= plan(l), s"$l overfills its target: $keptTok > ${plan(l)}")
+      assert(rows.map(_.getAs[Long]("cum_tokens")).max
+        == rows.map(_.getAs[Long]("n_tokens")).sum,
+        s"$l: the bucketed running sum must conserve the language total")
+    }
+    assert(out.exists(_.getAs[Boolean]("keep"))
+      && out.exists(!_.getAs[Boolean]("keep")), "the cut is real on this corpus")
+    // the draw is a pure function of doc_id: physical layout is irrelevant
+    val again = Corpus.temperatureSample(docs.repartition(7)).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getAs[Boolean]("keep"))).toSeq
+      == again.map(r => (r.getString(0), r.getLong(1), r.getAs[Boolean]("keep"))).toSeq)
+  }
+
   test("pack manifest: sequence ids, offsets and straddle flags are exact") {
     def doc(id: Long, lang: String, n: Int) =
       (id, List.fill(n)("word").mkString(" "), lang, "s", 0L)

@@ -102,38 +102,51 @@ object TextAnalysis {
     * shared tokenizer, no join/window/exchange beyond the output sort
     * (plan-pinned). A null/empty text counts zero words and fails the
     * word-count rule, nothing else crashes. */
-  def gopherRules(documents: DataFrame): DataFrame = {
+  def gopherRules(documents: DataFrame): DataFrame =
+    withGopherCols(documents).select(gopherOutCols: _*).orderBy("doc_id")
+
+  /** the q116 kernel in append form — six named rule verdicts,
+    * `n_words`, and the composite as `gopher_n_failed`/`gopher_keep`
+    * (prefixed like the other screens' keeps, so the report frame
+    * stays unambiguous). Pure row-local. */
+  private[graft] def withGopherCols(documents: DataFrame): DataFrame = {
     val stop = "('the','and','of','to','a')"
     documents
-      .withColumn("__tk", Dedup.tokens(coalesce(col("text"), lit(""))))
+      .withColumn("__gtk", Dedup.tokens(coalesce(col("text"), lit(""))))
       .withColumn("n_words", expr(
-        "CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(size(__tk) AS BIGINT) END"))
-      .withColumn("__wl", expr("CAST(length(array_join(__tk, '')) AS BIGINT)"))
-      .withColumn("__nstop", expr(s"CAST(size(filter(__tk, t -> t IN $stop)) AS BIGINT)"))
-      .withColumn("__nalphaw", expr("CAST(size(filter(__tk, t -> t rlike '[a-z]')) AS BIGINT)"))
-      .withColumn("__npunct", expr(
+        "CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(size(__gtk) AS BIGINT) END"))
+      .withColumn("__gwl", expr("CAST(length(array_join(__gtk, '')) AS BIGINT)"))
+      .withColumn("__gnstop", expr(s"CAST(size(filter(__gtk, t -> t IN $stop)) AS BIGINT)"))
+      .withColumn("__gnalphaw", expr("CAST(size(filter(__gtk, t -> t rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("__gnpunct", expr(
         "CAST(length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '')) AS BIGINT)"))
-      .withColumn("__ndist", expr("CAST(size(array_distinct(__tk)) AS BIGINT)"))
+      .withColumn("__gndist", expr("CAST(size(array_distinct(__gtk)) AS BIGINT)"))
       .withColumn("word_count_ok", expr("n_words BETWEEN 50 AND 100000"))
       .withColumn("mean_word_len_ok",
-        expr("n_words > 0 AND __wl >= 3 * n_words AND __wl <= 10 * n_words"))
-      .withColumn("stopword_ok", expr("__nstop >= 2"))
-      .withColumn("alpha_words_ok", expr("n_words > 0 AND 5 * __nalphaw >= 4 * n_words"))
-      .withColumn("punct_ratio_ok", expr("2 * __npunct <= n_words"))
-      .withColumn("distinct_ratio_ok", expr("n_words > 0 AND 5 * __ndist >= n_words"))
-      .withColumn("n_failed", expr(
+        expr("n_words > 0 AND __gwl >= 3 * n_words AND __gwl <= 10 * n_words"))
+      .withColumn("stopword_ok", expr("__gnstop >= 2"))
+      .withColumn("alpha_words_ok", expr("n_words > 0 AND 5 * __gnalphaw >= 4 * n_words"))
+      .withColumn("punct_ratio_ok", expr("2 * __gnpunct <= n_words"))
+      .withColumn("distinct_ratio_ok", expr("n_words > 0 AND 5 * __gndist >= n_words"))
+      .withColumn("gopher_n_failed", expr(
         """CAST((CASE WHEN word_count_ok THEN 0 ELSE 1 END)
           | + (CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END)
           | + (CASE WHEN stopword_ok THEN 0 ELSE 1 END)
           | + (CASE WHEN alpha_words_ok THEN 0 ELSE 1 END)
           | + (CASE WHEN punct_ratio_ok THEN 0 ELSE 1 END)
           | + (CASE WHEN distinct_ratio_ok THEN 0 ELSE 1 END) AS BIGINT)""".stripMargin))
-      .withColumn("keep", col("n_failed") === 0)
-      .select("doc_id", "n_words", "word_count_ok", "mean_word_len_ok",
-        "stopword_ok", "alpha_words_ok", "punct_ratio_ok", "distinct_ratio_ok",
-        "n_failed", "keep")
-      .orderBy("doc_id")
+      .withColumn("gopher_keep", col("gopher_n_failed") === 0)
+      .drop("__gtk", "__gwl", "__gnstop", "__gnalphaw", "__gnpunct", "__gndist")
   }
+
+  private def gopherOutCols: Seq[Column] = Seq(col("doc_id"), col("n_words"),
+    col("word_count_ok"), col("mean_word_len_ok"), col("stopword_ok"),
+    col("alpha_words_ok"), col("punct_ratio_ok"), col("distinct_ratio_ok"),
+    col("gopher_n_failed").as("n_failed"), col("gopher_keep").as("keep"))
+
+  /** q116 over the frame. */
+  def reportGopherRules(report: DataFrame): DataFrame =
+    report.select(gopherOutCols: _*).orderBy("doc_id")
 
   /** q38: quality scoring — length, alpha/punct ratios in integer basis
     * points, stopword presence, boolean keep-flag. */
@@ -330,6 +343,7 @@ object TextAnalysis {
       .transform(withQualityCols)
       .transform(withTokenCountCols)
       .transform(withRepetitionCols)
+      .transform(withGopherCols)
       .withColumn("fingerprint", fingerprintCol(col("text")))
       .withColumn("content_hash", md5(col("text").cast(BinaryType)))
       .withColumn("chunks", Corpus.chunkArrayOfText("text"))

@@ -124,4 +124,9 @@ class DocReportSpec extends AnyFunSuite {
     same(TextAnalysis.reportContamSpans(report),
       graft.operators.Dedup.contaminationSpans(docs), "q113")
   }
+
+  test("q116 gopher rule matrix derives exactly from the frame") {
+    same(TextAnalysis.reportGopherRules(report),
+      TextAnalysis.gopherRules(docs), "q116")
+  }
 }

@@ -225,6 +225,8 @@ object SparkEntry {
       Dedup.leakAttribution(Tables.documents(s, d))),
     "q116_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "q118_combined_cut" -> ((s, d) =>
+      Dedup.combinedCutSpans(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -1156,6 +1158,41 @@ object SparkEntry {
       |SELECT c.lang, c.doc_id, c.n_tokens, CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
       |c.cum_tokens <= coalesce(g.target_tokens, 0) AS keep
       |FROM cum c LEFT JOIN tgt g USING (lang) ORDER BY lang, doc_id""".stripMargin
+
+  /** q118's oracle: the q107 ownership chain and the q113 benchmark
+    * chain over ONE shared window stream (`wins` — the oracle
+    * tokenizes once, like the engine), unioned and re-merged with the
+    * running-max islands rule (merge while s ≤ the max end seen). */
+  private def combinedCutSql: String = {
+    val w = 8
+    def isBench(ref: String) =
+      s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
+        s" AND $ref < ${graft.operators.Dedup.BenchmarkMaxId}"
+    s"""WITH ${spanWindowFrag(w)},
+       |own AS (SELECT h, MIN(doc_id) AS owner FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN own o USING (h) WHERE w.doc_id <> o.owner),
+       |${spanMergeFrag(w)},
+       |bw AS (SELECT DISTINCT h FROM wins WHERE ${isBench("doc_id")}),
+       |cut2 AS (SELECT w.doc_id, w.pos FROM wins w JOIN bw USING (h)
+       |WHERE NOT (${isBench("w.doc_id")})),
+       |lagd2 AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM cut2),
+       |grp2 AS (SELECT doc_id, pos,
+       |SUM(CASE WHEN prev IS NULL OR pos > prev + $w THEN 1 ELSE 0 END)
+       |  OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM lagd2),
+       |sp2 AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + $w AS e FROM grp2 GROUP BY 1, 2),
+       |u AS (SELECT doc_id, s, e FROM sp UNION ALL SELECT doc_id, s, e FROM sp2),
+       |o2 AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM u),
+       |g2 AS (SELECT doc_id, s, e,
+       |SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+       |  OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp FROM o2),
+       |spf AS (SELECT doc_id, mgrp, MIN(s) AS s, MAX(e) AS e FROM g2 GROUP BY 1, 2)
+       |SELECT doc_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS span_idx,
+       |CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
+       |CAST(e - s AS BIGINT) AS span_tokens
+       |FROM spf ORDER BY doc_id, start_pos""".stripMargin
+  }
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
   private def spanCutSql: String =
@@ -2941,6 +2978,7 @@ object SparkEntry {
     "q114_decontam_apply" -> decontamApplySql,
     "q115_leak_attribution" -> leakAttributionSql,
     "q116_gopher_rules" -> gopherRulesSql,
+    "q118_combined_cut" -> combinedCutSql,
     "q117_temperature_mix" -> temperatureMixSql,
     "q117b_temperature_sample" -> temperatureSampleSql,
     "q94_region_atlas" -> regionAtlasSql,

@@ -653,6 +653,49 @@ object Dedup {
     spanList(hits.groupBy("doc_id").agg(mergedSpansAgg(w).as("spans")))
   }
 
+  /** the interval-union fold over a sorted array<struct<s,e>> — the
+    * [[mergeSpansFoldSql]] rule lifted from positions to intervals
+    * (merge while the next interval starts at or before the open end;
+    * the end advances by greatest, since an interval can nest). */
+  private def mergeIntervalsFoldSql(ivArr: String): String =
+    s"""aggregate(
+       |  $ivArr,
+       |  named_struct(
+       |    'sp', cast(array() as array<struct<s:int,e:int>>),
+       |    'cs', -1, 'ce', -1),
+       |  (a, iv) -> CASE
+       |    WHEN a.ce < 0 THEN named_struct('sp', a.sp, 'cs', iv.s, 'ce', iv.e)
+       |    WHEN iv.s <= a.ce THEN named_struct('sp', a.sp, 'cs', a.cs, 'ce', greatest(a.ce, iv.e))
+       |    ELSE named_struct(
+       |      'sp', concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))),
+       |      'cs', iv.s, 'ce', iv.e) END,
+       |  a -> CASE WHEN a.ce < 0 THEN a.sp
+       |    ELSE concat(a.sp, array(named_struct('s', a.cs, 'e', a.ce))) END)""".stripMargin
+
+  /** q118: the COMBINED CUT — the one rewrite plan a curation run
+    * actually hands the rewriter: exact-substring duplication cuts
+    * (q107b) and benchmark contamination cuts (q113) unioned per doc
+    * and re-merged into maximal [s, e) intervals (the two screens
+    * overlap precisely when boilerplate quotes the benchmark — cutting
+    * them independently would double-cut shared ranges). Same columns
+    * as both inputs, so anything that composed with either composes
+    * with this.
+    *
+    * Scale shape: both inputs are cut-sized (≪ corpus) by
+    * construction, so the union, the doc-keyed aggregate and the
+    * row-local interval fold all run on span rows; the corpus-sized
+    * work is exactly the two upstream scans, each already
+    * plan-disciplined. */
+  def combinedCutSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    val u = spanCutSpans(docs, windowTokens)
+      .select(col("doc_id"), col("start_pos"), col("end_pos"))
+      .unionByName(contaminationSpans(docs, windowTokens)
+        .select(col("doc_id"), col("start_pos"), col("end_pos")))
+    spanList(u.groupBy("doc_id").agg(expr(mergeIntervalsFoldSql(
+      "array_sort(collect_list(named_struct('s', CAST(start_pos AS INT), 'e', CAST(end_pos AS INT))))"))
+      .as("spans")))
+  }
+
   /** the benchmark window-hash set COLLECTED — eval-suite-sized by
     * construction (the bounded-model discipline: q75 vocabulary, bloom
     * bytes, PQ codebooks). Train batch-side on the released benchmark,

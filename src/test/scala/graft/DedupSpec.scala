@@ -558,6 +558,46 @@ class DedupSpec extends AnyFunSuite {
       "the benchmark window set broadcasts; the corpus never exchanges on the window key")
   }
 
+  test("combined cut merges duplication and contamination spans into one plan") {
+    val boiler = "legal one two three four five six seven eight nine ten eleven"
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (0L, bench),                                            // the benchmark split
+      (1001L, boiler + " some original closing words"),       // owner: keeps its copy
+      (1002L, boiler + " " + bench),                          // dup cut [0,12) touches contam [12,22)
+      (1003L, boiler + " unrelated filler words here " + bench) // disjoint: [0,12) and [16,26)
+    ).toDF("doc_id", "text")
+    val out = Dedup.combinedCutSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+    assert(out.count(_._1 == 1002L) == 1
+      && out.contains((1002L, 0L, 22L)),
+      s"adjacent dup + contamination ranges merge into one interval: ${out.toSeq}")
+    assert(out.filter(_._1 == 1003L).toSeq.sorted == Seq((1003L, 0L, 12L), (1003L, 16L, 26L)),
+      s"a real gap stays two intervals: ${out.toSeq}")
+    assert(!out.exists(_._1 == 1001L), "the owner cuts nothing")
+  }
+
+  test("combined cut covers both screens exactly on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val comb = Dedup.combinedCutSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+    val inputs = (Dedup.spanCutSpans(docs).collect()
+        ++ Dedup.contaminationSpans(docs).collect())
+      .map(r => (r.getLong(0), r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+    assert(inputs.nonEmpty && comb.nonEmpty)
+    inputs.foreach { case (d, s, e) =>
+      assert(comb.exists { case (d2, s2, e2) => d2 == d && s2 <= s && e <= e2 },
+        s"input span ($d,$s,$e) must be contained in a combined interval")
+    }
+    comb.groupBy(_._1).values.foreach { spans =>
+      val sorted = spans.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, s"combined intervals must be disjoint and non-adjacent: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("boilerplate leaderboard names the offender and orders by reach") {
     val docs = Seq(
       (1L, "legal header one two a b c d e unique tail x"),

@@ -227,6 +227,8 @@ object SparkEntry {
       TextAnalysis.gopherRules(Tables.documents(s, d))),
     "q118_combined_cut" -> ((s, d) =>
       Dedup.combinedCutSpans(Tables.documents(s, d))),
+    "q110b_recall_sweep" -> ((s, d) =>
+      Similarity.annRecallSweep(Tables.embeddings(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -1465,7 +1467,8 @@ object SparkEntry {
     * The model always TRAINS on `raw`; `assignSrc` is the (vec_id,
     * emb) universe that gets cell-assigned — q82 freezes the model on
     * the base corpus and assigns the post-merge universe. */
-  private def ivfModelCtes(assignSrc: String = "raw"): String = {
+  private def ivfModelCtes(assignSrc: String = "raw", probeMax: Int = 6,
+                           probeKeepRank: Boolean = false): String = {
     def iter(i: Int, prev: String, next: String): String =
       s"""s$i AS (SELECT v.vec_id, v.emb, v.nrm, c.cell,
          |list_dot_product(v.emb, c.emb) / (v.nrm * sqrt(list_dot_product(c.emb, c.emb))) AS s
@@ -1493,10 +1496,11 @@ object SparkEntry {
        |corpus AS MATERIALIZED (SELECT vec_id AS neighbor_id, emb, nrm, cell FROM (
        |SELECT vec_id, emb, nrm, cell,
        |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc) t WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, emb, nrm, cell FROM (
+       |probes AS (SELECT vec_id AS query_id, emb, nrm, cell${
+        if (probeKeepRank) ", rn AS probe_rank" else ""} FROM (
        |SELECT vec_id, emb, nrm, cell,
        |row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 20) t
-       |WHERE rn <= 6)""".stripMargin
+       |WHERE rn <= $probeMax)""".stripMargin
   }
 
   /** q35's oracle (also the exact side of q110's recall audit). */
@@ -1525,6 +1529,43 @@ object SparkEntry {
        |CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        |(10000 * CAST(coalesce(h.n_hits, 0) AS BIGINT)) // x.n_exact AS recall_bp
        |FROM x LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+
+  /** q110b's oracle: one model + one probe list kept to rank 16; each
+    * arm filters probe_rank and re-ranks; per-arm macro mean of
+    * per-query recall bp and the pooled micro recall, against the
+    * shared exact baseline. The exact side is the q35 ranking replayed
+    * over the chain's own `e` — nesting knnBruteSql here would
+    * re-define `raw`/`e` under the outer MATERIALIZED ones, which
+    * trips a DuckDB internal assertion ("recursive CTE scan"). */
+  private def annRecallSweepSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |${ivfModelCtes(probeMax = 16, probeKeepRank = true)},
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |row_number() OVER (PARTITION BY q.vec_id
+       |ORDER BY list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20) t
+       |WHERE rank <= 10),
+       |xq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1),
+       |arms(p) AS (VALUES (1), (2), (4), (8), (16)),
+       |cand AS (SELECT a.p, q.query_id, c.neighbor_id,
+       |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+       |FROM probes q JOIN corpus c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+       |CROSS JOIN arms a WHERE q.probe_rank <= a.p),
+       |rk AS (SELECT p, query_id, neighbor_id,
+       |row_number() OVER (PARTITION BY p, query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand),
+       |ap AS (SELECT p, query_id, neighbor_id FROM rk WHERE rank <= 10),
+       |h AS (SELECT a.p, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM ap a JOIN ex e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY 1, 2),
+       |pq AS (SELECT ar.p, x.query_id, x.n_exact,
+       |CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+       |FROM arms ar CROSS JOIN xq x
+       |LEFT JOIN h ON h.p = ar.p AND h.query_id = x.query_id)
+       |SELECT CAST(p AS BIGINT) AS n_probe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |CAST(SUM((10000 * n_hits) // n_exact) // COUNT(*) AS BIGINT) AS mean_recall_bp,
+       |CAST((10000 * SUM(n_hits)) // SUM(n_exact) AS BIGINT) AS micro_recall_bp
+       |FROM pq GROUP BY p ORDER BY n_probe""".stripMargin
 
   private def knnIvfSql: String =
     s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -2972,6 +3013,7 @@ object SparkEntry {
     "q108_release_dedup" -> releaseDedupSql,
     "q109_pmi_collocations" -> pmiCollocationsSql,
     "q110_ann_recall" -> annRecallSql,
+    "q110b_recall_sweep" -> annRecallSweepSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

@@ -173,6 +173,79 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q110b: the nProbe PARAMETER SWEEP — the recall-vs-cost curve an
+    * IVF deployment reads to pick its operating point (q110 audits ONE
+    * setting; this prices the knob): per nProbe arm, the macro mean of
+    * per-query recall@k in basis points and the micro (pooled) recall,
+    * all against the same exact baseline.
+    *
+    * Scale shape: the model trains ONCE and the corpus is
+    * cell-assigned ONCE; each query's probe list is computed once up
+    * to max(nProbes) with its probe rank, so every arm is a FILTER on
+    * one shared candidate frame (probe_rank ≤ p) — arms add zero
+    * corpus scans. Candidate scoring is the q36b equality join on the
+    * cell id; the per-(arm, query) rank window sees only that query's
+    * candidates. Equality with q110 at the audited setting is
+    * spec-pinned. */
+  def annRecallSweep(embeddings: DataFrame,
+                     nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                     nCells: Int = 16, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nCells),
+      s"every arm must probe between 1 and $nCells cells: $nProbes")
+    val spark = embeddings.sparkSession
+    val exact = knnBruteForce(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_probe", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_queries", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mean_recall_bp", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("micro_recall_bp", org.apache.spark.sql.types.LongType))))
+    val (e, scores) = withCellScores(withNorm(embeddings), cents)
+    val c = e.withColumn("cell", greatestOf(scores).getField("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+        col("norm").as("n_c"), col("cell"))
+    val probeStructs = slice(reverse(array_sort(array(scores: _*))), 1, nProbes.max)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("norm").as("n_q"), posexplode(probeStructs.getField("cell")))
+      .select(col("query_id"), col("e_q"), col("n_q"),
+        col("col").as("cell"), (col("pos") + 1).as("probe_rank"))
+    val arms = spark.createDataset(nProbes.sorted.map(_.toLong))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("n_probe")
+    val cand = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .crossJoin(broadcast(arms))
+      .filter(col("probe_rank") <= col("n_probe"))
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"),
+        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
+    val topk = cand.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("n_probe", "query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("n_probe", "query_id", "neighbor_id")
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("n_probe", "query_id").agg(count(lit(1)).as("n_hits"))
+    val perQ = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(arms))
+      .join(hits, Seq("n_probe", "query_id"), "left")
+      .select(col("n_probe"), col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    perQ.groupBy("n_probe").agg(
+        count(lit(1)).as("n_queries"),
+        expr("CAST(sum((10000 * n_hits) DIV n_exact) DIV count(1) AS BIGINT)")
+          .as("mean_recall_bp"),
+        expr("CAST((10000 * sum(n_hits)) DIV sum(n_exact) AS BIGINT)")
+          .as("micro_recall_bp"))
+      .withColumn("n_probe", col("n_probe").cast("long"))
+      .select("n_probe", "n_queries", "mean_recall_bp", "micro_recall_bp")
+      .orderBy("n_probe")
+  }
+
   /** appends `__dots` (all centroid dot products, ONE codegen
     * expression over the reference-object matrix — evaluated once per
     * row, no per-cell literal subtrees) and returns the (score, cell)

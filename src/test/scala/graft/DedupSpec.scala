@@ -646,6 +646,25 @@ class DedupSpec extends AnyFunSuite {
     assert(audit.map(_.getAs[Long]("recall_bp")).max <= 10000L)
   }
 
+  test("recall sweep: monotone in nProbe, exact at full fan-out, equals the audit at its arm") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sweep = Similarity.annRecallSweep(e).collect()
+    assert(sweep.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val micro = sweep.map(_.getAs[Long]("micro_recall_bp"))
+    assert(micro.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      s"probing more cells can only help: ${micro.toSeq}")
+    assert(micro.last == 10000L,
+      "nProbe = nCells probes every cell — the index IS brute force there")
+    // the sweep's arm at the audited setting reproduces q110 exactly
+    val arm6 = Similarity.annRecallSweep(e, nProbes = Seq(6)).collect().head
+    val audit = Similarity.annRecallAudit(e).collect()
+    val macroMean = audit.map(_.getAs[Long]("recall_bp")).sum / audit.length
+    assert(arm6.getAs[Long]("mean_recall_bp") == macroMean,
+      s"sweep arm 6 must equal the audit: ${arm6.getAs[Long]("mean_recall_bp")} vs $macroMean")
+    assert(arm6.getAs[Long]("micro_recall_bp")
+      == 10000L * audit.map(_.getAs[Long]("n_hits")).sum / audit.map(_.getAs[Long]("n_exact")).sum)
+  }
+
   test("release dedup: exact beats near, normalization-aware, store min-id wins") {
     val store = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),

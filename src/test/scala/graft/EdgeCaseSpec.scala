@@ -201,6 +201,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.decontamApply(noDocs).isEmpty)
     assert(Dedup.leakAttribution(noDocs).isEmpty,
       "no benchmark docs → no attribution rows, not a crash")
+    assert(Dedup.combinedCutSpans(noDocs).isEmpty)
+    assert(Similarity.annRecallSweep(noVecs).isEmpty,
+      "sweeping an empty index is a no-op, not a crash")
+    assert(TextAnalysis.gopherRules(noDocs).isEmpty)
+    assert(graft.operators.Corpus.temperatureMix(noDocs).isEmpty)
+    assert(graft.operators.Corpus.temperatureSample(noDocs).isEmpty)
   }
 
   test("r10 family survives a null-text row without hiding other docs") {

@@ -729,6 +729,24 @@ object Dedup {
                       windowTokens: Int = 8): DataFrame =
     withContamCols(docs, benchHashes, windowTokens).drop("__tk")
 
+  /** the frame form of the q114 APPLY — appends, beside
+    * `contam_spans`, the cut manifest columns (`contam_n_tokens`,
+    * `clean_n_tokens`, `clean_hash`) in the same one row-local pass,
+    * so the persisted report carries the cleaned fingerprint without
+    * ever re-reading text. `contam_n_tokens` keeps q114's raw token
+    * count (an empty text is the one-token [""] stream, exactly like
+    * the span index space); the gopher `n_words` column keeps its own
+    * zero-for-empty convention — they differ by design. */
+  def withContamApplyCols(docs: DataFrame, benchHashes: Seq[Long],
+                          windowTokens: Int = 8): DataFrame =
+    withContamCols(docs, benchHashes, windowTokens)
+      .withColumn("__cl", expr(
+        "filter(__tk, (t, i) -> NOT exists(contam_spans, sp -> i >= sp.s AND i < sp.e))"))
+      .withColumn("contam_n_tokens", size(col("__tk")).cast("long"))
+      .withColumn("clean_n_tokens", size(col("__cl")).cast("long"))
+      .withColumn("clean_hash", md5_60(array_join(col("__cl"), " ")))
+      .drop("__tk", "__cl")
+
   /** the shared row-local core: tokenize once, probe the frozen set,
     * fold the merged intervals — `__tk` stays so the APPLY step
     * ([[decontamApplyRowLocal]]) cuts the SAME token array the spans

@@ -350,10 +350,11 @@ object TextAnalysis {
       .transform(Frequency.rarityScoreRowLocal(_, rarityModel._1, rarityModel._2))
       .transform(LmScreen.lmScoreRowLocal(_, lmModel))
       .transform(Dsir.dsirScoreRowLocal(_, dsirModel))
-      // q113's frozen-set probe — still a pure row-local projection
-      // (the benchmark window set is the fourth frozen model; Nil is
-      // legal and yields empty span arrays)
-      .transform(Dedup.withContamSpans(_, benchWindowHashes))
+      // q113's frozen-set probe + the q114 apply — still one pure
+      // row-local projection (the benchmark window set is the fourth
+      // frozen model; Nil is legal and yields empty spans with the
+      // clean hash equal to the content's own normalized hash)
+      .transform(Dedup.withContamApplyCols(_, benchWindowHashes))
       .drop("text")
 
   // Views over the (persisted) report frame — each must reproduce its
@@ -462,6 +463,19 @@ object TextAnalysis {
     * set): explode the nested spans of CORPUS docs — the frame holds
     * every doc, including the benchmark split, whose self-matching
     * spans q113 by definition excludes. */
+  /** q114 over the frame: the cut manifest reads straight off the
+    * persisted columns (spans → counts, the stored clean hash) —
+    * benchmark rows filtered at view time, exactly like q113's view. */
+  def reportDecontamApply(report: DataFrame): DataFrame =
+    report.filter(!Dedup.isBenchmark(col("doc_id")))
+      .select(col("doc_id"),
+        col("contam_n_tokens").as("n_tokens"),
+        size(col("contam_spans")).cast("long").as("n_cut_spans"),
+        expr("aggregate(contam_spans, CAST(0 AS BIGINT), (acc, sp) -> acc + (sp.e - sp.s))")
+          .as("tokens_cut"),
+        col("clean_n_tokens"), col("clean_hash"))
+      .orderBy("doc_id")
+
   def reportContamSpans(report: DataFrame): DataFrame =
     report.filter(!Dedup.isBenchmark(col("doc_id")))
       .select(col("doc_id"), posexplode(col("contam_spans")))

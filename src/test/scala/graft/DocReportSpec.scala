@@ -129,4 +129,9 @@ class DocReportSpec extends AnyFunSuite {
     same(TextAnalysis.reportGopherRules(report),
       TextAnalysis.gopherRules(docs), "q116")
   }
+
+  test("q114 decontam manifest derives exactly from the frame's stored clean hash") {
+    same(TextAnalysis.reportDecontamApply(report),
+      graft.operators.Dedup.decontamApply(docs), "q114")
+  }
 }

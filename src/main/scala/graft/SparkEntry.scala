@@ -229,6 +229,8 @@ object SparkEntry {
       Dedup.combinedCutSpans(Tables.documents(s, d))),
     "q110b_recall_sweep" -> ((s, d) =>
       Similarity.annRecallSweep(Tables.embeddings(s, d))),
+    "q36c_knn_filtered" -> ((s, d) =>
+      Similarity.knnIvfFiltered(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -1566,6 +1568,23 @@ object SparkEntry {
        |CAST(SUM((10000 * n_hits) // n_exact) // COUNT(*) AS BIGINT) AS mean_recall_bp,
        |CAST((10000 * SUM(n_hits)) // SUM(n_exact) AS BIGINT) AS micro_recall_bp
        |FROM pq GROUP BY p ORDER BY n_probe""".stripMargin
+
+  /** q36c's oracle: the shared IVF chain with `lang` joined onto both
+    * sides of the cell equality join and the same-language post-filter
+    * before ranking. */
+  private def knnIvfFilteredSql: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |${ivfModelCtes()},
+       |lmeta AS (SELECT doc_id, lang FROM documents),
+       |scored AS (SELECT q.query_id, lq.lang, c.neighbor_id,
+       |list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm) AS cosine
+       |FROM probes q JOIN corpus c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+       |JOIN lmeta lq ON lq.doc_id = q.query_id
+       |JOIN lmeta lc ON lc.doc_id = c.neighbor_id AND lc.lang = lq.lang),
+       |ranked AS (SELECT query_id, lang, neighbor_id, cosine,
+       |row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, lang, neighbor_id, CAST(round(cosine * 10000) AS BIGINT) AS cos_bp,
+       |rank FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def knnIvfSql: String =
     s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -3014,6 +3033,7 @@ object SparkEntry {
     "q109_pmi_collocations" -> pmiCollocationsSql,
     "q110_ann_recall" -> annRecallSql,
     "q110b_recall_sweep" -> annRecallSweepSql,
+    "q36c_knn_filtered" -> knnIvfFilteredSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

@@ -961,6 +961,53 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** q36c: METADATA-FILTERED ANN — the filtered serving shape every
+    * vector deployment actually runs ("nearest docs IN MY LANGUAGE"):
+    * q36b's cell-pruned search with a metadata predicate — the
+    * neighbor's `lang` must equal the query's — applied POST-probe,
+    * inside the probed cells (the standard filtered-ANN trade: a
+    * pre-filter would need a per-language index; post-filter reuses
+    * the one index and may return < k when the filter is selective —
+    * stated, spec-pinned).
+    *
+    * Scale shape: metadata joins are linear equi-joins on the id —
+    * the corpus side picks up `lang` ONCE beside its cell assignment,
+    * the query side beside its probe list; candidates are still the
+    * cell equality join; the filter drops rows BEFORE the bounded-heap
+    * top-k election. Nothing quadratic, nothing new shuffles. */
+  def knnIvfFiltered(embeddings: DataFrame, docs: DataFrame, nCells: Int = 16,
+                     nQueries: Int = 20, k: Int = 10, nProbe: Int = 6): DataFrame = {
+    val cents = ivfCentroids(embeddings, nCells)
+    if (cents.isEmpty) return emptyKnn(embeddings.sparkSession)
+      .withColumn("lang", lit(null).cast("string"))
+    val meta = docs.select(col("doc_id"), col("lang"))
+    val (e, scores) = withCellScores(withNorm(embeddings), cents)
+    val c = e.withColumn("cell", greatestOf(scores).getField("cell"))
+      .join(meta, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"),
+        col("norm").as("n_c"), col("cell"), col("lang").as("lang_c"))
+    val probeCells = slice(reverse(array_sort(array(scores: _*))), 1, nProbe)
+      .getField("cell")
+    val q = e.filter(col("vec_id") < nQueries)
+      .join(meta, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_q"),
+        col("norm").as("n_q"), col("lang"), explode(probeCells).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id")
+        && col("lang") === col("lang_c"))
+      .select(col("query_id"), col("lang"), col("neighbor_id"),
+        (dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c"))).as("cosine"))
+    val top = graft.plans.TopKPerKey(scored,
+      Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")), k)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .select(col("query_id"), col("lang"), col("neighbor_id"),
+        cosBp(col("cosine")),
+        col("rank").cast(org.apache.spark.sql.types.LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q61: SEMANTIC dedup report — the banded embedding near-dup pairs
     * (q34's candidate discipline: LSH buckets, never all-pairs) joined
     * back to document metadata on both sides. This is the screen the

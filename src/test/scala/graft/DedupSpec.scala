@@ -665,6 +665,42 @@ class DedupSpec extends AnyFunSuite {
       == 10000L * audit.map(_.getAs[Long]("n_hits")).sum / audit.map(_.getAs[Long]("n_exact")).sum)
   }
 
+  test("filtered ANN: neighbors share the query's language, short lists are honest") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Similarity.knnIvfFiltered(e, docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("lang") == langOf(r.getAs[Long]("query_id"))
+        && langOf(r.getAs[Long]("neighbor_id")) == r.getAs[String]("lang"),
+        s"the filter is the query's own language: $r")
+    }
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.length <= 10)
+    }
+    // any same-language neighbor the UNFILTERED search already ranked
+    // top-k must survive the filter (same candidates, smaller pool)
+    val unf = Similarity.knnIvf(e).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (q, n) => langOf(q) == langOf(n) }.toSet
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(unf.subsetOf(got), s"missing: ${unf -- got}")
+    // post-filter honesty: a rare-language query returns its ONLY
+    // same-language neighbor, not k padded rows
+    import spark.implicits._
+    val vecs = (0L to 29L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j) % 13).toFloat))).toDF("vec_id", "embedding")
+    val meta = (0L to 29L).map(i =>
+      (i, if (i % 15 == 0) "xx" else "en")).toDF("doc_id", "lang")
+    val rare = Similarity.knnIvfFiltered(vecs, meta, nCells = 2, nProbe = 2)
+      .collect().filter(_.getAs[Long]("query_id") == 0L)
+    assert(rare.length == 1 && rare.head.getAs[Long]("neighbor_id") == 15L,
+      s"query 0 (lang xx) has exactly one xx neighbor: ${rare.toSeq}")
+  }
+
   test("release dedup: exact beats near, normalization-aware, store min-id wins") {
     val store = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),

@@ -321,17 +321,26 @@ object Corpus {
     * scan; isqrt, shares and targets run on language-dimension rows
     * against a broadcast 1-row total. `boosted` marks the languages
     * temperature sampling favours (temp share > raw share). */
+  /** the corrected integer sqrt, in two fragments both engines share:
+    * floor(sqrt(double)) is within ±1 of the true isqrt for n < 2⁵²,
+    * and the correction compares the EXACT squares — property-pinned
+    * across square boundaries and random 52-bit values. */
+  private[graft] def isqrtSeedSql(n: String): String =
+    s"CAST(floor(sqrt(CAST($n AS DOUBLE))) AS BIGINT)"
+
+  private[graft] def isqrtCorrectSql(n: String, s0: String): String =
+    s"""CASE WHEN $n <= 0 THEN CAST(0 AS BIGINT)
+       |WHEN ($s0 + 1) * ($s0 + 1) <= $n THEN $s0 + 1
+       |WHEN $s0 * $s0 > $n THEN $s0 - 1
+       |ELSE $s0 END""".stripMargin
+
   def temperatureMix(docs: DataFrame): DataFrame = {
     val stats = docs.select(col("lang"), tokenCountCol.as("n_tokens"))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"),
         coalesce(sum("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"))
     val w = stats
-      .withColumn("__s0", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
-      .withColumn("w", expr(
-        """CASE WHEN n_tokens <= 0 THEN CAST(0 AS BIGINT)
-          |WHEN (__s0 + 1) * (__s0 + 1) <= n_tokens THEN __s0 + 1
-          |WHEN __s0 * __s0 > n_tokens THEN __s0 - 1
-          |ELSE __s0 END""".stripMargin))
+      .withColumn("__s0", expr(isqrtSeedSql("n_tokens")))
+      .withColumn("w", expr(isqrtCorrectSql("n_tokens", "__s0")))
     val tot = w.agg(sum("n_tokens").cast(LongType).as("tot_tokens"),
       sum("w").cast(LongType).as("tot_w"))
     w.crossJoin(broadcast(tot))

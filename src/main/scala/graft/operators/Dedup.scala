@@ -657,7 +657,7 @@ object Dedup {
     * [[mergeSpansFoldSql]] rule lifted from positions to intervals
     * (merge while the next interval starts at or before the open end;
     * the end advances by greatest, since an interval can nest). */
-  private def mergeIntervalsFoldSql(ivArr: String): String =
+  private[graft] def mergeIntervalsFoldSql(ivArr: String): String =
     s"""aggregate(
        |  $ivArr,
        |  named_struct(

@@ -577,6 +577,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 1001L), "the owner cuts nothing")
   }
 
+  test("interval-union fold equals a reference merge on random interval sets") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 400).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong,
+        Seq.fill(n) { val s = rnd.nextInt(50); (s, s + 1 + rnd.nextInt(12)) })
+    }
+    def refMerge(ivs: Seq[(Int, Int)]): Seq[(Int, Int)] =
+      ivs.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, (s, e)) => acc match {
+          case (cs, ce) :: tail if s <= ce => (cs, math.max(ce, e)) :: tail
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+    val df = cases.map { case (id, ivs) => (id, ivs.map(_._1), ivs.map(_._2)) }
+      .toDF("id", "ss", "es")
+      .withColumn("merged", expr(Dedup.mergeIntervalsFoldSql(
+        "array_sort(transform(arrays_zip(ss, es), x -> named_struct('s', x.ss, 'e', x.es)))")))
+      .select(col("id"), expr("transform(merged, m -> named_struct('s', m.s, 'e', m.e))").as("merged"))
+    val got = df.collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(m => (m.getInt(0), m.getInt(1)))
+    }.toMap
+    cases.foreach { case (id, ivs) =>
+      assert(got(id).toSeq == refMerge(ivs),
+        s"fold disagrees with the reference merge for $ivs: ${got(id)}")
+    }
+  }
+
   test("combined cut covers both screens exactly on real data") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val comb = Dedup.combinedCutSpans(docs).collect()

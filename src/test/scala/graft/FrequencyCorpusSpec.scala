@@ -302,6 +302,24 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       "one map-side language rollup + dimension-sized arithmetic only")
   }
 
+  test("corrected isqrt is exact across square boundaries and random 52-bit values") {
+    val rnd = new scala.util.Random(17)
+    val vals = ((0L to 3000L).flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+      ++ Seq((1L << 26) - 1, 1L << 26, (1L << 52) - 1, 1L << 52)
+      ++ Seq.fill(4000)(math.abs(rnd.nextLong()) % (1L << 52)))
+      .filter(_ >= 0).distinct
+    val out = vals.toDF("n")
+      .withColumn("s0", expr(Corpus.isqrtSeedSql("n")))
+      .withColumn("s", expr(Corpus.isqrtCorrectSql("n", "s0")))
+      .collect()
+    assert(out.length == vals.length)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n"); val s = r.getAs[Long]("s")
+      assert(BigInt(s) * s <= n && BigInt(s + 1) * (s + 1) > n,
+        s"isqrt($n) = $s violates s^2 <= n < (s+1)^2")
+    }
+  }
+
   test("temperature sample realises the plan: never overfills, conserves, reproducible") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Corpus.temperatureMix(docs).collect()

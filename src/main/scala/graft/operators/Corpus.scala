@@ -388,6 +388,23 @@ object Corpus {
       .orderBy("lang", "doc_id")
   }
 
+  /** the q117 plan FROZEN as per-language keep rates (bp of the
+    * language's available tokens) — the deployment artifact the
+    * stateless ingest door applies ([[graft.streaming.DocStreams
+    * .temperatureLookup]]): rate_bp = 10000·target ÷ avail, exact
+    * floor arithmetic on the collected language-dimension plan (the
+    * bounded-model discipline — the plan is |langs| rows at ANY corpus
+    * size). The thresholded door realises the plan only in
+    * expectation, unlike q117b's exact fill — the stated stateless
+    * trade (a door that fills exactly would need cross-batch state). */
+  def temperatureRates(docs: DataFrame): Seq[(String, Int)] =
+    temperatureMix(docs).collect().toSeq.map { r =>
+      val avail = r.getAs[Long]("n_tokens")
+      val rate = if (avail <= 0) 0L
+        else 10000L * r.getAs[Long]("target_tokens") / avail
+      r.getAs[String]("lang") -> rate.toInt
+    }
+
   def packManifest(docs: DataFrame, ctxTokens: Long,
                    bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")

@@ -314,6 +314,19 @@ object DocStreams {
                      windowTokens: Int = 8): DataFrame =
     graft.operators.Dedup.decontamApplyRowLocal(docs, benchHashes, windowTokens)
 
+  /** the q117 plan at the ingest door: frozen per-language rates
+    * ([[graft.operators.Corpus.temperatureRates]]) applied by the
+    * stateless hash-threshold idiom — each arriving doc's verdict is a
+    * pure function of (doc_id, its language's rate), so any
+    * micro-batching yields the same kept set as the batch sampler
+    * (spec-proven); the plan is realised in expectation, not exactly
+    * (the stateless trade — q117b's exact fill needs the batch form). */
+  def temperatureLookup(docs: DataFrame,
+                        rates: Seq[(String, Int)]): DataFrame =
+    docs.withColumn("keep",
+      graft.operators.Corpus.sampleHash <
+        graft.operators.Corpus.thresholdCol(rates, 0))
+
   /** q87's exact ranking over the live segmented index: postings =
     * the segment union (the seg partition column is bookkeeping, not
     * data), N = the summed per-segment counts — never derived from

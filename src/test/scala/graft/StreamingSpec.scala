@@ -995,6 +995,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, "the door must land the batch-identical cleaned manifest")
   }
 
+  test("temperature door: frozen rates derive from the plan and survive micro-batching") {
+    val docs = Tables.documents(spark, sf)
+    val rates = graft.operators.Corpus.temperatureRates(docs)
+    assert(rates.nonEmpty && rates.forall(r => r._2 >= 0 && r._2 <= 10000))
+    val plan = graft.operators.Corpus.temperatureMix(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"))).toMap
+    rates.foreach { case (l, bp) =>
+      val (avail, tgt) = plan(l)
+      assert(bp.toLong == (if (avail <= 0) 0L else 10000L * tgt / avail),
+        s"$l: rate must be the exact floor share of the plan")
+    }
+    val want = graft.streaming.DocStreams.temperatureLookup(docs, rates).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(want.nonEmpty && want.size < docs.count(), "the door genuinely cuts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tempdoor").toString
+    docs.coalesce(3).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.DocStreams.temperatureLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir), rates)
+      .filter(col("keep"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tempdoor_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tempdoor_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == want, "the door's verdicts are a pure function of (doc_id, lang)")
+  }
+
   test("release-dedup ingest door: micro-batch verdicts equal the batch probe") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_reldedup")

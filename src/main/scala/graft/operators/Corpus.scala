@@ -400,8 +400,12 @@ object Corpus {
   def temperatureRates(docs: DataFrame): Seq[(String, Int)] =
     temperatureMix(docs).collect().toSeq.map { r =>
       val avail = r.getAs[Long]("n_tokens")
+      // a strongly-boosted tail language can be ALLOCATED more than it
+      // has (target > avail) — the door can at most keep everything,
+      // so the rate clamps at 10000 (unclamped it would overflow
+      // rateThreshold's Long and silently drop the language)
       val rate = if (avail <= 0) 0L
-        else 10000L * r.getAs[Long]("target_tokens") / avail
+        else math.min(10000L, 10000L * r.getAs[Long]("target_tokens") / avail)
       r.getAs[String]("lang") -> rate.toInt
     }
 

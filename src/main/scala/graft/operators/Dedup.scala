@@ -564,14 +564,7 @@ object Dedup {
 
   /** explode a (doc_id, spans) frame into the ordered interval list. */
   private def spanList(perDoc: DataFrame): DataFrame =
-    perDoc
-      .select(col("doc_id"), posexplode(col("spans")))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("span_idx"),
-        col("col.s").cast("long").as("start_pos"),
-        col("col.e").cast("long").as("end_pos"),
-        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
-      .orderBy("doc_id", "start_pos")
+    explodeSpans(perDoc, "spans").orderBy("doc_id", "start_pos")
 
   private def spanCutPerDoc(docs: DataFrame, w: Int): DataFrame = {
     require(w >= 1, s"windowTokens must be >= 1, got $w")
@@ -713,13 +706,7 @@ object Dedup {
     * don't sort); docs with nothing contaminated emit no rows. */
   def contaminationSpansRowLocal(docs: DataFrame, benchHashes: Seq[Long],
                                  windowTokens: Int = 8): DataFrame =
-    withContamSpans(docs, benchHashes, windowTokens)
-      .select(col("doc_id"), posexplode(col("contam_spans")))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("span_idx"),
-        col("col.s").cast("long").as("start_pos"),
-        col("col.e").cast("long").as("end_pos"),
-        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+    explodeSpans(withContamSpans(docs, benchHashes, windowTokens), "contam_spans")
 
   /** appends the nested `contam_spans` array<struct<s,e>> column — the
     * docReport-frame form of q113: one pure row-local projection
@@ -740,12 +727,32 @@ object Dedup {
   def withContamApplyCols(docs: DataFrame, benchHashes: Seq[Long],
                           windowTokens: Int = 8): DataFrame =
     withContamCols(docs, benchHashes, windowTokens)
-      .withColumn("__cl", expr(
-        "filter(__tk, (t, i) -> NOT exists(contam_spans, sp -> i >= sp.s AND i < sp.e))"))
+      .withColumn("__cl", expr(cleanTokensSql))
       .withColumn("contam_n_tokens", size(col("__tk")).cast("long"))
       .withColumn("clean_n_tokens", size(col("__cl")).cast("long"))
       .withColumn("clean_hash", md5_60(array_join(col("__cl"), " ")))
       .drop("__tk", "__cl")
+
+  /** the ONE cut rule: a token survives iff no merged interval covers
+    * its index — shared by the apply operator, the stream door and the
+    * frame pass so the three cannot drift. */
+  private def cleanTokensSql: String =
+    "filter(__tk, (t, i) -> NOT exists(contam_spans, sp -> i >= sp.s AND i < sp.e))"
+
+  /** Σ(e − s) over the merged spans — the tokens a cut removes. */
+  private[graft] def spanTokensSumCol(spansCol: String): Column =
+    expr(s"aggregate($spansCol, CAST(0 AS BIGINT), (acc, sp) -> acc + (sp.e - sp.s))")
+
+  /** the ONE span-explode projection (doc_id, span_idx, start_pos,
+    * end_pos, span_tokens), unordered — callers sort if they're a
+    * batch surface. */
+  private[graft] def explodeSpans(df: DataFrame, spansCol: String): DataFrame =
+    df.select(col("doc_id"), posexplode(col(spansCol)))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("span_idx"),
+        col("col.s").cast("long").as("start_pos"),
+        col("col.e").cast("long").as("end_pos"),
+        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
 
   /** the shared row-local core: tokenize once, probe the frozen set,
     * fold the merged intervals — `__tk` stays so the APPLY step
@@ -795,17 +802,13 @@ object Dedup {
     * against itself is vacuous by definition, exactly as in q113). */
   def decontamApplyRowLocal(docs: DataFrame, benchHashes: Seq[Long],
                             windowTokens: Int = 8): DataFrame =
-    withContamCols(docs.filter(!isBenchmark(col("doc_id"))), benchHashes,
+    withContamApplyCols(docs.filter(!isBenchmark(col("doc_id"))), benchHashes,
         windowTokens)
-      .withColumn("__cl", expr(
-        "filter(__tk, (t, i) -> NOT exists(contam_spans, sp -> i >= sp.s AND i < sp.e))"))
       .select(col("doc_id"),
-        size(col("__tk")).cast("long").as("n_tokens"),
+        col("contam_n_tokens").as("n_tokens"),
         size(col("contam_spans")).cast("long").as("n_cut_spans"),
-        expr("aggregate(contam_spans, CAST(0 AS BIGINT), (acc, sp) -> acc + (sp.e - sp.s))")
-          .as("tokens_cut"),
-        size(col("__cl")).cast("long").as("clean_n_tokens"),
-        md5_60(array_join(col("__cl"), " ")).as("clean_hash"))
+        spanTokensSumCol("contam_spans").as("tokens_cut"),
+        col("clean_n_tokens"), col("clean_hash"))
 
   /** q115: BENCHMARK LEAK ATTRIBUTION — q113 read from the OTHER side:
     * per benchmark document, how much of it leaked into the corpus and
@@ -828,9 +831,11 @@ object Dedup {
     require(w >= 1, s"windowTokens must be >= 1, got $w")
     val benchWins = windowHashes(docs.filter(isBenchmark(col("doc_id"))), w)
       .select(col("doc_id").as("bench_doc_id"), col("h")).distinct()
-    val hits = windowHashes(docs.filter(!isBenchmark(col("doc_id"))), w)
-      .join(broadcast(benchWins.select("h").distinct()), Seq("h"), "left_semi")
-    val att = hits.join(broadcast(benchWins), Seq("h"))
+    // ONE broadcast inner join restricts AND attributes: an equi-join
+    // already keeps only matching windows, so a semi-join prefix would
+    // just probe the same hash set twice per corpus window
+    val att = windowHashes(docs.filter(!isBenchmark(col("doc_id"))), w)
+      .join(broadcast(benchWins), Seq("h"))
       .groupBy("bench_doc_id")
       .agg(countDistinct("h").as("n_leaked_windows"),
         countDistinct("doc_id").as("n_corpus_docs"),

@@ -980,6 +980,7 @@ object Similarity {
     val cents = ivfCentroids(embeddings, nCells)
     if (cents.isEmpty) return emptyKnn(embeddings.sparkSession)
       .withColumn("lang", lit(null).cast("string"))
+      .select("query_id", "lang", "neighbor_id", "cos_bp", "rank")
     val meta = docs.select(col("doc_id"), col("lang"))
     val (e, scores) = withCellScores(withNorm(embeddings), cents)
     val c = e.withColumn("cell", greatestOf(scores).getField("cell"))

@@ -471,18 +471,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("contam_n_tokens").as("n_tokens"),
         size(col("contam_spans")).cast("long").as("n_cut_spans"),
-        expr("aggregate(contam_spans, CAST(0 AS BIGINT), (acc, sp) -> acc + (sp.e - sp.s))")
-          .as("tokens_cut"),
+        Dedup.spanTokensSumCol("contam_spans").as("tokens_cut"),
         col("clean_n_tokens"), col("clean_hash"))
       .orderBy("doc_id")
 
   def reportContamSpans(report: DataFrame): DataFrame =
-    report.filter(!Dedup.isBenchmark(col("doc_id")))
-      .select(col("doc_id"), posexplode(col("contam_spans")))
-      .select(col("doc_id"),
-        col("pos").cast("long").as("span_idx"),
-        col("col.s").cast("long").as("start_pos"),
-        col("col.e").cast("long").as("end_pos"),
-        (col("col.e") - col("col.s")).cast("long").as("span_tokens"))
+    Dedup.explodeSpans(report.filter(!Dedup.isBenchmark(col("doc_id"))),
+        "contam_spans")
       .orderBy("doc_id", "start_pos")
 }

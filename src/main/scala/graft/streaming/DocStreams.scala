@@ -323,8 +323,15 @@ object DocStreams {
     * (the stateless trade — q117b's exact fill needs the batch form). */
   def temperatureLookup(docs: DataFrame,
                         rates: Seq[(String, Int)]): DataFrame =
+    // the draw is q117b's OWN "temp:" salt, not the shared sampleHash:
+    // a door correlated with the q48/q55 sampling decisions would keep
+    // min(r1, r2) instead of r1·r2 when composed with them, and the
+    // kept set would bear no relation to q117b's draw-order fill
     docs.withColumn("keep",
-      graft.operators.Corpus.sampleHash <
+      graft.operators.Dedup.md5_60(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("temp:"),
+          org.apache.spark.sql.functions.col("doc_id").cast("string"))) <
         graft.operators.Corpus.thresholdCol(rates, 0))
 
   /** q87's exact ranking over the live segmented index: postings =

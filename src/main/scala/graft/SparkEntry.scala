@@ -231,6 +231,8 @@ object SparkEntry {
       Similarity.annRecallSweep(Tables.embeddings(s, d))),
     "q36c_knn_filtered" -> ((s, d) =>
       Similarity.knnIvfFiltered(Tables.embeddings(s, d), Tables.documents(s, d))),
+    "q102c_cdc_chunks" -> ((s, d) =>
+      Corpus.cdcChunkSpans(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -2559,6 +2561,31 @@ object SparkEntry {
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** q102c's oracle: candidate boundaries where the 4-token rolling
+    * window's md5-60 divides by CdcMod, the doc length appended as the
+    * final boundary, chunks between consecutive boundaries (lag —
+    * per-doc bounded, oracle-side only; the engine reads the
+    * predecessor from the boundary array row-locally). */
+  private def cdcChunkSpansSql: String = {
+    import graft.operators.Corpus.{CdcW, CdcMod}
+    s"""WITH toks AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
+       |nn AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0),
+       |pos AS (SELECT doc_id, tk, n, unnest(range($CdcW, n)) AS i FROM nn WHERE n >= $CdcW),
+       |cand AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
+       |  WHERE ('0x' || substr(md5(array_to_string(tk[i - ${CdcW - 1} : i], ' ')), 1, 15))::BIGINT
+       |    % $CdcMod = 0),
+       |bnds AS (SELECT doc_id, i FROM cand UNION ALL SELECT doc_id, n AS i FROM nn),
+       |lagb AS (SELECT doc_id, i AS e,
+       |  coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx FROM bnds)
+       |SELECT l.doc_id, CAST(l.chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(l.s AS BIGINT) AS start_tok, CAST(l.e AS BIGINT) AS end_tok,
+       |  CAST(l.e - l.s AS BIGINT) AS n_chunk_tokens,
+       |  ('0x' || substr(md5(array_to_string(nn.tk[l.s + 1 : l.e], ' ')), 1, 15))::BIGINT AS chunk_hash
+       |FROM lagb l JOIN nn USING (doc_id) ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** q102b's oracle: the q102 chunk CTEs plus the first-occurrence
     * election — winner per hash via a QUALIFY row_number under the
     * (doc_id, chunk_idx) total order, copy counts via a plain group. */
@@ -3034,6 +3061,7 @@ object SparkEntry {
     "q110_ann_recall" -> annRecallSql,
     "q110b_recall_sweep" -> annRecallSweepSql,
     "q36c_knn_filtered" -> knnIvfFilteredSql,
+    "q102c_cdc_chunks" -> cdcChunkSpansSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

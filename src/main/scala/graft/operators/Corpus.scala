@@ -557,6 +557,58 @@ object Corpus {
         col("c.end_tok"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** q102c boundary geometry: a 4-token rolling window whose 60-bit
+    * hash divides by 16 ends a chunk — expected chunk ≈ 16 tokens. */
+  val CdcW = 4
+  val CdcMod = 16
+
+  /** q102c: CONTENT-DEFINED CHUNKING — the rsync/CDC boundary rule as
+    * the dedup-friendly alternative to q102's fixed windows: a chunk
+    * ends wherever the rolling [[CdcW]]-token window's 60-bit hash
+    * ≡ 0 (mod [[CdcMod]]), so boundaries are anchored to CONTENT, not
+    * position. The property that matters (spec-pinned): an edit near
+    * the front of a document shifts every fixed-window chunk, but CDC
+    * boundaries re-align after the edit — downstream chunk-level
+    * dedup (q102b's election runs unchanged over these spans, same
+    * columns) still sees the unedited remainder as exact duplicates.
+    * Pure memoryless rule (no min/max clamp — the bounded variant is
+    * a production nicety this corpus doesn't need; stated trade:
+    * degenerate content can make short/long chunks). Row-local: one
+    * scan, generate + project, no exchange but the output sort. */
+  def cdcChunkSpans(docs: DataFrame): DataFrame = {
+    val w = CdcW
+    docs
+      .select(col("doc_id"), expr(chunkToksSql("text")).as("tk"))
+      .withColumn("__n", size(col("tk")).cast(LongType))
+      .filter(col("__n") > 0)
+      .withColumn("__bnds", expr(
+        s"""concat(
+           |  CASE WHEN __n >= $w THEN
+           |    filter(sequence($w, __n), i -> i < __n AND
+           |      CAST(conv(substring(md5(CAST(array_join(
+           |        slice(tk, i - ${w - 1}, $w), ' ') AS BINARY)), 1, 15), 16, 10) AS BIGINT)
+           |      % $CdcMod = 0)
+           |  ELSE slice(sequence(0, 0), 1, 0) END,
+           |  array(__n))""".stripMargin))
+      // previous boundary read row-locally from the array itself
+      // (element_at is 1-based, so index j IS the predecessor of the
+      // 0-based j-th element) — no per-doc window anywhere
+      .withColumn("__chunks", expr(
+        s"""transform(__bnds, (b, j) -> named_struct(
+           |  'chunk_idx', CAST(j AS BIGINT),
+           |  'start_tok', CAST(CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE element_at(__bnds, j) END AS BIGINT),
+           |  'end_tok', CAST(b AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("tk"), explode(col("__chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.end_tok"), col("tk"))
+      .withColumn("n_chunk_tokens", (col("end_tok") - col("start_tok")).cast(LongType))
+      .withColumn("chunk_hash", expr(
+        "CAST(conv(substring(md5(CAST(array_join(slice(tk, CAST(start_tok + 1 AS INT), CAST(end_tok - start_tok AS INT)), ' ') AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_chunk_tokens", "chunk_hash")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** q102b: CHUNK-LEVEL DEDUP — the apply step over the q102 hashes:
     * a chunk whose exact token content already appeared (in another
     * document, or earlier in the same one — boilerplate headers,

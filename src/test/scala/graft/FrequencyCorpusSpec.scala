@@ -408,6 +408,41 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(hs.length == 1, "same chunk content → same hash")
   }
 
+  test("cdc chunks realign after a prefix edit where fixed windows do not") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val edited = docs.withColumn("text",
+      concat(lit("prefix edit tokens "), col("text")))
+    def hashes(df: org.apache.spark.sql.DataFrame,
+               f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(df).collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getAs[Long]("chunk_hash")).toSeq).toMap
+    val co = hashes(docs, Corpus.cdcChunkSpans)
+    val ce = hashes(edited, Corpus.cdcChunkSpans)
+    val fo = hashes(docs, Corpus.chunkSpans)
+    val fe = hashes(edited, Corpus.chunkSpans)
+    var fixKept = 0L; var fixTot = 0L; var cdcTail = 0L
+    co.keys.foreach { d =>
+      // every content-anchored chunk AFTER the first boundary survives
+      // the edit verbatim — the CDC guarantee, exact, not statistical
+      val tail = co(d).drop(1)
+      val eh = ce(d).toSet
+      assert(tail.forall(eh), s"doc $d lost a content-anchored chunk")
+      cdcTail += tail.size
+      val ft = fo(d).drop(1); val fehs = fe(d).toSet
+      fixKept += ft.count(fehs); fixTot += ft.size
+    }
+    assert(cdcTail > 0 && fixTot > 0)
+    assert(fixKept.toDouble / fixTot < 0.5,
+      s"fixed windows shift everywhere after a prefix edit: $fixKept/$fixTot survived")
+    // the q102b election runs unchanged over CDC spans (same columns):
+    // exactly one kept row per distinct hash
+    val dd = Corpus.chunkDedupFromSpans(Corpus.cdcChunkSpans(docs)).collect()
+    val kept = dd.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("chunk_hash"))
+    assert(kept.length == kept.distinct.length
+      && kept.toSet == dd.map(_.getAs[Long]("chunk_hash")).toSet)
+  }
+
   test("chunk dedup: first occurrence survives, within and across documents") {
     import graft.operators.Corpus.{ChunkW, chunkStride}
     // doc 0: 200 identical tokens — full windows at 0/48/96 share one

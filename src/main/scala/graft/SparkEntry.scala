@@ -233,6 +233,8 @@ object SparkEntry {
       Similarity.knnIvfFiltered(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q102c_cdc_chunks" -> ((s, d) =>
       Corpus.cdcChunkSpans(Tables.documents(s, d))),
+    "q119_curriculum" -> ((s, d) =>
+      Corpus.curriculumStages(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -2586,6 +2588,26 @@ object SparkEntry {
        |FROM lagb l JOIN nn USING (doc_id) ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** q119's oracle: the quality score, a per-language quality-ordered
+    * running token sum (bounded window, oracle-side), totals, and the
+    * same non-negative stage arithmetic (Spark DIV truncates, DuckDB
+    * // floors — the greatest(…, 0) clamp keeps them agreeing). */
+  private def curriculumSql: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+      |CAST(length(text) AS BIGINT) AS nc,
+      |CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na FROM documents),
+      |sc AS (SELECT doc_id, lang, n_tokens,
+      |(10000 * na) // nullif(nc, 0) AS alpha_bp FROM toks),
+      |cum AS (SELECT *, SUM(coalesce(n_tokens, 0)) OVER (PARTITION BY lang
+      |ORDER BY alpha_bp ASC NULLS FIRST, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM sc),
+      |tot AS (SELECT lang, CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS t FROM sc GROUP BY 1)
+      |SELECT c.lang, c.doc_id, CAST(c.alpha_bp AS BIGINT) AS alpha_bp, c.n_tokens,
+      |CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+      |CAST(CASE WHEN t.t <= 0 THEN 1
+      |ELSE least(3, 1 + ((3 * greatest(c.cum_tokens - 1, 0)) // t.t)) END AS BIGINT) AS stage
+      |FROM cum c JOIN tot t USING (lang) ORDER BY lang, doc_id""".stripMargin
+
   /** q102b's oracle: the q102 chunk CTEs plus the first-occurrence
     * election — winner per hash via a QUALIFY row_number under the
     * (doc_id, chunk_idx) total order, copy counts via a plain group. */
@@ -3062,6 +3084,7 @@ object SparkEntry {
     "q110b_recall_sweep" -> annRecallSweepSql,
     "q36c_knn_filtered" -> knnIvfFilteredSql,
     "q102c_cdc_chunks" -> cdcChunkSpansSql,
+    "q119_curriculum" -> curriculumSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

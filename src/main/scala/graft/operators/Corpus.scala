@@ -409,6 +409,42 @@ object Corpus {
       r.getAs[String]("lang") -> rate.toInt
     }
 
+  /** q119: CURRICULUM STAGES — the staged-training manifest
+    * (curriculum / annealing practice: end training on the highest
+    * quality data): per language, docs ordered by ascending quality
+    * (alpha_bp, the q38 kernel; doc_id tie-break) are assigned stage
+    * 1..nStages by TOKEN-budget split points — stage s covers the
+    * s-th equal share of the language's tokens in quality order, so
+    * stage nStages is the high-quality annealing tail. Exact integer:
+    * stage = 1 + (n·(cum−1)) ÷ total, the cum−1 clamped at 0 so the
+    * division never goes negative (Spark DIV truncates toward zero,
+    * DuckDB // floors — they only agree on non-negatives).
+    *
+    * Scale shape: the running sum is [[Scale.bucketedRunningSum]]
+    * bucketed per alpha value (the q49 rule — the dominant language
+    * never serializes through one window task); totals are a
+    * dimension-sized broadcast. */
+  def curriculumStages(docs: DataFrame, nStages: Int = 3): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    val d = docs.select(col("doc_id"), col("lang"), tokenCountCol.as("n_tokens"),
+        length(col("text")).cast(LongType).as("__nc"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(LongType).as("__na"))
+      .withColumn("alpha_bp", expr("(10000 * __na) DIV nullif(__nc, 0)"))
+    val cum = Scale.bucketedRunningSum(d, "lang",
+      expr("coalesce(alpha_bp, -1)"),
+      Seq(col("alpha_bp").asc_nulls_first, col("doc_id")),
+      coalesce(col("n_tokens"), lit(0L)), "cum_tokens")
+    val totals = d.groupBy("lang")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
+    cum.join(broadcast(totals), Seq("lang"), "left")
+      .withColumn("stage", expr(
+        s"""CAST(CASE WHEN __tot <= 0 THEN 1
+           |ELSE least($nStages, 1 + (($nStages * greatest(cum_tokens - 1, 0)) DIV __tot))
+           |END AS BIGINT)""".stripMargin))
+      .select("lang", "doc_id", "alpha_bp", "n_tokens", "cum_tokens", "stage")
+      .orderBy("lang", "doc_id")
+  }
+
   def packManifest(docs: DataFrame, ctxTokens: Long,
                    bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")

@@ -341,6 +341,31 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       == again.map(r => (r.getString(0), r.getLong(1), r.getAs[Boolean]("keep"))).toSeq)
   }
 
+  test("curriculum stages: token-balanced per language, monotone in quality") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.curriculumStages(docs).collect()
+    out.groupBy(_.getString(0)).foreach { case (l, rows) =>
+      assert(rows.map(_.getAs[Long]("stage")).toSet.subsetOf(Set(1L, 2L, 3L)))
+      // stage boundaries cut the token stream into near-equal thirds:
+      // each of the two cut points can push at most one straddling
+      // document to the earlier side, so totals differ by ≤ 2 docs
+      val sums = rows.groupBy(_.getAs[Long]("stage")).view
+        .mapValues(_.map(_.getAs[Long]("n_tokens")).sum).values.toSeq
+      val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+      assert(sums.max - sums.min <= 2 * maxDoc,
+        s"$l stages unbalanced beyond two boundary docs: $sums (maxDoc $maxDoc)")
+      // within a language, a higher-quality doc never lands in an
+      // earlier stage than a lower-quality one
+      val byQ = rows.filter(_.get(2) != null)
+        .sortBy(r => (r.getAs[Long]("alpha_bp"), r.getAs[Long]("doc_id")))
+      byQ.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("stage") <= b.getAs[Long]("stage"))
+        case _ =>
+      }
+    }
+  }
+
   test("pack manifest: sequence ids, offsets and straddle flags are exact") {
     def doc(id: Long, lang: String, n: Int) =
       (id, List.fill(n)("word").mkString(" "), lang, "s", 0L)

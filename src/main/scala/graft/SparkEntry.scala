@@ -235,6 +235,10 @@ object SparkEntry {
       Corpus.cdcChunkSpans(Tables.documents(s, d))),
     "q119_curriculum" -> ((s, d) =>
       Corpus.curriculumStages(Tables.documents(s, d))),
+    "q64b_chunk_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.chunkDiff(docs, Curation.releaseView(docs))
+    }),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -2568,25 +2572,68 @@ object SparkEntry {
     * final boundary, chunks between consecutive boundaries (lag —
     * per-doc bounded, oracle-side only; the engine reads the
     * predecessor from the boundary array row-locally). */
-  private def cdcChunkSpansSql: String = {
+  /** the CDC boundary chain (tokens → candidate boundaries → lagged
+    * chunk ranges) over a named source CTE, name-prefixed so the q64b
+    * diff can run it over BOTH releases in one statement. */
+  private def cdcChunkFrag(pfx: String, src: String): String = {
     import graft.operators.Corpus.{CdcW, CdcMod}
-    s"""WITH toks AS (SELECT doc_id,
-       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
-       |nn AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0),
-       |pos AS (SELECT doc_id, tk, n, unnest(range($CdcW, n)) AS i FROM nn WHERE n >= $CdcW),
-       |cand AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
+    s"""${pfx}toks AS (SELECT doc_id,
+       |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM $src),
+       |${pfx}nn AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM ${pfx}toks WHERE len(tk) > 0),
+       |${pfx}pos AS (SELECT doc_id, tk, n, unnest(range($CdcW, n)) AS i FROM ${pfx}nn WHERE n >= $CdcW),
+       |${pfx}cand AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM ${pfx}pos
        |  WHERE ('0x' || substr(md5(array_to_string(tk[i - ${CdcW - 1} : i], ' ')), 1, 15))::BIGINT
        |    % $CdcMod = 0),
-       |bnds AS (SELECT doc_id, i FROM cand UNION ALL SELECT doc_id, n AS i FROM nn),
-       |lagb AS (SELECT doc_id, i AS e,
+       |${pfx}bnds AS (SELECT doc_id, i FROM ${pfx}cand UNION ALL SELECT doc_id, n AS i FROM ${pfx}nn),
+       |${pfx}lagb AS (SELECT doc_id, i AS e,
        |  coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
-       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx FROM bnds)
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx FROM ${pfx}bnds)""".stripMargin
+  }
+
+  private def cdcChunkSpansSql: String =
+    s"""WITH ${cdcChunkFrag("", "documents")}
        |SELECT l.doc_id, CAST(l.chunk_idx AS BIGINT) AS chunk_idx,
        |  CAST(l.s AS BIGINT) AS start_tok, CAST(l.e AS BIGINT) AS end_tok,
        |  CAST(l.e - l.s AS BIGINT) AS n_chunk_tokens,
        |  ('0x' || substr(md5(array_to_string(nn.tk[l.s + 1 : l.e], ' ')), 1, 15))::BIGINT AS chunk_hash
        |FROM lagb l JOIN nn USING (doc_id) ORDER BY doc_id, chunk_idx""".stripMargin
-  }
+
+  /** q64b's oracle: the CDC chain over both releases (the shared q64
+    * release stand-in), per-(doc, hash) multiplicities, one full-outer
+    * join, Σ min intersection and the same verdict/share arithmetic. */
+  private def chunkDiffSql: String =
+    s"""WITH ${cdcChunkFrag("", "documents")},
+       |rel AS (
+       |SELECT doc_id,
+       |CASE WHEN doc_id % 17 = 0 THEN text || ' revised' ELSE text END AS text,
+       |CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang, source
+       |FROM documents WHERE doc_id % 31 <> 0
+       |UNION ALL
+       |SELECT doc_id + 1000000000000, text, lang, source FROM documents WHERE doc_id % 41 = 0),
+       |${cdcChunkFrag("r", "rel")},
+       |ha AS (SELECT l.doc_id,
+       |('0x' || substr(md5(array_to_string(nn.tk[l.s + 1 : l.e], ' ')), 1, 15))::BIGINT AS h
+       |FROM lagb l JOIN nn USING (doc_id)),
+       |hb AS (SELECT l.doc_id,
+       |('0x' || substr(md5(array_to_string(rnn.tk[l.s + 1 : l.e], ' ')), 1, 15))::BIGINT AS h
+       |FROM rlagb l JOIN rnn USING (doc_id)),
+       |ca AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS na FROM ha GROUP BY 1, 2),
+       |cb AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS nb FROM hb GROUP BY 1, 2),
+       |j AS (SELECT coalesce(ca.doc_id, cb.doc_id) AS doc_id,
+       |coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |FROM ca FULL OUTER JOIN cb ON ca.doc_id = cb.doc_id AND ca.h = cb.h),
+       |agg AS (SELECT doc_id, CAST(SUM(na) AS BIGINT) AS n_chunks_a,
+       |CAST(SUM(nb) AS BIGINT) AS n_chunks_b,
+       |CAST(SUM(LEAST(na, nb)) AS BIGINT) AS n_common FROM j GROUP BY 1)
+       |SELECT doc_id, n_chunks_a, n_chunks_b, n_common,
+       |CASE WHEN n_chunks_a + n_chunks_b > 0
+       |THEN 10000 - (20000 * n_common) // (n_chunks_a + n_chunks_b)
+       |ELSE CAST(0 AS BIGINT) END AS changed_bp,
+       |CASE WHEN n_chunks_a = 0 THEN 'added'
+       |WHEN n_chunks_b = 0 THEN 'removed'
+       |WHEN n_common = n_chunks_a AND n_common = n_chunks_b THEN 'same'
+       |ELSE 'edited' END AS verdict
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q119's oracle: the quality score, a per-language quality-ordered
     * running token sum (bounded window, oracle-side), totals, and the
@@ -3085,6 +3132,7 @@ object SparkEntry {
     "q36c_knn_filtered" -> knnIvfFilteredSql,
     "q102c_cdc_chunks" -> cdcChunkSpansSql,
     "q119_curriculum" -> curriculumSql,
+    "q64b_chunk_diff" -> chunkDiffSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

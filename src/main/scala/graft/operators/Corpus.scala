@@ -611,7 +611,13 @@ object Corpus {
     * a production nicety this corpus doesn't need; stated trade:
     * degenerate content can make short/long chunks). Row-local: one
     * scan, generate + project, no exchange but the output sort. */
-  def cdcChunkSpans(docs: DataFrame): DataFrame = {
+  def cdcChunkSpans(docs: DataFrame): DataFrame =
+    cdcChunkCore(docs).orderBy("doc_id", "chunk_idx")
+
+  /** the unsorted CDC chunk stream — composition surface (q64b's diff
+    * aggregates it; an output sort there would just be dead weight
+    * under the aggregate). */
+  private def cdcChunkCore(docs: DataFrame): DataFrame = {
     val w = CdcW
     docs
       .select(col("doc_id"), expr(chunkToksSql("text")).as("tk"))
@@ -642,7 +648,45 @@ object Corpus {
       .withColumn("chunk_hash", expr(
         "CAST(conv(substring(md5(CAST(array_join(slice(tk, CAST(start_tok + 1 AS INT), CAST(end_tok - start_tok AS INT)), ' ') AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
       .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_chunk_tokens", "chunk_hash")
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q64b: CHUNK-LEVEL RELEASE DIFF — q64 answers "which docs
+    * changed"; this answers "HOW MUCH of each doc changed", which only
+    * works because q102c's boundaries are content-anchored: a partial
+    * edit leaves every chunk outside the edited region bit-identical,
+    * so the multiset-intersection of chunk hashes localizes the edit
+    * (under fixed windows a one-token edit would shift every following
+    * chunk and read as a full rewrite). Per doc present in either
+    * release: chunk counts, the common-chunk count (Σ min of per-hash
+    * multiplicities), changed share in bp, and the verdict
+    * (added/removed/same/edited). Token-less docs have no chunks and
+    * no row — doc-level presence stays q64's job.
+    *
+    * Scale shape: each release pays its one CDC scan; the (doc_id,
+    * hash) counts combine map-side; the diff is ONE co-partitioned
+    * full-outer equi-join and a map-side doc rollup — linear at any
+    * corpus size, nothing wider than (doc_id, hash) ever moves. */
+  def chunkDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      cdcChunkCore(df).groupBy(col("doc_id"), col("chunk_hash"))
+        .agg(count(lit(1)).as(n))
+    counts(a, "na").join(counts(b, "nb"), Seq("doc_id", "chunk_hash"), "full_outer")
+      .groupBy("doc_id").agg(
+        sum(coalesce(col("na"), lit(0L))).as("n_chunks_a"),
+        sum(coalesce(col("nb"), lit(0L))).as("n_chunks_b"),
+        sum(least(coalesce(col("na"), lit(0L)), coalesce(col("nb"), lit(0L))))
+          .as("n_common"))
+      .withColumn("changed_bp", expr(
+        """CASE WHEN n_chunks_a + n_chunks_b > 0
+          |THEN 10000 - (20000 * n_common) DIV (n_chunks_a + n_chunks_b)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("verdict", expr(
+        """CASE WHEN n_chunks_a = 0 THEN 'added'
+          |WHEN n_chunks_b = 0 THEN 'removed'
+          |WHEN n_common = n_chunks_a AND n_common = n_chunks_b THEN 'same'
+          |ELSE 'edited' END""".stripMargin))
+      .select("doc_id", "n_chunks_a", "n_chunks_b", "n_common", "changed_bp", "verdict")
+      .orderBy("doc_id")
   }
 
   /** q102b: CHUNK-LEVEL DEDUP — the apply step over the q102 hashes:

@@ -468,6 +468,34 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       && kept.toSet == dd.map(_.getAs[Long]("chunk_hash")).toSet)
   }
 
+  test("chunk diff localizes edits: a suffix edit costs one chunk, not the doc") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.chunkDiff(docs, graft.operators.Curation.releaseView(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // removed docs (%31) and clones (+1e12, %41) get the whole-doc verdicts
+    out.filter(_._1 >= 1000000000000L).values.foreach { r =>
+      assert(r.getAs[String]("verdict") == "added"
+        && r.getAs[Long]("changed_bp") == 10000L)
+    }
+    out.filter { case (d, _) => d < 1000000000000L && d % 31 == 0 }.values
+      .foreach(r => assert(r.getAs[String]("verdict") == "removed"))
+    // the CDC localization guarantee: a ' revised' suffix changes ONLY
+    // the final chunk — every earlier boundary re-aligns
+    val edited = out.filter { case (d, _) =>
+      d < 1000000000000L && d % 31 != 0 && d % 17 == 0 }.values
+    assert(edited.nonEmpty)
+    edited.foreach { r =>
+      assert(r.getAs[Long]("n_common") >= r.getAs[Long]("n_chunks_a") - 1,
+        s"a suffix edit must cost at most the final chunk: $r")
+      assert(r.getAs[String]("verdict") == "edited")
+    }
+    // untouched docs are bit-identical
+    out.filter { case (d, _) =>
+      d < 1000000000000L && d % 31 != 0 && d % 17 != 0 }.values
+      .foreach(r => assert(r.getAs[String]("verdict") == "same"
+        && r.getAs[Long]("changed_bp") == 0L))
+  }
+
   test("chunk dedup: first occurrence survives, within and across documents") {
     import graft.operators.Corpus.{ChunkW, chunkStride}
     // doc 0: 200 identical tokens — full windows at 0/48/96 share one

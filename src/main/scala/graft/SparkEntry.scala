@@ -239,6 +239,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Corpus.chunkDiff(docs, Curation.releaseView(docs))
     }),
+    "q120_kanon" -> ((s, d) => Privacy.kAnonymize(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -2655,6 +2657,27 @@ object SparkEntry {
       |ELSE least(3, 1 + ((3 * greatest(c.cum_tokens - 1, 0)) // t.t)) END AS BIGINT) AS stage
       |FROM cum c JOIN tot t USING (lang) ORDER BY lang, doc_id""".stripMargin
 
+  /** q120's oracle: the same three rung counts and the same ladder
+    * CASE (a null count falls through every rung — both engines treat
+    * NULL >= k as not-true). */
+  private def kanonSql: String =
+    """WITH dims AS (SELECT n.n_nationkey, n.n_name, r.r_name
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |base AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, d.n_name, d.r_name
+      |FROM customer c LEFT JOIN dims d ON c.c_nationkey = d.n_nationkey),
+      |l0 AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2),
+      |l1 AS (SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n1 FROM base GROUP BY 1, 2),
+      |l2 AS (SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n2 FROM base GROUP BY 1),
+      |j AS (SELECT b.c_custkey, b.c_mktsegment, b.n_name, b.r_name, l0.n0, l1.n1, l2.n2 FROM base b
+      |LEFT JOIN l0 ON l0.c_nationkey = b.c_nationkey AND l0.c_mktsegment = b.c_mktsegment
+      |LEFT JOIN l1 ON l1.r_name = b.r_name AND l1.c_mktsegment = b.c_mktsegment
+      |LEFT JOIN l2 ON l2.r_name = b.r_name)
+      |SELECT c_custkey,
+      |CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1 WHEN n2 >= 5 THEN 2 ELSE 3 END AS BIGINT) AS anon_level,
+      |CASE WHEN n0 >= 5 THEN n_name WHEN n1 >= 5 OR n2 >= 5 THEN r_name ELSE '*' END AS geo,
+      |CASE WHEN n0 >= 5 OR n1 >= 5 THEN c_mktsegment ELSE '*' END AS segment
+      |FROM j ORDER BY c_custkey""".stripMargin
+
   /** q102b's oracle: the q102 chunk CTEs plus the first-occurrence
     * election — winner per hash via a QUALIFY row_number under the
     * (doc_id, chunk_idx) total order, copy counts via a plain group. */
@@ -3133,6 +3156,7 @@ object SparkEntry {
     "q102c_cdc_chunks" -> cdcChunkSpansSql,
     "q119_curriculum" -> curriculumSql,
     "q64b_chunk_diff" -> chunkDiffSql,
+    "q120_kanon" -> kanonSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

@@ -375,6 +375,45 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- q70
 
+  test("k-anonymity ladder: each row releases at its first rung with k peers") {
+    val nation = Seq((0, "GERMANY", 0), (1, "FRANCE", 0), (2, "JAPAN", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    // 5 Germans in AUTO → rung 0; 1 German + 4 French in STEEL → the
+    // region pools to 5 at rung 1; 2 Japanese split across segments →
+    // ASIA totals 2 < 5 → suppressed; a null nation key suppresses
+    val customers = (
+      (1L to 5L).map(i => (i, Some(0), "AUTO"))
+        ++ Seq((6L, Some(0), "STEEL"))
+        ++ (7L to 10L).map(i => (i, Some(1), "STEEL"))
+        ++ Seq((11L, Some(2), "AUTO"), (12L, Some(2), "STEEL"),
+          (13L, None: Option[Int], "AUTO"))
+      ).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val out = Privacy.kAnonymize(customers, nation, region).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (1L to 5L).foreach { i =>
+      assert(out(i).getAs[Long]("anon_level") == 0L
+        && out(i).getAs[String]("geo") == "GERMANY"
+        && out(i).getAs[String]("segment") == "AUTO")
+    }
+    (6L to 10L).foreach { i =>
+      assert(out(i).getAs[Long]("anon_level") == 1L
+        && out(i).getAs[String]("geo") == "EUROPE"
+        && out(i).getAs[String]("segment") == "STEEL", s"${out(i)}")
+    }
+    Seq(11L, 12L).foreach { i =>
+      assert(out(i).getAs[Long]("anon_level") == 3L
+        && out(i).getAs[String]("geo") == "*"
+        && out(i).getAs[String]("segment") == "*", s"${out(i)}")
+    }
+    assert(out(13L).getAs[Long]("anon_level") == 3L,
+      "a null quasi-identifier must suppress, never leak through a rung")
+    // released equivalence classes at rungs 0-2 genuinely have >= k members
+    val released = out.values.filter(_.getAs[Long]("anon_level") < 3L)
+      .groupBy(r => (r.getAs[String]("geo"), r.getAs[String]("segment")))
+    released.values.foreach(g => assert(g.size >= 5))
+  }
+
   test("dataset split: assignment is stable under corpus growth") {
     // the documented invariant: adding documents never reassigns an
     // existing one (split is a pure function of content — no

@@ -377,4 +377,38 @@ class StressSpec extends AnyFunSuite {
         s"doc $id verdict $verdict disagrees with store fingerprint membership")
     }
   }
+
+  test("r10 apply/mix family at sf0.1 satisfies its conservation laws") {
+    import graft.operators.{Corpus, Dedup}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    // q114 conserves tokens against q113's plan, doc for doc
+    val apply = Dedup.decontamApply(docs).collect()
+    assert(apply.exists(_.getAs[Long]("tokens_cut") > 0), "real cuts at sf0.1")
+    apply.foreach { r =>
+      assert(r.getAs[Long]("clean_n_tokens")
+        == r.getAs[Long]("n_tokens") - r.getAs[Long]("tokens_cut"))
+    }
+    // q115 totals equal q113's span evidence read from the other side:
+    // total corpus occurrences of leaked windows ≥ distinct leaked wins
+    val leak = Dedup.leakAttribution(docs).collect()
+    leak.foreach { r =>
+      assert(r.getAs[Long]("n_leaked_windows") <= r.getAs[Long]("n_windows"))
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_leaked_windows")
+        || r.getAs[Long]("n_leaked_windows") == 0L)
+    }
+    // q117/q117b: the sample realises the plan under the half budget
+    val plan = Corpus.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("target_tokens")).toMap
+    val kept = Corpus.temperatureSample(docs).collect()
+      .filter(_.getAs[Boolean]("keep"))
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
+    kept.foreach { case (l, t) => assert(t <= plan(l), s"$l overfills at sf0.1") }
+    // q119 stages partition the corpus and conserve language tokens
+    val cur = Corpus.curriculumStages(docs).collect()
+    val curByLang = cur.groupBy(_.getString(0))
+    curByLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("cum_tokens")).max
+        == rows.map(_.getAs[Long]("n_tokens")).sum)
+    }
+  }
 }

@@ -363,6 +363,84 @@ object HashExpressions {
     v.toString
   }
 
+  /** Content-defined chunking in ONE kernel pass (q102c): boundary
+    * ends are every position s + k whose k-token window's 60-bit md5
+    * divides by `mod` (and sits strictly inside the doc), plus the doc
+    * length; each resulting [start, end) chunk is emitted with its own
+    * 60-bit content hash. Everything — window digests, boundary
+    * election, chunk digests — runs in this one JVM loop: the HOF
+    * formulation evaluated interpreted lambdas per position and the
+    * let-bound variant still paid interpreted-HOF overhead (57s → 10s
+    * at sf0.1); the kernel is sub-second (the q103 bucket_count_vec
+    * lesson, applied again). Null tokens are skipped like
+    * array_to_string, so the oracle's join semantics hold. */
+  case class CdcChunks(child: Expression, k: Int, mod: Int) extends UnaryExpression {
+    require(k >= 1 && mod >= 1, s"cdc_chunks needs k >= 1, mod >= 1: k=$k mod=$mod")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"cdc_chunks expects array<string>, got $t")
+    }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("start_tok", LongType, nullable = false),
+      StructField("end_tok", LongType, nullable = false),
+      StructField("n_chunk_tokens", LongType, nullable = false),
+      StructField("chunk_hash", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "cdc_chunks"
+
+    private def hashRange(a: ArrayData, from: Int, until: Int): Long = {
+      val md = Md5Kernels.digest()
+      var j = from
+      var wrote = false
+      while (j < until) {
+        if (!a.isNullAt(j)) {
+          if (wrote) md.update(0x20.toByte)
+          md.update(a.getUTF8String(j).getBytes)
+          wrote = true
+        }
+        j += 1
+      }
+      Md5Kernels.first60(md.digest())
+    }
+
+    def kernel(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      if (n == 0)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var s = 0
+      while (s + k < n) {
+        if (hashRange(a, s, s + k) % mod == 0) ends += (s + k)
+        s += 1
+      }
+      ends += n
+      val out = new Array[Any](ends.length)
+      var prev = 0
+      var idx = 0
+      while (idx < ends.length) {
+        val e = ends(idx)
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          idx.toLong, prev.toLong, e.toLong, (e - prev).toLong,
+          hashRange(a, prev, e)))
+        prev = e
+        idx += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("cdcChunks", this, classOf[CdcChunks].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** The ONE definition of each SQL function builder — referenced by
     * both GraftExtensions (spark.sql.extensions) and the session-local
     * [[registerSql]], so the two registration paths can't drift. */
@@ -379,7 +457,10 @@ object HashExpressions {
     "bucket_count_vec" -> ((exprs: Seq[Expression]) =>
       BucketCountVec(exprs(0), literalString(exprs(1), "bucket_count_vec"),
         literalInt(exprs(2), "bucket_count_vec"),
-        literalInt(exprs(3), "bucket_count_vec"))))
+        literalInt(exprs(3), "bucket_count_vec"))),
+    "cdc_chunks" -> ((exprs: Seq[Expression]) =>
+      CdcChunks(exprs(0), literalInt(exprs(1), "cdc_chunks"),
+        literalInt(exprs(2), "cdc_chunks"))))
 
   /** SQL registration (session-local twin of the GraftExtensions
     * entries): simhash64(arr), md5_shingle_hashes(tokens, k),
@@ -394,6 +475,9 @@ object HashExpressions {
 
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  def cdc_chunks(tokens: Column, k: Int, mod: Int): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(tokens), k, mod))
 
   def affine_minhash(hashes: Column, params: Seq[(Long, Long)]): Column =
     ColumnBridge.column(AffineMinHash(ColumnBridge.expression(hashes),

@@ -614,41 +614,23 @@ object Corpus {
   def cdcChunkSpans(docs: DataFrame): DataFrame =
     cdcChunkCore(docs).orderBy("doc_id", "chunk_idx")
 
+
   /** the unsorted CDC chunk stream — composition surface (q64b's diff
     * aggregates it; an output sort there would just be dead weight
     * under the aggregate). */
-  private def cdcChunkCore(docs: DataFrame): DataFrame = {
-    val w = CdcW
+  private def cdcChunkCore(docs: DataFrame): DataFrame =
+    // ONE codegen kernel pass per doc (window digests, boundary
+    // election and chunk digests together): the HOF formulation
+    // evaluated interpreted lambdas per position — 57s at sf0.1 with
+    // md5 in the lambda, 10s even let-bound — the kernel runs
+    // sub-second (the q103 bucket_count_vec lesson re-applied)
     docs
       .select(col("doc_id"), expr(chunkToksSql("text")).as("tk"))
-      .withColumn("__n", size(col("tk")).cast(LongType))
-      .filter(col("__n") > 0)
-      .withColumn("__bnds", expr(
-        s"""concat(
-           |  CASE WHEN __n >= $w THEN
-           |    filter(sequence($w, __n), i -> i < __n AND
-           |      CAST(conv(substring(md5(CAST(array_join(
-           |        slice(tk, i - ${w - 1}, $w), ' ') AS BINARY)), 1, 15), 16, 10) AS BIGINT)
-           |      % $CdcMod = 0)
-           |  ELSE slice(sequence(0, 0), 1, 0) END,
-           |  array(__n))""".stripMargin))
-      // previous boundary read row-locally from the array itself
-      // (element_at is 1-based, so index j IS the predecessor of the
-      // 0-based j-th element) — no per-doc window anywhere
-      .withColumn("__chunks", expr(
-        s"""transform(__bnds, (b, j) -> named_struct(
-           |  'chunk_idx', CAST(j AS BIGINT),
-           |  'start_tok', CAST(CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
-           |    ELSE element_at(__bnds, j) END AS BIGINT),
-           |  'end_tok', CAST(b AS BIGINT)))""".stripMargin))
-      .select(col("doc_id"), col("tk"), explode(col("__chunks")).as("c"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), explode(
+        graft.functions.HashExpressions.cdc_chunks(col("tk"), CdcW, CdcMod)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
-        col("c.end_tok"), col("tk"))
-      .withColumn("n_chunk_tokens", (col("end_tok") - col("start_tok")).cast(LongType))
-      .withColumn("chunk_hash", expr(
-        "CAST(conv(substring(md5(CAST(array_join(slice(tk, CAST(start_tok + 1 AS INT), CAST(end_tok - start_tok AS INT)), ' ') AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
-      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_chunk_tokens", "chunk_hash")
-  }
+        col("c.end_tok"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
 
   /** q64b: CHUNK-LEVEL RELEASE DIFF — q64 answers "which docs
     * changed"; this answers "HOW MUCH of each doc changed", which only

@@ -765,12 +765,20 @@ object Dedup {
     docs
       .withColumn("__tk", tokens(coalesce(col("text"), lit(""))))
       .withColumn("__bh", typedlit(benchHashes.sorted))
-      .withColumn("__pos", expr(
-        s"""CASE WHEN size(__tk) >= $w THEN
-           |  filter(sequence(0, size(__tk) - $w), i ->
-           |    array_contains(__bh, CAST(conv(substring(md5(
-           |      array_join(slice(__tk, i + 1, $w), ' ')), 1, 15), 16, 10) AS BIGINT)))
-           |ELSE array() END""".stripMargin))
+      // window hashes via the codegen kernel, LET-BOUND in a 1-element
+      // transform — md5 inside the filter lambda would run interpreted
+      // per position, and a projected hash COLUMN referenced in the
+      // lambda gets spliced back and re-evaluated per element (the
+      // q103/r1 HOF lesson + the q102c splice lesson); the probe
+      // lambda is integer-only
+      .withColumn("__pos",
+        transform(
+          array(graft.functions.HashExpressions.md5_shingle_hashes(col("__tk"), w)),
+          hs => when(size(col("__tk")) >= w,
+              filter(sequence(lit(0), size(col("__tk")) - w),
+                i => array_contains(col("__bh"), get(hs, i))))
+            .otherwise(expr("CAST(array() AS ARRAY<INT>)")))
+        .getItem(0))
       .withColumn("contam_spans", expr(mergeSpansFoldSql("__pos", w)))
       .drop("__bh", "__pos")
   }

@@ -153,6 +153,35 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want.toSeq && got.length == buckets
     }
 
+  property("cdc_chunks equals the naive boundary+digest model and tiles exactly") =
+    Prop.forAll(
+        Gen.chooseNum(0, 50).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "cd", "word", "1", "x9", "zz"))),
+        Gen.chooseNum(1, 6), Gen.chooseNum(1, 8)) { (toks, k, mod) =>
+      def h60(ts: Seq[String]): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(ts.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val expr = graft.functions.HashExpressions.CdcChunks(
+        Literal.create(null, ArrayType(StringType)), k, mod)
+      val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+      val got = expr.kernel(arr)
+      val n = toks.length
+      val ends =
+        (0 until n).filter(s => s + k < n && h60(toks.slice(s, s + k)) % mod == 0)
+          .map(_ + k) ++ (if (n > 0) Seq(n) else Nil)
+      val starts = 0 +: ends.dropRight(if (ends.isEmpty) 0 else 1)
+      got.numElements() == ends.length && (0 until got.numElements()).forall { i =>
+        val r = got.getStruct(i, 5)
+        r.getLong(0) == i.toLong && r.getLong(1) == starts(i).toLong &&
+          r.getLong(2) == ends(i).toLong &&
+          r.getLong(3) == (ends(i) - starts(i)).toLong &&
+          r.getLong(4) == h60(toks.slice(starts(i), ends(i)))
+      }
+    }
+
   property("lvec dot and norm_sq equal the naive fold, exact in int64") =
     Prop.forAll(Gen.listOf(Gen.chooseNum(-1000L, 1000L)),
         Gen.listOf(Gen.chooseNum(-1000L, 1000L))) { (a, b) =>

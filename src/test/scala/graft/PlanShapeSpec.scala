@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{MergeWriter, Ontology, Similarity, Upsert}
+import graft.operators.{Corpus, MergeWriter, Ontology, Similarity, Upsert}
 
 /** Physical-plan regression guards for the scale-critical shapes: the
   * operators below were specifically (re)designed so their plans
@@ -478,5 +478,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"frozen-model report must not shuffle:\n${plan.take(1500)}")
     assert(!plan.contains("Join"))
+  }
+
+  test("cdc chunking is one row-local scan; chunk diff joins without a cartesian") {
+    val docs = Tables.documents(spark, dir)
+    val p1 = Corpus.cdcChunkSpans(docs).queryExecution.executedPlan.toString()
+    assert(!p1.contains("Join") && !p1.contains("Window"),
+      s"the boundary list and its predecessors fold per row:\n${p1.take(1500)}")
+    val p2 = Corpus.chunkDiff(docs, graft.operators.Curation.releaseView(docs))
+      .queryExecution.executedPlan.toString()
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop")
+      && !p2.contains("Window"),
+      "the diff is one co-partitioned equi-join over map-side counts")
+  }
+
+  test("k-anonymity rung counts broadcast onto one fact scan") {
+    val plan = graft.operators.Privacy.kAnonymize(Tables.customer(spark, dir),
+        Tables.nation(spark, dir), Tables.region(spark, dir))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin")
+      && !plan.contains("CartesianProduct"),
+      "dimension-sized rung counts must broadcast, never shuffle the fact side")
+  }
+
+  test("temperature mix and curriculum shuffle only on their declared keys") {
+    val docs = Tables.documents(spark, dir)
+    val p1 = Corpus.temperatureMix(docs).queryExecution.executedPlan.toString()
+    assert(!p1.contains("Window") && !p1.contains("SortMergeJoin"),
+      "one map-side language rollup + broadcast total only")
+    val p2 = Corpus.curriculumStages(docs).queryExecution.executedPlan.toString()
+    assert(!p2.contains("SortMergeJoin") && !p2.contains("CartesianProduct"),
+      "totals and offsets broadcast; the only wide exchange is the bucketed sum")
   }
 }

@@ -2569,11 +2569,6 @@ object SparkEntry {
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
-  /** q102c's oracle: candidate boundaries where the 4-token rolling
-    * window's md5-60 divides by CdcMod, the doc length appended as the
-    * final boundary, chunks between consecutive boundaries (lag —
-    * per-doc bounded, oracle-side only; the engine reads the
-    * predecessor from the boundary array row-locally). */
   /** the CDC boundary chain (tokens → candidate boundaries → lagged
     * chunk ranges) over a named source CTE, name-prefixed so the q64b
     * diff can run it over BOTH releases in one statement. */
@@ -2592,6 +2587,11 @@ object SparkEntry {
        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx FROM ${pfx}bnds)""".stripMargin
   }
 
+  /** q102c's oracle: candidate boundaries where the 4-token rolling
+    * window's md5-60 divides by CdcMod, the doc length appended as the
+    * final boundary, chunks between consecutive boundaries (lag —
+    * per-doc bounded, oracle-side only; the engine's kernel walks the
+    * boundary list in one pass). */
   private def cdcChunkSpansSql: String =
     s"""WITH ${cdcChunkFrag("", "documents")}
        |SELECT l.doc_id, CAST(l.chunk_idx AS BIGINT) AS chunk_idx,
@@ -2655,7 +2655,8 @@ object SparkEntry {
       |CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
       |CAST(CASE WHEN t.t <= 0 THEN 1
       |ELSE least(3, 1 + ((3 * greatest(c.cum_tokens - 1, 0)) // t.t)) END AS BIGINT) AS stage
-      |FROM cum c JOIN tot t USING (lang) ORDER BY lang, doc_id""".stripMargin
+      |FROM cum c JOIN tot t ON t.lang IS NOT DISTINCT FROM c.lang
+      |ORDER BY 1, 2""".stripMargin
 
   /** q120's oracle: the same three rung counts and the same ladder
     * CASE (a null count falls through every rung — both engines treat
@@ -2665,11 +2666,11 @@ object SparkEntry {
       |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
       |base AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, d.n_name, d.r_name
       |FROM customer c LEFT JOIN dims d ON c.c_nationkey = d.n_nationkey),
-      |l0 AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2),
+      |l0 AS (SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2),
       |l1 AS (SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n1 FROM base GROUP BY 1, 2),
       |l2 AS (SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n2 FROM base GROUP BY 1),
       |j AS (SELECT b.c_custkey, b.c_mktsegment, b.n_name, b.r_name, l0.n0, l1.n1, l2.n2 FROM base b
-      |LEFT JOIN l0 ON l0.c_nationkey = b.c_nationkey AND l0.c_mktsegment = b.c_mktsegment
+      |LEFT JOIN l0 ON l0.n_name = b.n_name AND l0.c_mktsegment = b.c_mktsegment
       |LEFT JOIN l1 ON l1.r_name = b.r_name AND l1.c_mktsegment = b.c_mktsegment
       |LEFT JOIN l2 ON l2.r_name = b.r_name)
       |SELECT c_custkey,

@@ -93,6 +93,26 @@ object HashExpressions {
       while (i < 8) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
       v >>> 4
     }
+
+    /** THE cross-engine token-range digest: 60-bit md5 of tokens
+      * [from, until) joined with one space, null elements skipped
+      * entirely (the array_to_string contract the DuckDB oracle joins
+      * with) — the single definition behind shingle hashes and CDC
+      * chunk hashes, so the two can never diverge. */
+    def hashRange(a: ArrayData, from: Int, until: Int): Long = {
+      val d = digest()
+      var j = from
+      var wrote = false
+      while (j < until) {
+        if (!a.isNullAt(j)) {
+          if (wrote) d.update(0x20.toByte)
+          d.update(a.getUTF8String(j).getBytes)
+          wrote = true
+        }
+        j += 1
+      }
+      first60(d.digest())
+    }
   }
 
   /** k-word shingle hashes from an array of tokens: shingle i is the
@@ -113,27 +133,12 @@ object HashExpressions {
       val n = a.numElements()
       val m = math.max(n - k + 1, 1)
       val out = new Array[Long](m)
-      val md = Md5Kernels.digest()
       var i = 0
       while (i < m) {
-        md.reset()
-        var j = 0
-        var wrote = false
-        while (j < k && i + j < n) {
-          // null elements are skipped entirely, separator included — the
-          // same semantics as DuckDB's array_to_string, which the oracle
-          // uses to join shingles, so the cross-engine contract holds
-          // even for SQL callers passing containsNull arrays (split()
-          // never produces them; an NPE here would escalate to a
-          // whole-query INTERNAL_ERROR via ConstantFolding)
-          if (!a.isNullAt(i + j)) {
-            if (wrote) md.update(0x20.toByte)
-            md.update(a.getUTF8String(i + j).getBytes)
-            wrote = true
-          }
-          j += 1
-        }
-        out(i) = Md5Kernels.first60(md.digest())
+        // shingle i = the shared token-range digest over i..i+k-1
+        // (clamped at the array end) — ONE definition with the CDC
+        // chunk hashes, see Md5Kernels.hashRange
+        out(i) = Md5Kernels.hashRange(a, i, math.min(i + k, n))
         i += 1
       }
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
@@ -389,21 +394,6 @@ object HashExpressions {
       StructField("chunk_hash", LongType, nullable = false))), containsNull = false)
     override def prettyName: String = "cdc_chunks"
 
-    private def hashRange(a: ArrayData, from: Int, until: Int): Long = {
-      val md = Md5Kernels.digest()
-      var j = from
-      var wrote = false
-      while (j < until) {
-        if (!a.isNullAt(j)) {
-          if (wrote) md.update(0x20.toByte)
-          md.update(a.getUTF8String(j).getBytes)
-          wrote = true
-        }
-        j += 1
-      }
-      Md5Kernels.first60(md.digest())
-    }
-
     def kernel(a: ArrayData): ArrayData = {
       val n = a.numElements()
       if (n == 0)
@@ -411,7 +401,7 @@ object HashExpressions {
       val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
       var s = 0
       while (s + k < n) {
-        if (hashRange(a, s, s + k) % mod == 0) ends += (s + k)
+        if (Md5Kernels.hashRange(a, s, s + k) % mod == 0) ends += (s + k)
         s += 1
       }
       ends += n
@@ -422,7 +412,7 @@ object HashExpressions {
         val e = ends(idx)
         out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
           idx.toLong, prev.toLong, e.toLong, (e - prev).toLong,
-          hashRange(a, prev, e)))
+          Md5Kernels.hashRange(a, prev, e)))
         prev = e
         idx += 1
       }

@@ -436,7 +436,12 @@ object Corpus {
       coalesce(col("n_tokens"), lit(0L)), "cum_tokens")
     val totals = d.groupBy("lang")
       .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
-    cum.join(broadcast(totals), Seq("lang"), "left")
+      .withColumnRenamed("lang", "__tl")
+    // null-SAFE totals join: bucketedRunningSum deliberately keeps a
+    // null lang as a valid group (the Scale discipline) — a plain
+    // equi-join would hand those rows a null total and a null stage
+    cum.join(broadcast(totals), col("lang") <=> col("__tl"), "left")
+      .drop("__tl")
       .withColumn("stage", expr(
         s"""CAST(CASE WHEN __tot <= 0 THEN 1
            |ELSE least($nStages, 1 + (($nStages * greatest(cum_tokens - 1, 0)) DIV __tot))

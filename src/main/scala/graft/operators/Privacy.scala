@@ -83,10 +83,11 @@ object Privacy {
     * nation) fails every rung's count lookup and suppresses —
     * conservative by construction.
     *
-    * Scale shape: all three rung-count frames are
-    * dimension-sized (≤ nations×segments rows) and BROADCAST back onto
-    * one fact scan; the dims join is a broadcast too. One pass over
-    * the fact table, no fact-sized shuffle but the output sort. */
+    * Scale shape: ONE counting aggregate over the fact scan yields the
+    * finest dimension-sized rollup; the coarser rungs aggregate that
+    * tiny frame, and all three broadcast back onto the probe scan (the
+    * dims join is a broadcast too). Two fact passes total (count +
+    * probe), no fact-sized shuffle but the output sort. */
   def kAnonymize(customer: DataFrame, nation: DataFrame, region: DataFrame,
                  k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -96,10 +97,18 @@ object Privacy {
       .select(col("n_nationkey").as("__nk"), col("n_name"), col("r_name"))
     val base = customer.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
       .join(broadcast(dims), col("c_nationkey") === col("__nk"), "left")
-    val l0 = base.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n0"))
-    val l1 = base.groupBy("r_name", "c_mktsegment").agg(count(lit(1)).as("n1"))
-    val l2 = base.groupBy("r_name").agg(count(lit(1)).as("n2"))
-    base.join(broadcast(l0), Seq("c_nationkey", "c_mktsegment"), "left")
+    // ONE counting pass: the finest (nation, region, segment) rollup is
+    // dimension-sized, and the coarser rungs aggregate THAT frame —
+    // never the fact table again. Rung 0 keys on the resolved nation
+    // NAME, so a row referencing an unknown nation has a null key,
+    // fails the (null-unsafe) rung joins below and suppresses — the
+    // documented conservative contract.
+    val g = base.groupBy("n_name", "r_name", "c_mktsegment")
+      .agg(count(lit(1)).as("__c"))
+    val l0 = g.groupBy("n_name", "c_mktsegment").agg(sum("__c").as("n0"))
+    val l1 = g.groupBy("r_name", "c_mktsegment").agg(sum("__c").as("n1"))
+    val l2 = g.groupBy("r_name").agg(sum("__c").as("n2"))
+    base.join(broadcast(l0), Seq("n_name", "c_mktsegment"), "left")
       .join(broadcast(l1), Seq("r_name", "c_mktsegment"), "left")
       .join(broadcast(l2), Seq("r_name"), "left")
       .withColumn("anon_level", expr(

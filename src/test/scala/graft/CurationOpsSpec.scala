@@ -408,6 +408,17 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(out(13L).getAs[Long]("anon_level") == 3L,
       "a null quasi-identifier must suppress, never leak through a rung")
+    // an UNKNOWN nation key suppresses even with >= k peers: the rungs
+    // key on the resolved name, so the unresolvable group has no count
+    val ghosts = ((20L to 24L).map(i => (i, Some(99), "AUTO")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    Privacy.kAnonymize(customers.unionByName(ghosts), nation, region)
+      .collect().filter(r => r.getLong(0) >= 20L && r.getLong(0) <= 24L)
+      .foreach { r =>
+        assert(r.getAs[Long]("anon_level") == 3L
+          && r.getAs[String]("geo") == "*" && r.getAs[String]("segment") == "*",
+          s"unknown nation must suppress: $r")
+      }
     // released equivalence classes at rungs 0-2 genuinely have >= k members
     val released = out.values.filter(_.getAs[Long]("anon_level") < 3L)
       .groupBy(r => (r.getAs[String]("geo"), r.getAs[String]("segment")))

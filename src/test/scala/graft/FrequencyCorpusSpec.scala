@@ -364,6 +364,14 @@ class FrequencyCorpusSpec extends AnyFunSuite {
         case _ =>
       }
     }
+    // a null lang is a valid group (the bucketedRunningSum contract):
+    // its docs still get a non-null stage from their own total
+    val withNull = docs.unionByName(
+      docs.limit(3).withColumn("lang", lit(null).cast("string")))
+    val nullRows = Corpus.curriculumStages(withNull).collect()
+      .filter(_.isNullAt(0))
+    assert(nullRows.length == 3 && nullRows.forall(!_.isNullAt(5)),
+      s"null-lang docs must carry a real stage: ${nullRows.toSeq}")
   }
 
   test("pack manifest: sequence ids, offsets and straddle flags are exact") {

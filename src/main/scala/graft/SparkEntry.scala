@@ -241,6 +241,7 @@ object SparkEntry {
     }),
     "q120_kanon" -> ((s, d) => Privacy.kAnonymize(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q121_zipf_card" -> ((s, d) => Frequency.zipfCard(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -2679,6 +2680,36 @@ object SparkEntry {
       |CASE WHEN n0 >= 5 OR n1 >= 5 THEN c_mktsegment ELSE '*' END AS segment
       |FROM j ORDER BY c_custkey""".stripMargin
 
+  /** q121's oracle: per-lang top-K via QUALIFY-style row_number, both
+    * logs through the shared log2mb cascade (one dom union keyed by
+    * (lang, rank, kind)), the same integer normal-equation quotient —
+    * the numerator is non-negative by the rank ordering, so // and
+    * DIV agree. */
+  private def zipfCardSql: String = {
+    val k = 32
+    s"""WITH ztoks AS (SELECT lang,
+       |unnest(string_split_regex(trim(lower(coalesce(text, ''))), ' +')) AS tok FROM documents),
+       |tc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM ztoks GROUP BY 1, 2),
+       |top AS (SELECT * FROM (SELECT lang, tok, c,
+       |ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rank FROM tc) t
+       |WHERE rank <= $k),
+       |dom AS (
+       |  SELECT lang, rank, 'x' AS kind, CAST(1 AS BIGINT) AS a, CAST(rank AS BIGINT) AS b FROM top
+       |  UNION ALL SELECT lang, rank, 'y', 1, c FROM top),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("lang", "rank", "kind"))},
+       |xy AS (SELECT lang, rank,
+       |MAX(CASE WHEN kind = 'x' THEN mb END) AS x,
+       |MAX(CASE WHEN kind = 'y' THEN mb END) AS y FROM surp GROUP BY 1, 2),
+       |ag AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_top,
+       |SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy GROUP BY 1),
+       |tt AS (SELECT lang, tok AS top_token, c AS top_count FROM top WHERE rank = 1)
+       |SELECT a.lang, a.n_top, t.top_token, t.top_count,
+       |CAST(CASE WHEN a.n_top * a.sxx - a.sx * a.sx > 0
+       |THEN (1024 * (a.sx * a.sy - a.n_top * a.sxy)) // (a.n_top * a.sxx - a.sx * a.sx)
+       |ELSE 0 END AS BIGINT) AS alpha_mb
+       |FROM ag a JOIN tt t USING (lang) ORDER BY lang""".stripMargin
+  }
+
   /** q102b's oracle: the q102 chunk CTEs plus the first-occurrence
     * election — winner per hash via a QUALIFY row_number under the
     * (doc_id, chunk_idx) total order, copy counts via a plain group. */
@@ -3158,6 +3189,7 @@ object SparkEntry {
     "q119_curriculum" -> curriculumSql,
     "q64b_chunk_diff" -> chunkDiffSql,
     "q120_kanon" -> kanonSql,
+    "q121_zipf_card" -> zipfCardSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

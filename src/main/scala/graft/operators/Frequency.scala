@@ -381,4 +381,53 @@ object Frequency {
         col("share_bp"), col("drift_mb"))
       .orderBy("rank")
   }
+
+  /** q121: ZIPF FIT card — the per-language rank-frequency health
+    * check a corpus audit reads beside the q109/q111 token cards
+    * (natural language follows freq ∝ rank^(−α) with α ≈ 1; a far-off
+    * exponent flags machine-generated, templated or mis-identified
+    * text): the Zipf exponent is estimated by EXACT fixed-point least
+    * squares over the top-K (log₂ rank, log₂ count) points — both
+    * logs in 1/1024-bit units on the q100 `log2mb` kernel, the slope
+    * as an integer quotient of the standard normal-equation sums.
+    * α is the NEGATED slope, and counts are non-increasing in rank,
+    * so the numerator is provably non-negative — Spark's truncating
+    * DIV and DuckDB's flooring // agree (the q119 clamp discipline,
+    * satisfied here by construction). `alpha_mb` ≈ 1024·α.
+    *
+    * Overflow audit at any corpus size: x ≤ 1024·log₂K ≈ 5·2¹⁰,
+    * y < 62·2¹⁰, so n·Σxy < 2³⁹ and every normal-equation product
+    * stays far under 2⁶³ — no decimal widening needed.
+    *
+    * Scale shape: ONE map-side-combined (lang, tok) count; the top-K
+    * election is the bounded-heap TopKPerKey (never a per-lang count
+    * window); the rank window and the kernel run on ≤K rows per
+    * language; one language-dimension rollup ends the plan. */
+  def zipfCard(docs: DataFrame, k: Int = 32): DataFrame = {
+    require(k >= 2, s"a slope needs at least 2 ranks, got k=$k")
+    val counts = docs
+      .select(col("lang"),
+        explode(Dedup.tokens(coalesce(col("text"), lit("")))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val top = graft.plans.TopKPerKey(counts, Seq(col("lang")),
+      Seq(col("c").desc, col("tok")), k)
+    val ranked = top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("c").desc, col("tok"))).cast("long"))
+      .withColumn("x", graft.functions.LogExpressions.log2mb(lit(1L), col("rank")))
+      .withColumn("y", graft.functions.LogExpressions.log2mb(lit(1L), col("c")))
+    ranked.groupBy("lang").agg(
+        count(lit(1)).as("n_top"),
+        max(when(col("rank") === 1L, col("tok"))).as("top_token"),
+        max(when(col("rank") === 1L, col("c"))).as("top_count"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .withColumn("alpha_mb", expr(
+        """CAST(CASE WHEN n_top * __sxx - __sx * __sx > 0
+          |THEN (1024 * (__sx * __sy - n_top * __sxy)) DIV (n_top * __sxx - __sx * __sx)
+          |ELSE 0 END AS BIGINT)""".stripMargin))
+      .select("lang", "n_top", "top_token", "top_count", "alpha_mb")
+      .orderBy("lang")
+  }
 }

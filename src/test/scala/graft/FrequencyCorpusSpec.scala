@@ -263,6 +263,47 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(defaultRates.forall(_ < 10000L), "default-weight sources are down-sampled")
   }
 
+  test("zipf card replays exactly from the kernel logs; flat text scores zero") {
+    import graft.functions.LogExpressions.log2mbKernel
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // independent Scala replay (the DsirSpec discipline): counts, the
+    // top-32 election under the same total order, kernel logs, the
+    // same normal-equation quotient
+    val counts = docs.collect().flatMap { r =>
+      val lang = r.getAs[String]("lang")
+      Option(r.getAs[String]("text")).toSeq.flatMap(
+        _.trim.toLowerCase.split(" +").toSeq).map(t => (lang, t))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, t), c) => (l, t, c) }
+    val expected = counts.groupBy(_._1).map { case (l, ts) =>
+      val top = ts.sortBy(t => (-t._3, t._2)).take(32)
+      val pts = top.zipWithIndex.map { case ((_, _, c), i) =>
+        (log2mbKernel(1, i + 1L), log2mbKernel(1, c)) }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      val alpha = if (den > 0) (1024 * (sx * sy - n * sxy)) / den else 0L
+      l -> (n, top.head._2, top.head._3, alpha)
+    }
+    val got = Frequency.zipfCard(docs).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, tok, c, alpha) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_top") == n && r.getAs[String]("top_token") == tok
+        && r.getAs[Long]("top_count") == c && r.getAs[Long]("alpha_mb") == alpha,
+        s"replay mismatch for ${r.getString(0)}: $r vs ($n, $tok, $c, $alpha)")
+      assert(r.getAs[Long]("alpha_mb") >= 0L)
+    }
+    // perfectly flat text: every log-count is identical → slope 0
+    val flat = Seq((1L, (1 to 40).map(i => s"tok$i").mkString(" "), "xx"))
+      .toDF("doc_id", "text", "lang")
+    val fr = Frequency.zipfCard(flat).collect()
+    assert(fr.length == 1 && fr.head.getAs[Long]("alpha_mb") == 0L,
+      s"uniform counts must fit a zero exponent: ${fr.toSeq}")
+  }
+
   test("temperature mix: α=1/2 shares are integer-exact, isqrt corrected at boundaries") {
     val docs = Seq(
       (1L, ("x " * 100).trim, "a"),

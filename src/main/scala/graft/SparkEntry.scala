@@ -242,6 +242,8 @@ object SparkEntry {
     "q120_kanon" -> ((s, d) => Privacy.kAnonymize(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q121_zipf_card" -> ((s, d) => Frequency.zipfCard(Tables.documents(s, d))),
+    "q122_decontam_report" -> ((s, d) =>
+      Dedup.decontamReport(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -1207,6 +1209,32 @@ object SparkEntry {
        |CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
        |CAST(e - s AS BIGINT) AS span_tokens
        |FROM spf ORDER BY doc_id, start_pos""".stripMargin
+  }
+
+  /** q122's oracle: the q114 chain rolled up per language (lang joined
+    * from `documents`), the same cut/ratio arithmetic. */
+  private def decontamReportSql: String = {
+    val w = 8
+    def isBench(ref: String) =
+      s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
+        s" AND $ref < ${graft.operators.Dedup.BenchmarkMaxId}"
+    s"""WITH ${spanWindowFrag(w)},
+       |bw AS (SELECT DISTINCT h FROM wins WHERE ${isBench("doc_id")}),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN bw USING (h)
+       |WHERE NOT (${isBench("w.doc_id")})),
+       |${spanMergeFrag(w)},
+       |corpus AS (SELECT doc_id, tk FROM toks WHERE NOT (${isBench("doc_id")})),
+       |sm AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS tokens_cut FROM sp GROUP BY 1),
+       |r AS (SELECT d.lang, CAST(len(c.tk) AS BIGINT) AS nb,
+       |CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS cut
+       |FROM corpus c JOIN documents d USING (doc_id) LEFT JOIN sm USING (doc_id))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |CAST(COUNT(*) FILTER (WHERE cut > 0) AS BIGINT) AS n_docs_cut,
+       |CAST(SUM(nb) AS BIGINT) AS tokens_before,
+       |CAST(SUM(cut) AS BIGINT) AS tokens_cut,
+       |CAST(SUM(nb - cut) AS BIGINT) AS tokens_after,
+       |CAST(coalesce((10000 * SUM(cut)) // nullif(SUM(nb), 0), 0) AS BIGINT) AS cut_bp
+       |FROM r GROUP BY 1 ORDER BY lang""".stripMargin
   }
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
@@ -3190,6 +3218,7 @@ object SparkEntry {
     "q64b_chunk_diff" -> chunkDiffSql,
     "q120_kanon" -> kanonSql,
     "q121_zipf_card" -> zipfCardSql,
+    "q122_decontam_report" -> decontamReportSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql,

@@ -818,6 +818,30 @@ object Dedup {
         spanTokensSumCol("contam_spans").as("tokens_cut"),
         col("clean_n_tokens"), col("clean_hash"))
 
+  /** q122: DECONTAMINATION REPORT — what the q114 cut costs the
+    * release, per language (the sign-off card beside q107's span-cut
+    * audit: a curation owner approves "0.3% of de tokens cut across
+    * 2% of documents", not a per-doc manifest): documents touched,
+    * tokens before/cut/after, the cut share in bp. Same frozen-set
+    * row-local scan as q114 with `lang` riding through; ONE map-side
+    * language rollup ends the plan. */
+  def decontamReport(docs: DataFrame, windowTokens: Int = 8): DataFrame =
+    withContamApplyCols(docs.filter(!isBenchmark(col("doc_id"))),
+        benchmarkWindowHashes(docs, windowTokens), windowTokens)
+      .select(col("lang"), col("contam_n_tokens"), col("clean_n_tokens"),
+        (col("contam_n_tokens") - col("clean_n_tokens")).as("__cut"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__cut") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+        sum("contam_n_tokens").as("tokens_before"),
+        sum("__cut").as("tokens_cut"),
+        sum("clean_n_tokens").as("tokens_after"))
+      .withColumn("cut_bp", expr(
+        "coalesce((10000 * tokens_cut) DIV nullif(tokens_before, 0), CAST(0 AS BIGINT))"))
+      .select("lang", "n_docs", "n_docs_cut", "tokens_before", "tokens_cut",
+        "tokens_after", "cut_bp")
+      .orderBy("lang")
+
   /** q115: BENCHMARK LEAK ATTRIBUTION — q113 read from the OTHER side:
     * per benchmark document, how much of it leaked into the corpus and
     * how widely (the report an eval owner reads to decide which split

@@ -527,6 +527,28 @@ class DedupSpec extends AnyFunSuite {
       s"q114 is one row-local projection:\n${plan.take(2000)}")
   }
 
+  test("decontam report rolls up exactly what the q114 manifest says, per language") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val manifest = Dedup.decontamApply(docs).collect()
+    val expected = manifest.groupBy(r => langOf(r.getLong(0))).map { case (l, rs) =>
+      l -> (rs.length.toLong, rs.count(_.getAs[Long]("tokens_cut") > 0).toLong,
+        rs.map(_.getAs[Long]("n_tokens")).sum, rs.map(_.getAs[Long]("tokens_cut")).sum)
+    }
+    val got = Dedup.decontamReport(docs).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, cutDocs, before, cut) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("n_docs_cut") == cutDocs
+        && r.getAs[Long]("tokens_before") == before
+        && r.getAs[Long]("tokens_cut") == cut
+        && r.getAs[Long]("tokens_after") == before - cut,
+        s"report disagrees with the manifest for ${r.getString(0)}: $r")
+    }
+    assert(got.map(_.getAs[Long]("tokens_cut")).sum > 0, "real cuts on this corpus")
+  }
+
   test("leak attribution reports per-benchmark-doc reach, zero-leak docs included") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight"),

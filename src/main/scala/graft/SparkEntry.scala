@@ -207,6 +207,10 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.releaseDedup(docs, Dedup.ingestView(docs))
     }),
+    "q108b_release_confirmed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.releaseDedupConfirmed(docs, Dedup.ingestView(docs))
+    }),
     "q109_pmi_collocations" -> ((s, d) =>
       Frequency.pmiCollocations(Tables.documents(s, d))),
     "q110_ann_recall" -> ((s, d) =>
@@ -227,6 +231,8 @@ object SparkEntry {
       TextAnalysis.gopherRules(Tables.documents(s, d))),
     "q118_combined_cut" -> ((s, d) =>
       Dedup.combinedCutSpans(Tables.documents(s, d))),
+    "q118b_combined_apply" -> ((s, d) =>
+      Dedup.combinedCutApply(Tables.documents(s, d))),
     "q110b_recall_sweep" -> ((s, d) =>
       Similarity.annRecallSweep(Tables.embeddings(s, d))),
     "q36c_knn_filtered" -> ((s, d) =>
@@ -1176,11 +1182,13 @@ object SparkEntry {
       |c.cum_tokens <= coalesce(g.target_tokens, 0) AS keep
       |FROM cum c LEFT JOIN tgt g USING (lang) ORDER BY lang, doc_id""".stripMargin
 
-  /** q118's oracle: the q107 ownership chain and the q113 benchmark
-    * chain over ONE shared window stream (`wins` — the oracle
-    * tokenizes once, like the engine), unioned and re-merged with the
-    * running-max islands rule (merge while s ≤ the max end seen). */
-  private def combinedCutSql: String = {
+  /** the q118 CTE chain up to `spf(doc_id, s, e)`: the q107 ownership
+    * chain and the q113 benchmark chain over ONE shared window stream
+    * (`wins` — the oracle tokenizes once, like the engine), unioned
+    * and re-merged with the running-max islands rule (merge while
+    * s ≤ the max end seen). Shared by q118 and the q118b apply so the
+    * two oracles replay the identical plan. */
+  private def combinedCutCtes: String = {
     val w = 8
     def isBench(ref: String) =
       s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
@@ -1203,13 +1211,42 @@ object SparkEntry {
        |g2 AS (SELECT doc_id, s, e,
        |SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
        |  OVER (PARTITION BY doc_id ORDER BY s, e) AS mgrp FROM o2),
-       |spf AS (SELECT doc_id, mgrp, MIN(s) AS s, MAX(e) AS e FROM g2 GROUP BY 1, 2)
+       |spf AS (SELECT doc_id, mgrp, MIN(s) AS s, MAX(e) AS e FROM g2 GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q118's oracle: the shared combined chain, listed. */
+  private def combinedCutSql: String =
+    s"""$combinedCutCtes
        |SELECT doc_id,
        |CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS span_idx,
        |CAST(s AS BIGINT) AS start_pos, CAST(e AS BIGINT) AS end_pos,
        |CAST(e - s AS BIGINT) AS span_tokens
        |FROM spf ORDER BY doc_id, start_pos""".stripMargin
-  }
+
+  /** q118b's oracle: the shared combined chain, then the q114 replay
+    * over ALL docs (benchmark docs ship too — they receive only
+    * duplication cuts by construction): a position survives iff no
+    * merged interval covers it, the cleaned stream re-joins in
+    * position order and re-hashes under the shared md5-60; an
+    * uncut doc passes through with its full hash via the coalesces. */
+  private def combinedCutApplySql: String =
+    s"""$combinedCutCtes,
+       |tokpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+       |keep AS (SELECT t.doc_id, t.i, t.tk[t.i] AS tok FROM tokpos t
+       |WHERE NOT EXISTS (SELECT 1 FROM spf
+       |WHERE spf.doc_id = t.doc_id AND t.i - 1 >= spf.s AND t.i - 1 < spf.e)),
+       |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS clean_n_tokens,
+       |('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT AS clean_hash
+       |FROM keep GROUP BY 1),
+       |sm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+       |CAST(SUM(e - s) AS BIGINT) AS tokens_cut FROM spf GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |CAST(coalesce(sm.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       |CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS tokens_cut,
+       |CAST(coalesce(cl.clean_n_tokens, 0) AS BIGINT) AS clean_n_tokens,
+       |coalesce(cl.clean_hash, ('0x' || substr(md5(''), 1, 15))::BIGINT) AS clean_hash
+       |FROM toks t LEFT JOIN sm USING (doc_id) LEFT JOIN cl USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   /** q122's oracle: the q114 chain rolled up per language (lang joined
     * from `documents`), the same cut/ratio arithmetic. */
@@ -1295,6 +1332,49 @@ object SparkEntry {
        |CASE WHEN f.fp_min IS NOT NULL THEN f.fp_min ELSE n.near_min END AS dup_of,
        |CAST(coalesce(n.n_bands_matched, 0) AS BIGINT) AS n_bands_matched
        |FROM ifp f LEFT JOIN inear n USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** q108b's oracle: the full q108 chain, then the exact-Jaccard
+    * confirm replayed on the band-near candidate pairs — distinct
+    * shingle sets per side (the `ahsh`/`ihsh` streams the bands
+    * already hashed), |∩| via the pair join, |∪| = n_i + n_a − |∩|,
+    * and the same demote-below-threshold verdict rewrite. A null-text
+    * side yields no shingle rows → NULL score → demoted, exactly like
+    * the engine's null set. */
+  private def releaseDedupConfirmedSql: String = {
+    val bp = graft.operators.Dedup.ConfirmJaccardBp
+    val q108 = releaseDedupSql
+    // reuse the q108 CTE chain verbatim up to (but excluding) its final
+    // SELECT; trim the trailing newline and add the continuing comma
+    val ctes = q108.substring(0, q108.lastIndexOf("SELECT f.doc_id")).trim
+    s"""$ctes,
+       |cand AS (SELECT f.doc_id, n.near_min AS dup_of FROM ifp f JOIN inear n USING (doc_id)
+       |WHERE f.fp_min IS NULL AND n.near_min IS NOT NULL),
+       |iss AS (SELECT DISTINCT doc_id, h FROM ihsh),
+       |ass AS (SELECT DISTINCT doc_id, h FROM ahsh),
+       |sz_i AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_i FROM iss GROUP BY 1),
+       |sz_a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM ass GROUP BY 1),
+       |cm AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+       |FROM cand c JOIN iss i ON i.doc_id = c.doc_id
+       |JOIN ass a ON a.doc_id = c.dup_of AND a.h = i.h GROUP BY 1),
+       |jx AS (SELECT c.doc_id,
+       |CAST((10000 * coalesce(cm.n_common, 0))
+       | // nullif(si.n_i + sa.n_a - coalesce(cm.n_common, 0), 0) AS BIGINT) AS jaccard_bp
+       |FROM cand c
+       |LEFT JOIN cm ON cm.doc_id = c.doc_id
+       |LEFT JOIN sz_i si ON si.doc_id = c.doc_id
+       |LEFT JOIN sz_a sa ON sa.doc_id = c.dup_of)
+       |SELECT f.doc_id, f.lang,
+       |CASE WHEN f.fp_min IS NOT NULL THEN 'exact'
+       |WHEN n.near_min IS NOT NULL AND j.jaccard_bp >= $bp THEN 'near'
+       |ELSE 'new' END AS verdict,
+       |CASE WHEN f.fp_min IS NOT NULL THEN f.fp_min
+       |WHEN n.near_min IS NOT NULL AND j.jaccard_bp >= $bp THEN n.near_min
+       |ELSE NULL END AS dup_of,
+       |CAST(coalesce(n.n_bands_matched, 0) AS BIGINT) AS n_bands_matched,
+       |j.jaccard_bp
+       |FROM ifp f LEFT JOIN inear n USING (doc_id) LEFT JOIN jx j USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q109's oracle: per-lang QUALIFY vocabulary under the same total
@@ -2735,7 +2815,8 @@ object SparkEntry {
        |CAST(CASE WHEN a.n_top * a.sxx - a.sx * a.sx > 0
        |THEN (1024 * (a.sx * a.sy - a.n_top * a.sxy)) // (a.n_top * a.sxx - a.sx * a.sx)
        |ELSE 0 END AS BIGINT) AS alpha_mb
-       |FROM ag a JOIN tt t USING (lang) ORDER BY lang""".stripMargin
+       |FROM ag a JOIN tt t ON t.lang IS NOT DISTINCT FROM a.lang
+       |ORDER BY a.lang NULLS FIRST""".stripMargin
   }
 
   /** q102b's oracle: the q102 chunk CTEs plus the first-occurrence
@@ -3209,6 +3290,7 @@ object SparkEntry {
     "q107_span_cut" -> spanCutSql,
     "q107b_cut_spans" -> spanCutSpansSql,
     "q108_release_dedup" -> releaseDedupSql,
+    "q108b_release_confirmed" -> releaseDedupConfirmedSql,
     "q109_pmi_collocations" -> pmiCollocationsSql,
     "q110_ann_recall" -> annRecallSql,
     "q110b_recall_sweep" -> annRecallSweepSql,
@@ -3226,6 +3308,7 @@ object SparkEntry {
     "q115_leak_attribution" -> leakAttributionSql,
     "q116_gopher_rules" -> gopherRulesSql,
     "q118_combined_cut" -> combinedCutSql,
+    "q118b_combined_apply" -> combinedCutApplySql,
     "q117_temperature_mix" -> temperatureMixSql,
     "q117b_temperature_sample" -> temperatureSampleSql,
     "q94_region_atlas" -> regionAtlasSql,

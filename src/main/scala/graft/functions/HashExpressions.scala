@@ -431,6 +431,37 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Membership probe against a FROZEN sorted long set — one
+    * binary search per probe (O(log |set|)) against a shared long[]
+    * reference. The previous form — `array_contains` over a
+    * `typedlit` array column — was a linear scan per probe AND
+    * materialized the literal array into every row's projection;
+    * at real eval-suite sizes (10⁵–10⁶ benchmark windows) the probe
+    * cost per corpus token position is what dominates the q113/q114
+    * ingest door, so the log-factor matters. The array is sorted once
+    * at construction (idempotent if already sorted) and referenced,
+    * never copied per row. */
+  case class SortedLongContains(child: Expression, set: Array[Long])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"needs bigint, got ${t.sql}")
+    }
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "sorted_long_contains"
+
+    override def nullSafeEval(v: Any): Any =
+      java.util.Arrays.binarySearch(set, v.asInstanceOf[Long]) >= 0
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sortedLongSet", set, "long[]")
+      defineCodeGen(ctx, ev, c => s"java.util.Arrays.binarySearch($ref, $c) >= 0")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** The ONE definition of each SQL function builder — referenced by
     * both GraftExtensions (spark.sql.extensions) and the session-local
     * [[registerSql]], so the two registration paths can't drift. */
@@ -475,4 +506,8 @@ object HashExpressions {
 
   def bucket_count_vec(tokens: Column, salt: String, buckets: Int, clamp: Int): Column =
     ColumnBridge.column(BucketCountVec(ColumnBridge.expression(tokens), salt, buckets, clamp))
+
+  def sorted_long_contains(value: Column, set: Seq[Long]): Column =
+    ColumnBridge.column(SortedLongContains(ColumnBridge.expression(value),
+      set.toArray.sorted))
 }

@@ -679,15 +679,57 @@ object Dedup {
     * row-local interval fold all run on span rows; the corpus-sized
     * work is exactly the two upstream scans, each already
     * plan-disciplined. */
-  def combinedCutSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+  def combinedCutSpans(docs: DataFrame, windowTokens: Int = 8): DataFrame =
+    spanList(combinedCutPerDoc(docs, windowTokens))
+
+  /** the q118 plan as a per-doc (doc_id, spans) frame — shared by the
+    * span-list surface and [[combinedCutApply]] so the two cannot
+    * disagree about what gets cut. */
+  private def combinedCutPerDoc(docs: DataFrame, windowTokens: Int): DataFrame = {
     val u = spanCutSpans(docs, windowTokens)
       .select(col("doc_id"), col("start_pos"), col("end_pos"))
       .unionByName(contaminationSpans(docs, windowTokens)
         .select(col("doc_id"), col("start_pos"), col("end_pos")))
-    spanList(u.groupBy("doc_id").agg(expr(mergeIntervalsFoldSql(
+    u.groupBy("doc_id").agg(expr(mergeIntervalsFoldSql(
       "array_sort(collect_list(named_struct('s', CAST(start_pos AS INT), 'e', CAST(end_pos AS INT))))"))
-      .as("spans")))
+      .as("spans"))
   }
+
+  /** q118b: the COMBINED CUT APPLIED — the rewrite q118 plans,
+    * executed with the q114 discipline: every unioned-and-merged
+    * [s, e) range (duplication cuts ∪ contamination cuts) is removed
+    * from its document and the CLEANED content re-counted and
+    * re-fingerprinted. This is the manifest the release actually
+    * ships once a curation run signs off BOTH screens — q114 alone
+    * applies only the contamination half and leaves q107b's
+    * duplication cuts as an un-executed plan. Every doc appears
+    * (docs with nothing to cut pass through whole, with their full
+    * hash); benchmark docs receive only duplication cuts, exactly as
+    * in q118's plan. Conservation law, spec-pinned:
+    * clean_n_tokens = n_tokens − tokens_cut, with tokens_cut equal
+    * per-doc to Σ q118 span_tokens — and the clean hash composes
+    * downstream with q30 exact dedup and q63 packing exactly like
+    * q114's.
+    *
+    * Scale shape: the plan frame is cut-sized (≪ corpus) by
+    * construction, so the doc-side LEFT equi-join is one linear
+    * exchange (AQE broadcasts it when small); the cut, recount and
+    * re-hash run row-locally over the one tokenization via the SAME
+    * [[cleanTokensSql]] rule as q114 — the two applies cannot drift. */
+  def combinedCutApply(docs: DataFrame, windowTokens: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(coalesce(col("text"), lit(""))).as("__tk"))
+      .join(combinedCutPerDoc(docs, windowTokens), Seq("doc_id"), "left")
+      .withColumn("cut_spans", coalesce(col("spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<s:INT,e:INT>>)")))
+      .withColumn("__cl", expr(cleanTokensSql("cut_spans")))
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("cut_spans")).cast("long").as("n_cut_spans"),
+        spanTokensSumCol("cut_spans").as("tokens_cut"),
+        size(col("__cl")).cast("long").as("clean_n_tokens"),
+        md5_60(array_join(col("__cl"), " ")).as("clean_hash"))
+      .orderBy("doc_id")
 
   /** the benchmark window-hash set COLLECTED — eval-suite-sized by
     * construction (the bounded-model discipline: q75 vocabulary, bloom
@@ -727,17 +769,17 @@ object Dedup {
   def withContamApplyCols(docs: DataFrame, benchHashes: Seq[Long],
                           windowTokens: Int = 8): DataFrame =
     withContamCols(docs, benchHashes, windowTokens)
-      .withColumn("__cl", expr(cleanTokensSql))
+      .withColumn("__cl", expr(cleanTokensSql()))
       .withColumn("contam_n_tokens", size(col("__tk")).cast("long"))
       .withColumn("clean_n_tokens", size(col("__cl")).cast("long"))
       .withColumn("clean_hash", md5_60(array_join(col("__cl"), " ")))
       .drop("__tk", "__cl")
 
   /** the ONE cut rule: a token survives iff no merged interval covers
-    * its index — shared by the apply operator, the stream door and the
-    * frame pass so the three cannot drift. */
-  private def cleanTokensSql: String =
-    "filter(__tk, (t, i) -> NOT exists(contam_spans, sp -> i >= sp.s AND i < sp.e))"
+    * its index — shared by the apply operators (q114, q118b), the
+    * stream door and the frame pass so none of them can drift. */
+  private def cleanTokensSql(spansCol: String = "contam_spans"): String =
+    s"filter(__tk, (t, i) -> NOT exists($spansCol, sp -> i >= sp.s AND i < sp.e))"
 
   /** Σ(e − s) over the merged spans — the tokens a cut removes. */
   private[graft] def spanTokensSumCol(spansCol: String): Column =
@@ -764,23 +806,25 @@ object Dedup {
     require(w >= 1, s"windowTokens must be >= 1, got $w")
     docs
       .withColumn("__tk", tokens(coalesce(col("text"), lit(""))))
-      .withColumn("__bh", typedlit(benchHashes.sorted))
       // window hashes via the codegen kernel, LET-BOUND in a 1-element
       // transform — md5 inside the filter lambda would run interpreted
       // per position, and a projected hash COLUMN referenced in the
       // lambda gets spliced back and re-evaluated per element (the
-      // q103/r1 HOF lesson + the q102c splice lesson); the probe
-      // lambda is integer-only
+      // q103/r1 HOF lesson + the q102c splice lesson); the probe is a
+      // binary search against the ONE shared frozen long[] — not an
+      // array_contains linear scan over a per-row literal array, which
+      // is O(positions × |bench set|) per doc at eval-suite sizes
       .withColumn("__pos",
         transform(
           array(graft.functions.HashExpressions.md5_shingle_hashes(col("__tk"), w)),
           hs => when(size(col("__tk")) >= w,
               filter(sequence(lit(0), size(col("__tk")) - w),
-                i => array_contains(col("__bh"), get(hs, i))))
+                i => graft.functions.HashExpressions.sorted_long_contains(
+                  get(hs, i), benchHashes)))
             .otherwise(expr("CAST(array() AS ARRAY<INT>)")))
         .getItem(0))
       .withColumn("contam_spans", expr(mergeSpansFoldSql("__pos", w)))
-      .drop("__bh", "__pos")
+      .drop("__pos")
   }
 
   /** q114: DECONTAMINATION APPLY — the rewrite q113 plans: every
@@ -1003,6 +1047,64 @@ object Dedup {
         when(col("fp_min").isNotNull, col("fp_min"))
           .otherwise(col("near_min")).as("dup_of"),
         coalesce(col("n_bands_matched"), lit(0L)).as("n_bands_matched"))
+      .orderBy("doc_id")
+  }
+
+  /** minimum exact 3-gram Jaccard (basis points) for a band-proposed
+    * `near` to survive the q108b confirm — the same "LSH proposes,
+    * exact Jaccard decides" bar as the q31→q33 batch discipline. */
+  val ConfirmJaccardBp = 5000L
+
+  /** q108b: the door verdict with the PRECISION PASS — q108's `near`
+    * trusts one shared MinHash band, which at corpus scale admits
+    * band-collision false positives (8 bands of 4 minima collide
+    * eventually on boilerplate-heavy signatures); the q31→q33 batch
+    * discipline says LSH PROPOSES and exact Jaccard DECIDES, so the
+    * door gets the same verify step: each band-near candidate pair
+    * (incoming doc, its elected store holder) is scored with the exact
+    * k-gram shingle Jaccard, and an unconfirmed near (score below
+    * [[ConfirmJaccardBp]], or unscorable) is DEMOTED to `new` with the
+    * measured score kept as the audit trail. `exact` verdicts skip the
+    * confirm — fingerprint equality already is exact.
+    *
+    * Scale shape: the candidate frame is batch-sized (≤1 store holder
+    * per incoming doc, elected in q108's probe), so the confirm pays
+    * batch-sized shingle work on the incoming side plus ONE
+    * candidate-restricted fetch of store text (a left-semi on the
+    * elected holder ids — against the catalog store table bucketed by
+    * doc_id this prunes instead of scanning; see
+    * [[graft.sources.IndexCatalog.registerReleaseStores]]). No pair
+    * join ever exceeds one row per incoming doc. */
+  def releaseDedupConfirmed(store: DataFrame, incoming: DataFrame,
+                            k: Int = 3): DataFrame = {
+    val verdicts = releaseDedup(store, incoming)
+    val cand = verdicts.filter(col("verdict") === "near")
+      .select(col("doc_id"), col("dup_of"))
+    val incSh = incoming
+      .join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleSet(col("text"), k).as("sh_i"))
+    val storeSh = store
+      .join(cand.select(col("dup_of").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("dup_of"), shingleSet(col("text"), k).as("sh_s"))
+    val scored = cand
+      .join(incSh, Seq("doc_id"))
+      .join(storeSh, Seq("dup_of"))
+      .select(col("doc_id"),
+        // sizes widened to int64 BEFORE the 10000× (a 250k-shingle doc
+        // would overflow int32 — the q33 cast discipline)
+        expr("""(10000 * CAST(size(array_intersect(sh_i, sh_s)) AS BIGINT))
+                 DIV nullif(CAST(size(array_union(sh_i, sh_s)) AS BIGINT), 0)""")
+          .as("jaccard_bp"))
+    verdicts.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("verdict") === "near" &&
+            (col("jaccard_bp").isNull || col("jaccard_bp") < ConfirmJaccardBp),
+          lit("new")).otherwise(col("verdict")).as("verdict"),
+        when(col("verdict") === "near" &&
+            (col("jaccard_bp").isNull || col("jaccard_bp") < ConfirmJaccardBp),
+          lit(null).cast("long")).otherwise(col("dup_of")).as("dup_of"),
+        col("n_bands_matched"), col("jaccard_bp"))
       .orderBy("doc_id")
   }
 

@@ -121,4 +121,46 @@ object IndexCatalog {
                      k: Int = Search.SearchTopK): DataFrame =
     Search.indexedSearch(spark.table(table), spark.table(s"${table}_meta"),
       queries, k)
+
+  /** Build + register the q108 door stores as NAMED tables, so the
+    * ingest sink ([[graft.streaming.DocStreams.releaseDedupSink]])
+    * probes catalog tables instead of re-collapsing the corpus per
+    * batch — the stores are built ONCE per release (two
+    * map-side-combined min aggregates over one corpus scan) and every
+    * batch after that pays only its two probe joins. Layout contract:
+    *   - `<table>_fp`: (fp BIGINT, fp_min BIGINT), BUCKETED BY fp —
+    *     the exact-probe join co-locates on the fingerprint without
+    *     shuffling the store side.
+    *   - `<table>_bands`: (band_idx INT, band_hash BIGINT,
+    *     band_min BIGINT), BUCKETED BY band_hash — ditto for the
+    *     band-bucket probe.
+    *   - `<table>_docs`: (doc_id BIGINT, text STRING), BUCKETED BY
+    *     doc_id — the q108b confirm's candidate-restricted text fetch
+    *     joins on the elected holder ids without shuffling the store
+    *     (the shuffle-free half of "the confirm is batch-sized"). */
+  def registerReleaseStores(store: DataFrame, table: String,
+                            buckets: Int = 16): Unit = {
+    val (fpStore, bandStore) = graft.operators.Dedup.releaseStores(store)
+    fpStore.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(s"${table}_fp")
+    bandStore.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band_hash").sortBy("band_hash")
+      .saveAsTable(s"${table}_bands")
+    store.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${table}_docs")
+  }
+
+  /** The per-batch door probe against the REGISTERED stores — what a
+    * deployment actually runs per ingest batch: two linear LEFT
+    * equi-joins against the named collapsed tables; the corpus is
+    * never re-read and the stores are never re-collapsed. Verdicts
+    * are bit-identical to the self-contained
+    * [[graft.operators.Dedup.releaseDedup]] (spec-proven). */
+  def releaseDedupFromCatalog(spark: SparkSession, table: String,
+                              incoming: DataFrame): DataFrame =
+    graft.operators.Dedup.releaseDedupWithStores(
+      spark.table(s"${table}_fp"), spark.table(s"${table}_bands"), incoming)
 }

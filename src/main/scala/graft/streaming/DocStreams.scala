@@ -320,9 +320,20 @@ object DocStreams {
     * pure function of (doc_id, its language's rate), so any
     * micro-batching yields the same kept set as the batch sampler
     * (spec-proven); the plan is realised in expectation, not exactly
-    * (the stateless trade — q117b's exact fill needs the batch form). */
+    * (the stateless trade — q117b's exact fill needs the batch form).
+    *
+    * UNKNOWN-LANGUAGE CONTRACT: a document whose language is absent
+    * from the frozen plan (a language that appeared AFTER the plan
+    * froze) gets `unknownLangBp` — the default 0 DROPS it, the
+    * conservative posture for a budgeted mixture (an unplanned
+    * language has no token budget, so admitting it silently skews
+    * every planned share). A deployment that prefers pass-through
+    * quarantine sets `unknownLangBp = 10000` (keep all) or any raw
+    * share, and re-freezes the plan to give the new language a real
+    * rate; either way the choice is explicit here, never implicit. */
   def temperatureLookup(docs: DataFrame,
-                        rates: Seq[(String, Int)]): DataFrame =
+                        rates: Seq[(String, Int)],
+                        unknownLangBp: Int = 0): DataFrame =
     // the draw is q117b's OWN "temp:" salt, not the shared sampleHash:
     // a door correlated with the q48/q55 sampling decisions would keep
     // min(r1, r2) instead of r1·r2 when composed with them, and the
@@ -332,7 +343,7 @@ object DocStreams {
         org.apache.spark.sql.functions.concat(
           org.apache.spark.sql.functions.lit("temp:"),
           org.apache.spark.sql.functions.col("doc_id").cast("string"))) <
-        graft.operators.Corpus.thresholdCol(rates, 0))
+        graft.operators.Corpus.thresholdCol(rates, unknownLangBp))
 
   /** q87's exact ranking over the live segmented index: postings =
     * the segment union (the seg partition column is bookkeeping, not

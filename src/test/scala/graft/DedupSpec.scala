@@ -649,6 +649,73 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("combined cut APPLY executes exactly the q118 plan, conservation-exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.combinedCutSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_tokens")))
+      .groupBy(_._1).view.mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val out = Dedup.combinedCutApply(docs).collect()
+    assert(out.length == docs.count(), "every doc ships — uncut docs pass through whole")
+    out.foreach { r =>
+      val (id, n, spans, cut, clean) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(clean == n - cut, s"conservation violated for doc $id: $n - $cut != $clean")
+      val (pSpans, pCut) = plan.getOrElse(id, (0L, 0L))
+      assert(spans == pSpans && cut == pCut,
+        s"apply must execute the q118 plan verbatim for doc $id: got ($spans,$cut), plan ($pSpans,$pCut)")
+    }
+    assert(out.exists(_.getLong(3) > 0L), "the fixture has something to cut")
+  }
+
+  test("combined cut APPLY re-fingerprints the cleaned stream like a by-hand cut") {
+    val boiler = "legal one two three four five six seven eight nine ten eleven"
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (0L, bench),
+      (1001L, boiler + " some original closing words"),
+      (1002L, boiler + " " + bench)
+    ).toDF("doc_id", "text")
+    val out = Dedup.combinedCutApply(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def h(s: String): Long = spark.range(1)
+      .select(Dedup.md5_60(lit(s))).collect()(0).getLong(0)
+    // owner 1001 is uncut: clean hash == hash of its full normalized text
+    assert(out(1001L).getLong(3) == 0L
+      && out(1001L).getLong(5) == h(boiler + " some original closing words"),
+      "an uncut doc's clean hash is its q30 exact-dedup hash — composition holds")
+    // 1002 cuts [0,22) of its 22 tokens: everything goes, hash of ""
+    assert(out(1002L).getLong(4) == 0L && out(1002L).getLong(5) == h(""),
+      s"a fully-cut doc legally cleans to the empty stream: ${out(1002L)}")
+  }
+
+  test("q108b confirm: LSH proposes, exact Jaccard decides — demotions exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val inc = Dedup.ingestView(docs)
+    val base = Dedup.releaseDedup(docs, inc).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val out = Dedup.releaseDedupConfirmed(docs, inc).collect()
+    assert(out.length == base.size, "one confirmed verdict per incoming doc")
+    out.foreach { r =>
+      val (id, v) = (r.getLong(0), r.getString(2))
+      val j = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      base(id) match {
+        case "near" =>
+          if (j.exists(_ >= Dedup.ConfirmJaccardBp))
+            assert(v == "near" && !r.isNullAt(3),
+              s"a confirmed near keeps its verdict and holder: $r")
+          else
+            assert(v == "new" && r.isNullAt(3),
+              s"an unconfirmed near demotes to new with a null holder: $r")
+        case other =>
+          assert(v == other, s"non-near verdicts must ride through untouched: $r")
+          assert(j.isEmpty, s"only band-near candidates get scored: $r")
+      }
+    }
+    // the fixture's light edits are REAL near-dups: at least one near
+    // survives the confirm, so the precision pass isn't vacuous
+    assert(out.exists(_.getString(2) == "near"), "true near-dups must survive")
+  }
+
   test("boilerplate leaderboard names the offender and orders by reach") {
     val docs = Seq(
       (1L, "legal header one two a b c d e unique tail x"),

@@ -82,4 +82,39 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val changed = (0L until 500L).count(i => byId(i) != byId(i + 1000000L))
     assert(changed > 400, s"reversal should re-key nearly every vector, got $changed/500")
   }
+
+  test("release stores: registered once, probed per batch, never rebuilt") {
+    import graft.sources.IndexCatalog
+    val docs = Tables.documents(spark, sfDir)
+    IndexCatalog.registerReleaseStores(docs, "rel_store")
+    val inc = graft.operators.Dedup.ingestView(docs)
+    // catalog-probe verdicts are bit-identical to the self-contained op
+    val viaCatalog = IndexCatalog.releaseDedupFromCatalog(spark, "rel_store", inc)
+      .collect().toSeq
+    val direct = graft.operators.Dedup.releaseDedup(docs, inc).collect().toSeq
+    assert(viaCatalog == direct,
+      "the registered-store probe must equal the rebuild path verdict-for-verdict")
+    // the layout contract holds: all three tables bucketed on their probe key
+    Seq("rel_store_fp" -> "fp", "rel_store_bands" -> "band_hash",
+        "rel_store_docs" -> "doc_id").foreach { case (t, key) =>
+      val ddl = spark.sql(s"SHOW CREATE TABLE $t").collect()(0).getString(0)
+      assert(ddl.contains("CLUSTERED BY") && ddl.contains(key),
+        s"$t must be bucketed by $key:\n$ddl")
+    }
+    // a SECOND batch probes the same frozen tables with zero rebuild:
+    // every store file stays physically identical (name + mtime)
+    def files(t: String): Map[String, Long] = {
+      val loc = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1).stripPrefix("file:")
+      new java.io.File(loc).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = Seq("rel_store_fp", "rel_store_bands", "rel_store_docs").map(files)
+    val inc2 = inc.withColumn("doc_id", col("doc_id") + 7000000000000L)
+    val n2 = IndexCatalog.releaseDedupFromCatalog(spark, "rel_store", inc2).count()
+    assert(n2 == inc.count(), "the second batch gets one verdict per doc")
+    val after = Seq("rel_store_fp", "rel_store_bands", "rel_store_docs").map(files)
+    assert(before == after,
+      "probing must never rewrite a store file — build once per release, reuse per batch")
+  }
 }

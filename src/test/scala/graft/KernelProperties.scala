@@ -216,6 +216,19 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want && got.forall(h => h >= 0 && h < (1L << 60))
     }
 
+  property("sorted_long_contains equals Set membership for any set and probe") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+                Gen.listOf(Gen.chooseNum(-100L, 100L))) { (set, probes) =>
+      val expr = graft.functions.HashExpressions.SortedLongContains(
+        BoundReference(0, LongType, nullable = false), set.toArray.sorted)
+      val want = set.toSet
+      // probe both arbitrary longs and values drawn from the set itself
+      // (hit coverage: random probes almost never collide with a random set)
+      (probes ++ set).forall { v =>
+        expr.eval(new GenericInternalRow(Array[Any](v))) == want.contains(v)
+      }
+    }
+
   property("md5 shingle hashes skip null tokens like array_to_string") =
     Prop.forAll(tokenGen, Gen.chooseNum(1, 4)) { (tokens, k) =>
       // interleave nulls between real tokens; the digest must equal the

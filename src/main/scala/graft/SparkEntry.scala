@@ -167,6 +167,7 @@ object SparkEntry {
     "q79b_morph_extents" -> ((s, d) => NeuriteAtlas.morphExtents(Tables.documents(s, d))),
     "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
     "q80b_rep_sweep" -> ((s, d) => Traces.representativeSweeps(Tables.documents(s, d))),
+    "q123_single_cell_type" -> ((s, d) => Traces.singleCellTypeFix(Tables.documents(s, d))),
     "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
     "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d))),
     "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d))),
@@ -223,6 +224,8 @@ object SparkEntry {
       Dedup.boilerplateTopK(Tables.documents(s, d))),
     "q113_contamination_spans" -> ((s, d) =>
       Dedup.contaminationSpans(Tables.documents(s, d))),
+    "q113b_contam_w4" -> ((s, d) =>
+      Dedup.contaminationSpans(Tables.documents(s, d), windowTokens = 4)),
     "q114_decontam_apply" -> ((s, d) =>
       Dedup.decontamApply(Tables.documents(s, d))),
     "q115_leak_attribution" -> ((s, d) =>
@@ -1024,9 +1027,12 @@ object SparkEntry {
   }
 
   /** q113's oracle: the shared window/merge fragments with the q58
-    * benchmark membership as the hit rule. */
-  private def contaminationSpansSql: String = {
-    val w = 8
+    * benchmark membership as the hit rule. Parameterized on the window
+    * width so the q113b span-floor run (w=4) replays the same chain —
+    * the floor law says a verbatim cross-doc span SHORTER than w is
+    * invisible to the w-window cut list, so a release that must cut
+    * shorter quotes lowers w and pays proportionally more windows. */
+  private def contaminationSpansSql(w: Int = 8): String = {
     def isBench(ref: String) =
       s"$ref % ${graft.operators.Dedup.BenchmarkMod} = 0" +
         s" AND $ref < ${graft.operators.Dedup.BenchmarkMaxId}"
@@ -2274,6 +2280,37 @@ object SparkEntry {
       |CAST(peak_resp AS BIGINT) AS peak_resp
       |FROM c ORDER BY trace_id, sweep""".stripMargin
 
+  /** q123's oracle: the classifier's computed types from the closed
+    * form (the q80 chain, stimulus column only), the single-cell set
+    * via a RECURSIVE closure over the same literal edge table the
+    * engine broadcasts, and the three-branch action verdict. */
+  private def singleCellTypeSql: String = {
+    val edges = graft.operators.Traces.StimulusEdges
+      .map { case (c, p) => s"('$c', '$p')" }.mkString(", ")
+    val root = graft.operators.Traces.SingleCellRoot
+    s"""WITH RECURSIVE edges(child, parent) AS (VALUES $edges),
+       |sc(node) AS (
+       |  SELECT child FROM edges WHERE parent = '$root'
+       |  UNION
+       |  SELECT e.child FROM edges e JOIN sc ON e.parent = sc.node),
+       |p AS (SELECT doc_id, 2 + doc_id % 3 AS sweeps FROM documents),
+       |sw AS (SELECT doc_id, unnest(generate_series(0, sweeps - 1)) AS s FROM p),
+       |c AS (SELECT doc_id AS trace_id,
+       |CASE (doc_id + s) % 3 WHEN 0 THEN 'flat' WHEN 1 THEN 'step' ELSE 'ramp' END AS computed
+       |FROM sw),
+       |ag AS (SELECT trace_id,
+       |CAST(COUNT(CASE WHEN computed IN (SELECT node FROM sc) THEN 1 END) AS BIGINT) AS n_single_cell_sweeps,
+       |coalesce(array_to_string(list_sort(list_distinct(
+       |  list(computed) FILTER (WHERE computed IN (SELECT node FROM sc)))), ','), '')
+       |  AS single_cell_stimuli
+       |FROM c GROUP BY 1)
+       |SELECT trace_id, n_single_cell_sweeps, single_cell_stimuli,
+       |trace_id % 7 = 0 AS already_typed,
+       |CASE WHEN n_single_cell_sweeps = 0 THEN 'none'
+       |WHEN trace_id % 7 = 0 THEN 'already_typed' ELSE 'add_type' END AS action
+       |FROM ag ORDER BY trace_id""".stripMargin
+  }
+
   /** q99's oracle: the pivot as conditional aggregation; present-but-
     * unschematized types via the same literal registry split. */
   private def typePivotSql: String = {
@@ -3073,6 +3110,7 @@ object SparkEntry {
       ("q98c_section_stats" -> sectionStatsSql) +
       ("q79b_morph_extents" -> morphExtentsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +
+      ("q123_single_cell_type" -> singleCellTypeSql) +
       ("q99_type_pivot" -> typePivotSql) +
       ("q100_lm_perplexity" -> lmScreenSql) +
       ("q100b_lm_perlang" -> lmPerLangSql) +
@@ -3303,7 +3341,8 @@ object SparkEntry {
     "q122_decontam_report" -> decontamReportSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
-    "q113_contamination_spans" -> contaminationSpansSql,
+    "q113_contamination_spans" -> contaminationSpansSql(),
+    "q113b_contam_w4" -> contaminationSpansSql(4),
     "q114_decontam_apply" -> decontamApplySql,
     "q115_leak_attribution" -> leakAttributionSql,
     "q116_gopher_rules" -> gopherRulesSql,

@@ -307,4 +307,69 @@ object Traces {
           electRepresentative(dec))
       })
   }
+
+  // --------------------------------- single-cell type classification
+
+  /** the stimulus-type ontology stand-in (child → parent), two levels
+    * deep so the closure genuinely traverses: the classifier's leaf
+    * classes roll up through `current_injection` to the single-cell
+    * protocol root, while `flat` hangs off a non-single-cell branch.
+    * A deployment swaps this literal for its ontology edge table. */
+  val StimulusEdges: Seq[(String, String)] = Seq(
+    "step" -> "current_injection",
+    "ramp" -> "current_injection",
+    "current_injection" -> "single_cell_protocol",
+    "flat" -> "ambient_protocol")
+
+  val SingleCellRoot = "single_cell_protocol"
+
+  /** declared already-typed rule — the stand-in for "NEW_TYPE already in
+    * the resource's type list", a pure id rule mirrored in the oracle. */
+  private def alreadyTyped(id: org.apache.spark.sql.Column) = id % 7 === 0
+
+  /** q123: SINGLE-CELL TYPE FIX — the classify half of the reference's
+    * membership-classify→upsert loop
+    * (/root/reference/src/trace/fix/add_single_cell_type.py:70-100
+    * `_add_single_cell_type`: stimulus types extracted from the trace
+    * CONTENT are intersected with the single-cell stimulus ontology
+    * subtree; a hit on an untyped trace triggers the type-adding
+    * update, a hit on an already-typed trace logs a warning, no hit is
+    * a no-op). Per trace: how many sweeps computed a single-cell
+    * stimulus, which distinct stimuli, whether the type already exists,
+    * and the resulting action ∈ add_type | already_typed | none —
+    * exactly the reference's three branches. The APPLY half is q43's
+    * MERGE (filter action = 'add_type', upsert the type column) — the
+    * keep-newest-deprecate-rest election of
+    * quality_metric_resource.py:108 composes the same way from q05 +
+    * q43 (see SURVEY §3).
+    *
+    * Scale shape: content classification rides the ONE row-local
+    * decode scan (q80's machinery — a deployment reads the persisted
+    * [[traceReport]] frame instead of re-decoding); the ontology
+    * closure is dimension-sized and BROADCASTS; one map-side-combined
+    * trace-keyed aggregate ends the plan. */
+  def singleCellTypeFix(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val edges = StimulusEdges.toDF("child", "parent")
+    val singleCell = Ontology.descendantsOf(edges, SingleCellRoot)
+      .select(col("node")).distinct()
+    sweepConsistencyRowLocal(documents)
+      .join(broadcast(singleCell.withColumn("__sc", lit(1))),
+        col("computed") === col("node"), "left")
+      .groupBy(col("trace_id"))
+      .agg(
+        count(col("__sc")).as("n_single_cell_sweeps"),
+        array_join(array_sort(collect_set(
+          when(col("__sc").isNotNull, col("computed")))), ",")
+          .as("single_cell_stimuli"))
+      .withColumn("already_typed", alreadyTyped(col("trace_id")))
+      .withColumn("action",
+        when(col("n_single_cell_sweeps") === 0L, lit("none"))
+          .when(col("already_typed"), lit("already_typed"))
+          .otherwise(lit("add_type")))
+      .select("trace_id", "n_single_cell_sweeps", "single_cell_stimuli",
+        "already_typed", "action")
+      .orderBy("trace_id")
+  }
 }

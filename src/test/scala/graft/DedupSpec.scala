@@ -688,6 +688,30 @@ class DedupSpec extends AnyFunSuite {
       s"a fully-cut doc legally cleans to the empty stream: ${out(1002L)}")
   }
 
+  test("span-floor law: a cross-doc verbatim span shorter than w is invisible at w, cut at smaller w") {
+    // a 6-token verbatim benchmark quote inside an otherwise-unique doc:
+    // at w=8 NO window fits inside the quote (every 8-window spans into
+    // unique context), so the w=8 cut list misses it by design — the
+    // spec'd floor. At w=4 three windows fit and the span is cut.
+    // q58's 3-gram doc-level decontamination still FLAGS the doc either
+    // way (the cross-law covers flagging, not cutting).
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, quote),                                             // benchmark split (id rule)
+      (1001L, "unique lead tokens here " + quote + " unique tail tokens here follow")
+    ).toDF("doc_id", "text")
+    val w8 = Dedup.contaminationSpans(docs, windowTokens = 8).collect()
+    assert(w8.isEmpty, s"a 6-token quote is below the w=8 floor: ${w8.toSeq}")
+    val w4 = Dedup.contaminationSpans(docs, windowTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_pos"), r.getAs[Long]("end_pos")))
+    assert(w4.toSeq == Seq((1001L, 4L, 10L)),
+      s"at w=4 the quote's 3 windows merge to exactly the quote: ${w4.toSeq}")
+    // the doc-level q58 flag catches it at both widths
+    val flagged = Dedup.decontaminate(docs).filter(col("is_contaminated"))
+    assert(flagged.collect().map(_.getLong(0)).toSeq == Seq(1001L),
+      "q58's 3-gram flag covers sub-floor leaks — the flag/cut division of labor")
+  }
+
   test("q108b confirm: LSH proposes, exact Jaccard decides — demotions exact") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val inc = Dedup.ingestView(docs)

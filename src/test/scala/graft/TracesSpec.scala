@@ -153,4 +153,36 @@ class TracesSpec extends AnyFunSuite {
     assert(rep.select(col("rep.*")).collect().toSet ==
       Traces.representativeSweeps(docs).collect().toSet)
   }
+
+  test("single-cell type fix: membership through the closure, three exact branches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val out = Traces.singleCellTypeFix(docs).collect()
+    assert(out.length == docs.count(), "one verdict per trace")
+    // recompute membership from the q80 view through the closure by hand
+    val closure = graft.operators.Ontology.descendantsOf(
+        Traces.StimulusEdges.toDF("child", "parent"), Traces.SingleCellRoot)
+      .select("node").collect().map(_.getString(0)).toSet
+    assert(closure == Set("current_injection", "step", "ramp"),
+      s"the 2-level ontology must close transitively: $closure")
+    val byTrace = Traces.sweepConsistency(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[String]("computed")).filter(closure.contains)).toMap
+    out.foreach { r =>
+      val (id, n, stims, already, action) = (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getBoolean(3), r.getString(4))
+      val want = byTrace(id)
+      assert(n == want.length, s"sweep hit count for $id")
+      assert(stims == want.distinct.sorted.mkString(","), s"distinct stimuli for $id")
+      assert(already == (id % 7 == 0))
+      val wantAction = if (want.isEmpty) "none"
+        else if (already) "already_typed" else "add_type"
+      assert(action == wantAction, s"branch for $id: got $action, want $wantAction")
+    }
+    // the fixture's sweeps cycle typ mod 3, so every trace has ≥1
+    // single-cell sweep and 'none' is impossible BY CONSTRUCTION here —
+    // the per-row check above still pins the none-branch formula
+    assert(out.map(_.getString(4)).toSet == Set("already_typed", "add_type"))
+  }
 }

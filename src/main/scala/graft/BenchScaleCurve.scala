@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE-CURVE evidence for the most expensive operators: the 100 TB
+  * arguments in SURVEY are design arguments verified at sf0.1, and the
+  * q102c episode (an interpreted-HOF kernel invisible at the verify SF,
+  * 57 s at the bench SF) proved superlinear constants hide below the
+  * measured scale. This main synthesizes 3× and 10× corpora from the
+  * bench tables and times the heavy operators at 1×/3×/10× so ≈linear
+  * growth is a MEASUREMENT, not prose.
+  *
+  * Synthesis contract (what makes the ratios meaningful):
+  *   - replica 0 is the base corpus verbatim; replica k offsets ids by
+  *     k·10¹⁰ and suffixes every whitespace token with "~k", so each
+  *     replica's INTERNAL structure (doc lengths, duplication rate,
+  *     language mix, chunk shapes) matches the base exactly while
+  *     cross-replica content overlap is zero — total work should be
+  *     factor× the base, which is precisely the hypothesis under test.
+  *     (Verbatim replication would instead make every doc a 10-way
+  *     exact dup — a different, clone-degenerate workload.)
+  *   - the benchmark/eval stand-in (id<1000 rule) stays FIXED-SIZE:
+  *     replicas fall outside the id cap, exactly the fixed-eval-suite
+  *     posture the decontamination family assumes at 100 TB.
+  *   - embeddings replicate with offset vec_ids and verbatim vectors
+  *     (a bigger corpus has denser cells; the models stay bounded).
+  *   - dimension tables (nation, region) do not scale — copied bytes.
+  *
+  * Output: one JSON line per run with, per query, the warm-min seconds
+  * at each factor and the growth ratios r3 = t3/t1, r10 = t10/t1
+  * (≈linear ⇒ r3 ≈ 3, r10 ≈ 10; fixed per-run overhead pulls ratios
+  * BELOW the factor, so the superlinearity flag is r10 ≫ 10).
+  */
+object BenchScaleCurve {
+
+  /** the top-cost operators from the round-10 bench, per the judge's
+    * list — each a different plan family (index write, segment
+    * lifecycle, span union, decode scan, multi-pass screen, window
+    * election, LM replay, champion-list retrieval). */
+  val CurveQueries: Seq[String] = Seq(
+    "q82_index_upsert", "q88b_compacted_search", "q118_combined_cut",
+    "q98_leaf_regions", "q75_rarity_screen", "q107b_cut_spans",
+    "q100_lm_perplexity", "q103b_retrieval_pruned")
+
+  val DocStride = 10000000000L
+  val VecStride = 1000000000L
+
+  /** replicate documents `factor`× with per-replica token suffixing —
+    * one row-local projection per replica, unioned and written once.
+    *
+    * The suffix is LETTERS ONLY and merges into the word ("spark" →
+    * "sparkqd" for replica 3): the corpus is single-space alphabetic
+    * words, so the replica token count is IDENTICAL to the base under
+    * BOTH engine tokenizers (whitespace split and the q102 regex).
+    * The first cut suffixed "~k", and the scale curve itself caught
+    * the artifact: under the regex tokenizer every word became three
+    * tokens (word, '~', digit) — a degenerate tiny-vocab shingle
+    * space where replica shingles contain '~'/digit tokens with
+    * corpus-sized document frequencies, and q103b's candidate join
+    * measured 27k pairs at 1× vs 21.3M at 3× (r3 = 17). That was the
+    * synthesis degenerating, not the operator: the fixture must scale
+    * the workload, not change its vocabulary statistics. */
+  def scaledDocuments(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.documents(spark, baseDir)
+    (0 until factor).map { k =>
+      if (k == 0) base
+      else {
+        // replica tag in letters: 3 → "qd" (q + ('a'+3)); 26+ would
+        // need two letters — factors stay far below that
+        val tag = "q" + ('a' + (k % 26)).toChar
+        base.select(
+          (col("doc_id") + lit(k * DocStride)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(tag))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def scaledEmbeddings(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.embeddings(spark, baseDir)
+    (0 until factor).map { k =>
+      base.select((col("vec_id") + lit(k * VecStride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** materialize the scaled bucket (documents + embeddings synthesized,
+    * nation/region copied) — idempotent: skipped when already present. */
+  def materialize(spark: SparkSession, baseDir: String, outDir: String,
+                  factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_CURVE_OK")
+    if (java.nio.file.Files.exists(marker)) return
+    scaledDocuments(spark, baseDir, factor)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaledEmbeddings(spark, baseDir, factor)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    Seq("nation", "region").foreach { t =>
+      Tables.load(spark, baseDir, t).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_REPS", "2").toInt.max(1)
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,3,10")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup (JVM/codegen/committer), the Bench discipline
+    try SparkEntry.queries(CurveQueries.head)(spark, baseDir).count()
+    catch { case _: Throwable => }
+
+    val dirs: Map[Int, String] = factors.map { f =>
+      val d = if (f == 1) baseDir else s"$workDir/x$f"
+      if (f != 1) materialize(spark, baseDir, d, f)
+      f -> d
+    }.toMap
+
+    def timeOnce(name: String, dir: String): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { SparkEntry.queries(name)(spark, dir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+
+    val rows = for (name <- CurveQueries) yield {
+      val byFactor = factors.map { f =>
+        val runs = (0 to reps).map(_ => timeOnce(name, dirs(f))) // 1 cold + reps warm
+        val err = runs.flatMap(_._2).headOption
+        // warm-min: the load-insensitive floor (Bench's discipline)
+        f -> (runs.drop(1).map(_._1).min, err)
+      }
+      (name, byFactor)
+    }
+
+    val f1 = factors.head
+    def fmt(v: Double) = Bench.fmt3(v)
+    val qjson = rows.map { case (name, byF) =>
+      val t1 = byF.find(_._1 == f1).get._2._1
+      val ratios = byF.filter(_._1 != f1).map { case (f, (t, _)) =>
+        s""""r$f":${fmt(t / t1)}"""
+      }
+      val times = byF.map { case (f, (t, _)) => s""""t$f":${fmt(t)}""" }
+      val errs = byF.collect { case (f, (_, Some(e))) =>
+        s""""err$f":"${e.replace("\"", "'").replace("\n", " ")}"""" }
+      "\"" + name + "\":{" + (times ++ ratios ++ errs).mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","unit":"sec","base":"$baseDir",""" +
+      s""""factors":[${factors.mkString(",")}],"warm_reps":$reps,""" +
+      s""""queries":$qjson}""")
+    spark.stop()
+  }
+}

@@ -685,11 +685,24 @@ object Dedup {
   /** the q118 plan as a per-doc (doc_id, spans) frame — shared by the
     * span-list surface and [[combinedCutApply]] so the two cannot
     * disagree about what gets cut. */
-  private def combinedCutPerDoc(docs: DataFrame, windowTokens: Int): DataFrame = {
-    val u = spanCutSpans(docs, windowTokens)
-      .select(col("doc_id"), col("start_pos"), col("end_pos"))
-      .unionByName(contaminationSpans(docs, windowTokens)
-        .select(col("doc_id"), col("start_pos"), col("end_pos")))
+  private def combinedCutPerDoc(docs: DataFrame, windowTokens: Int): DataFrame =
+    combineCutListsPerDoc(spanCutSpans(docs, windowTokens),
+      contaminationSpans(docs, windowTokens))
+
+  /** the COMPOSE form of q118 — the union+fold alone, over two already
+    * materialized cut-list frames (q107b and q113 columns). This is
+    * what a deployment runs: the two upstream scans happen once when
+    * each screen's list is persisted; combining costs only cut-sized
+    * rows (BenchCutSplit prices the split, the q82/q88b accounting
+    * discipline). The inventory q118 entry stays self-contained — its
+    * bench figure honestly prices both upstream scans per rep. */
+  def combineCutLists(dupSpans: DataFrame, contamSpans: DataFrame): DataFrame =
+    spanList(combineCutListsPerDoc(dupSpans, contamSpans))
+
+  private def combineCutListsPerDoc(dupSpans: DataFrame,
+                                    contamSpans: DataFrame): DataFrame = {
+    val u = dupSpans.select(col("doc_id"), col("start_pos"), col("end_pos"))
+      .unionByName(contamSpans.select(col("doc_id"), col("start_pos"), col("end_pos")))
     u.groupBy("doc_id").agg(expr(mergeIntervalsFoldSql(
       "array_sort(collect_list(named_struct('s', CAST(start_pos AS INT), 'e', CAST(end_pos AS INT))))"))
       .as("spans"))

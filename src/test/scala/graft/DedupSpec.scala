@@ -649,6 +649,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("combineCutLists over persisted cut lists equals the self-contained q118") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cutcompose")
+    Dedup.spanCutSpans(docs).write.mode("overwrite").parquet(s"$tmp/dup")
+    Dedup.contaminationSpans(docs).write.mode("overwrite").parquet(s"$tmp/contam")
+    val composed = Dedup.combineCutLists(
+      spark.read.parquet(s"$tmp/dup"), spark.read.parquet(s"$tmp/contam")).collect()
+    val self = Dedup.combinedCutSpans(docs).collect()
+    assert(composed.toSeq == self.toSeq,
+      "the deployment compose path must equal the inventory entry span-for-span")
+  }
+
   test("combined cut APPLY executes exactly the q118 plan, conservation-exact") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = Dedup.combinedCutSpans(docs).collect()

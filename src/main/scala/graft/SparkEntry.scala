@@ -253,6 +253,12 @@ object SparkEntry {
     "q121_zipf_card" -> ((s, d) => Frequency.zipfCard(Tables.documents(s, d))),
     "q122_decontam_report" -> ((s, d) =>
       Dedup.decontamReport(Tables.documents(s, d))),
+    "q124_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Dedup.sourceMirrorView(Tables.documents(s, d)))),
+    "q125_cluster_quality" -> ((s, d) =>
+      Dedup.clusterQualityAudit(Tables.documents(s, d))),
+    "q126_quality_sweep" -> ((s, d) =>
+      TextAnalysis.qualityThresholdSweep(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -672,6 +678,86 @@ object SparkEntry {
        |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q124's oracle: the SAME mirror view (every 11th doc re-hosted
+    * under the rotated source — Dedup.sourceMirrorView mirrored
+    * literally), the shared [[fingerprintSql]], distinct (source, fp)
+    * pairs self-joined on fp under src_a < src_b, left-joined onto the
+    * full upper-triangle source matrix so zero-overlap pairs ship. */
+  private def sourceOverlapSql: String =
+    s"""WITH all_docs AS (
+       |SELECT doc_id, text, source FROM documents
+       |UNION ALL
+       |SELECT doc_id + 2000000000000, text,
+       |'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20 AS VARCHAR)
+       |FROM documents WHERE doc_id % 11 = 0),
+       |fps AS (SELECT DISTINCT source, fp FROM
+       |(SELECT source, $fingerprintSql AS fp FROM all_docs) t
+       |WHERE fp IS NOT NULL AND source IS NOT NULL),
+       |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY source),
+       |ov AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b, a.n_fp AS n_fp_a, b.n_fp AS n_fp_b
+       |FROM cnt a JOIN cnt b ON a.source < b.source)
+       |SELECT p.src_a, p.src_b, p.n_fp_a, p.n_fp_b,
+       |coalesce(o.n_shared, 0) AS n_shared,
+       |(10000 * coalesce(o.n_shared, 0)) // p.n_fp_a AS share_a_bp,
+       |(10000 * coalesce(o.n_shared, 0)) // p.n_fp_b AS share_b_bp
+       |FROM pr p LEFT JOIN ov o ON p.src_a = o.src_a AND p.src_b = o.src_b
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q125's oracle: the q57 recursive-reachability cluster labels, the
+    * q33 exact-Jaccard scoring over the SAME banded candidate edges,
+    * rolled up per cluster (min / truncating mean over scorable
+    * edges). */
+  private def clusterQualitySql: String =
+    s"""${minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |e2 AS (SELECT doc_a, doc_b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(doc_id, label) AS (
+       |SELECT doc_id, doc_id FROM documents
+       |UNION
+       |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b),
+       |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |mem AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM lab GROUP BY cluster_id),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |scored AS (SELECT c.doc_a,
+       |(10000 * CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT)) //
+       |nullif(CAST(len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT), 0) AS jaccard_bp
+       |FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id)
+       |SELECT l.cluster_id, m.n_members, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |MIN(s.jaccard_bp) AS min_edge_jaccard_bp,
+       |CAST(SUM(s.jaccard_bp) AS BIGINT) // nullif(COUNT(s.jaccard_bp), 0) AS mean_edge_jaccard_bp
+       |FROM scored s JOIN lab l ON s.doc_a = l.doc_id
+       |JOIN mem m ON l.cluster_id = m.cluster_id
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** q126's oracle: the q38 alpha expression and q39 BPE-ish token
+    * count, histogrammed on alpha_bp; totals from the histogram; arms
+    * from the SAME [[TextAnalysis.QualitySweepArms]] literals. */
+  private def qualitySweepSql: String = {
+    val arms = TextAnalysis.QualitySweepArms
+      .map(t => s"(CAST($t AS BIGINT))").mkString(", ")
+    s"""WITH scored AS (SELECT
+       |coalesce((10000 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)) // nullif(CAST(length(text) AS BIGINT), 0), -1) AS alpha_key,
+       |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |FROM documents),
+       |hist AS (SELECT alpha_key, CAST(COUNT(*) AS BIGINT) AS h_docs,
+       |CAST(SUM(n_tokens) AS BIGINT) AS h_tokens FROM scored GROUP BY alpha_key),
+       |tot AS (SELECT CAST(SUM(h_docs) AS BIGINT) AS t_docs,
+       |CAST(SUM(h_tokens) AS BIGINT) AS t_tokens FROM hist),
+       |arms(threshold_bp) AS (VALUES $arms),
+       |k AS (SELECT a.threshold_bp,
+       |coalesce(CAST(SUM(h.h_docs) AS BIGINT), 0) AS n_docs_kept,
+       |coalesce(CAST(SUM(h.h_tokens) AS BIGINT), 0) AS n_tokens_kept
+       |FROM arms a LEFT JOIN hist h ON h.alpha_key >= a.threshold_bp
+       |GROUP BY 1)
+       |SELECT k.threshold_bp, k.n_docs_kept, k.n_tokens_kept,
+       |(10000 * k.n_docs_kept) // nullif(t.t_docs, 0) AS docs_share_bp,
+       |(10000 * k.n_tokens_kept) // nullif(t.t_tokens, 0) AS tokens_share_bp
+       |FROM k, tot t ORDER BY k.threshold_bp""".stripMargin
+  }
 
   /** DuckDB expression for the k-word shingle strings of a token list
     * `tk` — the same semantics as Md5ShingleHashes: shingle i joins
@@ -3339,6 +3425,9 @@ object SparkEntry {
     "q120_kanon" -> kanonSql,
     "q121_zipf_card" -> zipfCardSql,
     "q122_decontam_report" -> decontamReportSql,
+    "q124_source_overlap" -> sourceOverlapSql,
+    "q125_cluster_quality" -> clusterQualitySql,
+    "q126_quality_sweep" -> qualitySweepSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql(),

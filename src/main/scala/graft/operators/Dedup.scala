@@ -361,6 +361,122 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
 
+  /** q124: CROSS-SOURCE OVERLAP MATRIX — the provenance/licensing view
+    * of exact duplication (q30/q40 ask "how duplicated is the corpus";
+    * this asks "WHICH sources copy from each other" — the number a
+    * curation team reads before trusting a source's licensing story or
+    * deciding which of two mirroring crawls to keep): per ordered
+    * source pair (src_a < src_b), the distinct normalized fingerprints
+    * ([[TextAnalysis.fingerprintCol]] — THE q40/q42 definition, so
+    * "shared" here means exactly what the dedup apply dedups) present
+    * in BOTH sources, with the share in basis points relative to each
+    * side's distinct-fingerprint count. The full upper-triangle matrix
+    * ships (zero-overlap pairs included) — the report is source-pair
+    * dimension-sized and a reader needs the zeros to trust them.
+    *
+    * Scale shape: ONE corpus exchange — the (fp → sorted source set)
+    * aggregate combines map-side (each fingerprint's source set is
+    * bounded by the source DIMENSION, so no value can grow with corpus
+    * size); pair expansion is a row-local HOF over that bounded array;
+    * both the pair rollup and the per-source fingerprint counts consume
+    * the SAME fp-keyed exchange (ReusedExchange — the q91 discipline);
+    * everything after runs on source-dimension-sized rows. Null
+    * fingerprints (null text) and null sources drop before the
+    * aggregate — a null key would otherwise bridge sources in one
+    * engine and not the other. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val byFp = docs
+      .select(col("source"), TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .filter(col("fp").isNotNull && col("source").isNotNull)
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val perSrc = byFp
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_fp"))
+    val overlaps = byFp
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val dims = perSrc.select(col("source").as("src_a"), col("n_fp").as("n_fp_a"))
+      .join(perSrc.select(col("source").as("src_b"), col("n_fp").as("n_fp_b")),
+        col("src_a") < col("src_b"))
+    dims.join(overlaps, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("share_a_bp", expr("(10000 * n_shared) DIV n_fp_a"))
+      .withColumn("share_b_bp", expr("(10000 * n_shared) DIV n_fp_b"))
+      .select("src_a", "src_b", "n_fp_a", "n_fp_b", "n_shared",
+        "share_a_bp", "share_b_bp")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** the q124 inventory fixture: the raw synthetic corpus carries ZERO
+    * exact-duplicate fingerprints (measured at sf0.001/0.01 — every
+    * canonical text is unique), so the matrix over it is all zeros. The
+    * inventory entry therefore runs over the corpus plus a
+    * deterministic MIRROR view — every 11th doc re-hosted verbatim
+    * under the next source (src(k) → src((k+1) mod 20), id offset
+    * 2·10¹²) — the same injected-fixture discipline as q108's ingest
+    * batch and q66's PII rows, mirrored literally in the oracle SQL.
+    * The OPERATOR takes any (source, text) frame; a deployment feeds
+    * real releases. */
+  def sourceMirrorView(docs: DataFrame): DataFrame =
+    docs.unionByName(docs
+      .filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(2000000000000L))
+      .withColumn("source",
+        concat(lit("src"),
+          ((substring(col("source"), 4, 10).cast("int") + 1) % 20).cast("string"))))
+
+  /** q125: CLUSTER QUALITY AUDIT — the trust report for q57's
+    * transitive closure. Connected components are deliberately
+    * transitive (A~B and B~C cluster A,B,C even when A and C share
+    * nothing), which is the right dedup semantics — but it means a
+    * cluster is only as trustworthy as its WEAKEST edge: a long chain
+    * glued by one borderline band collision silently merges unrelated
+    * documents, and nothing in q57's output shows it. Per multi-member
+    * cluster: member count, candidate-edge count, and the exact
+    * word-shingle Jaccard (the q33 verify metric, in basis points) of
+    * the weakest and the average edge. A curator reads min ≪ mean as
+    * "this cluster chains" and audits before dropping members.
+    *
+    * Scale shape: edges are the banding candidates (never all pairs);
+    * the shingle sets ride two linear equi-joins (the q33 shape); the
+    * per-cluster rollup combines map-side to cluster-sized output.
+    * Edges score within ONE cluster by construction (both endpoints
+    * share the edge), so the cluster key rides the doc_a label join.
+    * An unscorable edge (null Jaccard — degenerate empty shingle sets)
+    * counts in n_edges but not in min/mean, same in both engines. */
+  def clusterQualityAudit(docs: DataFrame, k: Int = 3): DataFrame = {
+    val edges = minhashCandidatePairs(docs)
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+    val scored = edges
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"),
+        expr("(10000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)) DIV " +
+          "nullif(CAST(size(array_union(sh_a, sh_b)) AS BIGINT), 0)")
+          .as("jaccard_bp"))
+    val labels = propagateLabels(docs, edges)
+    val members = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    scored
+      .join(labels.select(col("doc_id").as("doc_a"), col("label").as("cluster_id")),
+        Seq("doc_a"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard_bp")).as("min_edge_jaccard_bp"),
+        expr("sum(jaccard_bp) DIV nullif(count(jaccard_bp), 0)")
+          .as("mean_edge_jaccard_bp"))
+      .join(members, Seq("cluster_id"))
+      .select("cluster_id", "n_members", "n_edges",
+        "min_edge_jaccard_bp", "mean_edge_jaccard_bp")
+      .orderBy("cluster_id")
+  }
+
   /** q83 block width (tokens per block) — shared with the oracle SQL. */
   val BlockTokens = 8
 

@@ -157,6 +157,62 @@ object TextAnalysis {
         col("alpha_bp"), col("is_quality"))
       .orderBy("doc_id")
 
+  /** q126 sweep arms (alpha_bp thresholds) — shared with the oracle
+    * SQL. Chosen around the corpus's measured alpha distribution
+    * (sf0.001: min 7933 / median 8214 / max 8461) so the curve has
+    * real shape: arm 0 keeps everything scorable, 8500 keeps
+    * nothing. */
+  val QualitySweepArms: Seq[Long] = Seq(0L, 8000L, 8150L, 8250L, 8350L, 8500L)
+
+  /** q126: QUALITY-THRESHOLD SWEEP — the keep-rate curve a curation
+    * team reads to PICK the quality cut (q38 scores; q116 applies
+    * fixed published rules; this prices the knob, the q110b sweep
+    * discipline applied to the quality screen): per candidate
+    * alpha_bp threshold, the documents and tokens that survive
+    * `alpha_bp >= t`, each also as a share of the whole corpus in
+    * basis points. Unscorable docs (null alpha — null/empty text)
+    * count in the totals but survive NO arm: the conservative
+    * contract (raising a threshold can only cut, and the curve's
+    * shares are honest fractions of the real corpus).
+    *
+    * Scale shape: the corpus pays ONE map-side-combined groupBy on
+    * alpha_bp — a key bounded in [0, 10000], so the histogram is
+    * ≤10001 rows at ANY corpus size; the totals reduce the histogram
+    * (not the corpus — ReusedExchange feeds both); every arm is a
+    * range-filter over histogram×arms rows (≤10001×|arms|). Adding
+    * arms adds ZERO corpus scans — the q110b one-shared-frame rule. */
+  def qualityThresholdSweep(documents: DataFrame): DataFrame = {
+    // the histogram keys on coalesce(alpha_bp, −1), NOT alpha_bp: a
+    // nullable key makes the arms join infer an isnotnull constraint
+    // that pushes below the aggregate into ONE branch's scan, so the
+    // totals branch (which must keep the unscorable group) can no
+    // longer share the subtree and the corpus is scanned twice. The
+    // sentinel key is non-nullable by construction — no constraint is
+    // inferred, both consumers read the SAME exchange, one scan. The
+    // −1 group falls out of every arm because all arms are ≥ 0.
+    val scored = withQualityCols(withTokenCountCols(documents))
+      .select(coalesce(col("alpha_bp"), lit(-1L)).as("alpha_key"),
+        col("n_bpe_tokens").as("n_tokens"))
+    val hist = scored.groupBy("alpha_key")
+      .agg(count(lit(1)).as("h_docs"), sum(col("n_tokens")).as("h_tokens"))
+    val tot = hist.agg(sum(col("h_docs")).as("t_docs"),
+      sum(col("h_tokens")).as("t_tokens"))
+    val arms = documents.sparkSession.range(1)
+      .select(explode(array(QualitySweepArms.map(lit): _*)).as("threshold_bp"))
+    arms
+      .join(hist, col("alpha_key") >= col("threshold_bp"), "left")
+      .groupBy("threshold_bp")
+      .agg(coalesce(sum(col("h_docs")), lit(0L)).as("n_docs_kept"),
+        coalesce(sum(col("h_tokens")), lit(0L)).as("n_tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .withColumn("docs_share_bp", expr("(10000 * n_docs_kept) DIV nullif(t_docs, 0)"))
+      .withColumn("tokens_share_bp",
+        expr("(10000 * n_tokens_kept) DIV nullif(t_tokens, 0)"))
+      .select("threshold_bp", "n_docs_kept", "n_tokens_kept",
+        "docs_share_bp", "tokens_share_bp")
+      .orderBy("threshold_bp")
+  }
+
   /** the q39 kernel in append form — whitespace / distinct / BPE-ish
     * token counts ride alongside the input columns. */
   private[graft] def withTokenCountCols(documents: DataFrame): DataFrame =

@@ -1042,6 +1042,79 @@ class DedupSpec extends AnyFunSuite {
       .foreach(r => assert(aMap(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("source overlap counts DISTINCT shared fingerprints per pair, full matrix") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "srcA"),
+      // normalizes to doc 1's fingerprint — case/punct must not matter
+      (2L, "Alpha,  beta GAMMA!", "srcB"),
+      (3L, "delta epsilon", "srcA"),
+      (4L, "delta epsilon", "srcC"),
+      (5L, "unique text here", "srcB"),
+      (6L, null.asInstanceOf[String], "srcA"), // null fp drops entirely
+      (7L, "alpha beta gamma", "srcA") // within-source dup counts once
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(df).collect()
+    val m = out.map(r => ((r.getString(0), r.getString(1)),
+      (r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b"), r.getAs[Long]("n_shared")))).toMap
+    assert(m == Map(
+      ("srcA", "srcB") -> ((2L, 2L, 1L)),
+      ("srcA", "srcC") -> ((2L, 1L, 1L)),
+      ("srcB", "srcC") -> ((2L, 1L, 0L))), s"got $m")
+    val ab = out.find(r => r.getString(0) == "srcA" && r.getString(1) == "srcB").get
+    assert(ab.getAs[Long]("share_a_bp") == 5000L && ab.getAs[Long]("share_b_bp") == 5000L)
+  }
+
+  test("q124 fixture law: only rotation-adjacent pairs overlap; raw corpus is all zeros") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.sourceOverlap(Dedup.sourceMirrorView(real)).collect()
+    assert(out.length == 190, "full upper triangle over 20 sources")
+    def rot(s: String) = "src" + ((s.drop(3).toInt + 1) % 20)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val sh = r.getAs[Long]("n_shared")
+      assert(sh <= math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b")))
+      if (rot(a) == b || rot(b) == a)
+        assert(sh > 0L, s"mirror pair ($a,$b) must overlap")
+      else
+        assert(sh == 0L, s"non-mirror pair ($a,$b) must not overlap")
+    }
+    assert(Dedup.sourceOverlap(real).collect()
+      .forall(_.getAs[Long]("n_shared") == 0L),
+      "the raw corpus carries no cross-source duplicate fingerprints")
+  }
+
+  test("cluster quality audit exposes the weak edge in a chained cluster") {
+    // 1 = 2 exact copies (edge at 10000 bp); 3 near-dups them (one word
+    // changed) — transitive closure merges all three; the 3-edges are
+    // the weak links the audit must surface; 4 stays a singleton and
+    // must not appear
+    val out = Dedup.clusterQualityAudit(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("cluster_id") == 1L && r.getAs[Long]("n_members") == 3L)
+    assert(r.getAs[Long]("n_edges") >= 2L)
+    assert(r.getAs[Long]("min_edge_jaccard_bp") < 10000L,
+      "the near-dup edge is the weak link")
+    assert(r.getAs[Long]("mean_edge_jaccard_bp") >= r.getAs[Long]("min_edge_jaccard_bp"))
+  }
+
+  test("cluster audit laws on real data: members match q57, spanning edges, min <= mean") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val audit = Dedup.clusterQualityAudit(real).collect()
+    val multi = Dedup.nearDupClusters(real).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).filter(_._2.length >= 2)
+    assert(audit.map(_.getAs[Long]("cluster_id")).toSet == multi.keySet,
+      "audited clusters = exactly q57's multi-member clusters")
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_members") ==
+        multi(r.getAs[Long]("cluster_id")).length.toLong)
+      assert(r.getAs[Long]("n_edges") >= r.getAs[Long]("n_members") - 1,
+        "a connected component needs at least a spanning tree of edges")
+      assert(r.getAs[Long]("min_edge_jaccard_bp") <=
+        r.getAs[Long]("mean_edge_jaccard_bp"))
+    }
+  }
+
   test("an empty frozen model on a non-empty corpus fails loud, never fabricates labels") {
     val emb = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

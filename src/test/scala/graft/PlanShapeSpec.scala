@@ -501,6 +501,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "dimension-sized rung counts must broadcast, never shuffle the fact side")
   }
 
+  test("source overlap: ONE fp-keyed exchange feeds pair expansion and per-source counts") {
+    val df = graft.operators.Dedup.sourceOverlap(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"),
+      "the second consumer of the fp aggregate must read the reused shuffle, not rescan")
+    assert(!plan.contains("SortMergeJoin"),
+      "everything after the fp aggregate is source-dimension-sized — no wide join")
+  }
+
+  test("quality sweep: ONE corpus scan; totals reduce the reused histogram exchange") {
+    val df = graft.operators.TextAnalysis.qualityThresholdSweep(Tables.documents(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    val finalPlan = plan.takeWhile(_ => true).split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      s"the sweep must pay exactly one corpus scan, got:\n${finalPlan.take(3000)}")
+    assert(finalPlan.contains("ReusedExchange"),
+      "the totals branch must reuse the histogram exchange")
+  }
+
   test("temperature mix and curriculum shuffle only on their declared keys") {
     val docs = Tables.documents(spark, dir)
     val p1 = Corpus.temperatureMix(docs).queryExecution.executedPlan.toString()

@@ -151,4 +151,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("chars_per_token_q20")),
       "zero tokens must yield NULL, never a division error")
   }
+
+  test("quality sweep: monotone in the threshold, exact at arm 0, honest totals") {
+    // three scorable docs (alpha 10000, ~8000, low) + one null-text doc
+    // that counts in the totals but survives no arm
+    val docs = Seq(
+      (1L, "purealphabetictext"),            // alpha_bp = 10000
+      (2L, "four words of text"),            // spaces pull alpha below 10000
+      (3L, "a 1 2 3 4 5 6 7 8 9"),           // digit-heavy, low alpha
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityThresholdSweep(docs).collect()
+    assert(out.map(_.getAs[Long]("threshold_bp")).toSeq ==
+      TextAnalysis.QualitySweepArms, "one row per arm, in arm order")
+    val kept = out.map(_.getAs[Long]("n_docs_kept")).toSeq
+    assert(kept == kept.sorted.reverse, "raising the threshold can only cut")
+    assert(kept.head == 3L, "arm 0 keeps every scorable doc, never the null one")
+    assert(out.head.getAs[Long]("docs_share_bp") == 7500L,
+      "shares are fractions of the WHOLE corpus (3 of 4 docs)")
+    assert(kept.last == 1L, "only the pure-alphabetic doc survives 8500")
+    out.foreach { r =>
+      assert(r.getAs[Long]("docs_share_bp") <= 10000L)
+      assert(r.getAs[Long]("tokens_share_bp") <= 10000L)
+      assert(r.getAs[Long]("n_tokens_kept") >= 0L)
+    }
+  }
+
+  test("quality sweep on real data: curve has real shape and token/doc monotonicity") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.qualityThresholdSweep(docs).collect()
+    val docsKept = out.map(_.getAs[Long]("n_docs_kept")).toSeq
+    val toksKept = out.map(_.getAs[Long]("n_tokens_kept")).toSeq
+    assert(docsKept == docsKept.sorted.reverse)
+    assert(toksKept == toksKept.sorted.reverse)
+    assert(docsKept.head > docsKept.last,
+      "the arms must separate the corpus — a flat curve prices nothing")
+    assert(out.head.getAs[Long]("docs_share_bp") == 10000L,
+      "every sf0.001 doc is scorable, so arm 0 keeps the whole corpus")
+  }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Synthesis contract (what makes the ratios meaningful):
   *   - replica 0 is the base corpus verbatim; replica k offsets ids by
-  *     k·10¹⁰ and suffixes every whitespace token with "~k", so each
+  *     k·10¹⁰ and suffixes every whitespace token with a letters-only
+  *     replica tag (see [[scaledDocuments]]), so each
   *     replica's INTERNAL structure (doc lengths, duplication rate,
   *     language mix, chunk shapes) matches the base exactly while
   *     cross-replica content overlap is zero — total work should be
@@ -113,6 +114,8 @@ object BenchScaleCurve {
     val reps = sys.env.getOrElse("SPARK_GRAFT_MEDIAN_REPS", "2").toInt.max(1)
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,3,10")
       .split(',').map(_.trim.toInt).toSeq
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(CurveQueries)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,7 +123,7 @@ object BenchScaleCurve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one untimed warmup (JVM/codegen/committer), the Bench discipline
-    try SparkEntry.queries(CurveQueries.head)(spark, baseDir).count()
+    try SparkEntry.queries(queries.head)(spark, baseDir).count()
     catch { case _: Throwable => }
 
     val dirs: Map[Int, String] = factors.map { f =>
@@ -138,7 +141,7 @@ object BenchScaleCurve {
       ((System.nanoTime() - t0) / 1e9, err)
     }
 
-    val rows = for (name <- CurveQueries) yield {
+    val rows = for (name <- queries) yield {
       val byFactor = factors.map { f =>
         val runs = (0 to reps).map(_ => timeOnce(name, dirs(f))) // 1 cold + reps warm
         val err = runs.flatMap(_._2).headOption

@@ -209,6 +209,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.operators.Corpus.temperatureSample(noDocs).isEmpty)
   }
 
+  test("r11 monitors behave on empty inputs") {
+    assert(Dedup.sourceOverlap(noDocs).isEmpty,
+      "no sources → no matrix rows, not a crash")
+    assert(Dedup.clusterQualityAudit(noDocs).isEmpty)
+    val sweep = TextAnalysis.qualityThresholdSweep(noDocs).collect()
+    assert(sweep.length == TextAnalysis.QualitySweepArms.length,
+      "the sweep still prices every arm over an empty corpus")
+    assert(sweep.forall(_.getAs[Long]("n_docs_kept") == 0L))
+    assert(sweep.forall(r => r.isNullAt(r.fieldIndex("docs_share_bp"))),
+      "a share of an empty corpus is NULL, never a division error")
+  }
+
   test("r10 family survives a null-text row without hiding other docs") {
     val docs = Seq(
       (1L, "clean alpha text here and more words to window over", "en", "src0", 51L),

@@ -190,14 +190,26 @@ object TextAnalysis {
     // sentinel key is non-nullable by construction — no constraint is
     // inferred, both consumers read the SAME exchange, one scan. The
     // −1 group falls out of every arm because all arms are ≥ 0.
-    val scored = withQualityCols(withTokenCountCols(documents))
+    sweepFromScored(withQualityCols(withTokenCountCols(documents)))
+  }
+
+  /** q126 over the persisted docReport frame — the decode-once path: a
+    * deployment sweeps the frame's stored alpha_bp/n_bpe_tokens
+    * columns instead of re-tokenizing the corpus. ONE shared
+    * definition with the standalone operator, so the two cannot
+    * drift. */
+  def reportQualitySweep(report: DataFrame): DataFrame =
+    sweepFromScored(report)
+
+  private def sweepFromScored(frame: DataFrame): DataFrame = {
+    val scored = frame
       .select(coalesce(col("alpha_bp"), lit(-1L)).as("alpha_key"),
         col("n_bpe_tokens").as("n_tokens"))
     val hist = scored.groupBy("alpha_key")
       .agg(count(lit(1)).as("h_docs"), sum(col("n_tokens")).as("h_tokens"))
     val tot = hist.agg(sum(col("h_docs")).as("t_docs"),
       sum(col("h_tokens")).as("t_tokens"))
-    val arms = documents.sparkSession.range(1)
+    val arms = frame.sparkSession.range(1)
       .select(explode(array(QualitySweepArms.map(lit): _*)).as("threshold_bp"))
     arms
       .join(hist, col("alpha_key") >= col("threshold_bp"), "left")

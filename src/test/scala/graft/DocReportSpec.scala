@@ -72,6 +72,11 @@ class DocReportSpec extends AnyFunSuite {
     same(TextAnalysis.reportFingerprint(report), TextAnalysis.fingerprint(docs), "q40")
   }
 
+  test("q126 quality sweep derives exactly from the frame's stored score columns") {
+    same(TextAnalysis.reportQualitySweep(report),
+      TextAnalysis.qualityThresholdSweep(docs), "q126")
+  }
+
   test("q30 exact-dedup election derives exactly from the persisted hash") {
     same(TextAnalysis.reportExactDedup(report), TextAnalysis.exactDedup(docs), "q30")
   }

@@ -255,6 +255,10 @@ object SparkEntry {
       Dedup.decontamReport(Tables.documents(s, d))),
     "q124_source_overlap" -> ((s, d) =>
       Dedup.sourceOverlap(Dedup.sourceMirrorView(Tables.documents(s, d)))),
+    "q124b_source_near_overlap" -> ((s, d) =>
+      Dedup.sourceNearOverlap(Tables.documents(s, d))),
+    "q127_dedup_impact" -> ((s, d) =>
+      Dedup.dedupImpactBySource(Dedup.sourceMirrorView(Tables.documents(s, d)))),
     "q125_cluster_quality" -> ((s, d) =>
       Dedup.clusterQualityAudit(Tables.documents(s, d))),
     "q126_quality_sweep" -> ((s, d) =>
@@ -733,6 +737,50 @@ object SparkEntry {
        |JOIN mem m ON l.cluster_id = m.cluster_id
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** q124b's oracle: the banded candidate pairs joined to both sides'
+    * sources, folded to unordered pairs, zero-filled over the full
+    * source×source upper triangle (diagonal included — the
+    * within-source baseline). */
+  private def sourceNearOverlapSql: String =
+    s"""$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |lab AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+       |p AS (SELECT least(a.source, b.source) AS src_a, greatest(a.source, b.source) AS src_b
+       |FROM cand c JOIN lab a ON c.doc_a = a.doc_id JOIN lab b ON c.doc_b = b.doc_id),
+       |ov AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
+       |m AS (SELECT a.source AS src_a, b.source AS src_b
+       |FROM srcs a JOIN srcs b ON a.source <= b.source)
+       |SELECT m.src_a, m.src_b, coalesce(o.n_pairs, 0) AS n_pairs
+       |FROM m LEFT JOIN ov o ON m.src_a = o.src_a AND m.src_b = o.src_b
+       |ORDER BY 1, 2""".stripMargin
+
+  /** q127's oracle: the q42 election window + the q107 span chain,
+    * both over the q124 mirror view, rolled up per source. */
+  private def dedupImpactSql: String =
+    s"""WITH all_docs AS (
+       |SELECT doc_id, text, source FROM documents
+       |UNION ALL
+       |SELECT doc_id + 2000000000000, text,
+       |'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20 AS VARCHAR)
+       |FROM documents WHERE doc_id % 11 = 0),
+       |${spanCutCtes("all_docs").stripPrefix("WITH ")},
+       |sm AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS tokens_cut FROM sp GROUP BY 1),
+       |fp AS (SELECT doc_id, source, $fingerprintSql AS fingerprint FROM all_docs),
+       |k AS (SELECT doc_id, source,
+       |doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep FROM fp),
+       |r AS (SELECT k.source, k.keep, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |CAST(coalesce(sm.tokens_cut, 0) AS BIGINT) AS cut
+       |FROM k JOIN toks t USING (doc_id) LEFT JOIN sm USING (doc_id))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS exact_dupes,
+       |CAST((10000 * COUNT(*) FILTER (WHERE NOT keep)) // COUNT(*) AS BIGINT) AS exact_dup_bp,
+       |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |CAST(SUM(cut) AS BIGINT) AS span_tokens_cut,
+       |CAST(coalesce((10000 * SUM(cut)) // nullif(SUM(n_tokens), 0), 0) AS BIGINT) AS span_cut_bp
+       |FROM r GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
+
   /** q126's oracle: the q38 alpha expression and q39 BPE-ish token
     * count, histogrammed on alpha_bp; totals from the histogram; arms
     * from the SAME [[TextAnalysis.QualitySweepArms]] literals. */
@@ -1083,8 +1131,8 @@ object SparkEntry {
     * 0-based positions) and the gaps-and-islands merge suffix (CTE
     * `cut(doc_id, pos)` → `sp(doc_id, s, e)`) shared by the span-cut
     * pair and the contamination-span screen. */
-  private def spanWindowFrag(w: Int): String =
-    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+  private def spanWindowFrag(w: Int, src: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM $src),
        |winpos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${w - 2})) AS i FROM toks),
        |wins AS (SELECT doc_id, i - 1 AS pos,
        |('0x' || substr(md5(array_to_string(tk[i:i+${w - 1}], ' ')), 1, 15))::BIGINT AS h FROM winpos)""".stripMargin
@@ -1104,9 +1152,9 @@ object SparkEntry {
       |CAST(e - s AS BIGINT) AS span_tokens
       |FROM sp ORDER BY doc_id, start_pos""".stripMargin
 
-  private def spanCutCtes: String = {
+  private def spanCutCtes(src: String = "documents"): String = {
     val w = 8
-    s"""WITH ${spanWindowFrag(w)},
+    s"""WITH ${spanWindowFrag(w, src)},
        |own AS (SELECT h, MIN(doc_id) AS owner FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
        |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN own o USING (h) WHERE w.doc_id <> o.owner),
        |${spanMergeFrag(w)}""".stripMargin
@@ -1368,7 +1416,7 @@ object SparkEntry {
 
   /** q107's oracle: per-doc cut summary over the shared span CTEs. */
   private def spanCutSql: String =
-    s"""$spanCutCtes,
+    s"""${spanCutCtes()},
        |sm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
        |CAST(SUM(e - s) AS BIGINT) AS tokens_cut FROM sp GROUP BY 1)
        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -1566,7 +1614,7 @@ object SparkEntry {
   /** q107b's oracle: the interval list itself, span_idx dense by
     * start within each doc. */
   private def spanCutSpansSql: String =
-    s"""$spanCutCtes
+    s"""${spanCutCtes()}
        |$spanListSelect""".stripMargin
 
   /** q59's oracle: same candidate universe as q33 (shared
@@ -3426,6 +3474,8 @@ object SparkEntry {
     "q121_zipf_card" -> zipfCardSql,
     "q122_decontam_report" -> decontamReportSql,
     "q124_source_overlap" -> sourceOverlapSql,
+    "q124b_source_near_overlap" -> sourceNearOverlapSql,
+    "q127_dedup_impact" -> dedupImpactSql,
     "q125_cluster_quality" -> clusterQualitySql,
     "q126_quality_sweep" -> qualitySweepSql,
     "q111_vocab_drift" -> vocabDriftSql,

@@ -431,6 +431,39 @@ object Dedup {
         concat(lit("src"),
           ((substring(col("source"), 4, 10).cast("int") + 1) % 20).cast("string"))))
 
+  /** q124b: CROSS-SOURCE NEAR-DUP OVERLAP — q124's exact-fingerprint
+    * matrix misses sources that mirror each other WITH light edits
+    * (the common case: re-crawls differ in chrome/boilerplate); this
+    * counts the MinHash banding candidate pairs (the q31 near-dup
+    * evidence) per unordered source pair, diagonal included — the
+    * within-source count is the baseline a reader compares the
+    * cross-source cells against. Unlike q124, the raw corpus scores
+    * nonzero here (near-dups exist without exact dups), so no fixture
+    * view is needed. Full matrix with zeros (210 rows over 20
+    * sources).
+    *
+    * Scale shape: candidates come from the banded equi-join (never all
+    * pairs); the two source lookups are linear doc_id equi-joins; the
+    * pair rollup combines map-side to source-pair-dimension output; the
+    * zero-fill matrix is dimension×dimension. Null-source docs drop
+    * (a null would poison least/greatest ordering). */
+  def sourceNearOverlap(docs: DataFrame): DataFrame = {
+    val src = docs.filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"))
+    val pairs = minhashCandidatePairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_1")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_2")), Seq("doc_b"))
+      .groupBy(least(col("src_1"), col("src_2")).as("src_a"),
+        greatest(col("src_1"), col("src_2")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val srcs = src.select("source").distinct()
+    val matrix = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") <= col("src_b"))
+    matrix.join(pairs, Seq("src_a", "src_b"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q125: CLUSTER QUALITY AUDIT — the trust report for q57's
     * transitive closure. Connected components are deliberately
     * transitive (A~B and B~C cluster A,B,C even when A and C share
@@ -476,6 +509,40 @@ object Dedup {
         "min_edge_jaccard_bp", "mean_edge_jaccard_bp")
       .orderBy("cluster_id")
   }
+
+  /** q127: PER-SOURCE DEDUP IMPACT — the redundancy BILL by source,
+    * the number a curation team reads before renegotiating a data
+    * source ("src5 is 9% mirrored content; dedup will cut it"): per
+    * source, the docs that LOSE the q42 exact-fingerprint election
+    * (exact_dupes + share) and the tokens the q107 span cut removes
+    * (span_tokens_cut + share). Composes the two proven APPLY plans —
+    * the per-source rollup is exactly what those cuts cost each
+    * supplier, not a re-derivation that could drift. The inventory
+    * entry runs over the q124 mirror view (the raw corpus has zero
+    * exact dups); mirrored copies lose both screens to their original
+    * — the bill lands on the ROTATED source exactly as a mirrored
+    * crawl's would.
+    *
+    * Scale shape: the election and the span chain are the q42/q107
+    * shapes unchanged; the extra cost is two linear doc_id equi-joins
+    * and ONE map-side source rollup to dimension-sized output. Null
+    * sources group as their own row (ordered first, pinned in the
+    * oracle). */
+  def dedupImpactBySource(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.dedupedCorpus(docs).select("doc_id", "keep"), Seq("doc_id"))
+      .join(spanCut(docs).select("doc_id", "n_tokens", "tokens_cut"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("exact_dupes"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("tokens_cut")).as("span_tokens_cut"))
+      .withColumn("exact_dup_bp", expr("(10000 * exact_dupes) DIV n_docs"))
+      .withColumn("span_cut_bp", expr(
+        "coalesce((10000 * span_tokens_cut) DIV nullif(n_tokens, 0), 0)"))
+      .select("source", "n_docs", "exact_dupes", "exact_dup_bp",
+        "n_tokens", "span_tokens_cut", "span_cut_bp")
+      .orderBy("source")
 
   /** q83 block width (tokens per block) — shared with the oracle SQL. */
   val BlockTokens = 8

@@ -1083,6 +1083,60 @@ class DedupSpec extends AnyFunSuite {
       "the raw corpus carries no cross-source duplicate fingerprints")
   }
 
+  test("source near-overlap folds candidate pairs into unordered source cells, conserving the total") {
+    val df = Seq(
+      (1L, base, "srcA"), (2L, base, "srcB"),
+      (3L, nearDup, "srcA"), (4L, distinctDoc, "srcB")
+    ).toDF("doc_id", "text", "source")
+    val srcOf = Map(1L -> "srcA", 2L -> "srcB", 3L -> "srcA", 4L -> "srcB")
+    val cand = Dedup.minhashCandidatePairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cand
+      .map { case (a, b) =>
+        val (s1, s2) = (srcOf(a), srcOf(b))
+        (Seq(s1, s2).min, Seq(s1, s2).max)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val out = Dedup.sourceNearOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs")).toMap
+    assert(out.keySet == Set(("srcA", "srcA"), ("srcA", "srcB"), ("srcB", "srcB")),
+      "full matrix incl. diagonal over both sources")
+    expected.foreach { case (cell, n) => assert(out(cell) == n, s"cell $cell") }
+    assert(out.values.sum == cand.length.toLong,
+      "the matrix conserves the candidate pair total")
+  }
+
+  test("q127 composes the q42 election and q107 span cut, bill conserved per screen") {
+    val real = Dedup.sourceMirrorView(Tables.documents(spark, "/root/testdata/sf0.001"))
+    val out = Dedup.dedupImpactBySource(real).collect()
+    val totalExactDupes = out.map(_.getAs[Long]("exact_dupes")).sum
+    val totalSpanCut = out.map(_.getAs[Long]("span_tokens_cut")).sum
+    val electionDupes = TextAnalysis.dedupedCorpus(real).collect()
+      .count(!_.getAs[Boolean]("keep")).toLong
+    val spanTotal = Dedup.spanCut(real).collect()
+      .map(_.getAs[Long]("tokens_cut")).sum
+    assert(totalExactDupes == electionDupes,
+      "per-source exact dupes must sum to the q42 election's losers")
+    assert(totalSpanCut == spanTotal,
+      "per-source span cuts must sum to the q107 bill")
+    assert(totalExactDupes > 0L, "the mirror view must produce real exact dupes")
+    // every mirrored copy loses to its original, so the bill lands on
+    // the rotated source: all 20 sources carry mirrored content
+    assert(out.forall(_.getAs[Long]("exact_dupes") > 0L),
+      "every source receives mirrored copies under the rotation")
+  }
+
+  test("q127 attributes an exact dupe to the LOSER's source") {
+    val df = Seq(
+      (1L, "the winning copy of this text", "srcA"),
+      (9L, "the winning copy of this text", "srcB"), // loser: larger id
+      (5L, "unrelated other content here", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.dedupImpactBySource(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("exact_dupes")).toMap
+    assert(m == Map("srcA" -> 0L, "srcB" -> 1L))
+  }
+
   test("cluster quality audit exposes the weak edge in a chained cluster") {
     // 1 = 2 exact copies (edge at 10000 bp); 3 near-dups them (one word
     // changed) — transitive closure merges all three; the 3-edges are

@@ -261,8 +261,12 @@ object SparkEntry {
       Dedup.dedupImpactBySource(Dedup.sourceMirrorView(Tables.documents(s, d)))),
     "q125_cluster_quality" -> ((s, d) =>
       Dedup.clusterQualityAudit(Tables.documents(s, d))),
+    "q125b_verified_clusters" -> ((s, d) =>
+      Dedup.verifiedClusters(Tables.documents(s, d))),
     "q126_quality_sweep" -> ((s, d) =>
       TextAnalysis.qualityThresholdSweep(Tables.documents(s, d))),
+    "q128_metadata_fix" -> ((s, d) =>
+      TextAnalysis.metadataFix(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d))),
     "q117b_temperature_sample" -> ((s, d) =>
@@ -780,6 +784,55 @@ object SparkEntry {
        |CAST(SUM(cut) AS BIGINT) AS span_tokens_cut,
        |CAST(coalesce((10000 * SUM(cut)) // nullif(SUM(n_tokens), 0), 0) AS BIGINT) AS span_cut_bp
        |FROM r GROUP BY 1 ORDER BY source NULLS FIRST""".stripMargin
+
+  /** q125b's oracle: the q57 recursive reachability over the VERIFIED
+    * edge set — band candidates that pass the exact-Jaccard bar. */
+  private def verifiedClustersSql: String =
+    s"""${minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |ver AS (SELECT c.doc_a, c.doc_b
+       |FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+       |WHERE (10000 * CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT)) //
+       |nullif(CAST(len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT), 0)
+       |>= ${graft.operators.Dedup.VerifiedEdgeBp}),
+       |e2 AS (SELECT doc_a, doc_b FROM ver UNION ALL SELECT doc_b, doc_a FROM ver),
+       |reach(doc_id, label) AS (
+       |SELECT doc_id, doc_id FROM documents
+       |UNION
+       |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
+       |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q128's oracle: the q46 chain + greatest(c_*) as the evidence
+    * count, the same fix rules (chars unconditional, lang gated on
+    * pred_hits ≥ 1, null verdicts read as no-fix), changed rows
+    * only. */
+  private def metadataFixSql: String =
+    """WITH t2 AS (SELECT doc_id, lang, n_chars, computed_chars,
+      |greatest(c_en, c_de, c_es, c_fr, c_zh) AS pred_hits, CASE
+      |WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+      |WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+      |WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+      |WHEN c_fr >= c_zh THEN 'fr'
+      |ELSE 'zh' END AS predicted_lang
+      |FROM (SELECT doc_id, lang, n_chars, length(text) AS computed_chars,
+      |(length(p) - length(replace(p, ' the ', ''))) // 5 AS c_en,
+      |(length(p) - length(replace(p, ' und ', ''))) // 5 AS c_de,
+      |(length(p) - length(replace(p, ' los ', ''))) // 5 AS c_es,
+      |(length(p) - length(replace(p, ' les ', ''))) // 5 AS c_fr,
+      |(length(p) - length(replace(p, ' 的 ', ''))) // 3 AS c_zh
+      |FROM (SELECT doc_id, lang, n_chars, text, ' ' || text || ' ' AS p FROM documents) t0) t1),
+      |f AS (SELECT doc_id, lang, predicted_lang,
+      |coalesce(lang <> predicted_lang AND pred_hits >= 1, false) AS lang_fixed,
+      |n_chars, computed_chars,
+      |NOT (n_chars IS NOT DISTINCT FROM computed_chars) AS chars_fixed
+      |FROM t2)
+      |SELECT doc_id, lang,
+      |CASE WHEN lang_fixed THEN predicted_lang ELSE lang END AS fixed_lang,
+      |lang_fixed, n_chars, CAST(computed_chars AS BIGINT) AS fixed_n_chars, chars_fixed
+      |FROM f WHERE lang_fixed OR chars_fixed ORDER BY doc_id""".stripMargin
 
   /** q126's oracle: the q38 alpha expression and q39 BPE-ish token
     * count, histogrammed on alpha_bp; totals from the histogram; arms
@@ -3477,7 +3530,9 @@ object SparkEntry {
     "q124b_source_near_overlap" -> sourceNearOverlapSql,
     "q127_dedup_impact" -> dedupImpactSql,
     "q125_cluster_quality" -> clusterQualitySql,
+    "q125b_verified_clusters" -> verifiedClustersSql,
     "q126_quality_sweep" -> qualitySweepSql,
+    "q128_metadata_fix" -> metadataFixSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql(),

@@ -510,6 +510,40 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** minimum exact Jaccard (bp) for a candidate edge to enter the
+    * verified clustering — shared with the oracle SQL. */
+  val VerifiedEdgeBp = 5000L
+
+  /** q125b: VERIFIED CLUSTERS — the canonical three-step near-dup
+    * pipeline (LSH proposes → exact Jaccard DECIDES → connected
+    * components), the production refinement of q57: clustering raw
+    * band candidates chains on every band collision (the failure q125
+    * measures), while clustering only edges at ≥ [[VerifiedEdgeBp]]
+    * exact word-shingle Jaccard bounds every link's quality BEFORE
+    * transitivity amplifies it — the MinHashLSH-then-verify shape of
+    * published dedup pipelines (SimDedup/RefinedWeb). Same columns as
+    * q57 so downstream elections run unchanged. Refinement law
+    * (spec-pinned): every verified cluster is contained in one q57
+    * cluster — dropping edges can only SPLIT components, never merge.
+    *
+    * Scale shape: q33's candidate scoring (banded pairs + two linear
+    * shingle-set joins, never all pairs) feeding q57's verified
+    * fixpoint — both proven plans; the filter adds zero exchanges. */
+  def verifiedClusters(docs: DataFrame, k: Int = 3,
+                       minJaccardBp: Long = VerifiedEdgeBp): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+    val verified = minhashCandidatePairs(docs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(expr("(10000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)) DIV " +
+        s"nullif(CAST(size(array_union(sh_a, sh_b)) AS BIGINT), 0) >= $minJaccardBp"))
+      .select("doc_a", "doc_b")
+    propagateLabels(docs, verified)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** q127: PER-SOURCE DEDUP IMPACT — the redundancy BILL by source,
     * the number a curation team reads before renegotiating a data
     * source ("src5 is 9% mirrored content; dedup will cut it"): per

@@ -25,7 +25,8 @@ object TextAnalysis {
   /** per-document marker-count language prediction, appended as a
     * `predicted_lang` column — shared by q37 (confusion counts), q46
     * (declared-vs-content consistency) and the q55 composite pipeline. */
-  private[operators] def withPredictedLang(documents: DataFrame): DataFrame = {
+  private[operators] def withPredictedLang(documents: DataFrame,
+                                           keepHits: Boolean = false): DataFrame = {
     val withP = documents.withColumn("__p", concat(lit(" "), col("text"), lit(" ")))
     val withCounts = LangMarkers.foldLeft(withP) { case (df, (l, m)) =>
       df.withColumn(s"c_$l",
@@ -38,7 +39,14 @@ object TextAnalysis {
         val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
         acc.when(col(s"c_$l") >= restMax, l)
     }.otherwise(langs.last)
-    withCounts.withColumn("predicted_lang", pred)
+    // the winner is the argmax, so its marker count IS the max — the
+    // q128 evidence gate reads it without re-deriving the election
+    val withHits =
+      if (keepHits)
+        withCounts.withColumn("pred_hits",
+          greatest(langs.map(l => col(s"c_$l")): _*).cast(LongType))
+      else withCounts
+    withHits.withColumn("predicted_lang", pred)
       .drop("__p" +: langs.map(l => s"c_$l"): _*)
   }
 
@@ -66,6 +74,45 @@ object TextAnalysis {
       .withColumn("lang_match", col("lang") === col("predicted_lang"))
       .withColumn("chars_match", col("n_chars") === col("computed_chars"))
       .filter(!col("lang_match") || !col("chars_match"))
+      .orderBy("doc_id")
+
+  /** q128: METADATA FIX APPLY — the rewrite q46 plans, the shape of
+    * the reference's whole fix/ directory (diagnose a
+    * declared-vs-content mismatch, then UPDATE the resource; q46 only
+    * reports): per mismatching doc the corrected metadata —
+    * `n_chars` := the computed length (content is ground truth for a
+    * derivable field, unconditionally), `lang` := the predicted
+    * language but ONLY under positive marker evidence (pred_hits ≥ 1;
+    * a prediction that won by default on a marker-less text is no
+    * evidence, so the declared value stands — the conservative gate a
+    * curation team signs off). Emits ONLY changed rows — the q43
+    * MERGE input, exactly the reference's update-the-affected loop.
+    * Cite: reference src/trace/fix/check_image_stimulus_match.py,
+    * check_nwb_stimulus_match.py (declared-vs-content repair).
+    *
+    * Scale shape: one row-local scan (the q46 kernel + the evidence
+    * gate), a mismatch-sized output, no exchange beyond the output
+    * sort. */
+  def metadataFix(documents: DataFrame): DataFrame =
+    withPredictedLang(documents, keepHits = true)
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("pred_hits"), col("n_chars"),
+        length(col("text")).cast(LongType).as("computed_chars"))
+      // coalesce: a null text nulls the marker counts (pred_hits ≥ 1 →
+      // NULL), and a NULL verdict must read as "no fix", not propagate
+      .withColumn("lang_fixed", coalesce(
+        col("lang") =!= col("predicted_lang") && col("pred_hits") >= 1L,
+        lit(false)))
+      .withColumn("chars_fixed", !(col("n_chars") <=> col("computed_chars")))
+      .filter(col("lang_fixed") || col("chars_fixed"))
+      .select(col("doc_id"),
+        col("lang"),
+        when(col("lang_fixed"), col("predicted_lang")).otherwise(col("lang"))
+          .as("fixed_lang"),
+        col("lang_fixed"),
+        col("n_chars"),
+        col("computed_chars").as("fixed_n_chars"),
+        col("chars_fixed"))
       .orderBy("doc_id")
 
   /** the q38 kernel in append form (all other columns ride through):
@@ -407,7 +454,7 @@ object TextAnalysis {
                 dsirModel: Dsir.DsirModel,
                 benchWindowHashes: Seq[Long] = Nil): DataFrame =
     documents
-      .transform(withPredictedLang)
+      .transform(withPredictedLang(_))
       .transform(withQualityCols)
       .transform(withTokenCountCols)
       .transform(withRepetitionCols)

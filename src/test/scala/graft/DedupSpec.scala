@@ -1152,6 +1152,34 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("mean_edge_jaccard_bp") >= r.getAs[Long]("min_edge_jaccard_bp"))
   }
 
+  test("verified clustering keeps strong edges and splits below the bar") {
+    // 1-2 exact (10000 bp); 1-3/2-3 near (~9000 bp: one word of 61).
+    // Default bar (5000) keeps the chain; a 9500 bar cuts the weak
+    // edges and 3 becomes its own cluster — the knob a curator turns
+    // when q125 reads min ≪ mean.
+    val loose = Dedup.verifiedClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose(1L) == 1L && loose(2L) == 1L && loose(3L) == 1L && loose(4L) == 4L)
+    val strict = Dedup.verifiedClusters(docs, minJaccardBp = 9500L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strict(1L) == 1L && strict(2L) == 1L,
+      "the exact-dup edge survives any bar <= 10000")
+    assert(strict(3L) == 3L, "the near-dup edge must not survive a 9500 bar")
+  }
+
+  test("verified clusters refine q57: dropping edges can only split, never merge") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val q57 = Dedup.nearDupClusters(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ver = Dedup.verifiedClusters(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    ver.groupBy(_._2).foreach { case (vc, members) =>
+      val q57Labels = members.map { case (id, _) => q57(id) }.distinct
+      assert(q57Labels.length == 1,
+        s"verified cluster $vc spans q57 clusters $q57Labels — refinement violated")
+    }
+  }
+
   test("cluster audit laws on real data: members match q57, spanning edges, min <= mean") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val audit = Dedup.clusterQualityAudit(real).collect()

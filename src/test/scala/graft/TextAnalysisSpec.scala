@@ -152,6 +152,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       "zero tokens must yield NULL, never a division error")
   }
 
+  test("metadata fix: chars unconditional, lang gated on evidence, changed rows only") {
+    val docs = Seq(
+      // wrong lang WITH evidence (the/the markers) + right chars → lang fix only
+      (1L, "the cat and the dog see the bird", "de", 32L),
+      // wrong lang, NO marker evidence (no markers at all) → no row
+      (2L, "alpha beta gamma delta epsilon", "de", 30L),
+      // right lang, wrong declared chars → chars fix only
+      (3L, "the cat sat on the mat right there", "en", 999L),
+      // null text: chars fix to NULL, lang never fixed
+      (4L, null.asInstanceOf[String], "en", 10L),
+      // everything consistent → no row
+      (5L, "the quick brown fox and the hen", "en", 31L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextAnalysis.metadataFix(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 3L, 4L), s"got ${out.keySet}")
+    assert(out(1L).getAs[String]("fixed_lang") == "en"
+      && out(1L).getAs[Boolean]("lang_fixed")
+      && !out(1L).getAs[Boolean]("chars_fixed"))
+    assert(out(3L).getAs[String]("fixed_lang") == "en"
+      && !out(3L).getAs[Boolean]("lang_fixed")
+      && out(3L).getAs[Boolean]("chars_fixed")
+      && out(3L).getAs[Long]("fixed_n_chars") == 34L)
+    assert(out(4L).getAs[String]("fixed_lang") == "en"
+      && !out(4L).getAs[Boolean]("lang_fixed")
+      && out(4L).isNullAt(out(4L).fieldIndex("fixed_n_chars")),
+      "a null text fixes chars to NULL (undefined), never relabels the lang")
+  }
+
   test("quality sweep: monotone in the threshold, exact at arm 0, honest totals") {
     // three scorable docs (alpha 10000, ~8000, low) + one null-text doc
     // that counts in the totals but survives no arm

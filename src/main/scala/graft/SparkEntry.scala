@@ -313,7 +313,9 @@ object SparkEntry {
       Similarity.clusterDrift(emb, Similarity.vecReleaseView(emb),
         Similarity.ivfCentroids(emb, 16))
     }),
-    "q105b_bpe_fertility" -> ((s, d) => Bpe.bpeFertility(Tables.documents(s, d)))
+    "q105b_bpe_fertility" -> ((s, d) => Bpe.bpeFertility(Tables.documents(s, d))),
+    "q129_vector_health" -> ((s, d) =>
+      Similarity.vectorHealth(Similarity.vecCorruptView(Tables.embeddings(s, d))))
   )
 
   /** q99's type domain + schema registry: the documents corpus's five
@@ -804,6 +806,28 @@ object SparkEntry {
        |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q129's oracle: the SAME corruption view (DuckDB lambdas index
+    * 1-based where Spark's index 0-based — the injected-NaN position
+    * is the same first element) and the same integer verdicts. */
+  private def vectorHealthSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |CASE WHEN vec_id % 101 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+      |WHEN vec_id % 103 = 0 THEN list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST('NaN' AS FLOAT) ELSE x END)
+      |WHEN vec_id % 107 = 0 THEN embedding[1:4]
+      |ELSE embedding END AS emb FROM embeddings),
+      |h AS (SELECT label, emb IS NULL AS is_null, CAST(len(emb) AS BIGINT) AS dim,
+      |coalesce(list_bool_or(list_transform(emb, x -> isnan(x) OR isinf(x))), false) AS has_nonfinite,
+      |coalesce(NOT list_bool_or(list_transform(emb, x -> x <> CAST(0.0 AS FLOAT) OR isnan(x))), false) AS is_zero
+      |FROM v)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |CAST(COUNT(*) FILTER (WHERE is_null) AS BIGINT) AS n_null,
+      |CAST(COUNT(*) FILTER (WHERE is_zero) AS BIGINT) AS n_zero,
+      |CAST(COUNT(*) FILTER (WHERE has_nonfinite) AS BIGINT) AS n_nonfinite,
+      |MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+      |(COUNT(*) FILTER (WHERE is_null) + COUNT(*) FILTER (WHERE is_zero)
+      | + COUNT(*) FILTER (WHERE has_nonfinite)) = 0 AND MIN(dim) = MAX(dim) AS healthy
+      |FROM h GROUP BY 1 ORDER BY label""".stripMargin
 
   /** q128's oracle: the q46 chain + greatest(c_*) as the evidence
     * count, the same fix rules (chars unconditional, lang gated on
@@ -3533,6 +3557,7 @@ object SparkEntry {
     "q125b_verified_clusters" -> verifiedClustersSql,
     "q126_quality_sweep" -> qualitySweepSql,
     "q128_metadata_fix" -> metadataFixSql,
+    "q129_vector_health" -> vectorHealthSql,
     "q111_vocab_drift" -> vocabDriftSql,
     "q112_boilerplate" -> boilerplateSql,
     "q113_contamination_spans" -> contaminationSpansSql(),

@@ -1303,6 +1303,59 @@ object Similarity {
         when(pmod(col("vec_id"), lit(7)) === 0, reverse(col("embedding")))
           .otherwise(col("embedding")))
 
+  /** the q129 inventory fixture: the synthetic store is perfectly
+    * healthy, so the audit over it is all-pass — this deterministic
+    * CORRUPTION view (vec_id % 101 → zeroed vector, % 103 → NaN in
+    * position 0, % 107 → truncated to 4 dims; first matching rule
+    * wins) gives every failure column real mass, the q108/q66/q124
+    * injected-fixture discipline, mirrored literally in the oracle.
+    * The operator takes any (label, embedding) frame. */
+  def vecCorruptView(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(101)) === 0,
+          expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+        .when(pmod(col("vec_id"), lit(103)) === 0,
+          expr("transform(embedding, (x, i) -> " +
+            "CASE WHEN i = 0 THEN CAST('NaN' AS FLOAT) ELSE x END)"))
+        .when(pmod(col("vec_id"), lit(107)) === 0, expr("slice(embedding, 1, 4)"))
+        .otherwise(col("embedding")))
+
+  /** q129: VECTOR STORE HEALTH — the validation card a deployment runs
+    * before trusting an embedding store (the vector twin of q21's
+    * schema validation): per label, the vectors that would poison
+    * downstream similarity math — NULL embeddings, all-zero vectors
+    * (cosine undefined: zero norm), non-finite components (NaN/Inf
+    * propagate through every dot product), and dimension drift
+    * (min/max observed dims — a truncated vector silently breaks
+    * ADC/codebook indexing long before it errors). Every verdict is an
+    * integer count, exact in both engines; the norm itself (a float)
+    * never ships.
+    *
+    * Scale shape: pure row-local predicates over one scan + one
+    * map-side-combined label rollup to dimension-sized output — no
+    * join, no window. NaN compares under both engines' total float
+    * order (NaN ≠ 0 holds in each), so the zero/NaN verdicts agree
+    * exactly. */
+  def vectorHealth(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        col("embedding").isNull.as("is_null"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("coalesce(exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT)), false)")
+          .as("has_nonfinite"),
+        expr("coalesce(NOT exists(embedding, x -> x <> CAST(0.0 AS FLOAT) OR isnan(x)), false)")
+          .as("is_zero"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"))
+      .withColumn("healthy",
+        col("n_null") + col("n_zero") + col("n_nonfinite") === 0L
+          && col("min_dim") === col("max_dim"))
+      .orderBy("label")
+
   /** q106: CLUSTER DRIFT between corpus releases — the release-audit
     * the q64 doc diff cannot see (a re-embedded doc with unchanged
     * text moves in vector space): per cell of ONE frozen model (drift

@@ -83,6 +83,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(changed > 400, s"reversal should re-key nearly every vector, got $changed/500")
   }
 
+  test("vector health: clean store passes, every corruption rule is seen, nulls counted") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    // the raw store is healthy on every row of the card
+    val clean = Similarity.vectorHealth(emb).collect()
+    assert(clean.nonEmpty && clean.forall(_.getAs[Boolean]("healthy")))
+    assert(clean.forall(r => r.getAs[Long]("min_dim") == 64L
+      && r.getAs[Long]("max_dim") == 64L))
+    // the corruption view gives each failure column exactly the mass
+    // the first-match-wins id rules inject
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val nZero = ids.count(_ % 101 == 0).toLong
+    val nNan = ids.count(i => i % 103 == 0 && i % 101 != 0).toLong
+    val nShort = ids.count(i => i % 107 == 0 && i % 101 != 0 && i % 103 != 0).toLong
+    val audit = Similarity.vectorHealth(Similarity.vecCorruptView(emb)).collect()
+    assert(audit.map(_.getAs[Long]("n_zero")).sum == nZero)
+    assert(audit.map(_.getAs[Long]("n_nonfinite")).sum == nNan)
+    assert(audit.forall(r => r.getAs[Long]("min_dim") == 64L ||
+      (r.getAs[Long]("min_dim") == 4L && !r.getAs[Boolean]("healthy"))),
+      "a label holding a truncated vector reads min_dim 4 and fails")
+    assert(nShort == 0L || audit.exists(_.getAs[Long]("min_dim") == 4L),
+      "the truncation rule must be visible in the card")
+    // a null embedding is its own failure class, not a crash
+    import spark.implicits._
+    val withNull = Seq((1L, Array(1.0f, 2.0f), 0), (2L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.vectorHealth(withNull).collect().head
+    assert(r.getAs[Long]("n_null") == 1L && !r.getAs[Boolean]("healthy"))
+  }
+
   test("release stores: registered once, probed per batch, never rebuilt") {
     import graft.sources.IndexCatalog
     val docs = Tables.documents(spark, sfDir)

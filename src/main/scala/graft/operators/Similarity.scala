@@ -1320,6 +1320,20 @@ object Similarity {
         .when(pmod(col("vec_id"), lit(107)) === 0, expr("slice(embedding, 1, 4)"))
         .otherwise(col("embedding")))
 
+  /** the q129 per-vector verdicts in append-free projection form —
+    * shared by the label rollup and the ingest-door gate
+    * ([[graft.streaming.VecStreams.vectorHealthLookup]]), so the two
+    * cannot drift. Pure row-local. */
+  private[graft] def withHealthCols(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("*"),
+        col("embedding").isNull.as("is_null"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("coalesce(exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT)), false)")
+          .as("has_nonfinite"),
+        expr("coalesce(NOT exists(embedding, x -> x <> CAST(0.0 AS FLOAT) OR isnan(x)), false)")
+          .as("is_zero"))
+
   /** q129: VECTOR STORE HEALTH — the validation card a deployment runs
     * before trusting an embedding store (the vector twin of q21's
     * schema validation): per label, the vectors that would poison
@@ -1337,14 +1351,7 @@ object Similarity {
     * order (NaN ≠ 0 holds in each), so the zero/NaN verdicts agree
     * exactly. */
   def vectorHealth(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("label"),
-        col("embedding").isNull.as("is_null"),
-        size(col("embedding")).cast("long").as("dim"),
-        expr("coalesce(exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT)), false)")
-          .as("has_nonfinite"),
-        expr("coalesce(NOT exists(embedding, x -> x <> CAST(0.0 AS FLOAT) OR isnan(x)), false)")
-          .as("is_zero"))
+    withHealthCols(embeddings)
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),

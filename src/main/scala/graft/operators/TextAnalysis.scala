@@ -94,6 +94,19 @@ object TextAnalysis {
     * gate), a mismatch-sized output, no exchange beyond the output
     * sort. */
   def metadataFix(documents: DataFrame): DataFrame =
+    metadataFixRowLocal(documents)
+      .filter(col("lang_fixed") || col("chars_fixed"))
+      .orderBy("doc_id")
+
+  /** the q128 kernel without the changed-row filter or the sort —
+    * EVERY doc emits its (possibly identical) repaired metadata. This
+    * is the ingest-door form ([[graft.streaming.DocStreams
+    * .metadataFixLookup]]): a door lands documents, it doesn't emit a
+    * report, so unchanged docs pass through with their declared
+    * values and the flags read false. Pure row-local — trivially
+    * micro-batch invariant. ONE definition with the batch operator so
+    * the two cannot drift. */
+  def metadataFixRowLocal(documents: DataFrame): DataFrame =
     withPredictedLang(documents, keepHits = true)
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
         col("pred_hits"), col("n_chars"),
@@ -104,7 +117,6 @@ object TextAnalysis {
         col("lang") =!= col("predicted_lang") && col("pred_hits") >= 1L,
         lit(false)))
       .withColumn("chars_fixed", !(col("n_chars") <=> col("computed_chars")))
-      .filter(col("lang_fixed") || col("chars_fixed"))
       .select(col("doc_id"),
         col("lang"),
         when(col("lang_fixed"), col("predicted_lang")).otherwise(col("lang"))
@@ -113,7 +125,6 @@ object TextAnalysis {
         col("n_chars"),
         col("computed_chars").as("fixed_n_chars"),
         col("chars_fixed"))
-      .orderBy("doc_id")
 
   /** the q38 kernel in append form (all other columns ride through):
     * `computed_chars` (named as q46's declared-vs-computed column — the

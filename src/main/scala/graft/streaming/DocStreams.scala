@@ -314,6 +314,17 @@ object DocStreams {
                      windowTokens: Int = 8): DataFrame =
     graft.operators.Dedup.decontamApplyRowLocal(docs, benchHashes, windowTokens)
 
+  /** the q128 plan at the ingest door: each arriving document lands
+    * with its metadata already repaired (chars from content
+    * unconditionally, lang only under positive marker evidence — the
+    * SAME row-local kernel as the batch operator, so the door and the
+    * batch fix cannot drift). Every doc emits; unchanged docs pass
+    * through with their declared values and false flags. Pure
+    * row-local ⇒ micro-batch invariant by construction (spec-proven
+    * through a real file source). */
+  def metadataFixLookup(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.metadataFixRowLocal(docs)
+
   /** the q117 plan at the ingest door: frozen per-language rates
     * ([[graft.operators.Corpus.temperatureRates]]) applied by the
     * stateless hash-threshold idiom — each arriving doc's verdict is a

@@ -51,6 +51,21 @@ object VecStreams {
   def clusterAssignStream(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
     Similarity.clusterAssignWithModel(vecs, cents)
 
+  /** the q129 verdicts at the vector-ingest door: every arriving
+    * vector carries its health flags (null / zero-norm / non-finite /
+    * dim), so a deployment quarantines poison vectors BEFORE they
+    * reach the store, the index writer, or any dot product — the
+    * gate the q129 batch card audits after the fact. The SAME
+    * row-local kernel as the batch rollup ([[Similarity
+    * .withHealthCols]] — one definition, no drift); stateless ⇒
+    * micro-batch invariant. */
+  def vectorHealthLookup(vecs: DataFrame): DataFrame =
+    Similarity.withHealthCols(vecs)
+      .withColumn("vec_ok",
+        !org.apache.spark.sql.functions.col("is_null")
+          && !org.apache.spark.sql.functions.col("is_zero")
+          && !org.apache.spark.sql.functions.col("has_nonfinite"))
+
   /** ingest-time VECTOR REPORT (the vecReport frame's stream twin):
     * one pass per arriving vector computes cell + centroid cosine +
     * packed PQ code + reconstruction error against the frozen model

@@ -1048,4 +1048,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       "the door's verdicts must reproduce the batch q108 verbatim")
   }
+
+  test("streaming metadata-fix door repairs every arriving doc exactly as batch q128") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfixstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.DocStreams.metadataFixLookup(
+        graft.streaming.DocStreams.readDocStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mfix_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("mfix_out").collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("fixed_lang"),
+        r.getAs[Boolean]("lang_fixed"), r.getAs[Boolean]("chars_fixed"))).toMap
+    // the door emits EVERY doc; its changed subset is exactly batch q128
+    assert(got.size == docs.count())
+    val batch = graft.operators.TextAnalysis.metadataFix(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("fixed_lang"),
+        r.getAs[Boolean]("lang_fixed"), r.getAs[Boolean]("chars_fixed"))).toMap
+    batch.foreach { case (id, v) => assert(got(id) == v, s"doc $id") }
+    got.filterNot { case (id, _) => batch.contains(id) }.foreach { case (id, v) =>
+      assert(!v._2 && !v._3, s"doc $id passed the door but claims a fix")
+    }
+  }
+
+  test("streaming vector-health door flags exactly what the batch q129 card counts") {
+    val emb = graft.operators.Similarity.vecCorruptView(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vhstream").toString
+    emb.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.VecStreams.vectorHealthLookup(
+        graft.streaming.VecStreams.readVecStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vh_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("vh_out").collect()
+    // door flags roll up to exactly the batch card's counts
+    val nZero = got.count(_.getAs[Boolean]("is_zero")).toLong
+    val nBad = got.count(_.getAs[Boolean]("has_nonfinite")).toLong
+    val nOk = got.count(_.getAs[Boolean]("vec_ok")).toLong
+    val card = graft.operators.Similarity.vectorHealth(emb).collect()
+    assert(nZero == card.map(_.getAs[Long]("n_zero")).sum)
+    assert(nBad == card.map(_.getAs[Long]("n_nonfinite")).sum)
+    assert(nOk == card.map(_.getAs[Long]("n_vecs")).sum -
+      card.map(r => r.getAs[Long]("n_null") + r.getAs[Long]("n_zero")
+        + r.getAs[Long]("n_nonfinite")).sum,
+      "vec_ok is the complement of the three failure classes")
+  }
 }

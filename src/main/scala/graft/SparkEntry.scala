@@ -143,6 +143,8 @@ object SparkEntry {
     "q50_stream_window" -> ((s, d) => EventOps.hourlyWindowAgg(Tables.events(s, d))),
     "q51_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d))),
+    "q130_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
+    "q131_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
     // format twins: the SAME oracle-checked operators over the SAME
     // rows, staged through CSV/JSON instead of parquet. The oracle
     // keeps reading parquet, so the driver's three-way hash check now
@@ -806,6 +808,49 @@ object SparkEntry {
        |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q130's oracle: the same first-touch min-chain — step i is the
+    * minimum epoch-µs of its type strictly after step i−1 and within
+    * the shared horizon; conversions by window lag over the 3-row
+    * reach frame. */
+  private def funnelSql: String = {
+    val h = graft.operators.EventOps.FunnelHorizonS * 1000000L
+    val steps = graft.operators.EventOps.FunnelSteps
+    s"""WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+       |WHERE event_type = '${steps(0)}' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+       |JOIN s1 ON e.user_id = s1.user_id
+       |WHERE e.event_type = '${steps(1)}' AND epoch_us(e.ts) > s1.t1
+       |AND epoch_us(e.ts) <= s1.t1 + $h GROUP BY 1),
+       |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+       |JOIN s2 ON e.user_id = s2.user_id
+       |WHERE e.event_type = '${steps(2)}' AND epoch_us(e.ts) > s2.t2
+       |AND epoch_us(e.ts) <= s2.t2 + $h GROUP BY 1),
+       |r AS (SELECT 1 AS step_idx, '${steps(0)}' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+       |UNION ALL SELECT 2, '${steps(1)}', CAST(COUNT(*) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, '${steps(2)}', CAST(COUNT(*) AS BIGINT) FROM s3),
+       |t AS (SELECT n_users AS n_top FROM r WHERE step_idx = 1)
+       |SELECT r.step_idx, r.step, r.n_users,
+       |CAST(coalesce((10000 * r.n_users) // nullif(lag(r.n_users) OVER (ORDER BY r.step_idx), 0), 10000) AS BIGINT) AS conv_prev_bp,
+       |CAST((10000 * r.n_users) // nullif(t.n_top, 0) AS BIGINT) AS conv_top_bp
+       |FROM r, t ORDER BY r.step_idx""".stripMargin
+  }
+
+  /** q131's oracle: Monday-truncated first-event cohorts, distinct
+    * (cohort, offset, user) activity, bp of the cohort size. */
+  private def retentionSql: String =
+    """WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |FROM events GROUP BY 1),
+      |cs AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users FROM f GROUP BY 1),
+      |a AS (SELECT DISTINCT f.cohort_week,
+      |CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+      |e.user_id
+      |FROM events e JOIN f ON e.user_id = f.user_id),
+      |g AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM a GROUP BY 1, 2)
+      |SELECT g.cohort_week, g.week_offset, cs.n_users, g.n_active,
+      |(10000 * g.n_active) // cs.n_users AS retained_bp
+      |FROM g JOIN cs USING (cohort_week) ORDER BY 1, 2""".stripMargin
 
   /** q129's oracle: the SAME corruption view (DuckDB lambdas index
     * 1-based where Spark's index 0-based — the injected-NaN position
@@ -3807,6 +3852,8 @@ object SparkEntry {
         |CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         |FROM (SELECT user_id, event_id, ts, value,
         |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t1) t2) t3
-        |GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin
+        |GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin,
+    "q130_funnel" -> funnelSql,
+    "q131_retention" -> retentionSql
   )
 }

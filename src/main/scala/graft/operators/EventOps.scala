@@ -49,6 +49,98 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** q130 funnel horizon: each step must follow the previous within
+    * this many seconds — shared with the oracle SQL. */
+  val FunnelHorizonS: Long = 7L * 24 * 3600
+
+  /** the q130 step sequence (first-touch semantics per step). */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q130: ORDERED FUNNEL — the classic product-analytics view the
+    * event surface lacked (q51 sessionizes, q50 windows; nothing
+    * answered "how many users progress view → click → purchase, and
+    * where do they fall out"): per step, the users whose FIRST
+    * qualifying chain reaches it — step i's timestamp is the MINIMUM
+    * ts of that type STRICTLY AFTER the user's step-i−1 time and
+    * within [[FunnelHorizonS]] of it (first-touch attribution; the
+    * deterministic min-chain makes the whole funnel hash-exact, no
+    * floats, no sampling). Output: step index/name, users reaching
+    * it, conversion from the previous step and from the top, in bp.
+    *
+    * Scale shape: ONE map-side conditional aggregate per step, each a
+    * groupBy(user_id) with the predicate riding the aggregate
+    * (min(CASE ...)), chained by user-keyed equi-joins — per-user
+    * state is ONE timestamp per step, never a collected event list
+    * (a bot user with 10⁹ events costs the aggregate combiner, not
+    * memory); the final rollup is step-dimension-sized. Timestamps
+    * never ship (the TIMESTAMP parity gotcha) — only counts do. */
+  def funnel(events: DataFrame): DataFrame = {
+    val horizonUs = FunnelHorizonS * 1000000L
+    // step 1: first 'view' per user; step i: the MIN step-i timestamp
+    // strictly after t(i−1) and within the horizon — each depth is the
+    // previous frame plus one user-keyed join + one map-side min
+    val s1 = events.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+    val depths = FunnelSteps.zipWithIndex.drop(1)
+      .scanLeft(s1) { case (acc, (step, i)) =>
+        events.filter(col("event_type") === step)
+          .select(col("user_id"), unix_micros(col("ts")).as("__t"))
+          .join(acc, Seq("user_id"))
+          .filter(col("__t") > col(s"t$i") && col("__t") <= col(s"t$i") + horizonUs)
+          .groupBy("user_id").agg(min(col("__t")).as(s"t${i + 1}"))
+      }
+    val reach = depths.zipWithIndex.map { case (frame, i) =>
+      frame.agg(count(lit(1)).as("n"))
+        .select(lit(i + 1).as("step_idx"),
+          lit(FunnelSteps(i)).as("step"), col("n").as("n_users"))
+    }.reduce(_ unionByName _)
+    val top = reach.filter(col("step_idx") === 1)
+      .select(col("n_users").as("n_top"))
+    reach
+      .withColumn("prev_users",
+        lag(col("n_users"), 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("step_idx")))
+      .crossJoin(broadcast(top))
+      .withColumn("conv_prev_bp",
+        expr("coalesce((10000 * n_users) DIV nullif(prev_users, 0), 10000)"))
+      .withColumn("conv_top_bp",
+        expr("(10000 * n_users) DIV nullif(n_top, 0)"))
+      .select("step_idx", "step", "n_users", "conv_prev_bp", "conv_top_bp")
+      .orderBy("step_idx")
+  }
+
+  /** q131: RETENTION COHORTS — the second classic the event surface
+    * lacked: users cohorted by the WEEK of their first event
+    * (Monday-truncated, both engines' date_trunc('week') agree), and
+    * for each week-offset since the cohort week, how many distinct
+    * cohort members were active (any event). Output is the cohort ×
+    * offset matrix with retention in bp of the cohort size — the
+    * curve a growth/ops review reads.
+    *
+    * Scale shape: first-event election is ONE map-side groupBy(user);
+    * the activity join is user-keyed (AQE-splittable); the (cohort,
+    * offset, user) distinct combines map-side; the final matrix is
+    * (weeks × offsets)-sized. Dates only (the TIMESTAMP gotcha). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val cohortSizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+      .join(firsts, Seq("user_id"))
+      .select(col("cohort_week"),
+        expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(cohortSizes), Seq("cohort_week"))
+      .withColumn("retained_bp", expr("(10000 * n_active) DIV n_users"))
+      .select("cohort_week", "week_offset", "n_users", "n_active", "retained_bp")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** q15: interval join — each purchase joined to the clicks that
     * preceded it within `gapSeconds`, per user. A naive range join is
     * quadratic per user; binning both sides into gap-width buckets

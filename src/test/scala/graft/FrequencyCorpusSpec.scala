@@ -174,6 +174,48 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(n == manual, s"report rows $n vs manual $manual")
   }
 
+  test("funnel: monotone reach, first-touch chain on a hand fixture, horizon enforced") {
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = EventOps.funnel(real).collect()
+    assert(out.map(_.getAs[String]("step")).toSeq == EventOps.FunnelSteps)
+    val reach = out.map(_.getAs[Long]("n_users")).toSeq
+    assert(reach == reach.sorted.reverse, "funnel reach can only shrink")
+    assert(out.head.getAs[Long]("conv_top_bp") == 10000L)
+    // hand fixture: u1 completes in order; u2 clicks BEFORE viewing
+    // (order violated → depth 1); u3 purchases outside the horizon
+    // (depth 2); u4 never views (depth 0)
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val h = EventOps.FunnelHorizonS
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "click", 1.0, "{}"), (5L, ts(1), 2L, "view", 1.0, "{}"),
+      (6L, ts(0), 3L, "view", 1.0, "{}"), (7L, ts(1), 3L, "click", 1.0, "{}"),
+      (8L, ts(1 + h / 60 + 10), 3L, "purchase", 1.0, "{}"),
+      (9L, ts(0), 4L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f = EventOps.funnel(ev).collect().map(r =>
+      r.getAs[String]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(f == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L),
+      s"got $f: u1 full chain, u2 re-views then stalls, u3 misses the horizon, u4 never enters")
+  }
+
+  test("retention cohorts: offsets non-negative, week-0 full, actives bounded by cohort") {
+    val out = EventOps.retentionCohorts(
+      Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L,
+        "no user can be active before their own first event")
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_users"))
+    }
+    val week0 = out.filter(_.getAs[Long]("week_offset") == 0L)
+    assert(week0.nonEmpty && week0.forall(r =>
+      r.getAs[Long]("n_active") == r.getAs[Long]("n_users")),
+      "every user is active in their own cohort week by definition")
+  }
+
   test("corpus card rolls up composition with consistent totals") {
     import spark.implicits._
     val good = (1 to 30).map(i => s"alpha$i").mkString(" ")  // quality text

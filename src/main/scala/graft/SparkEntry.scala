@@ -145,6 +145,7 @@ object SparkEntry {
     "q52_session_window" -> ((s, d) => EventOps.sessionWindowAgg(Tables.events(s, d))),
     "q130_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
     "q131_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
+    "q132_rate_bursts" -> ((s, d) => EventOps.rateBursts(Tables.events(s, d))),
     // format twins: the SAME oracle-checked operators over the SAME
     // rows, staged through CSV/JSON instead of parquet. The oracle
     // keeps reading parquet, so the driver's three-way hash check now
@@ -835,6 +836,19 @@ object SparkEntry {
        |CAST((10000 * r.n_users) // nullif(t.n_top, 0) AS BIGINT) AS conv_top_bp
        |FROM r, t ORDER BY r.step_idx""".stripMargin
   }
+
+  /** q132's oracle: the same (type, hour) count, baseline over
+    * observed hours, multiply-through per-mille comparison. */
+  private def rateBurstsSql: String =
+    s"""WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+       |CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hours_observed,
+       |CAST(SUM(n) AS BIGINT) AS total_n FROM h GROUP BY 1)
+       |SELECT h.event_type, h.hour_us, h.n, b.hours_observed, b.total_n,
+       |(1000 * h.n * b.hours_observed) // b.total_n AS ratio_pm
+       |FROM h JOIN b USING (event_type)
+       |WHERE (1000 * h.n * b.hours_observed) // b.total_n > ${graft.operators.EventOps.BurstThresholdPm}
+       |ORDER BY 1, 2""".stripMargin
 
   /** q131's oracle: Monday-truncated first-event cohorts, distinct
     * (cohort, offset, user) activity, bp of the cohort size. */
@@ -3854,6 +3868,7 @@ object SparkEntry {
         |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t1) t2) t3
         |GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin,
     "q130_funnel" -> funnelSql,
-    "q131_retention" -> retentionSql
+    "q131_retention" -> retentionSql,
+    "q132_rate_bursts" -> rateBurstsSql
   )
 }

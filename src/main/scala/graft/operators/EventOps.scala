@@ -109,6 +109,38 @@ object EventOps {
       .orderBy("step_idx")
   }
 
+  /** q132 burst bar: an hour is a burst when its count exceeds this
+    * many per-mille of the type's mean hourly rate (2000 = 2×). */
+  val BurstThresholdPm = 2000L
+
+  /** q132: RATE-BURST REPORT — the operational rate monitor beside
+    * q53's value-outlier fence (q53 asks "which VALUES are
+    * implausible"; this asks "which HOURS are" — ingestion storms,
+    * retry loops, scraper bursts): per (event_type, hour), the count
+    * against the type's mean hourly rate over its OBSERVED hours, in
+    * integer per-mille (ratio_pm = 1000·n·hours_observed ÷ total —
+    * the mean never materializes as a fraction, the q116 multiply-
+    * through rule), bursts = hours above [[BurstThresholdPm]]. Only
+    * burst hours ship — the report is incident-sized.
+    *
+    * Scale shape: ONE map-side (type, hour) count; the per-type
+    * baseline reduces the hour frame (timeline-sized, not
+    * corpus-sized) and broadcasts back onto it; no window, no
+    * corpus-sized join. */
+  def rateBursts(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val base = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("hours_observed"), sum(col("n")).as("total_n"))
+    hourly.join(broadcast(base), Seq("event_type"))
+      .withColumn("ratio_pm",
+        expr("(1000 * n * hours_observed) DIV total_n"))
+      .filter(col("ratio_pm") > BurstThresholdPm)
+      .select("event_type", "hour_us", "n", "hours_observed", "total_n", "ratio_pm")
+      .orderBy("event_type", "hour_us")
+  }
+
   /** q131: RETENTION COHORTS — the second classic the event surface
     * lacked: users cohorted by the WEEK of their first event
     * (Monday-truncated, both engines' date_trunc('week') agree), and

@@ -201,6 +201,33 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       s"got $f: u1 full chain, u2 re-views then stalls, u3 misses the horizon, u4 never enters")
   }
 
+  test("rate bursts: only above-bar hours ship, ratio integer-exact, hand fixture") {
+    val out = EventOps.rateBursts(
+      Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    out.foreach { r =>
+      val (n, hrs, tot) = (r.getAs[Long]("n"),
+        r.getAs[Long]("hours_observed"), r.getAs[Long]("total_n"))
+      assert(r.getAs[Long]("ratio_pm") == 1000L * n * hrs / tot)
+      assert(r.getAs[Long]("ratio_pm") > EventOps.BurstThresholdPm,
+        "every shipped hour is above the burst bar")
+    }
+    // hand fixture: type "a" idles at 1 event/hour for 10 hours then
+    // spikes to 20 in hour 11 → mean 30/11, spike ratio
+    // 1000·20·11/30 = 7333‰ ships; the quiet hours (366‰) do not.
+    // Type "b" is perfectly flat → no burst rows at all.
+    import spark.implicits._
+    def ts(hr: Long, mi: Long) = new java.sql.Timestamp(1700000000000L / 3600000L * 3600000L + hr * 3600000L + mi * 60000L)
+    val ev = ((0 until 10).map(h => (h.toLong, ts(h, 5), 1L, "a", 1.0, "{}")) ++
+      (0 until 20).map(i => (100L + i, ts(10, i), 1L, "a", 1.0, "{}")) ++
+      (0 until 6).map(h => (200L + h, ts(h, 0), 2L, "b", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.rateBursts(ev).collect()
+    assert(rows.length == 1, s"exactly the spike hour ships, got ${rows.length}")
+    assert(rows.head.getAs[String]("event_type") == "a" &&
+      rows.head.getAs[Long]("n") == 20L &&
+      rows.head.getAs[Long]("ratio_pm") == 7333L)
+  }
+
   test("retention cohorts: offsets non-negative, week-0 full, actives bounded by cohort") {
     val out = EventOps.retentionCohorts(
       Tables.events(spark, "/root/testdata/sf0.001")).collect()

@@ -80,6 +80,29 @@ object BenchScaleCurve {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  val EventStride = 100000000000L
+
+  /** replicate events `factor`× with offset event/user ids and an
+    * UNCHANGED timeline: replica k is an independent user population
+    * living through the identical hours, so per-user chain structure
+    * (funnel depths, cohort weeks, session gaps) and the per-hour rate
+    * profile match the base exactly while total scan/combine work is
+    * factor× — the linearity hypothesis for the event surface. q132's
+    * burst verdicts are provably factor-invariant (every hour count and
+    * total scale together, hours_observed fixed), so a changed report
+    * at 3×/10× is itself a correctness alarm. */
+  def scaledEvents(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.events(spark, baseDir)
+    (0 until factor).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("event_id") + lit(k * EventStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * EventStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def scaledEmbeddings(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
     val base = Tables.embeddings(spark, baseDir)
     (0 until factor).map { k =>
@@ -93,7 +116,9 @@ object BenchScaleCurve {
   def materialize(spark: SparkSession, baseDir: String, outDir: String,
                   factor: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_CURVE_OK")
-    if (java.nio.file.Files.exists(marker)) return
+    if (java.nio.file.Files.exists(marker)) {
+      ensureEvents(spark, baseDir, outDir, factor); return
+    }
     scaledDocuments(spark, baseDir, factor)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -104,6 +129,19 @@ object BenchScaleCurve {
       Tables.load(spark, baseDir, t).write.mode("overwrite")
         .parquet(s"$outDir/$t.parquet")
     }
+    java.nio.file.Files.createFile(marker)
+    ensureEvents(spark, baseDir, outDir, factor)
+  }
+
+  /** events joined the bucket after the first r11 curve runs — its own
+    * marker keeps materialize idempotent for buckets that predate it. */
+  private def ensureEvents(spark: SparkSession, baseDir: String,
+                           outDir: String, factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_CURVE_EVENTS_OK")
+    if (java.nio.file.Files.exists(marker)) return
+    scaledEvents(spark, baseDir, factor)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     java.nio.file.Files.createFile(marker)
   }
 

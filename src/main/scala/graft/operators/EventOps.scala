@@ -141,6 +141,21 @@ object EventOps {
       .orderBy("event_type", "hour_us")
   }
 
+  /** the q132 baseline as a FROZEN bounded model for the streaming
+    * door ([[graft.streaming.EventStreams.rateBurstMonitor]]): per
+    * event type its observed-hour count and total events over the
+    * reference window. Collects — legal under the bounded-model
+    * contract: the frame is event-type-dimension-sized at any corpus
+    * scale (the hour frame it reduces never leaves the cluster). */
+  def rateBaseline(events: DataFrame): Seq[(String, Long, Long)] =
+    events.groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("hours_observed"), sum(col("n")).as("total_n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
   /** q131: RETENTION COHORTS — the second classic the event surface
     * lacked: users cohorted by the WEEK of their first event
     * (Monday-truncated, both engines' date_trunc('week') agree), and

@@ -54,6 +54,44 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** q132 at the door: the rate-burst monitor over a FROZEN per-type
+    * baseline ([[graft.operators.EventOps.rateBaseline]], frozen from
+    * a reference window — the door twin of the batch report, which
+    * derives its baseline from the same frame it audits). Live events
+    * aggregate into 1-hour tumbling windows; each finished (type,
+    * hour) count is judged row-locally against the frozen baseline via
+    * literal maps — no post-aggregation join, so every streaming
+    * output mode stays legal — with the same multiply-through
+    * per-mille ratio as the batch operator.
+    *
+    * UNKNOWN-TYPE CONTRACT (the temperatureLookup lesson, inverted
+    * for a monitor): an event type ABSENT from the frozen baseline
+    * always ships, with known_type=false and a null ratio — a
+    * brand-new type firing at the door is itself the anomaly the
+    * monitor exists to surface, so the conservative posture here is
+    * alert, never silent drop. */
+  def rateBurstMonitor(events: DataFrame,
+                       baseline: Seq[(String, Long, Long)],
+                       thresholdPm: Long = graft.operators.EventOps.BurstThresholdPm): DataFrame = {
+    require(baseline.nonEmpty, "rateBurstMonitor needs a frozen baseline")
+    val hoursMap = map(baseline.flatMap { case (t, h, _) => Seq(lit(t), lit(h)) }: _*)
+    val totalMap = map(baseline.flatMap { case (t, _, n) => Seq(lit(t), lit(n)) }: _*)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("hour_us"), col("n"))
+      .withColumn("hours_observed", element_at(hoursMap, col("event_type")))
+      .withColumn("total_n", element_at(totalMap, col("event_type")))
+      .withColumn("known_type", col("hours_observed").isNotNull)
+      .withColumn("ratio_pm",
+        expr("(1000 * n * hours_observed) DIV total_n"))
+      .filter(!col("known_type") || col("ratio_pm") > thresholdPm)
+      .select("event_type", "hour_us", "n", "hours_observed", "total_n",
+        "ratio_pm", "known_type")
+  }
+
   /** Built-in gap-based session windows (30 min), streaming-capable. */
   def sessionWindows(events: DataFrame): DataFrame =
     events

@@ -39,6 +39,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming rate-burst monitor equals the batch report under the frozen baseline") {
+    val batchEvents = Tables.events(spark, sf)
+    val baseline = EventOps.rateBaseline(batchEvents)
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.rateBurstMonitor(stream, baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("burst_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("burst_out")
+      .orderBy("event_type", "hour_us").collect()
+    val batch = EventOps.rateBursts(batchEvents).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      Seq("event_type", "hour_us", "n", "hours_observed", "total_n",
+        "ratio_pm").foreach(c => assert(s.getAs[Any](c) == b.getAs[Any](c),
+        s"column $c: stream ${s.getAs[Any](c)} vs batch ${b.getAs[Any](c)}"))
+      assert(s.getAs[Boolean]("known_type"),
+        "a baseline frozen from the same window knows every type")
+    }
+    // a type ABSENT from the frozen baseline always alerts: re-run the
+    // monitor with the baseline restricted to one type — every hour of
+    // every other type must ship with known_type=false, null ratio
+    val oneType = baseline.take(1)
+    val q2 = EventStreams.rateBurstMonitor(
+        EventStreams.readEventStream(spark, eventsDir), oneType)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("burst_unknown")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val unknown = spark.table("burst_unknown")
+      .filter(!col("known_type")).collect()
+    val expectedUnknownHours = EventOps.rateBaseline(
+      batchEvents.filter(col("event_type") =!= oneType.head._1))
+      .map(_._2).sum
+    assert(unknown.length.toLong == expectedUnknownHours,
+      "every hour of every unplanned type ships")
+    unknown.foreach(r => assert(r.isNullAt(r.fieldIndex("ratio_pm"))))
+  }
+
   test("streaming corpus screen matches the batch pipeline's screen verdicts") {
     // stage documents as a single ordered file so first-arrival dedup
     // aligns with the batch min-doc_id canonical pick

@@ -268,6 +268,8 @@ object SparkEntry {
       Dedup.verifiedClusters(Tables.documents(s, d))),
     "q126_quality_sweep" -> ((s, d) =>
       TextAnalysis.qualityThresholdSweep(Tables.documents(s, d))),
+    "q133_split_leakage" -> ((s, d) =>
+      Dedup.splitLeakage(Tables.documents(s, d), valBp = 500, testBp = 500)),
     "q128_metadata_fix" -> ((s, d) =>
       TextAnalysis.metadataFix(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
@@ -809,6 +811,50 @@ object SparkEntry {
        |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b)
        |SELECT doc_id, MIN(label) AS cluster_id, doc_id = MIN(label) AS is_canonical
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q133's oracle: the q70 split hash + the q31 banding + the q33
+    * exact-Jaccard bar replayed over cross-split candidate pairs, then
+    * the severity-ranked (train < val < test) boundary rollup with all
+    * three boundaries zero-filled. */
+  private def splitLeakageSql: String = {
+    val q = graft.operators.Corpus.RateQuantum
+    s"""$minhashBandsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |sp AS (SELECT doc_id, CASE WHEN sh < ${500L * q} THEN 'test'
+       |WHEN sh < ${1000L * q} THEN 'val' ELSE 'train' END AS split
+       |FROM (SELECT doc_id,
+       |('0x' || substr(md5('split:' || $fingerprintSql), 1, 15))::BIGINT AS sh
+       |FROM documents)),
+       |scored AS (SELECT c.doc_a, c.doc_b, pa.split AS split_a, pb.split AS split_b,
+       |CASE pa.split WHEN 'test' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS ra,
+       |CASE pb.split WHEN 'test' THEN 2 WHEN 'val' THEN 1 ELSE 0 END AS rb,
+       |coalesce((10000 * CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT)) //
+       |nullif(CAST(len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT), 0)
+       |>= ${graft.operators.Dedup.VerifiedEdgeBp}, FALSE) AS leak
+       |FROM cand c JOIN sp pa ON c.doc_a = pa.doc_id JOIN sp pb ON c.doc_b = pb.doc_id
+       |JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+       |WHERE pa.split <> pb.split),
+       |lab AS (SELECT CASE WHEN ra < rb THEN split_a ELSE split_b END AS split_lo,
+       |CASE WHEN ra < rb THEN split_b ELSE split_a END AS split_hi,
+       |CASE WHEN ra < rb THEN doc_b ELSE doc_a END AS heldout_doc, leak FROM scored),
+       |agg AS (SELECT split_lo, split_hi, COUNT(*) AS n_cand_pairs,
+       |CAST(SUM(CASE WHEN leak THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_pairs,
+       |CAST(COUNT(DISTINCT CASE WHEN leak THEN heldout_doc END) AS BIGINT) AS n_heldout_leaked
+       |FROM lab GROUP BY split_lo, split_hi),
+       |sizes AS (SELECT split AS split_hi, COUNT(*) AS heldout_n FROM sp GROUP BY split),
+       |bounds(split_lo, split_hi) AS (VALUES ('train','val'),('train','test'),('val','test'))
+       |SELECT b.split_lo, b.split_hi,
+       |coalesce(a.n_cand_pairs, 0) AS n_cand_pairs,
+       |coalesce(a.n_leak_pairs, 0) AS n_leak_pairs,
+       |coalesce(a.n_heldout_leaked, 0) AS n_heldout_leaked,
+       |coalesce(s.heldout_n, 0) AS heldout_n,
+       |coalesce((10000 * coalesce(a.n_heldout_leaked, 0)) // nullif(s.heldout_n, 0), 0) AS leaked_bp
+       |FROM bounds b LEFT JOIN agg a ON a.split_lo = b.split_lo AND a.split_hi = b.split_hi
+       |LEFT JOIN sizes s ON s.split_hi = b.split_hi
+       |ORDER BY b.split_lo, b.split_hi""".stripMargin
+  }
 
   /** q130's oracle: the same first-touch min-chain — step i is the
     * minimum epoch-µs of its type strictly after step i−1 and within
@@ -3615,6 +3661,7 @@ object SparkEntry {
     "q125_cluster_quality" -> clusterQualitySql,
     "q125b_verified_clusters" -> verifiedClustersSql,
     "q126_quality_sweep" -> qualitySweepSql,
+    "q133_split_leakage" -> splitLeakageSql,
     "q128_metadata_fix" -> metadataFixSql,
     "q129_vector_health" -> vectorHealthSql,
     "q111_vocab_drift" -> vocabDriftSql,

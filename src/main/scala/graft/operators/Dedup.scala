@@ -544,6 +544,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** the three split boundaries q133 audits, low-severity side first —
+    * shared with the zero-fill and the oracle SQL. */
+  val SplitBoundaries: Seq[(String, String)] =
+    Seq(("train", "val"), ("train", "test"), ("val", "test"))
+
+  /** q133: SPLIT-LEAKAGE AUDIT — the held-out-integrity check every
+    * training-data release needs beside external decontamination
+    * (q58/q113 screen against a PUBLISHED benchmark; this screens the
+    * corpus against its OWN val/test splits): a near-duplicate pair
+    * straddling a split boundary means the model effectively trains
+    * on its eval set, and content-hash splitting (q70) only prevents
+    * EXACT-dup leakage — near dups land on independent sides of the
+    * boundary. Per boundary: LSH candidate pairs crossing it,
+    * verified leaks (exact word-shingle Jaccard ≥ [[VerifiedEdgeBp]],
+    * the q125b bar), distinct HELD-OUT docs compromised (the higher-
+    * severity side: train < val < test — a train↔test leak
+    * compromises the test doc), the held-out split size, and the
+    * compromised share in bp. All three boundaries always ship
+    * (zero-filled) — "no leakage" is a first-class verdict.
+    *
+    * Scale shape: split assignment is the q70 row-local hash rule
+    * (never a stored side table); candidate pairs come banded (never
+    * all pairs); splits and shingle sets ride four linear doc_id
+    * equi-joins; the rollup combines map-side to a 3-row frame joined
+    * against dimension-sized split counts. */
+  def splitLeakage(docs: DataFrame, valBp: Int, testBp: Int, k: Int = 3,
+                   minJaccardBp: Long = VerifiedEdgeBp): DataFrame = {
+    val rank = (s: Column) => when(s === "test", 2).when(s === "val", 1).otherwise(0)
+    val splits = graft.operators.Corpus.datasetSplit(docs, valBp, testBp)
+      .select(col("doc_id"), col("split"))
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+    val crossPairs = minhashCandidatePairs(docs)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    val scored = crossPairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("leak", expr(
+        "(10000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)) DIV " +
+          s"nullif(CAST(size(array_union(sh_a, sh_b)) AS BIGINT), 0) >= $minJaccardBp"))
+      .select(
+        when(rank(col("split_a")) < rank(col("split_b")), col("split_a"))
+          .otherwise(col("split_b")).as("split_lo"),
+        when(rank(col("split_a")) < rank(col("split_b")), col("split_b"))
+          .otherwise(col("split_a")).as("split_hi"),
+        when(rank(col("split_a")) < rank(col("split_b")), col("doc_b"))
+          .otherwise(col("doc_a")).as("heldout_doc"),
+        col("leak"))
+    val agg = scored.groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(when(col("leak"), 1L).otherwise(0L)).as("n_leak_pairs"),
+        countDistinct(when(col("leak"), col("heldout_doc"))).as("n_heldout_leaked"))
+    val sizes = splits.groupBy(col("split").as("split_hi"))
+      .agg(count(lit(1)).as("heldout_n"))
+    val bounds = docs.sparkSession
+      .createDataFrame(SplitBoundaries).toDF("split_lo", "split_hi")
+    bounds
+      .join(agg, Seq("split_lo", "split_hi"), "left")
+      .join(sizes, Seq("split_hi"), "left")
+      .select(col("split_lo"), col("split_hi"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"),
+        coalesce(col("n_heldout_leaked"), lit(0L)).as("n_heldout_leaked"),
+        coalesce(col("heldout_n"), lit(0L)).as("heldout_n"),
+        expr("coalesce((10000 * coalesce(n_heldout_leaked, 0)) " +
+          "DIV nullif(heldout_n, 0), 0)").as("leaked_bp"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** q127: PER-SOURCE DEDUP IMPACT — the redundancy BILL by source,
     * the number a curation team reads before renegotiating a data
     * source ("src5 is 9% mirrored content; dedup will cut it"): per

@@ -1221,4 +1221,43 @@ class DedupSpec extends AnyFunSuite {
     assert(Similarity.clusterDrift(emb, Similarity.vecReleaseView(emb),
       Seq.empty).isEmpty)
   }
+
+  test("q133 split-leakage laws on real data: all boundaries ship, counts conserve") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.splitLeakage(real, valBp = 500, testBp = 500).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq.sorted ==
+      Dedup.SplitBoundaries.sorted, "all three boundaries always ship")
+    // heldout sizes must equal the q70 split's own census
+    val census = graft.operators.Corpus.datasetSplit(real, 500, 500)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("heldout_n") == census.getOrElse(r.getString(1), 0L),
+        s"heldout_n for ${r.getString(1)}")
+      assert(r.getAs[Long]("n_leak_pairs") <= r.getAs[Long]("n_cand_pairs"))
+      assert(r.getAs[Long]("n_heldout_leaked") <= r.getAs[Long]("n_leak_pairs"))
+    }
+    // boundary totals conserve the cross-split candidate-pair universe
+    val splits = graft.operators.Corpus.datasetSplit(real, 500, 500)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val crossCands = Dedup.minhashCandidatePairs(real).collect()
+      .count(r => splits(r.getLong(0)) != splits(r.getLong(1))).toLong
+    assert(out.map(_.getAs[Long]("n_cand_pairs")).sum == crossCands,
+      "boundary rollup conserves the cross-split candidate total")
+  }
+
+  test("q133: exact dups are split-leak-immune by construction; near dups are not") {
+    // content-hash splitting sends byte-identical text to the SAME
+    // split — the law q70 buys — so an exact-dup pair can never cross
+    // a boundary; a near dup hashes independently and can. The audit
+    // must reflect the first as zero contribution.
+    val exactPair = Seq(
+      (1L, base, "en", "srcA", 0L), (2L, base, "en", "srcA", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.splitLeakage(exactPair, valBp = 3000, testBp = 3000).collect()
+    assert(out.map(_.getAs[Long]("n_cand_pairs")).sum == 0L,
+      "identical text lands in one split under the content-hash rule")
+    assert(out.map(_.getAs[Long]("n_leak_pairs")).sum == 0L)
+  }
 }

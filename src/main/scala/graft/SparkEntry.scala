@@ -146,6 +146,9 @@ object SparkEntry {
     "q130_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
     "q131_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
     "q132_rate_bursts" -> ((s, d) => EventOps.rateBursts(Tables.events(s, d))),
+    "q134_event_gaps" -> ((s, d) => EventOps.eventGaps(Tables.events(s, d))),
+    "q135_event_transitions" -> ((s, d) =>
+      EventOps.eventTransitions(Tables.events(s, d))),
     // format twins: the SAME oracle-checked operators over the SAME
     // rows, staged through CSV/JSON instead of parquet. The oracle
     // keeps reading parquet, so the driver's three-way hash check now
@@ -895,6 +898,35 @@ object SparkEntry {
        |FROM h JOIN b USING (event_type)
        |WHERE (1000 * h.n * b.hours_observed) // b.total_n > ${graft.operators.EventOps.BurstThresholdPm}
        |ORDER BY 1, 2""".stripMargin
+
+  /** q134's oracle: the hourly frame, per-type lag over it for the
+    * longest outage, span-vs-observed coverage rollup. */
+  private def eventGapsSql: String =
+    """WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us
+      |FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, hour_us,
+      |(hour_us - lag(hour_us) OVER (PARTITION BY event_type ORDER BY hour_us)) // 3600000000 - 1 AS gap_h
+      |FROM h)
+      |SELECT event_type, MIN(hour_us) AS first_hour_us, MAX(hour_us) AS last_hour_us,
+      |(MAX(hour_us) - MIN(hour_us)) // 3600000000 + 1 AS hours_expected,
+      |COUNT(*) AS hours_observed,
+      |(MAX(hour_us) - MIN(hour_us)) // 3600000000 + 1 - COUNT(*) AS hours_missing,
+      |(10000 * COUNT(*)) // ((MAX(hour_us) - MIN(hour_us)) // 3600000000 + 1) AS coverage_bp,
+      |coalesce(MAX(gap_h), 0) AS max_gap_hours
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q135's oracle: user-ordered lag edges, matrix count, outgoing
+    * share in bp. */
+  private def eventTransitionsSql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |FROM events),
+      |pr AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS out_n FROM pr GROUP BY 1)
+      |SELECT p.prev_type, p.next_type, p.n, (10000 * p.n) // t.out_n AS share_bp
+      |FROM pr p JOIN tot t USING (prev_type)
+      |ORDER BY p.prev_type, p.next_type""".stripMargin
 
   /** q131's oracle: Monday-truncated first-event cohorts, distinct
     * (cohort, offset, user) activity, bp of the cohort size. */
@@ -3916,6 +3948,8 @@ object SparkEntry {
         |GROUP BY user_id, session_id ORDER BY user_id, session_start_us""".stripMargin,
     "q130_funnel" -> funnelSql,
     "q131_retention" -> retentionSql,
-    "q132_rate_bursts" -> rateBurstsSql
+    "q132_rate_bursts" -> rateBurstsSql,
+    "q134_event_gaps" -> eventGapsSql,
+    "q135_event_transitions" -> eventTransitionsSql
   )
 }

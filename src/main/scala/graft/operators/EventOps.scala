@@ -156,6 +156,75 @@ object EventOps {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
 
+  /** q134: EVENT COVERAGE / GAP REPORT — the completeness monitor
+    * beside q132's burst monitor (q132 asks "which hours are too
+    * LOUD"; this asks "which hours are MISSING" — a collector outage,
+    * a dropped partition, a stalled backfill all read as holes in the
+    * hourly timeline): per event type, the observed span (first/last
+    * hour), hours observed vs expected over the span, missing hours,
+    * coverage in bp, and the LONGEST consecutive outage in hours —
+    * the number an on-call actually pages on.
+    *
+    * Scale shape: ONE map-side (type, hour) count first reduces the
+    * corpus to the timeline-sized hour frame; the lag window that
+    * measures gaps runs OVER THAT FRAME (rows = types × observed
+    * hours — bounded by the calendar, not the corpus: a decade is
+    * ~9×10⁴ hours/type), never over raw events; the final rollup is
+    * type-dimension-sized. */
+  def eventGaps(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = events.groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+    hourly
+      .withColumn("prev_us", lag(col("hour_us"), 1).over(w))
+      .withColumn("gap_h", expr(s"(hour_us - prev_us) DIV $hourUs - 1"))
+      .groupBy("event_type")
+      .agg(
+        min(col("hour_us")).as("first_hour_us"),
+        max(col("hour_us")).as("last_hour_us"),
+        count(lit(1)).as("hours_observed"),
+        coalesce(max(col("gap_h")), lit(0L)).as("max_gap_hours"))
+      .withColumn("hours_expected",
+        expr(s"(last_hour_us - first_hour_us) DIV $hourUs + 1"))
+      .withColumn("hours_missing", col("hours_expected") - col("hours_observed"))
+      .withColumn("coverage_bp", expr("(10000 * hours_observed) DIV hours_expected"))
+      .select("event_type", "first_hour_us", "last_hour_us", "hours_expected",
+        "hours_observed", "hours_missing", "coverage_bp", "max_gap_hours")
+      .orderBy("event_type")
+  }
+
+  /** q135: EVENT-TYPE TRANSITION MATRIX — the Markov view of user
+    * behaviour (q130 follows ONE declared step sequence; this measures
+    * ALL observed consecutive steps — the matrix a product/analytics
+    * review reads to DISCOVER the funnels worth declaring, and an
+    * anomaly screen reads for impossible transitions): per (prev_type,
+    * next_type) over each user's ts-ordered event sequence, the
+    * transition count and its share of prev_type's outgoing edges in
+    * bp. First events have no predecessor and contribute no edge.
+    *
+    * Scale shape: the lag window is user-keyed (the q51 discipline —
+    * per-user sequences are the semantics; a bot user with 10⁹ events
+    * makes a hot partition, the stated q51 caveat); the rollup
+    * combines map-side to a (types × types)-sized matrix, and the
+    * outgoing totals reduce THAT matrix (dimension-sized) — raw
+    * events never shuffle twice. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outgoing = edges.groupBy("prev_type")
+      .agg(sum(col("n")).as("out_n"))
+    edges.join(broadcast(outgoing), Seq("prev_type"))
+      .withColumn("share_bp", expr("(10000 * n) DIV out_n"))
+      .select("prev_type", "next_type", "n", "share_bp")
+      .orderBy("prev_type", "next_type")
+  }
+
   /** q131: RETENTION COHORTS — the second classic the event surface
     * lacked: users cohorted by the WEEK of their first event
     * (Monday-truncated, both engines' date_trunc('week') agree), and

@@ -854,4 +854,65 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       case _ => true
     })
   }
+
+  test("event gaps: coverage arithmetic holds on real data, hand fixture pins the outage") {
+    val out = EventOps.eventGaps(
+      Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("hours_observed") +
+        r.getAs[Long]("hours_missing") == r.getAs[Long]("hours_expected"))
+      assert(r.getAs[Long]("coverage_bp") ==
+        10000L * r.getAs[Long]("hours_observed") / r.getAs[Long]("hours_expected"))
+      assert(r.getAs[Long]("max_gap_hours") <= r.getAs[Long]("hours_missing"),
+        "the longest outage cannot exceed the total missing hours")
+    }
+    // hand fixture: type "a" fires in hours 0,1,5,6 (a 3-hour outage),
+    // type "b" in hour 2 only (span 1, full coverage, no gap)
+    import spark.implicits._
+    def ts(hr: Long) = new java.sql.Timestamp(1700000000000L / 3600000L * 3600000L + hr * 3600000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(1), 1L, "a", 1.0, "{}"),
+      (3L, ts(5), 1L, "a", 1.0, "{}"), (4L, ts(6), 1L, "a", 1.0, "{}"),
+      (5L, ts(2), 2L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = EventOps.eventGaps(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("a").getAs[Long]("hours_expected") == 7L)
+    assert(m("a").getAs[Long]("hours_observed") == 4L)
+    assert(m("a").getAs[Long]("hours_missing") == 3L)
+    assert(m("a").getAs[Long]("max_gap_hours") == 3L)
+    assert(m("a").getAs[Long]("coverage_bp") == 5714L)
+    assert(m("b").getAs[Long]("hours_expected") == 1L &&
+      m("b").getAs[Long]("coverage_bp") == 10000L &&
+      m("b").getAs[Long]("max_gap_hours") == 0L)
+  }
+
+  test("event transitions: edge conservation, shares sum per row, hand fixture") {
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = EventOps.eventTransitions(real).collect()
+    assert(out.nonEmpty)
+    // every user with k events contributes exactly k−1 edges
+    val expectEdges = real.groupBy("user_id").count().collect()
+      .map(r => r.getLong(1) - 1).sum
+    assert(out.map(_.getAs[Long]("n")).sum == expectEdges,
+      "the matrix conserves the per-user edge total")
+    // per prev_type, shares sum to ~10000 (floor rounding loses < #cells)
+    out.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("share_bp")).sum
+      assert(s <= 10000L && s > 10000L - rows.length,
+        s"outgoing shares must tile 10000 bp up to floor loss, got $s")
+    }
+    // hand fixture: u1 view→click→click, u2 view (no edge) →
+    // matrix: view→click 1, click→click 1
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(2), 1L, "click", 1.0, "{}"), (4L, ts(0), 2L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = EventOps.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(m == Map(("view", "click") -> 1L, ("click", "click") -> 1L))
+  }
 }

@@ -146,6 +146,7 @@ object SparkEntry {
     "q130_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
     "q131_retention" -> ((s, d) => EventOps.retentionCohorts(Tables.events(s, d))),
     "q132_rate_bursts" -> ((s, d) => EventOps.rateBursts(Tables.events(s, d))),
+    "q130b_funnel_users" -> ((s, d) => EventOps.funnelUsers(Tables.events(s, d))),
     "q134_event_gaps" -> ((s, d) => EventOps.eventGaps(Tables.events(s, d))),
     "q135_event_transitions" -> ((s, d) =>
       EventOps.eventTransitions(Tables.events(s, d))),
@@ -884,6 +885,28 @@ object SparkEntry {
        |CAST(coalesce((10000 * r.n_users) // nullif(lag(r.n_users) OVER (ORDER BY r.step_idx), 0), 10000) AS BIGINT) AS conv_prev_bp,
        |CAST((10000 * r.n_users) // nullif(t.n_top, 0) AS BIGINT) AS conv_top_bp
        |FROM r, t ORDER BY r.step_idx""".stripMargin
+  }
+
+  /** q130b's oracle: the same s1/s2/s3 chain as q130, emitted per
+    * user with the stall depth. */
+  private def funnelUsersSql: String = {
+    val h = graft.operators.EventOps.FunnelHorizonS * 1000000L
+    val steps = graft.operators.EventOps.FunnelSteps
+    s"""WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+       |WHERE event_type = '${steps(0)}' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+       |JOIN s1 ON e.user_id = s1.user_id
+       |WHERE e.event_type = '${steps(1)}' AND epoch_us(e.ts) > s1.t1
+       |AND epoch_us(e.ts) <= s1.t1 + $h GROUP BY 1),
+       |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+       |JOIN s2 ON e.user_id = s2.user_id
+       |WHERE e.event_type = '${steps(2)}' AND epoch_us(e.ts) > s2.t2
+       |AND epoch_us(e.ts) <= s2.t2 + $h GROUP BY 1)
+       |SELECT s1.user_id, s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us,
+       |CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+       |LEFT JOIN s3 ON s1.user_id = s3.user_id
+       |ORDER BY s1.user_id""".stripMargin
   }
 
   /** q132's oracle: the same (type, hour) count, baseline over
@@ -3949,6 +3972,7 @@ object SparkEntry {
     "q130_funnel" -> funnelSql,
     "q131_retention" -> retentionSql,
     "q132_rate_bursts" -> rateBurstsSql,
+    "q130b_funnel_users" -> funnelUsersSql,
     "q134_event_gaps" -> eventGapsSql,
     "q135_event_transitions" -> eventTransitionsSql
   )

@@ -74,14 +74,18 @@ object EventOps {
     * (a bot user with 10⁹ events costs the aggregate combiner, not
     * memory); the final rollup is step-dimension-sized. Timestamps
     * never ship (the TIMESTAMP parity gotcha) — only counts do. */
-  def funnel(events: DataFrame): DataFrame = {
+  /** the per-step per-user reach frames the funnel family shares:
+    * frame i holds (user_id, t(i+1)) for users whose first-touch chain
+    * reaches step i+1 — one map-side min per step chained by user-keyed
+    * equi-joins. */
+  private def funnelDepthFrames(events: DataFrame): Seq[DataFrame] = {
     val horizonUs = FunnelHorizonS * 1000000L
     // step 1: first 'view' per user; step i: the MIN step-i timestamp
     // strictly after t(i−1) and within the horizon — each depth is the
     // previous frame plus one user-keyed join + one map-side min
     val s1 = events.filter(col("event_type") === FunnelSteps.head)
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
-    val depths = FunnelSteps.zipWithIndex.drop(1)
+    FunnelSteps.zipWithIndex.drop(1)
       .scanLeft(s1) { case (acc, (step, i)) =>
         events.filter(col("event_type") === step)
           .select(col("user_id"), unix_micros(col("ts")).as("__t"))
@@ -89,6 +93,30 @@ object EventOps {
           .filter(col("__t") > col(s"t$i") && col("__t") <= col(s"t$i") + horizonUs)
           .groupBy("user_id").agg(min(col("__t")).as(s"t${i + 1}"))
       }
+  }
+
+  /** q130b: FUNNEL USER MANIFEST — the per-user half of q130 (the card
+    * says HOW MANY users stall at each step; this says WHICH users and
+    * WHEN — the remarketing audience list / attribution input, and the
+    * frame the streaming door ([[graft.streaming.EventStreams
+    * .funnelMonitor]]) is spec-proven against): per user reaching step
+    * 1, the first-touch chain timestamps t1/t2/t3 (µs, null past the
+    * stall) and the depth reached. Same reach frames as q130 — the
+    * card is exactly this manifest's histogram. Scale: the q130 chain
+    * plus two user-keyed LEFT joins; per-user output is the contract
+    * (audience lists are consumed per-user). */
+  def funnelUsers(events: DataFrame): DataFrame = {
+    val Seq(s1, s2, s3) = funnelDepthFrames(events)
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
+        col("t3").as("t3_us"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .otherwise(1).as("depth"))
+      .orderBy("user_id")
+  }
+
+  def funnel(events: DataFrame): DataFrame = {
+    val depths = funnelDepthFrames(events)
     val reach = depths.zipWithIndex.map { case (frame, i) =>
       frame.agg(count(lit(1)).as("n"))
         .select(lit(i + 1).as("step_idx"),

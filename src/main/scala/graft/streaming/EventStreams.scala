@@ -163,6 +163,59 @@ object EventStreams {
                               n_events: Long, closed: Boolean)
   final case class SessState(lastTs: Long, startTs: Long, n: Long)
 
+  final case class FunnelSt(t1: Long, t2: Long, t3: Long)
+  final case class FunnelOut(user_id: Long, depth: Int, t1_us: Option[Long],
+                             t2_us: Option[Long], t3_us: Option[Long])
+
+  /** q130b at the door: the per-user funnel tracker — live first-touch
+    * chain state (t1/t2/t3 + depth) per user on flatMapGroupsWithState,
+    * emitting each touched user's current position every micro-batch
+    * (the audience list stays continuously current; a deployment
+    * `upsertSink`s it keyed on user_id).
+    *
+    * Exactness contract: events are buffered and ts-sorted WITHIN each
+    * micro-batch (the statefulSessionize discipline) and assumed
+    * in-order per user ACROSS batches (a per-key-ordered log at the
+    * door). Under in-order delivery the greedy update is EXACT — the
+    * first view seen is the min view, and the first qualifying
+    * click/purchase after a frozen t(i−1) is that step's min — so the
+    * door state equals the batch [[graft.operators.EventOps
+    * .funnelUsers]] row for every user (spec-pinned). State is three
+    * longs per user, bounded regardless of event volume — a bot with
+    * 10⁹ events costs sort time in its batches, never state. */
+  def funnelMonitor(events: Dataset[Ev],
+                    horizonS: Long = graft.operators.EventOps.FunnelHorizonS)
+      : Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val hUs = horizonS * 1000000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) => {
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var s = state.getOption.getOrElse(FunnelSt(0L, 0L, 0L))
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            e.event_type match {
+              case "view" if s.t1 == 0L => s = s.copy(t1 = t)
+              case "click" if s.t1 != 0L && s.t2 == 0L &&
+                t > s.t1 && t <= s.t1 + hUs => s = s.copy(t2 = t)
+              case "purchase" if s.t2 != 0L && s.t3 == 0L &&
+                t > s.t2 && t <= s.t2 + hUs => s = s.copy(t3 = t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          val depth = if (s.t3 != 0L) 3 else if (s.t2 != 0L) 2
+            else if (s.t1 != 0L) 1 else 0
+          Iterator.single(FunnelOut(userId, depth,
+            Option(s.t1).filter(_ != 0L), Option(s.t2).filter(_ != 0L),
+            Option(s.t3).filter(_ != 0L)))
+        })
+  }
+
   /** Custom stateful sessionizer — per-user state machine on
     * flatMapGroupsWithState, for session semantics the built-in window
     * can't express (e.g. emitting still-open sessions each batch).

@@ -806,6 +806,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.length == batchSessions)
   }
 
+  test("funnel door equals the batch q130b manifest, batch-mode and through a real stream") {
+    import spark.implicits._
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventOps.funnelUsers(batchEvents).collect()
+      .map(r => r.getLong(0) -> (
+        Option(r.get(r.fieldIndex("t1_us"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("t2_us"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("t3_us"))).map(_.asInstanceOf[Long]),
+        r.getInt(r.fieldIndex("depth")))).toMap
+    // batch-mode run of the same state machine (exact, single "batch")
+    val typed = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Ev]
+    val batchOut = EventStreams.funnelMonitor(typed).collect()
+    assert(batchOut.map(_.user_id).distinct.length == batchOut.length)
+    val reached = batchOut.filter(_.depth >= 1)
+    assert(reached.length == expected.size,
+      "door reaches step 1 for exactly the q130b users")
+    reached.foreach { o =>
+      val (t1, t2, t3, d) = expected(o.user_id)
+      assert((o.t1_us, o.t2_us, o.t3_us, o.depth) == ((t1, t2, t3, d)),
+        s"user ${o.user_id}")
+    }
+    // every user with any event ships a state row (depth 0 included)
+    assert(batchOut.length ==
+      batchEvents.select("user_id").distinct().count())
+    // real stream: same comparison through the file source
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Ev]
+    val q = EventStreams.funnelMonitor(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits the user's full state each touching batch —
+    // the latest per user is the max since state only grows
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(max(col("depth")).as("depth"), max(col("t1_us")).as("t1_us"),
+        max(col("t2_us")).as("t2_us"), max(col("t3_us")).as("t3_us"))
+      .filter(col("depth") >= 1).collect()
+    assert(streamed.length == expected.size)
+    streamed.foreach { r =>
+      val (t1, t2, t3, d) = expected(r.getLong(0))
+      assert(Option(r.get(r.fieldIndex("t1_us"))).map(_.asInstanceOf[Long]) == t1)
+      assert(Option(r.get(r.fieldIndex("t2_us"))).map(_.asInstanceOf[Long]) == t2)
+      assert(Option(r.get(r.fieldIndex("t3_us"))).map(_.asInstanceOf[Long]) == t3)
+      assert(r.getInt(r.fieldIndex("depth")) == d)
+    }
+  }
+
   test("streaming upsert sink merges each micro-batch into the parquet table") {
     import spark.implicits._
     import org.apache.spark.sql.types._

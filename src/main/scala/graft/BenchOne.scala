@@ -6,7 +6,9 @@ object BenchOne {
     val spark = GraftSession.local(32)
     args.foreach { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd.count(): the Bench rule — count() lets Catalyst prune
+      // zero-filled card plans down to their LocalRelation
+      val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(s"[benchone] $name rows=$n t=${Bench.fmt3((System.nanoTime() - t0) / 1e9)} s")
     }
     spark.stop()
@@ -63,10 +65,10 @@ object BenchStats {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // untimed warmup (plan+codegen)
+      fn(spark, sfDir).queryExecution.toRdd.count() // untimed warmup (plan+codegen)
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).queryExecution.toRdd.count() // the Bench toRdd rule
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val med = ts(ts.length / 2)

@@ -170,9 +170,14 @@ object BenchScaleCurve {
       f -> d
     }.toMap
 
+    // toRdd.count(), not count(): the Bench rule — count() lets
+    // Catalyst prune zero-filled card plans to their LocalRelation
+    // (this harness's own q133 run read a flat 0.19s at every factor
+    // while the real plan cost 1.2s — the curve caught its own
+    // measurement bug)
     def timeOnce(name: String, dir: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { SparkEntry.queries(name)(spark, dir).count(); None } catch {
+      val err = try { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(); None } catch {
         case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
       }

@@ -184,6 +184,7 @@ object SparkEntry {
     "q85b_bpe_tokenize" -> ((s, d) => Bpe.tokenizeStats(Tables.documents(s, d))),
     "q86_tfidf_terms" -> ((s, d) => Search.tfidfTerms(Tables.documents(s, d))),
     "q87_keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d))),
+    "q136_bm25" -> ((s, d) => Search.bm25Search(Tables.documents(s, d))),
     "q88_indexed_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Search.indexedSearch(Search.postingIndex(docs), Search.docCount(docs))
@@ -1264,6 +1265,41 @@ object SparkEntry {
        |rk AS MATERIALIZED (SELECT query_id, doc_id, score_bp,
        |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_bp DESC, doc_id) AS rank
        |FROM agg WHERE min_tf > 0)""".stripMargin
+  }
+
+  /** q136's oracle: the BM25 chain — per-term df/N/T stats, idf on the
+    * replayed log2mb kernel (domain rows only where the non-negative
+    * clamp passes), the multiplied-through integer tf-part in HUGEINT,
+    * per-(query, doc) sum, rank. */
+  private def bm25Sql: String = {
+    val k = graft.operators.Search.SearchTopK
+    val qvals = graft.operators.Search.Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+       |q(query_id, term) AS (VALUES $qvals),
+       |terms AS (SELECT DISTINCT term FROM q),
+       |tf AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, tm.term,
+       |CAST(len(list_filter(t.tk, x -> x = tm.term)) AS BIGINT) AS tf
+       |FROM toks t CROSS JOIN terms tm),
+       |df AS (SELECT term, CAST(COUNT(*) FILTER (WHERE tf > 0) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS t_tokens FROM toks),
+       |dom AS (SELECT df.term, 2 * df.df + 1 AS a, 2 * (n.n_docs - df.df) + 1 AS b
+       |FROM df CROSS JOIN n WHERE 2 * df.df + 1 <= 2 * (n.n_docs - df.df) + 1),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("term"))},
+       |idf AS (SELECT tm.term, coalesce(s.mb, 0) AS idf_mb
+       |FROM terms tm LEFT JOIN surp s ON s.term = tm.term),
+       |contrib AS (SELECT q.query_id, tf.doc_id, tf.tf,
+       |CAST((CAST(i.idf_mb AS HUGEINT) * 22 * n.t_tokens * tf.tf) //
+       |(CAST(10 AS HUGEINT) * n.t_tokens * tf.tf + 3 * n.t_tokens + 9 * tf.n_tokens * n.n_docs) AS BIGINT) AS c
+       |FROM q JOIN tf ON tf.term = q.term JOIN idf i ON i.term = q.term CROSS JOIN n),
+       |agg AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_mb,
+       |MAX(tf) AS max_tf FROM contrib GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id, score_mb,
+       |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_mb DESC, doc_id) AS rank
+       |FROM agg WHERE max_tf > 0)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_mb
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q87's oracle (q88 shares it verbatim: the indexed path is
@@ -3691,6 +3727,7 @@ object SparkEntry {
     "q85b_bpe_tokenize" -> bpeTokenizeSql,
     "q86_tfidf_terms" -> tfidfTermsSql,
     "q87_keyword_search" -> keywordSearchSql,
+    "q136_bm25" -> bm25Sql,
     "q88_indexed_search" -> keywordSearchSql,
     "q88b_compacted_search" -> keywordSearchSql,
     "q89_hybrid_rrf" -> hybridRrfSql,

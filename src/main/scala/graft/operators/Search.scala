@@ -139,6 +139,83 @@ object Search {
       .orderBy("query_id", "rank")
   }
 
+  /** q136: OKAPI BM25 — the standard probabilistic ranking function
+    * (Robertson/Spärck Jones), completing the lexical family: q87's
+    * score is linear in tf, while BM25's defining property is tf
+    * SATURATION (a term's 100th occurrence adds almost nothing) plus
+    * principled df-based idf and pivoted length normalization. OR
+    * semantics (any query term matches — the classic), k1 = 1.2,
+    * b = 0.75.
+    *
+    * Exact integer form, no floats anywhere:
+    *   idf_mb(t)   = log2mb(2·df+1, 2·(N−df)+1)   — exactly
+    *                 ⌊1024·log2((N−df+0.5)/(df+0.5))⌋ on the shared
+    *                 q100 fixed-point kernel; floored at 0 when
+    *                 df > N/2 (the standard non-negative clamp)
+    *   tf-part     = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)); with
+    *                 k1 = 6/5, b = 3/4, avgdl = T/N this multiplies
+    *                 through to 22·T·tf / (10·T·tf + 3·T + 9·dl·N) —
+    *                 all integers, no avgdl rounding
+    *   score_mb    = Σ_t idf_mb · 22·T·tf DIV (10·T·tf + 3·T + 9·dl·N)
+    * Products are DECIMAL(38,0)-widened (the q117 discipline): at
+    * 100 TB, idf_mb·22·T·tf ≈ 3.5e4·22·1e14·1e3 ≈ 8e22 overflows
+    * int64 but sits far inside 38 digits.
+    *
+    * Scale shape: identical to q87 — ONE row-local corpus scan (tf
+    * columns via HOF filters, no explode), a 1-row stats broadcast
+    * (N, T, per-term df → idf), literal-struct fan-out, non-matching
+    * rows drop before any exchange, TopKPerKey bounded heap. */
+  def bm25Search(docs: DataFrame,
+                 queries: Seq[(Int, Seq[String])] = Queries,
+                 k: Int = SearchTopK): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val terms = queries.flatMap(_._2).distinct
+    val toks = docs.select(col("doc_id"),
+      Dedup.tokens(coalesce(col("text"), lit(""))).as("tk"))
+    val base = toks.select(
+      col("doc_id") +:
+        size(col("tk")).cast(LongType).as("n_tokens") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === lit(t))).cast(LongType).as(s"__tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("t_tokens") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")): _*)
+    val statsIdf = stats.select(
+      col("n_docs") +: col("t_tokens") +:
+        terms.indices.map { i =>
+          val a = col(s"__df$i") * lit(2L) + lit(1L)
+          val b = (col("n_docs") - col(s"__df$i")) * lit(2L) + lit(1L)
+          when(a <= b, graft.functions.LogExpressions.log2mb(a, b))
+            .otherwise(0L).as(s"__idf$i")
+        }: _*)
+    val scored = base.crossJoin(broadcast(statsIdf))
+    val perQuery: Column = array(queries.map { case (qid, qterms) =>
+      val idx = qterms.map(terms.indexOf)
+      val raw = idx.map(i => expr(
+        s"CAST((CAST(__idf$i AS DECIMAL(38,0)) * 22 * t_tokens * __tf$i) DIV " +
+          s"(CAST(10 AS DECIMAL(38,0)) * t_tokens * __tf$i + 3 * t_tokens + " +
+          s"9 * n_tokens * n_docs) AS BIGINT)"))
+        .reduce(_ + _)
+      val ok = idx.map(i => col(s"__tf$i") > 0).reduce(_ || _)
+      struct(lit(qid).as("query_id"), ok.as("ok"), raw.as("score_mb"))
+    }: _*)
+    val candidates = scored
+      .select(col("doc_id"), inline(perQuery))
+      .filter(col("ok"))
+      .select(col("query_id"), col("doc_id"), col("score_mb"))
+    graft.plans.TopKPerKey(candidates, Seq(col("query_id")),
+      Seq(col("score_mb").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_mb").desc, col("doc_id").asc)).cast(LongType))
+      .select("query_id", "rank", "doc_id", "score_mb")
+      .orderBy("query_id", "rank")
+  }
+
   /** Frozen query-term statistics for the percolator: per-term df and
     * the corpus size, from ONE aggregate job over the corpus (the
     * model-build step — the rarityLookup/pqEncodeStream frozen-model

@@ -250,4 +250,82 @@ class SearchSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 10L, 324L, 2L), (2L, 11L, 324L, 2L), (3L, 12L, 158L, 1L)),
       s"got ${got.toSeq}")
   }
+
+  /** independent BM25 replay with the log2mb kernel as primitive (the
+    * q121 discipline): BigInt arithmetic, same token rule. */
+  private def bm25Expected(docs: Seq[(Long, String)],
+                           queries: Seq[(Int, Seq[String])]): Map[(Int, Long), Long] = {
+    val toks = docs.map { case (id, t) =>
+      id -> Option(t).getOrElse("").trim.toLowerCase.split(" +", -1).toSeq }
+    val n = BigInt(docs.length)
+    val bigT = BigInt(toks.map(_._2.length).sum)
+    val terms = queries.flatMap(_._2).distinct
+    val idf = terms.map { t =>
+      val df = BigInt(toks.count(_._2.contains(t)))
+      val a = 2 * df + 1
+      val b = 2 * (n - df) + 1
+      t -> (if (a <= b)
+        BigInt(graft.functions.LogExpressions.log2mbKernel(a.toLong, b.toLong))
+      else BigInt(0))
+    }.toMap
+    (for {
+      (qid, qterms) <- queries
+      (id, tk) <- toks
+      if qterms.exists(tk.contains)
+    } yield {
+      val dl = BigInt(tk.length)
+      val score = qterms.map { t =>
+        val tf = BigInt(tk.count(_ == t))
+        (idf(t) * 22 * bigT * tf) / (10 * bigT * tf + 3 * bigT + 9 * dl * n)
+      }.sum
+      (qid, id) -> score.toLong
+    }).toMap
+  }
+
+  test("bm25: exact integer scores against an independent kernel replay, OR semantics") {
+    val qs = Seq(1 -> Seq("merge", "scan"), 2 -> Seq("window"))
+    val out = Search.bm25Search(corpus, qs, k = 10).collect()
+    val expected = bm25Expected(Seq(
+      (1L, "merge join merge"), (2L, "join scan"),
+      (3L, "window window window scan"), (4L, null)), qs)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val key = (r.getInt(0), r.getLong(2))
+      assert(expected.contains(key), s"unexpected hit $key")
+      assert(r.getAs[Long]("score_mb") == expected(key),
+        s"score for $key: got ${r.getAs[Long]("score_mb")}, want ${expected(key)}")
+    }
+    assert(out.length == expected.count(_._2 >= 0),
+      "OR semantics: every doc containing any query term ranks")
+    // q87 (AND) would drop docs 1 and 3 from query 1; BM25 keeps them
+    val q1docs = out.filter(_.getInt(0) == 1).map(_.getLong(2)).toSet
+    assert(q1docs == Set(1L, 2L, 3L), s"got $q1docs")
+  }
+
+  test("bm25: tf saturation and length normalization, the two defining laws") {
+    // docs 4-7 keep df=3 < N/2=3.5 so the idf clamp doesn't fire
+    // (df >= N/2 zeroes idf — the clamp law has its own test below)
+    val docs = (Seq(
+      (1L, "merge " + (1 to 9).map(i => s"pad$i").mkString(" ")),         // tf=1, dl=10
+      (2L, "merge merge " + (1 to 8).map(i => s"pad$i").mkString(" ")),   // tf=2, dl=10
+      (3L, "merge " + (1 to 39).map(i => s"pad$i").mkString(" "))         // tf=1, dl=40
+    ) ++ (4L to 7L).map(i => (i, s"filler$i"))).toDF("doc_id", "text")
+    val s = Search.bm25Search(docs, Seq(1 -> Seq("merge")), k = 10).collect()
+      .map(r => r.getLong(2) -> r.getAs[Long]("score_mb")).toMap
+    assert(s(2L) > s(1L), "more occurrences score higher")
+    assert(s(2L) < 2 * s(1L), "tf SATURATES: the second occurrence adds less than the first")
+    assert(s(3L) < s(1L), "same tf in a longer doc scores lower")
+  }
+
+  test("bm25: idf clamps at 0 for a term in more than half the corpus") {
+    // 'common' in 3 of 4 docs → df > N/2 → idf 0 → only 'rare' scores
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common x"), (3L, "common y"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25Search(docs, Seq(1 -> Seq("common", "rare")), k = 10)
+      .collect().map(r => r.getLong(2) -> r.getAs[Long]("score_mb")).toMap
+    assert(out(1L) > 0L, "the rare term still scores doc 1")
+    assert(out(2L) == 0L && out(3L) == 0L,
+      "clamped idf zeroes the common term's contribution everywhere")
+  }
 }

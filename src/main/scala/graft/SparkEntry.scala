@@ -275,6 +275,8 @@ object SparkEntry {
       TextAnalysis.qualityThresholdSweep(Tables.documents(s, d))),
     "q133_split_leakage" -> ((s, d) =>
       Dedup.splitLeakage(Tables.documents(s, d), valBp = 500, testBp = 500)),
+    "q133b_split_repair" -> ((s, d) =>
+      Dedup.splitRepair(Tables.documents(s, d), valBp = 500, testBp = 500)),
     "q128_metadata_fix" -> ((s, d) =>
       TextAnalysis.metadataFix(Tables.documents(s, d))),
     "q117_temperature_mix" -> ((s, d) =>
@@ -859,6 +861,45 @@ object SparkEntry {
        |FROM bounds b LEFT JOIN agg a ON a.split_lo = b.split_lo AND a.split_hi = b.split_hi
        |LEFT JOIN sizes s ON s.split_hi = b.split_hi
        |ORDER BY b.split_lo, b.split_hi""".stripMargin
+  }
+
+  /** q133b's oracle: the q125b verified-cluster reachability + the q70
+    * split hash, then the component-level repair rule — train-touching
+    * components reassign every held-out member, train-free val+test
+    * components quarantine the val side; changed docs only. */
+  private def splitRepairSql: String = {
+    val q = graft.operators.Corpus.RateQuantum
+    s"""${minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hsh GROUP BY doc_id),
+       |ver AS (SELECT c.doc_a, c.doc_b
+       |FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+       |WHERE (10000 * CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT)) //
+       |nullif(CAST(len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS BIGINT), 0)
+       |>= ${graft.operators.Dedup.VerifiedEdgeBp}),
+       |e2 AS (SELECT doc_a, doc_b FROM ver UNION ALL SELECT doc_b, doc_a FROM ver),
+       |reach(doc_id, label) AS (
+       |SELECT doc_id, doc_id FROM documents
+       |UNION
+       |SELECT e2.doc_a, reach.label FROM e2 JOIN reach ON reach.doc_id = e2.doc_b),
+       |lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |sp AS (SELECT doc_id, CASE WHEN sh < ${500L * q} THEN 'test'
+       |WHEN sh < ${1000L * q} THEN 'val' ELSE 'train' END AS split
+       |FROM (SELECT doc_id,
+       |('0x' || substr(md5('split:' || $fingerprintSql), 1, 15))::BIGINT AS sh
+       |FROM documents)),
+       |m AS (SELECT l.doc_id, l.cluster_id, sp.split FROM lab l JOIN sp ON l.doc_id = sp.doc_id),
+       |cs AS (SELECT cluster_id,
+       |MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+       |MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS has_test
+       |FROM m GROUP BY 1)
+       |SELECT m.doc_id, m.cluster_id, m.split AS old_split,
+       |CASE WHEN cs.has_train = 1 THEN 'reassign_train' ELSE 'quarantine' END AS action
+       |FROM m JOIN cs USING (cluster_id)
+       |WHERE (m.split IN ('val', 'test') AND cs.has_train = 1)
+       |OR (m.split = 'val' AND cs.has_train = 0 AND cs.has_test = 1)
+       |ORDER BY m.doc_id""".stripMargin
   }
 
   /** q130's oracle: the same first-touch min-chain — step i is the
@@ -3754,6 +3795,7 @@ object SparkEntry {
     "q125b_verified_clusters" -> verifiedClustersSql,
     "q126_quality_sweep" -> qualitySweepSql,
     "q133_split_leakage" -> splitLeakageSql,
+    "q133b_split_repair" -> splitRepairSql,
     "q128_metadata_fix" -> metadataFixSql,
     "q129_vector_health" -> vectorHealthSql,
     "q111_vocab_drift" -> vocabDriftSql,

@@ -530,18 +530,25 @@ object Dedup {
     * shingle-set joins, never all pairs) feeding q57's verified
     * fixpoint — both proven plans; the filter adds zero exchanges. */
   def verifiedClusters(docs: DataFrame, k: Int = 3,
-                       minJaccardBp: Long = VerifiedEdgeBp): DataFrame = {
+                       minJaccardBp: Long = VerifiedEdgeBp): DataFrame =
+    propagateLabels(docs, verifiedEdges(docs, k, minJaccardBp))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+
+  /** the verified near-dup edge frame (LSH proposes, exact
+    * word-shingle Jaccard ≥ minJaccardBp decides) — the ONE edge rule
+    * q125b clusters and q133b repairs, so the repair cannot use a
+    * different notion of "near-dup" than the clustering it trusts. */
+  private[graft] def verifiedEdges(docs: DataFrame, k: Int = 3,
+      minJaccardBp: Long = VerifiedEdgeBp): DataFrame = {
     val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
-    val verified = minhashCandidatePairs(docs)
+    minhashCandidatePairs(docs)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .filter(expr("(10000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)) DIV " +
         s"nullif(CAST(size(array_union(sh_a, sh_b)) AS BIGINT), 0) >= $minJaccardBp"))
       .select("doc_a", "doc_b")
-    propagateLabels(docs, verified)
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("doc_id") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** the three split boundaries q133 audits, low-severity side first —
@@ -612,6 +619,57 @@ object Dedup {
         expr("coalesce((10000 * coalesce(n_heldout_leaked, 0)) " +
           "DIV nullif(heldout_n, 0), 0)").as("leaked_bp"))
       .orderBy("split_lo", "split_hi")
+  }
+
+  /** q133b: SPLIT REPAIR — the APPLY step q133's audit plans (the
+    * diagnose→apply discipline: q113→q114, q46→q128): the manifest of
+    * held-out documents that cannot stay held-out, with the
+    * deterministic repair action. The rule is COMPONENT-level over
+    * q125b's verified clusters — per-pair repair is not closed (moving
+    * one endpoint can manufacture a new cross-split edge with a third
+    * near-dup); a verified connected component either touches train or
+    * it doesn't, and that decides every member at once:
+    *
+    *   - component contains a train doc → every val/test member is
+    *     `reassign_train` (its content is already effectively visible
+    *     to training; as a train doc it is ordinary redundancy for the
+    *     dedup passes, not leakage);
+    *   - component spans val+test with NO train member → the test docs
+    *     stay (test is the sacred side) and every val member is
+    *     `quarantine` (reassigning it to train would hand its test
+    *     twin's content to training — the repair must drop it).
+    *
+    * Closure law (spec-pinned): after applying the manifest
+    * (quarantined docs removed, reassigned docs in train) NO verified
+    * edge crosses a split boundary — one pass, no iteration, because
+    * components are edge-closed by construction. Only changed docs
+    * ship (the q128 mismatch-sized-output discipline).
+    *
+    * Scale shape: verified clusters and the q70 split hash are the
+    * proven plans unchanged; the cluster split-set is ONE map-side
+    * combined rollup on cluster_id; only LEAKING clusters (a verified-
+    * dup-cluster-sized frame, tiny vs the corpus) join back to
+    * members, linearly on cluster_id. */
+  def splitRepair(docs: DataFrame, valBp: Int, testBp: Int, k: Int = 3,
+                  minJaccardBp: Long = VerifiedEdgeBp): DataFrame = {
+    val members = verifiedClusters(docs, k, minJaccardBp)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(graft.operators.Corpus.datasetSplit(docs, valBp, testBp)
+        .select(col("doc_id"), col("split")), Seq("doc_id"))
+    val leaking = members.groupBy("cluster_id")
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("has_val"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("has_test"))
+      .filter(col("has_train") + col("has_val") + col("has_test") >= 2)
+    members.join(leaking, Seq("cluster_id"))
+      .filter((col("split").isin("val", "test") && col("has_train") === 1)
+        || (col("split") === "val" && col("has_train") === 0
+            && col("has_test") === 1))
+      .select(col("doc_id"), col("cluster_id"),
+        col("split").as("old_split"),
+        when(col("has_train") === 1, "reassign_train")
+          .otherwise("quarantine").as("action"))
+      .orderBy("doc_id")
   }
 
   /** q127: PER-SOURCE DEDUP IMPACT — the redundancy BILL by source,
@@ -1170,16 +1228,29 @@ object Dedup {
     * row-local scan as q114 with `lang` riding through; ONE map-side
     * language rollup ends the plan. */
   def decontamReport(docs: DataFrame, windowTokens: Int = 8): DataFrame =
-    withContamApplyCols(docs.filter(!isBenchmark(col("doc_id"))),
+    // The rollup needs only COUNTS, so it skips the token cut entirely:
+    // tokens_cut = Σ(e − s) over the merged disjoint spans — identical
+    // to counting the filtered-out tokens (q114's conservation law,
+    // spec-pinned) — and tokens_after = before − cut falls out POST-
+    // aggregate. Consuming `clean_n_tokens` here (the r11 shape) let
+    // CollapseProject splice the whole window-hash→probe→fold chain
+    // INSIDE the per-token cut lambda (contam_spans had only one
+    // consumer left), re-evaluating it once per TOKEN instead of once
+    // per row — the q102c splice lesson at a new boundary; 7.7 s warm
+    // vs q114's 1.1 s before this rewrite. spanTokensSumCol's fold
+    // takes the chain as its one whole-array input, so it evaluates
+    // once per row no matter how CollapseProject inlines it.
+    withContamCols(docs.filter(!isBenchmark(col("doc_id"))),
         benchmarkWindowHashes(docs, windowTokens), windowTokens)
-      .select(col("lang"), col("contam_n_tokens"), col("clean_n_tokens"),
-        (col("contam_n_tokens") - col("clean_n_tokens")).as("__cut"))
+      .select(col("lang"),
+        size(col("__tk")).cast("long").as("contam_n_tokens"),
+        spanTokensSumCol("contam_spans").as("__cut"))
       .groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("__cut") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
         sum("contam_n_tokens").as("tokens_before"),
-        sum("__cut").as("tokens_cut"),
-        sum("clean_n_tokens").as("tokens_after"))
+        sum("__cut").as("tokens_cut"))
+      .withColumn("tokens_after", col("tokens_before") - col("tokens_cut"))
       .withColumn("cut_bp", expr(
         "coalesce((10000 * tokens_cut) DIV nullif(tokens_before, 0), CAST(0 AS BIGINT))"))
       .select("lang", "n_docs", "n_docs_cut", "tokens_before", "tokens_cut",

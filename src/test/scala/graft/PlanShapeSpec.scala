@@ -531,4 +531,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("SortMergeJoin") && !p2.contains("CartesianProduct"),
       "totals and offsets broadcast; the only wide exchange is the bucketed sum")
   }
+
+  test("decontam report evaluates the contamination chain ONCE (the r11 q122 regression class)") {
+    // The r11 shape consumed clean_n_tokens under the lang rollup;
+    // CollapseProject spliced the whole tokenize→window-hash→probe→fold
+    // chain inside the per-token cut lambda (HOF lambdas are ineligible
+    // for subexpression elimination), re-running it once per TOKEN —
+    // 8.3 s warm vs sibling q114's 1.2 s. The fix derives tokens_cut
+    // from the spans fold (q114's conservation law) and tokens_after
+    // post-aggregate, so the chain appears in exactly ONE projection.
+    val df = graft.operators.Dedup.decontamReport(Tables.documents(spark, dir))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("md5_shingle_hashes".r.findAllIn(plan).length == 1,
+      s"the window-hash kernel must appear exactly once in q122's plan:\n${plan.take(3000)}")
+    assert("sorted_long_contains".r.findAllIn(plan).length == 1,
+      "the frozen-set probe must appear exactly once")
+    assert(!plan.contains("filter(__tk"),
+      "the report never cuts tokens — counts come from the spans fold, not the cut lambda")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "q122 stays one row-local scan + one map-side-combined lang rollup")
+    assert(plan.contains("partial_sum"),
+      "the lang rollup must partial-aggregate map-side")
+  }
 }

@@ -354,10 +354,15 @@ object BenchCutSplit {
     Dedup.contaminationSpans(docs).write.mode("overwrite").parquet(s"$tmp/contam")
     val dupP = spark.read.parquet(s"$tmp/dup")
     val contamP = spark.read.parquet(s"$tmp/contam")
+    // toRdd.count(): the Bench rule — Dataset.count() lets Catalyst
+    // prune the real plan (drop final sort/projection), which would
+    // price these legs inconsistently with the BENCH numbers
     val tUpstream = med(() => {
-      Dedup.spanCutSpans(docs).count(); Dedup.contaminationSpans(docs).count(); ()
+      Dedup.spanCutSpans(docs).queryExecution.toRdd.count()
+      Dedup.contaminationSpans(docs).queryExecution.toRdd.count(); ()
     })
-    val tCombine = med(() => { Dedup.combineCutLists(dupP, contamP).count(); () })
+    val tCombine = med(() => {
+      Dedup.combineCutLists(dupP, contamP).queryExecution.toRdd.count(); () })
     import Bench.fmt3
     println(s"""{"upstream_scans_s":${fmt3(tUpstream)},"combine_s":${fmt3(tCombine)},""" +
       s""""reps":$reps,"sf":"$sfDir"}""")
@@ -395,6 +400,111 @@ object BenchClusterSplit {
     println(s"""{"ivf_train_s":${fmt3(tTrain)},"cards_frozen_s":${fmt3(tCards)},""" +
       s""""sample_frozen_s":${fmt3(tSample)},"semdedup_frozen_s":${fmt3(tSemDedup)},""" +
       s""""vecreport_frozen_s":${fmt3(tReport)},"reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
+/** q125/q125b cost split: self-contained derivation vs the audit over
+  * PERSISTED frames. The inventory entries re-derive candidates +
+  * labels per rep because the oracle contract is self-contained; a
+  * deployment persists the scored edges and the cluster labels when
+  * the dedup pass computes them and pays only the edge-sized rollup /
+  * CC re-label — the BenchSegSplit/BenchRelSplit/BenchCutSplit
+  * accounting discipline applied to the cluster-trust family. */
+object BenchAuditSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    // persist the frames a deployment would have on disk already
+    val tmp = java.nio.file.Files.createTempDirectory("graft_auditsplit")
+    val edges = Dedup.minhashCandidatePairs(docs)
+    val sets = docs.select(col("doc_id"),
+      Dedup.shingleSet(col("text"), 3).as("sh"))
+    edges
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)) DIV " +
+          "nullif(CAST(size(array_union(sh_a, sh_b)) AS BIGINT), 0)")
+          .as("jaccard_bp"))
+      .write.mode("overwrite").parquet(s"$tmp/scored")
+    val scoredP = spark.read.parquet(s"$tmp/scored")
+    Dedup.propagateLabels(docs, edges)
+      .write.mode("overwrite").parquet(s"$tmp/labels")
+    val labelsP = spark.read.parquet(s"$tmp/labels")
+    val tFull125 = med(() =>
+      { Dedup.clusterQualityAudit(docs).queryExecution.toRdd.count(); () })
+    val tFrames125 = med(() => {
+      Dedup.clusterQualityFromFrames(
+        scoredP.select("doc_a", "jaccard_bp"), labelsP)
+        .queryExecution.toRdd.count(); () })
+    val tFull125b = med(() =>
+      { Dedup.verifiedClusters(docs).queryExecution.toRdd.count(); () })
+    val tEdges125b = med(() => {
+      Dedup.verifiedClustersFromEdges(docs,
+        scoredP.filter(col("jaccard_bp") >= Dedup.VerifiedEdgeBp)
+          .select("doc_a", "doc_b"))
+        .queryExecution.toRdd.count(); () })
+    import Bench.fmt3
+    println(s"""{"q125_full_s":${fmt3(tFull125)},"q125_frames_s":${fmt3(tFrames125)},""" +
+      s""""q125b_full_s":${fmt3(tFull125b)},"q125b_edges_s":${fmt3(tEdges125b)},""" +
+      s""""reps":$reps,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
+/** BOT-USER skew stress: the one stated-but-unmeasured hot-key caveat
+  * left (q135's user-keyed lag window and q130's per-user min chain
+  * concentrate one user's events in one task). Reassigns botPermille
+  * of all events to ONE user id and times the per-user-sequence
+  * operators at 0/100/300/500‰ — the honest measurement of what a
+  * crawler/bot account costs these plans at a fixed corpus size. */
+object BenchSkew {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.EventOps
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = GraftSession.local(32)
+    val base = Tables.events(spark, sfDir)
+    val BotUser = 424242424242L
+    def botView(permille: Int) =
+      if (permille == 0) base
+      else base.withColumn("user_id",
+        when(pmod(col("event_id"), lit(1000)) < permille, lit(BotUser))
+          .otherwise(col("user_id")))
+    def med(fn: () => Unit): Double = {
+      fn()
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    import Bench.fmt3
+    val rows = Seq(0, 100, 300, 500).map { pm =>
+      val ev = botView(pm)
+      val tTrans = med(() =>
+        { EventOps.eventTransitions(ev).queryExecution.toRdd.count(); () })
+      val tFunnel = med(() =>
+        { EventOps.funnel(ev).queryExecution.toRdd.count(); () })
+      val tUsers = med(() =>
+        { EventOps.funnelUsers(ev).queryExecution.toRdd.count(); () })
+      s""""pm$pm":{"transitions_s":${fmt3(tTrans)},"funnel_s":${fmt3(tFunnel)},""" +
+        s""""funnel_users_s":${fmt3(tUsers)}}"""
+    }
+    println(s"""{"metric":"bot_skew","bot_user":$BotUser,"reps":$reps,""" +
+      s""""sf":"$sfDir",${rows.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -70,14 +70,22 @@ object BenchScaleCurve {
         // replica tag in letters: 3 → "qd" (q + ('a'+3)); 26+ would
         // need two letters — factors stay far below that
         val tag = "q" + ('a' + (k % 26)).toChar
+        val suffixed = array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(tag))), " ")
         base.select(
           (col("doc_id") + lit(k * DocStride)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(tag))), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          suffixed.as("text"),
+          col("lang"), col("source"),
+          // declared n_chars shifts by the suffix growth, NOT a fresh
+          // length(text): the base replica keeps its original values
+          // and every replica inherits the base's deliberate declared-
+          // vs-computed mismatches (the q46/q128 workload), so the
+          // metadata-repair family sees the SAME mismatch density at
+          // every scale factor instead of a silently clean corpus
+          (col("n_chars") + (length(suffixed) - length(col("text"))))
+            .cast("long").as("n_chars"))
       }
     }.reduce(_ unionByName _)
-      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   val EventStride = 100000000000L

@@ -148,6 +148,8 @@ object SparkEntry {
     "q132_rate_bursts" -> ((s, d) => EventOps.rateBursts(Tables.events(s, d))),
     "q130b_funnel_users" -> ((s, d) => EventOps.funnelUsers(Tables.events(s, d))),
     "q134_event_gaps" -> ((s, d) => EventOps.eventGaps(Tables.events(s, d))),
+    "q134b_type_outages" -> ((s, d) =>
+      EventOps.typeOutageReport(Tables.events(s, d))),
     "q135_event_transitions" -> ((s, d) =>
       EventOps.eventTransitions(Tables.events(s, d))),
     // format twins: the SAME oracle-checked operators over the SAME
@@ -185,6 +187,8 @@ object SparkEntry {
     "q86_tfidf_terms" -> ((s, d) => Search.tfidfTerms(Tables.documents(s, d))),
     "q87_keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d))),
     "q136_bm25" -> ((s, d) => Search.bm25Search(Tables.documents(s, d))),
+    "q136b_hybrid_bm25" -> ((s, d) =>
+      Search.hybridRrfBm25(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q88_indexed_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Search.indexedSearch(Search.postingIndex(docs), Search.docCount(docs))
@@ -980,6 +984,18 @@ object SparkEntry {
       |coalesce(MAX(gap_h), 0) AS max_gap_hours
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q134b's oracle: the global hour timeline × the type dimension,
+    * minus the observed (hour, type) frame — the missing cells. */
+  private def typeOutagesSql: String =
+    """WITH hrs AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hour_us FROM events),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |obs AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type FROM events)
+      |SELECT h.hour_us, t.event_type
+      |FROM hrs h CROSS JOIN ty t
+      |LEFT JOIN obs o ON o.hour_us = h.hour_us AND o.event_type = t.event_type
+      |WHERE o.hour_us IS NULL
+      |ORDER BY 1, 2""".stripMargin
+
   /** q135's oracle: user-ordered lag edges, matrix count, outgoing
     * share in bp. */
   private def eventTransitionsSql: String =
@@ -1312,12 +1328,13 @@ object SparkEntry {
     * replayed log2mb kernel (domain rows only where the non-negative
     * clamp passes), the multiplied-through integer tf-part in HUGEINT,
     * per-(query, doc) sum, rank. */
-  private def bm25Sql: String = {
-    val k = graft.operators.Search.SearchTopK
+  /** the q136 BM25 chain up to the ranked frame `bmrk` — shared by the
+    * standalone oracle and the q136b hybrid fusion. */
+  private def bm25Ctes: String = {
     val qvals = graft.operators.Search.Queries
       .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
       .mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tk FROM documents),
        |q(query_id, term) AS (VALUES $qvals),
        |terms AS (SELECT DISTINCT term FROM q),
        |tf AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, tm.term,
@@ -1334,13 +1351,44 @@ object SparkEntry {
        |CAST((CAST(i.idf_mb AS HUGEINT) * 22 * n.t_tokens * tf.tf) //
        |(CAST(10 AS HUGEINT) * n.t_tokens * tf.tf + 3 * n.t_tokens + 9 * tf.n_tokens * n.n_docs) AS BIGINT) AS c
        |FROM q JOIN tf ON tf.term = q.term JOIN idf i ON i.term = q.term CROSS JOIN n),
-       |agg AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_mb,
+       |bagg AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_mb,
        |MAX(tf) AS max_tf FROM contrib GROUP BY 1, 2),
-       |rk AS (SELECT query_id, doc_id, score_mb,
+       |bmrk AS (SELECT query_id, doc_id, score_mb,
        |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_mb DESC, doc_id) AS rank
-       |FROM agg WHERE max_tf > 0)
+       |FROM bagg WHERE max_tf > 0)""".stripMargin
+  }
+
+  private def bm25Sql: String = {
+    val k = graft.operators.Search.SearchTopK
+    s"""WITH $bm25Ctes
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_mb
-       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |FROM bmrk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q136b's oracle: the q136 BM25 rank chain + the q89 knn/fusion
+    * chain verbatim — rank-only fusion, exact integer arithmetic. */
+  private def hybridBm25Sql: String = {
+    val k = graft.operators.Search.SearchTopK
+    val rrfK = graft.operators.Search.RrfK
+    val qids = graft.operators.Search.Queries.map(_._1).mkString(", ")
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank FROM bmrk WHERE rank <= $k),
+       |vraw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |ve AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM vraw),
+       |knn AS (SELECT query_id, doc_id, rank FROM (
+       |SELECT CAST(vq.vec_id AS INTEGER) AS query_id, vc.vec_id AS doc_id,
+       |ROW_NUMBER() OVER (PARTITION BY vq.vec_id
+       |ORDER BY list_dot_product(vq.emb, vc.emb) / (vq.nrm * vc.nrm) DESC, vc.vec_id) AS rank
+       |FROM ve vq JOIN ve vc ON vq.vec_id <> vc.vec_id WHERE vq.vec_id IN ($qids)) t
+       |WHERE rank <= $k),
+       |u AS (SELECT * FROM lex UNION ALL SELECT * FROM knn),
+       |f AS (SELECT query_id, doc_id,
+       |CAST(SUM(10000 // ($rrfK + rank)) AS BIGINT) AS rrf_bp,
+       |CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2),
+       |frk AS (SELECT query_id, doc_id, rrf_bp, n_lists,
+       |ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_bp DESC, doc_id) AS rank FROM f)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_bp, n_lists
+       |FROM frk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** q87's oracle (q88 shares it verbatim: the indexed path is
@@ -3769,6 +3817,7 @@ object SparkEntry {
     "q86_tfidf_terms" -> tfidfTermsSql,
     "q87_keyword_search" -> keywordSearchSql,
     "q136_bm25" -> bm25Sql,
+    "q136b_hybrid_bm25" -> hybridBm25Sql,
     "q88_indexed_search" -> keywordSearchSql,
     "q88b_compacted_search" -> keywordSearchSql,
     "q89_hybrid_rrf" -> hybridRrfSql,
@@ -4053,6 +4102,7 @@ object SparkEntry {
     "q132_rate_bursts" -> rateBurstsSql,
     "q130b_funnel_users" -> funnelUsersSql,
     "q134_event_gaps" -> eventGapsSql,
+    "q134b_type_outages" -> typeOutagesSql,
     "q135_event_transitions" -> eventTransitionsSql
   )
 }

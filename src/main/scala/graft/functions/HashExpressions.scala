@@ -458,6 +458,18 @@ object HashExpressions {
       defineCodeGen(ctx, ev, c => s"java.util.Arrays.binarySearch($ref, $c) >= 0")
     }
 
+    // value equality over the array contents: the case-class default
+    // compares Array[Long] by REFERENCE, so two semantically identical
+    // probes never canonicalize equal — defeating subexpression
+    // elimination and exchange reuse wherever the probe appears twice
+    override def equals(o: Any): Boolean = o match {
+      case s: SortedLongContains =>
+        child == s.child && java.util.Arrays.equals(set, s.set)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + java.util.Arrays.hashCode(set)
+
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

@@ -493,7 +493,18 @@ object Dedup {
         expr("(10000 * CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)) DIV " +
           "nullif(CAST(size(array_union(sh_a, sh_b)) AS BIGINT), 0)")
           .as("jaccard_bp"))
-    val labels = propagateLabels(docs, edges)
+    clusterQualityFromFrames(scored, propagateLabels(docs, edges))
+  }
+
+  /** the q125 rollup over PERSISTED scored-edge + label frames — the
+    * deployment form (a pipeline persists the candidate scores and the
+    * q57 labels when it computes them; the audit then pays only this
+    * edge-sized rollup, not the re-derivation the self-contained
+    * inventory entry prices — the q82/q88b/q118 split accounting).
+    * `scored` = (doc_a, jaccard_bp) per candidate edge; `labels` = the
+    * q57/q125b (doc_id, label) frame. ONE definition with
+    * [[clusterQualityAudit]] so the two cannot drift. */
+  def clusterQualityFromFrames(scored: DataFrame, labels: DataFrame): DataFrame = {
     val members = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
     scored
@@ -531,7 +542,14 @@ object Dedup {
     * fixpoint — both proven plans; the filter adds zero exchanges. */
   def verifiedClusters(docs: DataFrame, k: Int = 3,
                        minJaccardBp: Long = VerifiedEdgeBp): DataFrame =
-    propagateLabels(docs, verifiedEdges(docs, k, minJaccardBp))
+    verifiedClustersFromEdges(docs, verifiedEdges(docs, k, minJaccardBp))
+
+  /** the q125b clustering over a PERSISTED verified-edge frame — the
+    * deployment form (the LSH+Jaccard scoring pass persists its edges;
+    * re-clustering pays only the CC fixpoint). ONE definition with
+    * [[verifiedClusters]] so the two cannot drift. */
+  def verifiedClustersFromEdges(docs: DataFrame, edges: DataFrame): DataFrame =
+    propagateLabels(docs, edges)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")

@@ -78,14 +78,21 @@ object EventOps {
     * frame i holds (user_id, t(i+1)) for users whose first-touch chain
     * reaches step i+1 — one map-side min per step chained by user-keyed
     * equi-joins. */
-  private def funnelDepthFrames(events: DataFrame): Seq[DataFrame] = {
-    val horizonUs = FunnelHorizonS * 1000000L
-    // step 1: first 'view' per user; step i: the MIN step-i timestamp
-    // strictly after t(i−1) and within the horizon — each depth is the
-    // previous frame plus one user-keyed join + one map-side min
-    val s1 = events.filter(col("event_type") === FunnelSteps.head)
+  private def funnelDepthFrames(events: DataFrame,
+                                steps: Seq[String] = FunnelSteps,
+                                horizonS: Long = FunnelHorizonS): Seq[DataFrame] = {
+    require(steps.nonEmpty, "a funnel needs at least one step")
+    require(horizonS > 0, s"horizonS must be positive, got $horizonS")
+    val horizonUs = horizonS * 1000000L
+    // step 1: first step-type event per user; step i: the MIN step-i
+    // timestamp strictly after t(i−1) and within the horizon — each
+    // depth is the previous frame plus one user-keyed join + one
+    // map-side min. The N-step generalization IS the implementation
+    // shape: a deployment declares its own step list; the 3-step
+    // [[FunnelSteps]] literal stays the inventory entry.
+    val s1 = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
-    FunnelSteps.zipWithIndex.drop(1)
+    steps.zipWithIndex.drop(1)
       .scanLeft(s1) { case (acc, (step, i)) =>
         events.filter(col("event_type") === step)
           .select(col("user_id"), unix_micros(col("ts")).as("__t"))
@@ -105,22 +112,32 @@ object EventOps {
     * card is exactly this manifest's histogram. Scale: the q130 chain
     * plus two user-keyed LEFT joins; per-user output is the contract
     * (audience lists are consumed per-user). */
-  def funnelUsers(events: DataFrame): DataFrame = {
-    val Seq(s1, s2, s3) = funnelDepthFrames(events)
-    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
-      .select(col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
-        col("t3").as("t3_us"),
-        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
-          .otherwise(1).as("depth"))
+  def funnelUsers(events: DataFrame, steps: Seq[String] = FunnelSteps,
+                  horizonS: Long = FunnelHorizonS): DataFrame = {
+    val frames = funnelDepthFrames(events, steps, horizonS)
+    val joined = frames.drop(1)
+      .foldLeft(frames.head)((acc, f) => acc.join(f, Seq("user_id"), "left"))
+    val n = steps.length
+    val depth =
+      if (n == 1) lit(1)
+      else (n - 1 to 2 by -1)
+        .foldLeft(when(col(s"t$n").isNotNull, n)) { (acc, i) =>
+          acc.when(col(s"t$i").isNotNull, i)
+        }.otherwise(1)
+    joined
+      .select(col("user_id") +:
+        (1 to n).map(i => col(s"t$i").as(s"t${i}_us")) :+
+        depth.as("depth"): _*)
       .orderBy("user_id")
   }
 
-  def funnel(events: DataFrame): DataFrame = {
-    val depths = funnelDepthFrames(events)
+  def funnel(events: DataFrame, steps: Seq[String] = FunnelSteps,
+             horizonS: Long = FunnelHorizonS): DataFrame = {
+    val depths = funnelDepthFrames(events, steps, horizonS)
     val reach = depths.zipWithIndex.map { case (frame, i) =>
       frame.agg(count(lit(1)).as("n"))
         .select(lit(i + 1).as("step_idx"),
-          lit(FunnelSteps(i)).as("step"), col("n").as("n_users"))
+          lit(steps(i)).as("step"), col("n").as("n_users"))
     }.reduce(_ unionByName _)
     val top = reach.filter(col("step_idx") === 1)
       .select(col("n_users").as("n_top"))
@@ -222,6 +239,51 @@ object EventOps {
         "hours_observed", "hours_missing", "coverage_bp", "max_gap_hours")
       .orderBy("event_type")
   }
+
+  /** q134b: TYPE-OUTAGE MANIFEST — the per-incident half of q134 (the
+    * card says HOW MUCH of each type's timeline is missing; this says
+    * WHICH (hour, type) cells are — the page an on-call actually
+    * opens, and the frame the streaming door ([[graft.streaming
+    * .EventStreams.gapMonitor]]) is spec-proven against): for every
+    * hour in the corpus's global observed timeline, the expected
+    * types that did NOT fire. Expected = the corpus's own type
+    * dimension (the inventory entry's freeze; a deployment passes its
+    * SLA list to [[typeOutages]]). The frame is the OBSERVED global
+    * timeline: an hour where NO type fired at all emits no cells
+    * (spec-pinned vs q134, whose per-type spans do count such hours)
+    * — the same no-data-no-window contract the streaming door states;
+    * q134's span/coverage card is the instrument for global silence.
+    *
+    * Scale shape: the corpus reduces ONCE map-side to the (type, hour)
+    * frame; the outage set is the timeline-sized hour frame × the
+    * type dimension minus that frame — bounded by the calendar and
+    * the type count, never the corpus. */
+  def typeOutageReport(events: DataFrame): DataFrame = {
+    val expected = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    typeOutages(events, expected)
+  }
+
+  /** [[typeOutageReport]] with a caller-declared SLA type list. */
+  def typeOutages(events: DataFrame, expectedTypes: Seq[String]): DataFrame = {
+    require(expectedTypes.nonEmpty, "typeOutages needs an expected-type list")
+    events
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(collect_set(col("event_type")).as("__obs"))
+      .select(col("hour_us"),
+        explode(array_except(
+          array(expectedTypes.map(lit): _*), col("__obs"))).as("event_type"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  /** the q135 edge set as a FROZEN bounded model for the streaming
+    * door ([[graft.streaming.EventStreams.transitionMonitor]]): every
+    * (prev, next) transition observed in the reference window.
+    * Collects — legal under the bounded-model contract: the frame is
+    * types²-sized at any corpus scale. */
+  def transitionBaseline(events: DataFrame): Seq[(String, String)] =
+    eventTransitions(events).select("prev_type", "next_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** q135: EVENT-TYPE TRANSITION MATRIX — the Markov view of user
     * behaviour (q130 follows ONE declared step sequence; this measures

@@ -446,10 +446,44 @@ object Search {
       s"query ids address the query-vector block and must sit in [0, 1024); got $qids")
     val lex = keywordSearch(docs, queries, k)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val vec = Similarity.knnBruteForce(embeddings, nQueries = qids.max + 1, k = k)
+    rrfFuse(lex, vecRanks(embeddings, qids, k), k)
+  }
+
+  /** q136b: HYBRID BM25 + VECTOR RRF — the production hybrid
+    * (q89 fuses the linear-tf AND-search; deployed hybrid retrieval
+    * fuses BM25 — Elasticsearch/Vespa/Weaviate's default pairing):
+    * q136's exact integer Okapi ranking and the same cosine kNN,
+    * fused by the SAME rank-only reciprocal-rank rule as q89 (the one
+    * fusion definition, shared — rank-only inputs make the oracle
+    * composition mechanical). OR semantics on the lexical side, so a
+    * doc matching any term can fuse.
+    *
+    * Scale shape: the q136 chain + the q89 fusion unchanged — both
+    * k-bounded inputs, fusion moves ≤ 2k rows per query. */
+  def hybridRrfBm25(docs: DataFrame, embeddings: DataFrame,
+                    queries: Seq[(Int, Seq[String])] = Queries,
+                    k: Int = SearchTopK): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    val qids = queries.map(_._1)
+    require(qids.forall(q => q >= 0 && q < 1024),
+      s"query ids address the query-vector block and must sit in [0, 1024); got $qids")
+    val lex = bm25Search(docs, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    rrfFuse(lex, vecRanks(embeddings, qids, k), k)
+  }
+
+  /** the vector ranking side both hybrids share. */
+  private def vecRanks(embeddings: DataFrame, qids: Seq[Int], k: Int): DataFrame =
+    Similarity.knnBruteForce(embeddings, nQueries = qids.max + 1, k = k)
       .filter(col("query_id").isin(qids.map(_.toLong): _*))
       .select(col("query_id").cast(IntegerType).as("query_id"),
         col("neighbor_id").as("doc_id"), col("rank"))
+
+  /** the ONE reciprocal-rank fusion rule (q89 and q136b share it, so
+    * the two hybrids cannot drift): contrib = 10000 DIV (RrfK + rank),
+    * summed per (query, doc), k-bounded heap election. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val fused = lex.unionByName(vec)
       .withColumn("contrib", expr(s"10000 DIV ($RrfK + rank)"))
       .groupBy("query_id", "doc_id")

@@ -1328,7 +1328,12 @@ object Similarity {
     embeddings
       .select(col("*"),
         col("embedding").isNull.as("is_null"),
-        size(col("embedding")).cast("long").as("dim"),
+        // NULL-guarded: with ANSI off, size(NULL) is the legacy −1
+        // sentinel, which would leak into min_dim as a fake dimension
+        // and diverge from the oracle's NULL-skipping MIN — exactly
+        // the input class this health card exists to catch
+        when(col("embedding").isNull, lit(null))
+          .otherwise(size(col("embedding"))).cast("long").as("dim"),
         expr("coalesce(exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT)), false)")
           .as("has_nonfinite"),
         expr("coalesce(NOT exists(embedding, x -> x <> CAST(0.0 AS FLOAT) OR isnan(x)), false)")

@@ -92,6 +92,80 @@ object EventStreams {
         "ratio_pm", "known_type")
   }
 
+  /** q134 at the door: the TYPE-OUTAGE monitor — per watermark-closed
+    * hour, the expected types that did NOT fire (the q134b manifest
+    * shape, live). One streaming hour aggregate collects the hour's
+    * observed type set; the outage rows fall out row-locally
+    * (array_except against the frozen SLA list), so append mode stays
+    * legal and output is incident-sized.
+    *
+    * STATED CONTRACT (why this is the q134 shape and not q134 itself):
+    * gap detection needs a CLOSED window — the door judges an hour
+    * only once the watermark passes it. And an hour with ZERO events
+    * of ANY type produces no window at all in an event-time engine
+    * (no data, no trigger): the door detects PARTIAL outages (a type
+    * missing while others fire) exactly; TOTAL collector silence is
+    * only visible when the next event advances the watermark, and the
+    * skipped hours then ship retroactively is NOT provided — a
+    * wall-clock ticker source is the deployment answer there. The
+    * batch q134b over the same data is the exact reconciliation. */
+  def gapMonitor(events: DataFrame, expectedTypes: Seq[String]): DataFrame = {
+    require(expectedTypes.nonEmpty, "gapMonitor needs an expected-type list")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(collect_set(col("event_type")).as("__obs"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        explode(array_except(
+          array(expectedTypes.map(lit): _*), col("__obs"))).as("event_type"))
+  }
+
+  final case class TransSt(lastType: String, lastUs: Long)
+  final case class TransOut(user_id: Long, prev_type: String,
+                            next_type: String, ts_us: Long, known_edge: Boolean)
+
+  /** q135 at the door: the TRANSITION monitor — every observed
+    * consecutive user step, flagged against the frozen q135 edge set
+    * ([[graft.operators.EventOps.transitionBaseline]]): a (prev, next)
+    * edge never seen in the reference window ships with
+    * known_edge=false — the impossible-transition screen (a purchase
+    * with no preceding view-ish step, a state machine violated) run
+    * live instead of in the nightly matrix.
+    *
+    * Exactness contract (the funnelMonitor discipline): events are
+    * buffered and ts-sorted WITHIN each micro-batch and assumed
+    * in-order per user ACROSS batches; under in-order delivery the
+    * emitted edge stream equals the batch q135 lag edges exactly
+    * (spec-pinned). State is ONE (type, µs) pair per user — bounded
+    * regardless of volume. Edges ship as they happen (downstream
+    * filters known_edge=false for the alert feed; the full stream is
+    * the matrix's increment). */
+  def transitionMonitor(events: Dataset[Ev],
+                        knownEdges: Seq[(String, String)]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    val known = knownEdges.toSet
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[Ev], state: GroupState[TransSt]) => {
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransOut]
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            last.foreach { s =>
+              out += TransOut(userId, s.lastType, e.event_type, t,
+                known.contains((s.lastType, e.event_type)))
+            }
+            last = Some(TransSt(e.event_type, t))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   /** Built-in gap-based session windows (30 min), streaming-capable. */
   def sessionWindows(events: DataFrame): DataFrame =
     events
@@ -195,24 +269,33 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) => {
           val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var s = state.getOption.getOrElse(FunnelSt(0L, 0L, 0L))
+          // Long.MinValue = "step not reached" — NOT 0L, which is a
+          // legitimate µs timestamp (epoch 0) and must advance the
+          // chain like any other. MinValue is unreachable: floorDiv
+          // keeps every real ts-µs far above it.
+          val Unset = Long.MinValue
+          var s = state.getOption.getOrElse(FunnelSt(Unset, Unset, Unset))
           sorted.foreach { e =>
             val t = us(e.ts)
             e.event_type match {
-              case "view" if s.t1 == 0L => s = s.copy(t1 = t)
-              case "click" if s.t1 != 0L && s.t2 == 0L &&
+              case "view" if s.t1 == Unset => s = s.copy(t1 = t)
+              case "click" if s.t1 != Unset && s.t2 == Unset &&
                 t > s.t1 && t <= s.t1 + hUs => s = s.copy(t2 = t)
-              case "purchase" if s.t2 != 0L && s.t3 == 0L &&
+              case "purchase" if s.t2 != Unset && s.t3 == Unset &&
                 t > s.t2 && t <= s.t2 + hUs => s = s.copy(t3 = t)
               case _ =>
             }
           }
           state.update(s)
-          val depth = if (s.t3 != 0L) 3 else if (s.t2 != 0L) 2
-            else if (s.t1 != 0L) 1 else 0
+          val depth = if (s.t3 != Unset) 3 else if (s.t2 != Unset) 2
+            else if (s.t1 != Unset) 1 else 0
+          // depth-0 rows (touched users with no 'view' yet) are a
+          // deliberate contract DIFFERENCE from batch funnelUsers,
+          // which only emits entered users — a door reports every
+          // user it has seen; the parity law holds at depth >= 1.
           Iterator.single(FunnelOut(userId, depth,
-            Option(s.t1).filter(_ != 0L), Option(s.t2).filter(_ != 0L),
-            Option(s.t3).filter(_ != 0L)))
+            Option(s.t1).filter(_ != Unset), Option(s.t2).filter(_ != Unset),
+            Option(s.t3).filter(_ != Unset)))
         })
   }
 

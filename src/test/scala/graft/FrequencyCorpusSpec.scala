@@ -915,4 +915,68 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
     assert(m == Map(("view", "click") -> 1L, ("click", "click") -> 1L))
   }
+
+  test("q134b type outages: cells = timeline x types minus observed; agrees with q134 inside each span") {
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = EventOps.typeOutageReport(real).collect()
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")))
+    assert(out.nonEmpty, "sf0.001 carries real type-hour holes")
+    assert(out.distinct.length == out.length)
+    // independent re-derivation: global hour set x type set − observed
+    val obs = real.select(
+        unix_micros(date_trunc("hour", col("ts"))).as("h"), col("event_type"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val hours = obs.map(_._1); val types = obs.map(_._2)
+    val expected = for (h <- hours; t <- types; if !obs((h, t))) yield (h, t)
+    assert(out.toSet == expected, "outage cells must be exactly the missing cells")
+    // consistency with the q134 card: per type, outage cells inside
+    // the type's own span = globally-OBSERVED hours in the span minus
+    // the type's own hours — q134b's frame is the global timeline, so
+    // hours where NO type fired (global silence) are invisible to it
+    // (the same closed-window contract the gapMonitor door states),
+    // while q134's hours_missing counts them
+    val typeHours = obs.groupBy(_._2).map { case (t, cells) => t -> cells.map(_._1) }
+    EventOps.eventGaps(real).collect().foreach { g =>
+      val t = g.getAs[String]("event_type")
+      val lo = g.getAs[Long]("first_hour_us"); val hi = g.getAs[Long]("last_hour_us")
+      val inSpan = out.count { case (h, ty) => ty == t && h >= lo && h <= hi }
+      val expectedInSpan = hours.count(h => h >= lo && h <= hi) - typeHours(t).size
+      assert(inSpan == expectedInSpan,
+        s"q134b within $t's span must equal observed-global-hours minus $t's own")
+      assert(inSpan <= g.getAs[Long]("hours_missing"),
+        s"q134b can only see a subset of q134's missing hours for $t")
+    }
+  }
+
+  test("parameterized funnel: 2-step and 4-step fixtures; 3-step default unchanged") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // u1 completes all 4 steps in order; u2 stalls after step 2 (step-3
+    // type fires BEFORE its step 2 — order violation); u3 never enters
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(1), 1L, "b", 1.0, "{}"),
+      (3L, ts(2), 1L, "c", 1.0, "{}"), (4L, ts(3), 1L, "d", 1.0, "{}"),
+      (5L, ts(0), 2L, "a", 1.0, "{}"), (6L, ts(2), 2L, "b", 1.0, "{}"),
+      (7L, ts(1), 2L, "c", 1.0, "{}"),
+      (8L, ts(0), 3L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val four = EventOps.funnel(ev, Seq("a", "b", "c", "d"), horizonS = 3600)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_users")).toMap
+    assert(four == Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 4 -> 1L),
+      s"4-step reach: $four")
+    val two = EventOps.funnel(ev, Seq("b", "c"), horizonS = 3600)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_users")).toMap
+    // u3 enters at 'b' but has no later 'c'; u1 converts; u2's c is
+    // BEFORE its first b — strictly-after fails
+    assert(two == Map(1 -> 3L, 2 -> 1L), s"2-step reach: $two")
+    val users4 = EventOps.funnelUsers(ev, Seq("a", "b", "c", "d"), 3600)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("depth")).toMap
+    assert(users4 == Map(1L -> 4, 2L -> 2), s"4-step depths: $users4")
+    // the default arguments reproduce the registered q130 exactly
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(EventOps.funnel(real).collect().toSeq ==
+      EventOps.funnel(real, EventOps.FunnelSteps, EventOps.FunnelHorizonS)
+        .collect().toSeq)
+  }
 }

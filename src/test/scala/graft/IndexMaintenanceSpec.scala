@@ -111,6 +111,10 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
     val r = Similarity.vectorHealth(withNull).collect().head
     assert(r.getAs[Long]("n_null") == 1L && !r.getAs[Boolean]("healthy"))
+    // NULL vectors must NOT leak the legacy size(NULL) = −1 sentinel
+    // into the dim stats — min_dim skips NULLs like the oracle's MIN
+    assert(r.getAs[Long]("min_dim") == 2L && r.getAs[Long]("max_dim") == 2L,
+      s"min/max dim must skip NULL embeddings, got $r")
   }
 
   test("release stores: registered once, probed per batch, never rebuilt") {

@@ -860,6 +860,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("gap-monitor door equals the batch q134b manifest through a real stream") {
+    val batchEvents = Tables.events(spark, sf)
+    val expectedTypes = batchEvents.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.gapMonitor(stream, expectedTypes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gap_out")
+      .collect().map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")))
+    // batch q134b restricted to watermark-CLOSED hours: AvailableNow
+    // leaves the final watermark at max(ts) − 2h, so the trailing
+    // hours' windows never finalize — the stated closed-window
+    // contract, applied literally in the comparison
+    val maxUs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val closedBefore = maxUs - 2L * 3600000000L
+    val batch = EventOps.typeOutageReport(batchEvents).collect()
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")))
+      .filter { case (h, _) => h + 3600000000L <= closedBefore }
+    assert(streamed.nonEmpty, "the event timeline carries real type-hour holes")
+    assert(streamed.toSet == batch.toSet,
+      s"door outage cells must equal the closed-hour batch manifest " +
+        s"(door ${streamed.length}, batch ${batch.length})")
+  }
+
+  test("transition-monitor door emits exactly the batch q135 edges; unknown edges flag") {
+    import spark.implicits._
+    val batchEvents = Tables.events(spark, sf)
+    val baseline = EventOps.transitionBaseline(batchEvents)
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Ev]
+    val q = EventStreams.transitionMonitor(stream, baseline)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trans_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_out").collect()
+    // a baseline frozen from the same window knows every edge
+    assert(streamed.nonEmpty && streamed.forall(_.getAs[Boolean]("known_edge")))
+    // the emitted edge multiset equals the batch matrix exactly
+    val streamedCounts = streamed
+      .groupBy(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")))
+      .map { case (k, v) => k -> v.length.toLong }
+    val batch = EventOps.eventTransitions(batchEvents).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(streamedCounts == batch,
+      "door edge stream must be the batch matrix's exact increment")
+    // a restricted baseline flags the absent edges, never drops them
+    val oneEdge = baseline.take(1)
+    val q2 = EventStreams.transitionMonitor(
+        EventStreams.readEventStream(spark, eventsDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.Ev], oneEdge)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("trans_unknown")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val flagged = spark.table("trans_unknown").collect()
+    assert(flagged.length == streamed.length, "restricting the baseline drops nothing")
+    assert(flagged.exists(!_.getAs[Boolean]("known_edge")),
+      "edges outside the frozen set must ship flagged")
+  }
+
   test("streaming upsert sink merges each micro-batch into the parquet table") {
     import spark.implicits._
     import org.apache.spark.sql.types._

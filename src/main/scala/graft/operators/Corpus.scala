@@ -915,10 +915,16 @@ object Corpus {
     val champs = graft.plans.TopKPerKey(
       qrows.join(df, Seq("h")),
       Seq(col("query_id")), Seq(col("df"), col("h")), RetbChamps)
-    // candidates: chunks sharing a champion shingle (champion side is
-    // Q×RetbChamps rows — broadcast it against the posting rows)
+    // candidates: chunks sharing a champion shingle. NO manual
+    // broadcast hint: the champion side is Q×RetbChamps rows, and Q is
+    // CORPUS-sized here (every 7th doc) — at the 100× curve point the
+    // hint forced a 6.9M-row broadcast build and the per-unit cost
+    // doubled (r100 = 26 vs q118's 12.6, the knee the 100× decade
+    // exists to expose). Unhinted, AQE broadcasts exactly when the
+    // runtime size is actually small and shuffle-joins otherwise —
+    // the decision belongs to the engine, not the plan.
     val cands = crows
-      .join(broadcast(champs.select("query_id", "h")), Seq("h"))
+      .join(champs.select("query_id", "h"), Seq("h"))
       .select("query_id", "doc_id", "chunk_idx")
       .distinct()
     // exact rescore in the q103 scoring space
@@ -936,6 +942,34 @@ object Corpus {
     top.withColumn("rank", row_number().over(w).cast(LongType))
       .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
       .orderBy("query_id", "rank")
+  }
+
+
+  // dev probes for the q103b stage split (BenchScaleCurve knee hunts)
+  private[graft] def probeCf(corpus: DataFrame): DataFrame =
+    chunkFeaturesSparseInput(corpus)
+  private[graft] def probeCrows(corpus: DataFrame): DataFrame =
+    chunkFeaturesSparseInput(corpus)
+      .select(col("doc_id"), col("chunk_idx"),
+        explode(graft.functions.HashExpressions.md5_shingle_hashes(col("__ct"), RetbShingleK)).as("h"))
+      .distinct()
+  private[graft] def probeChamps(docs: DataFrame): DataFrame = {
+    val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
+    val crows = probeCrows(docs.filter(!isQuery))
+    val df = crows.groupBy("h").agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("df"))
+    val qtoks = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
+      .filter(size(col("__qtk")) > 0)
+    val qrows = qtoks.select(col("query_id"),
+      explode(graft.functions.HashExpressions.md5_shingle_hashes(col("__qtk"), RetbShingleK)).as("h")).distinct()
+    graft.plans.TopKPerKey(qrows.join(df, Seq("h")),
+      Seq(col("query_id")), Seq(col("df"), col("h")), RetbChamps)
+  }
+  private[graft] def probeCands(docs: DataFrame): DataFrame = {
+    val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
+    val crows = probeCrows(docs.filter(!isQuery))
+    probeChamps(docs).select("query_id", "h").join(crows, Seq("h"))
+      .select("query_id", "doc_id", "chunk_idx").distinct()
   }
 
   /** chunk rows carrying the sliced token array (shared geometry;

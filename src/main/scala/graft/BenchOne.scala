@@ -38,11 +38,11 @@ object BenchPqSplit {
     }
     val (tIvf, _) = med(() => Similarity.ivfCentroids(emb, 16))
     val (tBooks, books) = med(() => Similarity.pqCodebooks(emb))
-    val (tEncode, _) = med(() => Similarity.pqEncodeWithModel(emb, books).count())
-    val (tFull, _) = med(() => Similarity.pqEncode(emb).count())
-    val (tAdc, _) = med(() => Similarity.pqAdcSearch(emb).count())
-    val (tIvfPq, _) = med(() => Similarity.knnIvfPq(emb).count())
-    val (tRpq, _) = med(() => Similarity.knnIvfRpq(emb).count())
+    val (tEncode, _) = med(() => Similarity.pqEncodeWithModel(emb, books).queryExecution.toRdd.count())
+    val (tFull, _) = med(() => Similarity.pqEncode(emb).queryExecution.toRdd.count())
+    val (tAdc, _) = med(() => Similarity.pqAdcSearch(emb).queryExecution.toRdd.count())
+    val (tIvfPq, _) = med(() => Similarity.knnIvfPq(emb).queryExecution.toRdd.count())
+    val (tRpq, _) = med(() => Similarity.knnIvfRpq(emb).queryExecution.toRdd.count())
     import Bench.fmt3
     println(s"""{"ivf_train_s":${fmt3(tIvf)},"pq_train_s":${fmt3(tBooks)},""" +
       s""""encode_scan_s":${fmt3(tEncode)},"encode_full_s":${fmt3(tFull)},""" +
@@ -119,7 +119,7 @@ object BenchSegSplit {
     }
     val table = s"graft_segsplit_$gen"
     val tSearch = med(() =>
-      graft.sources.IndexCatalog.searchPostings(spark, table).count())
+      graft.sources.IndexCatalog.searchPostings(spark, table).queryExecution.toRdd.count())
     import Bench.fmt3
     println(s"""{"segment_writes_s":${fmt3(tSegs)},"compact_s":${fmt3(tCompact)},""" +
       s""""search_s":${fmt3(tSearch)},"reps":$reps,"sf":"$sfDir"}""")
@@ -235,20 +235,20 @@ object BenchReportSplit {
     }
     // the 14 standalone operators, each its own corpus scan
     val standalone: Seq[() => Long] = Seq(
-      () => TextAnalysis.langId(docs).count(),
-      () => TextAnalysis.contentMetadataCheck(docs).count(),
-      () => TextAnalysis.qualityScore(docs).count(),
-      () => TextAnalysis.tokenCounts(docs).count(),
-      () => TextAnalysis.repetitionScreen(docs).count(),
-      () => TextAnalysis.fingerprint(docs).count(),
-      () => TextAnalysis.exactDedup(docs).count(),
-      () => TextAnalysis.dedupedCorpus(docs).count(),
-      () => Corpus.datasetSplit(docs, 1000, 1000).count(),
-      () => Frequency.rarityScreen(docs).count(),
-      () => LmScreen.lmScreen(docs).count(),
-      () => Dsir.dsirWeights(docs).count(),
-      () => Corpus.corpusPipeline(docs, rates, 5000, 4000L).count(),
-      () => Corpus.corpusCard(docs, rates, 5000).count())
+      () => TextAnalysis.langId(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.contentMetadataCheck(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.qualityScore(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.tokenCounts(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.repetitionScreen(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.fingerprint(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.exactDedup(docs).queryExecution.toRdd.count(),
+      () => TextAnalysis.dedupedCorpus(docs).queryExecution.toRdd.count(),
+      () => Corpus.datasetSplit(docs, 1000, 1000).queryExecution.toRdd.count(),
+      () => Frequency.rarityScreen(docs).queryExecution.toRdd.count(),
+      () => LmScreen.lmScreen(docs).queryExecution.toRdd.count(),
+      () => Dsir.dsirWeights(docs).queryExecution.toRdd.count(),
+      () => Corpus.corpusPipeline(docs, rates, 5000, 4000L).queryExecution.toRdd.count(),
+      () => Corpus.corpusCard(docs, rates, 5000).queryExecution.toRdd.count())
     val tStandalone = med(() => standalone.foreach(_.apply()))
     // ONE frame build + persist
     val dir = java.nio.file.Files.createTempDirectory("graft_report_").toString + "/frame"
@@ -259,20 +259,20 @@ object BenchReportSplit {
     val frame = spark.read.parquet(dir)
     // the same 14 results as views over the persisted frame
     val views: Seq[() => Long] = Seq(
-      () => TextAnalysis.reportLangId(frame).count(),
-      () => TextAnalysis.reportContentCheck(frame).count(),
-      () => TextAnalysis.reportQuality(frame).count(),
-      () => TextAnalysis.reportTokenCounts(frame).count(),
-      () => TextAnalysis.reportRepetition(frame).count(),
-      () => TextAnalysis.reportFingerprint(frame).count(),
-      () => TextAnalysis.reportExactDedup(frame).count(),
-      () => TextAnalysis.reportDedupApply(frame).count(),
-      () => TextAnalysis.reportDatasetSplit(frame, 1000, 1000).count(),
-      () => TextAnalysis.reportRarity(frame).count(),
-      () => TextAnalysis.reportLmScreen(frame).count(),
-      () => TextAnalysis.reportDsir(frame).count(),
-      () => Corpus.reportCorpusPipeline(frame, rates, 5000, 4000L).count(),
-      () => Corpus.reportCorpusCard(frame, rates, 5000).count())
+      () => TextAnalysis.reportLangId(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportContentCheck(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportQuality(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportTokenCounts(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportRepetition(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportFingerprint(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportExactDedup(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportDedupApply(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportDatasetSplit(frame, 1000, 1000).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportRarity(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportLmScreen(frame).queryExecution.toRdd.count(),
+      () => TextAnalysis.reportDsir(frame).queryExecution.toRdd.count(),
+      () => Corpus.reportCorpusPipeline(frame, rates, 5000, 4000L).queryExecution.toRdd.count(),
+      () => Corpus.reportCorpusCard(frame, rates, 5000).queryExecution.toRdd.count())
     val tViews = med(() => views.foreach(_.apply()))
     import Bench.fmt3
     println(s"""{"model_train_s":${fmt3(tModels)},""" +
@@ -317,10 +317,11 @@ object BenchRelSplit {
     val fpP = spark.read.parquet(s"$tmp/fp")
     val bandP = spark.read.parquet(s"$tmp/band")
     val tBuild = med(() => {
-      val (a, b) = Dedup.releaseStores(docs); a.count(); b.count(); ()
+      val (a, b) = Dedup.releaseStores(docs)
+      a.queryExecution.toRdd.count(); b.queryExecution.toRdd.count(); ()
     })
     val tProbe = med(() =>
-      { Dedup.releaseDedupWithStores(fpP, bandP, inc).count(); () })
+      { Dedup.releaseDedupWithStores(fpP, bandP, inc).queryExecution.toRdd.count(); () })
     import Bench.fmt3
     println(s"""{"store_build_s":${fmt3(tBuild)},"probe_s":${fmt3(tProbe)},""" +
       s""""reps":$reps,"sf":"$sfDir"}""")
@@ -389,13 +390,13 @@ object BenchClusterSplit {
     val books = Similarity.pqCodebooks(emb)
     val tTrain = med(() => { Similarity.ivfCentroids(emb, 16); () })
     val tCards = med(() =>
-      { Similarity.clusterCardsWithModel(docs, emb, cents).count(); () })
+      { Similarity.clusterCardsWithModel(docs, emb, cents).queryExecution.toRdd.count(); () })
     val tSample = med(() =>
-      { Similarity.clusterSampleWithModel(emb, cents).count(); () })
+      { Similarity.clusterSampleWithModel(emb, cents).queryExecution.toRdd.count(); () })
     val tSemDedup = med(() =>
-      { Similarity.semanticDedupCellsWithModel(emb, cents).count(); () })
+      { Similarity.semanticDedupCellsWithModel(emb, cents).queryExecution.toRdd.count(); () })
     val tReport = med(() =>
-      { Similarity.vecReportWithModels(emb, cents, books).count(); () })
+      { Similarity.vecReportWithModels(emb, cents, books).queryExecution.toRdd.count(); () })
     import Bench.fmt3
     println(s"""{"ivf_train_s":${fmt3(tTrain)},"cards_frozen_s":${fmt3(tCards)},""" +
       s""""sample_frozen_s":${fmt3(tSample)},"semdedup_frozen_s":${fmt3(tSemDedup)},""" +

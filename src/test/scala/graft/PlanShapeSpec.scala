@@ -553,4 +553,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"),
       "the lang rollup must partial-aggregate map-side")
   }
+
+  test("split repair (q133b): banded chain only — no cartesian, map-side cluster rollup") {
+    val df = graft.operators.Dedup.splitRepair(Tables.documents(spark, dir), 500, 500)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      "candidates stay banded; the repair adds only linear key joins")
+    assert(plan.contains("partial_max"),
+      "the cluster split-set flags must partial-aggregate map-side")
+    assert(!plan.contains("Window"),
+      "no window anywhere — elections are aggregates, membership is joins")
+  }
+
+  test("type outages (q134b): ONE hour rollup, no join, outage cells row-local") {
+    val df = graft.operators.EventOps.typeOutages(
+      Tables.events(spark, dir), Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the manifest is one aggregate + explode:\n${plan.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "exactly one exchange: the (hour -> observed-type-set) rollup")
+  }
+
+  test("hybrid bm25 (q136b): both elections on the bounded heap, no cartesian data join") {
+    val df = graft.operators.Search.hybridRrfBm25(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("TopKPerKey".r.findAllIn(plan).length >= 2,
+      "the BM25 ranking and the fused ranking must both elect on TopKPerKey")
+    assert(!plan.contains("CartesianProduct"),
+      "only broadcast stat/query fan-outs; never a data-sized cartesian")
+  }
 }

@@ -932,6 +932,21 @@ class StreamingSpec extends AnyFunSuite {
       "edges outside the frozen set must ship flagged")
   }
 
+  test("funnel door: an event at exactly epoch 0 advances the chain (sentinel fix)") {
+    import spark.implicits._
+    // 0L was the old unset sentinel, so a view at epoch 0 could never
+    // register; Long.MinValue is unreachable by any real timestamp
+    val evs = Seq(
+      EventStreams.Ev(1L, new java.sql.Timestamp(0L), 7L, "view", 1.0),
+      EventStreams.Ev(2L, new java.sql.Timestamp(3600000L), 7L, "click", 1.0),
+      EventStreams.Ev(3L, new java.sql.Timestamp(7200000L), 7L, "purchase", 1.0)
+    ).toDS()
+    val out = EventStreams.funnelMonitor(evs).collect()
+    assert(out.length == 1 && out.head.depth == 3,
+      s"epoch-0 view must enter the funnel: ${out.toSeq}")
+    assert(out.head.t1_us.contains(0L))
+  }
+
   test("streaming upsert sink merges each micro-batch into the parquet table") {
     import spark.implicits._
     import org.apache.spark.sql.types._

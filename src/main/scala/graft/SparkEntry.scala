@@ -108,6 +108,8 @@ object SparkEntry {
       Tables.documents(s, d), SampleRates, SampleDefaultBp, PipelineBudget)),
     "q56_batch_fix" -> ((s, d) => Curation.orderFixes(Tables.orders(s, d))),
     "q57_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
+    "q137_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     "q54_repetition" -> ((s, d) => TextAnalysis.repetitionScreen(Tables.documents(s, d))),
     "q58_decontaminate" -> ((s, d) => Dedup.decontaminate(Tables.documents(s, d))),
     "q59_containment" -> ((s, d) => Dedup.containmentVerify(Tables.documents(s, d))),
@@ -1390,6 +1392,23 @@ object SparkEntry {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_bp, n_lists
        |FROM frk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+
+  /** q137's oracle: per-doc token-hash counts (the q54 hash domain),
+    * the shared log2mb CTE chain replayed per (doc, token) run, the
+    * entropy sum floored by n — both engines land the same integer. */
+  private def tokenEntropySql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk FROM documents),
+       |cnt AS (SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c FROM (${shingleHashSql(1)}) GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+       |dom AS (SELECT cnt.doc_id, cnt.h, cnt.c, tot.n, cnt.c AS a, tot.n AS b FROM cnt JOIN tot USING (doc_id)),
+       |${graft.operators.LmScreen.log2mbSqlCtes("dom", Seq("doc_id", "h", "c", "n"))},
+       |ent AS (SELECT doc_id, MAX(n) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+       |CAST(SUM(c * mb) // MAX(n) AS BIGINT) AS entropy_mb
+       |FROM surp GROUP BY 1)
+       |SELECT d.doc_id, e.n_tokens, e.distinct_tokens, e.entropy_mb,
+       |e.entropy_mb < ${graft.operators.TextAnalysis.LowEntropyMb} AS is_low_entropy
+       |FROM documents d LEFT JOIN ent e USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   /** q87's oracle (q88 shares it verbatim: the indexed path is
     * bit-identical to the scan path by construction). */
@@ -3807,6 +3826,7 @@ object SparkEntry {
     "q33_dedup_ngram_jaccard" -> jaccardVerifySql,
     "q57_dedup_clusters" -> dedupClustersSql,
     "q54_repetition" -> repetitionSql,
+    "q137_token_entropy" -> tokenEntropySql,
     "q58_decontaminate" -> decontaminateSql,
     "q83_block_dedup" -> blockDedupSql,
     // q84 implements q58's exact spec under a different physical

@@ -304,6 +304,65 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Per-row token-entropy stats (the q137 kernel): over the hash
+    * array's value runs (sort + run-scan, the [[ArrayFreqStats]]
+    * discipline — no explode, no shuffle of token rows), emits
+    * [n, distinct, entropy_mb] where entropy_mb =
+    * (Σ_runs c · log2mb(c, n)) DIV n — the exact-integer Shannon
+    * entropy of the token distribution in 1/1024-bit units, on the
+    * SAME [[LogExpressions.log2mbKernel]] the q100/q136 families
+    * replay digit-for-digit in the oracle. Empty array → [0, 0, 0];
+    * null (null text upstream) stays null. */
+  case class ArrayEntropyStats(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"array_entropy_stats expects array<bigint>, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "array_entropy_stats"
+
+    def kernel(a: ArrayData): ArrayData = {
+      val total = a.numElements()
+      var n = 0
+      val xs = new Array[Long](total)
+      var i = 0
+      while (i < total) {
+        if (!a.isNullAt(i)) { xs(n) = a.getLong(i); n += 1 }
+        i += 1
+      }
+      if (n == 0)
+        return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0L, 0L, 0L))
+      java.util.Arrays.sort(xs, 0, n)
+      var distinct = 0L
+      var acc = 0L
+      var runStart = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || xs(i) != xs(runStart)) {
+          val c = (i - runStart).toLong
+          distinct += 1
+          acc += c * LogExpressions.log2mbKernel(c, n.toLong)
+          runStart = i
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(n.toLong, distinct, acc / n))
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("entropyStats", this, classOf[ArrayEntropyStats].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Saturated hashed bag-of-tokens counts (the q103 retrieval
     * feature): one length-`buckets` long array per row, token t
     * incrementing bucket md5_60(salt ‖ t) mod buckets, each count
@@ -505,6 +564,9 @@ object HashExpressions {
 
   def array_freq_stats(hashes: Column): Column =
     ColumnBridge.column(ArrayFreqStats(ColumnBridge.expression(hashes)))
+
+  def array_entropy_stats(hashes: Column): Column =
+    ColumnBridge.column(ArrayEntropyStats(ColumnBridge.expression(hashes)))
 
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))

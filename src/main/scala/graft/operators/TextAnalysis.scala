@@ -417,6 +417,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
       .orderBy("content_hash")
 
+  /** q137 threshold: documents under this many millibits (1/1024 bit)
+    * of token entropy are flagged — 3072 mb = 3 bits, i.e. the
+    * document's token stream carries at most ~8 effective distinct
+    * tokens' worth of diversity. Shared with the oracle SQL. */
+  val LowEntropyMb = 3072L
+
+  /** q137: TOKEN-ENTROPY SCREEN — the global-diversity quality signal
+    * beside q54's repetition screen (q54 flags CONCENTRATION: one
+    * n-gram dominating; this flags low DIVERSITY overall — generated
+    * spam, keyword-stuffed pages and template boilerplate score low
+    * entropy even when no single token crosses q54's top-share bar;
+    * the compression-ratio screen of published pipelines, done in
+    * exact integers): per document the token count, distinct tokens
+    * and the Shannon entropy of the token distribution in millibits —
+    * entropy_mb = (Σ_t c_t · log2mb(c_t, n)) DIV n on the q100/q136
+    * shared fixed-point log kernel, so both engines compute the SAME
+    * integer digit-for-digit. Null-text docs ship with NULL verdicts
+    * (the q54 convention). Uniform docs read exactly log2(distinct):
+    * "a b c d" → 2048 mb; "a a a a" → 0.
+    *
+    * Scale shape: ONE row-local codegen pass (sort + run-scan over
+    * the doc's 60-bit token hashes inside [[graft.functions
+    * .HashExpressions.ArrayEntropyStats]]) — no explode, no token-row
+    * shuffle, nothing but the output sort; the shape that survives
+    * 100 TB where an explode+groupBy would shuffle the corpus token
+    * count (the q54 lesson applied verbatim). */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("__e", graft.functions.HashExpressions.array_entropy_stats(
+        Dedup.shingleHashes(col("text"), 1)))
+      .select(col("doc_id"),
+        col("__e").getItem(0).as("n_tokens"),
+        col("__e").getItem(1).as("distinct_tokens"),
+        col("__e").getItem(2).as("entropy_mb"),
+        (col("__e").getItem(2) < lit(LowEntropyMb)).as("is_low_entropy"))
+      .orderBy("doc_id")
+
   /** q42: apply the dedup policy — the retained training corpus. Each
     * canonical-fingerprint group keeps its smallest doc_id; everything
     * else is marked dropped. Winner election is the q83 groupBy+join

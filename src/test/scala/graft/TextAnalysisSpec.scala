@@ -218,4 +218,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("docs_share_bp") == 10000L,
       "every sf0.001 doc is scorable, so arm 0 keeps the whole corpus")
   }
+
+  test("token entropy: exact at powers of two, zero for uniform-repeat, null text null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // uniform over 4 → exactly 2 bits = 2048 mb (LOW: < 3 bits)
+      (2L, "a a a a"),        // one token → 0 mb, flagged
+      (3L, "a a b b"),        // uniform over 2 → exactly 1024 mb, flagged
+      (4L, null.asInstanceOf[String]), // null text → null verdicts (q54 convention)
+      (5L, "a b c d e f g h i j")     // uniform over 10 → log2(10) > 3 bits, passes
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("entropy_mb") == 2048L && out(1L).getAs[Boolean]("is_low_entropy"),
+      "a 4-distinct-token doc sits under the 3-bit bar")
+    assert(out(2L).getAs[Long]("entropy_mb") == 0L && out(2L).getAs[Boolean]("is_low_entropy"))
+    assert(out(3L).getAs[Long]("entropy_mb") == 1024L && out(3L).getAs[Boolean]("is_low_entropy"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("entropy_mb"))
+      && out(4L).isNullAt(out(4L).fieldIndex("is_low_entropy")))
+    assert(out(5L).getAs[Long]("entropy_mb") ==
+      graft.functions.LogExpressions.log2mbKernel(1L, 10L)
+      && !out(5L).getAs[Boolean]("is_low_entropy"),
+      "a uniform doc reads exactly log2(distinct) and 10 distinct clears 3 bits")
+    assert(out(1L).getAs[Long]("n_tokens") == 4L
+      && out(1L).getAs[Long]("distinct_tokens") == 4L)
+  }
+
+  test("token entropy laws on real data: bounded by log2(distinct), row-local plan") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.tokenEntropy(real).collect().filter(!_.isNullAt(3))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val e = r.getAs[Long]("entropy_mb"); val d = r.getAs[Long]("distinct_tokens")
+      val n = r.getAs[Long]("n_tokens")
+      assert(e >= 0L, s"entropy is non-negative: $r")
+      assert(e <= graft.functions.LogExpressions.log2mbKernel(1L, d) + 2,
+        s"entropy is bounded by log2(distinct) up to kernel floor slack: $r")
+      assert(d <= n)
+    }
+    val plan = TextAnalysis.tokenEntropy(real).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join") && !plan.contains("Window")
+      && !plan.contains("Exchange hashpartitioning"),
+      s"q137 is one row-local pass + the output sort:\n${plan.take(1200)}")
+  }
 }

@@ -444,14 +444,26 @@ object TextAnalysis {
     * 100 TB where an explode+groupBy would shuffle the corpus token
     * count (the q54 lesson applied verbatim). */
   def tokenEntropy(documents: DataFrame): DataFrame =
+    entropyView(withEntropyCols(documents))
+
+  /** the q137 kernel in append form (entropy_* columns ride the frame;
+    * ONE definition with the standalone operator and the docReport
+    * view, so the three cannot drift). */
+  private[graft] def withEntropyCols(documents: DataFrame): DataFrame =
     documents
       .withColumn("__e", graft.functions.HashExpressions.array_entropy_stats(
         Dedup.shingleHashes(col("text"), 1)))
-      .select(col("doc_id"),
-        col("__e").getItem(0).as("n_tokens"),
-        col("__e").getItem(1).as("distinct_tokens"),
-        col("__e").getItem(2).as("entropy_mb"),
-        (col("__e").getItem(2) < lit(LowEntropyMb)).as("is_low_entropy"))
+      .withColumn("entropy_n_tokens", col("__e").getItem(0))
+      .withColumn("entropy_distinct", col("__e").getItem(1))
+      .withColumn("entropy_mb", col("__e").getItem(2))
+      .drop("__e")
+
+  private def entropyView(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      col("entropy_n_tokens").as("n_tokens"),
+      col("entropy_distinct").as("distinct_tokens"),
+      col("entropy_mb"),
+      (col("entropy_mb") < lit(LowEntropyMb)).as("is_low_entropy"))
       .orderBy("doc_id")
 
   /** q42: apply the dedup policy — the retained training corpus. Each
@@ -506,6 +518,7 @@ object TextAnalysis {
       .transform(withQualityCols)
       .transform(withTokenCountCols)
       .transform(withRepetitionCols)
+      .transform(withEntropyCols)
       .transform(withGopherCols)
       .withColumn("fingerprint", fingerprintCol(col("text")))
       .withColumn("content_hash", md5(col("text").cast(BinaryType)))
@@ -555,6 +568,10 @@ object TextAnalysis {
     report.select("doc_id", "top_token_bp", "top_2gram_bp", "dup_3gram_bp",
         "is_repetitive")
       .orderBy("doc_id")
+
+  /** q137 over the frame. */
+  def reportTokenEntropy(report: DataFrame): DataFrame =
+    entropyView(report)
 
   /** q40 over the frame — the class-size election re-runs on the
     * PERSISTED fingerprint (same keyAggJoin shape, no text). */

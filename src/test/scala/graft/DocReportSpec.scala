@@ -68,6 +68,11 @@ class DocReportSpec extends AnyFunSuite {
       TextAnalysis.repetitionScreen(docs), "q54")
   }
 
+  test("q137 token entropy derives exactly from the frame's entropy columns") {
+    same(TextAnalysis.reportTokenEntropy(report),
+      TextAnalysis.tokenEntropy(docs), "q137")
+  }
+
   test("q40 fingerprint classes derive exactly from the persisted fingerprint") {
     same(TextAnalysis.reportFingerprint(report), TextAnalysis.fingerprint(docs), "q40")
   }

@@ -256,6 +256,8 @@ object SparkEntry {
       Similarity.knnIvfFiltered(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q102c_cdc_chunks" -> ((s, d) =>
       Corpus.cdcChunkSpans(Tables.documents(s, d))),
+    "q119b_epoch_shuffle" -> ((s, d) =>
+      Corpus.epochShuffle(Tables.documents(s, d), epoch = 1)),
     "q119_curriculum" -> ((s, d) =>
       Corpus.curriculumStages(Tables.documents(s, d))),
     "q64b_chunk_diff" -> ((s, d) => {
@@ -1409,6 +1411,17 @@ object SparkEntry {
        |SELECT d.doc_id, e.n_tokens, e.distinct_tokens, e.entropy_mb,
        |e.entropy_mb < ${graft.operators.TextAnalysis.LowEntropyMb} AS is_low_entropy
        |FROM documents d LEFT JOIN ent e USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+
+  /** q119b's oracle: the same epoch-salted 60-bit key, rank by
+    * (key, doc_id) — the naive window the bucketed form must equal. */
+  private def epochShuffleSql: String =
+    s"""WITH k AS (SELECT doc_id,
+       |('0x' || substr(md5('epoch:1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS shuffle_key
+       |FROM documents)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS epoch, shuffle_key,
+       |CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+       |FROM k ORDER BY doc_id""".stripMargin
 
   /** q87's oracle (q88 shares it verbatim: the indexed path is
     * bit-identical to the scan path by construction). */
@@ -3853,6 +3866,7 @@ object SparkEntry {
     "q36c_knn_filtered" -> knnIvfFilteredSql,
     "q102c_cdc_chunks" -> cdcChunkSpansSql,
     "q119_curriculum" -> curriculumSql,
+    "q119b_epoch_shuffle" -> epochShuffleSql,
     "q64b_chunk_diff" -> chunkDiffSql,
     "q120_kanon" -> kanonSql,
     "q121_zipf_card" -> zipfCardSql,

@@ -450,6 +450,43 @@ object Corpus {
       .orderBy("lang", "doc_id")
   }
 
+  /** q119b bucket span: shuffle keys are uniform in [0, 2⁶⁰), so 2⁴⁸
+    * gives 4096 buckets — offsets broadcast-sized, buckets N/4096. */
+  val EpochShuffleSpan: Long = 1L << 48
+
+  /** q119b: EPOCH SHUFFLE MANIFEST — the loader-side order for one
+    * training epoch (q63 packs, q119 stages; NOTHING emitted the
+    * within-run ORDER, and training pipelines need each epoch to
+    * visit the corpus in a different but fully REPRODUCIBLE
+    * pseudo-random order — resumable from any step, identical across
+    * reruns, backfills and engines, which rand() can never give):
+    * per document the epoch-salted 60-bit shuffle key
+    * (md5_60("epoch:e:" ‖ doc_id) — the q48/q70 hash-decision idiom)
+    * and its 1-based POSITION in that epoch's permutation. Different
+    * epochs permute independently; the document SET is identical.
+    *
+    * Scale shape: position = rank along the shuffle key, computed as
+    * a bucketed prefix COUNT ([[Scale.bucketedRunningSum]] over
+    * [[EpochShuffleSpan]]-wide key buckets — uniform keys make every
+    * bucket ~N/4096) — NEVER a global row_number window, which would
+    * serialize the whole corpus through one task. Spec pins equality
+    * with the naive window, the permutation laws (positions are
+    * exactly 1..N; same set, different order across epochs) and
+    * repartition-invariance. */
+  def epochShuffle(docs: DataFrame, epoch: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val keyed = docs.select(col("doc_id"),
+        Dedup.md5_60(concat(lit(s"epoch:$epoch:"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("__g", lit(0))
+    Scale.bucketedRunningSum(keyed, "__g",
+        expr(s"shuffle_key DIV $EpochShuffleSpan"),
+        Seq(col("shuffle_key"), col("doc_id")), lit(1L), "position")
+      .select(col("doc_id"), lit(epoch.toLong).as("epoch"),
+        col("shuffle_key"), col("position"))
+      .orderBy("doc_id")
+  }
+
   def packManifest(docs: DataFrame, ctxTokens: Long,
                    bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")

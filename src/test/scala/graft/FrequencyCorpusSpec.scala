@@ -979,4 +979,37 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       EventOps.funnel(real, EventOps.FunnelSteps, EventOps.FunnelHorizonS)
         .collect().toSeq)
   }
+
+  test("q119b epoch shuffle: permutation laws, window equality, epoch independence") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val e1 = Corpus.epochShuffle(docs, 1).collect()
+    assert(e1.length.toLong == n)
+    assert(e1.map(_.getAs[Long]("position")).sorted.toSeq == (1L to n).toSeq,
+      "positions are exactly 1..N — a permutation, no gaps, no ties")
+    // exactly the naive global row_number over (shuffle_key, doc_id)
+    val naive = e1.sortBy(r => (r.getAs[Long]("shuffle_key"), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+    e1.foreach(r => assert(r.getAs[Long]("position") == naive(r.getLong(0)),
+      s"bucketed rank must equal the naive window for doc ${r.getLong(0)}"))
+    // a different epoch reshuffles (same set, nearly no fixed points)
+    val p1 = e1.map(r => r.getLong(0) -> r.getAs[Long]("position")).toMap
+    val e2 = Corpus.epochShuffle(docs, 2).collect()
+    assert(e2.map(_.getLong(0)).toSet == p1.keySet, "epochs permute the SAME corpus")
+    val moved = e2.count(r => p1(r.getLong(0)) != r.getAs[Long]("position"))
+    assert(moved.toLong > (n * 9) / 10, s"a new epoch moves nearly every doc, moved=$moved")
+    // pure function of (epoch, doc_id): stable under repartitioning
+    val re = Corpus.epochShuffle(docs.repartition(13), 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("position")).toMap
+    assert(re == p1, "the order must not depend on physical partitioning")
+    // the DATA-path window must partition by the key bucket (the
+    // offsets frame's own tiny cumulative window is dimension-sized
+    // — 4096 rows — and legitimately single-partition)
+    val plan = Corpus.epochShuffle(docs, 1).queryExecution.executedPlan.toString()
+    assert(plan.contains("windowspecdefinition(__bucket"),
+      s"position must come from the bucketed prefix count:\n${plan.take(1500)}")
+    assert(!plan.contains("windowspecdefinition(shuffle_key")
+      && !plan.contains("row_number()"),
+      "no corpus-wide rank window anywhere in the plan")
+  }
 }

@@ -947,6 +947,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.head.t1_us.contains(0L))
   }
 
+  test("transition monitor on RocksDB: per-user state survives a checkpoint restart") {
+    import spark.implicits._
+    // the funnel/transition doors carry ONE (type, ts) pair per user —
+    // this proves that state actually RESTORES through a real
+    // checkpoint restart on the production state store: a user whose
+    // previous event landed before the restart must still emit the
+    // cross-restart edge afterwards.
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val base = java.nio.file.Files.createTempDirectory("graft_trans_soak")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    try {
+      val events = Tables.events(spark, sf).cache()
+      val baseline = EventOps.transitionBaseline(events)
+      def run(): Unit = {
+        val stream = EventStreams.readEventStream(spark, srcDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.Ev]
+        val q = EventStreams.transitionMonitor(stream, baseline)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.TransOut], _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      // split by TIME so each user's later events arrive after the
+      // restart (the door's in-order-per-user delivery contract)
+      val med = events.selectExpr("unix_micros(ts) AS u")
+        .stat.approxQuantile("u", Array(0.5), 0.0).head.toLong
+      events.filter(unix_micros(col("ts")) <= med)
+        .coalesce(2).write.mode("append").parquet(srcDir)
+      run() // run 1 — state checkpointed
+      events.filter(unix_micros(col("ts")) > med)
+        .coalesce(2).write.mode("append").parquet(srcDir)
+      run() // run 2 — RESTART: state must restore
+      val got = spark.read.parquet(outDir)
+        .groupBy("prev_type", "next_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = EventOps.eventTransitions(events).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(got == want,
+        "edge multiset across the restart must equal the batch matrix exactly")
+      // the proof that state restored: users straddling the cutoff
+      // contribute an edge whose prev side predates the restart
+      val straddlers = EventOps.eventTransitions(
+        events.filter(unix_micros(col("ts")) > med)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(want.values.sum > straddlers.values.sum,
+        "some edges must span the restart boundary — otherwise nothing was proven")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("streaming upsert sink merges each micro-batch into the parquet table") {
     import spark.implicits._
     import org.apache.spark.sql.types._

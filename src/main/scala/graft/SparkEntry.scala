@@ -264,6 +264,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Corpus.chunkDiff(docs, Curation.releaseView(docs))
     }),
+    "q120b_ldiversity" -> ((s, d) => Privacy.lDiversityAudit(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q120_kanon" -> ((s, d) => Privacy.kAnonymize(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q121_zipf_card" -> ((s, d) => Frequency.zipfCard(Tables.documents(s, d))),
@@ -3353,6 +3355,36 @@ object SparkEntry {
       |CASE WHEN n0 >= 5 OR n1 >= 5 THEN c_mktsegment ELSE '*' END AS segment
       |FROM j ORDER BY c_custkey""".stripMargin
 
+
+  /** q120b's oracle: the q120 rung chain + the shared sensitive band,
+    * rolled up per released class with a distinct-band count. */
+  private def lDiversitySql: String =
+    """WITH dims AS (SELECT n.n_nationkey, n.n_name, r.r_name
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |base AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, d.n_name, d.r_name
+      |FROM customer c LEFT JOIN dims d ON c.c_nationkey = d.n_nationkey),
+      |l0 AS (SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2),
+      |l1 AS (SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n1 FROM base GROUP BY 1, 2),
+      |l2 AS (SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n2 FROM base GROUP BY 1),
+      |j AS (SELECT b.c_custkey, b.c_mktsegment, b.n_name, b.r_name, l0.n0, l1.n1, l2.n2 FROM base b
+      |LEFT JOIN l0 ON l0.n_name = b.n_name AND l0.c_mktsegment = b.c_mktsegment
+      |LEFT JOIN l1 ON l1.r_name = b.r_name AND l1.c_mktsegment = b.c_mktsegment
+      |LEFT JOIN l2 ON l2.r_name = b.r_name),
+      |rel AS (SELECT c_custkey,
+      |CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1 WHEN n2 >= 5 THEN 2 ELSE 3 END AS BIGINT) AS anon_level,
+      |CASE WHEN n0 >= 5 THEN n_name WHEN n1 >= 5 OR n2 >= 5 THEN r_name ELSE '*' END AS geo,
+      |CASE WHEN n0 >= 5 OR n1 >= 5 THEN c_mktsegment ELSE '*' END AS segment
+      |FROM j),
+      |sens AS (SELECT c_custkey,
+      |CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 3000 THEN 'low'
+      |WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS sens FROM customer)
+      |SELECT r.anon_level, r.geo, r.segment,
+      |CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |CAST(COUNT(DISTINCT s.sens) AS BIGINT) AS n_sensitive_distinct,
+      |COUNT(DISTINCT s.sens) >= 3 AS is_l_diverse
+      |FROM rel r JOIN sens s USING (c_custkey)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** q121's oracle: per-lang top-K via QUALIFY-style row_number, both
     * logs through the shared log2mb cascade (one dom union keyed by
     * (lang, rank, kind)), the same integer normal-equation quotient —
@@ -3869,6 +3901,7 @@ object SparkEntry {
     "q119b_epoch_shuffle" -> epochShuffleSql,
     "q64b_chunk_diff" -> chunkDiffSql,
     "q120_kanon" -> kanonSql,
+    "q120b_ldiversity" -> lDiversitySql,
     "q121_zipf_card" -> zipfCardSql,
     "q122_decontam_report" -> decontamReportSql,
     "q124_source_overlap" -> sourceOverlapSql,

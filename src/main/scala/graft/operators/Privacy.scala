@@ -120,4 +120,40 @@ object Privacy {
       .select("c_custkey", "anon_level", "geo", "segment")
       .orderBy("c_custkey")
   }
+
+  /** the q120b sensitive attribute: the account balance discretized
+    * into four fixed bands (comparisons on the raw double are
+    * identical in both engines; the band label, not the balance, is
+    * what the release would carry). Shared with the oracle SQL. */
+  private[graft] def sensitiveBand: org.apache.spark.sql.Column = expr(
+    "CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 3000 THEN 'low' " +
+      "WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END")
+
+  /** q120b: L-DIVERSITY AUDIT — the standard companion check to
+    * q120's k-anonymity (Machanavajjhala et al.: a k-anonymous class
+    * whose members all share ONE sensitive value still discloses it —
+    * group size protects against re-identification, not attribute
+    * disclosure): per RELEASED equivalence class (the q120 ladder's
+    * (anon_level, geo, segment)), the member count, the number of
+    * distinct sensitive-band values and the ≥ l verdict. Classes that
+    * fail are where the release must coarsen further or suppress —
+    * the card a privacy review signs off next to the q120 manifest.
+    *
+    * Scale shape: the q120 plan unchanged + one fact-keyed equi-join
+    * (AQE-splittable) to pick up the band, then ONE map-side-combined
+    * rollup to a dimension-sized class card; the distinct count's
+    * inner key domain is the 4-band alphabet, so the expanded
+    * aggregate stays bounded. */
+  def lDiversityAudit(customer: DataFrame, nation: DataFrame,
+                      region: DataFrame, k: Int = 5, l: Int = 3): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    kAnonymize(customer, nation, region, k)
+      .join(customer.select(col("c_custkey"), sensitiveBand.as("__sens")),
+        Seq("c_custkey"))
+      .groupBy("anon_level", "geo", "segment")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__sens")).as("n_sensitive_distinct"))
+      .withColumn("is_l_diverse", col("n_sensitive_distinct") >= l)
+      .orderBy("anon_level", "geo", "segment")
+  }
 }

@@ -425,6 +425,34 @@ class CurationOpsSpec extends AnyFunSuite {
     released.values.foreach(g => assert(g.size >= 5))
   }
 
+  test("l-diversity audit: a k-anonymous class with one sensitive value is flagged") {
+    val nation = Seq((0, "GERMANY", 0), (1, "FRANCE", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
+    // class A: 5 Germans/AUTO, ALL the same balance band — k-anonymous
+    // at rung 0 yet the release discloses every member's band (the
+    // homogeneity attack l-diversity exists to catch); class B: 5
+    // French/STEEL across four bands — diverse
+    val customers = (
+      (1L to 5L).map(i => (i, 0, "AUTO", 5000.0))
+        ++ Seq((6L, 1, "STEEL", -10.0), (7L, 1, "STEEL", 100.0),
+          (8L, 1, "STEEL", 5000.0), (9L, 1, "STEEL", 8000.0),
+          (10L, 1, "STEEL", 200.0))
+      ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Privacy.lDiversityAudit(customers, nation, region)
+      .collect().map(r => (r.getAs[String]("geo"), r.getAs[String]("segment")) -> r).toMap
+    val a = out(("GERMANY", "AUTO"))
+    assert(a.getAs[Long]("n_rows") == 5L
+      && a.getAs[Long]("n_sensitive_distinct") == 1L
+      && !a.getAs[Boolean]("is_l_diverse"),
+      s"the homogeneous class must fail the audit: $a")
+    val b = out(("FRANCE", "STEEL"))
+    assert(b.getAs[Long]("n_sensitive_distinct") == 4L
+      && b.getAs[Boolean]("is_l_diverse"), s"$b")
+    // the card is class-level: one row per released equivalence class
+    assert(out.size == 2)
+  }
+
   test("dataset split: assignment is stable under corpus growth") {
     // the documented invariant: adding documents never reassigns an
     // existing one (split is a pure function of content — no

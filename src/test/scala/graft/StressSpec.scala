@@ -411,4 +411,41 @@ class StressSpec extends AnyFunSuite {
         == rows.map(_.getAs[Long]("n_tokens")).sum)
     }
   }
+
+  test("bot-user skew at sf0.1: per-user sequence operators stay correct under a 50% hot key") {
+    // the BenchSkew fixture as a CORRECTNESS stress (the measurement
+    // lives in SCALE_CURVE_r12/SURVEY): one user absorbing half of all
+    // events is the adversarial shape for user-keyed plans — the laws
+    // must hold unchanged, and the funnel family must agree with
+    // itself at every depth
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, "/root/testdata/sf0.1")
+    val BotUser = 424242424242L
+    val ev = base.withColumn("user_id",
+      when(pmod(col("event_id"), lit(1000)) < 500, lit(BotUser))
+        .otherwise(col("user_id")))
+    // q135: the matrix conserves the per-user edge total exactly
+    val edges = graft.operators.EventOps.eventTransitions(ev).collect()
+    val expectEdges = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(1) - 1).sum
+    assert(edges.map(_.getAs[Long]("n")).sum == expectEdges,
+      "edge conservation must survive the hot key")
+    val botN = ev.filter(col("user_id") === BotUser).count()
+    assert(botN * 3 > ev.count(),
+      s"the fixture must be a real hot key: bot holds $botN events")
+    // q130/q130b: reach is monotone non-increasing and the manifest
+    // histogram IS the card, bot or no bot
+    val reach = graft.operators.EventOps.funnel(ev).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("n_users")).toMap
+    assert(reach(1) >= reach(2) && reach(2) >= reach(3))
+    val users = graft.operators.EventOps.funnelUsers(ev).collect()
+    assert(users.length.toLong == reach(1))
+    (1 to 3).foreach { d =>
+      assert(users.count(_.getAs[Int]("depth") >= d).toLong == reach(d),
+        s"manifest depth histogram must equal the card at depth $d")
+    }
+    // the bot user itself funnels exactly once (first-touch semantics:
+    // one chain regardless of how many million events it owns)
+    assert(users.count(_.getLong(0) == BotUser) <= 1)
+  }
 }

@@ -256,6 +256,8 @@ object SparkEntry {
       Similarity.knnIvfFiltered(Tables.embeddings(s, d), Tables.documents(s, d))),
     "q102c_cdc_chunks" -> ((s, d) =>
       Corpus.cdcChunkSpans(Tables.documents(s, d))),
+    "q138_source_cap" -> ((s, d) =>
+      Corpus.sourceCap(Tables.documents(s, d), capPerClass = 20L)),
     "q119b_epoch_shuffle" -> ((s, d) =>
       Corpus.epochShuffle(Tables.documents(s, d), epoch = 1)),
     "q119_curriculum" -> ((s, d) =>
@@ -1423,6 +1425,19 @@ object SparkEntry {
        |FROM documents)
        |SELECT doc_id, CAST(1 AS BIGINT) AS epoch, shuffle_key,
        |CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+       |FROM k ORDER BY doc_id""".stripMargin
+
+
+  /** q138's oracle: the naive per-class rank window the bucketed
+    * prefix count must equal (PARTITION BY groups nulls together,
+    * exactly like the engine's null-safe struct key). */
+  private def sourceCapSql: String =
+    s"""WITH k AS (SELECT doc_id, lang, source,
+       |('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS cap_hash
+       |FROM documents)
+       |SELECT doc_id, lang, source, cap_hash,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY cap_hash, doc_id) AS BIGINT) AS class_rank,
+       |ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY cap_hash, doc_id) <= 20 AS keep
        |FROM k ORDER BY doc_id""".stripMargin
 
   /** q87's oracle (q88 shares it verbatim: the indexed path is
@@ -3899,6 +3914,7 @@ object SparkEntry {
     "q102c_cdc_chunks" -> cdcChunkSpansSql,
     "q119_curriculum" -> curriculumSql,
     "q119b_epoch_shuffle" -> epochShuffleSql,
+    "q138_source_cap" -> sourceCapSql,
     "q64b_chunk_diff" -> chunkDiffSql,
     "q120_kanon" -> kanonSql,
     "q120b_ldiversity" -> lDiversitySql,

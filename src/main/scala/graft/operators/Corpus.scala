@@ -487,6 +487,38 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** q138: SOURCE CAP — the fixed-QUOTA companion to q48's fixed-RATE
+    * sampling (production pipelines cap runaway sources outright: "no
+    * more than N docs from any (lang, source) cell" — a rate can't
+    * express that, because a source 100× the median still lands 100×
+    * the docs): per document its class, the salted 60-bit cap hash,
+    * its hash-order RANK within the class and the keep verdict
+    * (rank ≤ cap). The rank order is a pure function of doc_id, so
+    * the SELECTION is reproducible across runs/engines/partitioning;
+    * unlike q48, corpus GROWTH can displace a kept doc (a quota is
+    * competitive by definition — the stated contract difference).
+    *
+    * Scale shape: rank-within-class = the q119b bucketed prefix COUNT
+    * ([[Scale.bucketedRunningSum]] over [[EpochShuffleSpan]]-wide
+    * hash buckets) — NEVER a per-class row_number window, which would
+    * serialize the hottest source (the cell this operator exists to
+    * cap — at 100 TB easily half the corpus) through one task. The
+    * class key is a STRUCT, so null lang/source group exactly as
+    * SQL's PARTITION BY treats them and no string concat can collide. */
+  def sourceCap(docs: DataFrame, capPerClass: Long): DataFrame = {
+    require(capPerClass >= 1, s"capPerClass must be >= 1, got $capPerClass")
+    val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+        Dedup.md5_60(concat(lit("cap:"), col("doc_id").cast("string")))
+          .as("cap_hash"))
+      .withColumn("__cls", struct(col("lang"), col("source")))
+    Scale.bucketedRunningSum(keyed, "__cls",
+        expr(s"cap_hash DIV $EpochShuffleSpan"),
+        Seq(col("cap_hash"), col("doc_id")), lit(1L), "class_rank")
+      .withColumn("keep", col("class_rank") <= capPerClass)
+      .select("doc_id", "lang", "source", "cap_hash", "class_rank", "keep")
+      .orderBy("doc_id")
+  }
+
   def packManifest(docs: DataFrame, ctxTokens: Long,
                    bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")

@@ -1012,4 +1012,37 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       && !plan.contains("row_number()"),
       "no corpus-wide rank window anywhere in the plan")
   }
+
+  test("q138 source cap: quota exact per class, hot class included, window equality") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cap = 3L
+    val out = Corpus.sourceCap(real, cap).collect()
+    assert(out.length.toLong == real.count(), "one verdict row per document")
+    val byClass = out.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    byClass.foreach { case (cls, rows) =>
+      val kept = rows.count(_.getAs[Boolean]("keep")).toLong
+      assert(kept == math.min(cap, rows.length.toLong),
+        s"class $cls must keep exactly min(cap, size), got $kept of ${rows.length}")
+      // rank within the class is the naive (cap_hash, doc_id) window
+      val naive = rows.sortBy(r => (r.getAs[Long]("cap_hash"), r.getLong(0)))
+        .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1L) }.toMap
+      rows.foreach(r => assert(r.getAs[Long]("class_rank") == naive(r.getLong(0))))
+    }
+    // the hot class: one source holding most of the corpus still caps
+    // exactly (the cell this operator exists for)
+    import spark.implicits._
+    val hot = real.withColumn("source",
+      when(col("doc_id") % 10 =!= 0, "megacrawl").otherwise(col("source")))
+    val hotOut = Corpus.sourceCap(hot, cap).collect()
+    val mega = hotOut.filter(_.getAs[String]("source") == "megacrawl")
+    assert(mega.length.toLong > real.count() / 2, "fixture: megacrawl dominates")
+    val megaLangs = mega.map(_.getAs[String]("lang")).distinct.length.toLong
+    assert(mega.count(_.getAs[Boolean]("keep")).toLong == cap * megaLangs,
+      s"the dominant source keeps exactly the quota in each of its $megaLangs (lang, source) cells")
+    // pure function of doc_id: stable under repartitioning
+    val a = out.map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val b = Corpus.sourceCap(real.repartition(13), cap).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(a == b)
+  }
 }

@@ -52,6 +52,33 @@ object BenchPqSplit {
   }
 }
 
+/** q103b stage split (the r12/r13 100×-knee hunt): times each stage of
+  * the champion-list retrieval pipeline in isolation — chunk features,
+  * posting rows, champion election, candidate join, full query — so a
+  * knee attributes to a stage, not the whole plan. Arg = corpus dir
+  * (defaults to the bench SF). */
+object BenchRetrievalSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Corpus
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, dir)
+    def t(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(s"[retsplit] $label rows=$n t=${Bench.fmt3((System.nanoTime() - t0) / 1e9)} s")
+    }
+    t("warmup")(Corpus.probeCrows(docs.limit(1000)))
+    t("cf")(Corpus.probeCf(docs))
+    t("crows")(Corpus.probeCrows(docs))
+    t("champs")(Corpus.probeChamps(docs))
+    t("cands")(Corpus.probeCands(docs))
+    t("full_q103b")(Corpus.chunkRetrievalPruned(docs))
+    spark.stop()
+  }
+}
+
 /** Statistical microbench: WARM medians over SPARK_GRAFT_REPS runs per
   * query (args = names; no args = full inventory). Single-shot
   * timings on a shared box are load-noise-dominated — medians are what

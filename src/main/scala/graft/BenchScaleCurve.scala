@@ -67,9 +67,17 @@ object BenchScaleCurve {
     (0 until factor).map { k =>
       if (k == 0) base
       else {
-        // replica tag in letters: 3 → "qd" (q + ('a'+3)); 26+ would
-        // need two letters — factors stay far below that
-        val tag = "q" + ('a' + (k % 26)).toChar
+        // replica tag in TWO base-26 letters: 3 → "qad", 27 → "qbb".
+        // The r12 single-letter tag ("q" + (k%26)) COLLIDED for k ≥ 26:
+        // at the 100× bucket replicas 27–99 carried the same suffix as
+        // replicas 1–25, making their texts byte-identical — a
+        // clone-degenerate corpus where every doc had ~4 exact copies.
+        // q103b's candidate count read 154/query at 100× vs 46 at 30×
+        // (cross-replica champion matches), and every r12 r100 row was
+        // measured against that degenerate fixture. Two letters are
+        // collision-free to 676 replicas; uniform width keeps token
+        // statistics identical across replicas
+        val tag = "q" + ('a' + (k / 26)).toChar + ('a' + (k % 26)).toChar
         val suffixed = array_join(transform(split(col("text"), " "),
           t => concat(t, lit(tag))), " ")
         base.select(

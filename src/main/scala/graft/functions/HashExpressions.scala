@@ -415,6 +415,62 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** PACKED twin of [[BucketCountVec]]: the same saturated hashed
+    * bag-of-tokens counts, one UNSIGNED BYTE per bucket in a
+    * BinaryType value (requires clamp ≤ 255 — q103's tf-saturation
+    * bound, which is also why a byte loses nothing). A 64-bucket
+    * vector is 64 bytes as binary vs 528+ bytes as a Tungsten long
+    * array; q103b's rescore shuffles millions of candidate rows
+    * carrying these vectors, and the row width was the measured 100×
+    * knee (r12 verdict item 1). Same digest, same bucket function,
+    * same counts — scores computed over the packed form are
+    * bit-identical to the long-array form. */
+  case class BucketCountVecPacked(child: Expression, salt: String, buckets: Int, clamp: Int)
+      extends UnaryExpression {
+    require(buckets > 0 && clamp > 0 && clamp <= 255,
+      s"bucket_count_vec_packed($buckets, $clamp): clamp must fit a byte")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bucket_count_vec_packed expects array<string>, got $t")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "bucket_count_vec_packed"
+
+    private val saltBytes = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    def kernel(a: ArrayData): Array[Byte] = {
+      val out = new Array[Byte](buckets)
+      val md = Md5Kernels.digest()
+      val n = a.numElements()
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          md.reset()
+          md.update(saltBytes)
+          md.update(a.getUTF8String(i).getBytes)
+          val b = (Md5Kernels.first60(md.digest()) % buckets).toInt
+          if ((out(b) & 0xFF) < clamp) out(b) = ((out(b) & 0xFF) + 1).toByte
+        }
+        i += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("bucketCountsPacked", this,
+          classOf[BucketCountVecPacked].getName)
+        s"${ev.value} = (byte[]) $ref.kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def literalInt(e: Expression, fn: String): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(
@@ -523,11 +579,15 @@ object HashExpressions {
     // elimination and exchange reuse wherever the probe appears twice
     override def equals(o: Any): Boolean = o match {
       case s: SortedLongContains =>
-        child == s.child && java.util.Arrays.equals(set, s.set)
+        child == s.child && ((set eq s.set) || java.util.Arrays.equals(set, s.set))
       case _ => false
     }
-    override def hashCode(): Int =
-      31 * child.hashCode() + java.util.Arrays.hashCode(set)
+    // Catalyst calls hashCode/equals repeatedly during optimizer rule
+    // batches and canonicalization; the set is frozen (10⁵–10⁶ entries),
+    // so hash it once — an O(|set|) hashCode per optimizer probe would
+    // tax planning on every decontamination query (r12 advice)
+    private lazy val setHash: Int = java.util.Arrays.hashCode(set)
+    override def hashCode(): Int = 31 * child.hashCode() + setHash
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -580,6 +640,9 @@ object HashExpressions {
 
   def bucket_count_vec(tokens: Column, salt: String, buckets: Int, clamp: Int): Column =
     ColumnBridge.column(BucketCountVec(ColumnBridge.expression(tokens), salt, buckets, clamp))
+
+  def bucket_count_vec_packed(tokens: Column, salt: String, buckets: Int, clamp: Int): Column =
+    ColumnBridge.column(BucketCountVecPacked(ColumnBridge.expression(tokens), salt, buckets, clamp))
 
   def sorted_long_contains(value: Column, set: Seq[Long]): Column =
     ColumnBridge.column(SortedLongContains(ColumnBridge.expression(value),

@@ -279,6 +279,96 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Σ (aᵢ & 0xFF)·(bᵢ & 0xFF) over two PACKED byte-count vectors
+    * (BinaryType, one unsigned byte per bucket — the
+    * `bucket_count_vec_packed` layout), exact int64. The packed twin
+    * of [[LongArrayDot]] for the q103b rescore: a 64-bucket count
+    * vector saturated at 255 occupies 64 bytes as binary vs 528+
+    * bytes as a Tungsten long array, so every exchange the candidate
+    * rows cross carries ~8× fewer bytes — the r12 verdict's measured
+    * 100× knee was exactly this row width. Counts ≤ 255 ⇒ every
+    * product < 2¹⁶ and any realistic sum is int64-exact. */
+  case class ByteVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bvec_dot expects binary, got $a, $b")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bvec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Array[Byte]]
+      val y = b.asInstanceOf[Array[Byte]]
+      val n = math.min(x.length, y.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += (x(i) & 0xFF).toLong * (y(i) & 0xFF).toLong; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.length, $b.length);
+           |long ${ev.value}_s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_s += (long) ($a[$i] & 0xFF) * (long) ($b[$i] & 0xFF);
+           |}
+           |${ev.value} = ${ev.value}_s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Σ (aᵢ & 0xFF)² over a packed byte-count vector, exact int64. */
+  case class ByteVecNormSq(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes() = child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bvec_norm_sq expects binary, got $t")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bvec_norm_sq"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[Array[Byte]]
+      var s = 0L
+      var i = 0
+      while (i < x.length) { val v = (x(i) & 0xFF).toLong; s += v * v; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        s"""
+           |long ${ev.value}_s = 0L;
+           |for (int $i = 0; $i < $a.length; $i++) {
+           |  long v = (long) ($a[$i] & 0xFF);
+           |  ${ev.value}_s += v * v;
+           |}
+           |${ev.value} = ${ev.value}_s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def lsh_buckets(embedding: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(embedding),
       planes.map(_.map(_.toArray).toArray).toArray))
@@ -356,6 +446,12 @@ object VectorExpressions {
 
   def lvec_norm_sq(a: Column): Column =
     ColumnBridge.column(LongArrayNormSq(ColumnBridge.expression(a)))
+
+  def bvec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(ByteVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bvec_norm_sq(a: Column): Column =
+    ColumnBridge.column(ByteVecNormSq(ColumnBridge.expression(a)))
 
   def vec_norm_sq(a: Column): Column =
     ColumnBridge.column(ArrayNormSq(ColumnBridge.expression(a)))

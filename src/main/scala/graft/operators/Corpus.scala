@@ -845,6 +845,13 @@ object Corpus {
   private def retVec(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.HashExpressions.bucket_count_vec(toks, "ret:", RetBuckets, RetClamp)
 
+  /** packed-byte twin of [[retVec]] (same salt, buckets, clamp — the
+    * SAME counts, one byte per bucket): the q103b rescore carries
+    * these through candidate-row exchanges, where the long-array form's
+    * 8×-wider Tungsten layout was the measured 100× knee. */
+  private def retVecPacked(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HashExpressions.bucket_count_vec_packed(toks, "ret:", RetBuckets, RetClamp)
+
   /** q103: CHUNK RETRIEVAL — the RAG serving shape over the q102
     * segmentation: for each benchmark query document (doc_id ≡ 0 mod
     * [[RetMod]], ≥1 token; queries are excluded from the chunk
@@ -949,19 +956,31 @@ object Corpus {
     * TopKPerKey (never a per-query window); the candidate join
     * broadcasts the champion side against the chunk posting rows;
     * rescoring joins candidates to the two feature frames on their
-    * own keys (AQE-splittable equi-joins); the final election is
-    * TopKPerKey again. No data-sized broadcast, no hot-key Q×C
-    * blowup — a champion join's fan-in is capped by the champion
-    * shingle's df, minimal by construction. */
+    * own keys (AQE-splittable equi-joins) with the feature vectors
+    * PACKED one-byte-per-bucket (BinaryType; bit-identical scores —
+    * the saturation clamp is 255, so a byte is lossless), because the
+    * candidate rows' width through those two exchanges was the
+    * measured 100× knee (r12: ~16 s of 27 s was shuffling 64-long
+    * Tungsten arrays); the rows entering the final TopKPerKey carry
+    * only keys + chunk_hash + score. No data-sized broadcast, no
+    * hot-key Q×C blowup — a champion join's fan-in is capped by the
+    * champion shingle's df, minimal by construction. */
   def chunkRetrievalPruned(docs: DataFrame, k: Int = RetK): DataFrame = {
     val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
     def shingles(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.functions.HashExpressions.md5_shingle_hashes(toks, RetbShingleK)
-    // chunk side: one row-local frame with BOTH spaces' features
+    // chunk side: one row-local frame with BOTH spaces' features.
+    // Vectors are PACKED (one unsigned byte per saturated bucket count,
+    // BinaryType — the clamp ≤ 255 bound means a byte loses nothing):
+    // the rescore below shuffles millions of candidate rows carrying
+    // these vectors, and the Tungsten long-array form (528+ bytes for
+    // 64 buckets vs 64 as binary) WAS the measured 100× knee — the row
+    // width taxed every exchange ~8×. Counts are identical, so every
+    // dot/norm/score is bit-identical to q103's long-array scoring
     val cf = chunkFeaturesSparseInput(docs.filter(!isQuery))
-      .withColumn("cv", retVec(col("__ct")))
+      .withColumn("cvb", retVecPacked(col("__ct")))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("__ct"),
-        col("cv"), graft.functions.VectorExpressions.lvec_norm_sq(col("cv")).as("cn2"))
+        col("cvb"), graft.functions.VectorExpressions.bvec_norm_sq(col("cvb")).as("cn2"))
     // candidate-space posting rows (distinct shingle hashes per chunk)
     val crows = cf.select(col("doc_id"), col("chunk_idx"), explode(shingles(col("__ct"))).as("h"))
       .distinct()
@@ -971,9 +990,9 @@ object Corpus {
       .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
       .filter(size(col("__qtk")) > 0)
     val qscore = qtoks
-      .withColumn("qv", retVec(col("__qtk")))
-      .select(col("query_id"), col("qv"),
-        graft.functions.VectorExpressions.lvec_norm_sq(col("qv")).as("qn2"))
+      .withColumn("qvb", retVecPacked(col("__qtk")))
+      .select(col("query_id"), col("qvb"),
+        graft.functions.VectorExpressions.bvec_norm_sq(col("qvb")).as("qn2"))
     val qrows = qtoks.select(col("query_id"), explode(shingles(col("__qtk"))).as("h"))
       .distinct()
     // champion lists: each query's RetbChamps rarest shingles under the
@@ -996,14 +1015,20 @@ object Corpus {
       .join(champs.select("query_id", "h"), Seq("h"))
       .select("query_id", "doc_id", "chunk_idx")
       .distinct()
-    // exact rescore in the q103 scoring space
+    // exact rescore in the q103 scoring space (packed-byte kernels —
+    // same counts, same integer cos², bit-identical scores). The rows
+    // entering the TopK election are slimmed to keys + the 8-byte
+    // chunk_hash + the score: no vector payload crosses the election
+    // exchange (r12 verdict item 1)
     val scored = cands
       .join(qscore, Seq("query_id"))
-      .join(cf.select("doc_id", "chunk_idx", "chunk_hash", "cv", "cn2"),
+      .join(cf.select("doc_id", "chunk_idx", "chunk_hash", "cvb", "cn2"),
         Seq("doc_id", "chunk_idx"))
-      .withColumn("dot", dotCol)
+      .withColumn("dot",
+        graft.functions.VectorExpressions.bvec_dot(col("qvb"), col("cvb")))
       .filter(col("dot") > 0L)
       .withColumn("sim_q20", expr(simSql))
+      .select("query_id", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
     val top = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
       Seq(col("sim_q20").desc, col("doc_id"), col("chunk_idx")), k)
     val w = Window.partitionBy("query_id")

@@ -744,6 +744,27 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       "pruned retrieval must never form the Q×C cross product")
     // only the ≤k rank Window survives (AQE prints final + initial)
     assert(plan.split("Window \\[").length - 1 <= 2)
+    // r13 pin (the r12 100×-knee fix): NO array-typed column crosses
+    // any shuffle exchange — the rescore carries PACKED byte vectors
+    // (BinaryType) and the TopK election key-only rows; a dense
+    // 64-long Tungsten array on a candidate exchange is the row-width
+    // regression this pin exists to catch
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: nodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        p +: nodes(r.child)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val arrayOverShuffle = nodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        s.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    }.flatten
+    assert(arrayOverShuffle.isEmpty,
+      s"array-typed columns crossed a shuffle exchange: $arrayOverShuffle")
   }
 
   test("chunk retrieval plan: broadcast query side, TopK election, no corpus-sized window") {

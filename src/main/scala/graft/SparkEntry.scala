@@ -179,6 +179,8 @@ object SparkEntry {
     "q80_trace_check" -> ((s, d) => Traces.sweepConsistency(Tables.documents(s, d))),
     "q80b_rep_sweep" -> ((s, d) => Traces.representativeSweeps(Tables.documents(s, d))),
     "q123_single_cell_type" -> ((s, d) => Traces.singleCellTypeFix(Tables.documents(s, d))),
+    "q139_symmetric_links" -> ((s, d) =>
+      Traces.symmetricLinkFix(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q81_pq_residual" -> ((s, d) => Similarity.pqResidualEncode(Tables.embeddings(s, d))),
     "q81b_ivf_rpq" -> ((s, d) => Similarity.knnIvfRpq(Tables.embeddings(s, d))),
     "q82_index_upsert" -> ((s, d) => Similarity.indexUpsertApply(s, Tables.embeddings(s, d))),
@@ -3673,8 +3675,64 @@ object SparkEntry {
        |CAST(sb // n_b AS BIGINT) AS coherence_b_bp
        |FROM ga FULL OUTER JOIN gb ON ga.cell = gb.cell ORDER BY cell""".stripMargin
 
+  /** q139 oracle: the symmetric-link fix manifest replayed in plain
+    * SQL — the same closed-form parent/child/type rules over
+    * orders/lineitem, the same min-elected first child, the same
+    * four manifest kinds. */
+  private def symmetricLinksSql: String =
+    s"""WITH parents AS (
+       |  SELECT CAST(o_orderkey AS BIGINT) AS p_id,
+       |         (o_orderkey % 13 = 0) AS deprecated,
+       |         CASE CAST(o_orderkey % 5 AS INT)
+       |           WHEN 0 THEN 'SimulationTrace' WHEN 1 THEN 'ExperimentalTrace'
+       |           WHEN 2 THEN 'ExperimentalTrace' WHEN 3 THEN 'Trace'
+       |           ELSE 'IgnoredContainer' END AS p_type,
+       |         (o_orderkey % 3 = 0) AS has_part_declared
+       |  FROM orders),
+       |children AS (
+       |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS c_id,
+       |         CAST(CASE WHEN l_linenumber % 7 = 0 THEN l_orderkey + 1000000000
+       |              ELSE l_orderkey END AS BIGINT) AS is_part_of,
+       |         CASE CAST((l_orderkey * 10 + l_linenumber) % 4 AS INT)
+       |           WHEN 0 THEN 'Trace' WHEN 1 THEN 'ExperimentalTrace'
+       |           WHEN 2 THEN 'SimulationTrace' ELSE 'Dataset' END AS ipo_type
+       |  FROM lineitem),
+       |cands AS (
+       |  SELECT is_part_of AS p_id, MIN(c_id) AS first_child,
+       |         CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM children GROUP BY 1),
+       |parent_side AS (
+       |  SELECT CASE WHEN first_child IS NOT NULL THEN 'assign'
+       |              ELSE 'no_candidate' END AS kind,
+       |         p.p_id AS id, first_child AS ref_id,
+       |         CAST(NULL AS VARCHAR) AS new_type,
+       |         CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
+       |  FROM parents p LEFT JOIN cands c ON p.p_id = c.p_id
+       |  WHERE NOT deprecated AND NOT has_part_declared),
+       |linked AS (
+       |  SELECT c.c_id, c.is_part_of, c.ipo_type, p.p_id, p.deprecated, p.p_type
+       |  FROM children c LEFT JOIN parents p ON c.is_part_of = p.p_id),
+       |dangling AS (
+       |  SELECT 'dangling' AS kind, c_id AS id, is_part_of AS ref_id,
+       |         CAST(NULL AS VARCHAR) AS new_type, CAST(NULL AS BIGINT) AS n_candidates
+       |  FROM linked WHERE p_id IS NULL OR deprecated),
+       |retype AS (
+       |  SELECT 'retype' AS kind, c_id AS id, is_part_of AS ref_id,
+       |         CASE WHEN p_type = 'SimulationTrace' THEN 'SimulationTrace'
+       |              WHEN p_type = 'ExperimentalTrace' THEN 'ExperimentalTrace'
+       |              ELSE 'Trace' END AS new_type,
+       |         CAST(NULL AS BIGINT) AS n_candidates
+       |  FROM linked
+       |  WHERE p_id IS NOT NULL AND NOT deprecated
+       |    AND (CASE WHEN p_type = 'SimulationTrace' THEN 'SimulationTrace'
+       |              WHEN p_type = 'ExperimentalTrace' THEN 'ExperimentalTrace'
+       |              ELSE 'Trace' END) <> ipo_type)
+       |SELECT * FROM parent_side UNION ALL SELECT * FROM dangling
+       |UNION ALL SELECT * FROM retype ORDER BY kind, id""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ FmtTwins.map { case (twin, base) => twin -> baseOracleSql(base) } +
+      ("q139_symmetric_links" -> symmetricLinksSql) +
       ("q75_rarity_screen" -> raritySql) + ("q76_pq_encode" -> pqEncodeSql) +
       ("q76b_pq_adc" -> pqAdcSql) + ("q77_pq_search" -> pqRerankSql) +
       ("q78_ivf_pq" -> ivfPqSql) + ("q79_morph_metrics" -> morphMetricsSql) +

@@ -372,4 +372,101 @@ object Traces {
         "already_typed", "action")
       .orderBy("trace_id")
   }
+
+  /** q139: SYMMETRIC-LINK FIX manifest — the LAST computation-bearing
+    * reference file (/root/reference/src/trace/fix/
+    * trace_web_data_container.py), adjudicated as its own operator.
+    * The reference runs two jobs over a parent table (traces) and a
+    * child table (containers whose `isPartOf` points at a parent):
+    *
+    *  - `assign_trace_has_part_field` (:106-158): parents WITHOUT a
+    *    declared `hasPart` get the FIRST candidate child assigned
+    *    (:148-150 takes element [0] of the per-parent candidate list;
+    *    here the election is min(child_id) — a total order where the
+    *    reference has Python dict insertion order, the q05 discipline),
+    *    plus the diagnostics it logs: the per-parent candidate
+    *    multiplicity (:128 "Set of lengths"), parents with no
+    *    candidate (:129), and children pointing at something that is
+    *    not an un-deprecated parent (:131).
+    *  - `set_is_part_of_to_right_type` (:39-103): each child's
+    *    `isPartOf.type` is relabeled from its parent's actual type
+    *    under the priority SimulationTrace > ExperimentalTrace >
+    *    generic Trace (:89-95 — the final else IS the "who are you?"
+    *    branch: anything else keeps the generic type); deprecated
+    *    parents are skipped (:78-80). The manifest keeps CHANGED rows
+    *    only (the q56 changed-rows-only audit discipline; the
+    *    reference pushes no-op updates too).
+    *
+    * Fixture mapping: parents = orders (declared type / deprecation /
+    * has-hasPart as o_orderkey closed forms), children = lineitem
+    * (child id = 10·l_orderkey + l_linenumber; every 7th line number
+    * points at a non-existent parent — the dangling population). Both
+    * engines replay the id rules exactly.
+    *
+    * One row per (kind, id): kind ∈ assign | no_candidate | dangling |
+    * retype, ref_id = the other end of the link, new_type only on
+    * retype rows, n_candidates only on the parent-grain kinds.
+    *
+    * Scale shape: children collapse through ONE map-side-combined
+    * groupBy(is_part_of) (min-election + count — never a per-parent
+    * window); two AQE-splittable equi-joins on the parent key (the
+    * grouped frame for assign/no_candidate, the raw child rows for
+    * dangling/retype); everything after is row-local CASE logic. At
+    * 100 TB the exchanges carry one narrow row per link or per parent
+    * — no data-sized broadcast, no window. */
+  def symmetricLinkFix(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val parents = orders.select(
+      col("o_orderkey").cast("long").as("p_id"),
+      (col("o_orderkey") % 13 === 0).as("deprecated"),
+      expr("""CASE CAST(o_orderkey % 5 AS INT)
+                WHEN 0 THEN 'SimulationTrace'
+                WHEN 1 THEN 'ExperimentalTrace'
+                WHEN 2 THEN 'ExperimentalTrace'
+                WHEN 3 THEN 'Trace'
+                ELSE 'IgnoredContainer' END""").as("p_type"),
+      (col("o_orderkey") % 3 === 0).as("has_part_declared"))
+    val children = lineitem.select(
+      (col("l_orderkey").cast("long") * 10L + col("l_linenumber").cast("long")).as("c_id"),
+      when(col("l_linenumber") % 7 === 0,
+        col("l_orderkey").cast("long") + lit(1000000000L))
+        .otherwise(col("l_orderkey").cast("long")).as("is_part_of"),
+      expr("""CASE CAST((l_orderkey * 10 + l_linenumber) % 4 AS INT)
+                WHEN 0 THEN 'Trace'
+                WHEN 1 THEN 'ExperimentalTrace'
+                WHEN 2 THEN 'SimulationTrace'
+                ELSE 'Dataset' END""").as("ipo_type"))
+    // per-parent candidate collapse: min-elected first child + count
+    val cands = children.groupBy(col("is_part_of").as("p_id"))
+      .agg(min(col("c_id")).as("first_child"),
+        count(lit(1)).cast("long").as("n_candidates"))
+    val parentSide = parents
+      .filter(!col("deprecated") && !col("has_part_declared"))
+      .join(cands, Seq("p_id"), "left")
+      .select(
+        when(col("first_child").isNotNull, lit("assign"))
+          .otherwise(lit("no_candidate")).as("kind"),
+        col("p_id").as("id"),
+        col("first_child").as("ref_id"),
+        lit(null).cast("string").as("new_type"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+    val linked = children.join(parents, col("is_part_of") === col("p_id"), "left")
+    val dangling = linked
+      .filter(col("p_id").isNull || col("deprecated"))
+      .select(lit("dangling").as("kind"), col("c_id").as("id"),
+        col("is_part_of").as("ref_id"),
+        lit(null).cast("string").as("new_type"),
+        lit(null).cast("long").as("n_candidates"))
+    val retype = linked
+      .filter(col("p_id").isNotNull && !col("deprecated"))
+      .withColumn("new_type",
+        when(col("p_type") === "SimulationTrace", lit("SimulationTrace"))
+          .when(col("p_type") === "ExperimentalTrace", lit("ExperimentalTrace"))
+          .otherwise(lit("Trace")))
+      .filter(col("new_type") =!= col("ipo_type"))
+      .select(lit("retype").as("kind"), col("c_id").as("id"),
+        col("is_part_of").as("ref_id"), col("new_type"),
+        lit(null).cast("long").as("n_candidates"))
+    parentSide.unionByName(dangling).unionByName(retype)
+      .orderBy("kind", "id")
+  }
 }

@@ -185,4 +185,47 @@ class TracesSpec extends AnyFunSuite {
     // the per-row check above still pins the none-branch formula
     assert(out.map(_.getString(4)).toSet == Set("already_typed", "add_type"))
   }
+
+  test("symmetric-link fix: all four manifest kinds on a hand-built universe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // parents: 5 Simulation eligible, 7 Experimental eligible, 4
+    // IgnoredContainer eligible, 11 eligible-no-children, 13
+    // deprecated, 3/9 already carry hasPart (o%3=0)
+    val orders = Seq(3L, 4L, 5L, 7L, 9L, 11L, 13L).toDF("o_orderkey")
+    val lineitem = Seq(
+      (5L, 1), (5L, 2), (5L, 4), (5L, 7), // 57: linenumber%7=0 → dangling
+      (7L, 1), (13L, 1), (4L, 2), (3L, 1)
+    ).toDF("l_orderkey", "l_linenumber")
+    val got = Traces.symmetricLinkFix(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        Option(r.getString(3)).getOrElse(""),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val want = Set(
+      // assign: min-elected first child + candidate multiplicity
+      ("assign", 4L, 42L, "", 1L),
+      ("assign", 5L, 51L, "", 3L),
+      ("assign", 7L, 71L, "", 1L),
+      // eligible parent with no candidate container
+      ("no_candidate", 11L, -1L, "", 0L),
+      // dangling: unresolvable target and deprecated target
+      ("dangling", 57L, 1000000005L, "", -1L),
+      ("dangling", 131L, 13L, "", -1L),
+      // retype: priority relabel, changed rows only (54 already
+      // carries SimulationTrace and must NOT appear)
+      ("retype", 31L, 3L, "Trace", -1L),
+      ("retype", 42L, 4L, "Trace", -1L),
+      ("retype", 51L, 5L, "SimulationTrace", -1L),
+      ("retype", 52L, 5L, "SimulationTrace", -1L),
+      ("retype", 71L, 7L, "ExperimentalTrace", -1L))
+    assert(got == want, s"manifest mismatch:\n got ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+    // plan shape: the candidate collapse is a grouped aggregate, never
+    // a per-parent window; joins stay equi
+    val df = Traces.symmetricLinkFix(orders, lineitem)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window ["), "no per-parent window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

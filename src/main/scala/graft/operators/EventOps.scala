@@ -294,13 +294,61 @@ object EventOps {
     * transition count and its share of prev_type's outgoing edges in
     * bp. First events have no predecessor and contribute no edge.
     *
-    * Scale shape: the lag window is user-keyed (the q51 discipline —
-    * per-user sequences are the semantics; a bot user with 10⁹ events
-    * makes a hot partition, the stated q51 caveat); the rollup
-    * combines map-side to a (types × types)-sized matrix, and the
-    * outgoing totals reduce THAT matrix (dimension-sized) — raw
-    * events never shuffle twice. */
+    * Scale shape (r13 de-skew — the last per-user sequence op without
+    * a skew story): the lag is SEGMENTED, the bucketedRunningSum
+    * discipline applied to lag. Each user's sequence splits into
+    * [[TransitionBucketUs]]-wide time buckets; the lag window runs per
+    * (user, bucket) — a bot user holding half the corpus spreads over
+    * the timeline's buckets instead of serializing through one task
+    * (BenchSkew measured the user-keyed window 1.65× slower at 50%-bot
+    * skew; the q51 caveat this op no longer carries). Bucket-first
+    * rows stitch to the previous non-empty bucket's last event through
+    * a per-user window over the BUCKET-SUMMARY frame — calendar-
+    * bounded rows per user, never event-sized. Spec pins equality
+    * with the plain user-keyed lag window on arbitrary data. The
+    * rollup combines map-side to a (types × types)-sized matrix, and
+    * the outgoing totals reduce THAT matrix (dimension-sized). */
   def eventTransitions(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("__bkt", expr(s"unix_micros(ts) DIV $TransitionBucketUs"))
+    // local lag within the (user, bucket) segment
+    val wLocal = Window.partitionBy("user_id", "__bkt").orderBy("ts", "event_id")
+    val local = ev.withColumn("__prev_local", lag(col("event_type"), 1).over(wLocal))
+    // per-(user, bucket) last event type under the SAME (ts, event_id)
+    // total order — a map-side-combined max-struct election
+    val lasts = ev.groupBy("user_id", "__bkt")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("__last"))
+    // stitch: each non-empty bucket's previous non-empty bucket's last
+    // type — a window over calendar-bounded rows per user
+    val wBkt = Window.partitionBy("user_id").orderBy("__bkt")
+    val stitch = lasts
+      .withColumn("__stitch_prev", lag(col("__last.event_type"), 1).over(wBkt))
+      .select("user_id", "__bkt", "__stitch_prev")
+    val edges = local
+      .join(stitch, Seq("user_id", "__bkt"), "left")
+      .withColumn("prev_type", coalesce(col("__prev_local"), col("__stitch_prev")))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outgoing = edges.groupBy("prev_type")
+      .agg(sum(col("n")).as("out_n"))
+    edges.join(broadcast(outgoing), Seq("prev_type"))
+      .withColumn("share_bp", expr("(10000 * n) DIV out_n"))
+      .select("prev_type", "next_type", "n", "share_bp")
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q135's segment width: 15-minute lag buckets — wide enough that a
+    * normal user's session rarely straddles (straddles are correct,
+    * just stitched), narrow enough that a timeline-spanning bot splits
+    * into thousands of tasks. */
+  val TransitionBucketUs: Long = 900L * 1000000L
+
+  /** the plain user-keyed lag form of [[eventTransitions]] — the spec
+    * baseline the segmented plan must equal row-for-row (and the
+    * BenchSkew comparison arm). */
+  private[graft] def eventTransitionsWindowed(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val edges = events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))

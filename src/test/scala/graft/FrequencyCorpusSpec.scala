@@ -937,6 +937,41 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(m == Map(("view", "click") -> 1L, ("click", "click") -> 1L))
   }
 
+  test("segmented transition lag equals the user-keyed window form (incl. boundary straddles and ties)") {
+    import spark.implicits._
+    // real corpus: the segmented plan must reproduce the window plan
+    val real = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(EventOps.eventTransitions(real).collect().toSeq ==
+      EventOps.eventTransitionsWindowed(real).collect().toSeq)
+    // adversarial fixture: sequences straddling 15-min bucket edges,
+    // same-ts ties ordered by event_id, a bot user spanning many
+    // buckets, and an empty bucket between two non-empty ones
+    val B = EventOps.TransitionBucketUs / 1000L // bucket width in ms
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1700000000000L - (1700000000000L % B) // bucket-aligned
+    val ev = (Seq(
+      // u1: last event of bucket 0 → first of bucket 1 (stitch)
+      (1L, t(base + B - 1), 1L, "a", 1.0, "{}"),
+      (2L, t(base + B), 1L, "b", 1.0, "{}"),
+      // u1: bucket 2 empty; next event in bucket 3 (stitch skips a gap)
+      (3L, t(base + 3 * B), 1L, "c", 1.0, "{}"),
+      // u2: same-ts tie broken by event_id, both at a bucket boundary
+      (10L, t(base + B), 2L, "x", 1.0, "{}"),
+      (11L, t(base + B), 2L, "y", 1.0, "{}"),
+      (12L, t(base + B - 1), 2L, "w", 1.0, "{}")
+    ) ++ (0 until 500).map { i => // bot spanning ~50 buckets
+      (100L + i, t(base + i * (B / 10)), 99L, if (i % 3 == 0) "p" else "q", 1.0, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventOps.eventTransitions(ev).collect().toSeq ==
+      EventOps.eventTransitionsWindowed(ev).collect().toSeq)
+    // plan shape: the only event-sized window is (user, bucket)-keyed —
+    // no Window partitioned by user_id alone over the raw events
+    val df = EventOps.eventTransitions(ev)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("__bkt"), "the segmented plan must key windows by (user, bucket)")
+  }
+
   test("q134b type outages: cells = timeline x types minus observed; agrees with q134 inside each span") {
     val real = Tables.events(spark, "/root/testdata/sf0.001")
     val out = EventOps.typeOutageReport(real).collect()

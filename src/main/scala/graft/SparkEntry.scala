@@ -259,7 +259,7 @@ object SparkEntry {
     "q102c_cdc_chunks" -> ((s, d) =>
       Corpus.cdcChunkSpans(Tables.documents(s, d))),
     "q138_source_cap" -> ((s, d) =>
-      Corpus.sourceCap(Tables.documents(s, d), capPerClass = 20L)),
+      Corpus.sourceCap(Tables.documents(s, d), Corpus.SourceCapPerClass)),
     "q119b_epoch_shuffle" -> ((s, d) =>
       Corpus.epochShuffle(Tables.documents(s, d), epoch = 1)),
     "q119_curriculum" -> ((s, d) =>
@@ -271,6 +271,8 @@ object SparkEntry {
     "q120b_ldiversity" -> ((s, d) => Privacy.lDiversityAudit(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q120_kanon" -> ((s, d) => Privacy.kAnonymize(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q120c_ldiversity_apply" -> ((s, d) => Privacy.lDiversityApply(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q121_zipf_card" -> ((s, d) => Frequency.zipfCard(Tables.documents(s, d))),
     "q122_decontam_report" -> ((s, d) =>
@@ -3402,6 +3404,47 @@ object SparkEntry {
       |FROM rel r JOIN sens s USING (c_custkey)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** q120c's oracle: the q120 release chain (r_name and the sensitive
+    * band carried along) + the ladder-depth-many audit→coarsen rounds
+    * replayed as chained CTEs — each round judges every non-suppressed
+    * class on its ACTUAL members and steps failing classes one rung. */
+  private def lDiversityApplySql: String = {
+    def roundSql(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""f$i AS (SELECT lvl, geo, segment FROM $prev WHERE lvl < 3
+         |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5 OR COUNT(DISTINCT sens) < 3),
+         |r$i AS (SELECT p.c_custkey,
+         |CASE WHEN f.lvl IS NULL THEN p.lvl ELSE p.lvl + 1 END AS lvl,
+         |CASE WHEN f.lvl IS NULL THEN p.geo WHEN p.lvl = 0 THEN p.r_name
+         |     WHEN p.lvl = 1 THEN p.geo ELSE '*' END AS geo,
+         |CASE WHEN f.lvl IS NULL THEN p.segment WHEN p.lvl = 0 THEN p.segment
+         |     ELSE '*' END AS segment,
+         |p.r_name, p.sens
+         |FROM $prev p LEFT JOIN f$i f
+         |ON f.lvl = p.lvl AND f.geo = p.geo AND f.segment = p.segment)""".stripMargin
+    }
+    s"""WITH dims AS (SELECT n.n_nationkey, n.n_name, r.r_name
+       |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+       |base AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, d.n_name, d.r_name,
+       |CASE WHEN c.c_acctbal < 0 THEN 'debt' WHEN c.c_acctbal < 3000 THEN 'low'
+       |WHEN c.c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS sens
+       |FROM customer c LEFT JOIN dims d ON c.c_nationkey = d.n_nationkey),
+       |l0 AS (SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n0 FROM base GROUP BY 1, 2),
+       |l1 AS (SELECT r_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n1 FROM base GROUP BY 1, 2),
+       |l2 AS (SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n2 FROM base GROUP BY 1),
+       |r0 AS (SELECT b.c_custkey,
+       |CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1 WHEN n2 >= 5 THEN 2 ELSE 3 END AS BIGINT) AS lvl,
+       |CASE WHEN n0 >= 5 THEN b.n_name WHEN n1 >= 5 OR n2 >= 5 THEN b.r_name ELSE '*' END AS geo,
+       |CASE WHEN n0 >= 5 OR n1 >= 5 THEN b.c_mktsegment ELSE '*' END AS segment,
+       |b.r_name, b.sens FROM base b
+       |LEFT JOIN l0 ON l0.n_name = b.n_name AND l0.c_mktsegment = b.c_mktsegment
+       |LEFT JOIN l1 ON l1.r_name = b.r_name AND l1.c_mktsegment = b.c_mktsegment
+       |LEFT JOIN l2 ON l2.r_name = b.r_name),
+       |${(1 to 3).map(roundSql).mkString(",\n")}
+       |SELECT c_custkey, CAST(lvl AS BIGINT) AS anon_level, geo, segment
+       |FROM r3 ORDER BY c_custkey""".stripMargin
+  }
+
   /** q121's oracle: per-lang top-K via QUALIFY-style row_number, both
     * logs through the shared log2mb cascade (one dom union keyed by
     * (lang, rank, kind)), the same integer normal-equation quotient —
@@ -3976,6 +4019,7 @@ object SparkEntry {
     "q64b_chunk_diff" -> chunkDiffSql,
     "q120_kanon" -> kanonSql,
     "q120b_ldiversity" -> lDiversitySql,
+    "q120c_ldiversity_apply" -> lDiversityApplySql,
     "q121_zipf_card" -> zipfCardSql,
     "q122_decontam_report" -> decontamReportSql,
     "q124_source_overlap" -> sourceOverlapSql,

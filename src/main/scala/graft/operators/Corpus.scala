@@ -505,7 +505,12 @@ object Corpus {
     * cap — at 100 TB easily half the corpus) through one task. The
     * class key is a STRUCT, so null lang/source group exactly as
     * SQL's PARTITION BY treats them and no string concat can collide. */
-  def sourceCap(docs: DataFrame, capPerClass: Long): DataFrame = {
+  /** the inventory entry's quota (hoisted so the batch entry, the
+    * streaming door and the specs share ONE constant — the q60
+    * no-drift discipline). */
+  val SourceCapPerClass = 20L
+
+  def sourceCap(docs: DataFrame, capPerClass: Long = SourceCapPerClass): DataFrame = {
     require(capPerClass >= 1, s"capPerClass must be >= 1, got $capPerClass")
     val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
         Dedup.md5_60(concat(lit("cap:"), col("doc_id").cast("string")))

@@ -33,6 +33,66 @@ object DocStreams {
   def readDocStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docsSchema).parquet(dir)
 
+  final case class CapDocIn(doc_id: Long, lang: String, source: String)
+  final case class CapClassSt(admitted: Long)
+  final case class CapOut(doc_id: Long, lang: String, source: String,
+                          cap_hash: Long, class_rank: Long, keep: Boolean)
+
+  /** q138 at the door: INGEST-TIME SOURCE CAP — per (lang, source)
+    * class a running admission counter as keyed state, admitting
+    * documents until the quota and rejecting after (the batch
+    * operator's fixed-quota semantics run live, so a runaway source is
+    * cut off AT the door instead of in the nightly release build).
+    *
+    * STATED CONTRACT DIFFERENCE from batch q138 (the releaseDedupSink
+    * discipline — name the divergence, don't hide it): ARRIVAL order
+    * replaces global hash order. Within each micro-batch a class's
+    * documents are sorted by the SAME (cap_hash, doc_id) total order
+    * the batch operator ranks by, so on a fixed arrival order that
+    * presents documents in global hash order — one batch, or batches
+    * pre-split along the hash order — the door's keep set and ranks
+    * equal batch q138 exactly (spec-pinned, restart-soaked). Under
+    * arbitrary arrival interleaving the door admits first-come (the
+    * only online option: a door cannot displace an already-admitted
+    * document), while batch ranks the full corpus — a late low-hash
+    * doc may be kept by batch and rejected at the door.
+    *
+    * State is ONE counter per (lang, source) class —
+    * class-dimension-sized at any volume (the bounded-state claim is
+    * structural: classes are a dimension, not a population — unlike
+    * user-keyed doors no eviction is needed). */
+  def sourceCapDoor(docs: org.apache.spark.sql.Dataset[CapDocIn],
+                    capPerClass: Long)
+      : org.apache.spark.sql.Dataset[CapOut] = {
+    require(capPerClass >= 1, s"capPerClass must be >= 1, got $capPerClass")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(d => (Option(d.lang), Option(d.source)))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: (Option[String], Option[String]), it: Iterator[CapDocIn],
+         state: org.apache.spark.sql.streaming.GroupState[CapClassSt]) => {
+          val kern = graft.functions.HashExpressions.Md5Kernels
+          val md = kern.digest()
+          def capHash(id: Long): Long = {
+            md.reset()
+            md.update(s"cap:$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            kern.first60(md.digest())
+          }
+          // the batch operator's (cap_hash, doc_id) total order, applied
+          // within the arrival wave
+          val sorted = it.toSeq.map(d => (capHash(d.doc_id), d))
+            .sortBy { case (h, d) => (h, d.doc_id) }
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = sorted.map { case (h, d) =>
+            n += 1
+            CapOut(d.doc_id, d.lang, d.source, h, n, n <= capPerClass)
+          }
+          state.update(CapClassSt(n))
+          out.iterator
+        })
+  }
+
   /** Incremental corpus screen: every stage's verdict as a column
     * (same trail as the batch pipeline), survivors only. The row-local
     * verdict block is [[Corpus.withScreenColumns]] — literally the

@@ -107,8 +107,9 @@ object EventStreams {
     * missing while others fire) exactly; TOTAL collector silence is
     * only visible when the next event advances the watermark, and the
     * skipped hours then ship retroactively is NOT provided — a
-    * wall-clock ticker source is the deployment answer there. The
-    * batch q134b over the same data is the exact reconciliation. */
+    * wall-clock ticker source is the deployment answer there
+    * ([[gapMonitorTicked]]). The batch q134b over the same data is
+    * the exact reconciliation. */
   def gapMonitor(events: DataFrame, expectedTypes: Seq[String]): DataFrame = {
     require(expectedTypes.nonEmpty, "gapMonitor needs an expected-type list")
     events
@@ -119,6 +120,47 @@ object EventStreams {
         explode(array_except(
           array(expectedTypes.map(lit): _*), col("__obs"))).as("event_type"))
   }
+
+  /** [[gapMonitor]] WITH the wall-clock ticker companion — closes the
+    * one blindspot the plain door states: an hour with ZERO events of
+    * ANY type produced no window (no data, no trigger), so TOTAL
+    * collector silence — the exact incident a gap monitor exists to
+    * catch — never shipped. A ticker stream (any streaming frame with
+    * a wall-clock `ts` column; [[wallClockTicks]] is the rate-source
+    * default) unions into the hour aggregate under a reserved type
+    * that is never expected: every wall-clock hour now HAS a window
+    * and advances the watermark, so a fully-silent hour ships ALL its
+    * expected types as outage rows once the watermark passes it —
+    * retroactively and unconditionally. Tick rows add one constant
+    * row per trigger to the aggregate state; output stays
+    * incident-sized. */
+  def gapMonitorTicked(events: DataFrame, expectedTypes: Seq[String],
+                       ticks: DataFrame): DataFrame = {
+    require(expectedTypes.nonEmpty, "gapMonitorTicked needs an expected-type list")
+    require(!expectedTypes.contains(TickType),
+      s"'$TickType' is the reserved ticker type and cannot be expected")
+    val ev = events.select(col("ts"), col("event_type"))
+    val tk = ticks.select(col("ts"), lit(TickType).as("event_type"))
+    ev.unionByName(tk)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(collect_set(col("event_type")).as("__obs"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        explode(array_except(
+          array(expectedTypes.map(lit): _*), col("__obs"))).as("event_type"))
+  }
+
+  /** the reserved event type carried by ticker rows — present in the
+    * observed set of every wall-clock hour, never in an SLA list. */
+  val TickType = "__tick"
+
+  /** the default wall-clock ticker for [[gapMonitorTicked]]: one row
+    * per second of PROCESSING time from the built-in rate source —
+    * its `timestamp` IS wall-clock, so event time advances with the
+    * clock even when every collector is silent. */
+  def wallClockTicks(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .select(col("timestamp").as("ts"))
 
   final case class TransSt(lastType: String, lastUs: Long)
   final case class TransOut(user_id: Long, prev_type: String,
@@ -136,35 +178,72 @@ object EventStreams {
     * buffered and ts-sorted WITHIN each micro-batch and assumed
     * in-order per user ACROSS batches; under in-order delivery the
     * emitted edge stream equals the batch q135 lag edges exactly
-    * (spec-pinned). State is ONE (type, µs) pair per user — bounded
-    * regardless of volume. Edges ship as they happen (downstream
-    * filters known_edge=false for the alert feed; the full stream is
-    * the matrix's increment). */
+    * (spec-pinned). State is ONE (type, µs) pair per user, and users
+    * idle past `idleTimeoutMs` of EVENT time are EVICTED once the
+    * watermark passes their horizon (r12 advice: NoTimeout retained a
+    * struct per user forever — bounded per user but unbounded in
+    * churning distinct users; a long-running door now holds state only
+    * for the recently-active population). Event-time, not processing
+    * time, deliberately: the horizon is replayable (a checkpoint
+    * replay evicts identically), and the engine terminates AvailableNow
+    * reconciliation runs — a processing-time timer forces
+    * `shouldRunAnotherBatch` true on every batch, which busy-loops an
+    * AvailableNow query forever (measured: 8800 empty micro-batches
+    * before this was caught). The stated trade: an evicted user's next
+    * event starts a fresh sequence, so an edge across an idle gap
+    * longer than the horizon is not emitted — the sessionization
+    * posture (a multi-week silence is a new visit, not a transition);
+    * the default horizon (30 days) is far above any real per-user gap
+    * in the reference window (max ≈ 6 days at sf0.1), so batch parity
+    * is unchanged. The watermark also drops input rows later than its
+    * delay — consistent with the stated in-order delivery contract.
+    * Edges ship as they happen (downstream filters known_edge=false
+    * for the alert feed; the full stream is the matrix's increment). */
   def transitionMonitor(events: Dataset[Ev],
-                        knownEdges: Seq[(String, String)]): Dataset[TransOut] = {
+                        knownEdges: Seq[(String, String)],
+                        idleTimeoutMs: Long = TransitionIdleTimeoutMs): Dataset[TransOut] = {
+    require(idleTimeoutMs > 0, s"idleTimeoutMs must be positive, got $idleTimeoutMs")
     import events.sparkSession.implicits._
     val known = knownEdges.toSet
     def us(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
+      .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[TransSt]) => {
-          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var last = state.getOption
-          val out = Seq.newBuilder[TransOut]
-          sorted.foreach { e =>
-            val t = us(e.ts)
-            last.foreach { s =>
-              out += TransOut(userId, s.lastType, e.event_type, t,
-                known.contains((s.lastType, e.event_type)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[TransOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              last.foreach { s =>
+                out += TransOut(userId, s.lastType, e.event_type, t,
+                  known.contains((s.lastType, e.event_type)))
+              }
+              last = Some(TransSt(e.event_type, t))
             }
-            last = Some(TransSt(e.event_type, t))
+            last.foreach { s =>
+              state.update(s)
+              // evict when the watermark passes last-event + horizon; a
+              // timer must sit strictly above the current watermark (a
+              // deeply-late straggler's horizon may already be behind it)
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000L + idleTimeoutMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
         })
   }
+
+  /** default idle-eviction horizon for [[transitionMonitor]]: 30 days
+    * of event time. */
+  val TransitionIdleTimeoutMs: Long = 30L * 24 * 3600 * 1000
 
   /** Built-in gap-based session windows (30 min), streaming-capable. */
   def sessionWindows(events: DataFrame): DataFrame =
@@ -237,7 +316,6 @@ object EventStreams {
                               n_events: Long, closed: Boolean)
   final case class SessState(lastTs: Long, startTs: Long, n: Long)
 
-  final case class FunnelSt(t1: Long, t2: Long, t3: Long)
   final case class FunnelOut(user_id: Long, depth: Int, t1_us: Option[Long],
                              t2_us: Option[Long], t3_us: Option[Long])
 
@@ -254,12 +332,41 @@ object EventStreams {
     * first view seen is the min view, and the first qualifying
     * click/purchase after a frozen t(i−1) is that step's min — so the
     * door state equals the batch [[graft.operators.EventOps
-    * .funnelUsers]] row for every user (spec-pinned). State is three
+    * .funnelUsers]] row for every user (spec-pinned). State is ≤ 3
     * longs per user, bounded regardless of event volume — a bot with
-    * 10⁹ events costs sort time in its batches, never state. */
+    * 10⁹ events costs sort time in its batches, never state. The
+    * 3-step literal view is a thin adapter over the parameterized
+    * [[funnelMonitorSteps]] state machine. */
   def funnelMonitor(events: Dataset[Ev],
                     horizonS: Long = graft.operators.EventOps.FunnelHorizonS)
       : Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    funnelMonitorSteps(events, graft.operators.EventOps.FunnelSteps, horizonS)
+      .map(o => FunnelOut(o.user_id, o.depth,
+        o.step_ts_us.lift(0), o.step_ts_us.lift(1), o.step_ts_us.lift(2)))
+  }
+
+  final case class FunnelStepsSt(ts: Seq[Long])
+  final case class FunnelStepsOut(user_id: Long, depth: Int, step_ts_us: Seq[Long])
+
+  /** the PARAMETERIZED funnel door (r12 item: the batch side takes any
+    * step list; the door hardcoded the 3-step literal — the state
+    * machine now carries the declared steps): per user the reached
+    * prefix of `steps` as first-touch timestamps. State is the
+    * reached-prefix timestamp list — ≤ |steps| longs per user, bounded
+    * regardless of event volume. The greedy in-order update is exact
+    * under the door's in-order-per-user delivery contract: at depth d,
+    * the first steps(d)-typed event strictly after t(d−1) and within
+    * the horizon IS the batch chain's min (spec-pinned against the
+    * parameterized [[graft.operators.EventOps.funnelUsers]] at 2, 3
+    * and 4 steps). The timestamp list needs no unset sentinel — an
+    * epoch-0 event is just a short prefix growing (the q130b sentinel
+    * lesson made structural). */
+  def funnelMonitorSteps(events: Dataset[Ev],
+                         steps: Seq[String] = graft.operators.EventOps.FunnelSteps,
+                         horizonS: Long = graft.operators.EventOps.FunnelHorizonS)
+      : Dataset[FunnelStepsOut] = {
+    require(steps.nonEmpty, "a funnel needs at least one step")
     import events.sparkSession.implicits._
     val hUs = horizonS * 1000000L
     def us(t: java.sql.Timestamp): Long =
@@ -267,35 +374,20 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) => {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelStepsSt]) => {
           val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          // Long.MinValue = "step not reached" — NOT 0L, which is a
-          // legitimate µs timestamp (epoch 0) and must advance the
-          // chain like any other. MinValue is unreachable: floorDiv
-          // keeps every real ts-µs far above it.
-          val Unset = Long.MinValue
-          var s = state.getOption.getOrElse(FunnelSt(Unset, Unset, Unset))
+          var ts = state.getOption.map(_.ts).getOrElse(Seq.empty[Long])
           sorted.foreach { e =>
-            val t = us(e.ts)
-            e.event_type match {
-              case "view" if s.t1 == Unset => s = s.copy(t1 = t)
-              case "click" if s.t1 != Unset && s.t2 == Unset &&
-                t > s.t1 && t <= s.t1 + hUs => s = s.copy(t2 = t)
-              case "purchase" if s.t2 != Unset && s.t3 == Unset &&
-                t > s.t2 && t <= s.t2 + hUs => s = s.copy(t3 = t)
-              case _ =>
+            val d = ts.length
+            if (d < steps.length && e.event_type == steps(d)) {
+              val t = us(e.ts)
+              if (d == 0 || (t > ts(d - 1) && t <= ts(d - 1) + hUs)) ts = ts :+ t
             }
           }
-          state.update(s)
-          val depth = if (s.t3 != Unset) 3 else if (s.t2 != Unset) 2
-            else if (s.t1 != Unset) 1 else 0
-          // depth-0 rows (touched users with no 'view' yet) are a
-          // deliberate contract DIFFERENCE from batch funnelUsers,
-          // which only emits entered users — a door reports every
-          // user it has seen; the parity law holds at depth >= 1.
-          Iterator.single(FunnelOut(userId, depth,
-            Option(s.t1).filter(_ != Unset), Option(s.t2).filter(_ != Unset),
-            Option(s.t3).filter(_ != Unset)))
+          state.update(FunnelStepsSt(ts))
+          // depth-0 rows (touched users yet to enter) are the stated
+          // door-vs-batch contract difference; parity holds at ≥ 1
+          Iterator.single(FunnelStepsOut(userId, ts.length, ts))
         })
   }
 

@@ -1350,4 +1350,173 @@ class StreamingSpec extends AnyFunSuite {
         + r.getAs[Long]("n_nonfinite")).sum,
       "vec_ok is the complement of the three failure classes")
   }
+
+  test("ticked gap monitor ships a FULLY-silent hour (the plain door's stated blindspot)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tick")
+    val evDir = base.resolve("ev").toString
+    val tkDir = base.resolve("tk").toString
+    val H = 3600000000L // one hour in µs
+    val b = 1700000000000000L - (1700000000000000L % H) // hour-aligned µs
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    // hour 0: both types fire; hour 1: TOTAL silence; hour 2: only 'a';
+    // hour 3+: silence again
+    Seq((ts(b + 600000000L), "a"), (ts(b + 1200000000L), "b"),
+      (ts(b + 2 * H + 600000000L), "a"))
+      .toDF("ts", "event_type").coalesce(1).write.parquet(evDir)
+    // wall-clock stand-in: one tick every 20 min through hour 6 — the
+    // max tick (b+6h) leaves the watermark at b+4h, closing hours 0-3
+    (0 until 19).map(i => Tuple1(ts(b + i * 1200000000L)))
+      .toDF("ts").coalesce(1).write.parquet(tkDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val evS = spark.readStream.schema(schema).parquet(evDir)
+    val tkS = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema.take(1)))
+      .parquet(tkDir)
+    val q = graft.streaming.EventStreams
+      .gapMonitorTicked(evS, Seq("a", "b"), tkS)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tickgap_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tickgap_out").collect()
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type"))).toSet
+    val want = Set(
+      (b + H, "a"), (b + H, "b"),       // the fully-silent hour SHIPS
+      (b + 2 * H, "b"),                 // partial outage still exact
+      (b + 3 * H, "a"), (b + 3 * H, "b")) // trailing silence ships too
+    assert(got == want, s"got $got")
+    assert(!got.exists(_._2 == graft.streaming.EventStreams.TickType),
+      "tick rows must never surface as outages")
+  }
+
+  test("parameterized funnel door equals batch funnelUsers at 2 and 4 steps") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Ev]
+    for (steps <- Seq(Seq("click", "purchase"),
+      Seq("view", "click", "view", "purchase"))) {
+      val door = EventStreams.funnelMonitorSteps(typed, steps).collect()
+        .filter(_.depth >= 1)
+        .map(o => o.user_id -> (o.depth, o.step_ts_us)).toMap
+      val batch = EventOps.funnelUsers(events, steps).collect().map { r =>
+        val ts = (1 to steps.length)
+          .map(i => Option(r.get(r.fieldIndex(s"t${i}_us"))).map(_.asInstanceOf[Long]))
+          .takeWhile(_.isDefined).flatten
+        r.getAs[Long]("user_id") -> (ts.length, ts)
+      }.toMap
+      assert(door == batch, s"steps=$steps: door/batch manifests differ")
+      assert(batch.nonEmpty, s"steps=$steps must reach someone")
+    }
+  }
+
+  test("source-cap door: hash-order arrival equals batch q138 across a restart") {
+    import spark.implicits._
+    // a cap small enough that the test SF exercises both verdicts
+    val cap = 3L
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.operators.Corpus.sourceCap(docs, cap).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("class_rank"), r.getAs[Boolean]("keep"))).toMap
+    val base = java.nio.file.Files.createTempDirectory("graft_capdoor")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    // fixed arrival order = the batch total order (cap_hash, doc_id),
+    // split into two waves along it — wave 2 arrives AFTER a restart
+    val ordered = graft.operators.Corpus.sourceCap(docs, cap)
+      .select("doc_id", "lang", "source", "cap_hash")
+    val medHash = ordered.stat.approxQuantile("cap_hash", Array(0.5), 0.0).head.toLong
+    def run(): Unit = {
+      val stream = graft.streaming.DocStreams.readDocStream(spark, srcDir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[graft.streaming.DocStreams.CapDocIn]
+      val q = graft.streaming.DocStreams.sourceCapDoor(stream, cap)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.DocStreams.CapOut],
+                         _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val full = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    val loHash = ordered.filter(col("cap_hash") <= medHash).select("doc_id")
+    full.join(loHash, Seq("doc_id")).coalesce(1).write.mode("append").parquet(srcDir)
+    run() // wave 1
+    val hiHash = ordered.filter(col("cap_hash") > medHash).select("doc_id")
+    full.join(hiHash, Seq("doc_id")).coalesce(1).write.mode("append").parquet(srcDir)
+    run() // wave 2 — RESTART: per-class admission counters must restore
+    val door = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("class_rank"), r.getAs[Boolean]("keep"))).toMap
+    assert(door == batch,
+      "hash-order arrival must reproduce the batch quota exactly, ranks included")
+    assert(batch.values.exists(!_._2) && batch.values.exists(_._2),
+      "the fixture must exercise both keep and reject")
+  }
+
+  test("transition monitor evicts users idle past the event-time horizon") {
+    import spark.implicits._
+    val DayMs = 24L * 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    def arm(waves: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]])
+        : Array[org.apache.spark.sql.Row] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_trans_evict")
+      val srcDir = base.resolve("src").toString
+      val outDir = base.resolve("out").toString
+      val ckpt = base.resolve("ckpt").toString
+      def run(): Unit = {
+        val stream = EventStreams.readEventStream(spark, srcDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[EventStreams.Ev]
+        val q = EventStreams.transitionMonitor(stream, Seq("view" -> "click"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.TransOut], _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      waves.foreach { rows =>
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        run()
+      }
+      spark.read.parquet(outDir).filter(col("user_id") === 1L).collect()
+    }
+    // eviction arm: u1's click comes 35 event-time DAYS after its view
+    // (past the 30-day horizon); u3's traffic in between advances the
+    // watermark past u1's timer, so the restart that processes it
+    // EVICTS u1 — the click then starts a fresh sequence: no edge.
+    // This also proves AvailableNow runs TERMINATE with timers pending
+    // (the processing-time form busy-looped forever — 8800 batches).
+    val evicted = arm(Seq(
+      Seq((1L, ts(0L), 1L, "view", 1.0, "{}")),
+      Seq((2L, ts(35L * DayMs), 3L, "view", 1.0, "{}")),
+      Seq((3L, ts(36L * DayMs), 1L, "click", 1.0, "{}"))))
+    assert(evicted.isEmpty,
+      s"an evicted user's next event must start a fresh sequence: ${evicted.toSeq}")
+    // control arm: the same shape within the horizon (1 day between
+    // view and click) keeps the state across the restarts — edge ships
+    val kept = arm(Seq(
+      Seq((1L, ts(0L), 1L, "view", 1.0, "{}")),
+      Seq((2L, ts(DayMs), 3L, "view", 1.0, "{}")),
+      Seq((3L, ts(DayMs + 3600000L), 1L, "click", 1.0, "{}"))))
+    assert(kept.length == 1 && kept.head.getAs[String]("prev_type") == "view" &&
+      kept.head.getAs[String]("next_type") == "click" &&
+      kept.head.getAs[Boolean]("known_edge"),
+      s"within the horizon the cross-restart edge must still ship: ${kept.toSeq}")
+  }
 }

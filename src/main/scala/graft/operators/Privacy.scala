@@ -88,14 +88,23 @@ object Privacy {
     * tiny frame, and all three broadcast back onto the probe scan (the
     * dims join is a broadcast too). Two fact passes total (count +
     * probe), no fact-sized shuffle but the output sort. */
-  def kAnonymize(customer: DataFrame, nation: DataFrame, region: DataFrame,
-                 k: Int = 5): DataFrame = {
+  /** the q120 release EXTENDED with the coarsening materials (the
+    * region name each row would generalize to, and the sensitive band)
+    * — what [[kAnonymize]] projects down and [[lDiversityApply]]
+    * iterates on. */
+  private def kanonRelease(customer: DataFrame, nation: DataFrame,
+                           region: DataFrame, k: Int,
+                           withSensitive: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val dims = nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .join(region.select(col("r_regionkey"), col("r_name")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("__nk"), col("n_name"), col("r_name"))
-    val base = customer.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    // the sensitive band only rides along for the apply path — the
+    // plain release must not require the sensitive column at all
+    val sens = if (withSensitive) sensitiveBand else lit(null).cast("string")
+    val base = customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"), sens.as("__sens"))
       .join(broadcast(dims), col("c_nationkey") === col("__nk"), "left")
     // ONE counting pass: the finest (nation, region, segment) rollup is
     // dimension-sized, and the coarser rungs aggregate THAT frame —
@@ -117,7 +126,68 @@ object Privacy {
         "CASE WHEN anon_level = 0 THEN n_name WHEN anon_level IN (1, 2) THEN r_name ELSE '*' END"))
       .withColumn("segment", expr(
         "CASE WHEN anon_level <= 1 THEN c_mktsegment ELSE '*' END"))
+      .select("c_custkey", "anon_level", "geo", "segment", "r_name", "__sens")
+  }
+
+  def kAnonymize(customer: DataFrame, nation: DataFrame, region: DataFrame,
+                 k: Int = 5): DataFrame =
+    kanonRelease(customer, nation, region, k)
       .select("c_custkey", "anon_level", "geo", "segment")
+      .orderBy("c_custkey")
+
+  /** q120c: L-DIVERSITY APPLY — the coarsen/suppress rewrite for the
+    * classes q120b flags (the diagnose→apply discipline — q46→q128,
+    * q113→q114, q133→q133b — applied to the privacy family): starting
+    * from the q120 release, iterate AUDIT → COARSEN up to the ladder
+    * depth: every non-suppressed equivalence class (anon_level, geo,
+    * segment) is judged on its ACTUAL members — n ≥ k AND ≥ l distinct
+    * sensitive bands — and a failing class's rows all step one rung
+    * (nation→region, then segment→'*', then full suppression). The
+    * fixpoint argument is monotone: rows only ever ENTER coarser
+    * classes, so a class that passes can only gain members (n and
+    * distinct counts never fall) and three rounds reach the ladder
+    * floor — the released table RE-AUDITS CLEAN at the same k and l by
+    * construction (suppressed rows carry no quasi-identifiers and are
+    * exempt, the standard posture). Judging actual members also
+    * tightens q120's stated global-recoding relaxation (pre-
+    * generalization rung counts), which could release a class whose
+    * realized membership dipped under k.
+    *
+    * Scale shape: each round is ONE map-side-combined rollup to a
+    * dimension-sized class card + a broadcast join of the FAILING keys
+    * back onto the fact rows with row-local CASE coarsening — rounds
+    * are a fixed ladder-depth constant (3), so the plan is 3 such
+    * blocks, no fact-sized shuffle anywhere but the output sort. */
+  def lDiversityApply(customer: DataFrame, nation: DataFrame,
+                      region: DataFrame, k: Int = 5, l: Int = 3): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    var cur = kanonRelease(customer, nation, region, k, withSensitive = true)
+      .select(col("c_custkey"), col("anon_level").as("lvl"),
+        col("geo"), col("segment"), col("r_name"), col("__sens"))
+    for (_ <- 1 to 3) {
+      val failing = cur.filter(col("lvl") < 3)
+        .groupBy("lvl", "geo", "segment")
+        .agg(count(lit(1)).as("__n"), countDistinct(col("__sens")).as("__d"))
+        .filter(col("__n") < k || col("__d") < l)
+        .select(col("lvl").as("__flvl"), col("geo").as("__fgeo"),
+          col("segment").as("__fseg"))
+      cur = cur.join(broadcast(failing),
+          col("lvl") === col("__flvl") && col("geo") === col("__fgeo") &&
+            col("segment") === col("__fseg"), "left")
+        .withColumn("__fail", col("__flvl").isNotNull)
+        .select(col("c_custkey"),
+          when(!col("__fail"), col("lvl")).otherwise(col("lvl") + 1L).as("lvl"),
+          when(!col("__fail"), col("geo"))
+            .when(col("lvl") === 0L, col("r_name")) // nation → region
+            .when(col("lvl") === 1L, col("geo"))    // region stays
+            .otherwise(lit("*")).as("geo"),         // suppress
+          when(!col("__fail"), col("segment"))
+            .when(col("lvl") === 0L, col("segment"))
+            .otherwise(lit("*")).as("segment"),
+          col("r_name"), col("__sens"))
+    }
+    cur.select(col("c_custkey"), col("lvl").as("anon_level"),
+        col("geo"), col("segment"))
       .orderBy("c_custkey")
   }
 

@@ -453,6 +453,65 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("l-diversity apply: failing classes coarsen, the release re-audits clean") {
+    val nation = Seq((0, "GERMANY", 0), (1, "FRANCE", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
+    // class A (5 Germans/AUTO, one band) and class C (5 French/AUTO,
+    // two bands) BOTH fail the l=3 audit at rung 0 and coarsen into
+    // the SAME rung-1 class (EUROPE, AUTO): pooled n=10 across 3 bands
+    // — the coarsen-and-pool fixpoint. class B (5 French/STEEL, 4
+    // bands) passes rung 0 untouched.
+    val customers = (
+      (1L to 5L).map(i => (i, 0, "AUTO", 5000.0))
+        ++ Seq((6L, 1, "STEEL", -10.0), (7L, 1, "STEEL", 100.0),
+          (8L, 1, "STEEL", 5000.0), (9L, 1, "STEEL", 8000.0),
+          (10L, 1, "STEEL", 200.0))
+        ++ Seq((11L, 1, "AUTO", -5.0), (12L, 1, "AUTO", 100.0),
+          (13L, 1, "AUTO", -10.0), (14L, 1, "AUTO", 120.0),
+          (15L, 1, "AUTO", 130.0))
+      ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Privacy.lDiversityApply(customers, nation, region)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("anon_level"), r.getAs[String]("geo"),
+          r.getAs[String]("segment"))).toMap
+    // both failing AUTO classes stepped one rung and pooled diversely
+    ((1L to 5L) ++ (11L to 15L)).foreach { i =>
+      assert(out(i) == ((1L, "EUROPE", "AUTO")), s"c$i: ${out(i)}") }
+    // the diverse STEEL class kept its q120 assignment untouched
+    (6L to 10L).foreach { i =>
+      assert(out(i) == ((0L, "FRANCE", "STEEL")), s"c$i: ${out(i)}") }
+    // a stubbornly homogeneous class that can never pool diversely must
+    // end fully suppressed — coarsening cannot invent diversity
+    val lone = ((1L to 5L).map(i => (i, 0, "AUTO", 5000.0))
+      ).toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    Privacy.lDiversityApply(lone, nation, region).collect().foreach { r =>
+      assert(r.getAs[Long]("anon_level") == 3L &&
+        r.getAs[String]("geo") == "*" && r.getAs[String]("segment") == "*",
+        s"homogeneous-only corpus must suppress: $r") }
+    // RE-AUDIT CLEAN (the operator's contract): every non-suppressed
+    // class of the RELEASED table has >= k members and >= l bands
+    val bands = customers.select(col("c_custkey"),
+      Privacy.sensitiveBand.as("b")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val classes = out.toSeq.filter(_._2._1 < 3L)
+      .groupBy(_._2).map { case (cls, members) =>
+        cls -> (members.size, members.map(m => bands(m._1)).distinct.size) }
+    classes.foreach { case (cls, (n, d)) =>
+      assert(n >= 5 && d >= 3, s"released class $cls fails re-audit: n=$n l=$d") }
+    // and on the REAL tables: the released classes re-audit clean too
+    val (c, nn, rr) = (Tables.customer(spark, TestSpark.sf),
+      Tables.nation(spark, TestSpark.sf), Tables.region(spark, TestSpark.sf))
+    val real = Privacy.lDiversityApply(c, nn, rr)
+    val realBands = c.select(col("c_custkey"), Privacy.sensitiveBand.as("b"))
+    val audit = real.filter(col("anon_level") < 3L)
+      .join(realBands, Seq("c_custkey"))
+      .groupBy("anon_level", "geo", "segment")
+      .agg(count(lit(1)).as("n"), countDistinct(col("b")).as("d"))
+      .filter(col("n") < 5L || col("d") < 3L)
+    assert(audit.isEmpty, s"real-table release must re-audit clean")
+  }
+
   test("dataset split: assignment is stable under corpus growth") {
     // the documented invariant: adding documents never reassigns an
     // existing one (split is a pure function of content — no

@@ -100,11 +100,19 @@ object Bench {
     // errors object and queries_warm_min (the trusted cross-round
     // number) come FIRST so a tail cut only ever costs the historical
     // cold figures at the end
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+    // PERSIST the full detail line to a repo file: the driver's tail
+    // capture has truncated the stdout line to ~2.4 KB (r12 lost
+    // per-query timings for two-thirds of the suite) — the file is the
+    // durable full artifact regardless of what the capture keeps
+    val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","warm_reps":$medianReps,""" +
       s""""warm_median_total":${fmt3(warmTotal)},"errors":$errsJson,""" +
       s""""queries_warm_min":$warmMin,"queries_warm_median":$warm,""" +
-      s""""queries":$cold}""")
+      s""""queries":$cold}"""
+    println(detail)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"), detail + "\n")
+    catch { case scala.util.control.NonFatal(_) => /* stdout line still carries it */ }
     // SECOND, short summary line printed LAST: the driver's artifact
     // capture keeps the END of output and has truncated the detail line
     // mid-JSON four rounds running (r9's front-loading moved the trusted

@@ -79,6 +79,57 @@ object BenchRetrievalSplit {
   }
 }
 
+/** BOILERPLATE skew stress for the DEDUP elections (r12 item 9): the
+  * q83/q31/q40/q42 winner elections are plan-pinned onto the
+  * groupBy+join keyAggJoin shape (no hot-key window), but never
+  * skew-MEASURED the way the event family is. Reassigns botPermille of
+  * all documents to ONE shared text — one fingerprint/shingle class
+  * duplicated across up to half the corpus — and times the dedup
+  * family at 0/100/300/500‰. A map-side-combined election should be
+  * near-flat; a serialized hot class would blow up linearly in the
+  * class size. */
+object BenchSkewDocs {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = GraftSession.local(32)
+    val base = Tables.documents(spark, sfDir)
+    val boiler = "the quick brown fox jumped over the lazy dog and then " +
+      "jumped over the lazy dog once more for good measure"
+    def skewView(permille: Int) =
+      if (permille == 0) base
+      else base.withColumn("text",
+        when(pmod(col("doc_id"), lit(1000)) < permille, lit(boiler))
+          .otherwise(col("text")))
+    def med(fn: () => Unit): Double = {
+      fn()
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    import Bench.fmt3
+    val rows = Seq(0, 100, 300, 500).map { pm =>
+      val d = skewView(pm)
+      val tFp = med(() =>
+        { TextAnalysis.fingerprint(d).queryExecution.toRdd.count(); () })
+      val tBlock = med(() =>
+        { Dedup.blockDedup(d).queryExecution.toRdd.count(); () })
+      val tMinhash = med(() =>
+        { Dedup.minhashProfile(d).queryExecution.toRdd.count(); () })
+      val tApply = med(() =>
+        { TextAnalysis.dedupedCorpus(d).queryExecution.toRdd.count(); () })
+      s""""pm$pm":{"q40_fingerprint_s":${fmt3(tFp)},"q83_block_s":${fmt3(tBlock)},""" +
+        s""""q31_minhash_s":${fmt3(tMinhash)},"q42_apply_s":${fmt3(tApply)}}"""
+    }
+    println(s"""{"metric":"boilerplate_skew","reps":$reps,"sf":"$sfDir",""" +
+      rows.mkString(",") + "}")
+    spark.stop()
+  }
+}
+
 /** Statistical microbench: WARM medians over SPARK_GRAFT_REPS runs per
   * query (args = names; no args = full inventory). Single-shot
   * timings on a shared box are load-noise-dominated — medians are what
@@ -524,12 +575,15 @@ object BenchSkew {
       val ev = botView(pm)
       val tTrans = med(() =>
         { EventOps.eventTransitions(ev).queryExecution.toRdd.count(); () })
+      val tTransWin = med(() =>
+        { EventOps.eventTransitionsWindowed(ev).queryExecution.toRdd.count(); () })
       val tFunnel = med(() =>
         { EventOps.funnel(ev).queryExecution.toRdd.count(); () })
       val tUsers = med(() =>
         { EventOps.funnelUsers(ev).queryExecution.toRdd.count(); () })
-      s""""pm$pm":{"transitions_s":${fmt3(tTrans)},"funnel_s":${fmt3(tFunnel)},""" +
-        s""""funnel_users_s":${fmt3(tUsers)}}"""
+      s""""pm$pm":{"transitions_s":${fmt3(tTrans)},""" +
+        s""""transitions_windowed_s":${fmt3(tTransWin)},""" +
+        s""""funnel_s":${fmt3(tFunnel)},"funnel_users_s":${fmt3(tUsers)}}"""
     }
     println(s"""{"metric":"bot_skew","bot_user":$BotUser,"reps":$reps,""" +
       s""""sf":"$sfDir",${rows.mkString(",")}}""")

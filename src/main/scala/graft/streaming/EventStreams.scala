@@ -391,6 +391,70 @@ object EventStreams {
         })
   }
 
+  final case class RetSt(cohortDay: Int, offsetsMask: Long)
+  // LocalDate, not java.sql.Date: the encoder maps it to DateType with
+  // no default-TZ conversion (java.sql.Date.valueOf goes through the
+  // JVM-local calendar)
+  final case class RetOut(cohort_week: java.time.LocalDate, week_offset: Long, delta: Long)
+
+  /** q131 at the door: the RETENTION matrix as a live INCREMENT
+    * stream — per user the Monday-truncated first-event week (the
+    * cohort, frozen at first sight) and a seen-offsets BITMASK; the
+    * first event a user fires in a new week-offset emits a +1 delta
+    * for that (cohort_week, week_offset) cell, and a deployment
+    * foreachBatch-merges the deltas into the serving matrix (the
+    * upsertSink shape). Folding the deltas reproduces the batch q131
+    * n_active cell-for-cell (spec-pinned; retained_bp follows since
+    * n_users is the cohort's own week-0 cell — every user's first
+    * event sets offset 0 by construction).
+    *
+    * State is (one int + one long) per user — the offsets mask covers
+    * [[RetentionMaxOffsets]] weeks (~1.2 years), past which activity
+    * is dropped from the door with this stated cap (the batch q131
+    * over the log is the unbounded reconciliation). NO idle eviction,
+    * deliberately — unlike transitions, retention EXISTS to observe
+    * returns after long idleness, so per-user state must survive it;
+    * the cost is 12 bytes per distinct user, the honest floor for
+    * exact distinct-user retention. In-order-per-user delivery makes
+    * the frozen cohort exact (the first event seen IS the min). */
+  def retentionMonitor(events: Dataset[Ev]): Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    def mondayDay(t: java.sql.Timestamp): Int = {
+      // UTC epoch-day, truncated to Monday (epoch day 0 = Thursday →
+      // weekday index (d+3) mod 7 with Monday = 0) — exactly Spark's
+      // date_trunc('week') under the UTC session TZ
+      val d = Math.floorDiv(t.getTime, 86400000L).toInt
+      d - Math.floorMod(d + 3, 7)
+    }
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, evs: Iterator[Ev], state: GroupState[RetSt]) => {
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          val out = Seq.newBuilder[RetOut]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val w = mondayDay(e.ts)
+            if (st == null) st = RetSt(w, 0L)
+            val off = (w - st.cohortDay) / 7
+            if (off >= 0 && off < RetentionMaxOffsets &&
+                (st.offsetsMask & (1L << off)) == 0L) {
+              st = st.copy(offsetsMask = st.offsetsMask | (1L << off))
+              out += RetOut(java.time.LocalDate.ofEpochDay(st.cohortDay.toLong),
+                off.toLong, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** the retention door's offset horizon: 64 week-offsets (~15
+    * months) fit the one-long bitmask. */
+  val RetentionMaxOffsets: Int = 64
+
   /** Custom stateful sessionizer — per-user state machine on
     * flatMapGroupsWithState, for session semantics the built-in window
     * can't express (e.g. emitting still-open sessions each batch).

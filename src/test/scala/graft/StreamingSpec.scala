@@ -1465,6 +1465,51 @@ class StreamingSpec extends AnyFunSuite {
       "the fixture must exercise both keep and reject")
   }
 
+  test("retention door: folded deltas equal the batch q131 matrix across a restart") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_retdoor")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def run(): Unit = {
+      val stream = EventStreams.readEventStream(spark, srcDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Ev]
+      val q = EventStreams.retentionMonitor(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.RetOut], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // time-split restart: users straddling the cutoff must keep their
+    // frozen cohort and already-emitted offsets through the checkpoint
+    val med = events.selectExpr("unix_micros(ts) AS u")
+      .stat.approxQuantile("u", Array(0.5), 0.0).head.toLong
+    events.filter(unix_micros(col("ts")) <= med)
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    run()
+    events.filter(unix_micros(col("ts")) > med)
+      .coalesce(2).write.mode("append").parquet(srcDir)
+    run()
+    val folded = spark.read.parquet(outDir)
+      .groupBy("cohort_week", "week_offset").agg(sum("delta").as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = EventOps.retentionCohorts(events).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_active")).toMap
+    assert(folded == batch,
+      s"delta fold must equal the batch matrix: only-door=${folded.keySet.diff(batch.keySet)} " +
+        s"only-batch=${batch.keySet.diff(folded.keySet)}")
+    // no cell ever receives a duplicate increment (the bitmask dedup)
+    assert(folded.values.toSet == batch.values.toSet && folded.nonEmpty)
+  }
+
   test("transition monitor evicts users idle past the event-time horizon") {
     import spark.implicits._
     val DayMs = 24L * 3600000L

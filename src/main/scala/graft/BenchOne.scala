@@ -590,3 +590,16 @@ object BenchSkew {
     spark.stop()
   }
 }
+
+/** dev: print a query's executed plan (args: queryName [sfDir]). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val name = args.head
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.toRdd.count()
+    println(df.queryExecution.executedPlan.toString())
+    spark.stop()
+  }
+}

@@ -369,6 +369,86 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** array<bigint> → packed big-endian binary (8 bytes per value).
+    * Exists so a long list can CROSS an exchange as BinaryType — a
+    * Tungsten long array costs 16 + 8n bytes plus array-over-shuffle
+    * is pinned out of the q103b plan; the packed form is 8n and
+    * unpacks row-locally ABOVE the exchange ([[BinaryToLongs]]).
+    * Null elements are disallowed (callers pack hash lists, which
+    * never carry nulls). */
+  case class LongsToBinary(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_longs expects array<bigint>, got $t")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "pack_longs"
+
+    def kernel(a: ArrayData): Array[Byte] = {
+      val n = a.numElements()
+      val out = new Array[Byte](n * 8)
+      var i = 0
+      while (i < n) {
+        val v = a.getLong(i)
+        var j = 0
+        while (j < 8) { out(i * 8 + j) = (v >>> (56 - 8 * j)).toByte; j += 1 }
+        i += 1
+      }
+      out
+    }
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("packLongs", this, classOf[LongsToBinary].getName)
+        s"${ev.value} = (byte[]) $ref.kernel($a);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** packed big-endian binary → array<bigint> (inverse of
+    * [[LongsToBinary]]). */
+  case class BinaryToLongs(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def checkInputDataTypes() = child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unpack_longs expects binary, got $t")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "unpack_longs"
+
+    def kernel(b: Array[Byte]): ArrayData = {
+      val n = b.length / 8
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (b(i * 8 + j) & 0xFFL); j += 1 }
+        out(i) = v
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("unpackLongs", this, classOf[BinaryToLongs].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($a);"
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def lsh_buckets(embedding: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(embedding),
       planes.map(_.map(_.toArray).toArray).toArray))
@@ -452,6 +532,12 @@ object VectorExpressions {
 
   def bvec_norm_sq(a: Column): Column =
     ColumnBridge.column(ByteVecNormSq(ColumnBridge.expression(a)))
+
+  def pack_longs(a: Column): Column =
+    ColumnBridge.column(LongsToBinary(ColumnBridge.expression(a)))
+
+  def unpack_longs(a: Column): Column =
+    ColumnBridge.column(BinaryToLongs(ColumnBridge.expression(a)))
 
   def vec_norm_sq(a: Column): Column =
     ColumnBridge.column(ArrayNormSq(ColumnBridge.expression(a)))

@@ -955,51 +955,75 @@ object Corpus {
     * sharing no rare phrase is never scored), stated rather than
     * hidden, exactly like q36-LSH vs q35-brute-force.
     *
-    * Scale shape: both sides' shingle rows are one codegen pass +
-    * distinct; the df aggregation combines map-side; champion lists
-    * are Q×[[RetbChamps]] rows elected by the bounded-heap
-    * TopKPerKey (never a per-query window); the candidate join
-    * broadcasts the champion side against the chunk posting rows;
-    * rescoring joins candidates to the two feature frames on their
-    * own keys (AQE-splittable equi-joins) with the feature vectors
-    * PACKED one-byte-per-bucket (BinaryType; bit-identical scores —
-    * the saturation clamp is 255, so a byte is lossless), because the
-    * candidate rows' width through those two exchanges was the
-    * measured 100× knee (r12: ~16 s of 27 s was shuffling 64-long
-    * Tungsten arrays); the rows entering the final TopKPerKey carry
-    * only keys + chunk_hash + score. No data-sized broadcast, no
-    * hot-key Q×C blowup — a champion join's fan-in is capped by the
-    * champion shingle's df, minimal by construction. */
+    * Scale shape (r13): each side tokenizes/chunks ONCE — the scan
+    * lands in a wide distinct (every carried column a grouping key —
+    * the pruning-barrier idiom, see the inline comment) whose
+    * exchange the other consumers REUSE (plan-pinned ReusedExchange);
+    * everything crossing an exchange is PACKED BINARY — the scoring
+    * vector one byte per saturated bucket (clamp 255 ⇒ lossless;
+    * the 64-long Tungsten array at 528+ B/row was the measured r12
+    * 100× knee) and the row-locally-distinct shingle list at 8 B/hash
+    * (row-local array_distinct replaced the posting-row global
+    * distinct exchange). The df aggregation combines map-side;
+    * champion lists are Q×[[RetbChamps]] rows elected by the
+    * bounded-heap TopKPerKey (never a per-query window); the
+    * candidate join's fan-in is capped by the champion shingle's df,
+    * minimal by construction; rescoring joins candidates to the two
+    * feature frames on their own keys (AQE-splittable equi-joins),
+    * and the rows entering the final TopKPerKey carry only keys +
+    * chunk_hash + score. No data-sized broadcast, no hot-key Q×C
+    * blowup, and a structural spec pin walks every shuffle exchange
+    * asserting no array-typed column crosses one. */
   def chunkRetrievalPruned(docs: DataFrame, k: Int = RetK): DataFrame = {
     val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
     def shingles(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.functions.HashExpressions.md5_shingle_hashes(toks, RetbShingleK)
-    // chunk side: one row-local frame with BOTH spaces' features.
-    // Vectors are PACKED (one unsigned byte per saturated bucket count,
-    // BinaryType — the clamp ≤ 255 bound means a byte loses nothing):
-    // the rescore below shuffles millions of candidate rows carrying
-    // these vectors, and the Tungsten long-array form (528+ bytes for
-    // 64 buckets vs 64 as binary) WAS the measured 100× knee — the row
-    // width taxed every exchange ~8×. Counts are identical, so every
-    // dot/norm/score is bit-identical to q103's long-array scoring
+    import graft.functions.VectorExpressions.{bvec_norm_sq, pack_longs, unpack_longs}
+    // chunk side: ONE tokenize/chunk scan feeding BOTH consumers (the
+    // posting rows and the exact rescore) through ONE shared exchange.
+    // Everything that crosses it is PACKED BINARY: the scoring vector
+    // (one unsigned byte per saturated bucket count — the clamp ≤ 255
+    // bound means a byte loses nothing; the Tungsten long-array form
+    // at 528+ bytes/row WAS the measured r12 100× knee) and the
+    // row-locally-DISTINCT shingle list (8 bytes/hash; row-local
+    // array_distinct replaces the 28.7M-row global distinct exchange
+    // the r12 plan paid — (doc_id, chunk_idx) is unique per row, so
+    // per-row distinctness IS global distinctness). Counts are
+    // identical, so every dot/norm/score is bit-identical to q103's
+    // long-array scoring
     val cf = chunkFeaturesSparseInput(docs.filter(!isQuery))
       .withColumn("cvb", retVecPacked(col("__ct")))
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("__ct"),
-        col("cvb"), graft.functions.VectorExpressions.bvec_norm_sq(col("cvb")).as("cn2"))
-    // candidate-space posting rows (distinct shingle hashes per chunk)
-    val crows = cf.select(col("doc_id"), col("chunk_idx"), explode(shingles(col("__ct"))).as("h"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cvb"),
+        bvec_norm_sq(col("cvb")).as("cn2"),
+        pack_longs(array_distinct(shingles(col("__ct")))).as("shb"))
+      // pruning BARRIER (the r12 crows.distinct() lesson, generalized):
+      // subtree sharing only happens at canonically-EQUAL exchanges,
+      // and column pruning specializes each consumer's copy of a bare
+      // repartition — and even prunes per-consumer AGGREGATE lists —
+      // splitting the exchange and paying the tokenize scan once PER
+      // consumer (both variants measured). GROUPING KEYS are the one
+      // thing pruning cannot touch: a distinct over ALL carried
+      // columns (a no-op — (doc_id, chunk_idx) is already unique)
+      // makes both consumers' partial aggregates identical, so the
+      // second one is a reused exchange (spec-pinned). Consumers
+      // re-exchange their own narrow slices as needed; the tokenize
+      // scan — the expensive part — runs ONCE
       .distinct()
+    val crows = cf.select(col("doc_id"), col("chunk_idx"),
+      explode(unpack_longs(col("shb"))).as("h"))
     val df = crows.groupBy("h").agg(count(lit(1)).cast(LongType).as("df"))
-    // query side: distinct candidate-space shingles + the scoring vector
-    val qtoks = docs.filter(isQuery)
+    // query side: the same single-scan discipline — one exchange on
+    // the rescore join key (query_id, unique per query), shingle list
+    // and vector packed, the same aggregate barrier
+    val qf = docs.filter(isQuery)
       .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
       .filter(size(col("__qtk")) > 0)
-    val qscore = qtoks
       .withColumn("qvb", retVecPacked(col("__qtk")))
-      .select(col("query_id"), col("qvb"),
-        graft.functions.VectorExpressions.bvec_norm_sq(col("qvb")).as("qn2"))
-    val qrows = qtoks.select(col("query_id"), explode(shingles(col("__qtk"))).as("h"))
+      .select(col("query_id"), col("qvb"), bvec_norm_sq(col("qvb")).as("qn2"),
+        pack_longs(array_distinct(shingles(col("__qtk")))).as("qshb"))
       .distinct()
+    val qscore = qf.select(col("query_id"), col("qvb"), col("qn2"))
+    val qrows = qf.select(col("query_id"), explode(unpack_longs(col("qshb"))).as("h"))
     // champion lists: each query's RetbChamps rarest shingles under the
     // (df, h) total order — a bounded-heap election, never a window.
     // The df side is shingle-domain-sized: a plain equi-join, NOT a

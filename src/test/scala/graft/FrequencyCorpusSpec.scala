@@ -765,6 +765,13 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     }.flatten
     assert(arrayOverShuffle.isEmpty,
       s"array-typed columns crossed a shuffle exchange: $arrayOverShuffle")
+    // r13 single-scan pin: the chunk-side tokenize/feature scan feeds
+    // BOTH the posting rows and the exact rescore through ONE shared
+    // repartition exchange — the second consumer must be a
+    // ReusedExchange (the keep-wide filters exist exactly so column
+    // pruning cannot split it); same for the query side
+    assert(plan.contains("ReusedExchange"),
+      "the shared chunk-feature exchange must be reused, not recomputed")
   }
 
   test("chunk retrieval plan: broadcast query side, TopK election, no corpus-sized window") {

@@ -110,9 +110,15 @@ object Bench {
       s""""queries_warm_min":$warmMin,"queries_warm_median":$warm,""" +
       s""""queries":$cold}"""
     println(detail)
+    // path override for launchers whose cwd is not the repo checkout;
+    // a failed write must SAY so (silently losing the artifact is the
+    // exact r12 failure this exists to fix), but never kill the run —
+    // the stdout line above still carries the data
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"), detail + "\n")
-    catch { case scala.util.control.NonFatal(_) => /* stdout line still carries it */ }
+      java.nio.file.Paths.get(fullPath), detail + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not persist $fullPath: $e") }
     // SECOND, short summary line printed LAST: the driver's artifact
     // capture keeps the END of output and has truncated the detail line
     // mid-JSON four rounds running (r9's front-loading moved the trusted

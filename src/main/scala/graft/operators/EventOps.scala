@@ -312,9 +312,14 @@ object EventOps {
     val ev = events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
       .withColumn("__bkt", expr(s"unix_micros(ts) DIV $TransitionBucketUs"))
-    // local lag within the (user, bucket) segment
+    // local lag within the (user, bucket) segment. The lag carries a
+    // STRUCT, not the bare type: a bare-column lag cannot distinguish
+    // "no previous row in this bucket" from "previous row with a NULL
+    // event_type", and coalescing into the stitch would fabricate an
+    // edge across a null-typed event where the window form emits none
     val wLocal = Window.partitionBy("user_id", "__bkt").orderBy("ts", "event_id")
-    val local = ev.withColumn("__prev_local", lag(col("event_type"), 1).over(wLocal))
+    val local = ev.withColumn("__prev_row",
+      lag(struct(col("event_type").as("t")), 1).over(wLocal))
     // per-(user, bucket) last event type under the SAME (ts, event_id)
     // total order — a map-side-combined max-struct election
     val lasts = ev.groupBy("user_id", "__bkt")
@@ -327,7 +332,9 @@ object EventOps {
       .select("user_id", "__bkt", "__stitch_prev")
     val edges = local
       .join(stitch, Seq("user_id", "__bkt"), "left")
-      .withColumn("prev_type", coalesce(col("__prev_local"), col("__stitch_prev")))
+      .withColumn("prev_type",
+        when(col("__prev_row").isNull, col("__stitch_prev"))
+          .otherwise(col("__prev_row.t")))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))

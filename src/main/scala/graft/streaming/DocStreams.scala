@@ -60,7 +60,14 @@ object DocStreams {
     * State is ONE counter per (lang, source) class —
     * class-dimension-sized at any volume (the bounded-state claim is
     * structural: classes are a dimension, not a population — unlike
-    * user-keyed doors no eviction is needed). */
+    * user-keyed doors no eviction is needed). PER-BATCH memory is a
+    * different bound and is stated, not hidden: the in-batch hash-order
+    * sort buffers one micro-batch's rows of a class in its task, so a
+    * catch-up replay over a deep backlog must bound micro-batch size
+    * (`maxFilesPerTrigger` / `maxBytesPerTrigger` — the standard
+    * file-source lever); steady-state door batches are
+    * arrival-rate-sized and the exact ranks matter more than the
+    * worst-case replay. */
   def sourceCapDoor(docs: org.apache.spark.sql.Dataset[CapDocIn],
                     capPerClass: Long)
       : org.apache.spark.sql.Dataset[CapOut] = {

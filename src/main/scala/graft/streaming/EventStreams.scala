@@ -195,20 +195,27 @@ object EventStreams {
     * posture (a multi-week silence is a new visit, not a transition);
     * the default horizon (30 days) is far above any real per-user gap
     * in the reference window (max ≈ 6 days at sf0.1), so batch parity
-    * is unchanged. The watermark also drops input rows later than its
-    * delay — consistent with the stated in-order delivery contract.
-    * Edges ship as they happen (downstream filters known_edge=false
-    * for the alert feed; the full stream is the matrix's increment). */
+    * is unchanged. TIGHTENED DELIVERY CONTRACT (the watermark the
+    * event-time timer requires): input rows arriving more than
+    * `watermarkDelay` of event time behind the stream's maximum are
+    * DROPPED by the stateful operator — in-order-per-user no longer
+    * suffices, CROSS-user event-time skew must also stay under the
+    * delay (a collector replaying one user's multi-hour backlog
+    * behind live traffic needs a wider delay passed here; the
+    * pre-eviction door had no such bound). Edges ship as they happen
+    * (downstream filters known_edge=false for the alert feed; the
+    * full stream is the matrix's increment). */
   def transitionMonitor(events: Dataset[Ev],
                         knownEdges: Seq[(String, String)],
-                        idleTimeoutMs: Long = TransitionIdleTimeoutMs): Dataset[TransOut] = {
+                        idleTimeoutMs: Long = TransitionIdleTimeoutMs,
+                        watermarkDelay: String = "2 hours"): Dataset[TransOut] = {
     require(idleTimeoutMs > 0, s"idleTimeoutMs must be positive, got $idleTimeoutMs")
     import events.sparkSession.implicits._
     val known = knownEdges.toSet
     def us(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[TransSt]) => {
@@ -336,7 +343,15 @@ object EventStreams {
     * longs per user, bounded regardless of event volume — a bot with
     * 10⁹ events costs sort time in its batches, never state. The
     * 3-step literal view is a thin adapter over the parameterized
-    * [[funnelMonitorSteps]] state machine. */
+    * [[funnelMonitorSteps]] state machine.
+    *
+    * STATE-SCHEMA MIGRATION (r13): the checkpoint state type changed
+    * from the fixed (t1, t2, t3) struct to the reached-prefix list
+    * (and transitionMonitor gained a watermark + event-time timers) —
+    * a door restarted on an r12 checkpoint fails the state-store
+    * schema check by design; drain and restart with a fresh
+    * checkpoint (the batch operator over the log is the recovery
+    * path, as everywhere in this layer). */
   def funnelMonitor(events: Dataset[Ev],
                     horizonS: Long = graft.operators.EventOps.FunnelHorizonS)
       : Dataset[FunnelOut] = {

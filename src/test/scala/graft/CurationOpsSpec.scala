@@ -489,6 +489,21 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("anon_level") == 3L &&
         r.getAs[String]("geo") == "*" && r.getAs[String]("segment") == "*",
         s"homogeneous-only corpus must suppress: $r") }
+    // null-quasi-identifier guard (the null-unsafe failing-class join
+    // is SAFE by construction and this pins why): unknown-nation rows
+    // suppress to the literal ('*','*') at level 3 BEFORE round 1 —
+    // geo/segment are never null below level 3, so a failing class key
+    // can never be null and every failing class genuinely coarsens
+    val ghosts = (90L to 94L).map(i => (i, 99, "AUTO", 5000.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val withGhosts = Privacy.lDiversityApply(
+      customers.unionByName(ghosts), nation, region).collect()
+    withGhosts.filter(r => r.getLong(0) >= 90L).foreach { r =>
+      assert(r.getAs[Long]("anon_level") == 3L &&
+        r.getAs[String]("geo") == "*" && r.getAs[String]("segment") == "*",
+        s"unknown nation must suppress, never stall un-coarsened: $r") }
+    withGhosts.filter(_.getAs[Long]("anon_level") < 3L).foreach { r =>
+      assert(r.getAs[String]("geo") != null && r.getAs[String]("segment") != null) }
     // RE-AUDIT CLEAN (the operator's contract): every non-suppressed
     // class of the RELEASED table has >= k members and >= l bands
     val bands = customers.select(col("c_custkey"),

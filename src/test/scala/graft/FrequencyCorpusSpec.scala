@@ -966,6 +966,19 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       (10L, t(base + B), 2L, "x", 1.0, "{}"),
       (11L, t(base + B), 2L, "y", 1.0, "{}"),
       (12L, t(base + B - 1), 2L, "w", 1.0, "{}")
+    ) ++ Seq(
+      // u3: a NULL-typed event INSIDE a bucket between two typed ones —
+      // the windowed lag yields a null prev (no edge) for the follower;
+      // a bare-column segmented lag would fall through to the stitch
+      // and fabricate an a→b edge (the struct-lag fix's pin)
+      (20L, t(base + 10), 3L, "a", 1.0, "{}"),
+      (21L, t(base + 20), 3L, null.asInstanceOf[String], 1.0, "{}"),
+      (22L, t(base + 30), 3L, "b", 1.0, "{}"),
+      // u4: the previous bucket's LAST event is null-typed — the stitch
+      // must hand the bucket-first a null prev, not skip backwards
+      (30L, t(base + B - 2), 4L, "a", 1.0, "{}"),
+      (31L, t(base + B - 1), 4L, null.asInstanceOf[String], 1.0, "{}"),
+      (32L, t(base + B), 4L, "b", 1.0, "{}")
     ) ++ (0 until 500).map { i => // bot spanning ~50 buckets
       (100L + i, t(base + i * (B / 10)), 99L, if (i % 3 == 0) "p" else "q", 1.0, "{}")
     }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")

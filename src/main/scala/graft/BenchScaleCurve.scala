@@ -133,7 +133,9 @@ object BenchScaleCurve {
                   factor: Int): Unit = {
     val marker = java.nio.file.Paths.get(outDir, "_CURVE_OK")
     if (java.nio.file.Files.exists(marker)) {
-      ensureEvents(spark, baseDir, outDir, factor); return
+      ensureEvents(spark, baseDir, outDir, factor)
+      ensureRelational(spark, baseDir, outDir, factor)
+      return
     }
     scaledDocuments(spark, baseDir, factor)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -147,6 +149,7 @@ object BenchScaleCurve {
     }
     java.nio.file.Files.createFile(marker)
     ensureEvents(spark, baseDir, outDir, factor)
+    ensureRelational(spark, baseDir, outDir, factor)
   }
 
   /** events joined the bucket after the first r11 curve runs — its own
@@ -158,6 +161,56 @@ object BenchScaleCurve {
     scaledEvents(spark, baseDir, factor)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    java.nio.file.Files.createFile(marker)
+  }
+
+  val RelStride = 10000000000L
+
+  /** relational star-schema scaling (r13 — so the privacy ladder and
+    * the symmetric-link family curve-pin like every other newcomer):
+    * customer/orders/lineitem replicate with consistent id offsets
+    * (replica k's orders reference replica k's customers; lineitem
+    * rides its orders), so per-replica join selectivity, class
+    * populations and link topology match the base exactly while total
+    * work is factor×. The closed-form id rules (o_orderkey % 5/13/3
+    * etc.) land differently per replica — same rule DENSITY, which is
+    * what a timing curve needs. */
+  def scaledCustomer(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.customer(spark, baseDir)
+    (0 until factor).map { k =>
+      base.withColumn("c_custkey", col("c_custkey") + lit(k * RelStride))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledOrders(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.orders(spark, baseDir)
+    (0 until factor).map { k =>
+      base
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * RelStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * RelStride))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledLineitem(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.lineitem(spark, baseDir)
+    (0 until factor).map { k =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(k * RelStride))
+    }.reduce(_ unionByName _)
+  }
+
+  /** the relational tables joined the buckets in r13 — own marker for
+    * buckets that predate them. */
+  private def ensureRelational(spark: SparkSession, baseDir: String,
+                               outDir: String, factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_CURVE_REL_OK")
+    if (java.nio.file.Files.exists(marker)) return
+    scaledCustomer(spark, baseDir, factor)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    scaledOrders(spark, baseDir, factor)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    scaledLineitem(spark, baseDir, factor)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     java.nio.file.Files.createFile(marker)
   }
 

@@ -361,6 +361,43 @@ object KernelProperties extends Properties("graft.kernels") {
         graft.functions.LogExpressions.log2mbKernel(a, b) + e.toLong * 1024
     }
 
+  // ---- packed-binary kernels (the q103b rescore's exchange format)
+
+  property("pack_longs -> unpack_longs roundtrips any long list") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { xs =>
+      val packed = graft.functions.VectorExpressions
+        .LongsToBinary(BoundReference(0, ArrayType(LongType), nullable = false))
+        .kernel(ArrayData.toArrayData(xs.toArray))
+      val back = graft.functions.VectorExpressions
+        .BinaryToLongs(BoundReference(0, BinaryType, nullable = false))
+        .kernel(packed)
+      back.toLongArray().toSeq == xs
+    }
+
+  property("bvec dot/norm over packed bytes equal lvec over the long form") =
+    Prop.forAll(
+      Gen.listOfN(64, Gen.chooseNum(0, 255)),
+      Gen.listOfN(64, Gen.chooseNum(0, 255))) { (a, b) =>
+      val al = a.map(_.toLong); val bl = b.map(_.toLong)
+      val ab = a.map(_.toByte).toArray; val bb = b.map(_.toByte).toArray
+      def lDot(x: Seq[Long], y: Seq[Long]) = graft.functions.VectorExpressions
+        .LongArrayDot(BoundReference(0, ArrayType(LongType), nullable = false),
+          BoundReference(1, ArrayType(LongType), nullable = false))
+        .nullSafeEval(ArrayData.toArrayData(x.toArray), ArrayData.toArrayData(y.toArray))
+        .asInstanceOf[Long]
+      def bDot(x: Array[Byte], y: Array[Byte]) = graft.functions.VectorExpressions
+        .ByteVecDot(BoundReference(0, BinaryType, nullable = false),
+          BoundReference(1, BinaryType, nullable = false))
+        .nullSafeEval(x, y).asInstanceOf[Long]
+      def bNorm(x: Array[Byte]) = graft.functions.VectorExpressions
+        .ByteVecNormSq(BoundReference(0, BinaryType, nullable = false))
+        .nullSafeEval(x).asInstanceOf[Long]
+      def lNorm(x: Seq[Long]) = graft.functions.VectorExpressions
+        .LongArrayNormSq(BoundReference(0, ArrayType(LongType), nullable = false))
+        .nullSafeEval(ArrayData.toArrayData(x.toArray)).asInstanceOf[Long]
+      bDot(ab, bb) == lDot(al, bl) && bNorm(ab) == lNorm(al) && bNorm(bb) == lNorm(bl)
+    }
+
   // ---- serialization round-trip
 
   property("MG buffer serializes and deserializes losslessly") =

@@ -113,12 +113,34 @@ object Bench {
     // path override for launchers whose cwd is not the repo checkout;
     // a failed write must SAY so (silently losing the artifact is the
     // exact r12 failure this exists to fix), but never kill the run —
-    // the stdout line above still carries the data
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath), detail + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not persist $fullPath: $e") }
+    // the stdout line above still carries the data.
+    //
+    // NEVER OVERWRITE an existing artifact (r13 judge disclosure: the
+    // judge's verification run clobbered the driver's uncommitted
+    // refresh because every invocation wrote the one unconditional
+    // path). The default name is round-stamped when SPARK_GRAFT_ROUND
+    // is set; either way, if the target exists the write probes
+    // name.2.json, name.3.json, … — every invocation's artifact
+    // survives every later invocation, and which path was written is
+    // printed to stderr
+    val requested = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
+      sys.env.get("SPARK_GRAFT_ROUND")
+        .map(r => s"BENCH_full_r$r.json").getOrElse("BENCH_full.json"))
+    def freePath(p: String): java.nio.file.Path = {
+      val first = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(first)) first
+      else {
+        val stem = if (p.endsWith(".json")) p.dropRight(5) else p
+        Iterator.from(2).map(i => java.nio.file.Paths.get(s"$stem.$i.json"))
+          .find(!java.nio.file.Files.exists(_)).get
+      }
+    }
+    try {
+      val target = freePath(requested)
+      java.nio.file.Files.writeString(target, detail + "\n")
+      System.err.println(s"[bench] full artifact persisted to $target")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not persist $requested: $e") }
     // SECOND, short summary line printed LAST: the driver's artifact
     // capture keeps the END of output and has truncated the detail line
     // mid-JSON four rounds running (r9's front-loading moved the trusted

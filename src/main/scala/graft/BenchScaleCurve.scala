@@ -127,11 +127,24 @@ object BenchScaleCurve {
     }.reduce(_ unionByName _)
   }
 
+  /** the document-fixture scheme version, baked into the bucket marker
+    * name: v2 = the two-letter collision-free replica tag (r13). A
+    * bucket generated under an OLDER scheme carries a stale marker
+    * name, misses the current one, and regenerates automatically —
+    * the r13 advice finding: an unversioned marker short-circuited
+    * regeneration and silently kept the clone-degenerate single-letter
+    * corpus the tag fix existed to kill. Bump this whenever
+    * [[scaledDocuments]]' content rules change. (The events/relational
+    * markers stay unversioned deliberately: those fixtures are pure id
+    * offsets with no content synthesis to version.) */
+  val DocFixtureMarker = "_CURVE_OK_v2"
+
   /** materialize the scaled bucket (documents + embeddings synthesized,
-    * nation/region copied) — idempotent: skipped when already present. */
+    * nation/region copied) — idempotent: skipped when already present
+    * under the CURRENT fixture scheme (see [[DocFixtureMarker]]). */
   def materialize(spark: SparkSession, baseDir: String, outDir: String,
                   factor: Int): Unit = {
-    val marker = java.nio.file.Paths.get(outDir, "_CURVE_OK")
+    val marker = java.nio.file.Paths.get(outDir, DocFixtureMarker)
     if (java.nio.file.Files.exists(marker)) {
       ensureEvents(spark, baseDir, outDir, factor)
       ensureRelational(spark, baseDir, outDir, factor)
@@ -147,6 +160,9 @@ object BenchScaleCurve {
       Tables.load(spark, baseDir, t).write.mode("overwrite")
         .parquet(s"$outDir/$t.parquet")
     }
+    // retire any older-scheme marker so the bucket reads as exactly one
+    // version; create the current one
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outDir, "_CURVE_OK"))
     java.nio.file.Files.createFile(marker)
     ensureEvents(spark, baseDir, outDir, factor)
     ensureRelational(spark, baseDir, outDir, factor)

@@ -3721,7 +3721,10 @@ object SparkEntry {
   /** q139 oracle: the symmetric-link fix manifest replayed in plain
     * SQL — the same closed-form parent/child/type rules over
     * orders/lineitem, the same min-elected first child, the same
-    * four manifest kinds. */
+    * four manifest kinds. Assignability is trace-typed only (the
+    * reference's type-filtered query_traces); a non-trace parent's
+    * children count as dangling while still retyping through the
+    * generic-Trace else branch. */
   private def symmetricLinksSql: String =
     s"""WITH parents AS (
        |  SELECT CAST(o_orderkey AS BIGINT) AS p_id,
@@ -3751,14 +3754,16 @@ object SparkEntry {
        |         CAST(NULL AS VARCHAR) AS new_type,
        |         CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates
        |  FROM parents p LEFT JOIN cands c ON p.p_id = c.p_id
-       |  WHERE NOT deprecated AND NOT has_part_declared),
+       |  WHERE NOT deprecated AND NOT has_part_declared
+       |    AND p_type <> 'IgnoredContainer'),
        |linked AS (
        |  SELECT c.c_id, c.is_part_of, c.ipo_type, p.p_id, p.deprecated, p.p_type
        |  FROM children c LEFT JOIN parents p ON c.is_part_of = p.p_id),
        |dangling AS (
        |  SELECT 'dangling' AS kind, c_id AS id, is_part_of AS ref_id,
        |         CAST(NULL AS VARCHAR) AS new_type, CAST(NULL AS BIGINT) AS n_candidates
-       |  FROM linked WHERE p_id IS NULL OR deprecated),
+       |  FROM linked WHERE p_id IS NULL OR deprecated
+       |    OR p_type = 'IgnoredContainer'),
        |retype AS (
        |  SELECT 'retype' AS kind, c_id AS id, is_part_of AS ref_id,
        |         CASE WHEN p_type = 'SimulationTrace' THEN 'SimulationTrace'

@@ -1068,6 +1068,70 @@ object Corpus {
   }
 
 
+  /** the EXHAUSTIVE arm of the q103b recall audit: every (query,
+    * chunk) pair of the SAME mod-[[RetbMod]] query set scored in the
+    * SAME packed-byte scoring space as [[chunkRetrievalPruned]] (same
+    * counts, same integer cos², same tie order), with NO candidate
+    * pruning — the brute-force recall oracle, q35's stated-crossJoin
+    * contract applied to lexical retrieval. Audit-only: Ω(Q·C) by
+    * definition (that cost is exactly why q103b prunes), so it is
+    * never an inventory operator — it exists so the pruning's recall
+    * trade is a MEASURED number, not prose. */
+  private[graft] def chunkRetrievalExhaustive(docs: DataFrame, k: Int = RetK): DataFrame = {
+    val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
+    import graft.functions.VectorExpressions.bvec_norm_sq
+    val cf = chunkFeaturesSparseInput(docs.filter(!isQuery))
+      .withColumn("cvb", retVecPacked(col("__ct")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cvb"),
+        bvec_norm_sq(col("cvb")).as("cn2"))
+    val qf = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
+      .filter(size(col("__qtk")) > 0)
+      .withColumn("qvb", retVecPacked(col("__qtk")))
+      .select(col("query_id"), col("qvb"), bvec_norm_sq(col("qvb")).as("qn2"))
+    val scored = cf.crossJoin(qf)
+      .withColumn("dot",
+        graft.functions.VectorExpressions.bvec_dot(col("qvb"), col("cvb")))
+      .filter(col("dot") > 0L)
+      .withColumn("sim_q20", expr(simSql))
+      .select("query_id", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
+    val top = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(col("sim_q20").desc, col("doc_id"), col("chunk_idx")), k)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_q20").desc, col("doc_id"), col("chunk_idx"))
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_hash", "sim_q20")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q103b RECALL AUDIT (r13 verdict item 2 — the q110 discipline,
+    * [[graft.operators.Similarity.annRecallAudit]], applied to lexical
+    * retrieval): per query, how many of the exhaustive top-k
+    * ([[chunkRetrievalExhaustive]]) the champion-list pruned retrieval
+    * ([[chunkRetrievalPruned]]) returned, and the recall in basis
+    * points. Both sides run the production formulations — the audit
+    * composes their result sets, so the number it reports is the
+    * shipped operator's, not a re-derivation that could drift.
+    * Measured (macro-mean recall@3): 10000 bp at sf0.01 and sf0.1 —
+    * every pruned top-3 IS the exhaustive top-3 on the benchmark
+    * corpora (rare 3-token shingles are highly discriminative there);
+    * the spec fences ≥ 9000 bp so a champion-budget or shingle-width
+    * regression that starts losing true neighbors fails loudly. */
+  def retrievalRecallAudit(docs: DataFrame, k: Int = RetK): DataFrame = {
+    val exact = chunkRetrievalExhaustive(docs, k)
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"))
+    val approx = chunkRetrievalPruned(docs, k)
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"))
+    val hits = exact.join(approx, Seq("query_id", "doc_id", "chunk_idx"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr("(10000 * n_hits) DIV n_exact"))
+      .orderBy("query_id")
+  }
+
   // dev probes for the q103b stage split (BenchScaleCurve knee hunts)
   private[graft] def probeCf(corpus: DataFrame): DataFrame =
     chunkFeaturesSparseInput(corpus)

@@ -307,7 +307,21 @@ object EventOps {
     * bounded rows per user, never event-sized. Spec pins equality
     * with the plain user-keyed lag window on arbitrary data. The
     * rollup combines map-side to a (types × types)-sized matrix, and
-    * the outgoing totals reduce THAT matrix (dimension-sized). */
+    * the outgoing totals reduce THAT matrix (dimension-sized).
+    *
+    * COST KNOB, priced honestly (SKEW_r13 bot_skew rows): segmentation
+    * is a fixed overhead — two extra small joins and the bucket-summary
+    * window — worth ~2.4× at ZERO skew on benchmark-sized corpora
+    * (sf0.1 A/B: windowed 0.52 s vs segmented 1.27 s at pm0), with
+    * crossover near a ~30% hot-user share and flat immunity beyond
+    * (pm500: windowed 1.30 s and degrading 2.5×, segmented 1.18 s —
+    * pm500/pm0 = 0.93). Segmented is the only shipped q135 form
+    * because the constant vanishes at scale — it is per-row work that
+    * rides the same scan, while the windowed arm's worst case grows
+    * with the hottest user's share, which is exactly what a 100 TB
+    * deployment cannot bound. Deployments that KNOW their corpus is
+    * small and skew-free can call [[eventTransitionsWindowed]], the
+    * cheaper plain-lag form kept as the spec baseline. */
   def eventTransitions(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
@@ -354,8 +368,12 @@ object EventOps {
 
   /** the plain user-keyed lag form of [[eventTransitions]] — the spec
     * baseline the segmented plan must equal row-for-row (and the
-    * BenchSkew comparison arm). */
-  private[graft] def eventTransitionsWindowed(events: DataFrame): DataFrame = {
+    * BenchSkew comparison arm), exposed as the SMALL-DEPLOYMENT
+    * opt-in: ~2.4× cheaper than the segmented form below ~30% hot-user
+    * share on benchmark-sized corpora, but its worst case serializes
+    * the hottest user through one task (2.5× degradation at a 50%-bot
+    * user, SKEW_r13) — never the default at scale. */
+  def eventTransitionsWindowed(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val edges = events
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))

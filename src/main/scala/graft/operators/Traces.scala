@@ -387,15 +387,27 @@ object Traces {
     *    plus the diagnostics it logs: the per-parent candidate
     *    multiplicity (:128 "Set of lengths"), parents with no
     *    candidate (:129), and children pointing at something that is
-    *    not an un-deprecated parent (:131).
+    *    not an un-deprecated parent (:131). Assignability is
+    *    TYPE-FILTERED: `trace_ids` comes from `query_traces` (:107),
+    *    so a parent that is not trace-typed (the fixture's
+    *    'IgnoredContainer') never receives `hasPart` and never counts
+    *    as a no-candidate trace — its children land in the
+    *    isPartOf_not_trace diagnostic instead (:131 computes exactly
+    *    `keys − trace_ids`, which spans non-existent, deprecated AND
+    *    non-trace-typed targets; the `dangling` kind here mirrors all
+    *    three).
     *  - `set_is_part_of_to_right_type` (:39-103): each child's
     *    `isPartOf.type` is relabeled from its parent's actual type
     *    under the priority SimulationTrace > ExperimentalTrace >
     *    generic Trace (:89-95 — the final else IS the "who are you?"
-    *    branch: anything else keeps the generic type); deprecated
-    *    parents are skipped (:78-80). The manifest keeps CHANGED rows
-    *    only (the q56 changed-rows-only audit discipline; the
-    *    reference pushes no-op updates too).
+    *    branch: anything else keeps the generic type, INCLUDING a
+    *    non-trace-typed parent — the loop iterates every isPartOf
+    *    target (:72), not the trace intersection, so an
+    *    'IgnoredContainer' parent still retypes its children to the
+    *    generic Trace while also counting in the diagnostic above);
+    *    deprecated parents are skipped (:78-80). The manifest keeps
+    *    CHANGED rows only (the q56 changed-rows-only audit
+    *    discipline; the reference pushes no-op updates too).
     *
     * Fixture mapping: parents = orders (declared type / deprecation /
     * has-hasPart as o_orderkey closed forms), children = lineitem
@@ -440,7 +452,8 @@ object Traces {
       .agg(min(col("c_id")).as("first_child"),
         count(lit(1)).cast("long").as("n_candidates"))
     val parentSide = parents
-      .filter(!col("deprecated") && !col("has_part_declared"))
+      .filter(!col("deprecated") && !col("has_part_declared") &&
+        col("p_type") =!= "IgnoredContainer")
       .join(cands, Seq("p_id"), "left")
       .select(
         when(col("first_child").isNotNull, lit("assign"))
@@ -451,7 +464,8 @@ object Traces {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
     val linked = children.join(parents, col("is_part_of") === col("p_id"), "left")
     val dangling = linked
-      .filter(col("p_id").isNull || col("deprecated"))
+      .filter(col("p_id").isNull || col("deprecated") ||
+        col("p_type") === "IgnoredContainer")
       .select(lit("dangling").as("kind"), col("c_id").as("id"),
         col("is_part_of").as("ref_id"),
         lit(null).cast("string").as("new_type"),

@@ -109,11 +109,15 @@ object EventStreams {
     * skipped hours then ship retroactively is NOT provided — a
     * wall-clock ticker source is the deployment answer there
     * ([[gapMonitorTicked]]). The batch q134b over the same data is
-    * the exact reconciliation. */
-  def gapMonitor(events: DataFrame, expectedTypes: Seq[String]): DataFrame = {
+    * the exact reconciliation. Events later than `watermarkDelay`
+    * behind the stream's max event time are dropped from the hour
+    * aggregate (watch [[droppedByWatermark]]); a collector lagging
+    * beyond the delay needs a wider delay passed here. */
+  def gapMonitor(events: DataFrame, expectedTypes: Seq[String],
+                 watermarkDelay: String = "2 hours"): DataFrame = {
     require(expectedTypes.nonEmpty, "gapMonitor needs an expected-type list")
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(collect_set(col("event_type")).as("__obs"))
       .select(unix_micros(col("window.start")).as("hour_us"),
@@ -133,16 +137,30 @@ object EventStreams {
     * expected types as outage rows once the watermark passes it —
     * retroactively and unconditionally. Tick rows add one constant
     * row per trigger to the aggregate state; output stays
-    * incident-sized. */
+    * incident-sized.
+    *
+    * TIGHTENED DELIVERY CONTRACT the ticker buys its liveness with
+    * (r13 advice): the wall-clock ticks drag the watermark to
+    * ≈ now − `watermarkDelay`, so a collector lagging more than the
+    * delay behind WALL CLOCK has its events dropped from the hour
+    * aggregate — and the hours it would have filled ship as FALSE
+    * outage rows. The plain [[gapMonitor]]'s watermark only ever
+    * follows the data, so it has no such wall-clock bound (and no
+    * total-silence liveness — the trade between the two doors). A
+    * deployment whose collectors can lag hours behind real time
+    * passes a wider delay here and watches [[droppedByWatermark]];
+    * the batch q134b over the landed log is the reconciliation that
+    * retracts any false positives. */
   def gapMonitorTicked(events: DataFrame, expectedTypes: Seq[String],
-                       ticks: DataFrame): DataFrame = {
+                       ticks: DataFrame,
+                       watermarkDelay: String = "2 hours"): DataFrame = {
     require(expectedTypes.nonEmpty, "gapMonitorTicked needs an expected-type list")
     require(!expectedTypes.contains(TickType),
       s"'$TickType' is the reserved ticker type and cannot be expected")
     val ev = events.select(col("ts"), col("event_type"))
     val tk = ticks.select(col("ts"), lit(TickType).as("event_type"))
     ev.unionByName(tk)
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(collect_set(col("event_type")).as("__obs"))
       .select(unix_micros(col("window.start")).as("hour_us"),
@@ -290,6 +308,25 @@ object EventStreams {
       expr(s"c_user = p_user AND c_ts >= p_ts - INTERVAL $gapSeconds SECONDS AND c_ts <= p_ts"))
   }
 
+  /** LATE-DATA WITNESS (r13 verdict item 7): rows dropped by a door's
+    * watermark are invisible in its output — the tightened delivery
+    * contracts (transition/funnel/gap doors) say late rows are
+    * dropped, but a deployment needs to SEE when cross-user event-time
+    * skew actually violates the stated delay. This reads the engine's
+    * own per-batch `numRowsDroppedByWatermark` counter (every stateful
+    * operator reports it in StreamingQueryProgress) summed over the
+    * query's RECENT progress history. The history ring is capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` batches (default
+    * 100), so this is the test/operational spot-check; a long-running
+    * deployment attaches a StreamingQueryListener and scrapes each
+    * progress into its metrics system instead — same counter, no cap.
+    * A nonzero count means the door's output is missing edges the
+    * batch operator over the landed log WILL contain — that batch run
+    * is the reconciliation that explains the gap. */
+  def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+
   /** Streaming dedup: drop events re-sent with the same event_id while
     * the watermark allows late arrivals (exactly the ingestion-dedup a
     * firehose needs — state for one watermark's worth of ids). */
@@ -340,8 +377,10 @@ object EventStreams {
     * click/purchase after a frozen t(i−1) is that step's min — so the
     * door state equals the batch [[graft.operators.EventOps
     * .funnelUsers]] row for every user (spec-pinned). State is ≤ 3
-    * longs per user, bounded regardless of event volume — a bot with
-    * 10⁹ events costs sort time in its batches, never state. The
+    * longs per user for the RECENTLY-ACTIVE population only — users
+    * whose funnel can no longer advance are EVICTED (see
+    * [[funnelMonitorSteps]] for the eviction contract) — and a bot
+    * with 10⁹ events costs sort time in its batches, never state. The
     * 3-step literal view is a thin adapter over the parameterized
     * [[funnelMonitorSteps]] state machine.
     *
@@ -351,12 +390,17 @@ object EventStreams {
     * a door restarted on an r12 checkpoint fails the state-store
     * schema check by design; drain and restart with a fresh
     * checkpoint (the batch operator over the log is the recovery
-    * path, as everywhere in this layer). */
+    * path, as everywhere in this layer). R14 tightened again: the
+    * funnel doors gained a watermark + event-time eviction timers, so
+    * an r13 funnel checkpoint likewise fails the restart check by
+    * design — r14 checkpoints are the stated baseline. */
   def funnelMonitor(events: Dataset[Ev],
-                    horizonS: Long = graft.operators.EventOps.FunnelHorizonS)
+                    horizonS: Long = graft.operators.EventOps.FunnelHorizonS,
+                    watermarkDelay: String = "2 hours")
       : Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    funnelMonitorSteps(events, graft.operators.EventOps.FunnelSteps, horizonS)
+    funnelMonitorSteps(events, graft.operators.EventOps.FunnelSteps, horizonS,
+        watermarkDelay)
       .map(o => FunnelOut(o.user_id, o.depth,
         o.step_ts_us.lift(0), o.step_ts_us.lift(1), o.step_ts_us.lift(2)))
   }
@@ -368,18 +412,42 @@ object EventStreams {
     * step list; the door hardcoded the 3-step literal — the state
     * machine now carries the declared steps): per user the reached
     * prefix of `steps` as first-touch timestamps. State is the
-    * reached-prefix timestamp list — ≤ |steps| longs per user, bounded
-    * regardless of event volume. The greedy in-order update is exact
-    * under the door's in-order-per-user delivery contract: at depth d,
-    * the first steps(d)-typed event strictly after t(d−1) and within
-    * the horizon IS the batch chain's min (spec-pinned against the
+    * reached-prefix timestamp list — ≤ |steps| longs per user. The
+    * greedy in-order update is exact under the door's
+    * in-order-per-user delivery contract: at depth d, the first
+    * steps(d)-typed event strictly after t(d−1) and within the
+    * horizon IS the batch chain's min (spec-pinned against the
     * parameterized [[graft.operators.EventOps.funnelUsers]] at 2, 3
     * and 4 steps). The timestamp list needs no unset sentinel — an
     * epoch-0 event is just a short prefix growing (the q130b sentinel
-    * lesson made structural). */
+    * lesson made structural).
+    *
+    * STATE EVICTION (r13 verdict item 1 — the transition door's
+    * pattern applied to the last NoTimeout doors): state is bounded
+    * in CHURNING DISTINCT USERS, not just per user. A user's state is
+    * removed once the watermark passes t(depth) + horizon — from that
+    * point every row the watermark admits has ts > t(depth) + horizon
+    * and can never qualify for the next step, so eviction is LOSSLESS
+    * for funnel advancement (a completed funnel trivially so). Users
+    * at depth 0 store NO state at all: an empty reached-prefix
+    * behaves identically to absent state, so the touched-but-never-
+    * entered population — the unbounded one under churn — costs
+    * nothing. The stated trade, as at the transition door: an evicted
+    * user re-appearing starts a FRESH funnel attempt (the door tracks
+    * the current attempt; a first-touch row emitted before eviction is
+    * final for THAT attempt, and a deployment's upsert-keyed serving
+    * table will show the new attempt's position). TIGHTENED DELIVERY
+    * CONTRACT the timers require: rows more than `watermarkDelay`
+    * behind the stream's max event time are dropped by the stateful
+    * operator (watch [[droppedByWatermark]]) — in-order-per-user no
+    * longer suffices, cross-user event-time skew must stay under the
+    * delay. In batch mode (the spec-parity path) the watermark is
+    * eliminated and timeouts never fire — the update logic is
+    * unchanged there. */
   def funnelMonitorSteps(events: Dataset[Ev],
                          steps: Seq[String] = graft.operators.EventOps.FunnelSteps,
-                         horizonS: Long = graft.operators.EventOps.FunnelHorizonS)
+                         horizonS: Long = graft.operators.EventOps.FunnelHorizonS,
+                         watermarkDelay: String = "2 hours")
       : Dataset[FunnelStepsOut] = {
     require(steps.nonEmpty, "a funnel needs at least one step")
     import events.sparkSession.implicits._
@@ -387,22 +455,53 @@ object EventStreams {
     def us(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelStepsSt]) => {
-          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var ts = state.getOption.map(_.ts).getOrElse(Seq.empty[Long])
-          sorted.foreach { e =>
-            val d = ts.length
-            if (d < steps.length && e.event_type == steps(d)) {
-              val t = us(e.ts)
-              if (d == 0 || (t > ts(d - 1) && t <= ts(d - 1) + hUs)) ts = ts :+ t
+          if (state.hasTimedOut) {
+            // watermark passed t(depth) + horizon: no admissible event
+            // can advance this funnel any more (proof in the doc) —
+            // drop the state; rows already emitted are this attempt's
+            // final position
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var ts = state.getOption.map(_.ts).getOrElse(Seq.empty[Long])
+            sorted.foreach { e =>
+              val d = ts.length
+              if (d < steps.length && e.event_type == steps(d)) {
+                val t = us(e.ts)
+                if (d == 0 || (t > ts(d - 1) && t <= ts(d - 1) + hUs)) ts = ts :+ t
+              }
             }
+            if (ts.isEmpty) {
+              // depth 0 is stateless by construction: an empty prefix
+              // and no state are indistinguishable to the update above,
+              // so the touched-but-never-entered population holds zero
+              // bytes of door state
+              if (state.exists) state.remove()
+            } else {
+              state.update(FunnelStepsSt(ts))
+              // evict once the watermark passes last-step + horizon; a
+              // timer must sit strictly above the current watermark (a
+              // deeply-late straggler's horizon may already be behind
+              // it). Batch mode has no watermark and ignores timeouts —
+              // skip the timer there (getCurrentWatermarkMs throws
+              // without one)
+              val wm = try Some(state.getCurrentWatermarkMs()) catch {
+                case _: UnsupportedOperationException => None
+              }
+              wm.foreach { w =>
+                state.setTimeoutTimestamp(
+                  math.max(ts.last / 1000L + hUs / 1000L, w + 1L))
+              }
+            }
+            // depth-0 rows (touched users yet to enter) are the stated
+            // door-vs-batch contract difference; parity holds at ≥ 1
+            Iterator.single(FunnelStepsOut(userId, ts.length, ts))
           }
-          state.update(FunnelStepsSt(ts))
-          // depth-0 rows (touched users yet to enter) are the stated
-          // door-vs-batch contract difference; parity holds at ≥ 1
-          Iterator.single(FunnelStepsOut(userId, ts.length, ts))
         })
   }
 

@@ -203,17 +203,25 @@ class TracesSpec extends AnyFunSuite {
         Option(r.getString(3)).getOrElse(""),
         if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
     val want = Set(
-      // assign: min-elected first child + candidate multiplicity
-      ("assign", 4L, 42L, "", 1L),
+      // assign: min-elected first child + candidate multiplicity.
+      // Parent 4 is 'IgnoredContainer' — NOT trace-typed, so the
+      // reference's type-filtered query_traces never offers it a
+      // hasPart (r13 advice): no assign row for 4
       ("assign", 5L, 51L, "", 3L),
       ("assign", 7L, 71L, "", 1L),
       // eligible parent with no candidate container
       ("no_candidate", 11L, -1L, "", 0L),
-      // dangling: unresolvable target and deprecated target
+      // dangling = "pointing at something that is not an un-deprecated
+      // trace": unresolvable target, deprecated target, AND the
+      // non-trace-typed target (child 42 → IgnoredContainer parent 4)
       ("dangling", 57L, 1000000005L, "", -1L),
       ("dangling", 131L, 13L, "", -1L),
+      ("dangling", 42L, 4L, "", -1L),
       // retype: priority relabel, changed rows only (54 already
-      // carries SimulationTrace and must NOT appear)
+      // carries SimulationTrace and must NOT appear). Child 42 ALSO
+      // retypes: the reference's retype loop walks every isPartOf
+      // target, and a non-trace parent falls into the generic-Trace
+      // else branch ("who are you?") while counting as dangling above
       ("retype", 31L, 3L, "Trace", -1L),
       ("retype", 42L, 4L, "Trace", -1L),
       ("retype", 51L, 5L, "SimulationTrace", -1L),

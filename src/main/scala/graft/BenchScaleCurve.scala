@@ -210,15 +210,33 @@ object BenchScaleCurve {
   def scaledLineitem(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
     val base = Tables.lineitem(spark, baseDir)
     (0 until factor).map { k =>
-      base.withColumn("l_orderkey", col("l_orderkey") + lit(k * RelStride))
+      base
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * RelStride))
+        // l_partkey offsets WITH its replica (r14, scheme v2): replica
+        // k's lineitems reference replica k's parts, so part-grain
+        // aggregates (q140's computed annotation frame, q23's usage)
+        // grow factor× like every other fixture — un-offset, 100
+        // replicas would all hit the BASE part rows and the computed
+        // frame would stay base-sized (denser, not bigger: a different
+        // workload than the linearity hypothesis under test)
+        .withColumn("l_partkey", col("l_partkey") + lit(k * RelStride))
+    }.reduce(_ unionByName _)
+  }
+
+  def scaledPart(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = Tables.part(spark, baseDir)
+    (0 until factor).map { k =>
+      base.withColumn("p_partkey", col("p_partkey") + lit(k * RelStride))
     }.reduce(_ unionByName _)
   }
 
   /** the relational tables joined the buckets in r13 — own marker for
-    * buckets that predate them. */
+    * buckets that predate them. v2 (r14): part joined the bucket and
+    * l_partkey offsets per replica — the marker version bump forces
+    * v1 buckets to regenerate (the [[DocFixtureMarker]] lesson). */
   private def ensureRelational(spark: SparkSession, baseDir: String,
                                outDir: String, factor: Int): Unit = {
-    val marker = java.nio.file.Paths.get(outDir, "_CURVE_REL_OK")
+    val marker = java.nio.file.Paths.get(outDir, "_CURVE_REL_OK_v2")
     if (java.nio.file.Files.exists(marker)) return
     scaledCustomer(spark, baseDir, factor)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
@@ -227,6 +245,10 @@ object BenchScaleCurve {
     scaledLineitem(spark, baseDir, factor)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    scaledPart(spark, baseDir, factor)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(outDir, "_CURVE_REL_OK"))
     java.nio.file.Files.createFile(marker)
   }
 

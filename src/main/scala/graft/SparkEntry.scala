@@ -59,6 +59,8 @@ object SparkEntry {
     "q22_quality_metrics" -> ((s, d) => Curation.qualityMetrics(Tables.lineitem(s, d))),
     "q23_feature_annotations" -> ((s, d) => Curation.featureAnnotations(
       Tables.part(s, d), Tables.lineitem(s, d))),
+    "q140_annotation_push" -> ((s, d) => Curation.annotationPush(
+      Tables.part(s, d), Tables.lineitem(s, d))),
     "q24_metadata_mapping" -> ((s, d) => Curation.metadataMapping(Tables.customer(s, d))),
     "q25_curation_annotation" -> ((s, d) => Curation.curationUpsert(
       Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3948,6 +3950,27 @@ object SparkEntry {
          |$revenueSql AS revenue, COUNT(DISTINCT l_suppkey) AS n_suppliers
          |FROM lineitem GROUP BY l_partkey) u ON p_partkey = l_partkey
          |ORDER BY p_partkey""".stripMargin,
+    "q140_annotation_push" ->
+      """WITH computed AS (
+        |  SELECT l_partkey AS entity_id,
+        |         CASE CAST(l_linenumber % 4 AS INT)
+        |           WHEN 0 THEN 'axon' WHEN 1 THEN 'soma'
+        |           WHEN 2 THEN 'dendrite' ELSE 'neurite' END AS compartment,
+        |         COUNT(*) AS n_uses,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |existing AS (
+        |  SELECT p_partkey AS ex_id, c.comp AS ex_comp,
+        |         CAST(p_partkey % 5 + 1 AS BIGINT) AS prev_rev
+        |  FROM part CROSS JOIN (SELECT UNNEST(['axon','soma','dendrite','neurite']) AS comp) c
+        |  WHERE (p_partkey + LENGTH(c.comp)) % 3 = 0)
+        |SELECT entity_id, compartment,
+        |       CASE WHEN prev_rev IS NOT NULL THEN 'update' ELSE 'create' END AS action,
+        |       n_uses, total_qty, prev_rev, p_brand AS brand
+        |FROM computed
+        |LEFT JOIN existing ON entity_id = ex_id AND compartment = ex_comp
+        |JOIN part ON entity_id = p_partkey
+        |ORDER BY entity_id, compartment""".stripMargin,
     "q24_metadata_mapping" ->
       """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS resource_id, UPPER(c_name) AS name,
         |LOWER(c_mktsegment) AS segment, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS balance_cents,

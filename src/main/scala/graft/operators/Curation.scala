@@ -54,6 +54,66 @@ object Curation {
       .orderBy("p_partkey")
   }
 
+  /** q140: FEATURE-ANNOTATION PUSH — the reference's main
+    * feature-annotation loop (/root/reference/src/neuron_morphology/
+    * feature_annotations/create_update_annotations.py:85-145
+    * `update_create_one`): the freshly COMPUTED per-compartment
+    * annotations of each morphology are diffed against its EXISTING
+    * annotation resources BY COMPARTMENT — a computed compartment with
+    * no existing annotation becomes a CREATE (a new resource, :121-133),
+    * one with an existing annotation becomes an UPDATE that replaces
+    * `hasBody` ONLY and keeps the resource identity (:135-141 —
+    * "Update hasBody of annotations only"); BOTH lists are stamped
+    * with the morphology's target metadata / generation / contribution
+    * (`add_additional_info`, :71-82). Existing-only compartments are
+    * UNTOUCHED — the reference iterates `computed.keys()` and never
+    * deletes — and that asymmetry is preserved here (no delete kind).
+    *
+    * Fixture mapping: morphologies = part; the computed annotations are
+    * q23-style usage metrics per (part, compartment) where the
+    * compartment is the closed-form l_linenumber class; the existing
+    * store is the closed-form (p_partkey + len(compartment)) % 3 subset
+    * carrying its own revision. One row per COMPUTED (entity,
+    * compartment): action ∈ create | update, the new body
+    * (n_uses/total_qty), prev_rev kept on updates (the preserved
+    * identity), null on creates, and the stamped morphology metadata.
+    *
+    * Scale shape: computed collapses through ONE map-side-combined
+    * groupBy on the (partkey, compartment) composite key; the existing
+    * store and the metadata stamp join on their own keys
+    * (AQE-splittable equi-joins — at 100 TB the annotation store is
+    * data-sized, so no broadcast is assumed); the action split is
+    * row-local CASE logic. No window, no data-sized broadcast. */
+  def annotationPush(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val compartment = expr(
+      """CASE CAST(l_linenumber % 4 AS INT)
+           WHEN 0 THEN 'axon' WHEN 1 THEN 'soma'
+           WHEN 2 THEN 'dendrite' ELSE 'neurite' END""")
+    val computed = lineitem
+      .select(col("l_partkey"), compartment.as("compartment"), col("l_quantity"))
+      .groupBy(col("l_partkey").as("entity_id"), col("compartment"))
+      .agg(count(lit(1)).as("n_uses"), sum2(col("l_quantity")).as("total_qty"))
+    val existing = part
+      .select(col("p_partkey").as("ex_id"))
+      .withColumn("ex_comp",
+        explode(array(lit("axon"), lit("soma"), lit("dendrite"), lit("neurite"))))
+      .filter((col("ex_id") + length(col("ex_comp"))) % 3 === 0)
+      .withColumn("prev_rev", (col("ex_id") % 5 + 1).cast(LongType))
+    computed
+      .join(existing,
+        col("entity_id") === col("ex_id") && col("compartment") === col("ex_comp"),
+        "left")
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("entity_id") === col("p_partkey"))
+      .select(
+        col("entity_id"), col("compartment"),
+        when(col("prev_rev").isNotNull, lit("update"))
+          .otherwise(lit("create")).as("action"),
+        col("n_uses"), col("total_qty"), col("prev_rev"),
+        col("p_brand").as("brand"))
+      .orderBy("entity_id", "compartment")
+  }
+
   /** Declarative source→target metadata mapping: each target field is a
     * named Column expression (the reference's dict-reshaping per
     * resource before registration). */

@@ -590,4 +590,45 @@ class CurationOpsSpec extends AnyFunSuite {
       .sameElements(Similarity.pqEncode(emb).collect()),
       "frame codes must equal the standalone q76 encode")
   }
+
+  // ---------------------------------------------------------------- q140
+
+  test("annotation push: create/update split by compartment, identity kept, never deletes") {
+    // update_create_one on a hand-built universe. Existing rule:
+    // (p + len(comp)) % 3 == 0 with len axon=4 soma=4 dendrite=8
+    // neurite=7 -> p=1 owns {dendrite}, p=2 {axon,soma,neurite},
+    // p=5 {axon,soma,neurite}
+    val part = Seq((1L, "B1"), (2L, "B2"), (5L, "B5"))
+      .toDF("p_partkey", "p_brand")
+    val lineitem = Seq(
+      (1L, 1, 2.5),  // 1%4=1 -> soma
+      (1L, 5, 3.0),  // 5%4=1 -> soma (same compartment aggregates)
+      (1L, 8, 1.0),  // 8%4=0 -> axon
+      (2L, 4, 2.0),  // axon
+      (5L, 3, 4.25)  // 3%4=3 -> neurite
+    ).toDF("l_partkey", "l_linenumber", "l_quantity")
+    val got = Curation.annotationPush(part, lineitem).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getString(6))).toSet
+    val want = Set(
+      // computed-but-not-existing compartments CREATE (no prev_rev)
+      (1L, "axon", "create", 1L, 100L, -1L, "B1"),
+      (1L, "soma", "create", 2L, 550L, -1L, "B1"),
+      // computed-and-existing compartments UPDATE, keeping the
+      // existing resource identity (prev_rev = p%5+1)
+      (2L, "axon", "update", 1L, 200L, 3L, "B2"),
+      (5L, "neurite", "update", 1L, 425L, 1L, "B5"))
+    assert(got == want, s"push manifest mismatch:\n got $got\nwant $want")
+    // the never-delete asymmetry: p=5's existing axon/soma have no
+    // computed body this run and must be UNTOUCHED (no row at all)
+    assert(!got.exists(r => r._1 == 5L && r._2 != "neurite"))
+    // plan shape: one grouped aggregate + equi-joins, no window, no
+    // cartesian on anything data-sized
+    val df = Curation.annotationPush(part, lineitem)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window ["), "no per-entity window")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+  }
 }

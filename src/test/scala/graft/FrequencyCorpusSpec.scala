@@ -774,6 +774,34 @@ class FrequencyCorpusSpec extends AnyFunSuite {
       "the shared chunk-feature exchange must be reused, not recomputed")
   }
 
+  test("pruned retrieval recall fence: every confident match is recovered (r13 item 2)") {
+    // the q110 discipline applied to lexical retrieval: recall of the
+    // champion-list pruning measured against the exhaustive rescore
+    // over the SAME query set and scoring space (RECALL_r14.json is
+    // the multi-SF artifact; this fences the invariant at the test
+    // SF). The CONFIDENT band — exhaustive top-k rows at
+    // cos² ≥ ConfidentSimQ20/2²⁰ ≈ 0.954, the true near-dup matches
+    // retrieval exists for — must be recovered COMPLETELY; the
+    // unrestricted recall is reported but NOT fenced high, because the
+    // 64-bucket hashed space saturates on same-language text and the
+    // unrestricted exhaustive top-k is a noise ranking (~0.8 cos²
+    // everywhere) no candidate-pruned method can reproduce without
+    // paying the Ω(Q·C) scan q103b exists to avoid.
+    val audit = graft.operators.Corpus.retrievalRecallAudit(
+      Tables.documents(spark, TestSpark.sf)).collect()
+    assert(audit.length > 50, "the mod-7 query set is corpus-sized")
+    val nConf = audit.map(_.getAs[Long]("n_confident")).sum
+    val nConfHits = audit.map(_.getAs[Long]("n_confident_hits")).sum
+    assert(nConf > 0, "the fixture must carry confident near-dup matches")
+    assert(nConfHits == nConf,
+      s"champion pruning lost a confident match: $nConfHits/$nConf")
+    // unrestricted recall is a sane ratio and nonzero somewhere (the
+    // verbatim-dup queries put their match in both top lists)
+    assert(audit.forall { r =>
+      val bp = r.getAs[Long]("recall_bp"); bp >= 0L && bp <= 10000L })
+    assert(audit.exists(_.getAs[Long]("recall_bp") > 0L))
+  }
+
   test("chunk retrieval plan: broadcast query side, TopK election, no corpus-sized window") {
     val df = Corpus.chunkRetrieval(Tables.documents(spark, TestSpark.sf))
     df.collect()

@@ -2,15 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** RECALL evidence for the approximate retrieval family (r13 verdict
-  * item 2): the ANN family's recall is audited by inventory operators
-  * (q110/q110b); q103b's champion-list pruning had only a
-  * deterministically spec-pinned trade with no measured number. This
-  * main runs [[graft.operators.Corpus.retrievalRecallAudit]] — the
-  * pruned retrieval vs the exhaustive rescore over the SAME query set
-  * and scoring space — at each given SF dir and prints ONE JSON line
-  * with the per-SF macro-mean / min / pooled recall@k, so the trade is
-  * a MEASUREMENT an audit can cite (RECALL_rNN.json). */
+/** RECALL evidence for the approximate families (r13 verdict item 2,
+  * extended r14): the ANN family's recall is audited by inventory
+  * operators (q110/q110b); q103b's champion-list pruning and q31's
+  * MinHash banding had only deterministically spec-pinned trades with
+  * no measured number. This main runs
+  * [[graft.operators.Corpus.retrievalRecallAudit]] (pruned retrieval
+  * vs the exhaustive rescore over the SAME query set and scoring
+  * space) and [[graft.operators.Dedup.minhashBandingRecall]] (banding
+  * candidates vs the exact all-pairs Jaccard reference, per
+  * threshold) at each given SF dir and prints ONE JSON line, so both
+  * trades are MEASUREMENTS an audit can cite (RECALL_rNN.json). */
 object BenchRecall {
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_RECALL_DIRS",
@@ -42,10 +44,24 @@ object BenchRecall {
         s""""n_confident":$nConf,"n_confident_hits":$nConfHit,""" +
         s""""confident_bp":$confBp}"""
     }
-    println(s"""{"metric":"retrieval_recall_at_$k","unit":"bp",""" +
+    val bandRows = dirs.map { dir =>
+      val docs = Tables.documents(spark, dir)
+      val a = graft.operators.Dedup.minhashBandingRecall(docs).collect()
+      val cells = a.map { r =>
+        s""""t${r.getAs[Long]("threshold_bp")}":{"n_true":${r.getAs[Long]("n_true")},""" +
+          s""""n_caught":${r.getAs[Long]("n_caught")},""" +
+          s""""recall_bp":${r.getAs[Long]("recall_bp")}}"""
+      }
+      s""""$dir":{${cells.mkString(",")}}"""
+    }
+    println(s"""{"metric":"recall_audits","unit":"bp",""" +
+      s""""retrieval_recall_at_$k":{""" +
       s""""confident_bar_q20":${graft.operators.Corpus.ConfidentSimQ20},""" +
       s""""note":"q103b champion-list pruning vs exhaustive rescore, same query set and scoring space; confident = exhaustive top-k rows at cos2 >= bar/2^20 (the near-dup band; the unrestricted top-k is a noise ranking in the saturated 64-bucket hashed space)",""" +
-      s""""dirs":{${rows.mkString(",")}}}""")
+      s""""dirs":{${rows.mkString(",")}}},""" +
+      s""""minhash_banding_recall":{""" +
+      s""""note":"q31 banding candidates (32 hashes, 8 bands of 4) vs the exact all-pairs Jaccard reference, per threshold; theory for r=4,b=8 predicts 1-(1-s^4)^8: 0.9998 at s=0.9, 0.985 at 0.8, 0.889 at 0.7, 0.404 at 0.5. Equal n_true across thresholds = the corpus's true-pair population is bimodal (every pair above 0.5 is >=0.8-similar, where the curve reads >=0.985) -- full recall measured there; for mid-similarity pairs the fixture lacks, the formula is the stated recall",""" +
+      s""""dirs":{${bandRows.mkString(",")}}}}""")
     spark.stop()
   }
 }

@@ -103,6 +103,63 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** brute-force ALL-PAIRS exact-Jaccard reference for the banding
+    * recall audit — audit-only, Ω(N²) by definition (q35's
+    * stated-crossJoin contract; this cost is exactly why q31 bands).
+    * Same k-word shingle sets as the q33 verify pass, so the audit
+    * and the production screen agree on what "similarity" means. */
+  private[graft] def jaccardAllPairs(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b")))
+          .cast(org.apache.spark.sql.types.LongType).as("n_union"))
+      .withColumn("jaccard_bp", expr("(10000 * n_common) DIV nullif(n_union, 0)"))
+      .filter(col("jaccard_bp").isNotNull)
+  }
+
+  /** MINHASH BANDING RECALL AUDIT (r14 — the q110/q103b measured-recall
+    * discipline applied to the THIRD approximate family): per Jaccard
+    * threshold, what fraction of the TRUE pairs (exact all-pairs
+    * Jaccard ≥ threshold, [[jaccardAllPairs]]) the q31 banding
+    * ([[minhashCandidatePairs]], the production formulation — 32
+    * hashes, 8 bands of 4) actually surfaces as candidates. The
+    * published theory for (r=4, b=8) banding predicts the S-curve
+    * P(candidate | s) = 1 − (1 − s⁴)⁸: ≈ 0.9998 at s = 0.9, 0.985 at
+    * 0.8, 0.889 at 0.7, 0.404 at 0.5. MEASURED (RECALL_r14.json):
+    * recall is 10000 bp at EVERY threshold and every SF — and the
+    * n_true columns show why that is consistent with the curve rather
+    * than better than it: the benchmark corpora's true-pair
+    * population is BIMODAL (n_true at τ=0.5 equals n_true at τ=0.8 —
+    * every pair above 0.5 is actually ≥ 0.8-similar, where the curve
+    * reads ≥ 0.985), so the fixture exercises the high-similarity
+    * regime a dedup pass exists for and catches all of it; for
+    * mid-similarity pairs the fixture lacks, the formula IS the
+    * stated recall. Precision is deliberately NOT scored here —
+    * candidates are cheap and the exact q33/q59 verify pass exists
+    * precisely to filter them. */
+  def minhashBandingRecall(docs: DataFrame,
+                           thresholdsBp: Seq[Long] = Seq(5000, 7000, 8000, 9000),
+                           k: Int = 3): DataFrame = {
+    require(thresholdsBp.nonEmpty, "the audit needs at least one threshold")
+    val truePairs = jaccardAllPairs(docs, k)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+    val cands = minhashCandidatePairs(docs).withColumn("__cand", lit(1))
+    truePairs.join(cands, Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard_bp"), col("__cand"),
+        explode(array(thresholdsBp.map(lit): _*)).as("threshold_bp"))
+      .filter(col("jaccard_bp") >= col("threshold_bp"))
+      .groupBy("threshold_bp")
+      .agg(count(lit(1)).as("n_true"), count(col("__cand")).as("n_caught"))
+      .withColumn("recall_bp", expr("(10000 * n_caught) DIV n_true"))
+      .orderBy("threshold_bp")
+  }
+
   /** control-sample rate (basis points) for the verify passes — a
     * HASH-sampled subset of adjacent-id pairs, so the calibration work
     * stays a fixed fraction of the corpus instead of one scored pair

@@ -172,6 +172,16 @@ object EventStreams {
     * observed set of every wall-clock hour, never in an SLA list. */
   val TickType = "__tick"
 
+  /** the current watermark if one exists — None in BATCH mode, where
+    * the watermark is eliminated from the plan and
+    * `getCurrentWatermarkMs` throws (batch also ignores timeouts, so
+    * callers simply skip the timer). Shared by every door that must
+    * stay batch-callable for its spec-parity path. */
+  private def watermarkMsOpt(state: GroupState[_]): Option[Long] =
+    try Some(state.getCurrentWatermarkMs()) catch {
+      case _: UnsupportedOperationException => None
+    }
+
   /** the default wall-clock ticker for [[gapMonitorTicked]]: one row
     * per second of PROCESSING time from the built-in rate source —
     * its `timestamp` IS wall-clock, so event time advances with the
@@ -487,13 +497,8 @@ object EventStreams {
               // evict once the watermark passes last-step + horizon; a
               // timer must sit strictly above the current watermark (a
               // deeply-late straggler's horizon may already be behind
-              // it). Batch mode has no watermark and ignores timeouts —
-              // skip the timer there (getCurrentWatermarkMs throws
-              // without one)
-              val wm = try Some(state.getCurrentWatermarkMs()) catch {
-                case _: UnsupportedOperationException => None
-              }
-              wm.foreach { w =>
+              // it); None in batch mode — timer skipped
+              watermarkMsOpt(state).foreach { w =>
                 state.setTimeoutTimestamp(
                   math.max(ts.last / 1000L + hUs / 1000L, w + 1L))
               }
@@ -573,33 +578,74 @@ object EventStreams {
     * flatMapGroupsWithState, for session semantics the built-in window
     * can't express (e.g. emitting still-open sessions each batch).
     * Emits closed sessions as they complete plus the open session
-    * (closed=false) at each batch end. */
-  def statefulSessionize(events: Dataset[Ev], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    * (closed=false) at each batch end.
+    *
+    * STATE EVICTION (r14 — the funnel-door pattern propagated to the
+    * last per-USER NoTimeout door, and here eviction is not a trade
+    * at all but the session DEFINITION applied: a session with no
+    * event for more than `gapSeconds` is closed — period). Once the
+    * watermark passes lastTs + gap, the open session ships CLOSED
+    * from the timeout itself and the state is dropped. Two things
+    * improve at once: state is bounded in churning distinct users
+    * (one small struct per user active within a gap of the
+    * watermark), and a user's FINAL session now closes when the
+    * watermark passes its gap — the NoTimeout form could only close a
+    * session when the user's NEXT event arrived, so a departed user's
+    * last session stayed open forever. Exactly one closed row ships
+    * per session either way (the eviction close and the
+    * successor-event close are mutually exclusive by construction: a
+    * key receiving data in a batch is not timed out in that batch,
+    * and an evicted session's successor starts a fresh state).
+    * TIGHTENED DELIVERY CONTRACT the timers require: rows more than
+    * `watermarkDelay` behind the stream's max event time are dropped
+    * (watch [[droppedByWatermark]]). Batch mode (the spec-parity
+    * path) has no watermark — timers are skipped and the update logic
+    * is unchanged there. STATE-SCHEMA MIGRATION: the state TYPE is
+    * unchanged, but the operator gained a watermark + event-time
+    * timers, so an r13 sessionizer checkpoint fails the restart check
+    * by design; r14 checkpoints are the baseline. */
+  def statefulSessionize(events: Dataset[Ev], gapSeconds: Long = 1800,
+                         watermarkDelay: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) => {
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            cur match {
-              case Some(s) if t - s.lastTs <= gapSeconds =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1))
-              case Some(s) =>
-                out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = true)
-                cur = Some(SessState(t, t, 1))
-              case None =>
-                cur = Some(SessState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: closed by DEFINITION
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.startTs, s.lastTs, s.n, closed = true))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = true)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // close-by-watermark timer; clamped above the current
+              // watermark for deeply-late stragglers (the funnel/
+              // transition discipline); None in batch mode — skipped
+              watermarkMsOpt(state).foreach { w =>
+                state.setTimeoutTimestamp(
+                  math.max(s.lastTs * 1000L + gapSeconds * 1000L, w + 1L))
+              }
+              out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = false)
+            }
+            out.iterator
           }
-          cur.foreach { s =>
-            state.update(s)
-            out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = false)
-          }
-          out.iterator
         })
   }
 }

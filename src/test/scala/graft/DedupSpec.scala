@@ -29,6 +29,28 @@ class DedupSpec extends AnyFunSuite {
       "unrelated docs should not be candidates")
   }
 
+  test("banding recall fence: every true pair in the high-similarity band is a candidate (r14)") {
+    // the q110/q103b measured-recall discipline applied to the dedup
+    // family: the exact all-pairs Jaccard reference vs the q31 banding
+    // candidates on the real test corpus (RECALL_r14.json is the
+    // multi-SF artifact; this fences the invariant at the test SF).
+    // Theory for (r=4, b=8) reads >= 0.985 at s >= 0.8 — the fence
+    // demands 100% there, so a band-count or hash-family regression
+    // that starts losing near-verbatim dup pairs fails loudly.
+    val audit = graft.operators.Dedup.minhashBandingRecall(
+      Tables.documents(spark, TestSpark.sf)).collect()
+      .map(r => r.getAs[Long]("threshold_bp") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_caught"))).toMap
+    val (nTrue, nCaught) = audit(8000L)
+    assert(nTrue > 0, "the fixture must carry true near-dup pairs at J >= 0.8")
+    assert(nCaught == nTrue,
+      s"banding lost a high-similarity true pair: $nCaught/$nTrue")
+    // hand fence on the tiny universe too: the audit frame's arithmetic
+    val hand = graft.operators.Dedup.minhashBandingRecall(docs, Seq(9000L)).collect()
+    assert(hand.length == 1 && hand.head.getAs[Long]("n_true") >= 1L &&
+      hand.head.getAs[Long]("recall_bp") == 10000L)
+  }
+
   test("jaccard verify ranks the true duplicate highest") {
     val out = Dedup.jaccardVerify(docs).collect()
     val top = out.head

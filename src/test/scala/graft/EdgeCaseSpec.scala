@@ -241,4 +241,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(da(2L).getAs[Long]("tokens_cut") == 0L
       && da(2L).getAs[Long]("clean_n_tokens") == da(2L).getAs[Long]("n_tokens"))
   }
+
+  test("r14 family (annotation push, retrieval recall) behaves on empty inputs") {
+    import spark.implicits._
+    val noPart = Seq.empty[(Long, String)].toDF("p_partkey", "p_brand")
+    val noLines = Seq.empty[(Long, Int, Double)]
+      .toDF("l_partkey", "l_linenumber", "l_quantity")
+    // no computed annotations -> no push at all (never-delete: an
+    // empty computation must not touch the existing store)
+    assert(graft.operators.Curation.annotationPush(noPart, noLines).isEmpty)
+    // an existing store with no computations is likewise untouched
+    val part = Seq((2L, "B2")).toDF("p_partkey", "p_brand")
+    assert(graft.operators.Curation.annotationPush(part, noLines).isEmpty)
+    // empty corpus -> the recall audit reports no queries, not a crash
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.Corpus.retrievalRecallAudit(noDocs).isEmpty)
+  }
 }

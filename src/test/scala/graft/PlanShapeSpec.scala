@@ -584,4 +584,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "only broadcast stat/query fan-outs; never a data-sized cartesian")
   }
+
+  test("annotation push scans prune to the used columns and combine map-side (r14)") {
+    val df = graft.operators.Curation.annotationPush(
+      Tables.part(spark, dir), Tables.lineitem(spark, dir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the lineitem scan must read ONLY the three used columns — a scan
+    // dragging all 16 into the aggregate is the 100 TB regression this
+    // pin exists to catch
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"lineitem scan must prune to 3 columns:\n${plan.take(4000)}")
+    // the computed frame combines map-side before its one exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the (partkey, compartment) aggregate must have a partial phase")
+    assert(!plan.contains("Window ["), "no per-entity window")
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+  }
 }

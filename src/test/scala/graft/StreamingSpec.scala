@@ -1630,6 +1630,57 @@ class StreamingSpec extends AnyFunSuite {
     }, s"within the horizon the funnel must advance across the restarts: ${kept.toSeq}")
   }
 
+  test("sessionizer closes a departed user's final session at the watermark") {
+    import spark.implicits._
+    // r14: eviction as the session DEFINITION — the NoTimeout form
+    // could only close a session when the user's NEXT event arrived,
+    // so a departed user's last session stayed open (and its state
+    // lived) forever. With event-time timers, the watermark passing
+    // lastTs + gap ships the close itself — across a checkpoint
+    // restart, with no successor event ever arriving.
+    val H = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_evict")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def run(): Unit = {
+      val stream = EventStreams.readEventStream(spark, srcDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Ev]
+      val q = EventStreams.statefulSessionize(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.SessionOut], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // wave 1: u1's two events, 10 minutes apart — one open session
+    write(Seq(
+      (1L, ts(0L), 1L, "view", 1.0, "{}"),
+      (2L, ts(10L * 60000L), 1L, "click", 1.0, "{}")))
+    run()
+    // wave 2 (RESTART): only u3's far-future traffic — the watermark
+    // passes u1's lastTs + 30min gap and the timeout ships the close
+    write(Seq((3L, ts(5L * H), 3L, "view", 1.0, "{}")))
+    run()
+    val u1 = spark.read.parquet(outDir).filter(col("user_id") === 1L).collect()
+    val closed = u1.filter(_.getAs[Boolean]("closed"))
+    assert(closed.length == 1,
+      s"exactly one close must ship, from the timeout: ${u1.toSeq}")
+    val c = closed.head
+    assert(c.getAs[Long]("t_start_s") == 1700000000L &&
+      c.getAs[Long]("t_end_s") == 1700000000L + 600L &&
+      c.getAs[Long]("n_events") == 2L,
+      s"the closed session must be the restart-spanning one intact: $c")
+  }
+
   test("late-data witness: watermark drops are counted and the batch run explains the gap") {
     import spark.implicits._
     // r13 verdict item 7: rows dropped by the tightened delivery

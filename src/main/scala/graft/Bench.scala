@@ -104,9 +104,13 @@ object Bench {
     // capture has truncated the stdout line to ~2.4 KB (r12 lost
     // per-query timings for two-thirds of the suite) — the file is the
     // durable full artifact regardless of what the capture keeps
+    // warm_min_total rides the detail line too (r14): the gate quotes
+    // it, and before this it existed only in the stdout summary — a
+    // grep against the committed artifact could not find it
     val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","warm_reps":$medianReps,""" +
-      s""""warm_median_total":${fmt3(warmTotal)},"errors":$errsJson,""" +
+      s""""warm_median_total":${fmt3(warmTotal)},""" +
+      s""""warm_min_total":${fmt3(results.map(_._4).sum)},"errors":$errsJson,""" +
       s""""queries_warm_min":$warmMin,"queries_warm_median":$warm,""" +
       s""""queries":$cold}"""
     println(detail)

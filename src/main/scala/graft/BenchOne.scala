@@ -591,6 +591,47 @@ object BenchSkew {
   }
 }
 
+/** HOT-PART skew stress for the annotation push (r14): q140's computed
+  * frame is a (partkey, compartment) groupBy — the keyAggJoin family
+  * whose map-side combine absorbed a half-corpus hot key in the
+  * BenchSkewDocs rows. Reassigns botPermille of all lineitem rows to
+  * ONE part key and times annotationPush at 0/100/300/500‰: a
+  * map-side-combined aggregate should be near-flat; a serialized hot
+  * (part, compartment) class would grow linearly in the class size. */
+object BenchSkewPush {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = GraftSession.local(32)
+    val part = Tables.part(spark, sfDir)
+    val base = Tables.lineitem(spark, sfDir)
+    val HotPart = 1L
+    def hotView(permille: Int) =
+      if (permille == 0) base
+      else base.withColumn("l_partkey",
+        when(pmod(col("l_orderkey") * 10 + col("l_linenumber"), lit(1000)) < permille,
+          lit(HotPart)).otherwise(col("l_partkey")))
+    def med(fn: () => Unit): Double = {
+      fn()
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    import Bench.fmt3
+    val rows = Seq(0, 100, 300, 500).map { pm =>
+      val li = hotView(pm)
+      val t = med(() =>
+        { graft.operators.Curation.annotationPush(part, li).queryExecution.toRdd.count(); () })
+      s""""pm$pm":{"q140_push_s":${fmt3(t)}}"""
+    }
+    println(s"""{"metric":"hot_part_skew","hot_part":$HotPart,"reps":$reps,""" +
+      s""""sf":"$sfDir",${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}
+
 /** dev: print a query's executed plan (args: queryName [sfDir]). */
 object PlanDump {
   def main(args: Array[String]): Unit = {

@@ -87,6 +87,8 @@ object SparkEntry {
     "q40_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q41_mm_metadata" -> ((s, d) => Multimodal.extractFeatures(Tables.documents(s, d))),
     "q41b_mm_manifest" -> ((s, d) => Multimodal.mediaManifest(Tables.documents(s, d))),
+    "q41c_frame_sample" -> ((s, d) => Multimodal.frameSampleManifest(Tables.documents(s, d))),
+    "q41d_resized_features" -> ((s, d) => Multimodal.resizedFeatures(Tables.documents(s, d))),
     "q42_corpus_dedup_apply" -> ((s, d) => TextAnalysis.dedupedCorpus(Tables.documents(s, d))),
     "q43_upsert_apply" -> ((s, d) => Upsert.applyAndRead(s,
       Tables.customer(s, d), Tables.orders(s, d), Tables.supplier(s, d))),
@@ -4170,6 +4172,48 @@ object SparkEntry {
          |SELECT mime, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
          |MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM hdr GROUP BY mime ORDER BY mime""".stripMargin,
+    // q41c oracle: every stride-2 frame of each video payload, pixel
+    // sum replayed from the fixture's closed form pixel(i) =
+    // (doc_id*31 + i*7) mod 256 at the frame's byte window
+    "q41c_frame_sample" ->
+      s"""WITH $mediaHdrSql,
+         |fr_rows AS (SELECT doc_id, w, h, unnest(range(0, fr, 2)) AS frame_idx
+         |  FROM hdr WHERE mime = 'video/x-raw-rgb'),
+         |px AS (SELECT doc_id, frame_idx, unnest(range(0, w*h*3)) AS i, w, h FROM fr_rows)
+         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |CAST(SUM((doc_id*31 + (frame_idx*w*h*3 + i)*7) % 256) AS BIGINT) AS frame_sum
+         |FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+    // q41d oracle: images resized to 8x6 — the nearest-neighbour source
+    // index arithmetic ((y*h DIV 6)*w + (x*w DIV 8))*3 + c replayed per
+    // resampled byte (k encodes (y,x,c) as k DIV 24 / (k DIV 3) MOD 8 /
+    // k MOD 3); resized image bytes = "P6 8 6 255\\n" + 144 = 155;
+    // audio/video rows identical to q41's
+    "q41d_resized_features" ->
+      s"""WITH $mediaHdrSql,
+         |imgk AS (SELECT doc_id, w, h, unnest(range(0, 144)) AS k
+         |  FROM hdr WHERE mime = 'image/x-raw-rgb'),
+         |rimg AS (SELECT doc_id,
+         |  SUM((doc_id*31 + ((((k // 24) * h // 6) * w + ((k // 3) % 8) * w // 8) * 3 + k % 3) * 7) % 256) AS sum_pix
+         |  FROM imgk GROUP BY doc_id),
+         |pix AS (SELECT doc_id, SUM((doc_id*31 + i*7) % 256) AS sum_pix
+         |  FROM (SELECT doc_id, unnest(range(0, fr*w*h*3)) AS i FROM hdr
+         |        WHERE mime = 'video/x-raw-rgb') GROUP BY doc_id),
+         |amp AS (SELECT doc_id, SUM((doc_id*17 + i*5) % 256) AS sum_amp
+         |  FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM hdr
+         |        WHERE mime = 'audio/x-raw-u8') GROUP BY doc_id),
+         |resized AS (SELECT doc_id, mime,
+         |  CASE WHEN mime = 'image/x-raw-rgb' THEN 155 ELSE n_bytes END AS n_bytes,
+         |  CASE WHEN mime = 'image/x-raw-rgb' THEN 8 ELSE w END AS w,
+         |  CASE WHEN mime = 'image/x-raw-rgb' THEN 6 ELSE h END AS h,
+         |  fr, ns FROM hdr)
+         |SELECT mime, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |CAST(SUM(w) AS BIGINT) AS sum_width, CAST(SUM(h) AS BIGINT) AS sum_height,
+         |CAST(SUM(fr) AS BIGINT) AS sum_frames, CAST(SUM(ns) AS BIGINT) AS sum_samples,
+         |CAST(SUM(COALESCE(ri.sum_pix, p.sum_pix, 0)) AS BIGINT) AS sum_pix,
+         |CAST(SUM(COALESCE(a.sum_amp, 0)) AS BIGINT) AS sum_amp
+         |FROM resized LEFT JOIN rimg ri USING (doc_id) LEFT JOIN pix p USING (doc_id)
+         |LEFT JOIN amp a USING (doc_id)
+         |GROUP BY mime ORDER BY mime""".stripMargin,
     "q42_corpus_dedup_apply" ->
       s"""SELECT doc_id, fingerprint, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
          |FROM (SELECT doc_id, $fingerprintSql AS fingerprint

@@ -294,9 +294,16 @@ object Multimodal {
     // as pqAdcSearch) — a hardcoded 32 would be wrong on a real cluster
     val width = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val media: Dataset[MediaRow] = mediaFrame(documents)
+    featuresRollup(mediaFrame(documents)
       .repartition(width, col("doc_id"))
-      .as[MediaRow]
+      .as[MediaRow])
+  }
+
+  /** the shared decode→per-mime rollup (q41 and q41d run it over
+    * different media frames — original vs resized). */
+  private def featuresRollup(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media.mapPartitions(_.map(decodeMedia)).toDF()
       .groupBy("mime")
       .agg(
@@ -309,6 +316,52 @@ object Multimodal {
         sum(col("sum_pix")).as("sum_pix"),
         sum(col("sum_amp")).as("sum_amp"))
       .orderBy("mime")
+  }
+
+  /** q41c: the FRAME-SAMPLE manifest — [[sampleFrames]] as a checked
+    * inventory entry: one row per sampled frame (every `stride`-th
+    * frame of each video payload), carrying the frame's exact pixel
+    * sum. The 1→N flatMap shape of a production frame sampler (a real
+    * pipeline emits the frame tensor; the sum is the checkable stand-in
+    * for it, same posture as the q41 decode stats). Row-local behind
+    * the one skew-evening repartition; output is frame-grain, bounded
+    * by Σ frames/stride. */
+  def frameSampleManifest(documents: DataFrame, stride: Int = 2,
+                          partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+    mediaFrame(documents)
+      .repartition(width, col("doc_id"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap(sampleFrameStats(_, stride)))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** q41d: DECODE∘RESIZE — the resize stage as a checked inventory
+    * entry: every image nearest-neighbour-resampled to (newW, newH) by
+    * the REAL [[resizeImage]] kernel (audio/video pass through), then
+    * re-decoded through the SAME real decoder and rolled up per mime —
+    * so the entry proves, per round, that resize emits VALID
+    * containers whose geometry and resampled pixel statistics the
+    * oracle reproduces from the fixture's closed form (the image row
+    * reads exactly n·newW / n·newH and the nearest-neighbour source
+    * index arithmetic is replayed byte-for-byte in SQL). Two chained
+    * row-local per-partition maps behind one repartition — the
+    * multimodal pipeline shape (decode → transform → re-encode →
+    * feature-extract) with zero extra exchanges. */
+  def resizedFeatures(documents: DataFrame, newW: Int = 8, newH: Int = 6,
+                      partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    val width = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+    featuresRollup(mediaFrame(documents)
+      .repartition(width, col("doc_id"))
+      .as[MediaRow]
+      .mapPartitions(_.map(resizeImage(_, newW, newH))))
   }
 
   /** resize stage: per-partition map keeping the binary column shape;

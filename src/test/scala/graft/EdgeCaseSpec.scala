@@ -257,5 +257,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     val noDocs = Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(graft.operators.Corpus.retrievalRecallAudit(noDocs).isEmpty)
+    // the new multimodal stages on an empty corpus: no frames, no mimes
+    assert(graft.operators.Multimodal.frameSampleManifest(noDocs).isEmpty)
+    assert(graft.operators.Multimodal.resizedFeatures(noDocs).isEmpty)
   }
 }

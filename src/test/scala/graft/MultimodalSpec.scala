@@ -180,4 +180,29 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(gotS == wantS, "frame samples must derive from the frame")
   }
+
+  test("q41c/q41d inventory forms equal their stage outputs; resize geometry lands exactly") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    // q41c is exactly the frame-sample stage, total-ordered
+    val frames = Multimodal.frameSampleManifest(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = Multimodal.sampleFrames(docs).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+      .map(f => (f.doc_id, f.frame_idx, f.frame_sum)).toSeq
+    assert(frames == want && frames.nonEmpty)
+    // q41d: every image lands at exactly 8x6 with the re-encoded byte
+    // budget; non-image modalities pass through IDENTICAL to q41
+    val rf = Multimodal.resizedFeatures(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val img41d = rf(Multimodal.ImageMime)
+    val n = img41d.getAs[Long]("n_media")
+    assert(n > 0 && img41d.getAs[Long]("sum_width") == 8 * n &&
+      img41d.getAs[Long]("sum_height") == 6 * n &&
+      img41d.getAs[Long]("total_bytes") == 155 * n)
+    val base = Multimodal.extractFeatures(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (m <- Seq(Multimodal.AudioMime, Multimodal.VideoMime))
+      assert(rf(m).toSeq == base(m).toSeq, s"$m must pass through untouched")
+  }
 }

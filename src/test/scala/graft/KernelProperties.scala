@@ -408,4 +408,36 @@ object KernelProperties extends Properties("graft.kernels") {
       val rt = agg.deserialize(agg.serialize(b))
       rt.toMap == b.toMap
     }
+
+  // ---- Multimodal resize: geometry + nearest-neighbour sampling law
+
+  property("image resize emits a valid P6 at the target dims whose pixels obey the NN law") =
+    Prop.forAll(
+      Gen.chooseNum(1, 20), Gen.chooseNum(1, 20),
+      Gen.chooseNum(1, 20), Gen.chooseNum(1, 20),
+      Gen.chooseNum(0L, 1000000L)) { (w, h, newW, newH, docId) =>
+      import graft.operators.Multimodal
+      // fixture pixel law: (docId*31 + i*7) mod 256 (the synthMedia form)
+      val px = Array.tabulate(w * h * 3)(i => ((docId * 31 + i.toLong * 7) % 256L).toByte)
+      val row = Multimodal.MediaRow(docId, Multimodal.ImageMime,
+        Multimodal.encodeImage(w, h, px))
+      val out = Multimodal.resizeImage(row, newW, newH)
+      val feats = Multimodal.decodeMedia(out) // must re-decode as a VALID P6
+      // reference recompute of the nearest-neighbour resample, in plain
+      // Scala independent of the kernel's byte walking
+      var want = 0L
+      var y = 0
+      while (y < newH) {
+        var x = 0
+        while (x < newW) {
+          val src = ((y * h / newH) * w + x * w / newW) * 3
+          var c = 0
+          while (c < 3) { want += java.lang.Byte.toUnsignedInt(px(src + c)); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      feats.width == newW.toLong && feats.height == newH.toLong &&
+        feats.sum_pix == want
+    }
 }

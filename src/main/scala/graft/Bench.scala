@@ -17,8 +17,21 @@ object Bench {
   def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** the 1/5/15-minute load triple from /proc/loadavg — the r14 verdict's
+    * load-guard: every round since r12 has spent a paragraph adjudicating
+    * box-load spread between rulers, because no artifact recorded what
+    * the box was doing when its numbers were taken. Stamped at run start
+    * AND end (a load burst mid-run shows as a start/end delta). "?" on
+    * non-Linux hosts — the stamp is evidence, never a failure. */
+  def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3).mkString(" ")
+    catch { case _: Exception => "?" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
+    val startedUtc = java.time.Instant.now().toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // clamped to >= 1: the median of zero reps is undefined, and dying
     // after timing every query would lose the whole run's output
@@ -109,6 +122,8 @@ object Bench {
     // grep against the committed artifact could not find it
     val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","warm_reps":$medianReps,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""started_utc":"$startedUtc",""" +
       s""""warm_median_total":${fmt3(warmTotal)},""" +
       s""""warm_min_total":${fmt3(results.map(_._4).sum)},"errors":$errsJson,""" +
       s""""queries_warm_min":$warmMin,"queries_warm_median":$warm,""" +
@@ -130,18 +145,25 @@ object Bench {
     val requested = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
       sys.env.get("SPARK_GRAFT_ROUND")
         .map(r => s"BENCH_full_r$r.json").getOrElse("BENCH_full.json"))
-    def freePath(p: String): java.nio.file.Path = {
-      val first = java.nio.file.Paths.get(p)
-      if (!java.nio.file.Files.exists(first)) first
-      else {
-        val stem = if (p.endsWith(".json")) p.dropRight(5) else p
+    // the claim is ATOMIC (r14 advice): CREATE_NEW either creates the
+    // file or throws FileAlreadyExistsException — the old exists-probe
+    // + writeString pair let two concurrent runs both see a path free
+    // and one silently clobber the other, the exact race the
+    // never-overwrite change exists to prevent
+    def writeNew(detail: String, requested: String): java.nio.file.Path = {
+      val stem = if (requested.endsWith(".json")) requested.dropRight(5) else requested
+      val candidates = Iterator(java.nio.file.Paths.get(requested)) ++
         Iterator.from(2).map(i => java.nio.file.Paths.get(s"$stem.$i.json"))
-          .find(!java.nio.file.Files.exists(_)).get
-      }
+      candidates.flatMap { p =>
+        try {
+          java.nio.file.Files.writeString(p, detail + "\n",
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          Some(p)
+        } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+      }.next()
     }
     try {
-      val target = freePath(requested)
-      java.nio.file.Files.writeString(target, detail + "\n")
+      val target = writeNew(detail, requested)
       System.err.println(s"[bench] full artifact persisted to $target")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist $requested: $e") }

@@ -54,14 +54,32 @@ object BenchRecall {
       }
       s""""$dir":{${cells.mkString(",")}}"""
     }
+    // the MID-BAND arm (r14 verdict item 4): the corpora's true-pair
+    // population is bimodal, so the S-curve knee is exercised on a
+    // deterministic closed-form fixture whose pairs sit at exactly
+    // 5000/6000/7000 bp — each measured recall lands beside its own
+    // theory point. SF-independent (the fixture is synthetic).
+    val midPairs = sys.env.getOrElse("SPARK_GRAFT_MIDBAND_PAIRS", "400").toInt
+    val mid = graft.operators.Dedup.minhashMidBandRecall(
+      graft.operators.Dedup.midBandFixture(spark, midPairs)).collect()
+    val midCells = mid.map { r =>
+      s""""j${r.getAs[Long]("jaccard_bp")}":{"n_true":${r.getAs[Long]("n_true")},""" +
+        s""""n_caught":${r.getAs[Long]("n_caught")},""" +
+        s""""recall_bp":${r.getAs[Long]("recall_bp")},""" +
+        s""""theory_bp":${r.getAs[Long]("theory_bp")}}"""
+    }
     println(s"""{"metric":"recall_audits","unit":"bp",""" +
       s""""retrieval_recall_at_$k":{""" +
       s""""confident_bar_q20":${graft.operators.Corpus.ConfidentSimQ20},""" +
-      s""""note":"q103b champion-list pruning vs exhaustive rescore, same query set and scoring space; confident = exhaustive top-k rows at cos2 >= bar/2^20 (the near-dup band; the unrestricted top-k is a noise ranking in the saturated 64-bucket hashed space)",""" +
+      s""""ret_buckets":${graft.operators.Corpus.RetBuckets},""" +
+      s""""note":"q103b champion-list pruning vs exhaustive rescore, same query set and scoring space; confident = exhaustive top-k rows at cos2 >= bar/2^20 (the near-dup band)",""" +
       s""""dirs":{${rows.mkString(",")}}},""" +
       s""""minhash_banding_recall":{""" +
-      s""""note":"q31 banding candidates (32 hashes, 8 bands of 4) vs the exact all-pairs Jaccard reference, per threshold; theory for r=4,b=8 predicts 1-(1-s^4)^8: 0.9998 at s=0.9, 0.985 at 0.8, 0.889 at 0.7, 0.404 at 0.5. Equal n_true across thresholds = the corpus's true-pair population is bimodal (every pair above 0.5 is >=0.8-similar, where the curve reads >=0.985) -- full recall measured there; for mid-similarity pairs the fixture lacks, the formula is the stated recall",""" +
-      s""""dirs":{${bandRows.mkString(",")}}}}""")
+      s""""note":"q31 banding candidates (32 hashes, 8 bands of 4) vs the exact all-pairs Jaccard reference, per threshold (cumulative: a row counts every true pair at or above its threshold); theory for r=4,b=8 predicts 1-(1-s^4)^8: 0.9998 at s=0.9, 0.985 at 0.8, 0.889 at 0.7, 0.404 at 0.5. Equal n_true across thresholds = the corpus's true-pair population is bimodal (every pair above 0.5 is >=0.8-similar, where the curve reads >=0.985); the mid-similarity knee is measured separately in minhash_midband_recall",""" +
+      s""""dirs":{${bandRows.mkString(",")}}},""" +
+      s""""minhash_midband_recall":{""" +
+      s""""note":"the S-curve knee MEASURED (r15): $midPairs independent closed-form pairs per similarity class at exactly J = 0.5/0.6/0.7 (shared m-token prefix, disjoint t-token tails: J = (m-2)/(m+2t-2)), grouped by the TRUE Jaccard so each class compares to its own theory point 1-(1-s^4)^8; expected binomial 3-sigma half-width at n=$midPairs is <= ~750 bp",""" +
+      s""""pairs_per_band":$midPairs,${midCells.mkString(",")}}}""")
     spark.stop()
   }
 }

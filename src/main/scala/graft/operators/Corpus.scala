@@ -829,8 +829,16 @@ object Corpus {
   }
 
   /** q103 retrieval geometry: feature buckets, score scale and the
-    * benchmark query-set rule — shared with the oracle SQL. */
-  val RetBuckets = 64
+    * benchmark query-set rule — shared with the oracle SQL.
+    *
+    * 256 buckets (r15, was 64): RECALL_r14 measured the 64-bucket
+    * space SATURATING on same-language text — exhaustive rank-1
+    * median cos² ≈ 0.82, every doc pair statistically alike, so the
+    * unrestricted exhaustive top-k was a noise ranking (recall@3
+    * 484 bp at sf0.1 through no fault of the pruning). 4× finer
+    * hashing separates real matches from bulk pairs; the integer
+    * budget below is re-proved at this width. */
+  val RetBuckets = 256
   val RetClamp = 255
   val RetMod = 97
   val RetK = 3
@@ -839,10 +847,14 @@ object Corpus {
     * own "ret:" salt): a length-[[RetBuckets]] count array over the
     * token-array column, each count SATURATED at [[RetClamp]].
     * The clamp is the standard tf-saturation bound AND the overflow
-    * proof: with counts ≤ 255 and chunks ≤ [[ChunkW]] tokens, every
-    * int64 product in the score (dot²·2²⁰, qn2·cn2) is bounded by
-    * 2⁴⁸ — exact at ANY document length, no decimal widening in
-    * either engine. One O(n) codegen pass
+    * proof, RE-PROVED at 256 buckets (r15): the chunk side holds
+    * ≤ [[ChunkW]] = 64 tokens, so Σcᵢ ≤ 64 and dot = Σqᵢcᵢ ≤
+    * 255·64 = 16320 < 2¹⁴ — INDEPENDENT of the bucket count — giving
+    * dot²·2²⁰ ≤ 2⁴⁸; the norm product grows only linearly with
+    * buckets: qn2 ≤ 256·255² < 2²⁴ and cn2 ≤ (Σcᵢ)² ≤ 2¹², so
+    * qn2·cn2 < 2³⁶. Every product stays far inside int64 at ANY
+    * document length — no decimal widening in either engine, valid
+    * to 1024 buckets with the same argument. One O(n) codegen pass
     * ([[graft.functions.HashExpressions.BucketCountVec]]) — the HOF
     * formulation evaluated an interpreted lambda per (bucket, token)
     * pair and made q103 the slowest query in the suite (5.3s warm at
@@ -872,7 +884,7 @@ object Corpus {
     * Scale shape: the query side collapses to a benchmark-set-sized
     * feature frame (one row per query) and BROADCASTS; the chunk side
     * is ONE scan — tokenize once, the shared geometry explode, a
-    * row-local 64-bucket vector per chunk — then row-local dot/score
+    * row-local [[RetBuckets]]-bucket vector per chunk — then row-local dot/score
     * against the broadcast queries and a bounded-heap
     * [[graft.plans.TopKPerKey]] election (map-side partial, never a
     * per-query window over the corpus; the residual rank window sees
@@ -881,18 +893,22 @@ object Corpus {
   /** the benchmark-query feature frame: one (query_id, qv, qn2) row
     * per token-bearing query document — benchmark-set-sized by the
     * [[RetMod]] contract, so it broadcasts (batch) or collects into a
-    * frozen model (stream). */
+    * frozen model (stream). qv is the PACKED byte form (r15 — at 256
+    * buckets the long-array Tungsten layout is 2 KB/row; one byte per
+    * saturated bucket carries identical counts at 256 B, and the
+    * bvec kernels make q103's Q×C scoring loop touch 8× less
+    * memory — q103b's r13 packing lesson applied to q103 itself). */
   def queryFeatures(docs: DataFrame): DataFrame = docs
     .filter(pmod(col("doc_id"), lit(RetMod.toLong)) === 0L)
     .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
     .filter(size(col("__qtk")) > 0)
-    .withColumn("qv", retVec(col("__qtk")))
+    .withColumn("qv", retVecPacked(col("__qtk")))
     .select(col("query_id"), col("qv"),
-      graft.functions.VectorExpressions.lvec_norm_sq(col("qv")).as("qn2"))
+      graft.functions.VectorExpressions.bvec_norm_sq(col("qv")).as("qn2"))
 
   /** per-chunk feature rows (doc_id, chunk_idx, chunk_hash, cv, cn2):
     * tokenize ONCE, the ONE shared geometry, a row-local saturated
-    * bucket vector per chunk. Pure generate + project. */
+    * packed bucket vector per chunk. Pure generate + project. */
   def chunkFeatures(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), expr(chunkToksSql("text")).as("__tk"))
     .select(col("doc_id"), col("__tk"), explode(chunkArrayOfToks("__tk")).as("c"))
@@ -900,12 +916,12 @@ object Corpus {
       col("c.chunk_hash").as("chunk_hash"),
       expr("slice(__tk, CAST(c.start_tok AS INT) + 1, CAST(c.end_tok - c.start_tok AS INT))")
         .as("__ct"))
-    .withColumn("cv", retVec(col("__ct")))
+    .withColumn("cv", retVecPacked(col("__ct")))
     .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cv"),
-      graft.functions.VectorExpressions.lvec_norm_sq(col("cv")).as("cn2"))
+      graft.functions.VectorExpressions.bvec_norm_sq(col("cv")).as("cn2"))
 
   private def dotCol: org.apache.spark.sql.Column =
-    graft.functions.VectorExpressions.lvec_dot(col("qv"), col("cv"))
+    graft.functions.VectorExpressions.bvec_dot(col("qv"), col("cv"))
   private val simSql = "(dot * dot * 1048576) DIV (qn2 * cn2)"
 
   def chunkRetrieval(docs: DataFrame, k: Int = RetK): DataFrame = {
@@ -1199,9 +1215,9 @@ object Corpus {
     * discipline): collect the benchmark-set-sized feature frame into
     * a driver-side model so ingest-time scoring is a pure row-local
     * function. Bounded by the [[RetMod]] benchmark contract. */
-  def retrievalModel(docs: DataFrame): Seq[(Long, Seq[Long], Long)] =
+  def retrievalModel(docs: DataFrame): Seq[(Long, Array[Byte], Long)] =
     queryFeatures(docs).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getLong(2)))
       .sortBy(_._1)
 
   /** ingest-time chunk scoring against a frozen query model — the
@@ -1215,7 +1231,7 @@ object Corpus {
     * query_id, sim_q20) for every pair at or above the threshold;
     * scores are bit-identical to the batch [[chunkRetrieval]]
     * scoring (shared dot/sim expressions). */
-  def retrievalLookup(docs: DataFrame, model: Seq[(Long, Seq[Long], Long)],
+  def retrievalLookup(docs: DataFrame, model: Seq[(Long, Array[Byte], Long)],
                       minSimQ20: Long): DataFrame =
     chunkFeatures(docs)
       .withColumn("__q", explode(typedlit(model)))

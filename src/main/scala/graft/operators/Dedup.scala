@@ -147,18 +147,88 @@ object Dedup {
                            thresholdsBp: Seq[Long] = Seq(5000, 7000, 8000, 9000),
                            k: Int = 3): DataFrame = {
     require(thresholdsBp.nonEmpty, "the audit needs at least one threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val truePairs = jaccardAllPairs(docs, k)
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
     val cands = minhashCandidatePairs(docs).withColumn("__cand", lit(1))
-    truePairs.join(cands, Seq("doc_a", "doc_b"), "left")
+    val counts = truePairs.join(cands, Seq("doc_a", "doc_b"), "left")
       .select(col("jaccard_bp"), col("__cand"),
         explode(array(thresholdsBp.map(lit): _*)).as("threshold_bp"))
       .filter(col("jaccard_bp") >= col("threshold_bp"))
       .groupBy("threshold_bp")
       .agg(count(lit(1)).as("n_true"), count(col("__cand")).as("n_caught"))
-      .withColumn("recall_bp", expr("(10000 * n_caught) DIV n_true"))
+    // every REQUESTED threshold emits a row (r14 advice): the filter-
+    // before-group form silently omitted a threshold with zero true
+    // pairs, so the artifact read as coverage it didn't have and a
+    // map lookup on it threw instead of asserting. n_true = 0 rows
+    // carry recall_bp = null — vacuous recall is explicitly not-a-
+    // number, never a fabricated 100%
+    thresholdsBp.toDF("threshold_bp")
+      .join(counts, Seq("threshold_bp"), "left")
+      .select(col("threshold_bp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .withColumn("recall_bp", expr("(10000 * n_caught) DIV nullif(n_true, 0)"))
       .orderBy("threshold_bp")
   }
+
+  /** deterministic MID-SIMILARITY pair fixture for the banding recall
+    * audit (r14 verdict item 4): RECALL_r14's n_true columns proved the
+    * benchmark corpora's true-pair population is bimodal — no true pair
+    * lands in J ∈ (0.5, 0.8), so the S-curve's KNEE (where banding
+    * actually loses pairs) was formula-stated, not measured. This
+    * synthesizes `pairsPerBand` document pairs per target similarity
+    * with EXACT closed-form Jaccard: pair docs share an m-token prefix
+    * and diverge into disjoint t-token tails, so the 3-shingle sets
+    * intersect in exactly m−2 of m+2t−2 union shingles —
+    * J = (m−2)/(m+2t−2) by construction, landing each band at exactly
+    * 5000/6000/7000 bp. Tokens embed (band, pair, position), so
+    * cross-pair similarity is 0 and each pair is an independent draw
+    * of the banding experiment. Audit-only fixture (feeds
+    * [[minhashMidBandRecall]]). */
+  private[graft] def midBandFixture(spark: org.apache.spark.sql.SparkSession,
+                                    pairsPerBand: Int = 400): DataFrame = {
+    // (target bp, prefix m, tail t): J = (m−2)/(m+2t−2)
+    val geometry = Seq((5000L, 42, 20), (6000L, 62, 20), (7000L, 72, 15))
+    geometry.map { case (bp, m, t) =>
+      val base = spark.range(pairsPerBand.toLong).select(col("id").as("pair"))
+      def text(side: String) = concat_ws(" ",
+        flatten(array(
+          transform(sequence(lit(1), lit(m)),
+            i => concat(lit(s"m${bp}p"), col("pair"), lit("x"), i)),
+          transform(sequence(lit(1), lit(t)),
+            i => concat(lit(s"m${bp}p"), col("pair"), lit(side), i)))))
+      base.select((lit(bp * 1000000L) + col("pair") * 2).as("doc_id"),
+          text("a").as("text"))
+        .unionByName(base.select(
+          (lit(bp * 1000000L) + col("pair") * 2 + 1).as("doc_id"),
+          text("b").as("text")))
+    }.reduce(_ unionByName _)
+  }
+
+  /** banding recall GROUPED BY THE TRUE SIMILARITY (the mid-band arm of
+    * the audit): over a corpus whose true pairs sit at known exact
+    * Jaccard values ([[midBandFixture]]), the fraction of each
+    * similarity class the q31 banding surfaces, beside the published
+    * (r=4, b=8) theory 1−(1−s⁴)⁸ quantized to bp. Unlike the
+    * thresholded [[minhashBandingRecall]] (cumulative: a τ=0.5 row
+    * mixes every pair above 0.5), grouping by the true value compares
+    * each band to ITS OWN theory point — the S-curve knee measured,
+    * not formula-stated. theory_bp uses double pow: it is a printed
+    * reference line in a measurement artifact, never an oracle-checked
+    * value. */
+  def minhashMidBandRecall(docs: DataFrame, k: Int = 3): DataFrame =
+    jaccardAllPairs(docs, k)
+      .filter(col("jaccard_bp") > 0)
+      .join(minhashCandidatePairs(docs).withColumn("__cand", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      .groupBy("jaccard_bp")
+      .agg(count(lit(1)).as("n_true"), count(col("__cand")).as("n_caught"))
+      .withColumn("recall_bp", expr("(10000 * n_caught) DIV n_true"))
+      .withColumn("theory_bp", expr(
+        "CAST(round((1.0 - pow(1.0 - pow(jaccard_bp / 10000.0, 4), 8)) * 10000) AS BIGINT)"))
+      .orderBy("jaccard_bp")
 
   /** control-sample rate (basis points) for the verify passes — a
     * HASH-sampled subset of adjacent-id pairs, so the calibration work

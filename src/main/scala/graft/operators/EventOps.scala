@@ -142,6 +142,13 @@ object EventOps {
     val top = reach.filter(col("step_idx") === 1)
       .select(col("n_users").as("n_top"))
     reach
+      // the engine's ONE unpartitioned Window, and it is PROVABLY
+      // BOUNDED (the q103b residual-window discipline): `reach` has
+      // exactly |steps| rows — one per funnel step, each an agg of its
+      // depth frame — so the single window task sees ≤4 rows at ANY
+      // corpus size. The WindowExec "no partition defined" warning this
+      // emits is about data-sized frames; this frame's size is fixed by
+      // the funnel definition, not the data
       .withColumn("prev_users",
         lag(col("n_users"), 1).over(
           org.apache.spark.sql.expressions.Window.orderBy("step_idx")))

@@ -216,7 +216,7 @@ object DocStreams {
     * alerting at the door, before a chunk ever reaches the corpus.
     * No join, no state, no shuffle; scores bit-identical to the
     * batch q103 scoring (shared dot/sim expressions). */
-  def retrievalLookup(docs: DataFrame, model: Seq[(Long, Seq[Long], Long)],
+  def retrievalLookup(docs: DataFrame, model: Seq[(Long, Array[Byte], Long)],
                       minSimQ20: Long): DataFrame =
     graft.operators.Corpus.retrievalLookup(docs, model, minSimQ20)
 

@@ -266,9 +266,13 @@ object EventStreams {
               state.update(s)
               // evict when the watermark passes last-event + horizon; a
               // timer must sit strictly above the current watermark (a
-              // deeply-late straggler's horizon may already be behind it)
+              // deeply-late straggler's horizon may already be behind
+              // it). µs→ms rounds UP (the funnel-door r14-advice fix
+              // applied here too): floor could evict ~1 ms before the
+              // true µs horizon, retyping an edge in that final
+              // millisecond as a fresh chain start
               state.setTimeoutTimestamp(math.max(
-                s.lastUs / 1000L + idleTimeoutMs,
+                (s.lastUs + 999L) / 1000L + idleTimeoutMs,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
@@ -497,10 +501,15 @@ object EventStreams {
               // evict once the watermark passes last-step + horizon; a
               // timer must sit strictly above the current watermark (a
               // deeply-late straggler's horizon may already be behind
-              // it); None in batch mode — timer skipped
+              // it); None in batch mode — timer skipped. The µs→ms
+              // division rounds UP (r14 advice): floor could fire the
+              // timer ~1 ms before the true µs horizon, and an event
+              // admitted in that final millisecond would start a fresh
+              // attempt instead of advancing — the ceiling keeps the
+              // 'lossless for advancement' claim exact
               watermarkMsOpt(state).foreach { w =>
                 state.setTimeoutTimestamp(
-                  math.max(ts.last / 1000L + hUs / 1000L, w + 1L))
+                  math.max((ts.last + hUs + 999L) / 1000L, w + 1L))
               }
             }
             // depth-0 rows (touched users yet to enter) are the stated

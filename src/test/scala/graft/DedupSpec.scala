@@ -49,6 +49,41 @@ class DedupSpec extends AnyFunSuite {
     val hand = graft.operators.Dedup.minhashBandingRecall(docs, Seq(9000L)).collect()
     assert(hand.length == 1 && hand.head.getAs[Long]("n_true") >= 1L &&
       hand.head.getAs[Long]("recall_bp") == 10000L)
+    // a threshold with ZERO true pairs must still emit its row (r14
+    // advice: the filter-before-group form silently omitted the cell),
+    // with recall explicitly null — never a fabricated number
+    val empty = graft.operators.Dedup.minhashBandingRecall(docs, Seq(10001L, 9000L))
+      .collect().map(r => r.getAs[Long]("threshold_bp") -> r).toMap
+    assert(empty.keySet == Set(9000L, 10001L), "every requested threshold emits a row")
+    assert(empty(10001L).getAs[Long]("n_true") == 0L &&
+      empty(10001L).getAs[Long]("n_caught") == 0L &&
+      empty(10001L).isNullAt(empty(10001L).fieldIndex("recall_bp")),
+      "zero-truth thresholds report n_true=0 and null recall")
+  }
+
+  test("mid-band recall: the S-curve knee measured against its own theory point (r15)") {
+    // the fixture's pairs sit at EXACTLY 5000/6000/7000 bp by the
+    // closed-form shingle-overlap construction — first assert the
+    // geometry, then fence each class's measured banding recall within
+    // a 3-sigma-wide band of the published 1-(1-s^4)^8 point (n = 120
+    // independent pairs per class: half-widths ~1350/1290/860 bp; the
+    // fence is the loose union, catching a broken band count or hash
+    // family, not run noise — the fixture is deterministic)
+    val n = 120
+    val fx = graft.operators.Dedup.midBandFixture(spark, n)
+    val out = graft.operators.Dedup.minhashMidBandRecall(fx).collect()
+      .map(r => r.getAs[Long]("jaccard_bp") -> r).toMap
+    assert(out.keySet == Set(5000L, 6000L, 7000L),
+      s"fixture classes drifted off their closed-form Jaccard: ${out.keySet}")
+    Seq(5000L, 6000L, 7000L).foreach { j =>
+      val r = out(j)
+      assert(r.getAs[Long]("n_true") == n.toLong,
+        s"class $j must hold exactly $n true pairs, got ${r.getAs[Long]("n_true")}")
+      val recall = r.getAs[Long]("recall_bp")
+      val theory = r.getAs[Long]("theory_bp")
+      assert(math.abs(recall - theory) <= 1500,
+        s"class $j: measured recall $recall bp vs theory $theory bp — outside the fence")
+    }
   }
 
   test("jaccard verify ranks the true duplicate highest") {

@@ -632,6 +632,108 @@ object BenchSkewPush {
   }
 }
 
+/** Multimodal cost split (r15, verdict items 1/8): (a) the three
+  * standalone q41-family operators, each its own payload decode scan,
+  * vs ONE mediaReport build + the three views over the persisted
+  * narrow frame — the decode-once deployment number; (b) the
+  * skew-evening repartition PRICED: q41 with the payload-sized
+  * exchange vs the on-read-partitioning form (identical result, the
+  * exchange placement is the only difference) — the one plan in the
+  * engine that shuffles blobs, measured instead of argued. Warm
+  * medians over SPARK_GRAFT_REPS. */
+object BenchMediaSplit {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Multimodal
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    // the three standalone operators — three payload scans
+    val tStandalone = med { () =>
+      Multimodal.extractFeatures(docs).queryExecution.toRdd.count()
+      Multimodal.frameSampleManifest(docs).queryExecution.toRdd.count()
+      Multimodal.resizedFeatures(docs).queryExecution.toRdd.count(); ()
+    }
+    // ONE decode-once frame build + persist
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_").toString + "/frame"
+    val tBuild = med { () =>
+      Multimodal.mediaReport(docs).write.mode("overwrite").parquet(dir)
+    }
+    val frame = spark.read.parquet(dir)
+    // the same three results as views over the persisted narrow frame
+    val tViews = med { () =>
+      Multimodal.reportFeatures(frame).queryExecution.toRdd.count()
+      Multimodal.reportFrameSamples(frame).orderBy("doc_id", "frame_idx")
+        .queryExecution.toRdd.count()
+      Multimodal.reportResizedFeatures(frame).queryExecution.toRdd.count(); ()
+    }
+    // the payload-sized exchange, priced: with vs without
+    val tWith = med(() =>
+      { Multimodal.extractFeatures(docs).queryExecution.toRdd.count(); () })
+    val tWithout = med(() =>
+      { Multimodal.extractFeaturesNoShuffle(docs).queryExecution.toRdd.count(); () })
+    import Bench.fmt3
+    println(s"""{"standalone_3ops_s":${fmt3(tStandalone)},""" +
+      s""""frame_build_persist_s":${fmt3(tBuild)},""" +
+      s""""views_3ops_s":${fmt3(tViews)},""" +
+      s""""q41_with_repartition_s":${fmt3(tWith)},""" +
+      s""""q41_no_shuffle_s":${fmt3(tWithout)},""" +
+      s""""reps":$reps,"sf":"$sfDir","loadavg":"${Bench.loadavg()}"}""")
+    spark.stop()
+  }
+}
+
+/** Multimodal PAYLOAD-SIZE decade (r15, verdict item 1): the 100 TB
+  * multimodal cost is payload BYTES (the fixture's ~700 B payloads
+  * leave even a 100× ROW decade overhead-dominated — measured flat in
+  * SCALE_CURVE_r15), so this sweeps the payload-size multiplier at
+  * fixed row count (image/video bytes grow ≈ scale²) and prices the
+  * blob-shuffling repartition at each point: with vs without, plus
+  * the decode-only floor. Linear-in-bytes growth of both forms and a
+  * stable with/without ratio = the exchange scales; a knee in the
+  * ratio = replace it with on-read partitioning. Warm medians over
+  * SPARK_GRAFT_REPS. */
+object BenchMediaScale {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val scales = sys.env.getOrElse("SPARK_GRAFT_MEDIA_SCALES", "1,4,16")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = GraftSession.local(32)
+    val docs = Tables.documents(spark, sfDir)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    import Bench.fmt3
+    val rows = scales.map { s =>
+      val bytes = Multimodal.mediaFrame(docs, s)
+        .agg(sum(length(col("content")))).collect()(0).getLong(0)
+      val tWith = med(() => { Multimodal.extractFeaturesScaled(docs, s, withRepartition = true)
+        .queryExecution.toRdd.count(); () })
+      val tWithout = med(() => { Multimodal.extractFeaturesScaled(docs, s, withRepartition = false)
+        .queryExecution.toRdd.count(); () })
+      s""""x$s":{"payload_mb":${fmt3(bytes / 1048576.0)},""" +
+        s""""with_repartition_s":${fmt3(tWith)},"no_shuffle_s":${fmt3(tWithout)}}"""
+    }
+    println(s"""{"metric":"media_payload_decade","reps":$reps,"sf":"$sfDir",""" +
+      s""""loadavg":"${Bench.loadavg()}",${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}
+
 /** dev: print a query's executed plan (args: queryName [sfDir]). */
 object PlanDump {
   def main(args: Array[String]): Unit = {

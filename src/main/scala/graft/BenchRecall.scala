@@ -13,6 +13,43 @@ import org.apache.spark.sql.SparkSession
   * candidates vs the exact all-pairs Jaccard reference, per
   * threshold) at each given SF dir and prints ONE JSON line, so both
   * trades are MEASUREMENTS an audit can cite (RECALL_rNN.json). */
+/** Saturation probe for the q103 scoring space (r15): the exhaustive
+  * top-k score DISTRIBUTION per SF — if the rank-1 median cos² sits
+  * near the bulk (scores clustered), the unrestricted exhaustive
+  * ranking is noise among statistically-identical pairs and no
+  * candidate-pruned method can reproduce it; if widening the bucket
+  * count separates the distribution but unrestricted recall stays
+  * flat, the ceiling is the REPRESENTATION (phrase-blind unigram
+  * cosine), not the hash width. Prints rank-1/rank-k percentiles of
+  * sim_q20 (cos²·2²⁰). */
+object BenchRetrievalSaturation {
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_RECALL_DIRS",
+      "/root/testdata/sf0.01,/root/testdata/sf0.1").split(',').map(_.trim).toSeq
+    val k = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "3").toInt
+    val spark = GraftSession.local(32)
+    import org.apache.spark.sql.functions._
+    val rows = dirs.map { dir =>
+      val docs = Tables.documents(spark, dir)
+      val exact = graft.operators.Corpus.chunkRetrievalExhaustive(docs, k)
+      val pct = exact.groupBy("rank").agg(
+        percentile_approx(col("sim_q20"), lit(Array(0.1, 0.5, 0.9)), lit(10000))
+          .as("p"), count(lit(1)).as("n"))
+        .orderBy("rank").collect()
+      val cells = pct.map { r =>
+        val p = r.getSeq[Long](1)
+        s""""rank${r.getAs[Long]("rank")}":{"p10":${p(0)},"p50":${p(1)},""" +
+          s""""p90":${p(2)},"n":${r.getAs[Long]("n")}}"""
+      }
+      s""""$dir":{${cells.mkString(",")}}"""
+    }
+    println(s"""{"metric":"retrieval_saturation","unit":"sim_q20 (cos2 * 2^20)",""" +
+      s""""ret_buckets":${graft.operators.Corpus.RetBuckets},""" +
+      s""""dirs":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
+
 object BenchRecall {
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_RECALL_DIRS",

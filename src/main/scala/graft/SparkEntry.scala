@@ -3560,7 +3560,7 @@ object SparkEntry {
     * query's RetbChamps rarest buckets under the (df, b) total order
     * via QUALIFY row_number, candidate pairs from the champion join,
     * then the EXACT q103 scoring-space rescore (the same "ret:"
-    * 64-bucket rows, saturated counts, int64 cos² and ties). A
+    * RetBuckets-wide rows, saturated counts, int64 cos² and ties). A
     * candidate pair sharing no scoring bucket simply drops out of the
     * dot join — the engine's dot > 0 gate. */
   private def chunkRetrievalPrunedSql: String = {

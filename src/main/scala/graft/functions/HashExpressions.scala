@@ -418,7 +418,7 @@ object HashExpressions {
   /** PACKED twin of [[BucketCountVec]]: the same saturated hashed
     * bag-of-tokens counts, one UNSIGNED BYTE per bucket in a
     * BinaryType value (requires clamp ≤ 255 — q103's tf-saturation
-    * bound, which is also why a byte loses nothing). A 64-bucket
+    * bound, which is also why a byte loses nothing). A RetBuckets-wide
     * vector is 64 bytes as binary vs 528+ bytes as a Tungsten long
     * array; q103b's rescore shuffles millions of candidate rows
     * carrying these vectors, and the row width was the measured 100×

@@ -282,7 +282,7 @@ object VectorExpressions {
   /** Σ (aᵢ & 0xFF)·(bᵢ & 0xFF) over two PACKED byte-count vectors
     * (BinaryType, one unsigned byte per bucket — the
     * `bucket_count_vec_packed` layout), exact int64. The packed twin
-    * of [[LongArrayDot]] for the q103b rescore: a 64-bucket count
+    * of [[LongArrayDot]] for the q103b rescore: a bucket-count
     * vector saturated at 255 occupies 64 bytes as binary vs 528+
     * bytes as a Tungsten long array, so every exchange the candidate
     * rows cross carries ~8× fewer bytes — the r12 verdict's measured

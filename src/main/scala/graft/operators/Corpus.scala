@@ -1123,11 +1123,15 @@ object Corpus {
   /** the confident-match band for [[retrievalRecallAudit]]:
     * sim_q20 ≥ 1000000 ⇔ cos² ≥ 1000000/2²⁰ ≈ 0.954 — the
     * near-duplicate band, far above the benchmark corpora's BULK pair
-    * distribution in the 64-bucket hashed space (measured: the
-    * exhaustive rank-1 MEDIAN is cos² ≈ 0.82 and rank-5 ≈ 0.78 — in a
-    * 64-dim hashed bag-of-words over same-language text, every
-    * document pair looks alike, so the unrestricted exhaustive top-k
-    * is a noise ranking among statistically identical scores). */
+    * distribution (measured at 256 buckets, BenchRetrievalSaturation:
+    * exhaustive rank-1 MEDIAN cos² ≈ 0.78, rank-3 ≈ 0.75 at sf0.1 —
+    * and BYTE-IDENTICAL at 1024 buckets, so ≥256 buckets is
+    * effectively collision-free for this corpus and the clustered top
+    * ranking is the TRUE unigram-cosine structure of same-language
+    * text, not a hashing artifact: every document pair genuinely
+    * looks alike under a phrase-blind bag-of-words, so the
+    * unrestricted exhaustive top-k ranks noise among statistically
+    * identical scores). */
   val ConfidentSimQ20 = 1000000L
 
   /** q103b RECALL AUDIT (r13 verdict item 2 — the q110 discipline,
@@ -1141,19 +1145,24 @@ object Corpus {
     * numbers are the shipped operator's, not a re-derivation that
     * could drift.
     *
-    * MEASURED (RECALL_r14.json; macro recall@3): unrestricted recall
-    * is LOW — 925 bp at sf0.01, 484 bp at sf0.1 — and that is the
-    * honest shape of the trade, not a bug: the hashed-64-bucket space
-    * SATURATES on same-language text (see [[ConfidentSimQ20]]), so
-    * the unrestricted exhaustive top-3 ranks noise among
-    * near-identical ~0.8-cos² scores, and no candidate-pruned method
-    * can reproduce a noise ranking without scoring everything — which
-    * is the Ω(Q·C) cost q103b exists to avoid. The matches retrieval
+    * MEASURED (RECALL_r15.json at 256 buckets; macro recall@3):
+    * unrestricted recall is LOW — 879 bp at sf0.01, 447 bp at sf0.1 —
+    * and the r15 width sweep PROVES where the ceiling lives: 64→256
+    * buckets lifted sf0.001 recall 416→694 bp (real hash collisions
+    * removed) but 256→1024 changes NOTHING (recall and the exhaustive
+    * score distribution byte-identical), so ≥256 is effectively
+    * collision-free and the remaining low number is the
+    * REPRESENTATION — the unrestricted exhaustive top-3 ranks noise
+    * among the genuinely near-identical unigram-cosine scores of
+    * same-language text (see [[ConfidentSimQ20]]), a ranking no
+    * phrase-anchored candidate pruning can or should chase without
+    * the Ω(Q·C) scan q103b exists to avoid. The matches retrieval
     * EXISTS for — the confident near-dup band, pairs sharing real
     * phrases — are recovered COMPLETELY: confident recall 10000 bp at
-    * sf0.001/sf0.01/sf0.1 (4/4, 3/3, 45/45). The spec fences
-    * confident recall at 100% so a champion-budget or shingle-width
-    * regression that starts losing true matches fails loudly. */
+    * sf0.001/sf0.01/sf0.1 (4/4, 4/4, 41/41 at 256 buckets). The spec
+    * fences confident recall at 100% so a champion-budget or
+    * shingle-width regression that starts losing true matches fails
+    * loudly. */
   def retrievalRecallAudit(docs: DataFrame, k: Int = RetK,
                            confidentBarQ20: Long = ConfidentSimQ20): DataFrame = {
     val exact = chunkRetrievalExhaustive(docs, k)

@@ -229,15 +229,25 @@ object Multimodal {
     * oracle (SparkEntry), so the real decoders above are value-checked
     * end-to-end with no codec in the container. pixel(i) =
     * (doc_id·31 + i·7) mod 256; sample(i) = (doc_id·17 + i·5) mod 256. */
-  def synthMedia(docId: Long, mime: String): Array[Byte] = mime match {
+  def synthMedia(docId: Long, mime: String): Array[Byte] = synthMedia(docId, mime, 1)
+
+  /** the fixture at a payload-size multiplier: image/video dims and
+    * audio sample counts scale by `scale` (image/video payload BYTES
+    * scale ≈ scale²) — the BenchMediaScale knob that sweeps payload
+    * size at fixed row count, because the 100 TB multimodal question
+    * is byte-dominated I/O, not row count (the sf0.1 fixture's ~700 B
+    * payloads leave even a 100× row decade overhead-dominated —
+    * measured FLAT in SCALE_CURVE_r15). scale=1 is the oracle-checked
+    * inventory fixture, byte-identical to the historical form. */
+  def synthMedia(docId: Long, mime: String, scale: Int): Array[Byte] = mime match {
     case ImageMime =>
-      val w = 4 + (docId % 13).toInt; val h = 4 + (docId % 11).toInt
+      val w = (4 + (docId % 13).toInt) * scale; val h = (4 + (docId % 11).toInt) * scale
       encodeImage(w, h, bytesOf(docId, w * h * 3, 31, 7))
     case AudioMime =>
-      encodeAudio(bytesOf(docId, 64 + (docId % 50).toInt * 4, 17, 5))
+      encodeAudio(bytesOf(docId, (64 + (docId % 50).toInt * 4) * scale, 17, 5))
     case VideoMime =>
       val f = 2 + (docId % 4).toInt
-      val w = 4 + (docId % 7).toInt; val h = 4 + (docId % 5).toInt
+      val w = (4 + (docId % 7).toInt) * scale; val h = (4 + (docId % 5).toInt) * scale
       encodeVideo(f, w, h, bytesOf(docId, f * w * h * 3, 31, 7))
     case m => throw new IllegalArgumentException(s"no synthesizer for mime '$m'")
   }
@@ -253,7 +263,11 @@ object Multimodal {
     * modality assigned by source (the typed metadata column a real
     * ingest carries), content from [[synthMedia]]. A deployment swaps
     * this for its own (id, mime, binary) table. */
-  def mediaFrame(documents: DataFrame): DataFrame = {
+  def mediaFrame(documents: DataFrame): DataFrame = mediaFrame(documents, 1)
+
+  /** [[mediaFrame]] at a payload-size multiplier (see the scaled
+    * [[synthMedia]]); scale = 1 is the inventory fixture. */
+  def mediaFrame(documents: DataFrame, scale: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"),
@@ -261,7 +275,7 @@ object Multimodal {
           .when(col("source").isin("src2", "src3"), AudioMime)
           .otherwise(VideoMime).as("mime"))
       .as[(Long, String)]
-      .map { case (id, mime) => MediaRow(id, mime, synthMedia(id, mime)) }
+      .map { case (id, mime) => MediaRow(id, mime, synthMedia(id, mime, scale)) }
       .toDF()
   }
 
@@ -297,6 +311,37 @@ object Multimodal {
     featuresRollup(mediaFrame(documents)
       .repartition(width, col("doc_id"))
       .as[MediaRow])
+  }
+
+  /** the NO-SHUFFLE variant of q41 — decode on the scan's own (on-read)
+    * partitioning, skipping the skew-evening repartition: the pricing
+    * probe for the ONE payload-sized exchange in the engine
+    * (BenchMediaSplit times both forms; the repartition's cost is their
+    * difference). Results are identical — the rollup is commutative —
+    * only the exchange placement differs. Kept private: the public
+    * operator deliberately pays the exchange, because at 100 TB a few
+    * oversized payloads in one input split would serialize a whole
+    * task (the stated skew argument); a deployment whose payloads are
+    * size-bounded can adopt this shape instead. */
+  private[graft] def extractFeaturesNoShuffle(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    featuresRollup(mediaFrame(documents).as[MediaRow])
+  }
+
+  /** q41 at a payload-size multiplier, exchange togglable — the
+    * BenchMediaScale probe: the 100 TB multimodal cost is payload
+    * BYTES, so the decade that matters sweeps payload size at fixed
+    * row count and prices the blob repartition at each point. */
+  private[graft] def extractFeaturesScaled(documents: DataFrame, scale: Int,
+                                           withRepartition: Boolean): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val media = mediaFrame(documents, scale)
+    val routed = if (withRepartition)
+      media.repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    else media
+    featuresRollup(routed.as[MediaRow])
   }
 
   /** the shared decode→per-mime rollup (q41 and q41d run it over
@@ -381,23 +426,28 @@ object Multimodal {
 
   // ------------------------------------- decode-once combined report
 
-  /** the full per-media record both standalone views derive from —
-    * the payload is read ONCE per entity. */
+  /** the full per-media record ALL THREE standalone views derive from —
+    * the payload is read ONCE per entity. `resized` is the decoded
+    * form of the resize stage's output at the report's geometry
+    * (images land at newW×newH; other modalities equal `features`). */
   final case class MediaReport(features: MediaFeatures,
+                               resized: MediaFeatures,
                                frame_samples: Seq[FrameSample])
 
   /** DECODE-ONCE media report frame — the morphReport/traceReport/
     * docReport discipline on the binary-media family: at 100 TB the
-    * payload bytes dominate I/O, and q41 (feature extraction) and the
-    * frame-sample stage each re-read every payload; this reads each
-    * payload once, runs BOTH kernels on the in-memory row (the SAME
-    * [[decodeMedia]] / [[sampleFrameStats]] objects the standalone
+    * payload bytes dominate I/O, and q41 (feature extraction), the
+    * resize stage (q41d) and the frame-sample stage (q41c) each
+    * re-read every payload; this reads each payload once, runs ALL
+    * THREE kernels on the in-memory row (the SAME [[decodeMedia]] /
+    * [[resizeImage]] / [[sampleFrameStats]] objects the standalone
     * operators run — no drift possible) and emits the narrow nested
-    * record WITHOUT the content bytes. Persist it and both views
+    * record WITHOUT the content bytes. Persist it and the three views
     * become column reads / explodes ([[reportFeatures]],
-    * [[reportFrameSamples]] — spec-proven equal). */
+    * [[reportResizedFeatures]], [[reportFrameSamples]] — spec-proven
+    * equal; BenchMediaSplit prices standalone-vs-report). */
   def mediaReport(documents: DataFrame, partitions: Int = 0,
-                  stride: Int = 2): Dataset[MediaReport] = {
+                  stride: Int = 2, newW: Int = 8, newH: Int = 6): Dataset[MediaReport] = {
     val spark = documents.sparkSession
     import spark.implicits._
     val width = if (partitions > 0) partitions
@@ -406,7 +456,8 @@ object Multimodal {
       .repartition(width, col("doc_id"))
       .as[MediaRow]
       .mapPartitions(_.map(r =>
-        MediaReport(decodeMedia(r), sampleFrameStats(r, stride).toSeq)))
+        MediaReport(decodeMedia(r), decodeMedia(resizeImage(r, newW, newH)),
+          sampleFrameStats(r, stride).toSeq)))
   }
 
   /** q41 over the (persisted) report frame. */
@@ -428,4 +479,21 @@ object Multimodal {
   def reportFrameSamples(report: DataFrame): DataFrame =
     report.select(explode(col("frame_samples")).as("fs"))
       .select(col("fs.*"))
+
+  /** q41d over the (persisted) report frame: the resize stage's
+    * per-mime rollup from the pre-decoded `resized` record — no
+    * payload read, no resize kernel, one narrow column scan. */
+  def reportResizedFeatures(report: DataFrame): DataFrame =
+    report.select(col("resized.*"))
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_frames")).as("sum_frames"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("sum_pix")).as("sum_pix"),
+        sum(col("sum_amp")).as("sum_amp"))
+      .orderBy("mime")
 }

@@ -713,7 +713,7 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     // identical scoring vector gives EXACTLY 2^20); doc 2 shares a
     // 3-token phrase (candidate via that shingle); doc 3 shares NO
     // 3-shingle — champion pruning must never score it, even though
-    // a 64-bucket collision could give it dot > 0 in the scoring
+    // a hashed-bucket collision could give it dot > 0 in the scoring
     // space (the stated recall trade, deterministic here)
     val qText = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
@@ -783,10 +783,12 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     // cos² ≥ ConfidentSimQ20/2²⁰ ≈ 0.954, the true near-dup matches
     // retrieval exists for — must be recovered COMPLETELY; the
     // unrestricted recall is reported but NOT fenced high, because the
-    // 64-bucket hashed space saturates on same-language text and the
-    // unrestricted exhaustive top-k is a noise ranking (~0.8 cos²
-    // everywhere) no candidate-pruned method can reproduce without
-    // paying the Ω(Q·C) scan q103b exists to avoid.
+    // corpus is genuinely near-identical under phrase-blind unigram
+    // cosine (the r15 width sweep proved ≥256 buckets collision-free
+    // and the score distribution unchanged at 1024): the unrestricted
+    // exhaustive top-k is a noise ranking (~0.78 cos² everywhere) no
+    // candidate-pruned method can reproduce without paying the Ω(Q·C)
+    // scan q103b exists to avoid.
     val audit = graft.operators.Corpus.retrievalRecallAudit(
       Tables.documents(spark, TestSpark.sf)).collect()
     assert(audit.length > 50, "the mod-7 query set is corpus-sized")

@@ -205,4 +205,51 @@ class MultimodalSpec extends AnyFunSuite {
     for (m <- Seq(Multimodal.AudioMime, Multimodal.VideoMime))
       assert(rf(m).toSeq == base(m).toSeq, s"$m must pass through untouched")
   }
+
+  test("q41d derives from the decode-once report frame (r15 deployment path)") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediareport_rs").toString
+    Multimodal.mediaReport(docs).write.mode("overwrite").parquet(dir)
+    val frame = spark.read.parquet(dir)
+    val want = Multimodal.resizedFeatures(docs).collect().map(_.toSeq).toSet
+    val got = Multimodal.reportResizedFeatures(frame).collect().map(_.toSeq).toSet
+    assert(got == want, "q41d must derive exactly from the persisted frame")
+  }
+
+  test("exactly ONE payload-sized exchange per q41-family plan (r14 verdict item 6)") {
+    // the structural form of the 'zero extra exchanges' claim: the
+    // skew-evening repartition is the ONLY exchange whose rows carry
+    // the binary content column — every post-decode exchange (the
+    // per-mime aggregate, the output sort) moves narrow feature rows.
+    // A second blob-carrying exchange is the 100 TB regression this
+    // pin exists to catch (payload bytes dominate I/O there).
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sf)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: nodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        p +: nodes(r.child)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    Seq(
+      "q41" -> Multimodal.extractFeatures(docs),
+      "q41c" -> Multimodal.frameSampleManifest(docs),
+      "q41d" -> Multimodal.resizedFeatures(docs)
+    ).foreach { case (name, df) =>
+      df.queryExecution.toRdd.count() // finalize the adaptive plan
+      val exchanges = nodes(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      val binaryCarrying = exchanges.filter(_.output.exists(
+        _.dataType == org.apache.spark.sql.types.BinaryType))
+      assert(binaryCarrying.length == 1,
+        s"$name must have exactly ONE blob-carrying exchange (the skew-evening " +
+          s"repartition), got ${binaryCarrying.length} of ${exchanges.length} total")
+    }
+  }
 }

@@ -646,10 +646,18 @@ object EventStreams {
               state.update(s)
               // close-by-watermark timer; clamped above the current
               // watermark for deeply-late stragglers (the funnel/
-              // transition discipline); None in batch mode — skipped
+              // transition discipline); None in batch mode — skipped.
+              // The +1 s term is the flooring-second analogue of the
+              // funnel door's µs→ms ceiling: session times are floored
+              // to whole seconds (t = getTime/1000), so an event
+              // anywhere in second lastTs+gap — i.e. with raw ms time
+              // up to (lastTs+gap+1)·1000 − 1 — still EXTENDS the
+              // session under the gap rule; a timer at
+              // (lastTs+gap)·1000 could fire inside that final second
+              // and split one batch-semantics session into two
               watermarkMsOpt(state).foreach { w =>
                 state.setTimeoutTimestamp(
-                  math.max(s.lastTs * 1000L + gapSeconds * 1000L, w + 1L))
+                  math.max((s.lastTs + gapSeconds + 1L) * 1000L, w + 1L))
               }
               out += SessionOut(userId, s.startTs, s.lastTs, s.n, closed = false)
             }

@@ -1681,6 +1681,63 @@ class StreamingSpec extends AnyFunSuite {
       s"the closed session must be the restart-spanning one intact: $c")
   }
 
+  test("sessionizer eviction never splits inside the final admissible second (r15)") {
+    import spark.implicits._
+    // session times are FLOORED to whole seconds, so an event anywhere
+    // in second lastTs+gap still extends the session — but a timer at
+    // (lastTs+gap)·1000 could fire while the watermark sits inside
+    // that second and split one batch-semantics session into two. The
+    // fixed timer is (lastTs+gap+1)·1000: this drives the watermark to
+    // exactly +500 ms inside the final second (wave 2, no u1 data — the
+    // timer would fire there under the old arithmetic), then lands a
+    // u1 event at +900 ms (above the watermark — admissible; floored
+    // second = the gap boundary — extends). One session must survive.
+    val H = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_split")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def run(): Unit = {
+      val stream = EventStreams.readEventStream(spark, srcDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Ev]
+      val q = EventStreams.statefulSessionize(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.SessionOut], _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    val boundary = 600000L + 1800000L // u1's lastTs + gap, in rel ms
+    write(Seq(
+      (1L, ts(0L), 1L, "view", 1.0, "{}"),
+      (2L, ts(600000L), 1L, "click", 1.0, "{}")))
+    run()
+    // wave 2: no u1 data; watermark lands at boundary + 500 ms
+    write(Seq((3L, ts(boundary + 2 * H + 500L), 3L, "view", 1.0, "{}")))
+    run()
+    // wave 3: u1 event INSIDE the final admissible second — must extend
+    write(Seq((4L, ts(boundary + 900L), 1L, "view", 1.0, "{}")))
+    run()
+    // wave 4: far-future traffic closes u1's session via the timeout
+    write(Seq((5L, ts(20L * H), 3L, "view", 1.0, "{}")))
+    run()
+    val closed = spark.read.parquet(outDir)
+      .filter(col("user_id") === 1L && col("closed")).collect()
+    assert(closed.length == 1,
+      s"the final-second event must extend, not start a fresh session: ${closed.toSeq}")
+    assert(closed.head.getAs[Long]("n_events") == 3L &&
+      closed.head.getAs[Long]("t_end_s") == 1700000000L + boundary / 1000L,
+      s"the one session must carry all three events: ${closed.head}")
+  }
+
   test("late-data witness: watermark drops are counted and the batch run explains the gap") {
     import spark.implicits._
     // r13 verdict item 7: rows dropped by the tightened delivery

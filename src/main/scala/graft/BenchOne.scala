@@ -734,6 +734,64 @@ object BenchMediaScale {
   }
 }
 
+/** HOT-BLOB skew arm for the multimodal exchange (r15): BenchMediaScale
+  * prices the repartition under UNIFORM payloads (~11% premium when
+  * byte-dominated); this measures the scenario the exchange EXISTS
+  * for — 1% of documents carrying ~1000×-sized payloads, either
+  * SPREAD through the id space or CLUSTERED at its head (adjacent ids
+  * share input splits, so without the exchange one scan task decodes
+  * nearly all oversized payloads and the job waits on its tail).
+  * The synthesis leg stands in for the scan and cannot be evened (you
+  * read bytes where they live); the exchange evens the DECODE — the
+  * measured delta is that benefit. Warm medians over
+  * SPARK_GRAFT_REPS. */
+object BenchMediaSkew {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val permille = sys.env.getOrElse("SPARK_GRAFT_HOT_PERMILLE", "10").toInt
+    val hotScale = sys.env.getOrElse("SPARK_GRAFT_HOT_SCALE", "32").toInt
+    val decodeReps = sys.env.getOrElse("SPARK_GRAFT_DECODE_REPS", "8").toInt
+    val spark = GraftSession.local(32)
+    // a REALISTIC input layout: the bench parquet is one 0.6 MB file =
+    // ONE input split, which degenerates every clustering question
+    // (everything is "clustered" in the only split). Re-write it as 32
+    // range-partitioned files and size maxPartitionBytes so each file
+    // is its own split — now doc_id < 1% genuinely means "all hot
+    // blobs live in input split 0", the layout a crawler's
+    // newest-first dump produces at 100 TB.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (16 * 1024).toString)
+    val ranged = java.nio.file.Files.createTempDirectory("graft_media_skew_").toString + "/docs"
+    Tables.documents(spark, sfDir).repartitionByRange(32, col("doc_id"))
+      .write.mode("overwrite").parquet(ranged)
+    val docs = spark.read.parquet(ranged)
+    def med(fn: () => Unit): Double = {
+      fn() // untimed warmup
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    import Bench.fmt3
+    val cells = for (clustered <- Seq(false, true); withRep <- Seq(true, false)) yield {
+      val t = med(() => { Multimodal.extractFeaturesHotBlobs(
+        docs, permille, hotScale, clustered, withRep, decodeReps)
+        .queryExecution.toRdd.count(); () })
+      val name = (if (clustered) "clustered" else "spread") +
+        (if (withRep) "_with_repartition" else "_no_shuffle")
+      s""""$name":${fmt3(t)}"""
+    }
+    println(s"""{"metric":"media_hot_blob_skew","hot_permille":$permille,""" +
+      s""""hot_scale":$hotScale,"decode_reps":$decodeReps,""" +
+      s""""input_splits":${docs.rdd.getNumPartitions},"reps":$reps,"sf":"$sfDir",""" +
+      s""""loadavg":"${Bench.loadavg()}",${cells.mkString(",")}}""")
+    spark.stop()
+  }
+}
+
 /** dev: print a query's executed plan (args: queryName [sfDir]). */
 object PlanDump {
   def main(args: Array[String]): Unit = {

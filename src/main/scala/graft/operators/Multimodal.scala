@@ -344,12 +344,61 @@ object Multimodal {
     featuresRollup(routed.as[MediaRow])
   }
 
+  /** q41 under HOT-BLOB skew, exchange togglable — the BenchMediaSkew
+    * probe measuring the scenario the skew-evening repartition EXISTS
+    * for: `hotPermille` of documents carry `hotScale`-sized payloads,
+    * placed either SPREAD through the id space (doc_id mod 1000) or
+    * CLUSTERED at its head (doc_id < corpus·permille/1000 — adjacent
+    * ids land in the same input splits, so without the exchange ONE
+    * scan task decodes most of the oversized payloads and the job
+    * waits on its tail). */
+  private[graft] def extractFeaturesHotBlobs(documents: DataFrame,
+                                             hotPermille: Int, hotScale: Int,
+                                             clustered: Boolean,
+                                             withRepartition: Boolean,
+                                             decodeReps: Int = 1): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val n = documents.count()
+    val hot: org.apache.spark.sql.Column =
+      if (clustered) col("doc_id") < lit(n * hotPermille / 1000L)
+      else pmod(col("doc_id"), lit(1000L)) < lit(hotPermille.toLong)
+    val media = documents.select(col("doc_id"),
+        when(col("source").isin("src0", "src1"), ImageMime)
+          .when(col("source").isin("src2", "src3"), AudioMime)
+          .otherwise(VideoMime).as("mime"),
+        hot.as("__hot"))
+      .as[(Long, String, Boolean)]
+      .map { case (id, mime, isHot) =>
+        MediaRow(id, mime, synthMedia(id, mime, if (isHot) hotScale else 1)) }
+      .toDF()
+    val routed = if (withRepartition)
+      media.repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    else media
+    // decodeReps emulates a REAL codec's cost ratio: the engine's
+    // format decoders are single-pass byte sums (≈ the scan cost), but
+    // a production JPEG/video decode is ~10× its read — repeating the
+    // real decoder reproduces that ratio without faking the work
+    featuresAgg(spark, routed.as[MediaRow].mapPartitions(_.map { r =>
+      var f = decodeMedia(r)
+      var i = 1
+      while (i < decodeReps) { f = decodeMedia(r); i += 1 }
+      f
+    }).toDF())
+  }
+
   /** the shared decode→per-mime rollup (q41 and q41d run it over
     * different media frames — original vs resized). */
-  private def featuresRollup(media: Dataset[MediaRow]): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions(_.map(decodeMedia)).toDF()
+  private def featuresRollup(media: Dataset[MediaRow]): DataFrame =
+    featuresAgg(media.sparkSession, {
+      val spark = media.sparkSession
+      import spark.implicits._
+      media.mapPartitions(_.map(decodeMedia)).toDF()
+    })
+
+  private def featuresAgg(spark: org.apache.spark.sql.SparkSession,
+                          feats: DataFrame): DataFrame =
+    feats
       .groupBy("mime")
       .agg(
         count(lit(1)).as("n_media"),
@@ -361,7 +410,6 @@ object Multimodal {
         sum(col("sum_pix")).as("sum_pix"),
         sum(col("sum_amp")).as("sum_amp"))
       .orderBy("mime")
-  }
 
   /** q41c: the FRAME-SAMPLE manifest — [[sampleFrames]] as a checked
     * inventory entry: one row per sampled frame (every `stride`-th

@@ -163,6 +163,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("scaled fixture payloads decode to scaled geometry (the BenchMediaScale knob)") {
+    // synthMedia(id, mime, s) must emit VALID containers whose dims are
+    // exactly s x the base geometry — the payload-size decade's knob is
+    // only meaningful if the scaled payloads exercise the same real
+    // decode path; scale = 1 must stay byte-identical to the
+    // historical fixture (the oracle-checked inventory form)
+    Seq(0L, 7L, 123L).foreach { id =>
+      assert(java.util.Arrays.equals(
+        Multimodal.synthMedia(id, Multimodal.ImageMime),
+        Multimodal.synthMedia(id, Multimodal.ImageMime, 1)))
+      val im = decodeMedia(MediaRow(id, Multimodal.ImageMime,
+        Multimodal.synthMedia(id, Multimodal.ImageMime, 4)))
+      assert(im.width == (4 + id % 13) * 4 && im.height == (4 + id % 11) * 4)
+      val au = decodeMedia(MediaRow(id, Multimodal.AudioMime,
+        Multimodal.synthMedia(id, Multimodal.AudioMime, 4)))
+      assert(au.n_samples == (64 + (id % 50) * 4) * 4)
+      val vd = decodeMedia(MediaRow(id, Multimodal.VideoMime,
+        Multimodal.synthMedia(id, Multimodal.VideoMime, 4)))
+      assert(vd.n_frames == 2 + id % 4 &&
+        vd.width == (4 + id % 7) * 4 && vd.height == (4 + id % 5) * 4)
+    }
+  }
+
   test("decode-once media report: both views derive exactly from the persisted frame") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, TestSpark.sf)

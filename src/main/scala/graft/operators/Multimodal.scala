@@ -493,7 +493,13 @@ object Multimodal {
     * record WITHOUT the content bytes. Persist it and the three views
     * become column reads / explodes ([[reportFeatures]],
     * [[reportResizedFeatures]], [[reportFrameSamples]] — spec-proven
-    * equal; BenchMediaSplit prices standalone-vs-report). */
+    * equal; BenchMediaSplit prices standalone-vs-report).
+    *
+    * SCHEMA MIGRATION (r15): the record gained `resized` — a frame
+    * persisted by an older build lacks the column and
+    * [[reportResizedFeatures]] fails loudly on it (missing-column
+    * analysis error, never silent nulls); re-build the frame, which is
+    * a derived artifact, not a checkpointed store. */
   def mediaReport(documents: DataFrame, partitions: Int = 0,
                   stride: Int = 2, newW: Int = 8, newH: Int = 6): Dataset[MediaReport] = {
     val spark = documents.sparkSession

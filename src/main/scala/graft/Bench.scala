@@ -28,8 +28,38 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ").take(3).mkString(" ")
     catch { case _: Exception => "?" }
 
+  /** 1-minute load, or None where /proc/loadavg is unreadable. */
+  def load1(): Option[Double] =
+    loadavg().split(" ").headOption.flatMap(_.toDoubleOption)
+
+  /** LOAD-GUARD (r15 verdict item 2): the official gate artifact was
+    * the one number still exposed to box noise — BENCH_r15 started at
+    * loadavg 5.97 and read 25% above three quiet runs. Bench now
+    * DEFERS its own start: poll the 1-minute load and sleep until it
+    * drops under `threshold`, up to a bounded `maxWaitS`; if the box
+    * never quiets, RUN ANYWAY but return degraded=true so the artifact
+    * self-labels and no one compares it against quiet rulers. Returns
+    * (degraded, secondsWaited). Non-Linux hosts (no readable loadavg)
+    * skip the wait — absence of evidence is stamped as "?" either way. */
+  def awaitQuiet(threshold: Double, maxWaitS: Int, pollS: Int = 15): (Boolean, Long) = {
+    val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1e9
+    var l = load1()
+    while (l.exists(_ >= threshold) && waited < maxWaitS) {
+      System.err.println(f"[bench] load ${l.get}%.2f >= $threshold%.1f — deferring start (${waited.toLong}s/${maxWaitS}s)")
+      Thread.sleep(pollS * 1000L)
+      l = load1()
+    }
+    (l.exists(_ >= threshold), waited.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "3.0").toDouble
+    val loadMaxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX_WAIT_S", "600").toInt
+    val (degraded, loadWaitedS) = awaitQuiet(loadThreshold, loadMaxWaitS)
+    if (degraded)
+      System.err.println(s"[bench] load still >= $loadThreshold after ${loadWaitedS}s — running DEGRADED")
     val loadStart = loadavg()
     val startedUtc = java.time.Instant.now().toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -123,6 +153,7 @@ object Bench {
     val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","warm_reps":$medianReps,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
       s""""started_utc":"$startedUtc",""" +
       s""""warm_median_total":${fmt3(warmTotal)},""" +
       s""""warm_min_total":${fmt3(results.map(_._4).sum)},"errors":$errsJson,""" +
@@ -176,7 +207,7 @@ object Bench {
     val warmMinTotal = results.map(_._4).sum
     val nErrors = results.count(_._5.isDefined)
     println(s"""{"metric":"warm_median_total","value":${fmt3(warmTotal)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.length},"n_errors":$nErrors,""" +
+      s""""sf":"$sfDir","n_queries":${results.length},"n_errors":$nErrors,"degraded":$degraded,""" +
       s""""warm_min_total":${fmt3(warmMinTotal)},"cold_total":${fmt3(total)}}""")
     spark.stop()
   }

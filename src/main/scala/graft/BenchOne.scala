@@ -762,12 +762,20 @@ object BenchMediaSkew {
     // is its own split — now doc_id < 1% genuinely means "all hot
     // blobs live in input split 0", the layout a crawler's
     // newest-first dump produces at 100 TB.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", (16 * 1024).toString)
+    // maxPartitionBytes BELOW the per-file size (sf0.1: ~19 KB/file)
+    // so one-file-per-split is forced by the packing rule itself, not
+    // an accident of defaultParallelism's bytesPerCore arithmetic —
+    // and assert the layout loudly so a re-pack can never silently
+    // degenerate the clustered-vs-spread comparison.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
     val ranged = java.nio.file.Files.createTempDirectory("graft_media_skew_").toString + "/docs"
     Tables.documents(spark, sfDir).repartitionByRange(32, col("doc_id"))
       .write.mode("overwrite").parquet(ranged)
     val docs = spark.read.parquet(ranged)
+    require(docs.rdd.getNumPartitions == 32,
+      s"BenchMediaSkew needs the 32-file ranged layout to scan as 32 input " +
+        s"splits, got ${docs.rdd.getNumPartitions} — lower maxPartitionBytes")
     def med(fn: () => Unit): Double = {
       fn() // untimed warmup
       val ts = (1 to reps).map { _ =>

@@ -418,9 +418,10 @@ object HashExpressions {
   /** PACKED twin of [[BucketCountVec]]: the same saturated hashed
     * bag-of-tokens counts, one UNSIGNED BYTE per bucket in a
     * BinaryType value (requires clamp ≤ 255 — q103's tf-saturation
-    * bound, which is also why a byte loses nothing). A RetBuckets-wide
-    * vector is 64 bytes as binary vs 528+ bytes as a Tungsten long
-    * array; q103b's rescore shuffles millions of candidate rows
+    * bound, which is also why a byte loses nothing). A `buckets`-wide
+    * vector is `buckets` bytes as binary vs ~8·buckets+16 bytes as a
+    * Tungsten long array (~8× narrower at any width);
+    * q103b's rescore shuffles millions of candidate rows
     * carrying these vectors, and the row width was the measured 100×
     * knee (r12 verdict item 1). Same digest, same bucket function,
     * same counts — scores computed over the packed form are

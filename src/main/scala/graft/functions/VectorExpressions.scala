@@ -282,11 +282,11 @@ object VectorExpressions {
   /** Σ (aᵢ & 0xFF)·(bᵢ & 0xFF) over two PACKED byte-count vectors
     * (BinaryType, one unsigned byte per bucket — the
     * `bucket_count_vec_packed` layout), exact int64. The packed twin
-    * of [[LongArrayDot]] for the q103b rescore: a bucket-count
-    * vector saturated at 255 occupies 64 bytes as binary vs 528+
-    * bytes as a Tungsten long array, so every exchange the candidate
-    * rows cross carries ~8× fewer bytes — the r12 verdict's measured
-    * 100× knee was exactly this row width. Counts ≤ 255 ⇒ every
+    * of [[LongArrayDot]] for the q103b rescore: a `buckets`-wide
+    * count vector saturated at 255 occupies `buckets` bytes as binary
+    * vs ~8·buckets+16 bytes as a Tungsten long array, so every
+    * exchange the candidate rows cross carries ~8× fewer bytes — the
+    * r12 verdict's measured 100× knee was exactly this row width. Counts ≤ 255 ⇒ every
     * product < 2¹⁶ and any realistic sum is int64-exact. */
   case class ByteVecDot(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -225,7 +225,9 @@ object Dedup {
         Seq("doc_a", "doc_b"), "left")
       .groupBy("jaccard_bp")
       .agg(count(lit(1)).as("n_true"), count(col("__cand")).as("n_caught"))
-      .withColumn("recall_bp", expr("(10000 * n_caught) DIV n_true"))
+      // same nullif idiom as minhashBandingRecall: groupBy can't emit an
+      // empty group today, but the two audit paths must not diverge
+      .withColumn("recall_bp", expr("(10000 * n_caught) DIV nullif(n_true, 0)"))
       .withColumn("theory_bp", expr(
         "CAST(round((1.0 - pow(1.0 - pow(jaccard_bp / 10000.0, 4), 8)) * 10000) AS BIGINT)"))
       .orderBy("jaccard_bp")

@@ -514,20 +514,11 @@ object Multimodal {
           sampleFrameStats(r, stride).toSeq)))
   }
 
-  /** q41 over the (persisted) report frame. */
+  /** q41 over the (persisted) report frame — the SAME [[featuresAgg]]
+    * rollup the standalone operator runs, so the report view cannot
+    * drift from q41 when the rollup changes. */
   def reportFeatures(report: DataFrame): DataFrame =
-    report.select(col("features.*"))
-      .groupBy("mime")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(col("width")).as("sum_width"),
-        sum(col("height")).as("sum_height"),
-        sum(col("n_frames")).as("sum_frames"),
-        sum(col("n_samples")).as("sum_samples"),
-        sum(col("sum_pix")).as("sum_pix"),
-        sum(col("sum_amp")).as("sum_amp"))
-      .orderBy("mime")
+    featuresAgg(report.sparkSession, report.select(col("features.*")))
 
   /** the frame-sample stage over the (persisted) report frame. */
   def reportFrameSamples(report: DataFrame): DataFrame =
@@ -536,18 +527,9 @@ object Multimodal {
 
   /** q41d over the (persisted) report frame: the resize stage's
     * per-mime rollup from the pre-decoded `resized` record — no
-    * payload read, no resize kernel, one narrow column scan. */
+    * payload read, no resize kernel, one narrow column scan. Shares
+    * [[featuresAgg]] with the standalone q41d so the report-derived
+    * rollup cannot drift from it. */
   def reportResizedFeatures(report: DataFrame): DataFrame =
-    report.select(col("resized.*"))
-      .groupBy("mime")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(col("width")).as("sum_width"),
-        sum(col("height")).as("sum_height"),
-        sum(col("n_frames")).as("sum_frames"),
-        sum(col("n_samples")).as("sum_samples"),
-        sum(col("sum_pix")).as("sum_pix"),
-        sum(col("sum_amp")).as("sum_amp"))
-      .orderBy("mime")
+    featuresAgg(report.sparkSession, report.select(col("resized.*")))
 }

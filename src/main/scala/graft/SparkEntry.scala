@@ -61,6 +61,8 @@ object SparkEntry {
       Tables.part(s, d), Tables.lineitem(s, d))),
     "q140_annotation_push" -> ((s, d) => Curation.annotationPush(
       Tables.part(s, d), Tables.lineitem(s, d))),
+    "q141_curation_pipeline" -> ((s, d) => CurationPipeline.applyAndRead(
+      s, Tables.documents(s, d))),
     "q24_metadata_mapping" -> ((s, d) => Curation.metadataMapping(Tables.customer(s, d))),
     "q25_curation_annotation" -> ((s, d) => Curation.curationUpsert(
       Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2803,6 +2805,41 @@ object SparkEntry {
         |CAST(sum(1 + i % 3) * 150 AS BIGINT) AS cum_len_um
         |FROM nd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q141's oracle: the composed curation pipeline replayed in closed
+    * form — per-type feature bodies off the node CTEs (the q98b closed
+    * form), the validator gate as the structural-defect closed forms
+    * the q79 oracle already states (n_single_child = e7, n_multifurc =
+    * e11, n_hetero = %5-or-%7), the q140-shaped existing store + diff,
+    * and the merge's full-outer COALESCE semantics — so the oracle
+    * value-checks the POST-MERGE store state the REAL writer produced,
+    * end-to-end through decode → validate → diff → push. */
+  private def curationPipelineSql: String =
+    morphNodeCtes +
+      """, feats AS (
+        |SELECT doc_id, """.stripMargin + neuriteTypeCase +
+      """ AS neurite_type,
+        |CAST(count(DISTINCT sec) AS BIGINT) AS n_sections,
+        |CAST(sum(1 + i % 3) * 150 AS BIGINT) AS cum_len_um
+        |FROM nd GROUP BY 1, 2),
+        |ok AS (SELECT doc_id FROM documents
+        |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 0),
+        |ex AS (SELECT doc_id, c.nt, CAST(doc_id % 5 + 1 AS BIGINT) AS rev
+        |FROM documents CROSS JOIN
+        |(SELECT UNNEST(['axon','basal dendrite','apical dendrite']) AS nt) c
+        |WHERE (doc_id + LENGTH(c.nt)) % 3 = 0),
+        |upd AS (SELECT f.doc_id, f.neurite_type, f.n_sections, f.cum_len_um,
+        |CAST(coalesce(e.rev, 0) + 1 AS BIGINT) AS rev
+        |FROM feats f JOIN ok ON f.doc_id = ok.doc_id
+        |LEFT JOIN ex e ON f.doc_id = e.doc_id AND f.neurite_type = e.nt)
+        |SELECT coalesce(u.doc_id, e.doc_id) AS morph_id,
+        |coalesce(u.neurite_type, e.nt) AS neurite_type,
+        |CAST(coalesce(u.n_sections, 0) AS BIGINT) AS n_sections,
+        |CAST(coalesce(u.cum_len_um, 0) AS BIGINT) AS cum_len_um,
+        |CAST(coalesce(u.rev, e.rev) AS BIGINT) AS rev
+        |FROM ex e FULL OUTER JOIN upd u
+        |ON e.doc_id = u.doc_id AND e.nt = u.neurite_type
+        |ORDER BY morph_id, neurite_type""".stripMargin
+
   /** q80's oracle: the trace fixture's closed form
     * ([[graft.operators.Traces.synthTrace]]) — per-sweep waveform
     * aggregates in closed form (step/ramp/flat sums and peaks), the
@@ -3792,6 +3829,7 @@ object SparkEntry {
       ("q81b_ivf_rpq" -> ivfRpqSql) + ("q82_index_upsert" -> indexUpsertSql) +
       ("q98_leaf_regions" -> leafRegionsSql) +
       ("q98b_neurite_features" -> neuriteFeaturesSql) +
+      ("q141_curation_pipeline" -> curationPipelineSql) +
       ("q98c_section_stats" -> sectionStatsSql) +
       ("q79b_morph_extents" -> morphExtentsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +

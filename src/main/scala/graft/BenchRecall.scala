@@ -106,10 +106,12 @@ object BenchRecall {
         s""""theory_bp":${r.getAs[Long]("theory_bp")}}"""
     }
     println(s"""{"metric":"recall_audits","unit":"bp",""" +
+      s""""loadavg":"${Bench.loadavg()}",""" +
       s""""retrieval_recall_at_$k":{""" +
       s""""confident_bar_q20":${graft.operators.Corpus.ConfidentSimQ20},""" +
       s""""ret_buckets":${graft.operators.Corpus.RetBuckets},""" +
-      s""""note":"q103b champion-list pruning vs exhaustive rescore, same query set and scoring space; confident = exhaustive top-k rows at cos2 >= bar/2^20 (the near-dup band)",""" +
+      s""""ret_bigram_buckets":${graft.operators.Corpus.RetBigramBuckets},""" +
+      s""""note":"q103b champion-list pruning vs exhaustive rescore, same query set and scoring space (r16: unigram + adjacent-bigram channels); confident = exhaustive top-k rows at cos2 >= bar/2^20 (the near-dup band)",""" +
       s""""dirs":{${rows.mkString(",")}}},""" +
       s""""minhash_banding_recall":{""" +
       s""""note":"q31 banding candidates (32 hashes, 8 bands of 4) vs the exact all-pairs Jaccard reference, per threshold (cumulative: a row counts every true pair at or above its threshold); theory for r=4,b=8 predicts 1-(1-s^4)^8: 0.9998 at s=0.9, 0.985 at 0.8, 0.889 at 0.7, 0.404 at 0.5. Equal n_true across thresholds = the corpus's true-pair population is bimodal (every pair above 0.5 is >=0.8-similar, where the curve reads >=0.985); the mid-similarity knee is measured separately in minhash_midband_recall",""" +

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, expr, lit, pmod, split_part, when}
 
+import graft.functions.HashExpressions
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -3548,16 +3549,31 @@ object SparkEntry {
     * rows (a bucket join over present buckets ≡ the engine's
     * zip_with dot — absent buckets contribute 0 to both dot and
     * norms), the SAME saturated counts and int64 score form, and a
-    * QUALIFY row_number ranking under the identical total order. */
+    * QUALIFY row_number ranking under the identical total order.
+    * r16: the BIGRAM phrase channel rides in the same rows under
+    * offset buckets — RetBuckets + mix(h₁, h₂) % RetBigramBuckets
+    * where h = the SAME md5-60('ret:' ‖ token) hashes and mix is the
+    * overflow-safe (h₁ mod 2⁵⁰)·1021 + h₂ combine the engine kernel
+    * uses ([[graft.functions.HashExpressions.BigramMixMod]]).
+    * Disjoint bucket ids ≡ the engine's byte concatenation;
+    * per-bucket saturation is channel-local either way, so counts,
+    * dot, norms and scores stay bit-identical. */
   private def chunkRetrievalSql: String = {
-    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride, RetBuckets, RetClamp, RetMod, RetK}
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride, RetBuckets, RetBigramBuckets, RetClamp, RetMod, RetK}
     s"""WITH toks AS (SELECT doc_id,
        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
        |qt AS (SELECT doc_id AS query_id, tk FROM toks
        |  WHERE doc_id % $RetMod = 0 AND len(tk) > 0),
        |qb AS (SELECT query_id,
        |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
-       |  FROM qt, unnest(tk) AS u(t)),
+       |  FROM qt, unnest(tk) AS u(t)
+       |  UNION ALL
+       |  SELECT query_id, $RetBuckets +
+       |    ((h1 % ${HashExpressions.BigramMixMod}) * ${HashExpressions.BigramMixMul} + h2) % $RetBigramBuckets
+       |  FROM (SELECT query_id,
+       |    (('0x' || substr(md5('ret:' || tk[i]), 1, 15))::BIGINT) AS h1,
+       |    (('0x' || substr(md5('ret:' || tk[i + 1]), 1, 15))::BIGINT) AS h2
+       |  FROM (SELECT query_id, tk, unnest(range(1, len(tk))) AS i FROM qt))),
        |qv AS (SELECT query_id, b, least(count(*), $RetClamp)::BIGINT AS c
        |  FROM qb GROUP BY 1, 2),
        |qn AS (SELECT query_id, sum(c * c)::BIGINT AS qn2 FROM qv GROUP BY 1),
@@ -3571,7 +3587,14 @@ object SparkEntry {
        |  FROM st),
        |cb AS (SELECT doc_id, chunk_idx,
        |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
-       |  FROM ch, unnest(ctk) AS u(t)),
+       |  FROM ch, unnest(ctk) AS u(t)
+       |  UNION ALL
+       |  SELECT doc_id, chunk_idx, $RetBuckets +
+       |    ((h1 % ${HashExpressions.BigramMixMod}) * ${HashExpressions.BigramMixMul} + h2) % $RetBigramBuckets
+       |  FROM (SELECT doc_id, chunk_idx,
+       |    (('0x' || substr(md5('ret:' || ctk[i]), 1, 15))::BIGINT) AS h1,
+       |    (('0x' || substr(md5('ret:' || ctk[i + 1]), 1, 15))::BIGINT) AS h2
+       |  FROM (SELECT doc_id, chunk_idx, ctk, unnest(range(1, len(ctk))) AS i FROM ch))),
        |cv AS (SELECT doc_id, chunk_idx, b, least(count(*), $RetClamp)::BIGINT AS c
        |  FROM cb GROUP BY 1, 2, 3),
        |cn AS (SELECT doc_id, chunk_idx, sum(c * c)::BIGINT AS cn2
@@ -3601,7 +3624,7 @@ object SparkEntry {
     * candidate pair sharing no scoring bucket simply drops out of the
     * dot join — the engine's dot > 0 gate. */
   private def chunkRetrievalPrunedSql: String = {
-    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride, RetBuckets, RetbShingleK, RetClamp, RetbMod, RetbChamps, RetK}
+    import graft.operators.Corpus.{ChunkW, ChunkO, chunkStride, RetBuckets, RetBigramBuckets, RetbShingleK, RetClamp, RetbMod, RetbChamps, RetK}
     val ke = RetbShingleK - 1 // inclusive-slice end offset for k-shingles
     s"""WITH toks AS (SELECT doc_id,
        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS tk FROM documents),
@@ -3634,13 +3657,27 @@ object SparkEntry {
        |  FROM champs c JOIN crows r USING (h)),
        |qb64 AS (SELECT query_id,
        |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
-       |  FROM qt, unnest(tk) AS u(t)),
+       |  FROM qt, unnest(tk) AS u(t)
+       |  UNION ALL
+       |  SELECT query_id, $RetBuckets +
+       |    ((h1 % ${HashExpressions.BigramMixMod}) * ${HashExpressions.BigramMixMul} + h2) % $RetBigramBuckets
+       |  FROM (SELECT query_id,
+       |    (('0x' || substr(md5('ret:' || tk[i]), 1, 15))::BIGINT) AS h1,
+       |    (('0x' || substr(md5('ret:' || tk[i + 1]), 1, 15))::BIGINT) AS h2
+       |  FROM (SELECT query_id, tk, unnest(range(1, len(tk))) AS i FROM qt))),
        |qv64 AS (SELECT query_id, b, least(count(*), $RetClamp)::BIGINT AS qc
        |  FROM qb64 GROUP BY 1, 2),
        |qn AS (SELECT query_id, sum(qc * qc)::BIGINT AS qn2 FROM qv64 GROUP BY 1),
        |cb64 AS (SELECT doc_id, chunk_idx,
        |  (('0x' || substr(md5('ret:' || t), 1, 15))::BIGINT) % $RetBuckets AS b
-       |  FROM ch, unnest(ctk) AS u(t)),
+       |  FROM ch, unnest(ctk) AS u(t)
+       |  UNION ALL
+       |  SELECT doc_id, chunk_idx, $RetBuckets +
+       |    ((h1 % ${HashExpressions.BigramMixMod}) * ${HashExpressions.BigramMixMul} + h2) % $RetBigramBuckets
+       |  FROM (SELECT doc_id, chunk_idx,
+       |    (('0x' || substr(md5('ret:' || ctk[i]), 1, 15))::BIGINT) AS h1,
+       |    (('0x' || substr(md5('ret:' || ctk[i + 1]), 1, 15))::BIGINT) AS h2
+       |  FROM (SELECT doc_id, chunk_idx, ctk, unnest(range(1, len(ctk))) AS i FROM ch))),
        |cv64 AS (SELECT doc_id, chunk_idx, b, least(count(*), $RetClamp)::BIGINT AS cc
        |  FROM cb64 GROUP BY 1, 2, 3),
        |cn AS (SELECT doc_id, chunk_idx, sum(cc * cc)::BIGINT AS cn2

@@ -472,6 +472,84 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** mixer for the bigram channel of [[BucketCountVec2Packed]]: an
+    * asymmetric combine of two adjacent md5-60 token hashes whose every
+    * intermediate stays under 2⁶¹ — (h₁ mod 2⁵⁰)·1021 + h₂ ≤
+    * 2⁶⁰ + 2⁶⁰ — so the oracle replays it in plain BIGINT arithmetic
+    * with no overflow in either engine (DuckDB errors on int64
+    * overflow rather than wrapping). Asymmetric (h₁, h₂ ordered), so
+    * "a b" and "b a" land independently. */
+  val BigramMixMod = 1125899906842624L // 2^50
+  val BigramMixMul = 1021L
+
+  /** TWO-CHANNEL packed scoring vector (q103 r16): `uniBuckets`
+    * unigram byte-counts ‖ `biBuckets` adjacent-bigram byte-counts in
+    * ONE O(n) pass with ONE md5 per token — the bigram bucket derives
+    * from the two adjacent UNIGRAM hashes via the overflow-safe mixer
+    * above, so the phrase channel costs no second digest pass and no
+    * concat-string garbage (the zip_with + md5("a b") formulation
+    * measured ~1.7× q103's whole-query cost; this form returns it to
+    * the r15 envelope). Channel concatenation is byte concatenation:
+    * dot/norm kernels simply sum across both sections, and per-bucket
+    * saturation is channel-local exactly like two separate packed
+    * vectors. Null tokens are skipped AND break adjacency (no bigram
+    * spans a null). */
+  case class BucketCountVec2Packed(child: Expression, salt: String,
+                                   uniBuckets: Int, biBuckets: Int, clamp: Int)
+      extends UnaryExpression {
+    require(uniBuckets > 0 && biBuckets > 0 && clamp > 0 && clamp <= 255,
+      s"bucket_count_vec2_packed($uniBuckets, $biBuckets, $clamp): clamp must fit a byte")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"bucket_count_vec2_packed expects array<string>, got $t")
+    }
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "bucket_count_vec2_packed"
+
+    private val saltBytes = salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    def kernel(a: ArrayData): Array[Byte] = {
+      val out = new Array[Byte](uniBuckets + biBuckets)
+      val md = Md5Kernels.digest()
+      val n = a.numElements()
+      var prev = -1L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) prev = -1L
+        else {
+          md.reset()
+          md.update(saltBytes)
+          md.update(a.getUTF8String(i).getBytes)
+          val h = Md5Kernels.first60(md.digest())
+          val b = (h % uniBuckets).toInt
+          if ((out(b) & 0xFF) < clamp) out(b) = ((out(b) & 0xFF) + 1).toByte
+          if (prev >= 0L) {
+            val b2 = uniBuckets +
+              (((prev % BigramMixMod) * BigramMixMul + h) % biBuckets).toInt
+            if ((out(b2) & 0xFF) < clamp) out(b2) = ((out(b2) & 0xFF) + 1).toByte
+          }
+          prev = h
+        }
+        i += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("bucketCountsVec2", this,
+          classOf[BucketCountVec2Packed].getName)
+        s"${ev.value} = (byte[]) $ref.kernel($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def literalInt(e: Expression, fn: String): Int =
     if (e.foldable) e.eval().asInstanceOf[Number].intValue
     else throw new IllegalArgumentException(
@@ -644,6 +722,11 @@ object HashExpressions {
 
   def bucket_count_vec_packed(tokens: Column, salt: String, buckets: Int, clamp: Int): Column =
     ColumnBridge.column(BucketCountVecPacked(ColumnBridge.expression(tokens), salt, buckets, clamp))
+
+  def bucket_count_vec2_packed(tokens: Column, salt: String, uniBuckets: Int,
+                               biBuckets: Int, clamp: Int): Column =
+    ColumnBridge.column(BucketCountVec2Packed(ColumnBridge.expression(tokens),
+      salt, uniBuckets, biBuckets, clamp))
 
   def sorted_long_contains(value: Column, set: Seq[Long]): Column =
     ColumnBridge.column(SortedLongContains(ColumnBridge.expression(value),

@@ -843,31 +843,44 @@ object Corpus {
   val RetMod = 97
   val RetK = 3
 
-  /** hashed bag-of-tokens feature vector (the q101 hashing trick, its
-    * own "ret:" salt): a length-[[RetBuckets]] count array over the
-    * token-array column, each count SATURATED at [[RetClamp]].
-    * The clamp is the standard tf-saturation bound AND the overflow
-    * proof, RE-PROVED at 256 buckets (r15): the chunk side holds
-    * ≤ [[ChunkW]] = 64 tokens, so Σcᵢ ≤ 64 and dot = Σqᵢcᵢ ≤
-    * 255·64 = 16320 < 2¹⁴ — INDEPENDENT of the bucket count — giving
-    * dot²·2²⁰ ≤ 2⁴⁸; the norm product grows only linearly with
-    * buckets: qn2 ≤ 256·255² < 2²⁴ and cn2 ≤ (Σcᵢ)² ≤ 2¹², so
-    * qn2·cn2 < 2³⁶. Every product stays far inside int64 at ANY
-    * document length — no decimal widening in either engine, valid
-    * to 1024 buckets with the same argument. One O(n) codegen pass
-    * ([[graft.functions.HashExpressions.BucketCountVec]]) — the HOF
-    * formulation evaluated an interpreted lambda per (bucket, token)
-    * pair and made q103 the slowest query in the suite (5.3s warm at
-    * sf0.1; the r1 MinHash lesson re-learned). */
-  private def retVec(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.functions.HashExpressions.bucket_count_vec(toks, "ret:", RetBuckets, RetClamp)
+  /** bigram PHRASE-CHANNEL width (r16): the r15 width sweep proved
+    * ≥256 unigram buckets collision-free yet the unrestricted
+    * exhaustive top-k still a noise ranking — the REPRESENTATION was
+    * the ceiling (phrase-blind unigram cosine cannot separate
+    * same-language text; exhaustive rank-1 median cos² ≈ 0.78). The
+    * scoring space therefore gains a second channel: hashed
+    * adjacent-token BIGRAM counts (buckets mixed from the two
+    * adjacent unigram hashes — see [[retVecCombined]]), concatenated
+    * after the unigram bytes — word order now contributes to every
+    * score, so the exhaustive ranking prefers chunks sharing PHRASES
+    * with the query, which is exactly the structure the q103b
+    * champion-shingle pruning can recover. */
+  val RetBigramBuckets = 256
 
-  /** packed-byte twin of [[retVec]] (same salt, buckets, clamp — the
-    * SAME counts, one byte per bucket): the q103b rescore carries
-    * these through candidate-row exchanges, where the long-array form's
-    * 8×-wider Tungsten layout was the measured 100× knee. */
-  private def retVecPacked(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.functions.HashExpressions.bucket_count_vec_packed(toks, "ret:", RetBuckets, RetClamp)
+  /** the COMBINED packed scoring vector: [[RetBuckets]] unigram
+    * byte-counts ("ret:") ‖ [[RetBigramBuckets]] adjacent-bigram
+    * byte-counts, each count SATURATED at [[RetClamp]], emitted by
+    * the ONE-PASS [[graft.functions.HashExpressions.BucketCountVec2Packed]]
+    * kernel — one md5 per token, the bigram bucket mixed from the two
+    * adjacent token hashes (overflow-safe in both engines), so the
+    * phrase channel costs no second digest pass (a zip_with +
+    * md5("a b") formulation measured ~1.7× q103's whole-query cost
+    * before this kernel). Channel concatenation is byte
+    * concatenation for the bvec kernels — dot and norm simply sum
+    * across both sections, so `sim_q20` is the cos² of the combined
+    * space with zero changes to the score form.
+    *
+    * Integer budget RE-PROVED at the combined width (r16): the chunk
+    * side holds ≤ [[ChunkW]] = 64 tokens + 63 bigrams, so
+    * Σcᵢ ≤ 127 and dot = Σqᵢcᵢ ≤ 255·127 = 32 385 < 2¹⁵ —
+    * INDEPENDENT of either bucket count — giving dot²·2²⁰ < 2⁵⁰; the
+    * norm product grows only linearly with total width:
+    * qn2 ≤ 512·255² < 2²⁵ and cn2 ≤ (Σcᵢ)² < 2¹⁴, so
+    * qn2·cn2 < 2³⁹. Every product stays far inside int64 at ANY
+    * document length — no decimal widening in either engine. */
+  private def retVecCombined(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HashExpressions.bucket_count_vec2_packed(
+      toks, "ret:", RetBuckets, RetBigramBuckets, RetClamp)
 
   /** q103: CHUNK RETRIEVAL — the RAG serving shape over the q102
     * segmentation: for each benchmark query document (doc_id ≡ 0 mod
@@ -893,16 +906,15 @@ object Corpus {
   /** the benchmark-query feature frame: one (query_id, qv, qn2) row
     * per token-bearing query document — benchmark-set-sized by the
     * [[RetMod]] contract, so it broadcasts (batch) or collects into a
-    * frozen model (stream). qv is the PACKED byte form (r15 — at 256
-    * buckets the long-array Tungsten layout is 2 KB/row; one byte per
-    * saturated bucket carries identical counts at 256 B, and the
-    * bvec kernels make q103's Q×C scoring loop touch 8× less
-    * memory — q103b's r13 packing lesson applied to q103 itself). */
+    * frozen model (stream). qv is the PACKED byte form (r15 packing
+    * lesson; r16: 512 B/row — the [[retVecCombined]] unigram ‖ bigram
+    * channels — where the long-array Tungsten layout would be ~4 KB,
+    * so q103's Q×C scoring loop touches 8× less memory). */
   def queryFeatures(docs: DataFrame): DataFrame = docs
     .filter(pmod(col("doc_id"), lit(RetMod.toLong)) === 0L)
     .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
     .filter(size(col("__qtk")) > 0)
-    .withColumn("qv", retVecPacked(col("__qtk")))
+    .withColumn("qv", retVecCombined(col("__qtk")))
     .select(col("query_id"), col("qv"),
       graft.functions.VectorExpressions.bvec_norm_sq(col("qv")).as("qn2"))
 
@@ -916,7 +928,7 @@ object Corpus {
       col("c.chunk_hash").as("chunk_hash"),
       expr("slice(__tk, CAST(c.start_tok AS INT) + 1, CAST(c.end_tok - c.start_tok AS INT))")
         .as("__ct"))
-    .withColumn("cv", retVecPacked(col("__ct")))
+    .withColumn("cv", retVecCombined(col("__ct")))
     .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cv"),
       graft.functions.VectorExpressions.bvec_norm_sq(col("cv")).as("cn2"))
 
@@ -1008,7 +1020,7 @@ object Corpus {
     // identical, so every dot/norm/score is bit-identical to q103's
     // long-array scoring
     val cf = chunkFeaturesSparseInput(docs.filter(!isQuery))
-      .withColumn("cvb", retVecPacked(col("__ct")))
+      .withColumn("cvb", retVecCombined(col("__ct")))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cvb"),
         bvec_norm_sq(col("cvb")).as("cn2"),
         pack_longs(array_distinct(shingles(col("__ct")))).as("shb"))
@@ -1034,7 +1046,7 @@ object Corpus {
     val qf = docs.filter(isQuery)
       .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
       .filter(size(col("__qtk")) > 0)
-      .withColumn("qvb", retVecPacked(col("__qtk")))
+      .withColumn("qvb", retVecCombined(col("__qtk")))
       .select(col("query_id"), col("qvb"), bvec_norm_sq(col("qvb")).as("qn2"),
         pack_longs(array_distinct(shingles(col("__qtk")))).as("qshb"))
       .distinct()
@@ -1097,13 +1109,13 @@ object Corpus {
     val isQuery = pmod(col("doc_id"), lit(RetbMod.toLong)) === 0L
     import graft.functions.VectorExpressions.bvec_norm_sq
     val cf = chunkFeaturesSparseInput(docs.filter(!isQuery))
-      .withColumn("cvb", retVecPacked(col("__ct")))
+      .withColumn("cvb", retVecCombined(col("__ct")))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"), col("cvb"),
         bvec_norm_sq(col("cvb")).as("cn2"))
     val qf = docs.filter(isQuery)
       .select(col("doc_id").as("query_id"), expr(chunkToksSql("text")).as("__qtk"))
       .filter(size(col("__qtk")) > 0)
-      .withColumn("qvb", retVecPacked(col("__qtk")))
+      .withColumn("qvb", retVecCombined(col("__qtk")))
       .select(col("query_id"), col("qvb"), bvec_norm_sq(col("qvb")).as("qn2"))
     val scored = cf.crossJoin(qf)
       .withColumn("dot",

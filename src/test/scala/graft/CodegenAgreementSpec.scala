@@ -61,6 +61,7 @@ class CodegenAgreementSpec extends AnyFunSuite {
           HashExpressions.md5_shingle_hashes(col("toks"), 3), params).as("mh"),
         HashExpressions.bucket_count_vec(col("toks"), "agr:", 32, 255).as("bcv"),
         HashExpressions.bucket_count_vec_packed(col("toks"), "agr:", 32, 255).as("bcvp"),
+        HashExpressions.bucket_count_vec2_packed(col("toks"), "agr:", 32, 16, 255).as("bcv2"),
         HashExpressions.sorted_long_contains(col("a"), Seq(3L, 17L, 42L, 90L)).as("slc"),
         LogExpressions.log2mb(col("a"), col("b")).as("lg"),
         BpeExpressions.bpe_tokens(col("word"), merges).as("bpe"),

@@ -689,10 +689,13 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     import graft.operators.Corpus.{RetClamp, RetMod}
     // two query docs whose only difference is a token repeated at vs
     // far past the clamp: identical saturated vectors → identical
-    // per-chunk scores (score columns equal row-for-row).
+    // per-chunk scores (score columns equal row-for-row). n = clamp+1
+    // tokens saturates BOTH channels (n unigrams AND n−1 "zzz zzz"
+    // bigrams ≥ clamp) — at exactly n = clamp the bigram count is
+    // clamp−1, legitimately under the clamp, and the vectors differ.
     def rep(n: Int) = Seq.fill(n)("zzz").mkString(" ")
     val docs = Seq(
-      (0L, rep(RetClamp), "en", "s0", 1L),
+      (0L, rep(RetClamp + 1), "en", "s0", 1L),
       (RetMod.toLong, rep(RetClamp + 500), "en", "s0", 1L),
       (1L, "zzz yyy xxx", "en", "s0", 11L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")

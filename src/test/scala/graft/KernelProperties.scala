@@ -153,6 +153,35 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want.toSeq && got.length == buckets
     }
 
+  // ---- BucketCountVec2Packed: unigram section equals the packed
+  // single-channel kernel; bigram section matches the naive
+  // adjacent-hash-mix model (one md5 per token, overflow-safe mixer)
+
+  property("bucket_count_vec2_packed equals naive two-channel counts clamped") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.chooseNum(1, 64),
+        Gen.chooseNum(1, 32), Gen.chooseNum(1, 5)) { (tokens, ub, bb, clamp) =>
+      import graft.functions.HashExpressions.{BigramMixMod, BigramMixMul}
+      val expr = graft.functions.HashExpressions.BucketCountVec2Packed(
+        Literal.create(null, ArrayType(StringType)), "ret:", ub, bb, clamp)
+      val arr = ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray)
+      val got = expr.kernel(arr).map(b => (b & 0xFF).toLong).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(t: String): Long = {
+        val hex = md.digest(("ret:" + t).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val want = new Array[Long](ub + bb)
+      val hs = tokens.map(h60)
+      hs.foreach { h => val b = (h % ub).toInt; if (want(b) < clamp) want(b) += 1 }
+      hs.sliding(2).foreach {
+        case Seq(h1, h2) =>
+          val b = ub + (((h1 % BigramMixMod) * BigramMixMul + h2) % bb).toInt
+          if (want(b) < clamp) want(b) += 1
+        case _ =>
+      }
+      got == want.toSeq && got.length == ub + bb
+    }
+
   property("cdc_chunks equals the naive boundary+digest model and tiles exactly") =
     Prop.forAll(
         Gen.chooseNum(0, 50).flatMap(n =>

@@ -964,8 +964,12 @@ class StreamingSpec extends AnyFunSuite {
     val srcDir = base.resolve("src").toString
     val outDir = base.resolve("out").toString
     val ckpt = base.resolve("ckpt").toString
+    // cached for the multi-pass splits below; MUST unpersist in the
+    // finally — a leaked InMemoryRelation rewrites every later suite's
+    // events plans (it broke PlanShapeSpec's q47 reused-exchange pin
+    // whenever this suite ran first in a testOnly subset)
+    val events = Tables.events(spark, sf).cache()
     try {
-      val events = Tables.events(spark, sf).cache()
       val baseline = EventOps.transitionBaseline(events)
       def run(): Unit = {
         val stream = EventStreams.readEventStream(spark, srcDir)
@@ -1006,6 +1010,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(want.values.sum > straddlers.values.sum,
         "some edges must span the restart boundary — otherwise nothing was proven")
     } finally {
+      events.unpersist(blocking = false)
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

@@ -84,21 +84,44 @@ object Curation {
     * (AQE-splittable equi-joins — at 100 TB the annotation store is
     * data-sized, so no broadcast is assumed); the action split is
     * row-local CASE logic. No window, no data-sized broadcast. */
-  def annotationPush(part: DataFrame, lineitem: DataFrame): DataFrame = {
+  def annotationPush(part: DataFrame, lineitem: DataFrame): DataFrame =
+    annotationDiff(computedCompartmentAnnotations(lineitem),
+      existingAnnotations(part), part)
+      .orderBy("entity_id", "compartment")
+
+  /** q140's computed side: the freshly COMPUTED per-(entity,
+    * compartment) annotation bodies — one map-side-combined groupBy
+    * on the composite key. Public because the streaming door feeds
+    * these rows through [[graft.streaming.EventStreams
+    * .annotationPushSink]] as they arrive. */
+  def computedCompartmentAnnotations(lineitem: DataFrame): DataFrame = {
     val compartment = expr(
       """CASE CAST(l_linenumber % 4 AS INT)
            WHEN 0 THEN 'axon' WHEN 1 THEN 'soma'
            WHEN 2 THEN 'dendrite' ELSE 'neurite' END""")
-    val computed = lineitem
+    lineitem
       .select(col("l_partkey"), compartment.as("compartment"), col("l_quantity"))
       .groupBy(col("l_partkey").as("entity_id"), col("compartment"))
       .agg(count(lit(1)).as("n_uses"), sum2(col("l_quantity")).as("total_qty"))
-    val existing = part
-      .select(col("p_partkey").as("ex_id"))
-      .withColumn("ex_comp",
-        explode(array(lit("axon"), lit("soma"), lit("dendrite"), lit("neurite"))))
-      .filter((col("ex_id") + length(col("ex_comp"))) % 3 === 0)
-      .withColumn("prev_rev", (col("ex_id") % 5 + 1).cast(LongType))
+  }
+
+  /** q140's existing-store closed form: (ex_id, ex_comp, prev_rev). */
+  def existingAnnotations(part: DataFrame): DataFrame = part
+    .select(col("p_partkey").as("ex_id"))
+    .withColumn("ex_comp",
+      explode(array(lit("axon"), lit("soma"), lit("dendrite"), lit("neurite"))))
+    .filter((col("ex_id") + length(col("ex_comp"))) % 3 === 0)
+    .withColumn("prev_rev", (col("ex_id") % 5 + 1).cast(LongType))
+
+  /** the q140 DIFF itself, against an arbitrary existing frame of
+    * shape (ex_id, ex_comp, prev_rev) — ONE definition shared by the
+    * batch operator and the streaming door, so the two cannot drift:
+    * computed-with-no-existing → create, computed-with-existing →
+    * update keeping prev_rev, existing-only untouched (the reference
+    * iterates computed.keys() and never deletes); both stamped with
+    * the entity's metadata. Unsorted — callers order. */
+  def annotationDiff(computed: DataFrame, existing: DataFrame,
+                     part: DataFrame): DataFrame =
     computed
       .join(existing,
         col("entity_id") === col("ex_id") && col("compartment") === col("ex_comp"),
@@ -111,8 +134,18 @@ object Curation {
           .otherwise(lit("create")).as("action"),
         col("n_uses"), col("total_qty"), col("prev_rev"),
         col("p_brand").as("brand"))
-      .orderBy("entity_id", "compartment")
-  }
+
+  /** a persistable annotation-store seed matching [[existingAnnotations]]:
+    * the state the streaming door's MERGE pushes into (stale zero
+    * bodies at the closed-form revisions — the q141 seeding shape on
+    * the part side). */
+  def annotationStoreSeed(part: DataFrame): DataFrame =
+    existingAnnotations(part).select(
+      concat(col("ex_id").cast(org.apache.spark.sql.types.StringType),
+        lit(":"), col("ex_comp")).as("ann_id"),
+      col("ex_id").as("entity_id"), col("ex_comp").as("compartment"),
+      lit(0L).as("n_uses"), lit(0L).as("total_qty"),
+      col("prev_rev").as("rev"))
 
   /** Declarative source→target metadata mapping: each target field is a
     * named Column expression (the reference's dict-reshaping per

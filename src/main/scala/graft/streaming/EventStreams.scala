@@ -368,6 +368,67 @@ object EventStreams {
       }
       .start()
 
+  /** q140's stream twin (r15 verdict item 7) — the FEATURE-ANNOTATION
+    * PUSH as a door: the reference's most incremental job (freshly
+    * computed annotations diffed against the existing store, then
+    * pushed) runs per micro-batch over ARRIVING computed annotation
+    * rows (entity_id, compartment, n_uses, total_qty — the
+    * [[graft.operators.Curation.computedCompartmentAnnotations]]
+    * shape): each batch is diffed by THE SAME
+    * [[graft.operators.Curation.annotationDiff]] the batch q140 runs,
+    * the action rows land under `actionsPath/batch=<id>`, and the
+    * create/update bodies MERGE into the store at `storePath` through
+    * the real copy-on-write writer (key = entity:compartment; creates
+    * at rev 1, updates at prev_rev+1).
+    *
+    * REPLAY CONTRACT (the postingMaintenance idempotence discipline,
+    * which a live-store diff would break — a replayed batch would
+    * re-read its own merge and flip creates to updates, bumping revs
+    * twice): the diff runs against the PUSH-CYCLE BASE — a narrow
+    * (entity, compartment, rev) snapshot of the store frozen ONCE per
+    * sink start at `<actionsPath>.base` (create-if-absent, so a
+    * checkpoint RESTART mid-cycle reuses the same base). Within one
+    * push cycle each (entity, compartment) is computed once (the q140
+    * computed side is a per-key aggregate), so base-diff ≡ push-time
+    * diff, every leg (action write, merge) is idempotent under batch
+    * replay, and the UNION of per-batch actions equals the batch
+    * q140's action rows for ANY batching of the computed rows —
+    * spec-proven, with a restart soak. A new push cycle = a new
+    * actionsPath (or deleting diffbase), which re-freezes the base
+    * against the pushed store. */
+  def annotationPushSink(computed: DataFrame, part: DataFrame,
+                         storePath: String, actionsPath: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = computed.sparkSession
+    val basePath = s"$actionsPath.base"
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")))
+      spark.read.parquet(storePath)
+        .select(col("entity_id").as("ex_id"), col("compartment").as("ex_comp"),
+          col("rev").as("prev_rev"))
+        .write.mode("overwrite").parquet(basePath)
+    computed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val base = s.read.parquet(basePath)
+        val actions = graft.operators.Curation.annotationDiff(
+          batch.toDF(), base, part)
+        actions.write.mode("overwrite").parquet(s"$actionsPath/batch=$batchId")
+        val updates = actions.select(
+          concat(col("entity_id").cast(org.apache.spark.sql.types.StringType),
+            lit(":"), col("compartment")).as("ann_id"),
+          col("entity_id"), col("compartment"),
+          col("n_uses"), col("total_qty"),
+          (coalesce(col("prev_rev"), lit(0L)) + 1L).as("rev"))
+        graft.operators.MergeWriter.applyTo(s, storePath, updates, "ann_id")
+      }
+      .start()
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, t_start_s: Long, t_end_s: Long,

@@ -1807,4 +1807,74 @@ class StreamingSpec extends AnyFunSuite {
       batch.head.getAs[Long]("n") == 2L,
       s"the batch matrix counts BOTH users' view→click edges: ${batch.toSeq}")
   }
+
+  test("annotation-push door: per-batch actions union to batch q140; store merges once per key") {
+    // the q140 stream twin: computed annotation rows arrive in THREE
+    // hash-ordered micro-batches; the union of the door's per-batch
+    // action rows must equal the batch operator's action list exactly
+    // (any batching — keys are disjoint across the push cycle), and
+    // the post-push store must carry every pushed body at the right
+    // revision with untouched seeds intact. Run 2 RESTARTS mid-cycle
+    // on the same checkpoint: the frozen diffbase must keep later
+    // batches' actions identical (a live-store diff would flip
+    // creates to updates after the restart).
+    import graft.operators.Curation
+    val part = Tables.part(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val computed = Curation.computedCompartmentAnnotations(lineitem).cache()
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_annpush")
+      val srcDir = base.resolve("src").toString
+      val storeDir = base.resolve("store").toString
+      val actDir = base.resolve("actions").toString
+      val ckpt = base.resolve("ckpt").toString
+      Curation.annotationStoreSeed(part).write.parquet(storeDir)
+
+      // three deterministic hash-slices of the computed rows
+      val slice = pmod(hash(col("entity_id"), col("compartment")), lit(3))
+      def drop(i: Int): Unit =
+        computed.filter(slice === i).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      def run(): Unit = {
+        val stream = spark.readStream
+          .schema(computed.schema).parquet(srcDir)
+        val q = EventStreams.annotationPushSink(stream, part, storeDir, actDir, ckpt)
+        q.processAllAvailable(); q.stop()
+      }
+      drop(0)
+      run() // cycle start: freezes the diffbase, pushes slice 0
+      drop(1)
+      run() // RESTART 1: same checkpoint, same frozen base
+      drop(2)
+      run() // RESTART 2
+
+      val key = Seq("entity_id", "compartment")
+      val gotActions = spark.read.parquet(actDir).drop("batch")
+      val wantActions = Curation.annotationPush(part, lineitem)
+      assert(gotActions.count() == wantActions.count() &&
+        gotActions.exceptAll(wantActions).isEmpty &&
+        wantActions.exceptAll(gotActions).isEmpty,
+        "door actions across restarts must union to the batch q140 rows")
+
+      // store state: every action landed once — creates at rev 1,
+      // updates at prev_rev+1, untouched seeds intact
+      val store = spark.read.parquet(storeDir)
+      val joined = store.join(
+        wantActions.select(col("entity_id"), col("compartment"),
+          col("action"), col("n_uses").as("want_uses"),
+          (coalesce(col("prev_rev"), lit(0L)) + 1L).as("want_rev")),
+        key, "left")
+      assert(joined.filter(col("action").isNotNull &&
+        (col("rev") =!= col("want_rev") || col("n_uses") =!= col("want_uses")))
+        .count() == 0, "every pushed row must land exactly once at its revision")
+      assert(joined.filter(col("action").isNull &&
+        (col("n_uses") =!= 0L)).count() == 0,
+        "existing-only rows must stay untouched (the no-delete asymmetry)")
+      // the store contains exactly seeds ∪ pushed keys
+      assert(store.count() ==
+        Curation.annotationStoreSeed(part).select(key.map(col): _*)
+          .unionByName(wantActions.select(key.map(col): _*))
+          .distinct().count())
+    } finally { computed.unpersist(blocking = false); () }
+  }
 }

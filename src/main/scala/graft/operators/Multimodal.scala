@@ -301,6 +301,17 @@ object Multimodal {
     * an exact integer the oracle reproduces from the fixture's closed
     * form — so the whole decode path (header parse, length validation,
     * byte aggregation) is hash-checked per round. */
+  /** TEST-ONLY MUTANT HOOK (r15 verdict item 5): when flipped by
+    * MutationPinSpec, [[extractFeatures]] routes the media frame
+    * through a SECOND payload-sized exchange (behind a typed-map
+    * barrier so CollapseRepartition cannot fold it away) — the exact
+    * regression the one-blob-exchange plan pin exists to catch. The
+    * spec flips it, asserts the pin's predicate now reads 2, restores
+    * it — so every `sbt test` run re-proves the fence bites (the r15
+    * round did this mutation by hand and reverted; the hook makes the
+    * proof permanent). Never set outside tests. */
+  @volatile private[graft] var mutantExtraBlobExchange = false
+
   def extractFeatures(documents: DataFrame, partitions: Int = 0): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -308,9 +319,13 @@ object Multimodal {
     // as pqAdcSearch) — a hardcoded 32 would be wrong on a real cluster
     val width = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    featuresRollup(mediaFrame(documents)
+    val routed = mediaFrame(documents)
       .repartition(width, col("doc_id"))
-      .as[MediaRow])
+      .as[MediaRow]
+    featuresRollup(
+      if (mutantExtraBlobExchange)
+        routed.mapPartitions(identity).repartition(width, col("mime")).as[MediaRow]
+      else routed)
   }
 
   /** the NO-SHUFFLE variant of q41 — decode on the scan's own (on-read)

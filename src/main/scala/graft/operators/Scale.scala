@@ -177,8 +177,32 @@ object Scale {
     *
     * Left column order is preserved; the aggregate columns append on
     * the right, so callers read like the `withColumn` they replace. */
+  /** TEST-ONLY MUTANT HOOK (r15 verdict item 5 — permanent mutation
+    * pins): when flipped by MutationPinSpec, [[keyAggJoin]] regresses
+    * to the one-task-per-hot-key WINDOW election this helper exists to
+    * ban, so the repo's no-hot-key-window plan fences re-prove every
+    * `sbt test` run that they actually catch the regression they pin
+    * (the r15 round mutation-tested this by hand and reverted; the
+    * hook makes the proof permanent). Never set outside tests. */
+  @volatile private[graft] var mutantWindowElection = false
+
   def keyAggJoin(df: DataFrame, keys: Seq[String], aggCols: Seq[Column]): DataFrame = {
     require(keys.nonEmpty && aggCols.nonEmpty, "keys and aggCols must be non-empty")
+    if (mutantWindowElection) {
+      // the banned shape, kept ONLY as the mutation target: every agg
+      // evaluated over a per-key window — one task per hot key
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      return aggCols.foldLeft(df) { (acc, c) =>
+        org.apache.spark.sql.graft.ColumnBridge.expression(c) match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+            acc.withColumn(a.name,
+              org.apache.spark.sql.graft.ColumnBridge.column(a.child).over(w))
+          case other =>
+            acc.withColumn(other.sql,
+              org.apache.spark.sql.graft.ColumnBridge.column(other).over(w))
+        }
+      }
+    }
     val agg = df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     val renamed = keys.foldLeft(agg)((a, k) => a.withColumnRenamed(k, "__k_" + k))
     val cond = keys.map(k => col(k) <=> col("__k_" + k)).reduce(_ && _)

@@ -15,6 +15,39 @@ object BenchOne {
   }
 }
 
+/** Shuffle-byte meter (r15 verdict item 6): the multimodal exchange's
+  * cluster cost was argued in single-box SECONDS with the network
+  * caveat stated; what a cluster fabric actually pays is shuffle
+  * BYTES. A SparkListener accumulates per-stage shuffle write/read
+  * bytes over one run of a plan — deterministic for a fixed plan, so
+  * one untimed run measures it without perturbing the timed reps. */
+object ShuffleBytes {
+  private final class Acc extends org.apache.spark.scheduler.SparkListener {
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  /** (shuffleWriteBytes, shuffleReadBytes) across every stage `fn`
+    * runs. Drains the async listener bus before reading. */
+  def measure(spark: org.apache.spark.sql.SparkSession, fn: () => Unit): (Long, Long) = {
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    try {
+      fn()
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      (acc.written.get(), acc.read.get())
+    } finally spark.sparkContext.removeSparkListener(acc)
+  }
+}
+
 /** PQ-family cost split: model-training constant vs scan/search work.
   * The q76-q78/q81 bench figures are dominated by the per-query model
   * training (bounded sample + small Lloyd jobs) that a deployment pays
@@ -725,8 +758,19 @@ object BenchMediaScale {
         .queryExecution.toRdd.count(); () })
       val tWithout = med(() => { Multimodal.extractFeaturesScaled(docs, s, withRepartition = false)
         .queryExecution.toRdd.count(); () })
+      // r16 (verdict item 6): the fabric's actual price — shuffle
+      // WRITE bytes per form, one untimed metered run each (plan-
+      // deterministic). with−without ≈ the blob exchange's payload.
+      val (swWith, _) = ShuffleBytes.measure(spark, () =>
+        { Multimodal.extractFeaturesScaled(docs, s, withRepartition = true)
+          .queryExecution.toRdd.count(); () })
+      val (swWithout, _) = ShuffleBytes.measure(spark, () =>
+        { Multimodal.extractFeaturesScaled(docs, s, withRepartition = false)
+          .queryExecution.toRdd.count(); () })
       s""""x$s":{"payload_mb":${fmt3(bytes / 1048576.0)},""" +
-        s""""with_repartition_s":${fmt3(tWith)},"no_shuffle_s":${fmt3(tWithout)}}"""
+        s""""with_repartition_s":${fmt3(tWith)},"no_shuffle_s":${fmt3(tWithout)},""" +
+        s""""shuffle_mb_with":${fmt3(swWith / 1048576.0)},""" +
+        s""""shuffle_mb_without":${fmt3(swWithout / 1048576.0)}}"""
     }
     println(s"""{"metric":"media_payload_decade","reps":$reps,"sf":"$sfDir",""" +
       s""""loadavg":"${Bench.loadavg()}",${rows.mkString(",")}}""")
@@ -762,20 +806,27 @@ object BenchMediaSkew {
     // is its own split — now doc_id < 1% genuinely means "all hot
     // blobs live in input split 0", the layout a crawler's
     // newest-first dump produces at 100 TB.
-    // maxPartitionBytes BELOW the per-file size (sf0.1: ~19 KB/file)
-    // so one-file-per-split is forced by the packing rule itself, not
-    // an accident of defaultParallelism's bytesPerCore arithmetic —
-    // and assert the layout loudly so a re-pack can never silently
+    // ONE-FILE-PER-SPLIT forced by the packing rule itself, not by
+    // defaultParallelism's bytesPerCore arithmetic: write the ranged
+    // layout, then size maxPartitionBytes to EXACTLY the largest file
+    // — no file splits (every file ≤ the cap) and no two files pack
+    // (any pair plus open costs exceeds it, openCost = cap/2 + 1 makes
+    // that hold even for degenerate tiny files) — and assert the
+    // 32-split layout loudly so a re-pack can never silently
     // degenerate the clustered-vs-spread comparison.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (8 * 1024).toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
     val ranged = java.nio.file.Files.createTempDirectory("graft_media_skew_").toString + "/docs"
     Tables.documents(spark, sfDir).repartitionByRange(32, col("doc_id"))
       .write.mode("overwrite").parquet(ranged)
+    val rp = new org.apache.hadoop.fs.Path(ranged)
+    val maxFile = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(rp).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).max
+    spark.conf.set("spark.sql.files.maxPartitionBytes", maxFile.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (maxFile / 2 + 1).toString)
     val docs = spark.read.parquet(ranged)
     require(docs.rdd.getNumPartitions == 32,
       s"BenchMediaSkew needs the 32-file ranged layout to scan as 32 input " +
-        s"splits, got ${docs.rdd.getNumPartitions} — lower maxPartitionBytes")
+        s"splits, got ${docs.rdd.getNumPartitions} (maxPartitionBytes=$maxFile)")
     def med(fn: () => Unit): Double = {
       fn() // untimed warmup
       val ts = (1 to reps).map { _ =>
@@ -788,9 +839,14 @@ object BenchMediaSkew {
       val t = med(() => { Multimodal.extractFeaturesHotBlobs(
         docs, permille, hotScale, clustered, withRep, decodeReps)
         .queryExecution.toRdd.count(); () })
+      // one untimed metered run: the fabric bytes this cell's plan ships
+      val (sw, _) = ShuffleBytes.measure(spark, () =>
+        { Multimodal.extractFeaturesHotBlobs(
+          docs, permille, hotScale, clustered, withRep, decodeReps)
+          .queryExecution.toRdd.count(); () })
       val name = (if (clustered) "clustered" else "spread") +
         (if (withRep) "_with_repartition" else "_no_shuffle")
-      s""""$name":${fmt3(t)}"""
+      s""""$name":{"s":${fmt3(t)},"shuffle_mb":${fmt3(sw / 1048576.0)}}"""
     }
     println(s"""{"metric":"media_hot_blob_skew","hot_permille":$permille,""" +
       s""""hot_scale":$hotScale,"decode_reps":$decodeReps,""" +

@@ -36,8 +36,12 @@ object ShuffleBytes {
   }
 
   /** (shuffleWriteBytes, shuffleReadBytes) across every stage `fn`
-    * runs. Drains the async listener bus before reading. */
+    * runs. The bus is drained BEFORE attaching too: a backlogged
+    * AsyncEventQueue would otherwise deliver the preceding timed
+    * runs' queued stage events into the fresh listener and inflate
+    * the counts (review finding, r16). */
   def measure(spark: org.apache.spark.sql.SparkSession, fn: () => Unit): (Long, Long) = {
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
     try {
@@ -808,12 +812,15 @@ object BenchMediaSkew {
     // newest-first dump produces at 100 TB.
     // ONE-FILE-PER-SPLIT forced by the packing rule itself, not by
     // defaultParallelism's bytesPerCore arithmetic: write the ranged
-    // layout, then size maxPartitionBytes to EXACTLY the largest file
-    // — no file splits (every file ≤ the cap) and no two files pack
-    // (any pair plus open costs exceeds it, openCost = cap/2 + 1 makes
-    // that hold even for degenerate tiny files) — and assert the
-    // 32-split layout loudly so a re-pack can never silently
-    // degenerate the clustered-vs-spread comparison.
+    // layout, then set BOTH maxPartitionBytes AND openCostInBytes to
+    // exactly the largest file size. maxSplitBytes =
+    // min(maxPartitionBytes, max(openCost, bytesPerCore)) is then
+    // maxFile unconditionally (bytesPerCore can no longer shrink it),
+    // no file splits (every file ≤ maxFile), and no two files pack
+    // (any second file costs size + openCost > maxFile) — review
+    // finding r16: the earlier openCost = maxFile/2+1 left
+    // maxSplitBytes hostage to bytesPerCore on skewed layouts. The
+    // loud 32-split assert stays as the backstop.
     val ranged = java.nio.file.Files.createTempDirectory("graft_media_skew_").toString + "/docs"
     Tables.documents(spark, sfDir).repartitionByRange(32, col("doc_id"))
       .write.mode("overwrite").parquet(ranged)
@@ -822,7 +829,7 @@ object BenchMediaSkew {
       .listStatus(rp).filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).max
     spark.conf.set("spark.sql.files.maxPartitionBytes", maxFile.toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", (maxFile / 2 + 1).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", maxFile.toString)
     val docs = spark.read.parquet(ranged)
     require(docs.rdd.getNumPartitions == 32,
       s"BenchMediaSkew needs the 32-file ranged layout to scan as 32 input " +

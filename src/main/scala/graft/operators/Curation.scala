@@ -135,14 +135,25 @@ object Curation {
         col("n_uses"), col("total_qty"), col("prev_rev"),
         col("p_brand").as("brand"))
 
+  /** the annotation-store MERGE KEY — the resource identity every
+    * annotation store in the repo keys on (`<entity>:<compartment>`).
+    * ONE definition (review finding r16: the construction existed in
+    * three places; a drifted copy — different separator, different
+    * cast — would make the streaming door's merges miss the seeded
+    * store's keys and silently duplicate every push). Shared by
+    * [[annotationStoreSeed]], the q141 pipeline store and the
+    * streaming door. */
+  def annKey(entity: Column, compartment: Column): Column =
+    concat(entity.cast(org.apache.spark.sql.types.StringType),
+      lit(":"), compartment)
+
   /** a persistable annotation-store seed matching [[existingAnnotations]]:
     * the state the streaming door's MERGE pushes into (stale zero
     * bodies at the closed-form revisions — the q141 seeding shape on
     * the part side). */
   def annotationStoreSeed(part: DataFrame): DataFrame =
     existingAnnotations(part).select(
-      concat(col("ex_id").cast(org.apache.spark.sql.types.StringType),
-        lit(":"), col("ex_comp")).as("ann_id"),
+      annKey(col("ex_id"), col("ex_comp")).as("ann_id"),
       col("ex_id").as("entity_id"), col("ex_comp").as("compartment"),
       lit(0L).as("n_uses"), lit(0L).as("total_qty"),
       col("prev_rev").as("rev"))

@@ -80,10 +80,11 @@ object CurationPipeline {
         (col("morph_id") % 5 + 1).cast(LongType).as("rev"))
 
   /** composite merge key — the annotation resource identity (the
-    * reference keys annotations by (morphology, compartment)). */
+    * reference keys annotations by (morphology, compartment)); the
+    * SAME [[Curation.annKey]] builder as the part-side stores. */
   private def annId(morphId: org.apache.spark.sql.Column,
                     neuriteType: org.apache.spark.sql.Column) =
-    concat(morphId.cast(StringType), lit(":"), neuriteType)
+    Curation.annKey(morphId, neuriteType)
 
   /** steps 2+3's input, off the PERSISTED report frame: one row per
     * computed (morphology, neurite type) annotation with the entity's
@@ -138,7 +139,7 @@ object CurationPipeline {
     * seeded rev and stale body, updates carry the computed body at
     * rev prev+1, creates at rev 1. */
   def applyAndRead(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_curation_").toString
+    val base = graft.Scratch.dir("graft_curation_")
     val reportDir = s"$base/report"
     val storeDir = s"$base/store"
     NeuriteAtlas.morphReport(documents).write.mode("overwrite").parquet(reportDir)

@@ -216,7 +216,7 @@ object Upsert {
   /** q43: seed scratch state, merge through the writer, read back. */
   def applyAndRead(spark: SparkSession, customer: DataFrame, orders: DataFrame,
                    supplier: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString + "/state"
+    val dir = graft.Scratch.dir("graft_merge_") + "/state"
     target(customer).write.mode("overwrite").parquet(dir)
     MergeWriter.applyTo(spark, dir, updates(orders, supplier), "c_custkey", Some("is_deleted"))
     spark.read.parquet(dir).orderBy("c_custkey")
@@ -246,7 +246,7 @@ object Upsert {
     * through the real writer, like q43 checks the flat swap. */
   def applyAndReadPartitioned(spark: SparkSession, customer: DataFrame,
                               supplier: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_pmerge_").toString + "/state"
+    val dir = graft.Scratch.dir("graft_pmerge_") + "/state"
     target(customer).hint("rebalance", "segment")
       .write.mode("overwrite").partitionBy("segment").parquet(dir)
     MergeWriter.applyToPartitioned(spark, dir, partitionedUpdates(customer, supplier),

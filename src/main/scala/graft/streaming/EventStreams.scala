@@ -386,22 +386,29 @@ object EventStreams {
     * re-read its own merge and flip creates to updates, bumping revs
     * twice): the diff runs against the PUSH-CYCLE BASE — a narrow
     * (entity, compartment, rev) snapshot of the store frozen ONCE per
-    * sink start at `<actionsPath>.base` (create-if-absent, so a
-    * checkpoint RESTART mid-cycle reuses the same base). Within one
-    * push cycle each (entity, compartment) is computed once (the q140
-    * computed side is a per-key aggregate), so base-diff ≡ push-time
-    * diff, every leg (action write, merge) is idempotent under batch
-    * replay, and the UNION of per-batch actions equals the batch
-    * q140's action rows for ANY batching of the computed rows —
-    * spec-proven, with a restart soak. A new push cycle = a new
-    * actionsPath (or deleting diffbase), which re-freezes the base
-    * against the pushed store. */
+    * sink start at `<checkpoint>.diffbase` — TIED TO THE CHECKPOINT
+    * LIFECYCLE (create-if-absent), which is what makes base reuse
+    * provably correct: a checkpoint RESTART mid-cycle reuses the same
+    * base, and a NEW push cycle necessarily brings a new checkpoint
+    * (with the old one the file source would consider the new cycle's
+    * input already processed), which re-freezes the base against the
+    * pushed store. The r16 first cut keyed the base to actionsPath,
+    * where a second cycle reusing the path silently diffed against a
+    * STALE base (creates re-merged at rev 1 — review finding);
+    * checkpoint-scoping removes that failure mode structurally
+    * instead of documenting it. Within one push cycle each (entity,
+    * compartment) is computed once (the q140 computed side is a
+    * per-key aggregate), so base-diff ≡ push-time diff, every leg
+    * (action write, merge) is idempotent under batch replay, and the
+    * UNION of per-batch actions equals the batch q140's action rows
+    * for ANY batching of the computed rows — spec-proven, with a
+    * restart soak. */
   def annotationPushSink(computed: DataFrame, part: DataFrame,
                          storePath: String, actionsPath: String,
                          checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = computed.sparkSession
-    val basePath = s"$actionsPath.base"
+    val basePath = s"$checkpoint.diffbase"
     val fs = new org.apache.hadoop.fs.Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")))
@@ -419,8 +426,8 @@ object EventStreams {
           batch.toDF(), base, part)
         actions.write.mode("overwrite").parquet(s"$actionsPath/batch=$batchId")
         val updates = actions.select(
-          concat(col("entity_id").cast(org.apache.spark.sql.types.StringType),
-            lit(":"), col("compartment")).as("ann_id"),
+          graft.operators.Curation.annKey(col("entity_id"), col("compartment"))
+            .as("ann_id"),
           col("entity_id"), col("compartment"),
           col("n_uses"), col("total_qty"),
           (coalesce(col("prev_rev"), lit(0L)) + 1L).as("rev"))

@@ -15,17 +15,6 @@ class CurationPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val docs = Tables.documents(spark, TestSpark.sf)
 
-  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      p +: planNodes(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      p +: planNodes(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      p +: planNodes(r.child)
-    case _ => p +: p.children.flatMap(planNodes)
-  }
-
   test("composed validator verdicts equal the standalone q79 metrics + shared rules") {
     // the gate the pipeline applied, recovered from its per-annotation rows
     val report = NeuriteAtlas.morphReport(docs).toDF()
@@ -90,14 +79,9 @@ class CurationPipelineSpec extends AnyFunSuite {
     // the report build: exactly one BinaryType-carrying exchange (the
     // skew-evening repartition before the single decode)
     val build = NeuriteAtlas.morphReport(docs).toDF()
-    build.queryExecution.toRdd.count()
-    val buildExchanges = planNodes(build.queryExecution.executedPlan).collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
-    }
-    val blobCarrying = buildExchanges.filter(_.output.exists(
-      _.dataType == org.apache.spark.sql.types.BinaryType))
-    assert(blobCarrying.length == 1,
-      s"report build must have exactly ONE blob exchange, got ${blobCarrying.length}")
+    val nBlob = PlanWalks.blobExchanges(build)
+    assert(nBlob == 1,
+      s"report build must have exactly ONE blob exchange, got $nBlob")
 
     // the composed chain off the PERSISTED frame: no plan node may
     // output a BinaryType column — payloads are never re-read
@@ -106,9 +90,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     val actions = CurationPipeline.annotationActions(
       CurationPipeline.computedAnnotations(spark.read.parquet(dir)),
       CurationPipeline.existingStore(docs))
-    actions.queryExecution.toRdd.count()
-    val binaryNodes = planNodes(actions.queryExecution.executedPlan)
-      .filter(_.output.exists(_.dataType == org.apache.spark.sql.types.BinaryType))
+    val binaryNodes = PlanWalks.binaryCarryingNodes(actions)
     assert(binaryNodes.isEmpty,
       s"the post-persist pipeline must never carry payload bytes, got ${binaryNodes.length} nodes")
   }

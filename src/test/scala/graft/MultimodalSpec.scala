@@ -249,30 +249,18 @@ class MultimodalSpec extends AnyFunSuite {
     // pin exists to catch (payload bytes dominate I/O there).
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, TestSpark.sf)
-    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        p +: nodes(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        p +: nodes(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        p +: nodes(r.child)
-      case _ => p +: p.children.flatMap(nodes)
-    }
+    // the SHARED fence predicate (PlanWalks) — MutationPinSpec
+    // mutation-tests exactly this definition, so a walker blind spot
+    // cannot rot here unnoticed
     Seq(
       "q41" -> Multimodal.extractFeatures(docs),
       "q41c" -> Multimodal.frameSampleManifest(docs),
       "q41d" -> Multimodal.resizedFeatures(docs)
     ).foreach { case (name, df) =>
-      df.queryExecution.toRdd.count() // finalize the adaptive plan
-      val exchanges = nodes(df.queryExecution.executedPlan).collect {
-        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
-      }
-      val binaryCarrying = exchanges.filter(_.output.exists(
-        _.dataType == org.apache.spark.sql.types.BinaryType))
-      assert(binaryCarrying.length == 1,
+      val nBlob = PlanWalks.blobExchanges(df)
+      assert(nBlob == 1,
         s"$name must have exactly ONE blob-carrying exchange (the skew-evening " +
-          s"repartition), got ${binaryCarrying.length} of ${exchanges.length} total")
+          s"repartition), got $nBlob")
     }
   }
 }

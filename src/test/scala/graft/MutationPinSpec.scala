@@ -18,26 +18,11 @@ class MutationPinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val docs = Tables.documents(spark, TestSpark.sf)
 
-  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      p +: planNodes(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      p +: planNodes(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      p +: planNodes(r.child)
-    case _ => p +: p.children.flatMap(planNodes)
-  }
-
-  /** the MultimodalSpec pin's predicate, verbatim: the number of
-    * shuffle exchanges whose rows carry the binary payload column. */
-  private def blobExchanges(df: org.apache.spark.sql.DataFrame): Int = {
-    df.queryExecution.toRdd.count() // finalize the adaptive plan
-    planNodes(df.queryExecution.executedPlan).collect {
-      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
-    }.count(_.output.exists(
-      _.dataType == org.apache.spark.sql.types.BinaryType))
-  }
+  // the SHARED fence predicate the real pins run ([[PlanWalks]]) — not
+  // a local copy, so this spec mutation-tests the predicate the other
+  // specs actually enforce
+  private def blobExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    PlanWalks.blobExchanges(df)
 
   test("blob-exchange pin bites: a second payload exchange reads 2, clean reads 1") {
     assert(!Multimodal.mutantExtraBlobExchange)

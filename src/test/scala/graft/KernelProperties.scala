@@ -182,6 +182,26 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want.toSeq && got.length == ub + bb
     }
 
+  property("bucket_count_vec2_packed: a null token is skipped AND breaks bigram adjacency") =
+    Prop.forAll(Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr)) { (a, b) =>
+      // ["x.." null "y.."] must count exactly like the two halves
+      // summed: no unigram for the null, and NO bigram spanning it —
+      // the oracle's NULL-bucket rows drop from counts the same way
+      val expr = graft.functions.HashExpressions.BucketCountVec2Packed(
+        Literal.create(null, ArrayType(StringType)), "ret:", 32, 16, 255)
+      def arr(ts: Seq[String]) =
+        ArrayData.toArrayData(ts.map(UTF8String.fromString).toArray)
+      val withNull = ArrayData.toArrayData(
+        (a.map(UTF8String.fromString) ++ Seq(null) ++
+          b.map(UTF8String.fromString)).toArray)
+      val got = expr.kernel(withNull).map(_ & 0xFF)
+      val wantA = expr.kernel(arr(a)).map(_ & 0xFF)
+      val wantB = expr.kernel(arr(b)).map(_ & 0xFF)
+      // exact identity: min(a+b, 255) == min(min(a,255)+min(b,255), 255)
+      // for nonnegative a, b — clamping composes across the split
+      got.toSeq == wantA.zip(wantB).map { case (x, y) => (x + y).min(255) }.toSeq
+    }
+
   property("cdc_chunks equals the naive boundary+digest model and tiles exactly") =
     Prop.forAll(
         Gen.chooseNum(0, 50).flatMap(n =>

@@ -1875,6 +1875,33 @@ class StreamingSpec extends AnyFunSuite {
         Curation.annotationStoreSeed(part).select(key.map(col): _*)
           .unionByName(wantActions.select(key.map(col): _*))
           .distinct().count())
+
+      // SECOND PUSH CYCLE (the r16 review fix, structurally): a new
+      // cycle brings a new checkpoint + actions path, which RE-FREEZES
+      // the diff base against the pushed store — re-computed rows for
+      // keys created in cycle 1 must now diff as UPDATE at the
+      // post-cycle-1 revision (the stale-base bug re-merged them as
+      // creates at rev 1).
+      val src2 = base.resolve("src2").toString
+      val act2 = base.resolve("actions2").toString
+      val ckpt2 = base.resolve("ckpt2").toString
+      val cycle1Creates = wantActions.filter(col("action") === "create")
+        .select(col("entity_id"), col("compartment"))
+      val resend = computed.join(cycle1Creates, key, "left_semi")
+      resend.coalesce(1).write.parquet(src2)
+      val q2 = EventStreams.annotationPushSink(
+        spark.readStream.schema(computed.schema).parquet(src2),
+        part, storeDir, act2, ckpt2)
+      q2.processAllAvailable(); q2.stop()
+      val acts2 = spark.read.parquet(act2)
+      assert(acts2.filter(col("action") =!= "update").count() == 0,
+        "cycle 2 must see cycle 1's creates as existing — a stale base re-creates them")
+      assert(acts2.filter(col("prev_rev") =!= 1L).count() == 0,
+        "cycle 2's prev_rev must be cycle 1's created rev (1)")
+      val store2 = spark.read.parquet(storeDir)
+        .join(cycle1Creates, key, "left_semi")
+      assert(store2.filter(col("rev") =!= 2L).count() == 0,
+        "cycle 1's creates must sit at rev 2 after cycle 2's update push")
     } finally { computed.unpersist(blocking = false); () }
   }
 }

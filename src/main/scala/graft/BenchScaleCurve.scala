@@ -42,7 +42,10 @@ object BenchScaleCurve {
   val CurveQueries: Seq[String] = Seq(
     "q82_index_upsert", "q88b_compacted_search", "q118_combined_cut",
     "q98_leaf_regions", "q75_rarity_screen", "q107b_cut_spans",
-    "q100_lm_perplexity", "q103b_retrieval_pruned")
+    "q100_lm_perplexity", "q103b_retrieval_pruned",
+    // r16: the composed curation pipeline joins the standing list —
+    // the newest writer-shaped plan curves by default from now on
+    "q141_curation_pipeline")
 
   val DocStride = 10000000000L
   val VecStride = 1000000000L

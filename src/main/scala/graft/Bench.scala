@@ -40,17 +40,51 @@ object Bench {
     * never quiets, RUN ANYWAY but return degraded=true so the artifact
     * self-labels and no one compares it against quiet rulers. Returns
     * (degraded, secondsWaited). Non-Linux hosts (no readable loadavg)
-    * skip the wait — absence of evidence is stamped as "?" either way. */
-  def awaitQuiet(threshold: Double, maxWaitS: Int, pollS: Int = 15): (Boolean, Long) = {
+    * skip the wait — absence of evidence is stamped as "?" either way.
+    *
+    * The non-degraded claim needs TWO consecutive quiet samples (r16
+    * advice): the 1-minute load decays exponentially, so a single
+    * sample can catch a momentary dip inside a sustained burst and
+    * mislabel the run — a second quiet reading `confirmS` later makes
+    * the dip-at-the-last-poll false negative require the burst to
+    * genuinely recede. The wait is also CLAMPED to maxWaitS (the old
+    * loop slept a full poll past the deadline). */
+  def awaitQuiet(threshold: Double, maxWaitS: Int, pollS: Int = 15,
+                 confirmS: Int = 5): (Boolean, Long) = {
     val t0 = System.nanoTime()
     def waited = (System.nanoTime() - t0) / 1e9
     var l = load1()
-    while (l.exists(_ >= threshold) && waited < maxWaitS) {
-      System.err.println(f"[bench] load ${l.get}%.2f >= $threshold%.1f — deferring start (${waited.toLong}s/${maxWaitS}s)")
-      Thread.sleep(pollS * 1000L)
+    if (l.isEmpty) return (false, 0L) // no /proc/loadavg — no evidence either way
+    var streak = if (l.exists(_ < threshold)) 1 else 0
+    while (streak < 2 && waited < maxWaitS) {
+      if (streak == 0)
+        System.err.println(f"[bench] load ${l.get}%.2f >= $threshold%.1f — deferring start (${waited.toLong}s/${maxWaitS}s)")
+      val gapS = (if (streak == 1) confirmS else pollS).toDouble.min(maxWaitS - waited)
+      Thread.sleep((gapS * 1000).toLong.max(1L))
       l = load1()
+      streak = if (l.exists(_ < threshold)) streak + 1 else 0
     }
-    (l.exists(_ >= threshold), waited.toLong)
+    (streak < 2, waited.toLong)
+  }
+
+  /** never-overwrite artifact claim, ATOMIC (r14 advice): CREATE_NEW
+    * either creates the file or throws FileAlreadyExistsException —
+    * the old exists-probe + writeString pair let two concurrent runs
+    * both see a path free and one silently clobber the other. On a
+    * taken path the claim probes stem.2.json, stem.3.json, … so every
+    * invocation's artifact survives every later invocation. Shared by
+    * every artifact-writing main (Bench, BenchPlans). */
+  def writeNew(detail: String, requested: String): java.nio.file.Path = {
+    val stem = if (requested.endsWith(".json")) requested.dropRight(5) else requested
+    val candidates = Iterator(java.nio.file.Paths.get(requested)) ++
+      Iterator.from(2).map(i => java.nio.file.Paths.get(s"$stem.$i.json"))
+    candidates.flatMap { p =>
+      try {
+        java.nio.file.Files.writeString(p, detail + "\n",
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        Some(p)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+    }.next()
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,26 +134,44 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // the cold run doubles as the SHUFFLE-BYTE meter (r17): bytes
+    // crossing exchanges are a property of the PLAN, not of box load,
+    // so one passive listener-metered run per query stamps what a
+    // cluster fabric would pay — the per-query extension of the media
+    // cells' r16 `shuffle_mb` discipline, now a suite-wide inventory.
+    // The listener only accumulates completed-stage metrics; the timed
+    // section sits inside the measure() bus drains, so cold timings
+    // stay comparable with prior rounds.
+    def timeColdMetered(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String], Long) = {
+      var t = 0.0
+      var err: Option[String] = None
+      val (sw, _) = ShuffleBytes.measure(spark, () => {
+        val r = time(fn); t = r._1; err = r._2
+      })
+      (t, err, sw)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (cold, coldErr) = time(fn)
+      val (cold, coldErr, shuffleW) = timeColdMetered(fn)
       val warmRuns = (1 to medianReps).map(_ => time(fn))
       val warm = warmRuns.map(_._1).sorted
       val err = (coldErr ++ warmRuns.flatMap(_._2)).headOption
-      (name, cold, warm(warm.length / 2), warm.head, err)
+      (name, cold, warm(warm.length / 2), warm.head, err, shuffleW / 1e6)
     }
     // timings rounded to ms: sub-ms digits are pure noise, and the full
     // double repr quadrupled the line length — long enough that tail
     // captures of this one-line contract truncated mid-JSON
-    def obj(f: ((String, Double, Double, Double, Option[String])) => (String, Double)): String =
+    def obj(f: ((String, Double, Double, Double, Option[String], Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + fmt3(v) }
         .mkString("{", ",", "}")
-    val cold = obj { case (k, c, _, _, _) => k -> c }
-    val warm = obj { case (k, _, m, _, _) => k -> m }
+    val cold = obj { case (k, c, _, _, _, _) => k -> c }
+    val warm = obj { case (k, _, m, _, _, _) => k -> m }
+    val shuffleMb = obj { case (k, _, _, _, _, sw) => k -> sw }
     // per-query warm MIN: the load-insensitive floor — box noise only
     // ever inflates timings, so min-over-reps is the number least
     // polluted by a busy driver host (r6's q43 "5.08s median" was pure
     // load; a min column makes the next phantom self-evident)
-    val warmMin = obj { case (k, _, _, mn, _) => k -> mn }
+    val warmMin = obj { case (k, _, _, mn, _, _) => k -> mn }
     // full JSON string escape incl. control chars: Spark error messages
     // are routinely multi-line, and a raw newline inside the string
     // would break BOTH the one-line contract and the JSON — exactly
@@ -133,7 +185,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val errsJson = results.collect { case (k, _, _, _, Some(e)) =>
+    val errsJson = results.collect { case (k, _, _, _, Some(e), _) =>
       jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -156,9 +208,10 @@ object Bench {
       s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
       s""""started_utc":"$startedUtc",""" +
       s""""warm_median_total":${fmt3(warmTotal)},""" +
-      s""""warm_min_total":${fmt3(results.map(_._4).sum)},"errors":$errsJson,""" +
-      s""""queries_warm_min":$warmMin,"queries_warm_median":$warm,""" +
-      s""""queries":$cold}"""
+      s""""warm_min_total":${fmt3(results.map(_._4).sum)},""" +
+      s""""shuffle_write_mb_total":${fmt3(results.map(_._6).sum)},"errors":$errsJson,""" +
+      s""""queries_warm_min":$warmMin,"queries_shuffle_mb":$shuffleMb,""" +
+      s""""queries_warm_median":$warm,"queries":$cold}"""
     println(detail)
     // path override for launchers whose cwd is not the repo checkout;
     // a failed write must SAY so (silently losing the artifact is the
@@ -176,23 +229,6 @@ object Bench {
     val requested = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse(
       sys.env.get("SPARK_GRAFT_ROUND")
         .map(r => s"BENCH_full_r$r.json").getOrElse("BENCH_full.json"))
-    // the claim is ATOMIC (r14 advice): CREATE_NEW either creates the
-    // file or throws FileAlreadyExistsException — the old exists-probe
-    // + writeString pair let two concurrent runs both see a path free
-    // and one silently clobber the other, the exact race the
-    // never-overwrite change exists to prevent
-    def writeNew(detail: String, requested: String): java.nio.file.Path = {
-      val stem = if (requested.endsWith(".json")) requested.dropRight(5) else requested
-      val candidates = Iterator(java.nio.file.Paths.get(requested)) ++
-        Iterator.from(2).map(i => java.nio.file.Paths.get(s"$stem.$i.json"))
-      candidates.flatMap { p =>
-        try {
-          java.nio.file.Files.writeString(p, detail + "\n",
-            java.nio.file.StandardOpenOption.CREATE_NEW)
-          Some(p)
-        } catch { case _: java.nio.file.FileAlreadyExistsException => None }
-      }.next()
-    }
     try {
       val target = writeNew(detail, requested)
       System.err.println(s"[bench] full artifact persisted to $target")

@@ -402,15 +402,50 @@ object EventStreams {
     * (action write, merge) is idempotent under batch replay, and the
     * UNION of per-batch actions equals the batch q140's action rows
     * for ANY batching of the computed rows — spec-proven, with a
-    * restart soak. */
+    * restart soak.
+    *
+    * r17 (advice): both halves of that contract are now ENFORCED, not
+    * just documented. (1) Each batch's keys are logged under
+    * `<checkpoint>.keylog/batch=<id>`; an incoming key already logged
+    * by a DIFFERENT batch of this cycle fails the query loudly (a
+    * replayed batch re-sees only its own id — still idempotent).
+    * (2) Action files land under `actionsPath/cycle=<id>/batch=<id>`
+    * where the cycle id derives from the checkpoint identity, so a
+    * second cycle (new checkpoint, batch ids restarting at 0) reusing
+    * one actionsPath can no longer clobber the prior cycle's audit
+    * trail — and a FRESH cycle over a populated cycle dir (a deleted-
+    * and-recreated checkpoint path) refuses to start. */
   def annotationPushSink(computed: DataFrame, part: DataFrame,
                          storePath: String, actionsPath: String,
                          checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = computed.sparkSession
     val basePath = s"$checkpoint.diffbase"
-    val fs = new org.apache.hadoop.fs.Path(basePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keylogRoot = s"$checkpoint.keylog"
+    val hPath = new org.apache.hadoop.fs.Path(basePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Actions are NAMESPACED BY PUSH CYCLE (r16 advice 2): batch ids
+    // restart at 0 with every new checkpoint, so two cycles sharing one
+    // actionsPath would silently clobber each other's batch=<id> dirs —
+    // the action history is the audit trail, losing it is corruption.
+    // The cycle id derives from the CHECKPOINT identity (qualified
+    // path, so relative/absolute spellings agree), the same identity
+    // the diff base is scoped to.
+    val qualCkpt = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpoint)).toString
+    val cycleId = java.security.MessageDigest.getInstance("MD5")
+      .digest(qualCkpt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val cycleDir = s"$actionsPath/cycle=$cycleId"
+    // Refuse a FRESH cycle over a populated cycle dir: a deleted-and-
+    // recreated checkpoint at the same path would replay batch ids
+    // from 0 against a stale frozen base AND overwrite this cycle's
+    // recorded actions — fail loudly instead of corrupting either.
+    val ckptExists = fs.exists(new org.apache.hadoop.fs.Path(checkpoint))
+    if (!ckptExists && fs.exists(new org.apache.hadoop.fs.Path(cycleDir)))
+      throw new IllegalStateException(
+        s"annotationPushSink: $cycleDir already holds action batches but checkpoint " +
+        s"$checkpoint does not exist — a fresh cycle over a reused checkpoint path " +
+        "would clobber the recorded action history and diff against a stale base; " +
+        "use a new checkpoint path (new cycle) or restore the original checkpoint")
     if (!fs.exists(new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")))
       spark.read.parquet(storePath)
         .select(col("entity_id").as("ex_id"), col("compartment").as("ex_comp"),
@@ -421,10 +456,35 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
+        // REPLAY-CONTRACT GUARD (r16 advice 1): base-diff ≡ push-time
+        // diff only holds when each (entity, compartment) key appears
+        // in at most ONE micro-batch per push cycle — a repeated key
+        // re-diffs against the frozen base and silently overwrites the
+        // earlier merge (create at rev 1 over an already-bumped row).
+        // The documented contract is now CHECKED: every batch logs its
+        // keys under <checkpoint>.keylog/batch=<id>, and an incoming
+        // key already logged by a DIFFERENT batch (same-id rows are a
+        // checkpoint replay of this very batch — excluded, idempotent)
+        // fails the cycle loudly instead of corrupting revisions.
+        val batchKeys = batch.toDF().select(col("entity_id"), col("compartment")).distinct()
+        if (fs.exists(new org.apache.hadoop.fs.Path(keylogRoot))) {
+          val prior = s.read.parquet(keylogRoot).filter(col("batch") =!= batchId)
+          val clash = batchKeys.join(
+            prior.select(col("entity_id"), col("compartment")),
+            Seq("entity_id", "compartment"), "left_semi")
+          val sample = clash.limit(3).collect()
+          if (sample.nonEmpty)
+            throw new IllegalStateException(
+              s"annotationPushSink: batch $batchId repeats keys already pushed in this " +
+              s"cycle (e.g. ${sample.toSeq.mkString(", ")}) — the source must be a per-key " +
+              "aggregate with each key in one micro-batch per cycle; a repeated key would " +
+              "re-diff against the frozen base and overwrite its earlier merge")
+        }
+        batchKeys.write.mode("overwrite").parquet(s"$keylogRoot/batch=$batchId")
         val base = s.read.parquet(basePath)
         val actions = graft.operators.Curation.annotationDiff(
           batch.toDF(), base, part)
-        actions.write.mode("overwrite").parquet(s"$actionsPath/batch=$batchId")
+        actions.write.mode("overwrite").parquet(s"$cycleDir/batch=$batchId")
         val updates = actions.select(
           graft.operators.Curation.annKey(col("entity_id"), col("compartment"))
             .as("ann_id"),

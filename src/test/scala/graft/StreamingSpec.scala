@@ -1849,7 +1849,7 @@ class StreamingSpec extends AnyFunSuite {
       run() // RESTART 2
 
       val key = Seq("entity_id", "compartment")
-      val gotActions = spark.read.parquet(actDir).drop("batch")
+      val gotActions = spark.read.parquet(actDir).drop("batch", "cycle")
       val wantActions = Curation.annotationPush(part, lineitem)
       assert(gotActions.count() == wantActions.count() &&
         gotActions.exceptAll(wantActions).isEmpty &&
@@ -1903,5 +1903,74 @@ class StreamingSpec extends AnyFunSuite {
       assert(store2.filter(col("rev") =!= 2L).count() == 0,
         "cycle 1's creates must sit at rev 2 after cycle 2's update push")
     } finally { computed.unpersist(blocking = false); () }
+  }
+
+  test("annotation-push door: replay-contract guards bite — repeated key fails the cycle, reused checkpoint path refuses") {
+    // r17 (advice): the two documented hazards are now CHECKED. (1) A
+    // key arriving in a SECOND micro-batch of one push cycle would
+    // re-diff against the frozen base and overwrite its earlier merge
+    // (create at rev 1 over an already-bumped row) — the keylog guard
+    // must fail the query loudly BEFORE any write, leaving the store
+    // exactly at its pre-batch state. (2) A fresh cycle over a
+    // deleted-and-recreated checkpoint path would replay batch ids
+    // from 0 over the same actions cycle dir against a stale base —
+    // the sink must refuse to construct.
+    import graft.operators.Curation
+    val part = Tables.part(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val computed = Curation.computedCompartmentAnnotations(lineitem)
+    val slice0 = computed.filter(
+      pmod(hash(col("entity_id"), col("compartment")), lit(3)) === 0).cache()
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_annguard")
+      val srcDir = base.resolve("src").toString
+      val storeDir = base.resolve("store").toString
+      val actDir = base.resolve("actions").toString
+      val ckpt = base.resolve("ckpt").toString
+      Curation.annotationStoreSeed(part).write.parquet(storeDir)
+      def run(): Unit = {
+        val q = EventStreams.annotationPushSink(
+          spark.readStream.schema(computed.schema).parquet(srcDir),
+          part, storeDir, actDir, ckpt)
+        try q.processAllAvailable() finally q.stop()
+      }
+      slice0.coalesce(1).write.mode("append").parquet(srcDir)
+      run() // batch 0: pushes slice 0, logs its keys
+      val storeAfter0 = spark.read.parquet(storeDir)
+        .orderBy("entity_id", "compartment").collect().toSeq
+      // the SAME keys arrive again as a new source file → batch 1
+      slice0.coalesce(1).write.mode("append").parquet(srcDir)
+      val ex = intercept[Exception] { run() }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => String.valueOf(e.getMessage)).mkString(" | "))
+      assert(rootMsg(ex).contains("repeats keys already pushed"),
+        s"the keylog guard must name the contract violation: ${rootMsg(ex).take(300)}")
+      // the failed batch wrote NOTHING: store identical, no batch=1 actions
+      assert(spark.read.parquet(storeDir)
+        .orderBy("entity_id", "compartment").collect().toSeq == storeAfter0,
+        "a guard-failed batch must leave the store untouched")
+      assert(!new java.io.File(s"$actDir").listFiles().flatMap(c =>
+        Option(c.listFiles()).getOrElse(Array.empty))
+        .exists(_.getName == "batch=1"),
+        "a guard-failed batch must record no actions")
+      // (2) delete the checkpoint, keep the actions cycle dir: a fresh
+      // cycle at the SAME checkpoint path must refuse to start
+      def rmr(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rmr(base.resolve("ckpt"))
+      rmr(java.nio.file.Paths.get(s"$ckpt.diffbase"))
+      rmr(java.nio.file.Paths.get(s"$ckpt.keylog"))
+      val refuse = intercept[IllegalStateException] {
+        EventStreams.annotationPushSink(
+          spark.readStream.schema(computed.schema).parquet(srcDir),
+          part, storeDir, actDir, ckpt)
+      }
+      assert(refuse.getMessage.contains("already holds action batches"),
+        s"reused-path fresh cycle must refuse: ${refuse.getMessage.take(200)}")
+    } finally { slice0.unpersist(blocking = false); () }
   }
 }

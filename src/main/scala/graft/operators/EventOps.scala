@@ -142,13 +142,20 @@ object EventOps {
     val top = reach.filter(col("step_idx") === 1)
       .select(col("n_users").as("n_top"))
     reach
-      // the engine's ONE unpartitioned Window, and it is PROVABLY
-      // BOUNDED (the q103b residual-window discipline): `reach` has
-      // exactly |steps| rows — one per funnel step, each an agg of its
-      // depth frame — so the single window task sees ≤4 rows at ANY
-      // corpus size. The WindowExec "no partition defined" warning this
-      // emits is about data-sized frames; this frame's size is fixed by
-      // the funnel definition, not the data
+      // an unpartitioned Window, PROVABLY BOUNDED (the q103b
+      // residual-window discipline): `reach` has exactly |steps| rows —
+      // one per funnel step, each an agg of its depth frame — so the
+      // single window task sees ≤4 rows at ANY corpus size. The
+      // WindowExec "no partition defined" warning this emits is about
+      // data-sized frames; this frame's size is fixed by the funnel
+      // definition, not the data. (r17: the executed-plan inventory —
+      // BenchPlans / PLANS_r17 flagged_window_unpartitioned — counts
+      // FOUR such windows suite-wide, each on a fixed-bound frame:
+      // this one, q111/q112's ≤32-row post-limit rank frames, and
+      // q119b's ≤4096-row bucket-offset dimension; the earlier "exactly
+      // one" claim was a single-line grep that missed line-wrapped
+      // Window.orderBy sites — the inventory, not the grep, is now the
+      // invariant's ruler)
       .withColumn("prev_users",
         lag(col("n_users"), 1).over(
           org.apache.spark.sql.expressions.Window.orderBy("step_idx")))

@@ -26,7 +26,8 @@ object EventStreams {
     * TIMESTAMP_NTZ, which varies across testdata generations — is
     * whatever is actually on disk, then normalize exactly like the
     * batch loader (graft.Tables.normalizeEventsTs). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema =
       // NonFatal only: wrapping an OutOfMemoryError / InterruptedException
@@ -40,8 +41,10 @@ object EventStreams {
           s"lifetime; files with a different encoding appended later will " +
           s"mismatch). Probe failure: ${e.getMessage}", e)
       }
+    val rs = spark.readStream.schema(fileSchema)
     graft.Tables.normalizeEventsTs(
-      spark.readStream.schema(fileSchema).parquet(dir))
+      maxFilesPerTrigger.fold(rs)(n => rs.option("maxFilesPerTrigger", n))
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windows with a 2-hour watermark — the streaming

@@ -48,20 +48,30 @@ object Bench {
     * mislabel the run — a second quiet reading `confirmS` later makes
     * the dip-at-the-last-poll false negative require the burst to
     * genuinely recede. The wait is also CLAMPED to maxWaitS (the old
-    * loop slept a full poll past the deadline). */
+    * loop slept a full poll past the deadline).
+    *
+    * `sample`/`sleep` are injectable so the guard's decision logic is
+    * DETERMINISTICALLY SPEC'D (EdgeCaseSpec drives it with scripted
+    * load sequences — a real-clock test of a 10-minute wait policy is
+    * not a test); `sleep` returns the seconds it actually consumed and
+    * `waited` accumulates those returns, so injected time and wall
+    * time follow the same arithmetic. */
   def awaitQuiet(threshold: Double, maxWaitS: Int, pollS: Int = 15,
-                 confirmS: Int = 5): (Boolean, Long) = {
-    val t0 = System.nanoTime()
-    def waited = (System.nanoTime() - t0) / 1e9
-    var l = load1()
+                 confirmS: Int = 5,
+                 sample: () => Option[Double] = () => load1(),
+                 sleep: Double => Double =
+                   s => { Thread.sleep((s * 1000).toLong.max(1L)); s })
+      : (Boolean, Long) = {
+    var waited = 0.0
+    var l = sample()
     if (l.isEmpty) return (false, 0L) // no /proc/loadavg — no evidence either way
     var streak = if (l.exists(_ < threshold)) 1 else 0
     while (streak < 2 && waited < maxWaitS) {
       if (streak == 0)
         System.err.println(f"[bench] load ${l.get}%.2f >= $threshold%.1f — deferring start (${waited.toLong}s/${maxWaitS}s)")
       val gapS = (if (streak == 1) confirmS else pollS).toDouble.min(maxWaitS - waited)
-      Thread.sleep((gapS * 1000).toLong.max(1L))
-      l = load1()
+      waited += sleep(gapS)
+      l = sample()
       streak = if (l.exists(_ < threshold)) streak + 1 else 0
     }
     (streak < 2, waited.toLong)

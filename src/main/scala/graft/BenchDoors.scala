@@ -54,16 +54,25 @@ object BenchDoors {
     }
 
     def cell(name: String, nRows: Long, nBatches: Int, twin: String,
-             doorTimes: Seq[Double], twinTimes: Seq[Double],
-             note: String): String = {
+             preLoad: Option[Double],
+             doorTimes: Seq[Double], oneBatchTimes: Seq[Double],
+             twinTimes: Seq[Double], note: String): String = {
       val (dMin, dMed) = stats(doorTimes)
+      val (oMin, _) = stats(oneBatchTimes)
       val (tMin, tMed) = stats(twinTimes)
+      // the fixed-vs-per-row split: same rows drained as ONE batch vs
+      // nBatches — the delta over the extra batches is the per-batch
+      // machinery (offset log, state store commit, per-batch planning),
+      // which amortizes at production arrival volumes
+      val perBatch = (dMin - oMin) / (nBatches - 1).max(1)
       s""""$name":{"n_rows":$nRows,"n_batches":$nBatches,""" +
         s""""door_s_min":${Bench.fmt3(dMin)},"door_s_median":${Bench.fmt3(dMed)},""" +
+        s""""door_1batch_s_min":${Bench.fmt3(oMin)},""" +
+        s""""per_batch_overhead_s":${Bench.fmt3(perBatch)},""" +
         s""""door_rows_per_s":${Bench.fmt3(nRows / dMin)},""" +
         s""""batch_twin":"$twin","twin_s_min":${Bench.fmt3(tMin)},"twin_s_median":${Bench.fmt3(tMed)},""" +
         s""""door_over_twin":${Bench.fmt3(dMin / tMin)},""" +
-        s""""pre_run_load1":"${Bench.load1().getOrElse(-1.0)}","note":"$note"}"""
+        s""""pre_run_load1":"${preLoad.getOrElse(-1.0)}","note":"$note"}"""
     }
 
     // ---- cell 1: corpus screen (stateless row-local verdicts +
@@ -76,10 +85,10 @@ object BenchDoors {
         .filter(pmod(col("doc_id"), lit(slices.toLong)) === i.toLong)
         .coalesce(1).write.mode("append").parquet(dir))
       val rates = Seq("en" -> 1000, "zh" -> 5000)
-      def door() = doorRep { ckpt =>
+      def door(mfpt: Option[Int]) = doorRep { ckpt =>
+        val rs = spark.readStream.schema(graft.streaming.DocStreams.docsSchema)
         graft.streaming.DocStreams.corpusScreen(
-          spark.readStream.option("maxFilesPerTrigger", 1)
-            .schema(graft.streaming.DocStreams.docsSchema).parquet(dir),
+          mfpt.fold(rs)(n => rs.option("maxFilesPerTrigger", n)).parquet(dir),
           rates, 2500)
           .writeStream.outputMode("append")
           .option("checkpointLocation", ckpt).foreachBatch(countSink)
@@ -91,9 +100,12 @@ object BenchDoors {
           .select("doc_id", "lang", "fingerprint", "alpha_bp")
           .queryExecution.toRdd.count(); ()
       }
-      door(); twin() // untimed warmup pair
+      val preLoad = Bench.load1()
+      door(Some(1)); twin() // untimed warmup pair
       cell("screen_door", nRows, slices, "withScreenColumns+dedup (the door's own verdict block)",
-        (1 to reps).map(_ => door()), (1 to reps).map(_ => twin()),
+        preLoad,
+        (1 to reps).map(_ => door(Some(1))), (1 to reps).map(_ => door(None)),
+        (1 to reps).map(_ => twin()),
         "stateless verdicts + dropDuplicatesWithinWatermark; door pays source discovery + " +
           s"$slices micro-batch plans + state store for the dedup")
     }
@@ -111,10 +123,10 @@ object BenchDoors {
         .filter(pmod(col("doc_id"), lit(slices.toLong)) === i.toLong)
         .coalesce(1).write.mode("append").parquet(dir))
       val model = graft.operators.Corpus.retrievalModel(docs)
-      def door() = doorRep { ckpt =>
+      def door(mfpt: Option[Int]) = doorRep { ckpt =>
+        val rs = spark.readStream.schema(graft.streaming.DocStreams.docsSchema)
         graft.streaming.DocStreams.retrievalLookup(
-          spark.readStream.option("maxFilesPerTrigger", 1)
-            .schema(graft.streaming.DocStreams.docsSchema).parquet(dir),
+          mfpt.fold(rs)(n => rs.option("maxFilesPerTrigger", n)).parquet(dir),
           model, 0L)
           .writeStream.outputMode("append")
           .option("checkpointLocation", ckpt).foreachBatch(countSink)
@@ -123,9 +135,12 @@ object BenchDoors {
         SparkEntry.queries("q103_chunk_retrieval")(spark, sfDir)
           .queryExecution.toRdd.count(); ()
       }
-      door(); twin()
+      val preLoad = Bench.load1()
+      door(Some(1)); twin()
       cell("retrieval_lookup_door", nRows, slices, "q103_chunk_retrieval",
-        (1 to reps).map(_ => door()), (1 to reps).map(_ => twin()),
+        preLoad,
+        (1 to reps).map(_ => door(Some(1))), (1 to reps).map(_ => door(None)),
+        (1 to reps).map(_ => twin()),
         "percolation vs frozen query model, row-local scoring; twin additionally " +
           "ELECTS global top-k (the door alerts, the batch ranks) — stated asymmetry")
     }
@@ -148,9 +163,9 @@ object BenchDoors {
         withTs.filter(col("ts_us") >= b(0) && col("ts_us") < b(1)).drop("ts_us")
           .coalesce(1).write.mode("append").parquet(dir)
       }
-      def door() = doorRep { ckpt =>
+      def door(mfpt: Option[Int]) = doorRep { ckpt =>
         val stream = graft.streaming.EventStreams.readEventStream(spark, dir,
-            maxFilesPerTrigger = Some(1))
+            maxFilesPerTrigger = mfpt)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
           .as[graft.streaming.EventStreams.Ev]
         graft.streaming.EventStreams.statefulSessionize(stream)
@@ -161,9 +176,12 @@ object BenchDoors {
         SparkEntry.queries("q51_sessionize")(spark, sfDir)
           .queryExecution.toRdd.count(); ()
       }
-      door(); twin()
+      val preLoad = Bench.load1()
+      door(Some(1)); twin()
       cell("sessionize_door", nRows, slices, "q51_sessionize",
-        (1 to reps).map(_ => door()), (1 to reps).map(_ => twin()),
+        preLoad,
+        (1 to reps).map(_ => door(Some(1))), (1 to reps).map(_ => door(None)),
+        (1 to reps).map(_ => twin()),
         "flatMapGroupsWithState + event-time eviction timers over 4 time-ordered waves; " +
           "state = open sessions only")
     }
@@ -181,16 +199,16 @@ object BenchDoors {
       (0 until kSlices).foreach(i => computed
         .filter(pmod(hash(col("entity_id"), col("compartment")), lit(kSlices)) === i)
         .coalesce(1).write.mode("append").parquet(dir))
-      def door() = {
+      def door(mfpt: Option[Int]) = {
         // writer door mutates its store: fresh store + actions per rep
         val storeDir = tmp("graft_doors_annpush_store") + "/store"
         val actDir = tmp("graft_doors_annpush_act")
         graft.operators.Curation.annotationStoreSeed(part).write.parquet(storeDir)
         val ckpt = tmp("graft_doors_annpush_ckpt") + "/ckpt"
         timeIt { () =>
+          val rs = spark.readStream.schema(computed.schema)
           val q = graft.streaming.EventStreams.annotationPushSink(
-            spark.readStream.option("maxFilesPerTrigger", 1)
-              .schema(computed.schema).parquet(dir),
+            mfpt.fold(rs)(n => rs.option("maxFilesPerTrigger", n)).parquet(dir),
             part, storeDir, actDir, ckpt)
           try q.processAllAvailable() finally q.stop()
         }
@@ -199,9 +217,12 @@ object BenchDoors {
         SparkEntry.queries("q140_annotation_push")(spark, sfDir)
           .queryExecution.toRdd.count(); ()
       }
-      door(); twin()
+      val preLoad = Bench.load1()
+      door(Some(1)); twin()
       cell("annotation_push_door", nRows, kSlices, "q140_annotation_push",
-        (1 to reps).map(_ => door()), (1 to reps).map(_ => twin()),
+        preLoad,
+        (1 to reps).map(_ => door(Some(1))), (1 to reps).map(_ => door(None)),
+        (1 to reps).map(_ => twin()),
         "guarded writer door: keylog disjointness check + diff + REAL copy-on-write MERGE " +
           "per batch; twin is the diff only, so door-twin = 3 writer cycles + guard by construction")
     }
@@ -209,7 +230,7 @@ object BenchDoors {
 
     val detail = s"""{"metric":"door_throughput","sf":"$sfDir","reps":$reps,""" +
       s""""loadavg":"${Bench.loadavg()}",""" +
-      s""""note":"each door drained with Trigger.AvailableNow over maxFilesPerTrigger=1 slice files (real micro-batches); fresh checkpoint per rep; sink = per-batch toRdd.count (the Bench ruler at the door) except annotation_push whose sink IS the MERGE writer; twins run on the same session and input",""" +
+      s""""note":"each door drained with Trigger.AvailableNow over maxFilesPerTrigger=1 slice files (real micro-batches); fresh checkpoint per rep; sink = per-batch toRdd.count (the Bench ruler at the door) except annotation_push whose sink IS the MERGE writer; twins run on the same session and input; door_1batch drains the SAME rows as ONE micro-batch, so (door-door_1batch)/(n_batches-1) = per-batch machinery cost, which amortizes at production arrival volumes — at this test scale the premium is batch-count, not per-row",""" +
       s"""$screenCell,$retrievalCell,$sessionizeCell,$annPushCell}"""
     println(detail)
     val requested = sys.env.get("SPARK_GRAFT_DOORS").getOrElse(

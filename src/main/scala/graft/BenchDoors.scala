@@ -147,10 +147,19 @@ object BenchDoors {
     System.err.println(s"[doors] retrieval done")
 
     // ---- cell 3: stateful sessionize (flatMapGroupsWithState +
-    // event-time timers — the stateful door)
-    val sessionizeCell = {
-      val ev = Tables.events(spark, sfDir)
+    // event-time timers — the stateful door), at 1× and 10× volume.
+    // The ×10 arm MEASURES the amortization claim instead of arguing
+    // it: per-batch machinery is fixed, so rows/s must rise toward the
+    // kernel rate as arrival waves carry more rows (10 disjoint
+    // user-id universes replicate the corpus without changing any
+    // session's shape).
+    def sessionizeCellAt(mult: Int, name: String): String = {
+      val ev0 = Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val ev = if (mult == 1) ev0 else (0 until mult).map(i => ev0
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _)
       val nRows = ev.count()
       // contiguous event-time waves so the watermark advances per batch
       // (the steady-state arrival shape for a time-ordered event log)
@@ -172,20 +181,26 @@ object BenchDoors {
           .toDF().writeStream.outputMode("update")
           .option("checkpointLocation", ckpt).foreachBatch(countSink)
       }
+      // twin = the same batch operator over the SAME (replicated)
+      // input; at mult=1 this is exactly the q51 plan
       def twin() = timeIt { () =>
-        SparkEntry.queries("q51_sessionize")(spark, sfDir)
+        graft.operators.EventOps.sessionize(ev)
           .queryExecution.toRdd.count(); ()
       }
       val preLoad = Bench.load1()
       door(Some(1)); twin()
-      cell("sessionize_door", nRows, slices, "q51_sessionize",
+      cell(name, nRows, slices, s"EventOps.sessionize x$mult (q51's operator)",
         preLoad,
         (1 to reps).map(_ => door(Some(1))), (1 to reps).map(_ => door(None)),
         (1 to reps).map(_ => twin()),
         "flatMapGroupsWithState + event-time eviction timers over 4 time-ordered waves; " +
-          "state = open sessions only")
+          "state = open sessions only" +
+          (if (mult > 1) s"; x$mult disjoint user universes — same waves, ${mult}x rows per batch" else ""))
     }
+    val sessionizeCell = sessionizeCellAt(1, "sessionize_door")
     System.err.println(s"[doors] sessionize done")
+    val sessionizeCellX10 = sessionizeCellAt(10, "sessionize_door_x10")
+    System.err.println(s"[doors] sessionize x10 done")
 
     // ---- cell 4: annotation push (this round's guarded writer door —
     // diff + keylog guard + real MERGE per batch)
@@ -231,7 +246,7 @@ object BenchDoors {
     val detail = s"""{"metric":"door_throughput","sf":"$sfDir","reps":$reps,""" +
       s""""loadavg":"${Bench.loadavg()}",""" +
       s""""note":"each door drained with Trigger.AvailableNow over maxFilesPerTrigger=1 slice files (real micro-batches); fresh checkpoint per rep; sink = per-batch toRdd.count (the Bench ruler at the door) except annotation_push whose sink IS the MERGE writer; twins run on the same session and input; door_1batch drains the SAME rows as ONE micro-batch, so (door-door_1batch)/(n_batches-1) = per-batch machinery cost, which amortizes at production arrival volumes — at this test scale the premium is batch-count, not per-row",""" +
-      s"""$screenCell,$retrievalCell,$sessionizeCell,$annPushCell}"""
+      s"""$screenCell,$retrievalCell,$sessionizeCell,$sessionizeCellX10,$annPushCell}"""
     println(detail)
     val requested = sys.env.get("SPARK_GRAFT_DOORS").getOrElse(
       sys.env.get("SPARK_GRAFT_ROUND")

@@ -612,4 +612,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window ["), "no per-entity window")
     assert(!plan.contains("CartesianProduct"), "no cartesian")
   }
+
+  test("plan-inventory invariants: no cartesian; unpartitioned windows only at the four audited bounded sites") {
+    // the r17 executed-plan inventory (BenchPlans/PLANS_r17) audited
+    // the whole suite: ZERO CartesianProductExec anywhere (q35's
+    // brute-force contract compiles to a broadcast nested loop, never
+    // a shuffle cartesian) and exactly FOUR unpartitioned WindowExecs,
+    // each on a fixed-bound frame (q130 ≤|steps| rows, q111/q112 ≤32
+    // post-limit rank frames, q119b's ≤4096-row bucket-offset
+    // dimension — its partitionBy(lit) constant-folds away, which is
+    // why it reads unpartitioned). This fence samples the flagged
+    // sites plus the shapes most likely to regress, walked by the
+    // SAME PlanWalk the inventory uses, so a refactor that grows a
+    // new global window or a cartesian fails the suite, not the next
+    // round's artifact diff.
+    val expectUnpartitioned = Set(
+      "q111_vocab_drift", "q112_boilerplate", "q119b_epoch_shuffle", "q130_funnel")
+    val sample = expectUnpartitioned.toSeq.sorted ++ Seq(
+      "q35_knn_bruteforce", "q03_join_revenue", "q57_dedup_clusters",
+      "q103b_retrieval_pruned", "q138_source_cap")
+    sample.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.toRdd.count() // finalize the adaptive plan
+      val ns = PlanWalks.nodes(df.queryExecution.executedPlan)
+      assert(!ns.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$name grew a shuffle cartesian product")
+      val unpart = ns.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      if (expectUnpartitioned(name))
+        assert(unpart.nonEmpty, s"$name: the audited bounded window vanished — " +
+          "re-audit PLANS flagged_window_unpartitioned before relaxing this fence")
+      else
+        assert(unpart.isEmpty, s"$name grew an unpartitioned window: " +
+          unpart.map(_.simpleStringWithNodeId()).mkString("; "))
+    }
+  }
 }

@@ -416,8 +416,11 @@ object EventStreams {
     * where the cycle id derives from the checkpoint identity, so a
     * second cycle (new checkpoint, batch ids restarting at 0) reusing
     * one actionsPath can no longer clobber the prior cycle's audit
-    * trail — and a FRESH cycle over a populated cycle dir (a deleted-
-    * and-recreated checkpoint path) refuses to start. */
+    * trail — and a FRESH cycle over this identity's residue (a
+    * populated cycle dir OR a retained keylog — the deleted-and-
+    * recreated checkpoint path, even after the user tidies the
+    * actions away) refuses to start; only a diffbase with no pushed
+    * batch (a crash before batch 0) is safely reused. */
   def annotationPushSink(computed: DataFrame, part: DataFrame,
                          storePath: String, actionsPath: String,
                          checkpoint: String)
@@ -438,17 +441,27 @@ object EventStreams {
     val cycleId = java.security.MessageDigest.getInstance("MD5")
       .digest(qualCkpt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val cycleDir = s"$actionsPath/cycle=$cycleId"
-    // Refuse a FRESH cycle over a populated cycle dir: a deleted-and-
-    // recreated checkpoint at the same path would replay batch ids
-    // from 0 against a stale frozen base AND overwrite this cycle's
-    // recorded actions — fail loudly instead of corrupting either.
+    // Refuse a FRESH cycle over this checkpoint identity's residue: a
+    // deleted-and-recreated checkpoint at the same path would replay
+    // batch ids from 0 against a stale frozen base AND overwrite this
+    // cycle's recorded actions — fail loudly instead of corrupting
+    // either. Residue = the actions cycle dir OR the keylog (the
+    // keylog exists iff ≥1 batch of the prior incarnation PUSHED, i.e.
+    // the store has been mutated under a base this start would
+    // stale-reuse — checked separately because a user may clean the
+    // actions dir without realising the store is the dangerous half).
+    // A diffbase WITHOUT a keylog is the one safe residue: the base
+    // froze but no batch ever pushed (a crash before batch 0), and
+    // create-if-absent reuses it correctly.
     val ckptExists = fs.exists(new org.apache.hadoop.fs.Path(checkpoint))
-    if (!ckptExists && fs.exists(new org.apache.hadoop.fs.Path(cycleDir)))
+    if (!ckptExists && (fs.exists(new org.apache.hadoop.fs.Path(cycleDir)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(keylogRoot))))
       throw new IllegalStateException(
-        s"annotationPushSink: $cycleDir already holds action batches but checkpoint " +
-        s"$checkpoint does not exist — a fresh cycle over a reused checkpoint path " +
-        "would clobber the recorded action history and diff against a stale base; " +
-        "use a new checkpoint path (new cycle) or restore the original checkpoint")
+        s"annotationPushSink: checkpoint $checkpoint does not exist but this cycle " +
+        s"already holds action batches ($cycleDir) or pushed keys ($keylogRoot) — a " +
+        "fresh cycle over a reused checkpoint path would clobber the recorded action " +
+        "history and re-diff an already-pushed store against a stale base; use a new " +
+        "checkpoint path (new cycle) or restore the original checkpoint")
     if (!fs.exists(new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")))
       spark.read.parquet(storePath)
         .select(col("entity_id").as("ex_id"), col("compartment").as("ex_comp"),

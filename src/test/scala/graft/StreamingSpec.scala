@@ -1954,23 +1954,29 @@ class StreamingSpec extends AnyFunSuite {
         Option(c.listFiles()).getOrElse(Array.empty))
         .exists(_.getName == "batch=1"),
         "a guard-failed batch must record no actions")
-      // (2) delete the checkpoint, keep the actions cycle dir: a fresh
-      // cycle at the SAME checkpoint path must refuse to start
-      def rmr(p: java.nio.file.Path): Unit = {
+      // (2) delete the checkpoint, keep the cycle's residue: a fresh
+      // cycle at the SAME checkpoint path must refuse to start — both
+      // on the actions cycle dir and, with actions cleaned too, on the
+      // retained keylog (≥1 batch pushed = the store was mutated under
+      // a base this start would stale-reuse)
+      def rmr(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
       rmr(base.resolve("ckpt"))
-      rmr(java.nio.file.Paths.get(s"$ckpt.diffbase"))
-      rmr(java.nio.file.Paths.get(s"$ckpt.keylog"))
-      val refuse = intercept[IllegalStateException] {
-        EventStreams.annotationPushSink(
-          spark.readStream.schema(computed.schema).parquet(srcDir),
-          part, storeDir, actDir, ckpt)
-      }
+      def construct() = EventStreams.annotationPushSink(
+        spark.readStream.schema(computed.schema).parquet(srcDir),
+        part, storeDir, actDir, ckpt)
+      val refuse = intercept[IllegalStateException] { construct() }
       assert(refuse.getMessage.contains("already holds action batches"),
         s"reused-path fresh cycle must refuse: ${refuse.getMessage.take(200)}")
+      // clean the actions dir the way a user 'tidying up' would — the
+      // keylog alone must still refuse
+      rmr(java.nio.file.Paths.get(actDir))
+      val refuse2 = intercept[IllegalStateException] { construct() }
+      assert(refuse2.getMessage.contains("pushed keys"),
+        s"a retained keylog must refuse a fresh cycle: ${refuse2.getMessage.take(200)}")
     } finally { slice0.unpersist(blocking = false); () }
   }
 }

@@ -412,6 +412,12 @@ object EventStreams {
     * `<checkpoint>.keylog/batch=<id>`; an incoming key already logged
     * by a DIFFERENT batch of this cycle fails the query loudly (a
     * replayed batch re-sees only its own id — still idempotent).
+    * Guard cost, stated: each batch re-reads the cycle's keylog — a
+    * narrow (entity, compartment) frame bounded by the keys pushed
+    * THIS CYCLE, so per-batch work is cycle-keys-sized (a left-semi
+    * equi-join), not store-sized; cycles are push-campaign-sized by
+    * construction (a new campaign brings a new checkpoint), so the
+    * log never grows unbounded.
     * (2) Action files land under `actionsPath/cycle=<id>/batch=<id>`
     * where the cycle id derives from the checkpoint identity, so a
     * second cycle (new checkpoint, batch ids restarting at 0) reusing

@@ -51,11 +51,14 @@ object Bench {
     * loop slept a full poll past the deadline).
     *
     * `sample`/`sleep` are injectable so the guard's decision logic is
-    * DETERMINISTICALLY SPEC'D (EdgeCaseSpec drives it with scripted
+    * DETERMINISTICALLY SPEC'D (HarnessSpec drives it with scripted
     * load sequences — a real-clock test of a 10-minute wait policy is
     * not a test); `sleep` returns the seconds it actually consumed and
     * `waited` accumulates those returns, so injected time and wall
-    * time follow the same arithmetic. */
+    * time follow the same arithmetic. A sample that turns None
+    * MID-WAIT (loadavg becomes unreadable) ends the wait the same way
+    * the initial None does — no evidence, run unguarded/non-degraded —
+    * rather than crashing the bench on a log line (r17 advice). */
   def awaitQuiet(threshold: Double, maxWaitS: Int, pollS: Int = 15,
                  confirmS: Int = 5,
                  sample: () => Option[Double] = () => load1(),
@@ -68,10 +71,11 @@ object Bench {
     var streak = if (l.exists(_ < threshold)) 1 else 0
     while (streak < 2 && waited < maxWaitS) {
       if (streak == 0)
-        System.err.println(f"[bench] load ${l.get}%.2f >= $threshold%.1f — deferring start (${waited.toLong}s/${maxWaitS}s)")
+        System.err.println(f"[bench] load ${l.fold("?")(v => f"$v%.2f")}%s >= $threshold%.1f — deferring start (${waited.toLong}s/${maxWaitS}s)")
       val gapS = (if (streak == 1) confirmS else pollS).toDouble.min(maxWaitS - waited)
       waited += sleep(gapS)
       l = sample()
+      if (l.isEmpty) return (false, waited.toLong) // evidence vanished mid-wait
       streak = if (l.exists(_ < threshold)) streak + 1 else 0
     }
     (streak < 2, waited.toLong)

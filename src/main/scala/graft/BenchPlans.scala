@@ -16,9 +16,23 @@ package graft
   * widths and whether filters reached the scan, and whole-stage
   * codegen span count. The summary lists every query flagged for a
   * cartesian product or an unpartitioned window so drift from the
-  * standing invariants (cartesian only in q35's stated brute-force
-  * contract; exactly one bounded unpartitioned window in the tree) is
-  * one grep away.
+  * standing invariants is one grep away. Those invariants, as the r17
+  * inventory itself corrected them: ZERO cartesian products anywhere
+  * (q35's brute-force contract compiles to a broadcast nested loop),
+  * and exactly FOUR bounded unpartitioned windows (q111/q112/q119b/
+  * q130 — each fixed-bound by construction); the ruler is this
+  * artifact's `flagged_window_unpartitioned` plus the PlanShapeSpec
+  * "plan-inventory invariants" fence, which pins the per-query count
+  * at exactly one.
+  *
+  * Scan-pushdown classification (r17 verdict item 6): per query,
+  * `scans_unpushed` counts scans with no pushed filter at all (full
+  * scans — legitimate when the query aggregates the whole table or
+  * reads back its own written state), and `scans_filtered_unpushed`
+  * counts the real smell — scans Spark holds a data filter for that
+  * did NOT translate into a pushed source filter (at 100 TB that
+  * filter runs post-IO over every row). The flagged list makes the
+  * second class auditable by name.
   *
   * Caveat stamped into the artifact: writer queries (q43/q82/q141 …)
   * run their MERGE jobs eagerly inside the query function; the
@@ -29,6 +43,12 @@ object BenchPlans {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // structural counts are load-insensitive, but the quiet-run rule
+    // applies to every measurement main uniformly (r17 verdict item 2)
+    // — a degraded stamp beats a silent hot run
+    val (degraded, loadWaitedS) = Bench.awaitQuiet(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "3.0").toDouble,
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX_WAIT_S", "600").toInt)
     val spark = GraftSession.local(cpus.toInt)
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.exchange.{ShuffleExchangeLike, BroadcastExchangeLike}
@@ -57,6 +77,11 @@ object BenchPlans {
         "scan_cols" -> scans.map(_.requiredSchema.size).sum,
         "scans_with_pushed_filters" -> scans.count(s =>
           s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]")),
+        "scans_unpushed" -> scans.count(s =>
+          !s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]")),
+        "scans_filtered_unpushed" -> scans.count(s =>
+          s.dataFilters.nonEmpty &&
+            !s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]")),
         "wholestage_spans" -> ns.count(_.isInstanceOf[WholeStageCodegenExec]),
         "nodes" -> ns.length)
       System.err.println(s"[plans] $name " +
@@ -72,10 +97,13 @@ object BenchPlans {
     }.mkString("[", ",", "]")
     val detail = s"""{"metric":"plan_inventory","sf":"$sfDir",""" +
       s""""n_queries":${rows.length},""" +
-      s""""note":"executed post-AQE plans of each query's returned frame, walked by graft.plans.PlanWalk (the fence walker); writer queries' internal MERGE jobs are spec-pinned, not inventoried",""" +
+      s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
+      s""""loadavg":"${Bench.loadavg()}",""" +
+      s""""note":"executed post-AQE plans of each query's returned frame, walked by graft.plans.PlanWalk (the fence walker); writer queries' internal MERGE jobs are spec-pinned, not inventoried; scans_filtered_unpushed = scans holding a data filter that did not translate to a pushed source filter (the 100 TB pruning smell), scans_unpushed = scans with no pushed filter at all (full-scan-by-semantics or read-backs)",""" +
       s""""totals":${obj(totals)},""" +
       s""""flagged_cartesian":${flagged("cartesian")},""" +
       s""""flagged_window_unpartitioned":${flagged("windows_unpartitioned")},""" +
+      s""""flagged_filtered_unpushed":${flagged("scans_filtered_unpushed")},""" +
       s""""flagged_binary_shuffles":${flagged("binary_shuffles")},""" +
       s""""queries":${rows.map { case (n, cs) => "\"" + n + "\":" + obj(cs) }
         .mkString("{", ",", "}")}}"""

@@ -451,11 +451,17 @@ object EventStreams {
     // deleted-and-recreated checkpoint at the same path would replay
     // batch ids from 0 against a stale frozen base AND overwrite this
     // cycle's recorded actions — fail loudly instead of corrupting
-    // either. Residue = the actions cycle dir OR the keylog (the
-    // keylog exists iff ≥1 batch of the prior incarnation PUSHED, i.e.
-    // the store has been mutated under a base this start would
-    // stale-reuse — checked separately because a user may clean the
-    // actions dir without realising the store is the dangerous half).
+    // either. Residue = the actions cycle dir OR the keylog. The
+    // keylog exists iff ≥1 batch of the prior incarnation PASSED THE
+    // GUARD — the keylog write precedes the merge (the safe order), so
+    // a crash in the gap leaves a keylog over an UNMUTATED store and
+    // this refusal fires conservatively on residue that was actually
+    // reusable. Do NOT reorder the write after the merge to tighten
+    // the iff: that opens the real hole (merge lands, crash before
+    // logging, restart reuses a base the store has moved past).
+    // Checked separately from the actions dir because a user may clean
+    // the actions away without realising the store is the dangerous
+    // half.
     // A diffbase WITHOUT a keylog is the one safe residue: the base
     // froze but no batch ever pushed (a crash before batch 0), and
     // create-if-absent reuses it correctly.

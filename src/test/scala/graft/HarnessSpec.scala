@@ -58,6 +58,21 @@ class HarnessSpec extends AnyFunSuite {
     assert(none == (false, 0L))
   }
 
+  test("loadavg vanishing MID-WAIT ends the wait unguarded, not with a crash") {
+    // r17 advice: the deferring log line read l.get; a sampler that
+    // returns None after a first successful read (loadavg became
+    // unreadable mid-wait) reset the streak to 0 and the next log line
+    // threw NoSuchElementException — crashing the bench instead of the
+    // documented run-anyway posture. Mid-wait None now ends the wait
+    // exactly like the initial None: no evidence, run unguarded.
+    var calls = 0
+    val res = Bench.awaitQuiet(3.0, 600,
+      sample = () => { calls += 1; if (calls == 1) Some(9.0) else None },
+      sleep = s => s)
+    assert(res._1 == false, "no evidence must not label degraded")
+    assert(res._2 == 15L, "one poll gap was consumed before evidence vanished")
+  }
+
   test("the dip at the LAST poll before the deadline stays degraded") {
     // burst for the whole window, dip exactly once as time runs out:
     // the confirm sample lands past the deadline-clamped budget and

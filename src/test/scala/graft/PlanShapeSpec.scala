@@ -643,8 +643,12 @@ class PlanShapeSpec extends AnyFunSuite {
           if w.partitionSpec.isEmpty => w
       }
       if (expectUnpartitioned(name))
-        assert(unpart.nonEmpty, s"$name: the audited bounded window vanished — " +
-          "re-audit PLANS flagged_window_unpartitioned before relaxing this fence")
+        // EXACTLY one (r17 advice): nonEmpty would let an audited query
+        // grow a SECOND — possibly data-sized — global window unnoticed;
+        // all four carry exactly 1 per PLANS_r17
+        assert(unpart.length == 1, s"$name: expected exactly the one audited " +
+          s"bounded window, got ${unpart.length} — re-audit PLANS " +
+          "flagged_window_unpartitioned before relaxing this fence")
       else
         assert(unpart.isEmpty, s"$name grew an unpartitioned window: " +
           unpart.map(_.simpleStringWithNodeId()).mkString("; "))

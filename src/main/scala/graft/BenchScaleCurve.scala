@@ -45,7 +45,10 @@ object BenchScaleCurve {
     "q100_lm_perplexity", "q103b_retrieval_pruned",
     // r16: the composed curation pipeline joins the standing list —
     // the newest writer-shaped plan curves by default from now on
-    "q141_curation_pipeline")
+    "q141_curation_pipeline",
+    // r18: the trace-side composed pipeline (q142) curves alongside its
+    // morphology twin — decode-once report + classify + real MERGE
+    "q142_trace_pipeline")
 
   val DocStride = 10000000000L
   val VecStride = 1000000000L
@@ -264,6 +267,11 @@ object BenchScaleCurve {
       .split(',').map(_.trim.toInt).toSeq
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(',').map(_.trim).toSeq).getOrElse(CurveQueries)
+    // the round's quiet-run discipline, uniform across measurement
+    // mains (r17 verdict item 2)
+    val (degraded, loadWaitedS) = Bench.awaitQuiet(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "3.0").toDouble,
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX_WAIT_S", "600").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -316,9 +324,22 @@ object BenchScaleCurve {
         s""""err$f":"${e.replace("\"", "'").replace("\n", " ")}"""" }
       "\"" + name + "\":{" + (times ++ ratios ++ errs).mkString(",") + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_curve","unit":"sec","base":"$baseDir",""" +
+    val detail = s"""{"metric":"scale_curve","unit":"sec","base":"$baseDir",""" +
       s""""factors":[${factors.mkString(",")}],"warm_reps":$reps,""" +
-      s""""queries":$qjson}""")
+      s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
+      s""""loadavg":"${Bench.loadavg()}",""" +
+      s""""queries":$qjson}"""
+    println(detail)
+    // persist like every other artifact main (never overwrite)
+    sys.env.get("SPARK_GRAFT_SCALE_OUT").orElse(
+      sys.env.get("SPARK_GRAFT_ROUND").map(r => s"SCALE_CURVE_r$r.json"))
+      .foreach { requested =>
+        try {
+          val target = Bench.writeNew(detail, requested)
+          System.err.println(s"[scale] artifact persisted to $target")
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scale] could not persist $requested: $e") }
+      }
     spark.stop()
   }
 }

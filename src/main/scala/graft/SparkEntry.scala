@@ -64,6 +64,8 @@ object SparkEntry {
       Tables.part(s, d), Tables.lineitem(s, d))),
     "q141_curation_pipeline" -> ((s, d) => CurationPipeline.applyAndRead(
       s, Tables.documents(s, d))),
+    "q142_trace_pipeline" -> ((s, d) => TracePipeline.applyAndRead(
+      s, Tables.documents(s, d))),
     "q24_metadata_mapping" -> ((s, d) => Curation.metadataMapping(Tables.customer(s, d))),
     "q25_curation_annotation" -> ((s, d) => Curation.curationUpsert(
       Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2902,6 +2904,50 @@ object SparkEntry {
        |FROM ag ORDER BY trace_id""".stripMargin
   }
 
+  /** q142's oracle: the composed trace pipeline replayed in closed
+    * form — per-sweep computed classes + the deterministic mislabel
+    * rotation (the q80 chain), the validator gate as "no mislabeled
+    * sweep" (the rotation always changes the class, so mismatch ⇔
+    * mislabel), the single-cell set via the SAME recursive closure the
+    * q123 oracle uses, the three-branch action verdict, the seeded
+    * store's closed forms (types by id%7, rev id%5+1), and the merge's
+    * per-key update semantics — so the oracle value-checks the
+    * POST-MERGE store state the REAL writer produced, end-to-end
+    * through decode → validate → classify → push. */
+  private def tracePipelineSql: String = {
+    val edges = graft.operators.Traces.StimulusEdges
+      .map { case (c, p) => s"('$c', '$p')" }.mkString(", ")
+    val root = graft.operators.Traces.SingleCellRoot
+    s"""WITH RECURSIVE edges(child, parent) AS (VALUES $edges),
+       |sc(node) AS (
+       |  SELECT child FROM edges WHERE parent = '$root'
+       |  UNION
+       |  SELECT e.child FROM edges e JOIN sc ON e.parent = sc.node),
+       |p AS (SELECT doc_id, 2 + doc_id % 3 AS sweeps FROM documents),
+       |sw AS (SELECT doc_id, unnest(generate_series(0, sweeps - 1)) AS s FROM p),
+       |c AS (SELECT doc_id AS trace_id,
+       |CASE (doc_id + s) % 3 WHEN 0 THEN 'flat' WHEN 1 THEN 'step' ELSE 'ramp' END AS computed,
+       |(doc_id * 7 + s) % 13 = 0 AS mislabeled
+       |FROM sw),
+       |ag AS (SELECT trace_id,
+       |CAST(COUNT(CASE WHEN computed IN (SELECT node FROM sc) THEN 1 END) AS BIGINT) AS n_sc,
+       |coalesce(array_to_string(list_sort(list_distinct(
+       |  list(computed) FILTER (WHERE computed IN (SELECT node FROM sc)))), ','), '')
+       |  AS stimuli,
+       |BOOL_OR(mislabeled) AS any_mismatch
+       |FROM c GROUP BY 1),
+       |act AS (SELECT trace_id, stimuli FROM ag
+       |WHERE NOT any_mismatch AND n_sc > 0 AND trace_id % 7 <> 0)
+       |SELECT d.doc_id AS trace_id,
+       |CASE WHEN d.doc_id % 7 = 0 OR a.trace_id IS NOT NULL
+       |THEN 'Trace,single_cell_protocol' ELSE 'Trace' END AS types,
+       |CASE WHEN a.trace_id IS NOT NULL THEN a.stimuli ELSE '' END AS single_cell_stimuli,
+       |CAST(d.doc_id % 5 + 1 +
+       |CASE WHEN a.trace_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rev
+       |FROM documents d LEFT JOIN act a ON d.doc_id = a.trace_id
+       |ORDER BY trace_id""".stripMargin
+  }
+
   /** q99's oracle: the pivot as conditional aggregation; present-but-
     * unschematized types via the same literal registry split. */
   private def typePivotSql: String = {
@@ -3867,6 +3913,7 @@ object SparkEntry {
       ("q98_leaf_regions" -> leafRegionsSql) +
       ("q98b_neurite_features" -> neuriteFeaturesSql) +
       ("q141_curation_pipeline" -> curationPipelineSql) +
+      ("q142_trace_pipeline" -> tracePipelineSql) +
       ("q98c_section_stats" -> sectionStatsSql) +
       ("q79b_morph_extents" -> morphExtentsSql) +
       ("q80b_rep_sweep" -> repSweepSql) +

@@ -348,13 +348,25 @@ object Traces {
     * [[traceReport]] frame instead of re-decoding); the ontology
     * closure is dimension-sized and BROADCASTS; one map-side-combined
     * trace-keyed aggregate ends the plan. */
-  def singleCellTypeFix(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
+  def singleCellTypeFix(documents: DataFrame): DataFrame =
+    singleCellClassify(
+      sweepConsistencyRowLocal(documents).select("trace_id", "computed"))
+      .orderBy("trace_id")
+
+  /** the classify core of q123 over an arbitrary (trace_id, computed)
+    * per-sweep frame — ONE definition shared by the standalone operator
+    * (which derives the frame from a fresh decode) and the q142
+    * pipeline (which derives it from the PERSISTED [[traceReport]] —
+    * the deployment's decode-once read path), so the two verdicts
+    * cannot drift (the q140/q141 shared-diff discipline). Unsorted —
+    * callers order. */
+  def singleCellClassify(computedSweeps: DataFrame): DataFrame = {
+    val spark = computedSweeps.sparkSession
     import spark.implicits._
     val edges = StimulusEdges.toDF("child", "parent")
     val singleCell = Ontology.descendantsOf(edges, SingleCellRoot)
       .select(col("node")).distinct()
-    sweepConsistencyRowLocal(documents)
+    computedSweeps
       .join(broadcast(singleCell.withColumn("__sc", lit(1))),
         col("computed") === col("node"), "left")
       .groupBy(col("trace_id"))
@@ -370,7 +382,6 @@ object Traces {
           .otherwise(lit("add_type")))
       .select("trace_id", "n_single_cell_sweeps", "single_cell_stimuli",
         "already_typed", "action")
-      .orderBy("trace_id")
   }
 
   /** q139: SYMMETRIC-LINK FIX manifest — the LAST computation-bearing

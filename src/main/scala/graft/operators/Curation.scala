@@ -54,6 +54,48 @@ object Curation {
       .orderBy("p_partkey")
   }
 
+  /** q23's STATED AT-SCALE ALTERNATIVE, priced by [[graft.BenchKmv]]
+    * (r17 verdict item 4): exact countDistinct plans as a distinct
+    * expand — every distinct (partkey, suppkey) pair crosses the wire
+    * once, which makes q23 the suite's heaviest shipper (21.5 MB,
+    * BENCH_full_r17 `queries_shuffle_mb`) and is DATA-SIZED at 100 TB.
+    * The swap replaces it with the q17 KMV sketch aggregate: per-key
+    * wire payload capped at min(k, distinct) 8-byte hash minima per
+    * mapper partial, independent of the true cardinality — AND it
+    * removes the expand itself, so the plain aggregates stop being
+    * shipped twice. Measured (KMV_r18): the wire collapses even at
+    * q23's low per-key cardinality, where the sketch holds every hash
+    * and the estimate is also EXACT (error 0); the accuracy trade only
+    * appears on grains whose per-key distincts exceed k — the 100 TB
+    * shape, priced by BenchKmv's high-cardinality cell on the same
+    * tables. Estimator = the q17 (k-1)·2^60/kth form over a 60-bit
+    * uniform hash (shiftrightunsigned(xxhash64)). */
+  def featureAnnotationsKmv(part: DataFrame, lineitem: DataFrame,
+                            k: Int = 64): DataFrame = {
+    val h = shiftrightunsigned(xxhash64(col("l_suppkey")), 4)
+    val usage = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(
+        count(lit(1)).as("n_uses"),
+        sum2(col("l_quantity")).as("total_qty"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        graft.functions.KmvSketch.kmv_sketch(h, k).as("sk"))
+    val sketchSize = size(col("sk"))
+    val kth = element_at(col("sk"), sketchSize)
+    part.select("p_partkey", "p_brand")
+      .join(usage, col("p_partkey") === col("pk"), "left")
+      .select(
+        col("p_partkey"), col("p_brand"),
+        coalesce(col("n_uses"), lit(0L)).as("n_uses"),
+        col("total_qty"), col("revenue"),
+        coalesce(
+          when(sketchSize < k, sketchSize.cast(LongType))
+            .otherwise(floor(lit((k - 1).toDouble * math.pow(2, 60)) /
+              kth.cast(org.apache.spark.sql.types.DoubleType))),
+          lit(0L)).as("n_suppliers_est"))
+      .orderBy("p_partkey")
+  }
+
   /** q140: FEATURE-ANNOTATION PUSH — the reference's main
     * feature-annotation loop (/root/reference/src/neuron_morphology/
     * feature_annotations/create_update_annotations.py:85-145

@@ -27,6 +27,23 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(math.abs(est - 50000) / 50000 < 0.15, s"estimate $est")
   }
 
+  test("the q23 KMV swap is exact at the fixture's below-k cardinalities") {
+    // the BenchKmv q23_swap cell's accuracy claim as a standing fence:
+    // per-part supplier distincts sit below k=64, so the sketch holds
+    // every hash and n_suppliers_est must EQUAL q23's exact column row
+    // for row — the wire collapse (the expand removal) costs nothing
+    // here; the estimate error is only ever paid above k (the cell
+    // below and high_card_swap price that regime)
+    val part = Tables.part(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    val exact = graft.operators.Curation.featureAnnotations(part, lineitem)
+      .select(col("p_partkey"), col("n_suppliers"))
+    val est = graft.operators.Curation.featureAnnotationsKmv(part, lineitem)
+      .select(col("p_partkey"), col("n_suppliers_est").as("n_suppliers"))
+    assert(exact.exceptAll(est).count() == 0 && est.exceptAll(exact).count() == 0,
+      "below k the sketch estimate must equal the exact distinct count")
+  }
+
   test("kmv sketch works per group") {
     val docs = Tables.documents(spark, sf)
     val out = docs.groupBy("lang")

@@ -71,7 +71,8 @@ object BenchDoors {
     def cell(name: String, nRows: Long, nBatches: Int, twin: String,
              gate: (Option[Double], Boolean, Long),
              doorTimes: Seq[Double], oneBatchTimes: Seq[Double],
-             twinTimes: Seq[Double], note: String): String = {
+             twinTimes: Seq[Double], note: String,
+             extra: String = ""): String = {
       val (preLoad, degraded, waitedS) = gate
       val (dMin, dMed) = stats(doorTimes)
       val (oMin, _) = stats(oneBatchTimes)
@@ -89,7 +90,7 @@ object BenchDoors {
         s""""batch_twin":"$twin","twin_s_min":${Bench.fmt3(tMin)},"twin_s_median":${Bench.fmt3(tMed)},""" +
         s""""door_over_twin":${Bench.fmt3(dMin / tMin)},""" +
         s""""pre_run_load1":"${preLoad.getOrElse(-1.0)}",""" +
-        s""""degraded":$degraded,"load_waited_s":$waitedS,"note":"$note"}"""
+        s""""degraded":$degraded,"load_waited_s":$waitedS$extra,"note":"$note"}"""
     }
 
     // ---- cell 1: corpus screen (stateless row-local verdicts +
@@ -251,6 +252,7 @@ object BenchDoors {
       // at 1x, one-universe-per-slice at x10 (so the keylog grows by a
       // whole universe per batch)
       val kSlices = if (mult == 1) 3 else mult
+      var lastProg: Seq[(Long, Long)] = Nil
       (0 until kSlices).foreach { i =>
         val slice = if (mult == 1)
           computed.filter(pmod(hash(col("entity_id"), col("compartment")), lit(kSlices)) === i)
@@ -258,20 +260,35 @@ object BenchDoors {
           computed.filter(col("entity_id") >= i * shift && col("entity_id") < (i + 1) * shift)
         slice.coalesce(1).write.mode("append").parquet(dir)
       }
-      def door(mfpt: Option[Int]) = {
+      def doorWithProgress(mfpt: Option[Int]): (Double, Seq[(Long, Long)]) = {
         // writer door mutates its store: fresh store + actions per rep
         val storeDir = tmp("graft_doors_annpush_store") + "/store"
         val actDir = tmp("graft_doors_annpush_act")
         graft.operators.Curation.annotationStoreSeed(part).write.parquet(storeDir)
         val ckpt = tmp("graft_doors_annpush_ckpt") + "/ckpt"
-        timeIt { () =>
+        var prog: Seq[(Long, Long)] = Nil
+        val t = timeIt { () =>
           val rs = spark.readStream.schema(computed.schema)
           val q = graft.streaming.EventStreams.annotationPushSink(
             mfpt.fold(rs)(n => rs.option("maxFilesPerTrigger", n)).parquet(dir),
             part, storeDir, actDir, ckpt)
-          try q.processAllAvailable() finally q.stop()
+          try {
+            q.processAllAvailable()
+            // per-batch trigger durations, in batch order: the direct
+            // answer to "does batch cost grow as the keylog grows?" —
+            // a guard that re-read a GROWING log superlinearly would
+            // show rising durations across the cycle
+            prog = q.recentProgress.toSeq
+              .filter(_.numInputRows > 0)
+              .map(p => p.batchId ->
+                Option(p.durationMs.get("triggerExecution"))
+                  .map(_.longValue).getOrElse(-1L))
+              .sortBy(_._1)
+          } finally q.stop()
         }
+        (t, prog)
       }
+      def door(mfpt: Option[Int]): Double = doorWithProgress(mfpt)._1
       // twin = q140's own operator composition over the SAME
       // (replicated) input; at mult=1 this is exactly the q140 plan
       def twin() = timeIt { () =>
@@ -281,15 +298,22 @@ object BenchDoors {
           .queryExecution.toRdd.count(); ()
       }
       val gate = quietGate(name)
-      door(Some(1)); twin()
+      val (_, warmProg) = doorWithProgress(Some(1)); twin()
+      val doorTimes = (1 to reps).map { i =>
+        if (i == reps) { val (t, p) = doorWithProgress(Some(1)); lastProg = p; t }
+        else door(Some(1))
+      }
+      val progJson = (if (lastProg.nonEmpty) lastProg else warmProg)
+        .map { case (id, ms) => s"[$id,$ms]" }.mkString("[", ",", "]")
       cell(name, nRows, kSlices, s"Curation.annotationDiff x$mult (q140's operator)",
         gate,
-        (1 to reps).map(_ => door(Some(1))), (1 to reps).map(_ => door(None)),
+        doorTimes, (1 to reps).map(_ => door(None)),
         (1 to reps).map(_ => twin()),
         "guarded writer door: keylog disjointness check + diff + REAL copy-on-write MERGE " +
           s"per batch; twin is the diff only, so door-twin = $kSlices writer cycles + guard by construction" +
           (if (mult > 1) s"; x$mult disjoint entity universes, one universe per batch — " +
-            "batch i's guard re-reads i-1 universes of keylog" else ""))
+            "batch i's guard re-reads i-1 universes of keylog" else ""),
+        extra = s""","batch_trigger_ms":$progJson""")
     }
     val annPushCell = annPushCellAt(1, "annotation_push_door")
     System.err.println(s"[doors] annotation push done")

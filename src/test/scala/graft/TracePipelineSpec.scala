@@ -101,11 +101,17 @@ class TracePipelineSpec extends AnyFunSuite {
     val nDownstreamBinary = PlanWalks.blobExchanges(updates)
     assert(nDownstreamBinary <= 1,
       s"post-persist chain may carry binary only in the classify buffer exchange, got $nDownstreamBinary")
-    val binaryScans = PlanWalks.nodes(updates.queryExecution.executedPlan)
+    val nodes = PlanWalks.nodes(updates.queryExecution.executedPlan)
+    val binaryScans = nodes
       .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.output.exists(_.dataType == org.apache.spark.sql.types.BinaryType) => s }
     assert(binaryScans.isEmpty,
       s"the post-persist pipeline must never re-read payload bytes, got ${binaryScans.length} binary scans")
+    // and the stated no-window shape: every per-trace reduction is a
+    // map-side-combined aggregate, never a window
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the pipeline must carry no window operator")
   }
 
   test("the gate rejects exactly the closed-form mislabeled fixture ids") {

@@ -32,6 +32,18 @@ object Bench {
   def load1(): Option[Double] =
     loadavg().split(" ").headOption.flatMap(_.toDoubleOption)
 
+  /** end-of-run RAMP label (r18 verdict item 3): the quiet guard
+    * admits on load at START only, so a box that ramps mid-run ships a
+    * hot artifact stamped `degraded:false` (BENCH_full.7 admitted at
+    * 2.55 and ended at 10.21; SCALE_CURVE_r18 recorded 18.52 — both
+    * read as quiet). Every artifact main now re-samples the 1-minute
+    * load when its timed work ENDS and stamps `ramped=true` when that
+    * end-load breaches the same admission threshold — a hot cell
+    * self-labels instead of waiting for a judge to read the loadavg
+    * string. No-evidence (None) stays unlabelled, like the guard. */
+  def ramped(endLoad1: Option[Double], threshold: Double): Boolean =
+    endLoad1.exists(_ >= threshold)
+
   /** LOAD-GUARD (r15 verdict item 2): the official gate artifact was
     * the one number still exposed to box noise — BENCH_r15 started at
     * loadavg 5.97 and read 25% above three quiet runs. Bench now
@@ -216,10 +228,13 @@ object Bench {
     // warm_min_total rides the detail line too (r14): the gate quotes
     // it, and before this it existed only in the stdout summary — a
     // grep against the committed artifact could not find it
+    val loadEnd = loadavg()
+    val rampedFlag = ramped(
+      loadEnd.split(" ").headOption.flatMap(_.toDoubleOption), loadThreshold)
     val detail = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","warm_reps":$medianReps,""" +
-      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
-      s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""degraded":$degraded,"ramped":$rampedFlag,"load_waited_s":$loadWaitedS,""" +
       s""""started_utc":"$startedUtc",""" +
       s""""warm_median_total":${fmt3(warmTotal)},""" +
       s""""warm_min_total":${fmt3(results.map(_._4).sum)},""" +
@@ -257,7 +272,7 @@ object Bench {
     val warmMinTotal = results.map(_._4).sum
     val nErrors = results.count(_._5.isDefined)
     println(s"""{"metric":"warm_median_total","value":${fmt3(warmTotal)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.length},"n_errors":$nErrors,"degraded":$degraded,""" +
+      s""""sf":"$sfDir","n_queries":${results.length},"n_errors":$nErrors,"degraded":$degraded,"ramped":$rampedFlag,""" +
       s""""warm_min_total":${fmt3(warmMinTotal)},"cold_total":${fmt3(total)}}""")
     spark.stop()
   }

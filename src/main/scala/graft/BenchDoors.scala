@@ -40,13 +40,17 @@ object BenchDoors {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    /** per-cell quiet gate: wait (bounded) for the box to quiet, then
-      * stamp the load actually observed at the timed block's start. */
-    def quietGate(cellName: String): (Option[Double], Boolean, Long) = {
+    /** per-cell quiet gate: wait (bounded) for the box to quiet. The
+      * admission decision and the load STAMP are now separate (r18
+      * advice 3): the untimed warmup pair runs between this gate and
+      * the timed reps, so the stamp sampled here would understate the
+      * load at the timed block — [[cell]] samples `pre_run_load1`
+      * itself, right before forcing its (by-name) timed sequences. */
+    def quietGate(cellName: String): (Boolean, Long) = {
       val (deg, waited) = Bench.awaitQuiet(loadThreshold, loadMaxWaitS)
       if (deg) System.err.println(
         s"[doors] $cellName: load still >= $loadThreshold after ${waited}s — cell DEGRADED")
-      (Bench.load1(), deg, waited)
+      (deg, waited)
     }
 
     def tmp(prefix: String): String =
@@ -59,6 +63,18 @@ object BenchDoors {
     }
     val countSink = (b: Dataset[Row], _: Long) => { b.queryExecution.toRdd.count(); () }
 
+    /** per-batch trigger durations, in batch order: the direct answer
+      * to "does batch cost grow as the keylog grows?" — a guard that
+      * re-read a GROWING log superlinearly would show rising durations
+      * across the cycle. Shared by the two writer-door cells. */
+    def triggerProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(Long, Long)] =
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.batchId ->
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(-1L))
+        .sortBy(_._1)
+
     /** run one door rep: fresh checkpoint, AvailableNow to drain. */
     def doorRep(mk: String => org.apache.spark.sql.streaming.DataStreamWriter[Row]): Double = {
       val ckpt = tmp("graft_doors_ckpt")
@@ -68,20 +84,32 @@ object BenchDoors {
       }
     }
 
+    /** timed sequences are BY-NAME: the body samples `pre_run_load1`
+      * right before forcing them (after the call site's untimed warmup
+      * pair — the r18 advice-3 stamp fix) and `post_run_load1` right
+      * after, so `ramped` (post-load breaching the admission threshold
+      * — r18 verdict item 3: the r18 DOORS box ramped mid-run under a
+      * degraded:false label) is a per-cell self-label. */
     def cell(name: String, nRows: Long, nBatches: Int, twin: String,
-             gate: (Option[Double], Boolean, Long),
-             doorTimes: Seq[Double], oneBatchTimes: Seq[Double],
-             twinTimes: Seq[Double], note: String,
-             extra: String = ""): String = {
-      val (preLoad, degraded, waitedS) = gate
+             gate: (Boolean, Long),
+             doorTimes: => Seq[Double], oneBatchTimes: => Seq[Double],
+             twinTimes: => Seq[Double], note: String,
+             extra: => String = ""): String = {
+      val (degraded, waitedS) = gate
+      val preLoad = Bench.load1()
       val (dMin, dMed) = stats(doorTimes)
       val (oMin, _) = stats(oneBatchTimes)
       val (tMin, tMed) = stats(twinTimes)
+      val postLoad = Bench.load1()
+      val ramped = Bench.ramped(postLoad, loadThreshold)
       // the fixed-vs-per-row split: same rows drained as ONE batch vs
       // nBatches — the delta over the extra batches is the per-batch
       // machinery (offset log, state store commit, per-batch planning),
-      // which amortizes at production arrival volumes
-      val perBatch = (dMin - oMin) / (nBatches - 1).max(1)
+      // which amortizes at production arrival volumes. With nBatches
+      // == 1 (legal for sessionize under extreme timestamp duplication
+      // — r18 advice 2) the formula is undefined: stamp -1 so
+      // downstream analysis never divides by zero.
+      val perBatch = if (nBatches >= 2) (dMin - oMin) / (nBatches - 1) else -1.0
       s""""$name":{"n_rows":$nRows,"n_batches":$nBatches,""" +
         s""""door_s_min":${Bench.fmt3(dMin)},"door_s_median":${Bench.fmt3(dMed)},""" +
         s""""door_1batch_s_min":${Bench.fmt3(oMin)},""" +
@@ -90,6 +118,7 @@ object BenchDoors {
         s""""batch_twin":"$twin","twin_s_min":${Bench.fmt3(tMin)},"twin_s_median":${Bench.fmt3(tMed)},""" +
         s""""door_over_twin":${Bench.fmt3(dMin / tMin)},""" +
         s""""pre_run_load1":"${preLoad.getOrElse(-1.0)}",""" +
+        s""""post_run_load1":"${postLoad.getOrElse(-1.0)}","ramped":$ramped,""" +
         s""""degraded":$degraded,"load_waited_s":$waitedS$extra,"note":"$note"}"""
     }
 
@@ -274,16 +303,7 @@ object BenchDoors {
             part, storeDir, actDir, ckpt)
           try {
             q.processAllAvailable()
-            // per-batch trigger durations, in batch order: the direct
-            // answer to "does batch cost grow as the keylog grows?" —
-            // a guard that re-read a GROWING log superlinearly would
-            // show rising durations across the cycle
-            prog = q.recentProgress.toSeq
-              .filter(_.numInputRows > 0)
-              .map(p => p.batchId ->
-                Option(p.durationMs.get("triggerExecution"))
-                  .map(_.longValue).getOrElse(-1L))
-              .sortBy(_._1)
+            prog = triggerProgress(q)
           } finally q.stop()
         }
         (t, prog)
@@ -299,11 +319,13 @@ object BenchDoors {
       }
       val gate = quietGate(name)
       val (_, warmProg) = doorWithProgress(Some(1)); twin()
-      val doorTimes = (1 to reps).map { i =>
+      // lazy + def: forced inside cell's body (after its pre_run_load1
+      // stamp), not at the call site — the by-name discipline above
+      lazy val doorTimes = (1 to reps).map { i =>
         if (i == reps) { val (t, p) = doorWithProgress(Some(1)); lastProg = p; t }
         else door(Some(1))
       }
-      val progJson = (if (lastProg.nonEmpty) lastProg else warmProg)
+      def progJson = (if (lastProg.nonEmpty) lastProg else warmProg)
         .map { case (id, ms) => s"[$id,$ms]" }.mkString("[", ",", "]")
       cell(name, nRows, kSlices, s"Curation.annotationDiff x$mult (q140's operator)",
         gate,
@@ -320,10 +342,80 @@ object BenchDoors {
     val annPushCellX10 = annPushCellAt(10, "annotation_push_door_x10")
     System.err.println(s"[doors] annotation push x10 done")
 
+    // ---- cell 5: TRACE push (r18 verdict item 1 — the q142 door):
+    // persisted-report rows arrive per micro-batch; each batch runs the
+    // SHARED classify+gate+diff (TracePipeline.pushActions vs the
+    // frozen base) and a REAL copy-on-write MERGE keyed on trace_id.
+    // The report is built ONCE (the decode is the pipeline's stated
+    // one-time cost, not the door's) and staged as 3 trace-hash slice
+    // files — the door prices the arriving-trace steady state.
+    val tracePushCell = {
+      val docs = Tables.documents(spark, sfDir)
+      val reportDir = tmp("graft_doors_trace") + "/report"
+      graft.operators.Traces.traceReport(docs)
+        .write.mode("overwrite").parquet(reportDir)
+      val report = spark.read.parquet(reportDir)
+      val nRows = report.count()
+      val kSlices = 3
+      val dir = tmp("graft_doors_trace_src")
+      (0 until kSlices).foreach { i =>
+        report.filter(pmod(hash(col("trace_id")), lit(kSlices)) === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      var lastProg: Seq[(Long, Long)] = Nil
+      def doorWithProgress(mfpt: Option[Int]): (Double, Seq[(Long, Long)]) = {
+        // writer door mutates its store: fresh store per rep
+        val storeDir = tmp("graft_doors_trace_store") + "/store"
+        graft.operators.TracePipeline.existingStore(docs).write.parquet(storeDir)
+        val actDir = tmp("graft_doors_trace_act")
+        val ckpt = tmp("graft_doors_trace_ckpt") + "/ckpt"
+        var prog: Seq[(Long, Long)] = Nil
+        val t = timeIt { () =>
+          val rs = spark.readStream.schema(report.schema)
+          val q = graft.streaming.EventStreams.tracePushSink(
+            mfpt.fold(rs)(n => rs.option("maxFilesPerTrigger", n)).parquet(dir),
+            storeDir, actDir, ckpt)
+          try {
+            q.processAllAvailable()
+            prog = triggerProgress(q)
+          } finally q.stop()
+        }
+        (t, prog)
+      }
+      def door(mfpt: Option[Int]): Double = doorWithProgress(mfpt)._1
+      // twin = the door's own per-batch compute over the FULL report in
+      // one pass (classify + gate + diff, no writer) — door−twin =
+      // kSlices writer cycles + guard, the annotation-cell convention
+      def twin() = timeIt { () =>
+        graft.operators.TracePipeline.pushActions(report,
+            graft.operators.TracePipeline.existingStore(docs))
+          .queryExecution.toRdd.count(); ()
+      }
+      val gate = quietGate("trace_push_door")
+      val (_, warmProg) = doorWithProgress(Some(1)); twin()
+      lazy val doorTimes = (1 to reps).map { i =>
+        if (i == reps) { val (t, p) = doorWithProgress(Some(1)); lastProg = p; t }
+        else door(Some(1))
+      }
+      def progJson = (if (lastProg.nonEmpty) lastProg else warmProg)
+        .map { case (id, ms) => s"[$id,$ms]" }.mkString("[", ",", "]")
+      cell("trace_push_door", nRows, kSlices,
+        "TracePipeline.pushActions (q142's classify+gate+diff, writer excluded)",
+        gate,
+        doorTimes, (1 to reps).map(_ => door(None)),
+        (1 to reps).map(_ => twin()),
+        "guarded trace-grain writer door: keylog disjointness check + shared " +
+          "classify/gate/diff vs frozen base + REAL copy-on-write MERGE per batch; " +
+          s"input = PERSISTED report rows (decode excluded by design), so door-twin = $kSlices " +
+          "writer cycles + guard by construction",
+        extra = s""","batch_trigger_ms":$progJson""")
+    }
+    System.err.println(s"[doors] trace push done")
+
     val detail = s"""{"metric":"door_throughput","sf":"$sfDir","reps":$reps,""" +
       s""""loadavg":"${Bench.loadavg()}",""" +
       s""""note":"each door drained with Trigger.AvailableNow over maxFilesPerTrigger=1 slice files (real micro-batches); fresh checkpoint per rep; sink = per-batch toRdd.count (the Bench ruler at the door) except annotation_push whose sink IS the MERGE writer; twins run on the same session and input; door_1batch drains the SAME rows as ONE micro-batch, so (door-door_1batch)/(n_batches-1) = per-batch machinery cost, which amortizes at production arrival volumes — at this test scale the premium is batch-count, not per-row",""" +
-      s"""$screenCell,$retrievalCell,$sessionizeCell,$sessionizeCellX10,$annPushCell,$annPushCellX10}"""
+      s"""$screenCell,$retrievalCell,$sessionizeCell,$sessionizeCellX10,$annPushCell,$annPushCellX10,$tracePushCell}"""
     println(detail)
     val requested = sys.env.get("SPARK_GRAFT_DOORS").getOrElse(
       sys.env.get("SPARK_GRAFT_ROUND")

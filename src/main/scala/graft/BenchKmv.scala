@@ -108,17 +108,25 @@ object BenchKmv {
     System.err.println(s"[kmv] high_card_swap done")
 
     import Bench.fmt3
+    // mb_ratio guard (r18 advice): a 0-byte metered exact cell would
+    // emit Infinity/NaN — not valid JSON, breaking the one-line
+    // contract. -1 = "denominator was zero, ratio undefined".
+    def mbRatio(num: Double, den: Double): Double =
+      if (den > 0.0) num / den else -1.0
+    // end-of-run ramp label (r18 verdict item 3)
+    val rampedFlag = Bench.ramped(Bench.load1(),
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "3.0").toDouble)
     val detail = s"""{"metric":"kmv_swap","sf":"$sfDir","k":$k,"reps":$reps,""" +
-      s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
+      s""""degraded":$degraded,"ramped":$rampedFlag,"load_waited_s":$loadWaitedS,""" +
       s""""loadavg":"${Bench.loadavg()}",""" +
       s""""note":"prices the q17-KMV swap for exact countDistinct on the r17 fabric leaders; q22 is adjudicated NOT swappable (its 8.7 MB is entity-grain output rows, no countDistinct in the plan); q23_swap: per-key distincts sit below k so the estimate is EXACT, and the wire still collapses because removing the mixed-distinct EXPAND stops shipping every input row on two grouping sets; high_card_swap: per-key distincts >> k — the 100 TB shape — prices the MB collapse against the estimate error actually paid",""" +
       s""""q23_swap":{"exact_s_min":${fmt3(xS1)},"kmv_s_min":${fmt3(kS1)},""" +
       s""""exact_shuffle_mb":${fmt3(xMb1)},"kmv_shuffle_mb":${fmt3(kMb1)},""" +
-      s""""mb_ratio":${fmt3(kMb1 / xMb1)},""" +
+      s""""mb_ratio":${fmt3(mbRatio(kMb1, xMb1))},""" +
       s""""max_rel_err":${fmt3(maxE1)},"mean_rel_err":${fmt3(meanE1)}},""" +
       s""""high_card_swap":{"exact_s_min":${fmt3(xS2)},"kmv_s_min":${fmt3(kS2)},""" +
       s""""exact_shuffle_mb":${fmt3(xMb2)},"kmv_shuffle_mb":${fmt3(kMb2)},""" +
-      s""""mb_ratio":${fmt3(kMb2 / xMb2)},""" +
+      s""""mb_ratio":${fmt3(mbRatio(kMb2, xMb2))},""" +
       s""""max_rel_err":${fmt3(maxE2)},"mean_rel_err":${fmt3(meanE2)}}}"""
     println(detail)
     val requested = sys.env.get("SPARK_GRAFT_KMV").getOrElse(

@@ -324,9 +324,14 @@ object BenchScaleCurve {
         s""""err$f":"${e.replace("\"", "'").replace("\n", " ")}"""" }
       "\"" + name + "\":{" + (times ++ ratios ++ errs).mkString(",") + "}"
     }.mkString("{", ",", "}")
+    // end-of-run ramp label (r18 verdict item 3 — SCALE_CURVE_r18
+    // recorded loadavg 18.52 with degraded:false): re-sample when the
+    // timed work ends so a mid-run ramp self-labels
+    val rampedFlag = Bench.ramped(Bench.load1(),
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "3.0").toDouble)
     val detail = s"""{"metric":"scale_curve","unit":"sec","base":"$baseDir",""" +
       s""""factors":[${factors.mkString(",")}],"warm_reps":$reps,""" +
-      s""""degraded":$degraded,"load_waited_s":$loadWaitedS,""" +
+      s""""degraded":$degraded,"ramped":$rampedFlag,"load_waited_s":$loadWaitedS,""" +
       s""""loadavg":"${Bench.loadavg()}",""" +
       s""""queries":$qjson}"""
     println(detail)

@@ -54,8 +54,14 @@ object Curation {
       .orderBy("p_partkey")
   }
 
-  /** q23's STATED AT-SCALE ALTERNATIVE, priced by [[graft.BenchKmv]]
-    * (r17 verdict item 4): exact countDistinct plans as a distinct
+  /** q23b (r18 verdict item 4 — q23's at-scale alternative, promoted
+    * to its own oracle-checked inventory entry): priced by
+    * [[graft.BenchKmv]], value-checked against the EXACT countDistinct
+    * SQL, which is legitimate because below k distinct suppliers per
+    * part (every part at the verify SFs — KmvSketchSpec pins it) the
+    * sketch holds every distinct hash and the estimator returns the
+    * sketch size, i.e. the exact count. Exact countDistinct plans as a
+    * distinct
     * expand — every distinct (partkey, suppkey) pair crosses the wire
     * once, which makes q23 the suite's heaviest shipper (21.5 MB,
     * BENCH_full_r17 `queries_shuffle_mb`) and is DATA-SIZED at 100 TB.

@@ -107,11 +107,22 @@ object TracePipeline {
       lit("").as("single_cell_stimuli"),
       (col("doc_id") % 5 + 1).cast(LongType).as("rev"))
 
-  /** steps 2+3 composed: the add-type update batch — classify off the
+  /** steps 2+3 composed: the add-type ACTION rows — classify off the
     * persisted report via the SHARED q123 core, gate by the SHARED
     * rule verdict, look up the store row for the append + rev bump.
-    * The store side is data-sized: equi-join, no broadcast assumed. */
-  def pushUpdates(report: DataFrame, existing: DataFrame): DataFrame = {
+    * Keeps `prev_rev` as the audit column (the revision the update was
+    * computed against — what a push door records per batch); the
+    * writer-bound form is [[pushUpdates]]. ONE definition shared by
+    * the batch q142 and the streaming
+    * [[graft.streaming.EventStreams.tracePushSink]] (whose frozen diff
+    * base plays the `existing` role), so the two push verdicts cannot
+    * drift — the q140/q141 shared-diff discipline. The store side is
+    * data-sized: equi-join, no broadcast assumed. Contract: `existing`
+    * covers the classified population (a fix job runs over registered
+    * traces, and the store holds one row per registered trace by
+    * construction) — an unregistered trace_id drops from the inner
+    * join, the reference's fetch-then-update semantics. */
+  def pushActions(report: DataFrame, existing: DataFrame): DataFrame = {
     val computedSweeps = report
       .select(col("trace_id"), explode(col("sweeps.computed")).as("computed"))
     Traces.singleCellClassify(computedSweeps)
@@ -124,8 +135,14 @@ object TracePipeline {
         // the reference APPENDS the new type to the resource's list
         concat(col("ex_types"), lit(",single_cell_protocol")).as("types"),
         col("single_cell_stimuli"),
+        col("prev_rev"),
         (col("prev_rev") + 1L).as("rev"))
   }
+
+  /** the writer-bound update batch: [[pushActions]] minus the audit
+    * column — exactly the rows [[MergeWriter.applyTo]] merges. */
+  def pushUpdates(report: DataFrame, existing: DataFrame): DataFrame =
+    pushActions(report, existing).drop("prev_rev")
 
   /** q142: the whole chain — build+persist the report, seed the store,
     * compute the gated add-type updates off the persisted frame, push

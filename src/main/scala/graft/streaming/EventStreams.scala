@@ -432,94 +432,159 @@ object EventStreams {
                          checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = computed.sparkSession
+    pushCycleSink("annotationPushSink", computed, checkpoint, actionsPath,
+      Seq("entity_id", "compartment"),
+      basePath => spark.read.parquet(storePath)
+        .select(col("entity_id").as("ex_id"), col("compartment").as("ex_comp"),
+          col("rev").as("prev_rev"))
+        .write.mode("overwrite").parquet(basePath)
+    ) { (batch, batchId, basePath, cycleDir) =>
+      val s = batch.sparkSession
+      val base = s.read.parquet(basePath)
+      val actions = graft.operators.Curation.annotationDiff(
+        batch.toDF(), base, part)
+      actions.write.mode("overwrite").parquet(s"$cycleDir/batch=$batchId")
+      val updates = actions.select(
+        graft.operators.Curation.annKey(col("entity_id"), col("compartment"))
+          .as("ann_id"),
+        col("entity_id"), col("compartment"),
+        col("n_uses"), col("total_qty"),
+        (coalesce(col("prev_rev"), lit(0L)) + 1L).as("rev"))
+      graft.operators.MergeWriter.applyTo(s, storePath, updates, "ann_id")
+    }
+  }
+
+  /** q142's stream twin (r18 verdict item 1) — the TRACE-side push
+    * door: the q140 push-cycle machinery RE-KEYED to the trace store's
+    * entity grain. Arriving rows are PERSISTED-REPORT rows (the
+    * [[graft.operators.Traces.traceReport]] nested frame — one
+    * self-contained row per trace, so any batching of rows batches
+    * whole traces and per-batch classification equals the batch
+    * pipeline restricted to the batch's traces); each micro-batch runs
+    * THE SAME [[graft.operators.TracePipeline.pushActions]] the batch
+    * q142 runs — validate (shared Rule gate) → classify (the shared
+    * q123 core) → gate to valid `add_type` — against the frozen diff
+    * base, records its action rows under
+    * `actionsPath/cycle=<id>/batch=<id>`, and MERGEs the add-type
+    * updates (type appended, stimuli as evidence, rev prev+1) into the
+    * store through the real copy-on-write writer, keyed on `trace_id`
+    * alone.
+    *
+    * Grain asymmetry vs the annotation door, stated: a trace fix job
+    * UPDATES existing resources and never creates (the store holds one
+    * row per registered trace), so the frozen base is the full-store
+    * (trace_id, types, rev) snapshot, prev_rev is never null, and an
+    * arriving trace absent from the base drops (the reference's
+    * fetch-then-update semantics) instead of creating at rev 1.
+    * Everything cycle-shaped — frozen base tied to the checkpoint
+    * lifecycle, per-cycle keylog guard, cycle-namespaced actions,
+    * fresh-cycle refusal — is the SHARED [[pushCycleSink]] scaffolding,
+    * so the two doors cannot drift on the replay contract. */
+  def tracePushSink(report: DataFrame, storePath: String,
+                    actionsPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = report.sparkSession
+    pushCycleSink("tracePushSink", report, checkpoint, actionsPath,
+      Seq("trace_id"),
+      basePath => spark.read.parquet(storePath)
+        .select(col("trace_id"), col("types"), col("rev"))
+        .write.mode("overwrite").parquet(basePath)
+    ) { (batch, batchId, basePath, cycleDir) =>
+      val s = batch.sparkSession
+      val actions = graft.operators.TracePipeline.pushActions(
+        batch.toDF(), s.read.parquet(basePath))
+      actions.write.mode("overwrite").parquet(s"$cycleDir/batch=$batchId")
+      graft.operators.MergeWriter.applyTo(
+        s, storePath, actions.drop("prev_rev"), "trace_id")
+    }
+  }
+
+  /** the PUSH-CYCLE scaffolding shared by [[annotationPushSink]] and
+    * [[tracePushSink]] — everything about a guarded writer door that
+    * is grain-independent, factored once so a re-keyed door inherits
+    * the replay contract instead of re-implementing it:
+    *
+    *  - the frozen diff base at `<checkpoint>.diffbase`, created
+    *    if-absent via `freezeBase` and TIED TO THE CHECKPOINT
+    *    LIFECYCLE (a restart mid-cycle reuses it; a new cycle brings a
+    *    new checkpoint and re-freezes — the r16 stale-base fix);
+    *  - cycle-namespaced actions: `actionsPath/cycle=<id>` where the
+    *    cycle id derives from the QUALIFIED checkpoint path, so two
+    *    cycles sharing one actionsPath cannot clobber each other's
+    *    batch=<id> audit dirs;
+    *  - the FRESH-CYCLE REFUSAL: no checkpoint but residue (a
+    *    populated cycle dir OR a retained keylog) refuses to start —
+    *    a deleted-and-recreated checkpoint would replay batch ids
+    *    from 0 against a stale base. The keylog exists iff ≥1 batch of
+    *    the prior incarnation passed the guard (the keylog write
+    *    precedes the merge — the safe order; do NOT reorder it after
+    *    the merge to tighten the iff: that opens the real hole where
+    *    the merge lands, the crash precedes logging, and a restart
+    *    reuses a base the store has moved past). A diffbase WITHOUT a
+    *    keylog is the one safe residue (base froze, no batch pushed);
+    *  - the KEYLOG GUARD: base-diff ≡ push-time diff only holds when
+    *    each key appears in at most ONE micro-batch per push cycle — a
+    *    repeated key re-diffs against the frozen base and silently
+    *    overwrites its earlier merge. Every batch logs its distinct
+    *    `keyCols` under `<checkpoint>.keylog/batch=<id>`; an incoming
+    *    key already logged by a DIFFERENT batch (same-id rows are a
+    *    checkpoint replay of this very batch — excluded, idempotent)
+    *    fails the cycle loudly BEFORE any write. Guard cost: one
+    *    left-semi equi-join against a frame bounded by the keys pushed
+    *    THIS CYCLE (cycles are push-campaign-sized by construction),
+    *    never store- or corpus-sized.
+    *
+    * `body(batch, batchId, basePath, cycleDir)` supplies the
+    * grain-specific leg: diff against the frozen base, record action
+    * rows under `cycleDir/batch=<id>`, MERGE through
+    * [[graft.operators.MergeWriter]]. Every leg must stay idempotent
+    * under batch replay (overwrite writes + idempotent merge). */
+  private[streaming] def pushCycleSink(
+      sinkName: String, computed: DataFrame, checkpoint: String,
+      actionsPath: String, keyCols: Seq[String],
+      freezeBase: String => Unit)(
+      body: (Dataset[org.apache.spark.sql.Row], Long, String, String) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = computed.sparkSession
     val basePath = s"$checkpoint.diffbase"
     val keylogRoot = s"$checkpoint.keylog"
     val hPath = new org.apache.hadoop.fs.Path(basePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Actions are NAMESPACED BY PUSH CYCLE (r16 advice 2): batch ids
-    // restart at 0 with every new checkpoint, so two cycles sharing one
-    // actionsPath would silently clobber each other's batch=<id> dirs —
-    // the action history is the audit trail, losing it is corruption.
-    // The cycle id derives from the CHECKPOINT identity (qualified
-    // path, so relative/absolute spellings agree), the same identity
-    // the diff base is scoped to.
     val qualCkpt = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpoint)).toString
     val cycleId = java.security.MessageDigest.getInstance("MD5")
       .digest(qualCkpt.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val cycleDir = s"$actionsPath/cycle=$cycleId"
-    // Refuse a FRESH cycle over this checkpoint identity's residue: a
-    // deleted-and-recreated checkpoint at the same path would replay
-    // batch ids from 0 against a stale frozen base AND overwrite this
-    // cycle's recorded actions — fail loudly instead of corrupting
-    // either. Residue = the actions cycle dir OR the keylog. The
-    // keylog exists iff ≥1 batch of the prior incarnation PASSED THE
-    // GUARD — the keylog write precedes the merge (the safe order), so
-    // a crash in the gap leaves a keylog over an UNMUTATED store and
-    // this refusal fires conservatively on residue that was actually
-    // reusable. Do NOT reorder the write after the merge to tighten
-    // the iff: that opens the real hole (merge lands, crash before
-    // logging, restart reuses a base the store has moved past).
-    // Checked separately from the actions dir because a user may clean
-    // the actions away without realising the store is the dangerous
-    // half.
-    // A diffbase WITHOUT a keylog is the one safe residue: the base
-    // froze but no batch ever pushed (a crash before batch 0), and
-    // create-if-absent reuses it correctly.
     val ckptExists = fs.exists(new org.apache.hadoop.fs.Path(checkpoint))
     if (!ckptExists && (fs.exists(new org.apache.hadoop.fs.Path(cycleDir)) ||
         fs.exists(new org.apache.hadoop.fs.Path(keylogRoot))))
       throw new IllegalStateException(
-        s"annotationPushSink: checkpoint $checkpoint does not exist but this cycle " +
+        s"$sinkName: checkpoint $checkpoint does not exist but this cycle " +
         s"already holds action batches ($cycleDir) or pushed keys ($keylogRoot) — a " +
         "fresh cycle over a reused checkpoint path would clobber the recorded action " +
         "history and re-diff an already-pushed store against a stale base; use a new " +
         "checkpoint path (new cycle) or restore the original checkpoint")
     if (!fs.exists(new org.apache.hadoop.fs.Path(basePath, "_SUCCESS")))
-      spark.read.parquet(storePath)
-        .select(col("entity_id").as("ex_id"), col("compartment").as("ex_comp"),
-          col("rev").as("prev_rev"))
-        .write.mode("overwrite").parquet(basePath)
+      freezeBase(basePath)
     computed.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        // REPLAY-CONTRACT GUARD (r16 advice 1): base-diff ≡ push-time
-        // diff only holds when each (entity, compartment) key appears
-        // in at most ONE micro-batch per push cycle — a repeated key
-        // re-diffs against the frozen base and silently overwrites the
-        // earlier merge (create at rev 1 over an already-bumped row).
-        // The documented contract is now CHECKED: every batch logs its
-        // keys under <checkpoint>.keylog/batch=<id>, and an incoming
-        // key already logged by a DIFFERENT batch (same-id rows are a
-        // checkpoint replay of this very batch — excluded, idempotent)
-        // fails the cycle loudly instead of corrupting revisions.
-        val batchKeys = batch.toDF().select(col("entity_id"), col("compartment")).distinct()
+        val batchKeys = batch.toDF().select(keyCols.map(col): _*).distinct()
         if (fs.exists(new org.apache.hadoop.fs.Path(keylogRoot))) {
           val prior = s.read.parquet(keylogRoot).filter(col("batch") =!= batchId)
           val clash = batchKeys.join(
-            prior.select(col("entity_id"), col("compartment")),
-            Seq("entity_id", "compartment"), "left_semi")
+            prior.select(keyCols.map(col): _*), keyCols, "left_semi")
           val sample = clash.limit(3).collect()
           if (sample.nonEmpty)
             throw new IllegalStateException(
-              s"annotationPushSink: batch $batchId repeats keys already pushed in this " +
+              s"$sinkName: batch $batchId repeats keys already pushed in this " +
               s"cycle (e.g. ${sample.toSeq.mkString(", ")}) — the source must be a per-key " +
               "aggregate with each key in one micro-batch per cycle; a repeated key would " +
               "re-diff against the frozen base and overwrite its earlier merge")
         }
         batchKeys.write.mode("overwrite").parquet(s"$keylogRoot/batch=$batchId")
-        val base = s.read.parquet(basePath)
-        val actions = graft.operators.Curation.annotationDiff(
-          batch.toDF(), base, part)
-        actions.write.mode("overwrite").parquet(s"$cycleDir/batch=$batchId")
-        val updates = actions.select(
-          graft.operators.Curation.annKey(col("entity_id"), col("compartment"))
-            .as("ann_id"),
-          col("entity_id"), col("compartment"),
-          col("n_uses"), col("total_qty"),
-          (coalesce(col("prev_rev"), lit(0L)) + 1L).as("rev"))
-        graft.operators.MergeWriter.applyTo(s, storePath, updates, "ann_id")
+        body(batch, batchId, basePath, cycleDir)
       }
       .start()
   }

@@ -73,6 +73,17 @@ class HarnessSpec extends AnyFunSuite {
     assert(res._2 == 15L, "one poll gap was consumed before evidence vanished")
   }
 
+  test("a mid-run ramp self-labels: end-load at or over the admission threshold fires ramped") {
+    // r18 verdict item 3: BENCH_full.7 admitted at load 2.55 and ended
+    // at 10.21 under degraded:false — the artifact read as quiet. The
+    // end-of-run resample labels exactly the breach cases and nothing
+    // else; no-evidence stays unlabelled, like the admission guard.
+    assert(Bench.ramped(Some(10.21), 3.0), "the r18 ramp case must fire")
+    assert(Bench.ramped(Some(3.0), 3.0), "the admission bar itself is a breach")
+    assert(!Bench.ramped(Some(2.9), 3.0), "an end-load under the bar stays unlabelled")
+    assert(!Bench.ramped(None, 3.0), "no loadavg evidence stays unlabelled")
+  }
+
   test("the dip at the LAST poll before the deadline stays degraded") {
     // burst for the whole window, dip exactly once as time runs out:
     // the confirm sample lands past the deadline-clamped budget and

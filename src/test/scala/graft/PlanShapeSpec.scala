@@ -613,6 +613,67 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "no cartesian")
   }
 
+  test("filtered-unpushed scans carry only derived-expression screens — no plain predicate left unpushed") {
+    // the r18 adjudication, FENCED (r18 verdict item 5): PLANS_r18
+    // flagged 24 queries with ≥1 scan whose dataFilters produced no
+    // pushed source filter; PlanAudit --unpushed adjudicated every one
+    // as a derived-expression screen (hash/length/regex/modulo/array
+    // logic over the column — nothing a parquet row-group filter can
+    // express), with ZERO plain attribute-vs-literal predicates left
+    // unpushed anywhere in the suite. This fence makes the
+    // adjudication RULE executable instead of a hand list: for a
+    // sample spanning every flagged expression family plus the
+    // pushdown-bearing relational shapes, any scan carrying an
+    // untranslated PLAIN predicate (attribute-literal comparison /
+    // IsNull / In / StartsWith — exactly what a parquet source CAN
+    // push) fails the suite, not the next round's artifact diff.
+    import org.apache.spark.sql.catalyst.expressions._
+    def isAttr(e: Expression) = e.isInstanceOf[AttributeReference]
+    def plainPushable(e: Expression): Boolean = e match {
+      case b: BinaryComparison =>
+        (isAttr(b.left) && b.right.isInstanceOf[Literal]) ||
+          (b.left.isInstanceOf[Literal] && isAttr(b.right))
+      case IsNull(c) => isAttr(c)
+      case IsNotNull(c) => isAttr(c)
+      case In(v, list) => isAttr(v) && list.forall(_.isInstanceOf[Literal])
+      case InSet(v, _) => isAttr(v)
+      case StartsWith(l, r) => isAttr(l) && r.isInstanceOf[Literal]
+      case _ => false
+    }
+    val sample = Seq(
+      // flagged families (PLANS_r18): rule screens (q21b), declared-
+      // vs-computed repair (q46/q56/q128), sketch verify (q47),
+      // hash sampling (q48), shingle screens (q58/q84), posting
+      // lookup (q88), chunk rules (q102), PMI floors (q109),
+      // PII regexes (q66)
+      "q21b_violation_rows", "q46_content_metadata", "q47_heavy_hitters",
+      "q48_corpus_sample", "q56_batch_fix", "q58_decontaminate",
+      "q66_pii_scrub", "q84_bloom_decontaminate", "q88_indexed_search",
+      "q102_chunk_spans", "q109_pmi_collocations", "q128_metadata_fix",
+      // unflagged pushdown-bearing shapes: their plain predicates are
+      // pushed today, so their scans never enter the flagged set — a
+      // pushdown regression flips them in WITH a plain conjunct and
+      // fails the assert
+      "q02_filter_project", "q04_topk", "q15_interval_join")
+    sample.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.toRdd.count() // finalize the adaptive plan
+      val flaggedScans = PlanWalks.nodes(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.dataFilters.nonEmpty &&
+            !s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]") => s
+      }
+      flaggedScans.foreach { s =>
+        val plain = s.dataFilters.filter(plainPushable)
+        assert(plain.isEmpty,
+          s"$name: a scan left PLAIN predicates unpushed " +
+            s"(${plain.map(_.sql).mkString(" AND ")}) — a parquet source filter " +
+            "could express these; the adjudication rule admits derived-expression " +
+            "screens ONLY (re-run PlanAudit --unpushed before relaxing)")
+      }
+    }
+  }
+
   test("plan-inventory invariants: no cartesian; unpartitioned windows only at the four audited bounded sites") {
     // the r17 executed-plan inventory (BenchPlans/PLANS_r17) audited
     // the whole suite: ZERO CartesianProductExec anywhere (q35's

@@ -1905,6 +1905,123 @@ class StreamingSpec extends AnyFunSuite {
     } finally { computed.unpersist(blocking = false); () }
   }
 
+  test("trace-push door: per-batch actions union to batch q142; post-merge store equals the batch pipeline state") {
+    // the q142 stream twin (r18 verdict item 1): PERSISTED-REPORT rows
+    // arrive in three trace-hash micro-batches; each batch runs the
+    // SHARED TracePipeline.pushActions (classify + rule gate + diff vs
+    // the frozen base) and a real MERGE keyed on trace_id. The union
+    // of per-batch action rows must equal the batch pushActions list
+    // exactly, and the post-push store must equal batch q142's
+    // applyAndRead state row-for-row. Runs 2 RESTARTS mid-cycle on the
+    // same checkpoint — the checkpoint-restart soak: the frozen
+    // diffbase keeps later batches' prev_rev identical (a live-store
+    // diff would double-bump a replayed trace's revision).
+    import graft.operators.{TracePipeline, Traces}
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_trpush")
+    val reportDir = base.resolve("report").toString
+    Traces.traceReport(docs).write.mode("overwrite").parquet(reportDir)
+    val report = spark.read.parquet(reportDir)
+    val srcDir = base.resolve("src").toString
+    val storeDir = base.resolve("store").toString
+    val actDir = base.resolve("actions").toString
+    val ckpt = base.resolve("ckpt").toString
+    TracePipeline.existingStore(docs).write.parquet(storeDir)
+
+    val slice = pmod(hash(col("trace_id")), lit(3))
+    def drop(i: Int): Unit =
+      report.filter(slice === i).coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val q = EventStreams.tracePushSink(
+        spark.readStream.schema(report.schema).parquet(srcDir),
+        storeDir, actDir, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    drop(0)
+    run() // cycle start: freezes the diffbase, pushes slice 0
+    drop(1)
+    run() // RESTART 1: same checkpoint, same frozen base
+    drop(2)
+    run() // RESTART 2
+
+    val gotActions = spark.read.parquet(actDir).drop("batch", "cycle")
+    val wantActions = TracePipeline.pushActions(
+      report, TracePipeline.existingStore(docs))
+    assert(wantActions.count() > 0, "fixture must actually push something")
+    assert(gotActions.count() == wantActions.count() &&
+      gotActions.exceptAll(wantActions).isEmpty &&
+      wantActions.exceptAll(gotActions).isEmpty,
+      "door actions across restarts must union to the batch q142 action rows")
+
+    // the post-merge store state IS q142's output shape — compare
+    // against the batch pipeline end-to-end (its own store, same docs)
+    val got = spark.read.parquet(storeDir)
+      .select("trace_id", "types", "single_cell_stimuli", "rev")
+      .orderBy("trace_id").collect().toSeq
+    val want = TracePipeline.applyAndRead(spark, docs).collect().toSeq
+    assert(got == want,
+      "the door's post-merge store must equal the batch pipeline's state row-for-row")
+
+    // grain asymmetry holds at the door: a fix job never creates
+    assert(spark.read.parquet(storeDir).count() == docs.count(),
+      "store row count must stay the registered population (no creates)")
+  }
+
+  test("trace-push door: the shared push-cycle guards bite at the trace grain") {
+    // the re-keyed door must INHERIT the replay contract, not just the
+    // happy path: (1) a trace_id arriving in a second micro-batch of
+    // one cycle fails the keylog guard loudly, store untouched;
+    // (2) a deleted-and-recreated checkpoint over the cycle's residue
+    // refuses to construct.
+    import graft.operators.{TracePipeline, Traces}
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_trguard")
+    val reportDir = base.resolve("report").toString
+    Traces.traceReport(docs).write.mode("overwrite").parquet(reportDir)
+    val report = spark.read.parquet(reportDir)
+    val srcDir = base.resolve("src").toString
+    val storeDir = base.resolve("store").toString
+    val actDir = base.resolve("actions").toString
+    val ckpt = base.resolve("ckpt").toString
+    TracePipeline.existingStore(docs).write.parquet(storeDir)
+    val slice0 = report.filter(pmod(hash(col("trace_id")), lit(3)) === 0)
+    def run(): Unit = {
+      val q = EventStreams.tracePushSink(
+        spark.readStream.schema(report.schema).parquet(srcDir),
+        storeDir, actDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    slice0.coalesce(1).write.mode("append").parquet(srcDir)
+    run() // batch 0: pushes slice 0, logs its keys
+    val storeAfter0 = spark.read.parquet(storeDir)
+      .orderBy("trace_id").collect().toSeq
+    slice0.coalesce(1).write.mode("append").parquet(srcDir)
+    val ex = intercept[Exception] { run() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | "))
+    assert(rootMsg(ex).contains("repeats keys already pushed"),
+      s"the keylog guard must fire at the trace grain: ${rootMsg(ex).take(300)}")
+    assert(spark.read.parquet(storeDir)
+      .orderBy("trace_id").collect().toSeq == storeAfter0,
+      "a guard-failed batch must leave the store untouched")
+    // fresh cycle over residue: delete the checkpoint, keep the rest
+    def rmr(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmr(base.resolve("ckpt"))
+    val refuse = intercept[IllegalStateException] {
+      EventStreams.tracePushSink(
+        spark.readStream.schema(report.schema).parquet(srcDir),
+        storeDir, actDir, ckpt)
+    }
+    assert(refuse.getMessage.startsWith("tracePushSink:") &&
+      refuse.getMessage.contains("already holds action batches"),
+      s"reused-path fresh cycle must refuse with the door's own name: ${refuse.getMessage.take(200)}")
+  }
+
   test("annotation-push door: replay-contract guards bite — repeated key fails the cycle, reused checkpoint path refuses") {
     // r17 (advice): the two documented hazards are now CHECKED. (1) A
     // key arriving in a SECOND micro-batch of one push cycle would

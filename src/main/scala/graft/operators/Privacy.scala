@@ -153,41 +153,83 @@ object Privacy {
     * generalization rung counts), which could release a class whose
     * realized membership dipped under k.
     *
-    * Scale shape: each round is ONE map-side-combined rollup to a
-    * dimension-sized class card + a broadcast join of the FAILING keys
-    * back onto the fact rows with row-local CASE coarsening — rounds
-    * are a fixed ladder-depth constant (3), so the plan is 3 such
-    * blocks, no fact-sized shuffle anywhere but the output sort. */
+    * Scale shape (r19 optimization — guide §2.3/§3.3): the audit→
+    * coarsen loop runs on the CLASS CARD, never on the fact rows. Every
+    * row of an equivalence class moves together (the coarsening CASE
+    * reads only class-level attributes — lvl, geo, segment, and r_name,
+    * which is functionally determined by (lvl, geo) for lvl < 3 since a
+    * nation has one region and coarser rungs carry the region itself),
+    * so one map-side-combined rollup to (class × sensitive-band) rows
+    * with member counts carries EXACTLY the information each round's
+    * judge needs: n = Σ counts, distinct bands = distinct __sens rows.
+    * The three rounds then iterate that dimension-sized frame alone,
+    * and the per-row apply collapses to ONE broadcast join of the
+    * (initial class → final class) map back onto the release. The
+    * previous form re-derived the fact pipeline inside every round's
+    * self-join — the unexecuted plan held 158 Exchanges / 190
+    * BroadcastHashJoins (8 copies of the fact subtree, plan-doubling
+    * per round; plans/r19/q120c_ldiversity_apply_before.txt); this
+    * form is 2 row-local fact passes (card + apply) plus driver work on
+    * the collected dimension-sized card, regardless of ladder depth —
+    * at 100 TB the difference between 8 fact scans and 2. */
   def lDiversityApply(customer: DataFrame, nation: DataFrame,
                       region: DataFrame, k: Int = 5, l: Int = 3): DataFrame = {
     require(l >= 1, s"l must be >= 1, got $l")
-    var cur = kanonRelease(customer, nation, region, k, withSensitive = true)
+    val rel = kanonRelease(customer, nation, region, k, withSensitive = true)
       .select(col("c_custkey"), col("anon_level").as("lvl"),
         col("geo"), col("segment"), col("r_name"), col("__sens"))
-    for (_ <- 1 to 3) {
-      val failing = cur.filter(col("lvl") < 3)
-        .groupBy("lvl", "geo", "segment")
-        .agg(count(lit(1)).as("__n"), countDistinct(col("__sens")).as("__d"))
-        .filter(col("__n") < k || col("__d") < l)
-        .select(col("lvl").as("__flvl"), col("geo").as("__fgeo"),
-          col("segment").as("__fseg"))
-      cur = cur.join(broadcast(failing),
-          col("lvl") === col("__flvl") && col("geo") === col("__fgeo") &&
-            col("segment") === col("__fseg"), "left")
-        .withColumn("__fail", col("__flvl").isNotNull)
-        .select(col("c_custkey"),
-          when(!col("__fail"), col("lvl")).otherwise(col("lvl") + 1L).as("lvl"),
-          when(!col("__fail"), col("geo"))
-            .when(col("lvl") === 0L, col("r_name")) // nation → region
-            .when(col("lvl") === 1L, col("geo"))    // region stays
-            .otherwise(lit("*")).as("geo"),         // suppress
-          when(!col("__fail"), col("segment"))
-            .when(col("lvl") === 0L, col("segment"))
-            .otherwise(lit("*")).as("segment"),
-          col("r_name"), col("__sens"))
+    // ONE fact rollup: (class, r_name, sensitive band) → member count.
+    // Dimension-sized by construction (classes are bounded by the
+    // nation/region × segment dimensions × the 4-band alphabet,
+    // independent of fact row count), so it collects — the repo's
+    // model-sized-state rule: sketches/models to the driver, never
+    // population-sized frames. Iterating the card as DataFrames would
+    // re-embed the fact subtree in every round's self-join (the plan
+    // doubling this rewrite removes).
+    val cardRows = rel.groupBy("lvl", "geo", "segment", "r_name", "__sens")
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    // the ladder on the card, driver-side exact integer/string ops:
+    // (initial class, r_name, band, n) with the CURRENT class iterated.
+    final case class Cls(lvl0: Long, geo0: String, seg0: String,
+                         rName: String, sens: String, n: Long,
+                         lvl: Long, geo: String, seg: String)
+    var cur = cardRows.toSeq.map { r =>
+      val (lv, g, sg) = (r.getLong(0), r.getString(1), r.getString(2))
+      Cls(lv, g, sg, r.getString(3), r.getString(4), r.getLong(5), lv, g, sg)
     }
-    cur.select(col("c_custkey"), col("lvl").as("anon_level"),
-        col("geo"), col("segment"))
+    for (_ <- 1 to 3) {
+      // judge on ACTUAL members, replayed on the card: Σn = class size;
+      // card rows are distinct per (class, band), so the band-diversity
+      // count is the number of distinct sens values among a class's rows
+      val failing = cur.filter(_.lvl < 3)
+        .groupBy(c => (c.lvl, c.geo, c.seg))
+        .collect { case (key, rs)
+          if rs.iterator.map(_.n).sum < k ||
+            rs.iterator.map(_.sens).toSet.size < l => key }
+        .toSet
+      cur = cur.map { c =>
+        if (c.lvl < 3 && failing((c.lvl, c.geo, c.seg))) c.copy(
+          lvl = c.lvl + 1L,
+          geo = if (c.lvl == 0L) c.rName // nation → region
+                else if (c.lvl == 1L) c.geo // region stays
+                else "*",                 // suppress
+          seg = if (c.lvl == 0L) c.seg else "*")
+        else c
+      }
+    }
+    // initial class → final class: a class's band rows collapse (their
+    // trajectories are identical by construction)
+    val finalMap = cur.map(c => (c.lvl0, c.geo0, c.seg0, c.lvl, c.geo, c.seg)).distinct
+    val session = customer.sparkSession
+    import session.implicits._
+    val mapDf = finalMap.toDF("__lvl0", "__geo0", "__seg0",
+      "__flvl", "__fgeo", "__fseg")
+    rel.join(broadcast(mapDf),
+        col("lvl") === col("__lvl0") && col("geo") === col("__geo0") &&
+          col("segment") === col("__seg0"))
+      .select(col("c_custkey"), col("__flvl").as("anon_level"),
+        col("__fgeo").as("geo"), col("__fseg").as("segment"))
       .orderBy("c_custkey")
   }
 

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Voxel-atlas region resolution — the Spark form of the reference's
   * coordinate-vs-declared brain-region validation (its second-largest
   * validation module): position → voxel index → raw-volume lookup
@@ -85,19 +87,53 @@ object Atlas {
     * (v ≥ 30, like the Allen volume's id-0 outside-brain voxels, where
     * the lookup resolves to nothing). */
   def voxelGrid(spark: SparkSession, nation: DataFrame, region: DataFrame): DataFrame = {
-    val g = GridSize
-    val cells = spark.range(g.toLong * g * g)
-      .select(expr(s"id DIV ${g * g}").as("ix"),
-        expr(s"(id DIV $g) % $g").as("iy"),
-        expr(s"id % $g").as("iz"))
-      .withColumn("v", expr("(ix + 3 * iy + 7 * iz) % 32"))
-    cells
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
-        col("v") === col("n_nationkey"), "left")
-      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
-        col("v") - 25 === col("r_regionkey"), "left")
-      .select(col("ix"), col("iy"), col("iz"),
-        coalesce(col("n_name"), col("r_name")).as("computed_region"))
+    // DRIVER-SIDE dimension build (the q120c discipline): the grid is a
+    // pure function of the two collected dimension tables (25 + 5 rows)
+    // and the closed-form cell rule. Built as DataFrame joins it
+    // re-entered the plan as a fresh subtree per broadcast — q95's
+    // before-plan carried 55 exchanges / 89 dimension scans of this and
+    // the closure. A local relation broadcasts the same 4096 rows with
+    // zero scans and zero exchanges; still computed from the parquet
+    // inputs on every invocation.
+    val (nName, rName) = collectDims(nation, region)
+    val g = GridSize.toLong
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    var id = 0L
+    while (id < g * g * g) {
+      val (ix, iy, iz) = (id / (g * g), (id / g) % g, id % g)
+      val v = (ix + 3 * iy + 7 * iz) % 32
+      rows.add(org.apache.spark.sql.Row(ix, iy, iz,
+        nName.get(v).orElse(rName.get(v - 25)).orNull))
+      id += 1
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ix", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("iy", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("iz", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("computed_region",
+        org.apache.spark.sql.types.StringType))))
+  }
+
+  /** the two dimension tables collected (25 + 5 rows, once per caller
+    * invocation): nationkey → name and regionkey → (name, plus the
+    * nation→region edge list riding on [[collectEdges]]). */
+  private def collectDims(nation: DataFrame, region: DataFrame)
+      : (Map[Long, String], Map[Long, String]) = (
+    nation.select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap,
+    region.select(col("r_regionkey").cast("long"), col("r_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
+
+  /** child→parent edge list of the geo hierarchy, collected driver-side
+    * (the q29 edge rule: nation→its region via the inner join, every
+    * region→WORLD). */
+  private def collectEdges(region: DataFrame, nation: DataFrame): Seq[(String, String)] = {
+    val rName = region.select(col("r_regionkey").cast("long"), col("r_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nEdges = nation
+      .select(col("n_name"), col("n_regionkey").cast("long")).collect()
+      .flatMap(r => rName.get(r.getLong(1)).map(p => r.getString(0) -> p)).toSeq
+    nEdges ++ rName.values.toSeq.map(_ -> "WORLD")
   }
 
   /** ancestor sets over the geography ontology INCLUDING self at depth
@@ -105,15 +141,33 @@ object Atlas {
     * reference's list starts at the node itself). Built on the q29
     * closure; dimension-sized, broadcast by callers. */
   def geoAncestors(region: DataFrame, nation: DataFrame): DataFrame = {
-    val edges = nation
-      .join(region, col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_name").as("child"), col("r_name").as("parent"))
-      .unionByName(region.select(col("r_name").as("child"), lit("WORLD").as("parent")))
-    val selfRows = edges.select(col("child").as("node"))
-      .unionByName(edges.select(col("parent").as("node")))
-      .distinct()
-      .select(col("node"), col("node").as("ancestor"), lit(0).as("depth"))
-    Ontology.transitiveClosure(edges, maxDepth = 3).unionByName(selfRows)
+    // DRIVER-SIDE closure over the collected edge list (30 edges): same
+    // UNION-ALL frontier expansion as Ontology.transitiveClosure at
+    // maxDepth 3, plus the depth-0 self rows — but as a local relation,
+    // so the many broadcasts that consume it (q94/q94b judge twice per
+    // verdict column, q95 twice more) stop re-deriving the closure from
+    // the two parquet dimensions per use.
+    val spark = region.sparkSession
+    val edges = collectEdges(region, nation)
+    val parentsOf = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var frontier = edges.map { case (c, p) => (c, p, 1) }
+    var closure = frontier
+    for (_ <- 2 to 3) {
+      frontier = frontier.flatMap { case (n, a, d) =>
+        parentsOf.getOrElse(a, Nil).map(p => (n, p, d + 1)) }
+      closure = closure ++ frontier
+    }
+    val selfRows = (edges.map(_._1) ++ edges.map(_._2)).distinct.map(n => (n, n, 0))
+    spark.createDataFrame(
+      (closure ++ selfRows).map { case (n, a, d) => org.apache.spark.sql.Row(n, a, d) }
+        .asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ancestor",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("depth",
+          org.apache.spark.sql.types.IntegerType))))
   }
 
   /** the ONE hierarchy-verdict rule, shared by q94 and q94b so the
@@ -211,10 +265,15 @@ object Atlas {
                                   region: DataFrame): DataFrame = {
     val spark = customer.sparkSession
     val grid = voxelGrid(spark, nation, region)
+    // materialize the entity-sized center verdict ONCE (the q57
+    // labels discipline): it feeds both the neighbour fan-out and the
+    // final join, and the un-materialized reuse re-ran the entity scan
+    // + the volume/closure joins per use
     val center = withRelationship(
       declaredWithVoxel(customer, nation, region)
         .join(broadcast(grid), Seq("ix", "iy", "iz")),
       "declared_region", "computed_region", region, nation, "relationship")
+      .localCheckpoint()
     val offCol = array(
       Seq((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
         .map { case (a, b, c) =>

@@ -37,6 +37,14 @@ object Curation {
     * with no usage too (left join), like annotations registered for
     * every morphology whether or not features were extractable. */
   def featureAnnotations(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    // r19 wire adjudication: Spark 4.1 already plans this
+    // countDistinct-beside-plain-aggs as the two-level (partkey,
+    // suppkey) partial aggregation (NO Expand — verified in
+    // plans/r19/q23_feature_annotations_before.txt), so the 21.5 MB
+    // exchange is the distinct pair domain itself — irreducible under
+    // exact COUNT(DISTINCT) semantics (a hand-written two-level rollup
+    // reproduced the same plan shape and the same metered bytes). The
+    // at-scale answer is the promoted q23b KMV entry (0.19× wire).
     val usage = lineitem
       .groupBy(col("l_partkey").as("pk"))
       .agg(

@@ -613,7 +613,10 @@ object Dedup {
     * An unscorable edge (null Jaccard — degenerate empty shingle sets)
     * counts in n_edges but not in min/mean, same in both engines. */
   def clusterQualityAudit(docs: DataFrame, k: Int = 3): DataFrame = {
-    val edges = minhashCandidatePairs(docs)
+    // materialize the banded candidate edges ONCE (edge-sized): both
+    // consumers — the exact-Jaccard scoring joins and the CC fixpoint —
+    // otherwise re-run the full MinHash banding pass over the corpus
+    val edges = minhashCandidatePairs(docs).localCheckpoint()
     val sets = docs.select(col("doc_id"), shingleSet(col("text"), k).as("sh"))
     val scored = edges
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -799,10 +802,15 @@ object Dedup {
     * members, linearly on cluster_id. */
   def splitRepair(docs: DataFrame, valBp: Int, testBp: Int, k: Int = 3,
                   minJaccardBp: Long = VerifiedEdgeBp): DataFrame = {
-    val members = verifiedClusters(docs, k, minJaccardBp)
-      .select(col("doc_id"), col("cluster_id"))
+    // compose the UNORDERED clustering core and materialize the member
+    // frame ONCE (3 narrow columns per doc): it feeds both the leaking-
+    // cluster rollup and the member join-back, and the un-materialized
+    // reuse re-ran the split assignment + the label sort per use
+    val members = propagateLabels(docs, verifiedEdges(docs, k, minJaccardBp))
+      .select(col("doc_id"), col("label").as("cluster_id"))
       .join(graft.operators.Corpus.datasetSplit(docs, valBp, testBp)
         .select(col("doc_id"), col("split")), Seq("doc_id"))
+      .localCheckpoint()
     val leaking = members.groupBy("cluster_id")
       .agg(max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
         max(when(col("split") === "val", 1).otherwise(0)).as("has_val"),
@@ -1546,7 +1554,14 @@ object Dedup {
   /** the probe half of [[releaseDedup]] against pre-collapsed frozen
     * stores — what a deployment actually pays per batch. */
   def releaseDedupWithStores(fpStore: DataFrame, bandStore: DataFrame,
-                             incoming: DataFrame): DataFrame = {
+                             incoming: DataFrame): DataFrame =
+    releaseVerdictsUnordered(fpStore, bandStore, incoming).orderBy("doc_id")
+
+  /** the unordered verdict core of [[releaseDedupWithStores]] — q108b
+    * materializes this once and re-sorts at the end, so the confirm
+    * pass never re-derives the store collapse. */
+  private def releaseVerdictsUnordered(fpStore: DataFrame, bandStore: DataFrame,
+                                       incoming: DataFrame): DataFrame = {
     val incFp = incoming
       .select(col("doc_id"), col("lang"),
         TextAnalysis.fingerprintCol(col("text")).as("fp"))
@@ -1565,7 +1580,6 @@ object Dedup {
         when(col("fp_min").isNotNull, col("fp_min"))
           .otherwise(col("near_min")).as("dup_of"),
         coalesce(col("n_bands_matched"), lit(0L)).as("n_bands_matched"))
-      .orderBy("doc_id")
   }
 
   /** minimum exact 3-gram Jaccard (basis points) for a band-proposed
@@ -1595,7 +1609,14 @@ object Dedup {
     * join ever exceeds one row per incoming doc. */
   def releaseDedupConfirmed(store: DataFrame, incoming: DataFrame,
                             k: Int = 3): DataFrame = {
-    val verdicts = releaseDedup(store, incoming)
+    // materialize the batch-sized q108 verdict frame ONCE: the confirm
+    // reuses it four ways (candidate election, both text semi-joins,
+    // the final verdict join), and an un-materialized reuse re-derives
+    // the full store collapse per use (the before-plan held 4 copies of
+    // the q108 subtree: 32 exchanges / 18 scans)
+    val (fpStore, bandStore) = releaseStores(store)
+    val verdicts =
+      releaseVerdictsUnordered(fpStore, bandStore, incoming).localCheckpoint()
     val cand = verdicts.filter(col("verdict") === "near")
       .select(col("doc_id"), col("dup_of"))
     val incSh = incoming

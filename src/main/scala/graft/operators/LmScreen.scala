@@ -176,20 +176,42 @@ object LmScreen {
     * The grouped vocabulary election runs on the repo's bounded-heap
     * TopKPerKey operator (per-partition heaps, ≤ K rows per group to
     * the final stage) — the global one on TakeOrdered. */
-  private[operators] def model(docs: DataFrame, gk: Seq[String] = Nil)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** the LAZY vocabulary-election frame — top-[[VocabK]] train tokens
+    * under the total (count desc, token asc) order, via the K-bounded
+    * distributed top-K (global: TakeOrdered; grouped: the bounded-heap
+    * TopKPerKey). Exposed so PlanShapeSpec can pin the election shape
+    * now that [[model]] collects its result. */
+  private[graft] def vocabElection(docs: DataFrame, gk: Seq[String]): DataFrame = {
     val train = docs.filter(pmod(col("doc_id"), lit(TrainMod.toLong)) === 0)
     val counts = train
       .select(gk.map(col) :+ explode(tokCol).as("tok"): _*)
       .groupBy(gk :+ "tok" map col: _*).agg(count(lit(1)).as("cnt"))
-    val vocab =
-      (if (gk.isEmpty) counts.orderBy(col("cnt").desc, col("tok").asc).limit(VocabK)
-       else graft.plans.TopKPerKey(counts, gk.map(col),
-         Seq(col("cnt").desc, col("tok").asc), VocabK))
-        .select(gk :+ "tok" map col: _*)
-    val pairCounts = mappedBigrams(train, vocab, gk)
+    (if (gk.isEmpty) counts.orderBy(col("cnt").desc, col("tok").asc).limit(VocabK)
+     else graft.plans.TopKPerKey(counts, gk.map(col),
+       Seq(col("cnt").desc, col("tok").asc), VocabK))
+      .select(gk :+ "tok" map col: _*)
+  }
+
+  private[operators] def model(docs: DataFrame, gk: Seq[String] = Nil)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // every frame built here is MODEL-sized (≤ (K+1)² rows per group) —
+    // collect the two that anchor corpus scans (vocab election, mapped
+    // bigram counts) and re-enter them as local relations: left lazy,
+    // every downstream broadcast re-executes the full train-scan
+    // lineage per use (the q100 before-plan embedded the training
+    // subtree repeatedly — 32 exchanges / 15 corpus scans; q100b worse,
+    // with the per-lang TopKPerKey election re-run per broadcast).
+    // Still computed from the parquet inputs on every invocation —
+    // nothing persists across runs.
+    val spark = docs.sparkSession
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val train = docs.filter(pmod(col("doc_id"), lit(TrainMod.toLong)) === 0)
+    val vocab = localize(vocabElection(docs, gk))
+    val pairCounts = localize(mappedBigrams(train, vocab, gk)
       .filter(!col("is_doc"))
-      .groupBy(gk ++ Seq("m1", "m2") map col: _*).agg(count(lit(1)).as("c2"))
+      .groupBy(gk ++ Seq("m1", "m2") map col: _*).agg(count(lit(1)).as("c2")))
     val ctxCounts = pairCounts
       .groupBy(gk :+ "m1" map col: _*).agg(sum("c2").as("c1"))
     // V+1: vocab classes + unk — the Laplace smoothing domain, per group

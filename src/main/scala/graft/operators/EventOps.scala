@@ -90,6 +90,11 @@ object EventOps {
     // map-side min. The N-step generalization IS the implementation
     // shape: a deployment declares its own step list; the 3-step
     // [[FunnelSteps]] literal stays the inventory entry.
+    // NOT checkpointed (r19 A/B): materializing each frame traded the
+    // re-derived event scans for 3 eager checkpoint jobs and measured
+    // ~0.15s SLOWER per funnel query at the bench SF (alternating A/B,
+    // 3 rounds) — the re-derivation is cheaper than the materialization
+    // at this frame count; revisit only if the step list grows deep
     val s1 = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
     steps.zipWithIndex.drop(1)
@@ -337,6 +342,22 @@ object EventOps {
     * small and skew-free can call [[eventTransitionsWindowed]], the
     * cheaper plain-lag form kept as the spec baseline. */
   def eventTransitions(events: DataFrame): DataFrame = {
+    // the edge matrix is type²-dimension-sized, but its LINEAGE is the
+    // whole segmented-lag pass — materialize once so the outgoing
+    // rollup and the share join don't re-run the event windows
+    val edges = transitionEdgesLazy(events).localCheckpoint()
+    val outgoing = edges.groupBy("prev_type")
+      .agg(sum(col("n")).as("out_n"))
+    edges.join(broadcast(outgoing), Seq("prev_type"))
+      .withColumn("share_bp", expr("(10000 * n) DIV out_n"))
+      .select("prev_type", "next_type", "n", "share_bp")
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** the LAZY segmented-lag edge frame (bucket-local struct lag +
+    * stitch + the (prev, next) rollup) — exposed for the plan pin now
+    * that [[eventTransitions]] materializes it. */
+  private[graft] def transitionEdgesLazy(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
       .withColumn("__bkt", expr(s"unix_micros(ts) DIV $TransitionBucketUs"))
@@ -358,7 +379,7 @@ object EventOps {
     val stitch = lasts
       .withColumn("__stitch_prev", lag(col("__last.event_type"), 1).over(wBkt))
       .select("user_id", "__bkt", "__stitch_prev")
-    val edges = local
+    local
       .join(stitch, Seq("user_id", "__bkt"), "left")
       .withColumn("prev_type",
         when(col("__prev_row").isNull, col("__stitch_prev"))
@@ -366,12 +387,6 @@ object EventOps {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val outgoing = edges.groupBy("prev_type")
-      .agg(sum(col("n")).as("out_n"))
-    edges.join(broadcast(outgoing), Seq("prev_type"))
-      .withColumn("share_bp", expr("(10000 * n) DIV out_n"))
-      .select("prev_type", "next_type", "n", "share_bp")
-      .orderBy("prev_type", "next_type")
   }
 
   /** q135's segment width: 15-minute lag buckets — wide enough that a
@@ -415,8 +430,12 @@ object EventOps {
     * offset, user) distinct combines map-side; the final matrix is
     * (weeks × offsets)-sized. Dates only (the TIMESTAMP gotcha). */
   def retentionCohorts(events: DataFrame): DataFrame = {
+    // one row per user — materialized once, since both the cohort-size
+    // rollup and the activity join consume it (left lazy, the
+    // first-event election re-scans the event stream per use)
     val firsts = events.groupBy("user_id")
       .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      .localCheckpoint()
     val cohortSizes = firsts.groupBy("cohort_week")
       .agg(count(lit(1)).as("n_users"))
     val active = events

@@ -288,16 +288,22 @@ object Frequency {
     * ONE map-side-combined (lang, w1, w2) count — ≤ V² rows per lang
     * survive, so marginals, N, the kernel and the election all run on
     * model-sized frames. */
-  def pmiCollocations(docs: DataFrame): DataFrame = {
-    import graft.functions.LogExpressions.log2mb
+  /** the LAZY restricted-pair count frame (vocab election + the two
+    * broadcast semi-joins + the one map-side-combined pair count) —
+    * exposed for the plan pin now that [[pmiCollocations]] localizes
+    * its result. */
+  private[graft] def pmiPairCounts(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("lang"),
       expr("split(trim(lower(coalesce(text, ''))), ' +')").as("tk"))
     val counts = toks.select(col("lang"), explode(col("tk")).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-    val vocab = graft.plans.TopKPerKey(counts, Seq(col("lang")),
-        Seq(col("cnt").desc, col("tok").asc), PmiVocabK)
-      .select("lang", "tok")
-    val pairs = toks.select(col("lang"), explode(expr(
+    // vocab (≤ V·langs rows) is MODEL-sized — localized so the election
+    // runs once instead of per semi-join broadcast
+    val vocab = Scale.localized(
+      graft.plans.TopKPerKey(counts, Seq(col("lang")),
+          Seq(col("cnt").desc, col("tok").asc), PmiVocabK)
+        .select("lang", "tok"))
+    toks.select(col("lang"), explode(expr(
         """CASE WHEN size(tk) >= 2
           |THEN transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
           |ELSE array() END""".stripMargin)).as("p"))
@@ -306,7 +312,16 @@ object Frequency {
         Seq("lang", "w1"), "left_semi")
       .join(broadcast(vocab.select(col("lang"), col("tok").as("w2"))),
         Seq("lang", "w2"), "left_semi")
-    val pairCounts = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_pair"))
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_pair"))
+  }
+
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    import graft.functions.LogExpressions.log2mb
+    // the restricted pair counts (≤ V² per lang) are MODEL-sized —
+    // localized so the pair pipeline runs once: left lazy, it re-ran
+    // for each of its four consumers (marginals ×2, totals, scoring) —
+    // 12 corpus scans / 26 exchanges in the before-plan
+    val pairCounts = Scale.localized(pmiPairCounts(docs))
     val m1 = pairCounts.groupBy("lang", "w1").agg(sum("c_pair").as("c1"))
     val m2 = pairCounts.groupBy("lang", "w2").agg(sum("c_pair").as("c2"))
     val nl = pairCounts.groupBy("lang").agg(sum("c_pair").as("n_pairs"))
@@ -359,12 +374,28 @@ object Frequency {
     def toks(rel: DataFrame) = rel.select(
       explode(expr("split(trim(lower(coalesce(text, ''))), ' +')")).as("tok"))
     val ta = toks(relA)
-    val vocab = ta.groupBy("tok").agg(count(lit(1)).as("c_a"))
-      .orderBy(col("c_a").desc, col("tok").asc).limit(DriftVocabK)
-    val cb = toks(relB).join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
-      .groupBy("tok").agg(count(lit(1)).as("c_b"))
-    val na = ta.agg(count(lit(1)).as("n_a"))
-    val nb = toks(relB).agg(count(lit(1)).as("n_b"))
+    // ONE scan per release (the before-plan paid 3 of A and 2 of B):
+    // A's full token counts are checkpointed — the vocabulary election,
+    // its grand total (n_a == Σ counts == token count) and the tracked
+    // rows all derive from the materialized frame; B restricts to the
+    // tracked tokens ROW-LOCALLY (literal membership over the ≤K
+    // collected vocab) so its tracked counts and its total come out of
+    // the same aggregate (null group = every untracked token).
+    val countsA = ta.groupBy("tok").agg(count(lit(1)).as("c_a")).localCheckpoint()
+    val vocab = graft.operators.Scale.localized(
+      countsA.orderBy(col("c_a").desc, col("tok").asc).limit(DriftVocabK))
+    val vset = vocab.collect().map(_.getString(0)).toSeq
+    val bAgg = graft.operators.Scale.localized(
+      toks(relB)
+        .select(when(if (vset.isEmpty) lit(false) else col("tok").isin(vset: _*),
+          col("tok")).as("vt"))
+        .groupBy("vt").agg(count(lit(1)).as("c")))
+    val cb = bAgg.filter(col("vt").isNotNull)
+      .select(col("vt").as("tok"), col("c").as("c_b"))
+    // coalesce(…, 0): an empty release must yield total 0 (the old
+    // count(*) semantics), not a null that would null the kernel
+    val na = countsA.agg(coalesce(sum("c_a"), lit(0L)).as("n_a"))
+    val nb = bAgg.agg(coalesce(sum("c"), lit(0L)).as("n_b"))
     val scored = vocab
       .join(cb, Seq("tok"), "left")
       .na.fill(0L, Seq("c_b"))

@@ -203,10 +203,7 @@ object LmScreen {
     // with the per-lang TopKPerKey election re-run per broadcast).
     // Still computed from the parquet inputs on every invocation —
     // nothing persists across runs.
-    val spark = docs.sparkSession
-    def localize(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    def localize(df: DataFrame): DataFrame = Scale.localized(df)
     val train = docs.filter(pmod(col("doc_id"), lit(TrainMod.toLong)) === 0)
     val vocab = localize(vocabElection(docs, gk))
     val pairCounts = localize(mappedBigrams(train, vocab, gk)

@@ -112,8 +112,13 @@ object Privacy {
     // NAME, so a row referencing an unknown nation has a null key,
     // fails the (null-unsafe) rung joins below and suppresses — the
     // documented conservative contract.
-    val g = base.groupBy("n_name", "r_name", "c_mktsegment")
-      .agg(count(lit(1)).as("__c"))
+    // dimension-sized (≤ nation × segment rows) and consumed by all
+    // three rung rollups — localized so the fact groupBy runs ONCE
+    // (left lazy, each rung's broadcast re-ran the fact pass: the
+    // before-plan paid 4 fact scans, this pays 2 — the rung card and
+    // the final join)
+    val g = Scale.localized(base.groupBy("n_name", "r_name", "c_mktsegment")
+      .agg(count(lit(1)).as("__c")))
     val l0 = g.groupBy("n_name", "c_mktsegment").agg(sum("__c").as("n0"))
     val l1 = g.groupBy("r_name", "c_mktsegment").agg(sum("__c").as("n1"))
     val l2 = g.groupBy("r_name").agg(sum("__c").as("n2"))

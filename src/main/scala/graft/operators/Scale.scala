@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Collect a MODEL-sized frame (bounded by a vocabulary/model/
+    * dimension constant, never by the data) and re-enter it as a local
+    * relation. A lazy model frame re-executes its full lineage once
+    * per consuming broadcast/exchange — the r19 plan-collapse finding
+    * (q100's before-plan held 15 corpus scans of the LM training
+    * subtree). Still computed from the source tables on every
+    * invocation; nothing persists across runs. */
+  def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Inner join with the left side's hot keys spread over `salts`
     * sub-keys and the right side replicated once per salt. Result
     * multiplicity is identical to a plain inner join: each left row

@@ -1388,7 +1388,11 @@ object Similarity {
       .select(col("vec_id"), col("cell").as("cell_a"), col("cos_bp").as("cos_a"))
     val b = clusterAssignWithModel(embB, cents)
       .select(col("vec_id"), col("cell").as("cell_b"), col("cos_bp").as("cos_b"))
-    val j = a.join(b, Seq("vec_id"), "full_outer")
+    // materialize the assignment join ONCE (5 narrow columns per
+    // vector): both per-cell rollups consume it, and the
+    // un-materialized reuse re-ran both assignment scans + the
+    // full-outer join per side (the r19 re-derivation finding)
+    val j = a.join(b, Seq("vec_id"), "full_outer").localCheckpoint()
     val ga = j.filter(col("cell_a").isNotNull).groupBy(col("cell_a"))
       .agg(count(lit(1)).as("n_a"), sum(col("cos_a")).as("sa"),
         sum(when(col("cell_b").isNull || col("cell_b") =!= col("cell_a"), 1L)

@@ -878,8 +878,15 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     }
     val plan = Frequency.pmiCollocations(docs).queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("LeftSemi"), "vocab restriction is broadcast semi-joins")
-    assert(!plan.contains("SortMergeJoin"), "model-sized frames must broadcast")
+    // r19: the pair pipeline is localized (model-sized), so the vocab
+    // semi-joins live in ITS plan and the final plan reads no file at
+    // all — the corpus is scanned once per invocation, at collect time
+    val pairPlan = Frequency.pmiPairCounts(docs).queryExecution.executedPlan.toString()
+    assert(pairPlan.contains("LeftSemi"), "vocab restriction is broadcast semi-joins")
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      "the scoring plan must run on the localized pair counts only")
+    assert(!plan.contains("SortMergeJoin") && !pairPlan.contains("SortMergeJoin"),
+      "model-sized frames must broadcast")
     // the only Window is the rank over ≤PmiTopK TopKPerKey survivors
     // (AQE prints final + initial plans: the one node appears twice)
     assert(plan.split("Window \\[").length - 1 <= 2,
@@ -1018,8 +1025,11 @@ class FrequencyCorpusSpec extends AnyFunSuite {
     assert(EventOps.eventTransitions(ev).collect().toSeq ==
       EventOps.eventTransitionsWindowed(ev).collect().toSeq)
     // plan shape: the only event-sized window is (user, bucket)-keyed —
-    // no Window partitioned by user_id alone over the raw events
-    val df = EventOps.eventTransitions(ev)
+    // no Window partitioned by user_id alone over the raw events.
+    // r19: the edge frame is materialized (its two consumers otherwise
+    // re-ran the whole segmented pass), so the window pin reads the
+    // exposed lazy edge frame
+    val df = EventOps.transitionEdgesLazy(ev)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("__bkt"), "the segmented plan must key windows by (user, bucket)")

@@ -25,6 +25,19 @@ object PlanAudit {
       }
       spark.stop(); return
     }
+    // --executed <names...>: run each query and print the FINAL
+    // post-AQE executed plan (explain formatted shows the initial
+    // adaptive plan only — runtime decisions like ReusedExchange and
+    // AQE join rewrites are invisible there).
+    if (args.headOption.contains("--executed")) {
+      args.drop(1).foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        println(s"\n========== $n (executed) ==========")
+        println(df.queryExecution.executedPlan.toString())
+      }
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q03_join_revenue", "q22_quality_metrics",
         "q31_dedup_minhash", "q34_dedup_embedding", "q50_stream_window",

@@ -115,8 +115,11 @@ object Atlas {
   }
 
   /** the two dimension tables collected (25 + 5 rows, once per caller
-    * invocation): nationkey → name and regionkey → (name, plus the
-    * nation→region edge list riding on [[collectEdges]]). */
+    * invocation): nationkey → name and regionkey → name. Independent
+    * of [[collectEdges]] — an operator that needs both maps AND the
+    * edge list pays two tiny driver jobs per dimension table (the
+    * collects are 25/5-row reads; deduplicating them across the two
+    * helpers is not worth coupling their call sites). */
   private def collectDims(nation: DataFrame, region: DataFrame)
       : (Map[Long, String], Map[Long, String]) = (
     nation.select(col("n_nationkey").cast("long"), col("n_name")).collect()
@@ -268,7 +271,14 @@ object Atlas {
     // materialize the entity-sized center verdict ONCE (the q57
     // labels discipline): it feeds both the neighbour fan-out and the
     // final join, and the un-materialized reuse re-ran the entity scan
-    // + the volume/closure joins per use
+    // + the volume/closure joins per use.
+    // CAVEAT at deployment scale: localCheckpoint pins an ENTITY-sized
+    // frame in executor storage with no lineage to recover on executor
+    // loss — a failure mid-query fails the query (retry = re-run).
+    // Deliberate for a report query (cheap to re-run; the alternative
+    // re-derives the verdict subtree per consumer); a deployment that
+    // needs mid-query fault tolerance swaps this for reliable
+    // checkpointing at the price of a write+read cycle.
     val center = withRelationship(
       declaredWithVoxel(customer, nation, region)
         .join(broadcast(grid), Seq("ix", "iy", "iz")),

@@ -237,10 +237,17 @@ object Corpus {
     }
     val toks = docs.select(col("doc_id"), col("source"),
       tokenCountCol.as("n_tokens"))
-    val stats = toks.groupBy("source").agg(
+    // SOURCE-dimension-sized stats, localized (r20): left lazy, every
+    // downstream crossJoin/broadcast (w_total, binding min, rates) re-
+    // derived the full tokenize+rollup corpus pass — 9 scans / 16
+    // exchanges in the before-plan. Collected once, the rate model is
+    // local arithmetic and the final plan scans the corpus exactly
+    // once (the keep pass). Still computed from the parquet inputs on
+    // every invocation; construction executes the stats job eagerly.
+    val stats = Scale.localized(toks.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).cast(LongType).as("avail_tokens"))
-      .withColumn("weight_bp", weightCol)
+      .withColumn("weight_bp", weightCol))
     val wTotal = stats.agg(sum(col("weight_bp")).cast(LongType).as("w_total"))
     val scaled = stats.crossJoin(broadcast(wTotal))
       .withColumn("tot_if_binding",
@@ -335,9 +342,14 @@ object Corpus {
        |ELSE $s0 END""".stripMargin
 
   def temperatureMix(docs: DataFrame): DataFrame = {
-    val stats = docs.select(col("lang"), tokenCountCol.as("n_tokens"))
+    // LANGUAGE-dimension-sized stats, localized (r20, the q62 rule):
+    // left lazy, the broadcast total crossJoin re-derived the
+    // tokenize+rollup corpus pass — 2 corpus scans per run here and a
+    // third via q117b's plan side. One eager stats job at build; the
+    // isqrt/share/target arithmetic is local-relation work.
+    val stats = Scale.localized(docs.select(col("lang"), tokenCountCol.as("n_tokens"))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("n_tokens"), lit(0L)).cast(LongType).as("n_tokens"))
+        coalesce(sum("n_tokens"), lit(0L)).cast(LongType).as("n_tokens")))
     val w = stats
       .withColumn("__s0", expr(isqrtSeedSql("n_tokens")))
       .withColumn("w", expr(isqrtCorrectSql("n_tokens", "__s0")))

@@ -93,9 +93,17 @@ object Dedup {
   }
 
   /** candidate pairs (doc_a < doc_b) from MinHash band buckets — the
-    * scale-safe alternative to all-pairs. */
+    * scale-safe alternative to all-pairs.
+    *
+    * ONE banding pass (r20, guide §2.4 "share one exchange"): the band
+    * frame is shuffled once on its bucket key and BOTH sides of the
+    * self-join project off that same exchange (ReusedExchange —
+    * plan-pinned). The previous renamed-projection self-join computed
+    * the full shingle→signature pipeline once PER SIDE: two corpus
+    * scans and two signature passes for one logical banding, at every
+    * call site (q33/q59/q57/q124b/q125/q133 all pay it). */
   def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val b = minhashBands(docs)
+    val b = minhashBands(docs).repartition(col("band_idx"), col("band_hash"))
     val left = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val right = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     left.join(right, Seq("band_idx", "band_hash"))
@@ -1431,8 +1439,13 @@ object Dedup {
   def leakAttribution(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
     val w = windowTokens
     require(w >= 1, s"windowTokens must be >= 1, got $w")
+    // materialized ONCE (r20): the eval-suite-sized window set feeds
+    // both the broadcast attribution join and the totals rollup —
+    // un-materialized, each consumer re-ran the benchmark-side
+    // tokenize+window+distinct pass (2 scans / 2 window passes)
     val benchWins = windowHashes(docs.filter(isBenchmark(col("doc_id"))), w)
       .select(col("doc_id").as("bench_doc_id"), col("h")).distinct()
+      .localCheckpoint()
     // ONE broadcast inner join restricts AND attributes: an equi-join
     // already keeps only matching windows, so a semi-join prefix would
     // just probe the same hash set twice per corpus window

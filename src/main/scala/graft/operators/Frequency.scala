@@ -265,29 +265,6 @@ object Frequency {
     * collocation. */
   val PmiMinPair = 3L
 
-  /** q109: PMI COLLOCATIONS per language — the corpus-analysis card
-    * behind tokenizer-vocabulary and stopword decisions (which
-    * adjacent word pairs cohere far beyond chance): for each language,
-    * the top-[[PmiTopK]] adjacent pairs over the top-[[PmiVocabK]]
-    * vocabulary by pointwise mutual information,
-    * PMI = log2( c(a,b)·N / (c₁(a)·c₂(b)) ) with marginals taken over
-    * the restricted pair domain (so Σ_b c(a,b) = c₁(a) exactly).
-    *
-    * EXACTNESS: PMI is irrational; it is DEFINED here in 1/1024-bit
-    * units as the SIGNED sum of four fixed-point floor-logs on the
-    * q100 kernel — l(c_pair) + l(N) − l(c₁) − l(c₂) with
-    * l(x) = log2mb(1, x) — each argument a plain count < 2⁶², so the
-    * form never multiplies counts and cannot overflow at ANY corpus
-    * size (c·N products would pass 2⁶³ at ~10¹³ pairs). The oracle
-    * replays the four cascades digit-for-digit via one dom union.
-    *
-    * Scale shape: the vocabulary is the bounded-heap TopKPerKey
-    * election (a per-lang count window would serialize the dominant
-    * language); the pair stream is restricted row-locally by two
-    * BROADCAST left-semi joins against the ≤ V·langs vocab before the
-    * ONE map-side-combined (lang, w1, w2) count — ≤ V² rows per lang
-    * survive, so marginals, N, the kernel and the election all run on
-    * model-sized frames. */
   /** the LAZY restricted-pair count frame (vocab election + the two
     * broadcast semi-joins + the one map-side-combined pair count) —
     * exposed for the plan pin now that [[pmiCollocations]] localizes
@@ -315,6 +292,34 @@ object Frequency {
       .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_pair"))
   }
 
+  /** q109: PMI COLLOCATIONS per language — the corpus-analysis card
+    * behind tokenizer-vocabulary and stopword decisions (which
+    * adjacent word pairs cohere far beyond chance): for each language,
+    * the top-[[PmiTopK]] adjacent pairs over the top-[[PmiVocabK]]
+    * vocabulary by pointwise mutual information,
+    * PMI = log2( c(a,b)·N / (c₁(a)·c₂(b)) ) with marginals taken over
+    * the restricted pair domain (so Σ_b c(a,b) = c₁(a) exactly).
+    *
+    * EXACTNESS: PMI is irrational; it is DEFINED here in 1/1024-bit
+    * units as the SIGNED sum of four fixed-point floor-logs on the
+    * q100 kernel — l(c_pair) + l(N) − l(c₁) − l(c₂) with
+    * l(x) = log2mb(1, x) — each argument a plain count < 2⁶², so the
+    * form never multiplies counts and cannot overflow at ANY corpus
+    * size (c·N products would pass 2⁶³ at ~10¹³ pairs). The oracle
+    * replays the four cascades digit-for-digit via one dom union.
+    *
+    * Scale shape: the vocabulary is the bounded-heap TopKPerKey
+    * election (a per-lang count window would serialize the dominant
+    * language); the pair stream is restricted row-locally by two
+    * BROADCAST left-semi joins against the ≤ V·langs vocab before the
+    * ONE map-side-combined (lang, w1, w2) count — ≤ V² rows per lang
+    * survive, so marginals, N, the kernel and the election all run on
+    * model-sized frames.
+    *
+    * NOTE (r19 semantics): CONSTRUCTION executes Spark jobs — the
+    * restricted pair counts are collected and re-entered as a local
+    * relation ([[Scale.localized]]), so building this frame pays the
+    * corpus pass up front and snapshots source state at build time. */
   def pmiCollocations(docs: DataFrame): DataFrame = {
     import graft.functions.LogExpressions.log2mb
     // the restricted pair counts (≤ V² per lang) are MODEL-sized —
@@ -367,7 +372,12 @@ object Frequency {
     * each release pays ONE token scan — a broadcast semi-join
     * restricts the stream to the 32 tracked tokens BEFORE its
     * map-side-combined count, and the totals are 1-row aggregates
-    * broadcast back; the kernel and ranking run on ≤K rows. */
+    * broadcast back; the kernel and ranking run on ≤K rows.
+    *
+    * NOTE (r19 semantics): CONSTRUCTION executes Spark jobs — the A
+    * counts are localCheckpoint'ed and the ≤K vocab/B-aggregate frames
+    * collected ([[Scale.localized]]) at build time, not at first
+    * action. */
   def vocabDrift(relA: DataFrame, relB: DataFrame): DataFrame = {
     import graft.functions.LogExpressions.log2mb
     val v = lit(DriftVocabK.toLong)

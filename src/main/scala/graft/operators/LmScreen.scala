@@ -170,12 +170,6 @@ object LmScreen {
         col("is_doc"): _*)
   }
 
-  /** the trained model: (vocab, pair surprisal, context surprisal for
-    * unseen pairs, unseen-context surprisal) — all model-sized (each
-    * frame gains the `gk` columns when grouped); callers broadcast.
-    * The grouped vocabulary election runs on the repo's bounded-heap
-    * TopKPerKey operator (per-partition heaps, ≤ K rows per group to
-    * the final stage) — the global one on TakeOrdered. */
   /** the LAZY vocabulary-election frame — top-[[VocabK]] train tokens
     * under the total (count desc, token asc) order, via the K-bounded
     * distributed top-K (global: TakeOrdered; grouped: the bounded-heap
@@ -192,6 +186,19 @@ object LmScreen {
       .select(gk :+ "tok" map col: _*)
   }
 
+  /** the trained model: (vocab, pair surprisal, context surprisal for
+    * unseen pairs, unseen-context surprisal) — all model-sized (each
+    * frame gains the `gk` columns when grouped); callers broadcast.
+    * The grouped vocabulary election runs on the repo's bounded-heap
+    * TopKPerKey operator (per-partition heaps, ≤ K rows per group to
+    * the final stage) — the global one on TakeOrdered.
+    *
+    * NOTE (r19 semantics): building the model EXECUTES Spark jobs at
+    * construction time — vocab and pair counts are collected and
+    * re-entered as local relations (see [[Scale.localized]]), so
+    * callers pay the training scans when they call this, not at first
+    * action, and the local relations snapshot source state as of the
+    * build. */
   private[operators] def model(docs: DataFrame, gk: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // every frame built here is MODEL-sized (≤ (K+1)² rows per group) —

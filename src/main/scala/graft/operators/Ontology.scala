@@ -48,10 +48,17 @@ object Ontology {
   /** q29: geography ontology closure — nation→region→WORLD edges, all
     * ancestor paths (the subclass-of-root query shape). */
   def geoClosure(region: DataFrame, nation: DataFrame): DataFrame = {
-    val edges = nation
+    // DIMENSION-sized edge list (≤ |nation| + |region| rows), localized
+    // (r20): left lazy, every closure level's broadcast re-derived the
+    // nation⋈region join — the executed plan carried 18 dimension scans
+    // / 9 broadcast builds of the same ≤30-row frame. Collected once
+    // and re-entered as a local relation, the closure is pure local
+    // arithmetic before its output sort (still computed from the
+    // parquet inputs on every invocation).
+    val edges = Scale.localized(nation
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name").as("child"), col("r_name").as("parent"))
-      .unionByName(region.select(col("r_name").as("child"), lit("WORLD").as("parent")))
+      .unionByName(region.select(col("r_name").as("child"), lit("WORLD").as("parent"))))
     // the geo hierarchy is ≤2 levels deep by construction — passing the
     // tight bound keeps the lazy closure plan at 3 branches instead of 10
     // (plan size, and with it codegen time, grows with maxDepth).

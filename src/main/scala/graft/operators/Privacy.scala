@@ -91,7 +91,14 @@ object Privacy {
   /** the q120 release EXTENDED with the coarsening materials (the
     * region name each row would generalize to, and the sensitive band)
     * — what [[kAnonymize]] projects down and [[lDiversityApply]]
-    * iterates on. */
+    * iterates on.
+    *
+    * NOTE (r19 semantics): CONSTRUCTION executes Spark jobs — the
+    * dimension-sized rung card is collected and re-entered as a local
+    * relation ([[Scale.localized]]), so every public caller
+    * ([[kAnonymize]], [[lDiversityAudit]], [[lDiversityApply]]) pays
+    * the fact counting pass when it BUILDS the frame and snapshots
+    * source state at build time. */
   private def kanonRelease(customer: DataFrame, nation: DataFrame,
                            region: DataFrame, k: Int,
                            withSensitive: Boolean = false): DataFrame = {

@@ -91,10 +91,15 @@ object Similarity {
     // one row per (vector, table) with that table's bucket — computed in a
     // single projection pass, so the candidate join is ONE shuffle on the
     // composite (table, bucket) key instead of nTables separate joins.
+    // The repartition makes the self-join's two sides project off the
+    // SAME exchange (ReusedExchange, r20 guide §2.4): the renamed
+    // projections alone re-computed the lsh_buckets pass per side —
+    // two embedding scans and two plane-matrix passes per banding.
     val b = e.select(col("vec_id"),
       posexplode(tableBucketsCol(col("embedding"), bandedPlanes(nTables, nPlanes, dim))))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
+      .repartition(col("table"), col("bucket"))
     val candidates = b.select(col("vec_id").as("id_a"), col("table"), col("bucket"))
       .join(b.select(col("vec_id").as("id_b"), col("table"), col("bucket")),
         Seq("table", "bucket"))
@@ -1391,7 +1396,15 @@ object Similarity {
     // materialize the assignment join ONCE (5 narrow columns per
     // vector): both per-cell rollups consume it, and the
     // un-materialized reuse re-ran both assignment scans + the
-    // full-outer join per side (the r19 re-derivation finding)
+    // full-outer join per side (the r19 re-derivation finding).
+    // CAVEAT at deployment scale: localCheckpoint pins this
+    // entity-sized frame in executor storage with NO lineage to
+    // recompute on executor loss — an executor failure mid-query fails
+    // the query (retry = re-run), unlike reliable checkpointing. The
+    // trade is deliberate for a report query: it is cheap to re-run,
+    // and the alternative (re-deriving both assignment scans per
+    // rollup) doubles the steady-state cost to buy recovery of a
+    // frame that only this one query ever reads.
     val j = a.join(b, Seq("vec_id"), "full_outer").localCheckpoint()
     val ga = j.filter(col("cell_a").isNotNull).groupBy(col("cell_a"))
       .agg(count(lit(1)).as("n_a"), sum(col("cos_a")).as("sa"),

@@ -352,13 +352,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "q46_content_metadata", "q47_heavy_hitters", "q48_corpus_sample",
       "q56_batch_fix", "q58_decontaminate", "q64b_chunk_diff",
       "q66_pii_scrub", "q84_bloom_decontaminate", "q88_indexed_search")
+    // r20 (ADVICE): the zero-pushed detector alone would let a scan
+    // that pushes ONE plain predicate while failing to push another
+    // escape the fence. Second detector: for every scan that pushed
+    // anything, each dataFilter that *translates* to a source filter
+    // (DataSourceStrategy.translateFilter — the planner's own
+    // pushability test) must appear among the PushedFilters; a
+    // translatable-but-unpushed predicate fails the suite outright
+    // (no allowlist — the adjudication rule only ever covers
+    // untranslatable derived-expression screens).
+    val partialPushed = scala.collection.mutable.ArrayBuffer[String]()
     val found = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      val hasUnpushed = PlanWalks.nodes(df.queryExecution.executedPlan).exists {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          s.dataFilters.nonEmpty &&
-            !s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]")
-        case _ => false
+      val scans = PlanWalks.nodes(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.foreach { s =>
+        val pushedStr = s.metadata.getOrElse("PushedFilters", "[]")
+        if (pushedStr.nonEmpty && pushedStr != "[]") {
+          val missed = s.dataFilters.filter { f =>
+            org.apache.spark.sql.graft.FilterBridge.translate(f)
+              .exists(tf => !pushedStr.contains(tf.toString))
+          }
+          if (missed.nonEmpty)
+            partialPushed += s"$name: ${missed.map(_.sql).mkString(" AND ")}"
+        }
+      }
+      val hasUnpushed = scans.exists { s =>
+        s.dataFilters.nonEmpty &&
+          !s.metadata.get("PushedFilters").exists(f => f.nonEmpty && f != "[]")
       }
       if (hasUnpushed) Some(name) else None
     }.toSet
@@ -368,6 +390,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unadjudicated filtered-unpushed scans appeared in: ${gained.toSeq.sorted}")
     assert(lost.isEmpty,
       s"stale allowlist entries (scan now pushes or is gone) — prune: ${lost.toSeq.sorted}")
+    assert(partialPushed.isEmpty,
+      s"translatable predicates left unpushed on scans that pushed others:\n" +
+        partialPushed.mkString("\n"))
   }
 
   test("r19 plan collapses hold: q108b two scans, local atlas dimensions") {
